@@ -1,0 +1,89 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine operator: the Spark implementation plus (when the
+  * semantics are SQL-expressible) the equivalent DuckDB oracle SQL the
+  * driver hash-compares against. Keys are the SURVEY.md §2 contract keys.
+  */
+final case class Q(
+    key: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Table readers. One parquet dir per scale factor; tables are plain
+  * parquet files so Spark's FileSourceScan gives us column pruning,
+  * predicate pushdown into row groups, and split-level parallelism for
+  * free — at 100 TB these become partitioned directory trees and the
+  * same reader works unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default (PARQUET_TYPE_ILLEGAL). We read it as a long of nanos
+    * (legacy nanosAsLong) and derive `ms` = epoch milliseconds via
+    * integer division (nanos ≈ 1.7e18 exceeds double's 2^53 mantissa, so
+    * a float division would corrupt it). DuckDB truncates the same
+    * column to µs; epoch_ms(ts) there equals `ms` here, which is the
+    * only time representation verified queries may emit (SURVEY §1.3).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ms", expr("ts div 1000000"))
+  }
+}
+
+/** Determinism helpers (SURVEY.md §2.3). The driver hash-compares our
+  * parquet dump against DuckDB, so every float that passed through an
+  * order-dependent accumulation must be rounded the SAME way in both
+  * engines. Two engine-agnostic tricks:
+  *
+  *  1. Money sums accumulate EXACTLY in decimal (Spark decimal sum and
+  *     DuckDB decimal sum are both exact), then cast once to double —
+  *     summation order can no longer matter.
+  *  2. Rounding uses floor(x * 10^n + 0.5) / 10^n rather than round():
+  *     Spark's round() goes through Java BigDecimal's shortest-repr
+  *     while DuckDB rounds the scaled binary value — they disagree near
+  *     .5 boundaries. floor/mul/add are IEEE-deterministic and identical
+  *     in both engines.
+  */
+object Det {
+  val Dec: DecimalType = DecimalType(20, 6)
+
+  /** Deterministic half-up-ish rounding: identical bit pattern in any
+    * IEEE-754 engine evaluating the same double.
+    */
+  def dround(c: Column, n: Int): Column = {
+    val f = math.pow(10, n)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  /** Order-independent money sum, 2 decimals. */
+  def moneySum(c: Column): Column =
+    dround(sum(c.cast(Dec)).cast("double"), 2)
+
+  /** Order-independent average (exact decimal sum / count), 4 decimals. */
+  def moneyAvg(c: Column): Column =
+    dround(sum(c.cast(Dec)).cast("double") / count(c), 4)
+}
+
+/** DuckDB-side spellings of the Det helpers, for oracle SQL strings. */
+object OSql {
+  def sround(e: String, n: Int): String =
+    s"floor(($e) * 1e$n + 0.5) / 1e$n"
+
+  def msum(e: String): String =
+    sround(s"CAST(SUM(CAST($e AS DECIMAL(20,6))) AS DOUBLE)", 2)
+
+  def mavg(e: String): String =
+    sround(s"CAST(SUM(CAST($e AS DECIMAL(20,6))) AS DOUBLE) / count($e)", 4)
+}

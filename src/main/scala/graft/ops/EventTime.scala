@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Event-time operators: the batch twins of the replay tool's streaming
+  * semantics (SURVEY.md §2.2 "streaming-semantics"). Each query is the
+  * deterministic batch statement of what the Structured Streaming
+  * pipeline in graft.streaming computes incrementally — DuckDB can
+  * verify these, while the true readStream path is verified against
+  * these twins (prefix-consistency, SURVEY.md §5.2).
+  *
+  * All time arithmetic is in epoch-milliseconds (see Windows.scala note
+  * on the ns-parquet / µs-Spark truncation).
+  */
+object EventTime {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Tumbling 1-hour window × event_type — the streaming groupBy(window)
+    * twin. Emits the window start as epoch seconds.
+    */
+  private val tumbling = Q(
+    "stream_tumbling",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window(timestamp_millis($"ms"), "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), moneySum($"value").as("total_value"))
+        .select(unix_timestamp($"window.start").as("hour_start"),
+          $"event_type", $"cnt", $"total_value")
+        .orderBy("hour_start", "event_type")
+    },
+    Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
+      "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  /** Sessionization with a 30-minute gap: lag → new-session flag →
+    * running sum = session id → two-level aggregate. Batch twin of
+    * session_window(ts, '30 minutes').
+    */
+  private val session = Q(
+    "stream_session",
+    (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+      val events = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ms")
+      val flagged = events.withColumn("is_new",
+        when(lag($"ms", 1).over(byUser).isNull ||
+          $"ms" - lag($"ms", 1).over(byUser) > 1800000L, 1L).otherwise(0L))
+      val sessions = flagged.withColumn("sess",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSession = sessions.groupBy($"user_id", $"sess")
+        .agg(min($"ms").as("t0"), max($"ms").as("t1"), count(lit(1)).as("n"))
+      perSession.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n").cast("long").as("n_events"),
+          dround(avg(($"t1" - $"t0").cast("double")), 2).as("avg_session_ms"))
+        .orderBy("user_id")
+    },
+    Some("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events), " +
+      "f AS (SELECT user_id, event_id, ms, CASE WHEN lag(ms) OVER w IS NULL OR " +
+      "ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)), " +
+      "s AS (SELECT user_id, ms, SUM(is_new) OVER (PARTITION BY user_id " +
+      "ORDER BY ms ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f), " +
+      "p AS (SELECT user_id, sess, min(ms) AS t0, max(ms) AS t1, count(*) AS n FROM s GROUP BY 1, 2) " +
+      "SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, " +
+      OSql.sround("AVG(CAST(t1 - t0 AS DOUBLE))", 2) + " AS avg_session_ms " +
+      "FROM p GROUP BY 1 ORDER BY 1"))
+
+  /** dropDuplicates twin: first event per (user_id, event_type) in event
+    * time — row_number over the watermark ordering.
+    */
+  private val dedup = Q(
+    "stream_dedup",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ms".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", $"event_type", $"event_id", $"ms")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    },
+    Some("SELECT user_id, event_type, event_id FROM " +
+      "(SELECT user_id, event_type, event_id, row_number() OVER " +
+      "(PARTITION BY user_id, event_type ORDER BY epoch_ms(ts) ASC, event_id ASC) AS rn " +
+      "FROM events) WHERE rn = 1 ORDER BY user_id, event_type"))
+
+  /** Watermark model: what a 1-hour watermark would drop — rows older
+    * than max(event time) - 1h, counted per type. Scalar-subquery max is
+    * a single-row broadcast in Spark.
+    */
+  private val lateData = Q(
+    "stream_late_data",
+    (s, d) => {
+      import s.implicits._
+      val maxMs = Tables.events(s, d).agg(max($"ms").as("max_ms"))
+      Tables.events(s, d)
+        .select($"event_type", $"ms")
+        .crossJoin(broadcast(maxMs))
+        .filter($"ms" < $"max_ms" - 3600000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("late_cnt"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS late_cnt FROM events " +
+      "WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 3600000 " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(tumbling, session, dedup, lateData)
+}

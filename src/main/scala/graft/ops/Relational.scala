@@ -1,0 +1,539 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Relational surface: scans, filters, joins, aggregations, sorts and
+  * set operations (SURVEY.md §2.2).
+  *
+  * Scale notes (the 100 TB design stance, verified on `explain`):
+  *  - dimension tables (region/nation/customer/part/supplier) are
+  *    broadcast — no shuffle of the fact side for star joins;
+  *  - lineitem ⋈ orders is the one genuinely large-large join and is
+  *    left to sort-merge + AQE (skew split, partition coalescing);
+  *  - every aggregate is a partial (map-side) + final hash aggregate —
+  *    the groupBy keys here are all low-cardinality, so the shuffle
+  *    volume is ~#groups × #tasks regardless of input size;
+  *  - filters sit directly on scan columns so Catalyst pushes them into
+  *    the parquet reader (row-group skipping at scale).
+  */
+object Relational {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  // ----------------------------------------------------------------- scans
+
+  private val scanProject = Q(
+    "scan_project",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(100),
+    Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+      "ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100"))
+
+  private val scanPrunedFilter = Q(
+    "scan_pruned_filter",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+        .groupBy(year($"l_shipdate").cast("long").as("ship_year"))
+        .agg(count(lit(1)).as("cnt"), moneySum($"l_extendedprice").as("revenue"))
+        .orderBy("ship_year")
+    },
+    Some("SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, count(*) AS cnt, " +
+      OSql.msum("l_extendedprice") + " AS revenue FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01' " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  private val jsonSource = Q(
+    "json_source",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum($"k").cast("long").as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+      "count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type"))
+
+  /** Kinesis-shard routing model (reference stage A6/A7): an explicit
+    * arithmetic hash — NOT Spark's internal hash(), which DuckDB cannot
+    * reproduce (SURVEY.md §2.3 rule 4). At scale this column feeds
+    * repartition(nShards, col) ahead of the sink.
+    */
+  private val sinkPartition = Q(
+    "sink_partition",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select((($"user_id" * lit(2654435761L)) % lit(2147483648L) % 8)
+          .cast("long").as("shard"), $"value")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("cnt"), moneySum($"value").as("total_value"))
+        .orderBy("shard")
+    },
+    Some("SELECT CAST(((user_id * 2654435761) % 2147483648) % 8 AS BIGINT) AS shard, " +
+      "count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
+
+  // --------------------------------------------------------------- filters
+
+  private val filterConjunctive = Q(
+    "filter_conjunctive",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_discount".between(0.05, 0.07) &&
+          $"l_quantity" < 24 && $"l_returnflag" === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .limit(100)
+    },
+    Some("SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem " +
+      "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 AND l_returnflag = 'R' " +
+      "ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount LIMIT 100"))
+
+  private val filterRegex = Q(
+    "filter_regex",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"props".rlike("\"k\": 8[0-9]"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS cnt FROM events " +
+      "WHERE regexp_matches(props, '\"k\": 8[0-9]') GROUP BY event_type ORDER BY event_type"))
+
+  private val transformRewrite = Q(
+    "transform_rewrite",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select($"p_partkey",
+          regexp_replace($"p_type", " ", "_").as("type_u"),
+          upper($"p_brand").as("brand_u"))
+        .orderBy("p_partkey")
+        .limit(200)
+    },
+    Some("SELECT p_partkey, replace(p_type, ' ', '_') AS type_u, " +
+      "upper(p_brand) AS brand_u FROM part ORDER BY p_partkey LIMIT 200"))
+
+  private val filterNullSemantics = Q(
+    "filter_null_semantics",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select(
+          coalesce(expr("nullif(o_orderstatus, 'P')"), lit("X")).as("status_c"),
+          when($"o_totalprice" > 200000, "high")
+            .when($"o_totalprice" > 100000, "mid")
+            .otherwise("low").as("branch"))
+        .groupBy("status_c", "branch")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("status_c", "branch")
+    },
+    Some("SELECT coalesce(nullif(o_orderstatus, 'P'), 'X') AS status_c, " +
+      "CASE WHEN o_totalprice > 200000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' " +
+      "ELSE 'low' END AS branch, count(*) AS cnt FROM orders GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  // ----------------------------------------------------------------- joins
+
+  private val joinInnerHash = Q(
+    "join_inner_hash",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), moneySum($"o_totalprice").as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+    Some("SELECT c_mktsegment, count(*) AS cnt, " + OSql.msum("o_totalprice") +
+      " AS revenue FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  /** Both sides large → shuffle-on-key sort-merge join; the `merge` hint
+    * pins the strategy AQE would pick at 100 TB anyway.
+    */
+  private val joinSortmergeLarge = Q(
+    "join_sortmerge_large",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").hint("merge"), $"l_orderkey" === $"o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), moneySum($"l_extendedprice").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("SELECT o_orderpriority, count(*) AS cnt, " + OSql.msum("l_extendedprice") +
+      " AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  /** 4-dim star join: every dimension broadcast, so the fact table is
+    * scanned exactly once with zero shuffles before the final agg.
+    */
+  private val joinBroadcastChain = Q(
+    "join_broadcast_chain",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"),
+          moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy("r_name")
+    },
+    Some("SELECT r_name, count(*) AS cnt, " +
+      OSql.msum("l_extendedprice * (1 - l_discount)") + " AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1"))
+
+  private val joinLeftOuter = Q(
+    "join_left_outer",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left")
+        .groupBy("c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          dround(coalesce(sum($"o_totalprice".cast(Dec)).cast("double"), lit(0.0)), 2)
+            .as("total"))
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, count(o_orderkey) AS n_orders, " +
+      OSql.sround("coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 0)", 2) +
+      " AS total FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  private val joinFullOuter = Q(
+    "join_full_outer",
+    (s, d) => {
+      import s.implicits._
+      val sup = t(s, d, "supplier").filter($"s_acctbal" > 5000)
+        .groupBy($"s_nationkey".as("nk_s")).agg(count(lit(1)).as("s_cnt"))
+      val cus = t(s, d, "customer")
+        .groupBy($"c_nationkey".as("nk_c")).agg(count(lit(1)).as("c_cnt"))
+      sup.join(cus, $"nk_s" === $"nk_c", "full")
+        .select(coalesce($"nk_s", $"nk_c").cast("long").as("nationkey"),
+          coalesce($"s_cnt", lit(0L)).cast("long").as("s_cnt"),
+          coalesce($"c_cnt", lit(0L)).cast("long").as("c_cnt"))
+        .orderBy("nationkey")
+    },
+    Some("WITH s AS (SELECT s_nationkey AS nk_s, count(*) AS s_cnt FROM supplier " +
+      "WHERE s_acctbal > 5000 GROUP BY 1), " +
+      "c AS (SELECT c_nationkey AS nk_c, count(*) AS c_cnt FROM customer GROUP BY 1) " +
+      "SELECT CAST(coalesce(nk_s, nk_c) AS BIGINT) AS nationkey, " +
+      "CAST(coalesce(s_cnt, 0) AS BIGINT) AS s_cnt, CAST(coalesce(c_cnt, 0) AS BIGINT) AS c_cnt " +
+      "FROM s FULL OUTER JOIN c ON nk_s = nk_c ORDER BY 1"))
+
+  private val joinLeftSemi = Q(
+    "join_left_semi",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter($"o_orderstatus" === "F"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') " +
+      "ORDER BY c_custkey"))
+
+  private val joinLeftAnti = Q(
+    "join_left_anti",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"))
+
+  /** Equi-key + range residual: still a hash/merge join on the equi part,
+    * the theta predicate evaluated as a post-join filter (no BNLJ blowup).
+    */
+  private val joinThetaRange = Q(
+    "join_theta_range",
+    (s, d) => {
+      import s.implicits._
+      broadcast(t(s, d, "part"))
+        .join(t(s, d, "lineitem"),
+          $"p_partkey" === $"l_partkey" && $"l_extendedprice" > $"p_retailprice" * 1.5)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    },
+    Some("SELECT p_brand, count(*) AS cnt FROM part JOIN lineitem " +
+      "ON p_partkey = l_partkey AND l_extendedprice > p_retailprice * 1.5 " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  private val joinCrossSmall = Q(
+    "join_cross_small",
+    (s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name"),
+    Some("SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2"))
+
+  // ------------------------------------------------------------ aggregates
+
+  /** Flagship (TPC-H Q1 analog): partial+final hash aggregate over a
+    * pushed-down shipdate filter; 6 aggregates share one shuffle of
+    * exactly #groups(=4) × #tasks rows.
+    */
+  val pricingSummary: Q = Q(
+    "agg_pricing_summary",
+    (s, d) => {
+      import s.implicits._
+      val disc = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dround(sum($"l_quantity".cast(Dec)).cast("double"), 2).as("sum_qty"),
+          moneySum($"l_extendedprice").as("sum_base_price"),
+          moneySum(disc).as("sum_disc_price"),
+          moneySum(disc * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          moneyAvg($"l_quantity").as("avg_qty"),
+          moneyAvg($"l_extendedprice").as("avg_price"),
+          moneyAvg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("SELECT l_returnflag, l_linestatus, " +
+      OSql.sround("CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)", 2) + " AS sum_qty, " +
+      OSql.msum("l_extendedprice") + " AS sum_base_price, " +
+      OSql.msum("l_extendedprice * (1 - l_discount)") + " AS sum_disc_price, " +
+      OSql.msum("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS sum_charge, " +
+      OSql.mavg("l_quantity") + " AS avg_qty, " +
+      OSql.mavg("l_extendedprice") + " AS avg_price, " +
+      OSql.mavg("l_discount") + " AS avg_disc, " +
+      "count(*) AS count_order FROM lineitem " +
+      "WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"))
+
+  private val aggCountDistinct = Q(
+    "agg_count_distinct",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
+
+  private val aggMultiDistinct = Q(
+    "agg_multi_distinct",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct($"user_id").as("users"),
+          countDistinct(to_date(timestamp_millis($"ms"))).as("days"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(DISTINCT user_id) AS users, " +
+      "count(DISTINCT CAST(ts AS DATE)) AS days FROM events GROUP BY 1 ORDER BY 1"))
+
+  /** HLL++ sketch — not bit-reproducible in DuckDB, so declared without
+    * an oracle (rows-only check), per SparkEntry.scala:10-12.
+    */
+  private val aggApproxHll = Q(
+    "agg_approx_hll",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct($"user_id", 0.01).cast("long").as("approx_users"))
+        .orderBy("event_type")
+    },
+    None)
+
+  private val aggRollup = Q(
+    "agg_rollup",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(grouping($"r_name").cast("long").as("g_r"),
+          grouping($"n_name").cast("long").as("g_n"),
+          count(lit(1)).as("cnt"),
+          moneySum($"o_totalprice").as("revenue"))
+        .select(coalesce($"r_name", lit("ALL")).as("r"),
+          coalesce($"n_name", lit("ALL")).as("n"),
+          $"g_r", $"g_n", $"cnt", $"revenue")
+        .orderBy("g_r", "g_n", "r", "n")
+    },
+    Some("SELECT coalesce(r_name, 'ALL') AS r, coalesce(n_name, 'ALL') AS n, " +
+      "CAST(grouping(r_name) AS BIGINT) AS g_r, CAST(grouping(n_name) AS BIGINT) AS g_n, " +
+      "count(*) AS cnt, " + OSql.msum("o_totalprice") + " AS revenue " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY ROLLUP(r_name, n_name) ORDER BY g_r, g_n, r, n"))
+
+  private val aggCube = Q(
+    "agg_cube",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(grouping($"o_orderstatus").cast("long").as("g_s"),
+          grouping($"o_orderpriority").cast("long").as("g_p"),
+          count(lit(1)).as("cnt"),
+          moneySum($"o_totalprice").as("revenue"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"g_s", $"g_p", $"cnt", $"revenue")
+        .orderBy("g_s", "g_p", "status", "priority")
+    },
+    Some("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+      "coalesce(o_orderpriority, 'ALL') AS priority, " +
+      "CAST(grouping(o_orderstatus) AS BIGINT) AS g_s, " +
+      "CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, " +
+      "count(*) AS cnt, " + OSql.msum("o_totalprice") + " AS revenue " +
+      "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+      "ORDER BY g_s, g_p, status, priority"))
+
+  /** Moment-based stats. stddev/variance are merged with numerically
+    * stable updates in both engines but are still O(eps) apart — rounded
+    * to where the agreement is guaranteed (stddev 2dp at ~3e4 magnitude,
+    * variance to integers at ~9e8). The median uses Spark's exact
+    * `percentile`, matching DuckDB's quantile_cont interpolation.
+    */
+  private val aggStats = Q(
+    "agg_stats",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          dround(stddev_samp($"l_extendedprice"), 2).as("sd"),
+          dround(var_samp($"l_extendedprice"), 0).as("vr"),
+          min($"l_extendedprice").as("mn"),
+          max($"l_extendedprice").as("mx"),
+          dround(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, " +
+      OSql.sround("stddev_samp(l_extendedprice)", 2) + " AS sd, " +
+      OSql.sround("var_samp(l_extendedprice)", 0) + " AS vr, " +
+      "min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, " +
+      OSql.sround("quantile_cont(l_extendedprice, 0.5)", 2) + " AS med " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"))
+
+  // --------------------------------------------------------- sorts / top-k
+
+  private val sortMultiKey = Q(
+    "sort_multi_key",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy($"o_orderstatus".asc, $"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(200)
+    },
+    Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+      "ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 200"))
+
+  /** Global top-k: sort+limit compiles to TakeOrderedAndProject — each
+    * task keeps a 50-row heap, the driver merges; no global sort even at
+    * 100 TB.
+    */
+  private val topkGlobal = Q(
+    "topk_global",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .limit(50)
+    },
+    Some("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+      "ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 50"))
+
+  // ----------------------------------------------------------------- setops
+
+  private val setUnionAll = Q(
+    "set_union_all",
+    (s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer")
+        .select(lit("cust").as("src"), $"c_custkey".as("ukey"), $"c_acctbal".as("acctbal"))
+      val sup = t(s, d, "supplier")
+        .select(lit("supp").as("src"), $"s_suppkey".as("ukey"), $"s_acctbal".as("acctbal"))
+      c.unionByName(sup).orderBy("src", "ukey")
+    },
+    Some("SELECT 'cust' AS src, c_custkey AS ukey, c_acctbal AS acctbal FROM customer " +
+      "UNION ALL SELECT 'supp', s_suppkey, s_acctbal FROM supplier ORDER BY src, ukey"))
+
+  private val setUnionDistinct = Q(
+    "set_union_distinct",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+        .union(t(s, d, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    },
+    Some("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer " +
+      "UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1"))
+
+  private val setIntersect = Q(
+    "set_intersect",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+        .intersect(t(s, d, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+        .orderBy("nationkey")
+    },
+    Some("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer " +
+      "INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1"))
+
+  private val setExcept = Q(
+    "set_except",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+        .except(t(s, d, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+        .orderBy("nationkey")
+    },
+    Some("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer " +
+      "EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(
+    scanProject, scanPrunedFilter, jsonSource, sinkPartition,
+    filterConjunctive, filterRegex, transformRewrite, filterNullSemantics,
+    joinInnerHash, joinSortmergeLarge, joinBroadcastChain, joinLeftOuter,
+    joinFullOuter, joinLeftSemi, joinLeftAnti, joinThetaRange, joinCrossSmall,
+    pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
+    aggRollup, aggCube, aggStats,
+    sortMultiKey, topkGlobal,
+    setUnionAll, setUnionDistinct, setIntersect, setExcept)
+}

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Scalar-function surface: string / date / math / json / array / map /
+  * higher-order / UDF (SURVEY.md §2.2). Everything except `udf_scalar`
+  * stays inside whole-stage codegen (no black-box functions on the hot
+  * path); the UDF exists precisely to exercise the UDF surface.
+  */
+object Scalars {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  private val scalarString = Q(
+    "scalar_string",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select($"p_partkey",
+          upper($"p_name").as("name_u"),
+          lower($"p_brand").as("brand_l"),
+          substring($"p_name", 1, 5).as("name5"),
+          length($"p_name").cast("long").as("name_len"),
+          lpad($"p_brand", 12, "*").as("brand_pad"),
+          concat_ws("#", $"p_brand", $"p_type").as("brand_type"),
+          expr("split_part(p_name, ' ', 1)").as("first_tok"),
+          expr("replace(p_type, ' ', '-')").as("type_r"))
+        .orderBy("p_partkey")
+        .limit(500)
+    },
+    Some("SELECT p_partkey, upper(p_name) AS name_u, lower(p_brand) AS brand_l, " +
+      "substring(p_name, 1, 5) AS name5, CAST(length(p_name) AS BIGINT) AS name_len, " +
+      "lpad(p_brand, 12, '*') AS brand_pad, concat_ws('#', p_brand, p_type) AS brand_type, " +
+      "split_part(p_name, ' ', 1) AS first_tok, replace(p_type, ' ', '-') AS type_r " +
+      "FROM part ORDER BY p_partkey LIMIT 500"))
+
+  /** Date surface. Spark dayofweek is 1=Sunday..7; DuckDB's is
+    * 0=Sunday..6 — the oracle adds 1. Epoch seconds via floor(epoch())
+    * = unix_timestamp truncation for post-1970 data.
+    */
+  private val scalarDate = Q(
+    "scalar_date",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select($"o_orderkey",
+          year($"o_orderdate").cast("long").as("yr"),
+          month($"o_orderdate").cast("long").as("mo"),
+          dayofweek($"o_orderdate").cast("long").as("dow"),
+          to_date(date_trunc("month", $"o_orderdate")).cast("string").as("month_start"),
+          date_add(to_date($"o_orderdate"), 30).cast("string").as("plus30"),
+          datediff(lit("1998-01-01").cast("date"), to_date($"o_orderdate"))
+            .cast("long").as("days_to_98"),
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+        .orderBy("o_orderkey")
+        .limit(1000)
+    },
+    Some("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+      "CAST(month(o_orderdate) AS BIGINT) AS mo, " +
+      "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, " +
+      "CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start, " +
+      "CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30, " +
+      "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98, " +
+      "CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s " +
+      "FROM orders ORDER BY o_orderkey LIMIT 1000"))
+
+  /** Math surface. sqrt is IEEE-exact; ln/pow go through libm and are
+    * floor-rounded to 4dp where last-ulp drift cannot surface.
+    */
+  private val scalarMath = Q(
+    "scalar_math",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          dround(sqrt($"l_extendedprice"), 4).as("sqrt_price"),
+          dround(pow($"l_quantity", 2), 2).as("qty_sq"),
+          dround(abs($"l_discount" - 0.05), 4).as("disc_dev"),
+          ceil($"l_extendedprice").cast("long").as("price_ceil"),
+          floor($"l_extendedprice").cast("long").as("price_floor"),
+          dround(log($"l_extendedprice"), 4).as("ln_price"),
+          greatest($"l_tax", $"l_discount").as("hi"),
+          least($"l_tax", $"l_discount").as("lo"),
+          signum($"l_discount" - 0.04).cast("long").as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "qty_sq",
+          "disc_dev", "hi", "lo", "sgn")
+        .limit(1000)
+    },
+    Some("SELECT l_orderkey, l_linenumber, " +
+      OSql.sround("sqrt(l_extendedprice)", 4) + " AS sqrt_price, " +
+      OSql.sround("power(l_quantity, 2)", 2) + " AS qty_sq, " +
+      OSql.sround("abs(l_discount - 0.05)", 4) + " AS disc_dev, " +
+      "CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, " +
+      "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, " +
+      OSql.sround("ln(l_extendedprice)", 4) + " AS ln_price, " +
+      "greatest(l_tax, l_discount) AS hi, least(l_tax, l_discount) AS lo, " +
+      "CAST(sign(l_discount - 0.04) AS BIGINT) AS sgn " +
+      "FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price, qty_sq, " +
+      "disc_dev, hi, lo, sgn LIMIT 1000"))
+
+  private val scalarCaseJson = Q(
+    "scalar_case_json",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(get_json_object($"props", "$.k").cast("int").as("k"))
+        .select(when($"k" < 25, "low").when($"k" < 50, "mid")
+          .when($"k" < 75, "high").otherwise("top").as("bucket"), $"k")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), sum($"k").cast("long").as("sum_k"))
+        .orderBy("bucket")
+    },
+    Some("WITH j AS (SELECT CAST(props->>'$.k' AS INT) AS k FROM events) " +
+      "SELECT CASE WHEN k < 25 THEN 'low' WHEN k < 50 THEN 'mid' " +
+      "WHEN k < 75 THEN 'high' ELSE 'top' END AS bucket, " +
+      "count(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k FROM j GROUP BY 1 ORDER BY 1"))
+
+  private val arrayOps = Q(
+    "array_ops",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          dround(element_at($"embedding", 1).cast("double"), 6).as("first_val"),
+          dround(array_min(slice($"embedding", 1, 8)).cast("double"), 6).as("min8"),
+          dround(array_max(slice($"embedding", 1, 8)).cast("double"), 6).as("max8"))
+        .orderBy("vec_id")
+        .limit(500)
+    },
+    Some("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+      OSql.sround("CAST(embedding[1] AS DOUBLE)", 6) + " AS first_val, " +
+      OSql.sround("CAST(list_min(embedding[1:8]) AS DOUBLE)", 6) + " AS min8, " +
+      OSql.sround("CAST(list_max(embedding[1:8]) AS DOUBLE)", 6) + " AS max8 " +
+      "FROM embeddings ORDER BY vec_id LIMIT 500"))
+
+  /** Generator/UDTF surface: posexplode. Spark pos is 0-based; DuckDB
+    * generate_subscripts is 1-based — the oracle subtracts 1.
+    */
+  private val arrayExplode = Q(
+    "array_explode",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"), posexplode($"embedding").as(Seq("pos", "x")))
+        .filter($"pos" < 4)
+        .groupBy($"label", $"pos".cast("long").as("pos"))
+        .agg(dround(avg($"x".cast("double")), 6).as("avg_x"))
+        .orderBy("label", "pos")
+    },
+    Some("SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos, " +
+      OSql.sround("AVG(CAST(x AS DOUBLE))", 6) + " AS avg_x FROM " +
+      "(SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i " +
+      "FROM embeddings) WHERE i <= 4 GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  /** Catalyst higher-order functions (lambdas): transform + aggregate.
+    * The fold runs in array order in both engines → deterministic.
+    */
+  private val higherOrderFn = Q(
+    "higher_order_fn",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"vec_id",
+          dround(element_at(transform($"embedding", x => x.cast("double") * lit(2.0)), 2), 6)
+            .as("x2_second"),
+          dround(aggregate($"embedding", lit(0.0),
+            (acc, x) => acc + abs(x.cast("double"))), 6).as("l1"))
+        .orderBy("vec_id")
+    },
+    Some("SELECT vec_id, " +
+      OSql.sround("list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[2]", 6) +
+      " AS x2_second, " +
+      OSql.sround("list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'sum')", 6) +
+      " AS l1 FROM embeddings ORDER BY vec_id"))
+
+  /** Scala UDF surface (business-rule bucket). The oracle re-states the
+    * same rule as a CASE expression.
+    */
+  private val udfScalar = Q(
+    "udf_scalar",
+    (s, d) => {
+      import s.implicits._
+      val bucket = udf((seg: String) =>
+        if (seg == null) "na"
+        else if (seg.startsWith("B")) "b-tier"
+        else if (seg.length > 9) "long"
+        else "other")
+      t(s, d, "customer")
+        .select(bucket($"c_mktsegment").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    },
+    Some("SELECT CASE WHEN c_mktsegment IS NULL THEN 'na' " +
+      "WHEN c_mktsegment LIKE 'B%' THEN 'b-tier' " +
+      "WHEN length(c_mktsegment) > 9 THEN 'long' ELSE 'other' END AS bucket, " +
+      "count(*) AS cnt FROM customer GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(
+    scalarString, scalarDate, scalarMath, scalarCaseJson,
+    arrayOps, arrayExplode, higherOrderFn, udfScalar)
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Window-function surface (SURVEY.md §2.2). All event-time windows
+  * order by epoch-milliseconds (unix_millis / epoch_ms) rather than raw
+  * timestamps: the parquet stores timestamp[ns], which Spark and DuckDB
+  * truncate to µs identically, but emitting raw ts would hash-mismatch
+  * (SURVEY.md §1.3). Every window has a unique total order (id tiebreak)
+  * so lag/lead/row_number are engine-independent.
+  *
+  * Scale: a window partitioned by a high-cardinality key (user_id,
+  * custkey) shuffles once on that key and sorts within partitions —
+  * the same plan shape a 1000-executor cluster wants. Only
+  * window_rank_dense runs an (intentional) global window on a
+  * 100..1000-row dimension table.
+  */
+object Windows {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  private val rankTopk = Q(
+    "window_rank_topk",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"c_mktsegment", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+    },
+    Some("SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM " +
+      "(SELECT c_mktsegment, o_orderkey, o_totalprice, row_number() OVER " +
+      "(PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey) " +
+      "WHERE rn <= 3 ORDER BY c_mktsegment, rn"))
+
+  private val rankDense = Q(
+    "window_rank_dense",
+    (s, d) => {
+      import s.implicits._
+      val byBal = Window.orderBy($"s_acctbal".desc)
+      val byBalKey = Window.orderBy($"s_acctbal".desc, $"s_suppkey".asc)
+      t(s, d, "supplier")
+        .select($"s_suppkey", $"s_acctbal",
+          rank().over(byBal).cast("long").as("rnk"),
+          dense_rank().over(byBal).cast("long").as("drnk"),
+          ntile(4).over(byBalKey).cast("long").as("tile"))
+        .orderBy("s_suppkey")
+    },
+    Some("SELECT s_suppkey, s_acctbal, " +
+      "CAST(rank() OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS rnk, " +
+      "CAST(dense_rank() OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS drnk, " +
+      "CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS BIGINT) AS tile " +
+      "FROM supplier ORDER BY s_suppkey"))
+
+  private val lagLead = Q(
+    "window_lag_lead",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"value", $"ms")
+        .select($"user_id", $"event_id",
+          lag($"value", 1).over(w).as("prev_value"),
+          (lead($"ms", 1).over(w) - $"ms").as("next_delta_ms"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("SELECT user_id, event_id, " +
+      "lag(value) OVER w AS prev_value, " +
+      "lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS next_delta_ms " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC) " +
+      "ORDER BY user_id, event_id"))
+
+  /** Running sum over a fully-ordered frame. Both engines accumulate in
+    * identical frame order, and the result is floor-rounded to 2dp.
+    */
+  private val runningSum = Q(
+    "window_running_sum",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          dround(sum($"o_totalprice").over(w), 2).as("cum_rev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("SELECT o_custkey, o_orderkey, " +
+      OSql.sround("SUM(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate ASC, o_orderkey ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2) +
+      " AS cum_rev FROM orders ORDER BY o_custkey, o_orderkey"))
+
+  private val firstLast = Q(
+    "window_first_last",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type", $"ms")
+        .select($"user_id",
+          first($"event_type").over(w).as("first_et"),
+          last($"event_type").over(w).as("last_et"))
+        .distinct()
+        .orderBy("user_id")
+    },
+    Some("SELECT DISTINCT user_id, " +
+      "first_value(event_type) OVER w AS first_et, " +
+      "last_value(event_type) OVER w AS last_et " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY user_id"))
+
+  val qs: Seq[Q] = Seq(rankTopk, rankDense, lagLead, runningSum, firstLast)
+}
