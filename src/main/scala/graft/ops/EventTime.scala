@@ -114,5 +114,51 @@ object EventTime {
       "WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 3600000 " +
       "GROUP BY 1 ORDER BY 1"))
 
-  val qs: Seq[Q] = Seq(tumbling, session, dedup, lateData)
+  /** Sliding windows (1 h length, 15 min slide): each event lands in
+    * exactly 4 windows (3600/900). Spark's window() aligns slides to the
+    * epoch, so the oracle enumerates the 4 starts arithmetically.
+    */
+  private val sliding = Q(
+    "stream_sliding",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window(timestamp_millis($"ms"), "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp($"window.start").as("win_start"), $"event_type", $"cnt")
+        .orderBy("win_start", "event_type")
+    },
+    Some("WITH e AS (SELECT epoch_ms(ts)//1000 AS t, event_type FROM events), " +
+      "k AS (SELECT unnest([0,1,2,3]) AS k) " +
+      "SELECT CAST((t//900 - k) * 900 AS BIGINT) AS win_start, event_type, count(*) AS cnt " +
+      "FROM e CROSS JOIN k GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  /** As-of (point-in-time) join: for every event, the most recent
+    * STRICTLY-earlier signup of the same user. In Spark this is not a
+    * join at all: a max-over-range-frame window (shuffle once on
+    * user_id) — the plan a 1000-executor cluster wants, vs. the
+    * O(n·log n)-per-key merge an ASOF JOIN implies. The oracle uses
+    * DuckDB's native ASOF LEFT JOIN with a strict `>` bound, which has
+    * identical semantics to the rangeBetween(-∞, -1) frame.
+    */
+  private val asof = Q(
+    "join_asof",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"ms")
+        .withColumn("prev_signup_ms",
+          max(when($"event_type" === "signup", $"ms")).over(w))
+        .select($"event_id", $"user_id", $"ms", $"prev_signup_ms")
+        .orderBy("event_id")
+    },
+    Some("WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events), " +
+      "s AS (SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'signup') " +
+      "SELECT e.event_id, e.user_id, e.ms, s.ms AS prev_signup_ms " +
+      "FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms > s.ms " +
+      "ORDER BY e.event_id"))
+
+  val qs: Seq[Q] = Seq(tumbling, session, dedup, lateData, sliding, asof)
 }

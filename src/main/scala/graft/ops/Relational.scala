@@ -448,6 +448,28 @@ object Relational {
       OSql.sround("quantile_cont(l_extendedprice, 0.5)", 2) + " AS med " +
       "FROM lineitem GROUP BY 1 ORDER BY 1"))
 
+  /** GROUPING SETS ((lang),(source),()) — no stable DataFrame API, so
+    * this goes through spark.sql over a temp view (the one SQL-string
+    * query in the inventory, exercising the parser entry point too).
+    */
+  private val aggGroupingSets = Q(
+    "agg_grouping_sets",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("graft_documents_gs")
+      s.sql("""
+        SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS source_g,
+               CAST(grouping(lang) AS BIGINT) AS g_l, CAST(grouping(source) AS BIGINT) AS g_s,
+               count(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM graft_documents_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY g_l, g_s, lang_g, source_g""")
+    },
+    Some("SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS source_g, " +
+      "CAST(grouping(lang) AS BIGINT) AS g_l, CAST(grouping(source) AS BIGINT) AS g_s, " +
+      "count(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY GROUPING SETS ((lang), (source), ()) " +
+      "ORDER BY g_l, g_s, lang_g, source_g"))
+
   // --------------------------------------------------------- sorts / top-k
 
   private val sortMultiKey = Q(
@@ -533,7 +555,7 @@ object Relational {
     joinInnerHash, joinSortmergeLarge, joinBroadcastChain, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinThetaRange, joinCrossSmall,
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
-    aggRollup, aggCube, aggStats,
+    aggRollup, aggCube, aggGroupingSets, aggStats,
     sortMultiKey, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }

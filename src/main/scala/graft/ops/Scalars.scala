@@ -200,7 +200,35 @@ object Scalars {
       "WHEN length(c_mktsegment) > 9 THEN 'long' ELSE 'other' END AS bucket, " +
       "count(*) AS cnt FROM customer GROUP BY 1 ORDER BY 1"))
 
+  /** MapType surface: per-user map(event_type → count) built with
+    * map_from_entries over a SORTED entry list (collect_list order is
+    * nondeterministic; sort_array fixes it), re-projected to delimited
+    * strings so the oracle compare is engine-portable (map ordering is
+    * otherwise unstable across engines — SURVEY §2.2).
+    */
+  private val mapOps = Q(
+    "map_ops",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct($"event_type", $"cnt"))))
+          .as("m"))
+        .select($"user_id",
+          size($"m").cast("long").as("n_types"),
+          concat_ws(",", map_keys($"m")).as("types"),
+          concat_ws(",", transform(map_values($"m"), v => v.cast("string"))).as("type_counts"))
+        .orderBy("user_id")
+    },
+    Some("WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2) " +
+      "SELECT user_id, count(*) AS n_types, " +
+      "string_agg(event_type, ',' ORDER BY event_type) AS types, " +
+      "string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS type_counts " +
+      "FROM c GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     scalarString, scalarDate, scalarMath, scalarCaseJson,
-    arrayOps, arrayExplode, higherOrderFn, udfScalar)
+    arrayOps, arrayExplode, higherOrderFn, udfScalar, mapOps)
 }

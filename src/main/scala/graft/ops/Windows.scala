@@ -121,5 +121,29 @@ object Windows {
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY user_id"))
 
-  val qs: Seq[Q] = Seq(rankTopk, rankDense, lagLead, runningSum, firstLast)
+  /** Range-frame window: 7-day moving average of daily event value over
+    * epoch-day. Daily totals are summed EXACTLY in decimal first, so the
+    * moving sum (≤7 decimal terms) is order-independent; only the final
+    * divide happens in double, identically in both engines.
+    */
+  private val movingAvg = Q(
+    "window_moving_avg",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(expr("ms div 86400000").cast("long").as("day"))
+        .agg(sum($"value".cast(Dec)).as("v"), count(lit(1)).as("c"))
+      val w = Window.orderBy($"day").rangeBetween(-6, 0)
+      daily.select($"day",
+        dround(sum($"v").over(w).cast("double") / count(lit(1)).over(w), 4).as("mavg7"))
+        .orderBy("day")
+    },
+    Some("WITH dsum AS (SELECT epoch_ms(ts)//86400000 AS day, " +
+      "SUM(CAST(value AS DECIMAL(20,6))) AS v, count(*) AS c FROM events GROUP BY 1) " +
+      "SELECT CAST(day AS BIGINT) AS day, " +
+      OSql.sround("CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w", 4) +
+      " AS mavg7 FROM dsum WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+      "ORDER BY day"))
+
+  val qs: Seq[Q] = Seq(rankTopk, rankDense, lagLead, runningSum, firstLast, movingAvg)
 }
