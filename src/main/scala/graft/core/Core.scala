@@ -34,12 +34,34 @@ object Tables {
     * a float division would corrupt it). DuckDB truncates the same
     * column to µs; epoch_ms(ts) there equals `ms` here, which is the
     * only time representation verified queries may emit (SURVEY §1.3).
+    *
+    * The nanosAsLong flag is session-level and must be set ONCE at
+    * session build time (see [[Sessions.config]]) — mutating it inside a
+    * reader would be a race under concurrent queries. `ensureNanosConf`
+    * only VALIDATES, so a mis-built session fails loudly, not subtly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(spark)
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ms", expr("ts div 1000000"))
   }
+
+  private def ensureNanosConf(spark: SparkSession): Unit =
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(see graft.core.Sessions.config)")
+}
+
+/** Session-build configuration shared by Verify / Bench / tests so every
+  * entry point constructs an identical engine session.
+  */
+object Sessions {
+  def config(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
 }
 
 /** Determinism helpers (SURVEY.md §2.3). The driver hash-compares our

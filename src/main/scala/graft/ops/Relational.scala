@@ -272,12 +272,15 @@ object Relational {
 
   /** Equi-key + range residual: still a hash/merge join on the equi part,
     * the theta predicate evaluated as a post-join filter (no BNLJ blowup).
+    * No broadcast hint — `part` grows with scale factor, so AQE picks
+    * broadcast at small SF and shuffle-join once it exceeds the
+    * threshold; either way the equi key keeps it off a nested loop.
     */
   private val joinThetaRange = Q(
     "join_theta_range",
     (s, d) => {
       import s.implicits._
-      broadcast(t(s, d, "part"))
+      t(s, d, "part")
         .join(t(s, d, "lineitem"),
           $"p_partkey" === $"l_partkey" && $"l_extendedprice" > $"p_retailprice" * 1.5)
         .groupBy("p_brand")

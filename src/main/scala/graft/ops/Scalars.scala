@@ -86,7 +86,7 @@ object Scalars {
           least($"l_tax", $"l_discount").as("lo"),
           signum($"l_discount" - 0.04).cast("long").as("sgn"))
         .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "qty_sq",
-          "disc_dev", "hi", "lo", "sgn")
+          "disc_dev", "price_ceil", "price_floor", "ln_price", "hi", "lo", "sgn")
         .limit(1000)
     },
     Some("SELECT l_orderkey, l_linenumber, " +
@@ -99,7 +99,7 @@ object Scalars {
       "greatest(l_tax, l_discount) AS hi, least(l_tax, l_discount) AS lo, " +
       "CAST(sign(l_discount - 0.04) AS BIGINT) AS sgn " +
       "FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price, qty_sq, " +
-      "disc_dev, hi, lo, sgn LIMIT 1000"))
+      "disc_dev, price_ceil, price_floor, ln_price, hi, lo, sgn LIMIT 1000"))
 
   private val scalarCaseJson = Q(
     "scalar_case_json",

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.math.{BigDecimal => JBD}
+
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -10,23 +12,30 @@ import graft.core.{Det, OSql, Q, Tables}
   * commutative-monoid shape — (Σ x·w, Σ w) — so Spark runs it as a
   * partial + final aggregate with map-side combine, exactly like a
   * built-in: no extra shuffle at any scale.
+  *
+  * Determinism: the buffer accumulates in BigDecimal (exact, so the
+  * partition-dependent reduce/merge order cannot change the result —
+  * mirrors Det.moneySum), and a zero-weight group yields NULL, matching
+  * SQL division semantics in the oracle.
   */
 object Udafs {
 
   case class PriceW(price: Double, w: Double)
 
-  /** Discount-weighted average price. */
-  object WeightedAvg extends Aggregator[PriceW, (Double, Double), Double] {
-    def zero: (Double, Double) = (0.0, 0.0)
-    def reduce(b: (Double, Double), a: PriceW): (Double, Double) =
-      (b._1 + a.price * a.w, b._2 + a.w)
-    def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
-      (x._1 + y._1, x._2 + y._2)
-    def finish(r: (Double, Double)): Double =
-      if (r._2 == 0.0) 0.0 else r._1 / r._2
-    def bufferEncoder: Encoder[(Double, Double)] =
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  /** Discount-weighted average price; NULL when Σw = 0. */
+  object WeightedAvg extends Aggregator[PriceW, (JBD, JBD), java.lang.Double] {
+    def zero: (JBD, JBD) = (JBD.ZERO, JBD.ZERO)
+    def reduce(b: (JBD, JBD), a: PriceW): (JBD, JBD) =
+      (b._1.add(JBD.valueOf(a.price).multiply(JBD.valueOf(a.w))),
+        b._2.add(JBD.valueOf(a.w)))
+    def merge(x: (JBD, JBD), y: (JBD, JBD)): (JBD, JBD) =
+      (x._1.add(y._1), x._2.add(y._2))
+    def finish(r: (JBD, JBD)): java.lang.Double =
+      if (r._2.signum == 0) null
+      else java.lang.Double.valueOf(r._1.doubleValue / r._2.doubleValue)
+    def bufferEncoder: Encoder[(JBD, JBD)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   private val udafWeightedAvg = Q(
@@ -39,8 +48,14 @@ object Udafs {
         .agg(Det.dround(wavg($"l_extendedprice", $"l_discount"), 2).as("wavg_price"))
         .orderBy("l_returnflag")
     },
+    // The oracle sums in decimal too (prices/discounts are exact 2dp
+    // values, so DECIMAL(18,4)/DECIMAL(8,4) represent them exactly and
+    // both engines' sums are order-independent); only the final divide
+    // happens in double, identically.
     Some("SELECT l_returnflag, " +
-      OSql.sround("SUM(l_extendedprice * l_discount) / SUM(l_discount)", 2) +
+      OSql.sround("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2) +
       " AS wavg_price FROM lineitem GROUP BY 1 ORDER BY 1"))
 
   val qs: Seq[Q] = Seq(udafWeightedAvg)

@@ -80,8 +80,10 @@ object Windows {
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC) " +
       "ORDER BY user_id, event_id"))
 
-  /** Running sum over a fully-ordered frame. Both engines accumulate in
-    * identical frame order, and the result is floor-rounded to 2dp.
+  /** Running sum over a fully-ordered frame. The windowed sum runs in
+    * DECIMAL in both engines (exact, so neither Spark's frame-order
+    * accumulation nor DuckDB's segment-tree combination can drift),
+    * then one cast to double + 2dp floor-round.
     */
   private val runningSum = Q(
     "window_running_sum",
@@ -92,27 +94,30 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders")
         .select($"o_custkey", $"o_orderkey",
-          dround(sum($"o_totalprice").over(w), 2).as("cum_rev"))
+          dround(sum($"o_totalprice".cast(Dec)).over(w).cast("double"), 2).as("cum_rev"))
         .orderBy("o_custkey", "o_orderkey")
     },
     Some("SELECT o_custkey, o_orderkey, " +
-      OSql.sround("SUM(o_totalprice) OVER (PARTITION BY o_custkey " +
+      OSql.sround("CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate ASC, o_orderkey ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2) +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)", 2) +
       " AS cum_rev FROM orders ORDER BY o_custkey, o_orderkey"))
 
+  /** First/last event per user. Not a window at all: `min_by`/`max_by`
+    * keyed on the (ms, event_id) event-time order run as ONE partial +
+    * final aggregate — the shuffle carries #users rows (vs the full
+    * event table for a window + distinct), fully codegen'd.
+    */
   private val firstLast = Q(
     "window_first_last",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.events(s, d)
         .select($"user_id", $"event_id", $"event_type", $"ms")
-        .select($"user_id",
-          first($"event_type").over(w).as("first_et"),
-          last($"event_type").over(w).as("last_et"))
-        .distinct()
+        .groupBy($"user_id")
+        .agg(
+          min_by($"event_type", struct($"ms", $"event_id")).as("first_et"),
+          max_by($"event_type", struct($"ms", $"event_id")).as("last_et"))
         .orderBy("user_id")
     },
     Some("SELECT DISTINCT user_id, " +

@@ -70,7 +70,17 @@ def main(sf_dir: str, out_dir: str) -> int:
     declared = set(json.load(open(f"{out_dir}/oracle_sql.json")))
     dumped = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
     for extra in sorted(dumped - declared):
-        print(f"INFO {extra}: no oracle (rows-only check)")
+        n = len(glob.glob(f"{out_dir}/{extra}/*.parquet"))
+        print(f"INFO {extra}: no oracle (rows-only check, {n} parquet files)")
+    # Blind-spot guard: every key SparkEntry declares must have produced a
+    # dump dir — a no-oracle query that threw in Verify is a FAIL here.
+    try:
+        all_keys = set(json.load(open(f"{out_dir}/keys.json")))
+    except FileNotFoundError:
+        all_keys = declared
+    for missing in sorted(all_keys - dumped):
+        print(f"FAIL {missing}: declared in SparkEntry but no Verify dump (query threw?)")
+        n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
 
