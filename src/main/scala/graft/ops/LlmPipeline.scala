@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, OSql, Q, Tables}
@@ -117,6 +117,152 @@ object LlmPipeline {
       OSql.sround("AVG(CAST(embedding[1] AS DOUBLE))", 6) + " AS avg_first " +
       "FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------- near-dup (LSH)
+
+  /** Word-3-gram shingles per doc; empty (never null) when < 3 tokens, so
+    * short docs simply produce no bands. Portable across engines: both
+    * sides split on a single space and concat with single spaces.
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id",
+        when(size($"t") >= 3,
+          transform(sequence(lit(1), size($"t") - 2), i =>
+            concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+              element_at($"t", i + 2))))
+          .otherwise(array().cast("array<string>")).as("s"))
+  }
+
+  /** One (doc_id, band) row per LSH band: 8 min-hashes in 4 bands of 2.
+    * The "hash family" is md5 over the shingle + a seed suffix, and the
+    * min is taken LEXICOGRAPHICALLY over the hex digests — a portable
+    * stand-in for integer min-hashing that both engines order identically.
+    */
+  private def bandRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def mh(j: Int): Column =
+      array_min(transform($"s", x => md5(concat(x, lit(s"#$j")))))
+    val bands = (1 to 4).map(k => concat(mh(2 * k - 1), mh(2 * k), lit(s"#B$k")))
+    shingled(s, d).select($"doc_id", explode(array(bands: _*)).as("band"))
+  }
+
+  /** Banded MinHash near-duplicate candidates (SURVEY §2.2 Tier-2).
+    * Candidate generation is a self-equi-join on the band key — the plan
+    * is a shuffle bucketed by band, NEVER an all-pairs product, so at
+    * 100 TB the cost is Σ bucket² over near-dup buckets only. (At that
+    * scale you would additionally cap pathological buckets — a HAVING
+    * count < K on the band — the standard LSH hot-bucket guard.)
+    * n_bands = how many of the 4 bands agree, a collision-strength score.
+    */
+  private val dedupNearMinhash = Q(
+    "dedup_near_minhash",
+    (s, d) => {
+      import s.implicits._
+      val a = bandRows(s, d).select($"doc_id".as("doc_a"), $"band")
+      val b = bandRows(s, d).select($"doc_id".as("doc_b"), $"band")
+      a.join(b, a("band") === b("band") && $"doc_a" < $"doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("doc_a", "doc_b")
+        .limit(1000)
+    },
+    Some {
+      def mh(j: Int) = s"list_min(list_transform(s, x -> md5(x || '#$j')))"
+      val bands = (1 to 4)
+        .map(k => s"${mh(2 * k - 1)} || ${mh(2 * k)} || '#B$k' AS b$k").mkString(", ")
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+        "list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
+        "ELSE [] END AS s FROM tok), " +
+        s"sig AS (SELECT doc_id, $bands FROM sh), " +
+        "bd AS (SELECT doc_id, unnest([b1,b2,b3,b4]) AS band FROM sig) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands " +
+        "FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000"
+    })
+
+  /** Global bigram counts (SURVEY §2.2 Tier-2): explode word-2-grams →
+    * partial + final count agg (map-side combine collapses each
+    * partition's bigram counts before the shuffle), top-100 on a total
+    * (cnt desc, bigram asc) order.
+    */
+  private val textNgram = Q(
+    "text_ngram",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(split($"text", " ").as("t"))
+        .select(explode(
+          when(size($"t") >= 2,
+            transform(sequence(lit(1), size($"t") - 1), i =>
+              concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"bigram".asc)
+        .limit(100)
+    },
+    Some("WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+      "bg AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN " +
+      "list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) " +
+      "ELSE [] END) AS bigram FROM tok) " +
+      "SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1 " +
+      "ORDER BY cnt DESC, bigram ASC LIMIT 100"))
+
+  /** Intra- vs inter-label average pairwise cosine (SURVEY §2.2 Tier-2),
+    * the standard embedding-quality metric — computed WITHOUT the N²
+    * pair join. Because Σ_{a∈A,b∈B} a·b = S_A·S_B (S = per-label vector
+    * sum), one partial+final agg over the exploded (label, pos, x) view
+    * yields per-label component sums; the "pairwise" stage then joins
+    * only the L×64 sum vectors (L = #labels), so cost at 100 TB is one
+    * scan + one tiny join. Intra-label removes the self-pairs via
+    * Σ‖v‖²: avg = (S_A·S_A − Σ‖v‖²) / (n_A² − n_A).
+    */
+  private val simPairwiseLabel = Q(
+    "sim_pairwise_label",
+    (s, d) => {
+      import s.implicits._
+      def exploded = t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"), posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"label", $"pos", $"x".cast("double").as("x"))
+      val per = exploded.groupBy("label", "pos")
+        .agg(sum($"x").as("sv"), sum($"x" * $"x").as("qv"))
+      val cnt = t(s, d, "embeddings")
+        .groupBy($"label".cast("long").as("label")).agg(count(lit(1)).as("n"))
+      val selfdot = per.groupBy("label").agg(sum($"qv").as("selfdot"))
+      val dots = per.select($"label".as("label_a"), $"pos", $"sv".as("sa"))
+        .join(per.select($"label".as("label_b"), $"pos", $"sv".as("sb")), "pos")
+        .filter($"label_a" <= $"label_b")
+        .groupBy("label_a", "label_b")
+        .agg(sum($"sa" * $"sb").as("dot"))
+      dots
+        .join(cnt.select($"label".as("label_a"), $"n".as("na")), "label_a")
+        .join(cnt.select($"label".as("label_b"), $"n".as("nb")), "label_b")
+        .join(selfdot.select($"label".as("label_a"), $"selfdot"), "label_a")
+        .select($"label_a", $"label_b",
+          dround(when($"label_a" === $"label_b",
+            when($"na" > 1, ($"dot" - $"selfdot") / ($"na" * ($"na" - lit(1L)))))
+            .otherwise($"dot" / ($"na" * $"nb")), 6).as("avg_cos"))
+        .orderBy("label_a", "label_b")
+    },
+    Some("WITH ex AS (SELECT CAST(label AS BIGINT) AS label, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) AS pos " +
+      "FROM embeddings), " +
+      "per AS (SELECT label, pos, SUM(x) AS sv, SUM(x*x) AS qv FROM ex GROUP BY 1, 2), " +
+      "cnt AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n FROM embeddings GROUP BY 1), " +
+      "sd AS (SELECT label, SUM(qv) AS selfdot FROM per GROUP BY 1), " +
+      "dots AS (SELECT a.label AS label_a, b.label AS label_b, SUM(a.sv * b.sv) AS dot " +
+      "FROM per a JOIN per b ON a.pos = b.pos AND a.label <= b.label GROUP BY 1, 2) " +
+      "SELECT label_a, label_b, " +
+      OSql.sround("CASE WHEN label_a = label_b THEN " +
+        "(dot - sd.selfdot) / nullif(na.n * (na.n - 1), 0) " +
+        "ELSE dot / (na.n * nb.n) END", 6) + " AS avg_cos " +
+      "FROM dots JOIN cnt na ON na.label = label_a JOIN cnt nb ON nb.label = label_b " +
+      "JOIN sd ON sd.label = label_a ORDER BY label_a, label_b"))
+
   val qs: Seq[Q] = Seq(
-    dedupExact, tokenizeWordcount, textStats, simCosineTopk, multimodalJoin)
+    dedupExact, tokenizeWordcount, textStats, simCosineTopk, multimodalJoin,
+    dedupNearMinhash, textNgram, simPairwiseLabel)
 }

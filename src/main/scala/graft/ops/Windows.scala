@@ -23,6 +23,16 @@ object Windows {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Top-3 orders per market segment. The rank filter is written
+    * declaratively (row_number ≤ 3 over a window) and Catalyst's
+    * WindowGroupLimit rule turns it into the two-phase top-k plan:
+    * a PARTIAL WindowGroupLimit before the exchange keeps ≤3 rows per
+    * (segment, input-partition), so the shuffle and the final
+    * 5-partition window only ever see ≤3×P candidate rows — the full
+    * fact table is pruned map-side. Verified via `runMain graft.Explain
+    * window_rank_topk`: Sort→WindowGroupLimit(partial)→Exchange→
+    * WindowGroupLimit(final)→Window.
+    */
   private val rankTopk = Q(
     "window_rank_topk",
     (s, d) => {
