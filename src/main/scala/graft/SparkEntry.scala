@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.Q
 import graft.ops.{EventTime, LlmPipeline, Relational, Scalars, Udafs, Windows}
+import graft.streaming.Replay
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the per-file operator inventories; each Q carries both the
@@ -10,7 +11,7 @@ import graft.ops.{EventTime, LlmPipeline, Relational, Scalars, Udafs, Windows}
 object SparkEntry {
   private val all: Seq[Q] =
     Relational.qs ++ Windows.qs ++ Scalars.qs ++ Udafs.qs ++
-      EventTime.qs ++ LlmPipeline.qs
+      EventTime.qs ++ LlmPipeline.qs ++ Replay.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q}
+
+/** The reference's identity re-expressed Spark-first: replay an archived
+  * event stream from object storage into a sharded streaming sink, then
+  * run a watermarked event-time aggregation over the replayed stream
+  * (SURVEY §2.1 stages A1–A9, §2.2 scans/sinks, §7.1 slice 4).
+  *
+  * Two genuine Structured Streaming queries:
+  *
+  *  1. `replayArchive` — `readStream` over the parquet archive with
+  *     `maxFilesPerTrigger` as the rate limit (the archive-replay
+  *     throttle), routes each record to a shard by hash of its partition
+  *     key (`user_id` — the Kinesis partition-key model), and a
+  *     `foreachBatch` sink appends each micro-batch shard-partitioned
+  *     with ≤500 records per file (the PutRecords batch cap). At scale
+  *     the sink call becomes the real stream API; the plumbing — schema,
+  *     sharding, batch shape, checkpointing — is identical.
+  *  2. `aggregateReplayed` — `readStream` over the replayed shards,
+  *     `withWatermark(1 hour)` + tumbling 1-hour window × event_type
+  *     aggregation, emitted through the memory sink in complete mode.
+  *     Counts are exact and the value sum accumulates in DECIMAL, so the
+  *     result is bit-identical no matter how the replay was micro-batched
+  *     — which is what lets the driver hash-compare it against the SAME
+  *     DuckDB oracle as the batch twin `stream_tumbling`.
+  *
+  * State at scale: the windowed agg keeps #openWindows × #eventTypes
+  * rows of state per key range; the 1-hour watermark bounds it — state
+  * for windows older than max(event time) − 1 h is evicted.
+  */
+object Replay {
+
+  /** Stage 1: rate-limited replay of the archived events into a sharded,
+    * batch-capped sink directory. Returns the sink path.
+    */
+  def replayArchive(
+      s: SparkSession,
+      srcPath: String,
+      nShards: Int = 4,
+      maxFilesPerTrigger: Int = 1): String = {
+    val out = Files.createTempDirectory("graft-replay-out").toString
+    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
+    val schema = s.read.parquet(srcPath).schema
+    // FileStreamSource wants a directory or a glob; a brace-glob on the
+    // file name streams a single archive file with its parent as base.
+    val srcGlob = srcPath.replaceAll("([^/]+)$", "{$1}")
+    val stream = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcGlob)
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("shard", pmod(xxhash64(col("user_id")), lit(nShards)))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("append")
+          .option("maxRecordsPerFile", 500)
+          .partitionBy("shard")
+          .parquet(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    out
+  }
+
+  /** Stage 2: watermarked streaming tumbling aggregation over the
+    * replayed shards; runs the stream to completion and returns the
+    * final result as a batch DataFrame.
+    */
+  def aggregateReplayed(s: SparkSession, replayedPath: String): DataFrame = {
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft-agg-ckpt").toString
+    val table = "replay_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = s.read.parquet(replayedPath).schema
+    val agg = s.readStream
+      .schema(schema)
+      .parquet(replayedPath)
+      .withColumn("ets", timestamp_millis($"ms"))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window($"ets", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"value".cast(Det.Dec)).as("tot"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(table)
+      .select(unix_timestamp($"window.start").as("hour_start"),
+        $"event_type", $"cnt",
+        Det.dround($"tot".cast("double"), 2).as("total_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** End-to-end replay pipeline, oracle-checked against the same SQL as
+    * its batch twin `stream_tumbling` (EventTime.scala) — proving the
+    * replay is loss-free and duplication-free.
+    */
+  private val replayStream = Q(
+    "replay_stream",
+    (s, d) => aggregateReplayed(s, replayArchive(s, s"$d/events.parquet")),
+    Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
+      "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  val qs: Seq[Q] = Seq(replayStream)
+}
