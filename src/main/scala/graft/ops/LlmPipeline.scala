@@ -110,7 +110,7 @@ object LlmPipeline {
         .join(t(s, d, "embeddings"), $"doc_id" === $"vec_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
-          dround(avg(element_at($"embedding", 1).cast("double")), 6).as("avg_first"))
+          dround(avg(try_element_at($"embedding", lit(1)).cast("double")), 6).as("avg_first"))
         .orderBy("lang")
     },
     Some("SELECT lang, count(*) AS n, " +

@@ -125,7 +125,7 @@ object Scalars {
       t(s, d, "embeddings")
         .select($"vec_id",
           size($"embedding").cast("long").as("dim"),
-          dround(element_at($"embedding", 1).cast("double"), 6).as("first_val"),
+          dround(try_element_at($"embedding", lit(1)).cast("double"), 6).as("first_val"),
           dround(array_min(slice($"embedding", 1, 8)).cast("double"), 6).as("min8"),
           dround(array_max(slice($"embedding", 1, 8)).cast("double"), 6).as("max8"))
         .orderBy("vec_id")
@@ -165,7 +165,7 @@ object Scalars {
       import s.implicits._
       t(s, d, "embeddings")
         .select($"vec_id",
-          dround(element_at(transform($"embedding", x => x.cast("double") * lit(2.0)), 2), 6)
+          dround(try_element_at(transform($"embedding", x => x.cast("double") * lit(2.0)), lit(2)), 6)
             .as("x2_second"),
           dround(aggregate($"embedding", lit(0.0),
             (acc, x) => acc + abs(x.cast("double"))), 6).as("l1"))

@@ -107,7 +107,15 @@ object Replay {
     */
   private val replayStream = Q(
     "replay_stream",
-    (s, d) => aggregateReplayed(s, replayArchive(s, s"$d/events.parquet")),
+    (s, d) => {
+      import s.implicits._
+      // An empty archive replays zero batches, so the sink dir has no
+      // files to infer a schema from — short-circuit to an empty result.
+      if (s.read.parquet(s"$d/events.parquet").isEmpty)
+        Seq.empty[(Long, String, Long, Double)]
+          .toDF("hour_start", "event_type", "cnt", "total_value")
+      else aggregateReplayed(s, replayArchive(s, s"$d/events.parquet"))
+    },
     Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))

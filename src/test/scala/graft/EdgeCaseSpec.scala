@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial-input coverage (SURVEY §5.2): every test stages crafted
+  * parquet tables in a temp sf-dir and runs the REAL `SparkEntry.queries`
+  * functions on them — not reimplementations.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- NULL keys
+
+  test("inner join drops NULL keys on both sides") {
+    val dir = stageTables(
+      "customer" -> Seq((Some(1L), "SEG1"), (None: Option[Long], "SEGNULL"))
+        .toDF("c_custkey", "c_mktsegment"),
+      "orders" -> Seq((Some(1L), 10L, 100.0), (None: Option[Long], 11L, 900.0))
+        .toDF("o_custkey", "o_orderkey", "o_totalprice"))
+    val rows = run("join_inner_hash", dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "SEG1")
+    assert(rows(0).getLong(1) === 1L)
+  }
+
+  test("left outer join keeps unmatched and NULL-keyed left rows") {
+    val dir = stageTables(
+      "customer" -> Seq(Some(1L), Some(2L), (None: Option[Long]))
+        .toDF("c_custkey"),
+      "orders" -> Seq((Some(1L), 10L, 50.0)).toDF("o_custkey", "o_orderkey", "o_totalprice"))
+    val byKey = run("join_left_outer", dir).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1)).toMap
+    assert(byKey === Map(Some(1L) -> 1L, Some(2L) -> 0L, None -> 0L))
+  }
+
+  // ------------------------------------------------------------ tie-break
+
+  test("top-k with fully tied sort values breaks ties by order key") {
+    val orders = Seq.tabulate(6)(i => (100L + i, 1L, 555.55))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = stageTables(
+      "orders" -> orders,
+      "customer" -> Seq((1L, "S")).toDF("c_custkey", "c_mktsegment"))
+    val rows = run("window_rank_topk", dir).collect()
+    assert(rows.map(_.getLong(2)).toSeq === Seq(100L, 101L, 102L))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("first/last per user break (ms, event_id) ties deterministically") {
+    // Two events at the SAME millisecond: event_id must decide.
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (2L, ns(1000), 7L, "b"),
+      (1L, ns(1000), 7L, "a"),
+      (3L, ns(9999999999L), 7L, "z")).toDF("event_id", "ts", "user_id", "event_type"))
+    val r = run("window_first_last", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(1) === "a") // first: lower event_id at tied ms
+    assert(r(0).getString(2) === "z")
+  }
+
+  // -------------------------------------------------------- UDAF + groups
+
+  test("weighted-avg UDAF yields NULL (not 0) for an all-zero-weight group") {
+    val dir = stageTables("lineitem" -> Seq(
+      ("A", 10.0, 0.5), ("A", 20.0, 0.5),
+      ("Z", 99.0, 0.0), ("Z", 42.0, 0.0)).toDF("l_returnflag", "l_extendedprice", "l_discount"))
+    val byFlag = run("udaf_weighted_avg", dir).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byFlag("A") === Some(15.0))
+    assert(byFlag("Z") === None)
+  }
+
+  // --------------------------------------------------------- empty arrays
+
+  test("empty embedding arrays produce NULLs, not ANSI errors") {
+    val dir = stageTables("embeddings" -> Seq(
+      (1L, Seq(0.5f, 0.5f)), (2L, Seq.empty[Float])).toDF("vec_id", "embedding"))
+    val ao = run("array_ops", dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(ao(2L).getLong(1) === 0L) // dim
+    assert(ao(2L).isNullAt(2) && ao(2L).isNullAt(3) && ao(2L).isNullAt(4))
+    val hof = run("higher_order_fn", dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(hof(2L).isNullAt(1)) // x2_second on empty
+    assert(hof(2L).getDouble(2) === 0.0) // L1 fold over empty = zero element
+  }
+
+  // ------------------------------------------------- LLM pipeline corners
+
+  test("near-dup: identical docs collide on all 4 bands; short docs never band") {
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"x$i").mkString(" ")
+    val dir = stageTables("documents" -> Seq(
+      (1L, long1), (2L, long1), // exact near-dup pair
+      (3L, "just two"), // < 3 tokens: no shingles, no bands
+      (4L, other)).toDF("doc_id", "text"))
+    val pairs = run("dedup_near_minhash", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 4L)))
+  }
+
+  test("bigrams: single-token docs contribute nothing") {
+    val dir = stageTables("documents" -> Seq(
+      (1L, "a b c"), (2L, "solo")).toDF("doc_id", "text"))
+    val bg = run("text_ngram", dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bg === Map("a b" -> 1L, "b c" -> 1L))
+  }
+
+  test("pairwise-label cosine: singleton label yields NULL intra-similarity") {
+    val dir = stageTables("embeddings" -> Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label"))
+    val m = run("sim_pairwise_label", dir).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(m((0L, 0L)) === Some(0.0)) // orthogonal pair: avg intra cos = 0
+    assert(m((1L, 1L)) === None) // 1 member: no pairs
+    assert(m((1L, 0L)) === Some(0.5)) // inter: (1+0)/2
+  }
+
+  // ------------------------------------------------------------ sessions
+
+  test("sessionization: 30-min gap splits sessions; counts bounded by events") {
+    val ns = (minutes: Long) => minutes * 60000L * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(0), 7L), (2L, ns(10), 7L), // session 1
+      (3L, ns(60), 7L), // session 2 (50-min gap)
+      (4L, ns(0), 8L)).toDF("event_id", "ts", "user_id"))
+    val r = run("stream_session", dir).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(7L).getLong(1) === 2L) // n_sessions
+    assert(r(7L).getLong(2) === 3L) // n_events
+    assert(r(8L).getLong(1) === 1L)
+    assert(r.values.map(_.getLong(1)).sum <= r.values.map(_.getLong(2)).sum)
+  }
+
+  // ------------------------------------------------------------ empty sweep
+
+  test("every declared query survives fully empty tables") {
+    val empties = graft.core.Tables.names.map { n =>
+      val raw = spark.read.parquet(s"$sf/$n.parquet").filter(lit(false))
+      n -> raw
+    }
+    val dir = stageTables(empties: _*)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (key, fn) =>
+      try {
+        val n = fn(spark, dir).count()
+        if (n <= 1) None else Some(s"$key: unexpected $n rows") // ≤1 allows grand-total rows
+      } catch { case e: Throwable => Some(s"$key: ${e.getClass.getSimpleName} ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based coverage (SURVEY §5.2): scalacheck generators drive
+  * both pure invariants of the determinism kernel and whole-query
+  * invariants over generated tables run through the real query fns.
+  * (scalacheck is driven directly — the scalatestplus bridge is not on
+  * the dependency allowlist.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, min: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Driver-side mirror of Det.dround / OSql.sround. */
+  private def dmirror(x: Double, n: Int): Double = {
+    val f = math.pow(10, n)
+    math.floor(x * f + 0.5) / f
+  }
+
+  test("dround: idempotent and within half-step of the input (forAll)") {
+    check(Prop.forAll(Gen.chooseNum(-1e9, 1e9), Gen.chooseNum(0, 6)) { (x, n) =>
+      val r = dmirror(x, n)
+      dmirror(r, n) == r && math.abs(r - x) <= 0.5 * math.pow(10, -n) + math.ulp(x) * 10
+    })
+  }
+
+  test("dround Column implementation agrees bit-for-bit with the scalar mirror") {
+    val xs = Gen.listOfN(300, Gen.chooseNum(-1e7, 1e7)).sample.get
+    val got = xs.toDF("x")
+      .select(graft.core.Det.dround($"x", 4).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq === xs.map(dmirror(_, 4)))
+  }
+
+  test("cosine of an L2-normalized vector with itself is 1 ± 1e-6 (engine-evaluated)") {
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 0.01f))
+    val vecs = Gen.listOfN(100, vecGen).sample.get
+    val cos = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "raw")
+      // normalize then take dot(v, v) with the SAME fold sim_cosine_topk uses
+      .withColumn("norm", sqrt(aggregate($"raw", lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("v", transform($"raw", x => x.cast("double") / $"norm"))
+      .select(aggregate(zip_with($"v", $"v", (a, b) => a * b), lit(0.0),
+        (acc, x) => acc + x).as("cos"))
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-6), cos.mkString(","))
+  }
+
+  test("sessionization invariants hold on generated event tables (forAll)") {
+    val eventGen = for {
+      user <- Gen.chooseNum(1L, 5L)
+      minute <- Gen.chooseNum(0L, 600L)
+    } yield (user, minute)
+    check(Prop.forAll(Gen.nonEmptyListOf(eventGen)) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, m), i) =>
+        (i.toLong, m * 60000L * 1000000L, u)
+      }
+      val dir = stageTables("events" -> rows.toDF("event_id", "ts", "user_id"))
+      val r = run("stream_session", dir).collect()
+      val users = evs.map(_._1).distinct.size
+      r.length == users &&
+        r.map(_.getLong(2)).sum == evs.size && // events conserved
+        r.forall(row => row.getLong(1) >= 1L && row.getLong(1) <= row.getLong(2))
+    }, min = 8)
+  }
+
+  test("set-algebra cardinality laws hold against the raw tables") {
+    val custKeys = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_nationkey".cast("long")).distinct().count()
+    val suppKeys = spark.read.parquet(s"$sf/supplier.parquet")
+      .select($"s_nationkey".cast("long")).distinct().count()
+    val unionAll = run("set_union_all").count()
+    val unionD = run("set_union_distinct").count()
+    val inter = run("set_intersect").count()
+    val except = run("set_except").count()
+    val rawRows = spark.read.parquet(s"$sf/customer.parquet").count() +
+      spark.read.parquet(s"$sf/supplier.parquet").count()
+    assert(unionAll === rawRows) // UNION ALL preserves multiplicity
+    assert(except + inter === custKeys) // A = (A∖B) ⊎ (A∩B)
+    assert(unionD === except + suppKeys) // |A∪B| = |A∖B| + |B|
+  }
+}
