@@ -16,8 +16,13 @@ object Explain {
     val df = SparkEntry.queries(key)(spark, sfDir)
     df.explain("formatted")
     if (args.contains("time")) {
-      val t0 = System.nanoTime(); val n = df.count()
-      println(f"[explain] $key: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // cold run then warm run — the warm number is what Bench (which
+      // warms the session first) will see.
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(key)(spark, sfDir).count()
+        println(f"[explain] $key run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -119,33 +119,50 @@ object LlmPipeline {
 
   // ------------------------------------------------------- near-dup (LSH)
 
-  /** Word-3-gram shingles per doc; empty (never null) when < 3 tokens, so
-    * short docs simply produce no bands. Portable across engines: both
-    * sides split on a single space and concat with single spaces.
+  /** Word-n-gram rows per doc via posexplode + window lead — one
+    * (doc_id, gram) row per position. NOT the array-lambda shape: a
+    * `transform(sequence(...), i -> element_at(split(text), i))` lambda
+    * gets `split(text)` inlined by projection collapse and re-splits the
+    * document per element (~8× slower, measured), and higher-order
+    * lambdas run interpreted. This shape splits once, shuffles tokens by
+    * doc_id, and every expression stays codegen'd; docs shorter than n
+    * tokens produce no rows. Both engines tokenize on a single space and
+    * join grams with single spaces.
     */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
+  private def gramRows(s: SparkSession, d: String, n: Int): DataFrame = {
     import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val leads = (1 until n).map(i => lead($"w", i).over(w))
     t(s, d, "documents")
-      .select($"doc_id", split($"text", " ").as("t"))
-      .select($"doc_id",
-        when(size($"t") >= 3,
-          transform(sequence(lit(1), size($"t") - 2), i =>
-            concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
-              element_at($"t", i + 2))))
-          .otherwise(array().cast("array<string>")).as("s"))
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .select($"doc_id", concat_ws(" ", ($"w" +: leads): _*).as("x"),
+        leads.last.as("guard"))
+      .filter($"guard".isNotNull)
+      .select($"doc_id", $"x")
   }
 
   /** One (doc_id, band) row per LSH band: 8 min-hashes in 4 bands of 2.
-    * The "hash family" is md5 over the shingle + a seed suffix, and the
-    * min is taken LEXICOGRAPHICALLY over the hex digests — a portable
-    * stand-in for integer min-hashing that both engines order identically.
+    * The hash family is TWO md5 digests per shingle (plain and
+    * seed-suffixed), each split into four 8-hex-char (32-bit) slices —
+    * the standard split-one-wide-hash trick, 4× cheaper than eight
+    * independent md5s. The min is taken LEXICOGRAPHICALLY over the hex
+    * slices, which both engines order identically.
     */
   private def bandRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def mh(j: Int): Column =
-      array_min(transform($"s", x => md5(concat(x, lit(s"#$j")))))
-    val bands = (1 to 4).map(k => concat(mh(2 * k - 1), mh(2 * k), lit(s"#B$k")))
-    shingled(s, d).select($"doc_id", explode(array(bands: _*)).as("band"))
+    // Explode + aggregate-min instead of array higher-order functions:
+    // HOF lambdas run interpreted (outside whole-stage codegen), while
+    // this shape is a codegen'd projection (2 md5 per shingle) into a
+    // partial+final hash aggregate — and it never materializes per-doc
+    // hash arrays, which is also the memory-safe plan for huge docs.
+    val mins = (1 to 8).map(j => min(substring($"h", 8 * (j - 1) + 1, 8)).as(s"m$j"))
+    val sig = gramRows(s, d, 3)
+      .select($"doc_id", concat(md5($"x"), md5(concat($"x", lit("#x")))).as("h"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+    val bands = (1 to 4).map(k =>
+      concat(col(s"m${2 * k - 1}"), col(s"m${2 * k}"), lit(s"#B$k")))
+    sig.select($"doc_id", explode(array(bands: _*)).as("band"))
   }
 
   /** Banded MinHash near-duplicate candidates (SURVEY §2.2 Tier-2).
@@ -155,13 +172,18 @@ object LlmPipeline {
     * scale you would additionally cap pathological buckets — a HAVING
     * count < K on the band — the standard LSH hot-bucket guard.)
     * n_bands = how many of the 4 bands agree, a collision-strength score.
+    * The signature table is persisted before the self-join — Catalyst
+    * has no cross-branch subtree sharing, so without it the shingle +
+    * hash work runs twice; at real scale the signature table is the
+    * thing you materialize once anyway.
     */
   private val dedupNearMinhash = Q(
     "dedup_near_minhash",
     (s, d) => {
       import s.implicits._
-      val a = bandRows(s, d).select($"doc_id".as("doc_a"), $"band")
-      val b = bandRows(s, d).select($"doc_id".as("doc_b"), $"band")
+      val bd = bandRows(s, d).persist()
+      val a = bd.select($"doc_id".as("doc_a"), $"band")
+      val b = bd.select($"doc_id".as("doc_b"), $"band")
       a.join(b, a("band") === b("band") && $"doc_a" < $"doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_bands"))
@@ -169,14 +191,16 @@ object LlmPipeline {
         .limit(1000)
     },
     Some {
-      def mh(j: Int) = s"list_min(list_transform(s, x -> md5(x || '#$j')))"
+      def mh(j: Int) =
+        s"list_min(list_transform(h, x -> substring(x, ${8 * (j - 1) + 1}, 8)))"
       val bands = (1 to 4)
         .map(k => s"${mh(2 * k - 1)} || ${mh(2 * k)} || '#B$k' AS b$k").mkString(", ")
       "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
         "list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
         "ELSE [] END AS s FROM tok), " +
-        s"sig AS (SELECT doc_id, $bands FROM sh), " +
+        "hs AS (SELECT doc_id, list_transform(s, x -> md5(x) || md5(x || '#x')) AS h FROM sh), " +
+        s"sig AS (SELECT doc_id, $bands FROM hs), " +
         "bd AS (SELECT doc_id, unnest([b1,b2,b3,b4]) AS band FROM sig) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands " +
         "FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id " +
@@ -192,13 +216,8 @@ object LlmPipeline {
     "text_ngram",
     (s, d) => {
       import s.implicits._
-      t(s, d, "documents")
-        .select(split($"text", " ").as("t"))
-        .select(explode(
-          when(size($"t") >= 2,
-            transform(sequence(lit(1), size($"t") - 1), i =>
-              concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))))
-            .otherwise(array().cast("array<string>"))).as("bigram"))
+      gramRows(s, d, 2)
+        .select($"x".as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"bigram".asc)

@@ -58,7 +58,11 @@ object Replay {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write
+        // One writer task per shard (the per-shard ordered producer
+        // model); maxRecordsPerFile then emits exactly ⌈rows/500⌉ files
+        // per shard instead of tasks × shards small files.
+        batch.repartition(4, col("shard"))
+          .write
           .mode("append")
           .option("maxRecordsPerFile", 500)
           .partitionBy("shard")
