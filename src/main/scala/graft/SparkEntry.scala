@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.Q
-import graft.ops.{EventTime, LlmPipeline, Relational, Scalars, Udafs, Windows}
+import graft.ops.{EventTime, LlmPipeline, LlmPipeline2, Relational, Scalars, Udafs, Windows}
 import graft.streaming.Replay
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,7 +11,7 @@ import graft.streaming.Replay
 object SparkEntry {
   private val all: Seq[Q] =
     Relational.qs ++ Windows.qs ++ Scalars.qs ++ Udafs.qs ++
-      EventTime.qs ++ LlmPipeline.qs ++ Replay.qs
+      EventTime.qs ++ LlmPipeline.qs ++ LlmPipeline2.qs ++ Replay.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -61,6 +61,10 @@ object Sessions {
     b.config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // v2 commit algorithm renames task files inline instead of a
+      // serial job-commit pass — matters for the replay sink's many
+      // ≤500-record put-batch files.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
 }
 

@@ -129,7 +129,7 @@ object LlmPipeline {
     * tokens produce no rows. Both engines tokenize on a single space and
     * join grams with single spaces.
     */
-  private def gramRows(s: SparkSession, d: String, n: Int): DataFrame = {
+  private[ops] def gramRows(s: SparkSession, d: String, n: Int): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val leads = (1 until n).map(i => lead($"w", i).over(w))
@@ -148,15 +148,23 @@ object LlmPipeline {
     * independent md5s. The min is taken LEXICOGRAPHICALLY over the hex
     * slices, which both engines order identically.
     */
-  private def bandRows(s: SparkSession, d: String): DataFrame = {
+  private[ops] def bandRows(s: SparkSession, d: String): DataFrame =
+    bandRowsFrom(s, gramRows(s, d, 3))
+
+  /** Band table from an existing (doc_id, x) gram DataFrame — callers
+    * that also need the raw grams (e.g. exact-Jaccard verification)
+    * persist ONE gram pass and feed it here.
+    *
+    * Explode + aggregate-min instead of array higher-order functions:
+    * HOF lambdas run interpreted (outside whole-stage codegen), while
+    * this shape is a codegen'd projection (2 md5 per shingle) into a
+    * partial+final hash aggregate — and it never materializes per-doc
+    * hash arrays, which is also the memory-safe plan for huge docs.
+    */
+  private[ops] def bandRowsFrom(s: SparkSession, grams: DataFrame): DataFrame = {
     import s.implicits._
-    // Explode + aggregate-min instead of array higher-order functions:
-    // HOF lambdas run interpreted (outside whole-stage codegen), while
-    // this shape is a codegen'd projection (2 md5 per shingle) into a
-    // partial+final hash aggregate — and it never materializes per-doc
-    // hash arrays, which is also the memory-safe plan for huge docs.
     val mins = (1 to 8).map(j => min(substring($"h", 8 * (j - 1) + 1, 8)).as(s"m$j"))
-    val sig = gramRows(s, d, 3)
+    val sig = grams
       .select($"doc_id", concat(md5($"x"), md5(concat($"x", lit("#x")))).as("h"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -190,22 +198,30 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
         .limit(1000)
     },
-    Some {
-      def mh(j: Int) =
-        s"list_min(list_transform(h, x -> substring(x, ${8 * (j - 1) + 1}, 8)))"
-      val bands = (1 to 4)
-        .map(k => s"${mh(2 * k - 1)} || ${mh(2 * k)} || '#B$k' AS b$k").mkString(", ")
-      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
-        "list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
-        "ELSE [] END AS s FROM tok), " +
-        "hs AS (SELECT doc_id, list_transform(s, x -> md5(x) || md5(x || '#x')) AS h FROM sh), " +
-        s"sig AS (SELECT doc_id, $bands FROM hs), " +
-        "bd AS (SELECT doc_id, unnest([b1,b2,b3,b4]) AS band FROM sig) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands " +
-        "FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000"
-    })
+    Some("WITH " + LlmPipeline.bandCtes +
+      " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands " +
+      "FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000"))
+
+  /** DuckDB CTE chain producing `sh` (doc_id, shingle list) and `bd`
+    * (doc_id, band) — the oracle-side mirror of gramRows/bandRows,
+    * shared by every query that builds on the LSH band table.
+    */
+  // lazy: referenced from Q vals that initialize before this point in
+  // the object body (and from LlmPipeline2)
+  private[ops] lazy val bandCtes: String = {
+    def mh(j: Int) =
+      s"list_min(list_transform(h, x -> substring(x, ${8 * (j - 1) + 1}, 8)))"
+    val bands = (1 to 4)
+      .map(k => s"${mh(2 * k - 1)} || ${mh(2 * k)} || '#B$k' AS b$k").mkString(", ")
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+      "list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
+      "ELSE [] END AS s FROM tok), " +
+      "hs AS (SELECT doc_id, list_transform(s, x -> md5(x) || md5(x || '#x')) AS h FROM sh), " +
+      s"sig AS (SELECT doc_id, $bands FROM hs), " +
+      "bd AS (SELECT doc_id, unnest([b1,b2,b3,b4]) AS band FROM sig)"
+  }
 
   /** Global bigram counts (SURVEY §2.2 Tier-2): explode word-2-grams →
     * partial + final count agg (map-side combine collapses each
