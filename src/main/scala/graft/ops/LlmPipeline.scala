@@ -75,9 +75,10 @@ object LlmPipeline {
 
   /** Brute-force cosine top-k against probe vec_id=0. Embeddings are
     * L2-normalized (FIXTURES.md) so the dot product IS cosine. The probe
-    * is a 1-row broadcast; the dot product is zip_with + aggregate —
-    * array-order folds, identical in both engines, rounded to 6dp
-    * before the ORDER BY so the top-20 cut is on identical keys.
+    * is a 1-row broadcast; the dot product is the native codegen'd
+    * `DotProductF` expression (graft.functions) — a fused primitive
+    * loop, same left-to-right double fold in both engines, rounded to
+    * 6dp before the ORDER BY so the top-20 cut is on identical keys.
     */
   private val simCosineTopk = Q(
     "sim_cosine_topk",
@@ -87,9 +88,8 @@ object LlmPipeline {
       val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe"))
       emb.crossJoin(broadcast(probe))
         .select($"vec_id",
-          dround(aggregate(
-            zip_with($"embedding", $"probe", (a, b) => a.cast("double") * b.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 6).as("sim"))
+          dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"probe"), 6)
+            .as("sim"))
         .orderBy($"sim".desc, $"vec_id".asc)
         .limit(20)
     },

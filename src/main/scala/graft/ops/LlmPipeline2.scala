@@ -163,15 +163,14 @@ object LlmPipeline2 {
         .select($"vec_id", $"embedding", signBucket($"embedding", 4).as("bucket"))
       // Carry the arrays through the bucket join and fold per pair —
       // the pos-exploded alternative shuffles |pairs| × dim rows, this
-      // one shuffles |vectors| once and the fold is pipeline-local.
+      // one shuffles |vectors| once and the fold is pipeline-local
+      // (DotProductF keeps it inside whole-stage codegen).
       val cand = bk.select($"vec_id".as("va"), $"embedding".as("ea"), $"bucket")
         .join(bk.select($"vec_id".as("vb"), $"embedding".as("eb"), $"bucket"), "bucket")
         .filter($"va" < $"vb")
       cand
         .select($"va", $"vb",
-          dround(aggregate(
-            zip_with($"ea", $"eb", (a, b) => a.cast("double") * b.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 6).as("cos"))
+          dround(graft.functions.VectorExpressions.dotF(s, $"ea", $"eb"), 6).as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy("va", "vb")
     },
@@ -203,9 +202,8 @@ object LlmPipeline2 {
         .select($"embedding".as("probe"), $"bucket")
       emb.join(broadcast(probe), "bucket")
         .select($"vec_id",
-          dround(aggregate(
-            zip_with($"embedding", $"probe", (a, b) => a.cast("double") * b.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 6).as("sim"))
+          dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"probe"), 6)
+            .as("sim"))
         .orderBy($"sim".desc, $"vec_id".asc)
         .limit(10)
     },

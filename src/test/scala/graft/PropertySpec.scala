@@ -54,6 +54,23 @@ class PropertySpec extends SparkSpec {
     assert(cos.forall(c => math.abs(c - 1.0) < 1e-6), cos.mkString(","))
   }
 
+  test("DotProductF (codegen expression) agrees bit-for-bit with the zip_with fold") {
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))
+    val pairs = Gen.listOfN(200, Gen.zip(vecGen, vecGen)).sample.get
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+        graft.functions.VectorExpressions.dotF(spark, $"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("fold"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // and it is usable from SQL text via the registered name
+    graft.functions.VectorExpressions.register(spark)
+    df.createOrReplaceTempView("dotf_probe")
+    val sqlRow = spark.sql("SELECT dot_f(a, b) AS v FROM dotf_probe LIMIT 1").collect()
+    assert(sqlRow.length === 1)
+  }
+
   test("sessionization invariants hold on generated event tables (forAll)") {
     val eventGen = for {
       user <- Gen.chooseNum(1L, 5L)
