@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.{Det, OSql, Q}
+
+/** Custom streaming state via `flatMapGroupsWithState` — the Spark
+  * primitive for session semantics that windowed aggregation cannot
+  * express (SURVEY §4: KeyValueGroupedDataset custom state).
+  *
+  * Per user (the group key) the state holds the open session plus
+  * closed-session totals; each micro-batch folds its events in
+  * event-time order into the state and emits the user's refreshed
+  * summary (Update mode — the upsert shape a KV/serving sink consumes).
+  * At 100 TB the state store shards by user across executors and each
+  * group's state is O(1) — counts and the open-session triple — so
+  * state size is #users, not #events.
+  *
+  * Ordering caveat (documented, inherent to session logic): events are
+  * sorted within each micro-batch, so results are exact when a batch
+  * holds a user's full history or batches arrive in event-time order;
+  * an out-of-order split needs the watermark + event-time-timeout
+  * variant. Verify/Bench stream the archive as one batch, making the
+  * result deterministic and equal to the batch twin `stream_session` —
+  * which is why this query can carry the SAME DuckDB oracle.
+  */
+object StatefulSessions {
+
+  case class Ev(user_id: Long, event_id: Long, ms: Long)
+
+  /** Open session (t0 = first ms, last = latest ms, n = events) plus
+    * closed totals; `events` counts everything ever seen for the user.
+    */
+  case class SessState(
+      t0: Long, last: Long, n: Long, open: Boolean,
+      closedSessions: Long, closedDurMs: Long, events: Long)
+
+  case class UserAgg(user_id: Long, n_sessions: Long, n_events: Long, avg_session_ms: Double)
+
+  private val GapMs = 1800000L
+
+  private[streaming] def foldGroup(
+      uid: Long, evs: Iterator[Ev], state: GroupState[SessState]): Iterator[UserAgg] = {
+    val sorted = evs.toSeq.sortBy(e => (e.ms, e.event_id))
+    var st = state.getOption.getOrElse(SessState(0L, 0L, 0L, open = false, 0L, 0L, 0L))
+    sorted.foreach { e =>
+      st =
+        if (!st.open)
+          st.copy(t0 = e.ms, last = e.ms, n = 1, open = true, events = st.events + 1)
+        else if (e.ms - st.last > GapMs)
+          st.copy(t0 = e.ms, last = e.ms, n = 1,
+            closedSessions = st.closedSessions + 1,
+            closedDurMs = st.closedDurMs + (st.last - st.t0),
+            events = st.events + 1)
+        else
+          st.copy(last = e.ms, n = st.n + 1, events = st.events + 1)
+    }
+    state.update(st)
+    val sessions = st.closedSessions + (if (st.open) 1L else 0L)
+    val dur = st.closedDurMs + (if (st.open) st.last - st.t0 else 0L)
+    if (sessions == 0) Iterator.empty
+    else Iterator(UserAgg(uid, sessions, st.events, dur.toDouble / sessions))
+  }
+
+  /** Run the stateful sessionization stream over the events archive to
+    * completion; returns the final per-user summaries.
+    */
+  def run(s: SparkSession, eventsPath: String): DataFrame = {
+    import s.implicits._
+    val acc = new ConcurrentHashMap[Long, UserAgg]()
+    val schema = s.read.parquet(eventsPath).schema
+    val glob = eventsPath.replaceAll("([^/]+)$", "{$1}")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val stream = s.readStream.schema(schema).parquet(glob)
+      .select($"user_id", $"event_id", expr("ts div 1000000").as("ms"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserAgg], _: Long) =>
+        // sink-side upsert, the Update-mode contract; batch is #users-sized
+        batch.collect().foreach(u => acc.put(u.user_id, u))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.values.asScala.toSeq.toDF()
+      .select($"user_id", $"n_sessions", $"n_events",
+        Det.dround($"avg_session_ms", 2).as("avg_session_ms"))
+      .orderBy("user_id")
+  }
+
+  private val streamSessionState = Q(
+    "stream_session_state",
+    (s, d) => {
+      import s.implicits._
+      if (s.read.parquet(s"$d/events.parquet").isEmpty)
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("user_id", "n_sessions", "n_events", "avg_session_ms")
+      else run(s, s"$d/events.parquet")
+    },
+    // Identical oracle to the batch twin stream_session (EventTime.scala)
+    Some("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events), " +
+      "f AS (SELECT user_id, event_id, ms, CASE WHEN lag(ms) OVER w IS NULL OR " +
+      "ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)), " +
+      "s AS (SELECT user_id, ms, SUM(is_new) OVER (PARTITION BY user_id " +
+      "ORDER BY ms ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f), " +
+      "p AS (SELECT user_id, sess, min(ms) AS t0, max(ms) AS t1, count(*) AS n FROM s GROUP BY 1, 2) " +
+      "SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, " +
+      OSql.sround("AVG(CAST(t1 - t0 AS DOUBLE))", 2) + " AS avg_session_ms " +
+      "FROM p GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(streamSessionState)
+}

@@ -16,6 +16,12 @@ class ReplayTwinSpec extends SparkSpec {
     assert(streaming.toSeq === batch.toSeq)
   }
 
+  test("stateful-session stream (flatMapGroupsWithState) equals its batch twin") {
+    val streaming = run("stream_session_state").collect().map(_.toSeq)
+    val batch = run("stream_session").collect().map(_.toSeq)
+    assert(streaming.toSeq === batch.toSeq)
+  }
+
   test("replay sink respects the shard layout and the 500-record put-batch cap") {
     val out = Replay.replayArchive(spark, s"$sf/events.parquet", nShards = 4)
     val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
