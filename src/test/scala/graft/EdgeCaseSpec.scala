@@ -132,6 +132,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.values.map(_.getLong(1)).sum <= r.values.map(_.getLong(2)).sum)
   }
 
+  // ----------------------------------------------------------------- HLL
+
+  test("approx HLL (no oracle by design) is within its 1% error bound of exact") {
+    val approx = run("agg_approx_hll").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = run("agg_count_distinct", sf).collect()
+    // agg_count_distinct counts distinct users per event_type too
+    val exactMap = exact.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exactMap.keySet)
+    approx.foreach { case (k, est) =>
+      val ex = exactMap(k).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"$k: est $est vs exact $ex")
+    }
+  }
+
   // ------------------------------------------------------------ empty sweep
 
   test("every declared query survives fully empty tables") {
