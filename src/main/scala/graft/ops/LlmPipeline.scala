@@ -176,9 +176,11 @@ object LlmPipeline {
   /** Banded MinHash near-duplicate candidates (SURVEY §2.2 Tier-2).
     * Candidate generation is a self-equi-join on the band key — the plan
     * is a shuffle bucketed by band, NEVER an all-pairs product, so at
-    * 100 TB the cost is Σ bucket² over near-dup buckets only. (At that
-    * scale you would additionally cap pathological buckets — a HAVING
-    * count < K on the band — the standard LSH hot-bucket guard.)
+    * 100 TB the cost is Σ bucket² over near-dup buckets only. The
+    * standard LSH hot-bucket guard is enforced, not just promised: bands
+    * shared by more than 100 docs (boilerplate-dominated buckets whose
+    * pair explosion is quadratic and whose pairs are near-worthless) are
+    * dropped before the self-join, in both engines.
     * n_bands = how many of the 4 bands agree, a collision-strength score.
     * The signature table is persisted before the self-join — Catalyst
     * has no cross-branch subtree sharing, so without it the shingle +
@@ -190,17 +192,22 @@ object LlmPipeline {
     (s, d) => {
       import s.implicits._
       val bd = bandRows(s, d).persist()
-      val a = bd.select($"doc_id".as("doc_a"), $"band")
-      val b = bd.select($"doc_id".as("doc_b"), $"band")
+      val cool = bd.groupBy("band").agg(count(lit(1)).as("bn"))
+        .filter($"bn" <= 100).select("band")
+      val guarded = bd.join(broadcast(cool), Seq("band"), "left_semi")
+      val a = guarded.select($"doc_id".as("doc_a"), $"band")
+      val b = guarded.select($"doc_id".as("doc_b"), $"band")
       a.join(b, a("band") === b("band") && $"doc_a" < $"doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_bands"))
         .orderBy("doc_a", "doc_b")
         .limit(1000)
     },
-    Some("WITH " + LlmPipeline.bandCtes +
-      " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands " +
-      "FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id " +
+    Some("WITH " + LlmPipeline.bandCtes + ", " +
+      "cool AS (SELECT band FROM bd GROUP BY band HAVING count(*) <= 100), " +
+      "g AS (SELECT doc_id, band FROM bd WHERE band IN (SELECT band FROM cool)) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands " +
+      "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000"))
 
   /** DuckDB CTE chain producing `sh` (doc_id, shingle list) and `bd`

@@ -98,6 +98,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 4L)))
   }
 
+  test("near-dup: hot LSH buckets (>100 docs per band) are guarded, small clusters kept") {
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val pairTx = (1 to 30).map(i => s"p$i").mkString(" ")
+    val docs = (1L to 120L).map(i => (i, boiler)) ++ Seq((200L, pairTx), (201L, pairTx))
+    val dir = stageTables("documents" -> docs.toDF("doc_id", "text"))
+    val pairs = run("dedup_near_minhash", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((200L, 201L))) // 120-doc boilerplate bucket dropped
+  }
+
   test("bigrams: single-token docs contribute nothing") {
     val dir = stageTables("documents" -> Seq(
       (1L, "a b c"), (2L, "solo")).toDF("doc_id", "text"))
