@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, OSql, Q}
 
@@ -17,10 +18,11 @@ import graft.core.{Det, OSql, Q}
   *     `maxFilesPerTrigger` as the rate limit (the archive-replay
   *     throttle), routes each record to a shard by hash of its partition
   *     key (`user_id` — the Kinesis partition-key model), and a
-  *     `foreachBatch` sink appends each micro-batch shard-partitioned
-  *     with ≤500 records per file (the PutRecords batch cap). At scale
-  *     the sink call becomes the real stream API; the plumbing — schema,
-  *     sharding, batch shape, checkpointing — is identical.
+  *     `foreachBatch` sink appends shard-partitioned output where every
+  *     record carries its ≤500-record put batch id (the PutRecords
+  *     cap) in event-time order per shard. At scale the sink call
+  *     becomes the real stream API; the plumbing — schema, sharding,
+  *     batch shape, checkpointing — is identical.
   *  2. `aggregateReplayed` — `readStream` over the replayed shards,
   *     `withWatermark(1 hour)` + tumbling 1-hour window × event_type
   *     aggregation, emitted through the memory sink in complete mode.
@@ -59,12 +61,18 @@ object Replay {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // One writer task per shard (the per-shard ordered producer
-        // model); maxRecordsPerFile then emits exactly ⌈rows/500⌉ files
-        // per shard instead of tasks × shards small files.
+        // model). The ≤500-record PutRecords batches are modeled as a
+        // put_seq column — the real sink is an API call, not a file, so
+        // grouping puts inside one file per shard keeps the batch
+        // contract verifiable in-data without exploding the sink into
+        // hundreds of tiny files. Rows are numbered in event-time order
+        // within their shard: Kinesis ordering is per-shard.
+        val byShard = Window.partitionBy(col("shard"))
+          .orderBy(col("ms"), col("event_id"))
         batch.repartition(4, col("shard"))
+          .withColumn("put_seq", ((row_number().over(byShard) - 1) / 500).cast("long"))
           .write
           .mode("append")
-          .option("maxRecordsPerFile", 500)
           .partitionBy("shard")
           .parquet(out)
       }

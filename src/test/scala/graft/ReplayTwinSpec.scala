@@ -23,25 +23,35 @@ class ReplayTwinSpec extends SparkSpec {
   }
 
   test("replay sink respects the shard layout and the 500-record put-batch cap") {
+    import org.apache.spark.sql.functions._
     val out = Replay.replayArchive(spark, s"$sf/events.parquet", nShards = 4)
     val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
     assert(files.nonEmpty && files.forall(f => (0 until 4).exists(i => f.getName == s"shard=$i")))
-    // every put-batch file holds ≤ 500 records
-    val parts = files.flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
-    assert(parts.nonEmpty)
-    parts.foreach { p =>
-      val n = spark.read.parquet(p.getAbsolutePath).count()
-      assert(n <= 500, s"${p.getName} has $n rows")
+    val replayedDf = spark.read.parquet(out)
+    // every (shard, put_seq) put batch holds ≤ 500 records
+    val oversized = replayedDf.groupBy("shard", "put_seq").count()
+      .filter(col("count") > 500)
+    assert(oversized.isEmpty)
+    // put batches are event-time ordered per shard: a batch's max ms
+    // never exceeds the next batch's min ms
+    val bounds = replayedDf.groupBy("shard", "put_seq")
+      .agg(min("ms").as("lo"), max("ms").as("hi"))
+      .collect().groupBy(_.getInt(0))
+    bounds.values.foreach { rows =>
+      val ordered = rows.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) <= b.getLong(2))
+        case _ => ()
+      }
     }
     // replay is loss-free and dup-free
-    val replayed = spark.read.parquet(out).count()
     val source = spark.read.parquet(s"$sf/events.parquet").count()
-    assert(replayed === source)
+    assert(replayedDf.count() === source)
     // shard routing is a pure function of the partition key
-    val byKey = spark.read.parquet(out)
+    val byKey = replayedDf
       .select("user_id", "shard").distinct()
       .groupBy("user_id").count()
-      .filter(org.apache.spark.sql.functions.col("count") > 1)
+      .filter(col("count") > 1)
     assert(byKey.isEmpty)
   }
 }
