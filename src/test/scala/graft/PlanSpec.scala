@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-shape regression tests: the scale stance is part of the
+  * contract, so the plans that encode it are pinned here. Each test
+  * executes the real query (so AQE finalizes) and asserts on the
+  * executed plan — a regression that, say, un-pushes a filter or turns
+  * the star join into a shuffle would fail CI long before a benchmark
+  * notices.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(key: String): String = {
+    val df = run(key)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_pruned_filter pushes predicates and prunes columns at the parquet scan") {
+    val plan = executedPlan("scan_pruned_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate predicates must reach the scan")
+    assert(plan.contains("ReadSchema: struct<l_extendedprice:double,l_shipdate"),
+      "scan must read only the two referenced columns")
+  }
+
+  test("window_rank_topk runs as two-phase WindowGroupLimit, not a full window sort") {
+    val plan = executedPlan("window_rank_topk")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank filter must become partial+final WindowGroupLimit")
+  }
+
+  test("join_broadcast_chain is all broadcast joins — zero fact-table shuffles pre-agg") {
+    val plan = executedPlan("join_broadcast_chain")
+    // AQE prints both the final and the initial plan — require ≥4 joins
+    // and none of them sort-merge.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("join_sortmerge_large keeps the pinned sort-merge strategy") {
+    val plan = executedPlan("join_sortmerge_large")
+    assert(plan.contains("SortMergeJoin"))
+  }
+
+  test("sim_cosine_topk stays in whole-stage codegen with the native dot product") {
+    val plan = executedPlan("sim_cosine_topk")
+    assert(plan.contains("dotproductf"), "native expression missing from plan")
+    // executed AQE plans render whole-stage codegen stages as "*(n)"
+    assert(plan.contains("*("), "expected a whole-stage codegen span")
+  }
+
+  test("agg_pricing_summary aggregates partial+final (map-side combine present)") {
+    val plan = executedPlan("agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial and final HashAggregate stages")
+  }
+}
