@@ -58,7 +58,8 @@ object Tables {
   */
 object Sessions {
   def config(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cpus)
+    b.withExtensions(new graft.plans.GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // v2 commit algorithm renames task files inline instead of a

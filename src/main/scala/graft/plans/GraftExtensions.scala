@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProductF
+
+/** SparkSessionExtensions entry point: installs the engine's native
+  * expressions at session build time, so a deployment enables the whole
+  * surface with `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions`) instead of per-query registration. The
+  * per-query `VectorExpressions.register` path stays as a fallback
+  * because the driver contract may hand query functions a session built
+  * without extensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      children => DotProductF(children(0), children(1))))
+  }
+}
