@@ -35,10 +35,12 @@ object Tables {
     * column to µs; epoch_ms(ts) there equals `ms` here, which is the
     * only time representation verified queries may emit (SURVEY §1.3).
     *
-    * The nanosAsLong flag is session-level and must be set ONCE at
-    * session build time (see [[Sessions.config]]) — mutating it inside a
-    * reader would be a race under concurrent queries. `ensureNanosConf`
-    * only VALIDATES, so a mis-built session fails loudly, not subtly.
+    * The nanosAsLong flag is session-level and belongs in the session
+    * builder (see [[Sessions.config]]). The driver contract, however,
+    * may invoke query functions with an externally-built session
+    * (SURVEY §1), so `ensureNanosConf` heals an unset flag exactly once
+    * — it only writes when the value is absent/false, never repeatedly,
+    * so concurrent queries cannot race on conflicting values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosConf(spark)
@@ -47,10 +49,9 @@ object Tables {
   }
 
   private def ensureNanosConf(spark: SparkSession): Unit =
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(see graft.core.Sessions.config)")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
 }
 
 /** Session-build configuration shared by Verify / Bench / tests so every

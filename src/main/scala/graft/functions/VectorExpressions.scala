@@ -81,7 +81,11 @@ object VectorExpressions {
       registry.registerFunction(
         dotFIdent,
         new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
-        (children: Seq[Expression]) => DotProductF(children(0), children(1)))
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"dot_f expects exactly 2 arguments, got ${children.length}")
+          DotProductF(children(0), children(1))
+        })
     }
   }
 

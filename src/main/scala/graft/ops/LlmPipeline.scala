@@ -191,10 +191,7 @@ object LlmPipeline {
     "dedup_near_minhash",
     (s, d) => {
       import s.implicits._
-      val bd = bandRows(s, d).persist()
-      val cool = bd.groupBy("band").agg(count(lit(1)).as("bn"))
-        .filter($"bn" <= 100).select("band")
-      val guarded = bd.join(broadcast(cool), Seq("band"), "left_semi")
+      val guarded = guardBands(bandRows(s, d).persist())
       val a = guarded.select($"doc_id".as("doc_a"), $"band")
       val b = guarded.select($"doc_id".as("doc_b"), $"band")
       a.join(b, a("band") === b("band") && $"doc_a" < $"doc_b")
@@ -203,12 +200,30 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
         .limit(1000)
     },
-    Some("WITH " + LlmPipeline.bandCtes + ", " +
-      "cool AS (SELECT band FROM bd GROUP BY band HAVING count(*) <= 100), " +
-      "g AS (SELECT doc_id, band FROM bd WHERE band IN (SELECT band FROM cool)) " +
-      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands " +
+    Some("WITH " + LlmPipeline.bandCtes + LlmPipeline.guardCtes +
+      " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands " +
       "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000"))
+
+  /** LSH hot-bucket guard: drop bands shared by >100 docs. The
+    * broadcast side is `hot` — the set of pathological bands, provably
+    * small (a band can only be hot if ≥100 docs repeat it) — anti-joined
+    * against the band table; broadcasting the cool complement would be
+    * corpus-sized. NULL bands (short docs) are dropped here too: they
+    * can never equi-join and both engines then agree on the guarded set.
+    */
+  private[ops] def guardBands(bd: DataFrame): DataFrame = {
+    val hot = bd.groupBy("band").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 100).select("band")
+    bd.filter(col("band").isNotNull)
+      .join(broadcast(hot), Seq("band"), "left_anti")
+  }
+
+  /** Oracle-side mirror of [[guardBands]], appended after [[bandCtes]]. */
+  private[ops] lazy val guardCtes: String =
+    ", hot AS (SELECT band FROM bd GROUP BY band HAVING count(*) > 100), " +
+      "g AS (SELECT doc_id, band FROM bd WHERE band IS NOT NULL " +
+      "AND band NOT IN (SELECT band FROM hot))"
 
   /** DuckDB CTE chain producing `sh` (doc_id, shingle list) and `bd`
     * (doc_id, band) — the oracle-side mirror of gramRows/bandRows,

@@ -91,9 +91,11 @@ object LlmPipeline2 {
       import s.implicits._
       // The gram relation is NOT persisted: it is cheaper to recompute
       // the codegen'd tokenize pass than to cache ~corpus-sized string
-      // rows (measured); only the small band table is cached.
+      // rows (measured); only the small band table is cached. The same
+      // hot-bucket guard as dedup_near_minhash bounds the pair blowup.
       val g3 = LlmPipeline.gramRows(s, d, 3)
-      val bd = LlmPipeline.bandRowsFrom(s, g3).persist()
+      val bd = LlmPipeline.guardBands(
+        LlmPipeline.bandRowsFrom(s, g3).persist())
       val cand = bd.select($"doc_id".as("doc_a"), $"band")
         .join(bd.select($"doc_id".as("doc_b"), $"band"), "band")
         .filter($"doc_a" < $"doc_b")
@@ -120,9 +122,9 @@ object LlmPipeline2 {
         .filter($"jac" >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
-    Some("WITH " + LlmPipeline.bandCtes + ", " +
+    Some("WITH " + LlmPipeline.bandCtes + LlmPipeline.guardCtes + ", " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      "FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+      "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id), " +
       "gr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), " +
       "sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1), " +
       "itr AS (SELECT doc_a, doc_b, count(*) AS i FROM cand " +
@@ -189,8 +191,8 @@ object LlmPipeline2 {
   /** LSH-bucketed approximate top-k: the probe (vec_id = 0) only scans
     * its own 4-bit sign bucket — N/2⁴ of the corpus on uniform data,
     * the scale path next to sim_cosine_topk's exact O(N) scan. Same
-    * zip_with/aggregate dot-product fold as the exact operator, same
-    * rounding, so the two are directly comparable.
+    * native `DotProductF` fold as the exact operator, same rounding, so
+    * the two are directly comparable.
     */
   private val simAnnLsh = Q(
     "sim_ann_lsh",

@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
-      children => DotProductF(children(0), children(1))))
+      children => {
+        require(children.length == 2,
+          s"dot_f expects exactly 2 arguments, got ${children.length}")
+        DotProductF(children(0), children(1))
+      }))
   }
 }

@@ -59,18 +59,21 @@ object Replay {
       .withColumn("shard", pmod(xxhash64(col("user_id")), lit(nShards)))
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // One writer task per shard (the per-shard ordered producer
         // model). The ≤500-record PutRecords batches are modeled as a
         // put_seq column — the real sink is an API call, not a file, so
         // grouping puts inside one file per shard keeps the batch
         // contract verifiable in-data without exploding the sink into
         // hundreds of tiny files. Rows are numbered in event-time order
-        // within their shard: Kinesis ordering is per-shard.
+        // within their shard (Kinesis ordering is per-shard); put_seq is
+        // prefixed by the micro-batch epoch so batches appended by
+        // successive triggers can never merge into one oversized "put".
         val byShard = Window.partitionBy(col("shard"))
           .orderBy(col("ms"), col("event_id"))
-        batch.repartition(4, col("shard"))
-          .withColumn("put_seq", ((row_number().over(byShard) - 1) / 500).cast("long"))
+        batch.repartition(nShards, col("shard"))
+          .withColumn("put_seq",
+            (lit(epochId * 1000000L) + (row_number().over(byShard) - 1) / 500).cast("long"))
           .write
           .mode("append")
           .partitionBy("shard")

@@ -144,7 +144,7 @@ class EdgeCaseSpec extends SparkSpec {
 
   // ----------------------------------------------------------------- HLL
 
-  test("approx HLL (no oracle by design) is within its 1% error bound of exact") {
+  test("approx HLL (no oracle by design) stays within 5% of the exact count") {
     val approx = run("agg_approx_hll").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = run("agg_count_distinct", sf).collect()
