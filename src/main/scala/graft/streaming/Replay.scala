@@ -44,18 +44,25 @@ object Replay {
       s: SparkSession,
       srcPath: String,
       nShards: Int = 4,
-      maxFilesPerTrigger: Int = 1): String = {
+      maxFilesPerTrigger: Int = 1,
+      stage: DataFrame => DataFrame = identity): String = {
     val out = Files.createTempDirectory("graft-replay-out").toString
     val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
     val schema = s.read.parquet(srcPath).schema
     // FileStreamSource wants a directory or a glob; a brace-glob on the
     // file name streams a single archive file with its parent as base.
     val srcGlob = srcPath.replaceAll("([^/]+)$", "{$1}")
-    val stream = s.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(srcGlob)
-      .withColumn("ms", expr("ts div 1000000"))
+    // Stage order mirrors the reference pipeline: parse (ms) → caller's
+    // filter/transform stage (A4/A5) → partition-key routing (A6) →
+    // batched sink (A7). The stage hook is the seam a deployment uses
+    // for its own predicates and rewrites; Catalyst still pushes
+    // eligible filters into the streaming scan.
+    val stream = stage(
+      s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(srcGlob)
+        .withColumn("ms", expr("ts div 1000000")))
       .withColumn("shard", pmod(xxhash64(col("user_id")), lit(nShards)))
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
@@ -91,16 +98,27 @@ object Replay {
     */
   def aggregateReplayed(s: SparkSession, replayedPath: String): DataFrame = {
     import s.implicits._
+    runStreamToTable(s, replayedPath) { in =>
+      in.withColumn("ets", timestamp_millis($"ms"))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window($"ets", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), sum($"value".cast(Det.Dec)).as("tot"))
+    }.select(unix_timestamp($"window.start").as("hour_start"),
+        $"event_type", $"cnt",
+        Det.dround($"tot".cast("double"), 2).as("total_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Run a watermark-capable streaming aggregation over a replayed
+    * directory to completion (complete mode, memory sink) and return the
+    * final table.
+    */
+  private def runStreamToTable(s: SparkSession, path: String)(
+      build: DataFrame => DataFrame): DataFrame = {
     val ckpt = Files.createTempDirectory("graft-agg-ckpt").toString
     val table = "replay_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = s.read.parquet(replayedPath).schema
-    val agg = s.readStream
-      .schema(schema)
-      .parquet(replayedPath)
-      .withColumn("ets", timestamp_millis($"ms"))
-      .withWatermark("ets", "1 hour")
-      .groupBy(window($"ets", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("cnt"), sum($"value".cast(Det.Dec)).as("tot"))
+    val schema = s.read.parquet(path).schema
+    val agg = build(s.readStream.schema(schema).parquet(path))
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory")
@@ -110,10 +128,6 @@ object Replay {
     q.processAllAvailable()
     q.stop()
     s.table(table)
-      .select(unix_timestamp($"window.start").as("hour_start"),
-        $"event_type", $"cnt",
-        Det.dround($"tot".cast("double"), 2).as("total_value"))
-      .orderBy("hour_start", "event_type")
   }
 
   /** End-to-end replay pipeline, oracle-checked against the same SQL as
@@ -135,5 +149,41 @@ object Replay {
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
 
-  val qs: Seq[Q] = Seq(replayStream)
+  /** Full reference chain in one streaming pipeline: parse (A3, the
+    * JSON `k` field) → filter (A4, k ≥ 50 — pushed toward the scan) →
+    * transform (A5, event-type rewrite) → shard routing (A6) → batched
+    * sink (A7) → watermarked windowed aggregation over the replayed
+    * stream. Oracle restates the same predicate and rewrite over the
+    * source table, so the hash-match proves the staged replay neither
+    * lost, duplicated, nor corrupted messages.
+    */
+  private val replayFiltered = Q(
+    "replay_filtered",
+    (s, d) => {
+      import s.implicits._
+      if (s.read.parquet(s"$d/events.parquet").isEmpty)
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("hour_start", "event_type_u", "cnt", "sum_k")
+      else {
+        val out = replayArchive(s, s"$d/events.parquet", stage = df =>
+          df.withColumn("k", get_json_object($"props", "$.k").cast("long"))
+            .filter($"k" >= 50)
+            .withColumn("event_type_u", upper($"event_type")))
+        runStreamToTable(s, out) { in =>
+          in.withColumn("ets", timestamp_millis($"ms"))
+            .withWatermark("ets", "1 hour")
+            .groupBy(window($"ets", "1 hour"), $"event_type_u")
+            .agg(count(lit(1)).as("cnt"), sum($"k").cast("long").as("sum_k"))
+        }.select(unix_timestamp($"window.start").as("hour_start"),
+            $"event_type_u", $"cnt", $"sum_k")
+          .orderBy("hour_start", "event_type_u")
+      }
+    },
+    Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
+      "upper(event_type) AS event_type_u, count(*) AS cnt, " +
+      "CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k " +
+      "FROM events WHERE CAST(props->>'$.k' AS INT) >= 50 " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  val qs: Seq[Q] = Seq(replayStream, replayFiltered)
 }
