@@ -411,8 +411,65 @@ object LlmPipeline2 {
       "FROM (SELECT *, unnest(generate_series(1, n_frames)) AS frame FROM dec) " +
       "ORDER BY doc_id, frame LIMIT 2000"))
 
+  // ------------------------------------------------------ corpus tooling
+
+  /** Deterministic stratified sampling: keep a doc iff the first two
+    * hex chars of md5(doc_id) fall below the threshold (0x40/0x100 =
+    * 25%) — the hash-based sampler a distributed pipeline needs, since
+    * rand() is neither reproducible across retries nor portable across
+    * engines. Reports the per-language realized rate against the full
+    * count; the partial+final agg means the sample never materializes.
+    */
+  private val sampleStratified = Q(
+    "sample_stratified",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(substring(md5($"doc_id".cast("string")), 1, 2) < "40", 1L)
+            .otherwise(0L)).cast("long").as("n_sampled"))
+        .select($"lang", $"n_total", $"n_sampled",
+          dround($"n_sampled".cast("double") / $"n_total", 4).as("rate"))
+        .orderBy("lang")
+    },
+    Some("WITH m AS (SELECT lang, count(*) AS n_total, " +
+      "CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled FROM documents GROUP BY 1) " +
+      "SELECT lang, n_total, n_sampled, " +
+      OSql.sround("CAST(n_sampled AS DOUBLE) / n_total", 4) + " AS rate " +
+      "FROM m ORDER BY lang"))
+
+  /** End-to-end corpus cleaning — the composition every training-data
+    * pipeline runs: exact dedup (keep the lowest doc_id per md5(text)
+    * cluster) → quality gate (≥ 20 tokens) → per-(lang, source) corpus
+    * stats. One window over the hash (shuffle keyed by text hash, never
+    * the text) plus one partial+final agg.
+    */
+  private val corpusClean = Q(
+    "corpus_clean",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"text")).orderBy($"doc_id".asc)
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .filter(size(split($"text", " ")) >= 20)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          dround(avg($"n_chars".cast("double")), 4).as("avg_chars"))
+        .orderBy("lang", "source")
+    },
+    Some("WITH k AS (SELECT *, row_number() OVER " +
+      "(PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn FROM documents), " +
+      "c AS (SELECT * FROM k WHERE rn = 1 AND len(string_split(text, ' ')) >= 20) " +
+      "SELECT lang, source, count(*) AS n_docs, " +
+      OSql.sround("AVG(CAST(n_chars AS DOUBLE))", 4) + " AS avg_chars " +
+      "FROM c GROUP BY 1, 2 ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
     dedupSimhash, dedupNgramJaccard, dedupEmbeddingCosine, simAnnLsh,
     textLangId, textQualityScore, textTokenCount, docFingerprint,
-    multimodalDecode)
+    multimodalDecode, sampleStratified, corpusClean)
 }
