@@ -503,6 +503,43 @@ object Relational {
     Some("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
       "ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 50"))
 
+  /** Pivot (wide reshape): explicit value list so the output schema is
+    * static — at scale an implicit pivot runs a distinct-values job
+    * first; pinning the values keeps it one partial+final aggregate.
+    */
+  private val aggPivot = Q(
+    "agg_pivot",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dround(sum($"l_quantity".cast(Dec)).cast("double"), 2))
+        .orderBy("l_linestatus")
+    },
+    Some("SELECT l_linestatus, " +
+      Seq("A", "N", "R").map(f =>
+        OSql.sround(s"CAST(SUM(CASE WHEN l_returnflag = '$f' " +
+          s"THEN CAST(l_quantity AS DECIMAL(20,6)) END) AS DOUBLE)", 2) + s" AS \"$f\"")
+        .mkString(", ") +
+      " FROM lineitem GROUP BY 1 ORDER BY 1"))
+
+  /** Unpivot (melt): stack() turns the two measure columns into
+    * (metric, value) rows — a generator projection, no shuffle.
+    */
+  private val unpivotStack = Q(
+    "unpivot_stack",
+    (s, d) =>
+      t(s, d, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, value)")
+        .orderBy("p_partkey", "metric")
+        .limit(1000),
+    Some("SELECT p_partkey, metric, value FROM (" +
+      "SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part " +
+      "UNION ALL SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part) " +
+      "ORDER BY p_partkey, metric LIMIT 1000"))
+
   // ----------------------------------------------------------------- setops
 
   private val setUnionAll = Q(
@@ -558,7 +595,7 @@ object Relational {
     joinInnerHash, joinSortmergeLarge, joinBroadcastChain, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinThetaRange, joinCrossSmall,
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
-    aggRollup, aggCube, aggGroupingSets, aggStats,
+    aggRollup, aggCube, aggGroupingSets, aggStats, aggPivot, unpivotStack,
     sortMultiKey, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }

@@ -160,5 +160,28 @@ object Windows {
       " AS mavg7 FROM dsum WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) " +
       "ORDER BY day"))
 
-  val qs: Seq[Q] = Seq(rankTopk, rankDense, lagLead, runningSum, firstLast, movingAvg)
+  /** Distribution window functions (percent_rank, cume_dist): both are
+    * pure rank arithmetic — (rank−1)/(n−1) and rank/n — identical in
+    * both engines, rounded to 6dp. Runs on the supplier dimension (the
+    * documented small-global-window pattern; never on fact tables).
+    */
+  private val percentRank = Q(
+    "window_percent_rank",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"s_acctbal".desc, $"s_suppkey".asc)
+      t(s, d, "supplier")
+        .select($"s_suppkey", $"s_acctbal",
+          dround(percent_rank().over(w), 6).as("prank"),
+          dround(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("s_suppkey")
+    },
+    Some("SELECT s_suppkey, s_acctbal, " +
+      OSql.sround("percent_rank() OVER w", 6) + " AS prank, " +
+      OSql.sround("cume_dist() OVER w", 6) + " AS cdist " +
+      "FROM supplier WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC) " +
+      "ORDER BY s_suppkey"))
+
+  val qs: Seq[Q] = Seq(
+    rankTopk, rankDense, lagLead, runningSum, firstLast, movingAvg, percentRank)
 }
