@@ -12,18 +12,24 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("agg_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted key order: HashMap iteration order reshuffles whenever keys
+    // are added, which made round-over-round per-query numbers
+    // incomparable (a query scheduled right after a heavyweight
+    // streaming op absorbs its JVM/GC residue). Sorted order + an
+    // explicit GC between queries keeps each timing self-contained.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches a query persisted so later timings aren't skewed by
       // leftover executor memory pressure
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -54,6 +54,38 @@ object Tables {
     }
 }
 
+/** All scratch space (streaming sinks, checkpoints, state dirs) lives
+  * under ONE per-JVM root that a shutdown hook removes — repeated
+  * Verify/Bench runs leave no orphaned /tmp/graft-* dirs. Dirs are
+  * deleted at exit, not per query, because a replayed sink outlives the
+  * query function that created it (the returned DataFrame may still be
+  * consumed by the caller).
+  */
+object TmpDirs {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-run-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(p)))
+    p
+  }
+
+  /** A fresh scratch directory `<root>/<prefix>-<n>`. */
+  def dir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(root, prefix + "-").toString
+
+  private def rmrf(p: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    import java.nio.file.attribute.BasicFileAttributes
+    if (Files.exists(p)) Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+      override def visitFile(f: Path, a: BasicFileAttributes) = {
+        Files.deleteIfExists(f); FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(d: Path, e: java.io.IOException) = {
+        Files.deleteIfExists(d); FileVisitResult.CONTINUE
+      }
+    })
+  }
+}
+
 /** Session-build configuration shared by Verify / Bench / tests so every
   * entry point constructs an identical engine session.
   */

@@ -1,11 +1,10 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Det, OSql, Q}
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.{Det, OSql, Q, TmpDirs}
 
 /** The reference's identity re-expressed Spark-first: replay an archived
   * event stream from object storage into a sharded streaming sink, then
@@ -15,14 +14,17 @@ import graft.core.{Det, OSql, Q}
   * Two genuine Structured Streaming queries:
   *
   *  1. `replayArchive` — `readStream` over the parquet archive with
-  *     `maxFilesPerTrigger` as the rate limit (the archive-replay
-  *     throttle), routes each record to a shard by hash of its partition
-  *     key (`user_id` — the Kinesis partition-key model), and a
-  *     `foreachBatch` sink appends shard-partitioned output where every
-  *     record carries its ≤500-record put batch id (the PutRecords
-  *     cap) in event-time order per shard. At scale the sink call
-  *     becomes the real stream API; the plumbing — schema, sharding,
-  *     batch shape, checkpointing — is identical.
+  *     `maxFilesPerTrigger` as the optional rate limit (the
+  *     archive-replay throttle), routes each record to a shard by hash
+  *     of its partition key (`user_id` — the Kinesis partition-key
+  *     model), and a `foreachBatch` sink writes shard-partitioned output
+  *     where every record carries its ≤500-record put batch id (the
+  *     PutRecords cap) in event-time order per shard. Runs with
+  *     `Trigger.AvailableNow` — one single-pass drain when unthrottled
+  *     (the bench path replays the archive ONCE), a bounded multi-batch
+  *     catch-up when throttled. At scale the sink call becomes the real
+  *     stream API; the plumbing — schema, sharding, batch shape,
+  *     checkpointing, retry idempotence — is identical.
   *  2. `aggregateReplayed` — `readStream` over the replayed shards,
   *     `withWatermark(1 hour)` + tumbling 1-hour window × event_type
   *     aggregation, emitted through the memory sink in complete mode.
@@ -31,41 +33,79 @@ import graft.core.{Det, OSql, Q}
   *     — which is what lets the driver hash-compare it against the SAME
   *     DuckDB oracle as the batch twin `stream_tumbling`.
   *
+  * Sink retry semantics (A7): each micro-batch writes with DYNAMIC
+  * partition overwrite keyed by its epoch — a retried epoch (Spark
+  * re-runs a failed `foreachBatch` with the same epochId) replaces its
+  * own partitions instead of appending duplicates, which is the
+  * idempotence-by-batchId contract a real put-batch sink needs
+  * (exercised in ReplayTwinSpec).
+  *
+  * Progress/error reporting (A9): the replay stream `observe`s its
+  * per-batch row count; [[replayArchive]] sums the observed metric over
+  * the run's progress events into [[lastReplayRows]] and logs one
+  * `[replay]` line per run — the reference's per-batch progress log,
+  * asserted loss-free in ReplayTwinSpec.
+  *
+  * Ordering contract: put_seq numbers rows in event-time order WITHIN
+  * one micro-batch epoch (the epoch prefix keeps batches from merging).
+  * Cross-epoch event-time order is NOT claimed — a throttled replay of a
+  * multi-file archive can emit an earlier event time in a later epoch,
+  * exactly like a real producer re-driving PutRecords from a second
+  * archive file; per-shard consumers order by (ms, event_id), not by
+  * arrival. The unthrottled single-pass run is one epoch, so there the
+  * order is total per shard.
+  *
   * State at scale: the windowed agg keeps #openWindows × #eventTypes
   * rows of state per key range; the 1-hour watermark bounds it — state
   * for windows older than max(event time) − 1 h is evicted.
   */
 object Replay {
 
-  /** Stage 1: rate-limited replay of the archived events into a sharded,
-    * batch-capped sink directory. Returns the sink path.
+  /** Observed row count of the last [[replayArchive]] run (A9 progress
+    * metric; test-asserted). Single-threaded driver contract — Verify,
+    * Bench and the specs run queries sequentially.
+    */
+  @volatile private[graft] var lastReplayRows: Long = -1L
+
+  /** Stage 1: single-pass (or rate-limited) replay of the archived
+    * events into a sharded, batch-capped, epoch-idempotent sink
+    * directory. Returns the sink path.
+    *
+    * @param maxFilesPerTrigger 0 = unthrottled single-pass drain (the
+    *   bench/verify path); >0 = replay throttle, one epoch per file
+    *   group (the rate-limit fidelity path, exercised in ReplayTwinSpec).
     */
   def replayArchive(
       s: SparkSession,
       srcPath: String,
       nShards: Int = 4,
-      maxFilesPerTrigger: Int = 1,
+      maxFilesPerTrigger: Int = 0,
       stage: DataFrame => DataFrame = identity): String = {
-    val out = Files.createTempDirectory("graft-replay-out").toString
-    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
+    val out = TmpDirs.dir("replay-out")
+    val ckpt = TmpDirs.dir("replay-ckpt")
     val schema = s.read.parquet(srcPath).schema
     // FileStreamSource wants a directory or a glob; a brace-glob on the
     // file name streams a single archive file with its parent as base.
     val srcGlob = srcPath.replaceAll("([^/]+)$", "{$1}")
+    val reader = s.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     // Stage order mirrors the reference pipeline: parse (ms) → caller's
     // filter/transform stage (A4/A5) → partition-key routing (A6) →
     // batched sink (A7). The stage hook is the seam a deployment uses
     // for its own predicates and rewrites; Catalyst still pushes
     // eligible filters into the streaming scan.
     val stream = stage(
-      s.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      reader
         .parquet(srcGlob)
         .withColumn("ms", expr("ts div 1000000")))
       .withColumn("shard", pmod(xxhash64(col("user_id")), lit(nShards)))
+      // A9: per-batch progress metric, surfaced through the streaming
+      // progress events (observedMetrics) and summed below.
+      .observe("replay_progress", count(lit(1)).as("rows"))
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // One writer task per shard (the per-shard ordered producer
         // model). The ≤500-record PutRecords batches are modeled as a
@@ -73,22 +113,33 @@ object Replay {
         // grouping puts inside one file per shard keeps the batch
         // contract verifiable in-data without exploding the sink into
         // hundreds of tiny files. Rows are numbered in event-time order
-        // within their shard (Kinesis ordering is per-shard); put_seq is
-        // prefixed by the micro-batch epoch so batches appended by
-        // successive triggers can never merge into one oversized "put".
+        // within their shard AND epoch (see ordering contract above);
+        // put_seq is prefixed by the micro-batch epoch so batches
+        // appended by successive triggers can never merge into one
+        // oversized "put". The write OVERWRITES only this epoch's
+        // partitions (dynamic mode) — a sink-retry of the same epochId
+        // is therefore idempotent, never duplicating puts.
         val byShard = Window.partitionBy(col("shard"))
           .orderBy(col("ms"), col("event_id"))
         batch.repartition(nShards, col("shard"))
           .withColumn("put_seq",
             (lit(epochId * 1000000L) + (row_number().over(byShard) - 1) / 500).cast("long"))
+          .withColumn("epoch", lit(epochId))
           .write
-          .mode("append")
-          .partitionBy("shard")
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard", "epoch")
           .parquet(out)
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    q.awaitTermination()
+    // A9 progress: sum the observed per-batch row counts for this run.
+    val rows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("replay_progress")))
+      .map(_.getLong(0)).sum
+    lastReplayRows = rows
+    System.err.println(
+      s"[replay] archive=$srcPath rows=$rows batches=${q.recentProgress.length} sink=$out")
     out
   }
 
@@ -110,12 +161,12 @@ object Replay {
   }
 
   /** Run a watermark-capable streaming aggregation over a replayed
-    * directory to completion (complete mode, memory sink) and return the
-    * final table.
+    * directory to completion (complete mode, memory sink, single
+    * available-now pass) and return the final table.
     */
-  private def runStreamToTable(s: SparkSession, path: String)(
+  private[graft] def runStreamToTable(s: SparkSession, path: String)(
       build: DataFrame => DataFrame): DataFrame = {
-    val ckpt = Files.createTempDirectory("graft-agg-ckpt").toString
+    val ckpt = TmpDirs.dir("agg-ckpt")
     val table = "replay_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val schema = s.read.parquet(path).schema
     val agg = build(s.readStream.schema(schema).parquet(path))
@@ -124,9 +175,9 @@ object Replay {
       .format("memory")
       .queryName(table)
       .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    q.awaitTermination()
     s.table(table)
   }
 
@@ -182,7 +233,7 @@ object Replay {
     Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
       "upper(event_type) AS event_type_u, count(*) AS cnt, " +
       "CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k " +
-      "FROM events WHERE CAST(props->>'$.k' AS INT) >= 50 " +
+      "FROM events WHERE CAST(props->>'$.k' AS BIGINT) >= 50 " +
       "GROUP BY 1, 2 ORDER BY 1, 2"))
 
   val qs: Seq[Q] = Seq(replayStream, replayFiltered)

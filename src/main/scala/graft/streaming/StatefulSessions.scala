@@ -1,11 +1,9 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.core.{Det, OSql, Q}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.core.{Det, OSql, Q, TmpDirs}
 
 /** Custom streaming state via `flatMapGroupsWithState` — the Spark
   * primitive for session semantics that windowed aggregation cannot
@@ -67,13 +65,22 @@ object StatefulSessions {
 
   /** Run the stateful sessionization stream over the events archive to
     * completion; returns the final per-user summaries.
+    *
+    * Sink model: each Update-mode micro-batch is upserted EXECUTOR-SIDE
+    * — the batch (already one refreshed row per touched user) is
+    * appended to a hash-bucketed parquet state dir stamped with its
+    * epoch, and the final state is the last-epoch row per user (one
+    * window over (bucket, user)). Nothing is ever collected to the
+    * driver, so state scales with #users across executors — at 100 TB
+    * the parquet state dir is the stand-in for the real KV/serving sink
+    * the Update stream would feed, with the same keyed-upsert contract.
     */
   def run(s: SparkSession, eventsPath: String): DataFrame = {
     import s.implicits._
-    val acc = new ConcurrentHashMap[Long, UserAgg]()
     val schema = s.read.parquet(eventsPath).schema
     val glob = eventsPath.replaceAll("([^/]+)$", "{$1}")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val ckpt = TmpDirs.dir("sess-ckpt")
+    val state = TmpDirs.dir("sess-state")
     val stream = s.readStream.schema(schema).parquet(glob)
       .select($"user_id", $"event_id", expr("ts div 1000000").as("ms"))
       .as[Ev]
@@ -82,15 +89,22 @@ object StatefulSessions {
     val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserAgg], _: Long) =>
-        // sink-side upsert, the Update-mode contract; batch is #users-sized
-        batch.collect().foreach(u => acc.put(u.user_id, u))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserAgg], epochId: Long) =>
+        // keyed upsert, executor-side: bucket by user hash (the real
+        // sink's shard key), stamp the epoch; last epoch wins on read.
+        batch.toDF()
+          .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(16)))
+          .withColumn("epoch", lit(epochId))
+          .write.mode("append").partitionBy("bucket").parquet(state)
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
-    import scala.jdk.CollectionConverters._
-    acc.values.asScala.toSeq.toDF()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"epoch".desc)
+    s.read.parquet(state)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
       .select($"user_id", $"n_sessions", $"n_events",
         Det.dround($"avg_session_ms", 2).as("avg_session_ms"))
       .orderBy("user_id")
