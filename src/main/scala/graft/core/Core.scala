@@ -86,6 +86,25 @@ object TmpDirs {
   }
 }
 
+/** Eagerly materialize a small derived relation to scratch parquet and
+  * read it back. This is cross-branch reuse WITHOUT `persist()`: Catalyst
+  * has no cross-branch subtree sharing, so a self-join recomputes its
+  * input twice — but caching leaks entries into the caller's session
+  * (the driver contract allows an externally built session that invokes
+  * many queries, where per-query `persist` without a safe unpersist
+  * point accumulates). A scratch-parquet round trip has the same reuse
+  * effect, costs one small write, and cleans itself up via [[TmpDirs]].
+  * At real scale the materialized signature/band table is the artifact
+  * you'd persist to storage once anyway.
+  */
+object Mat {
+  def apply(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val p = TmpDirs.dir(name)
+    df.write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+}
+
 /** Session-build configuration shared by Verify / Bench / tests so every
   * entry point constructs an identical engine session.
   */

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Det, OSql, Q, Tables}
+import graft.core.{Det, Mat, OSql, Q, Tables}
 
 /** LLM-training-data pipeline operators (mandated surface beyond the
   * reference: dedup, text analysis, similarity search, multimodal).
@@ -182,16 +182,17 @@ object LlmPipeline {
     * pair explosion is quadratic and whose pairs are near-worthless) are
     * dropped before the self-join, in both engines.
     * n_bands = how many of the 4 bands agree, a collision-strength score.
-    * The signature table is persisted before the self-join — Catalyst
-    * has no cross-branch subtree sharing, so without it the shingle +
-    * hash work runs twice; at real scale the signature table is the
-    * thing you materialize once anyway.
+    * The band table is materialized ([[graft.core.Mat]]) before the
+    * self-join — Catalyst has no cross-branch subtree sharing, so
+    * without it the shingle + hash work runs twice; at real scale the
+    * signature table is the thing you materialize once anyway, and
+    * unlike `persist()` nothing leaks into the caller's session cache.
     */
   private val dedupNearMinhash = Q(
     "dedup_near_minhash",
     (s, d) => {
       import s.implicits._
-      val guarded = guardBands(bandRows(s, d).persist())
+      val guarded = guardBands(Mat(s, bandRows(s, d), "mh-bands"))
       val a = guarded.select($"doc_id".as("doc_a"), $"band")
       val b = guarded.select($"doc_id".as("doc_b"), $"band")
       a.join(b, a("band") === b("band") && $"doc_a" < $"doc_b")
@@ -276,6 +277,15 @@ object LlmPipeline {
     * only the L×64 sum vectors (L = #labels), so cost at 100 TB is one
     * scan + one tiny join. Intra-label removes the self-pairs via
     * Σ‖v‖²: avg = (S_A·S_A − Σ‖v‖²) / (n_A² − n_A).
+    *
+    * Residual ULP risk (documented, accepted): the per-label component
+    * sums accumulate doubles in engine-chosen order on both sides, so
+    * the 6dp floor-round could in principle land on different sides of
+    * a 1e-6 boundary. The averaged quantities here sit ~1e-7+ away from
+    * rounding boundaries on real data (they are means over hundreds of
+    * terms, not adversarial constants), and no threshold filter consumes
+    * them, so a flip cannot change row membership — only a single digit
+    * — and has never been observed across sf0.001-0.1.
     */
   private val simPairwiseLabel = Q(
     "sim_pairwise_label",

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Det, OSql, Q, Tables}
+import graft.core.{Det, Mat, OSql, Q, Tables}
 
 /** Training-data pipeline, second wave: the dedup family beyond MinHash
   * (SimHash, exact n-gram Jaccard verification, embedding-cosine
@@ -34,47 +34,107 @@ object LlmPipeline2 {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 16-bit SimHash per doc, then exact-signature collision groups.
-    * Each token votes ±1 per bit by the parity of one hex digit of its
-    * md5; bit j of the signature is 1 iff the vote sum is positive (a
-    * zero sum votes 0, deterministically). Collision groups bucket BY
-    * the signature — the shuffle carries (simhash, doc_id), and a group
-    * is a near-dup cluster candidate. One explode + two hash aggregates;
-    * no pairwise work at all, which is what makes SimHash the cheapest
-    * member of the dedup family at 100 TB.
+  /** 64-bit SimHash near-dup pairs (Manku/Charikar construction). Each
+    * token votes ±1 on 64 bits — bit j's vote is binary bit (j-1)%4 of
+    * hex digit (j-1)/4+1 of md5(token), so one md5 per token feeds all
+    * 64 planes — and signature bit j is 1 iff the vote sum is positive.
+    * Candidates are proposed by CHUNK BANDING, not exact-signature
+    * equality: the 64-bit signature splits into four 16-bit chunks, and
+    * any two docs within Hamming distance 3 must share at least one
+    * exact chunk (pigeonhole), so a 4-way equi-join on (chunk_idx,
+    * chunk_value) finds every such pair while the shuffle carries only
+    * (doc_id, simhash, chunk). A >100-docs hot-chunk guard (same
+    * construction as the MinHash band guard) bounds any single bucket's
+    * pair blowup, which keeps candidate volume O(N · cap) — never N².
+    * The dispose stage is exact: bit_count(xor(sig_a, sig_b)) ≤ 3.
+    * The signature table is materialized once ([[graft.core.Mat]]) —
+    * it feeds both sides of the self-join.
+    *
+    * Why 64-bit: a 16-bit signature has 65,536 possible values, so at
+    * corpus scale every value becomes a mega-collision-group of false
+    * positives; 64 bits keeps random collisions at Hamming ≤3 negligible
+    * while true near-dups (token overlap ≫ 50%) still land within 3.
     */
-  private val odds = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+  private def simhashSig(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val votes = (1 to 64).map { j =>
+      val dig = (j - 1) / 4 + 1
+      val bit = (j - 1) % 4
+      sum(when(shiftright(hexVal(substring($"h", dig, 1)), bit).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    t(s, d, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", md5($"w").as("h"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id",
+        // j=64 contributes Long.MinValue (the sign bit); reduce is a
+        // left fold so positives accumulate first — no ANSI overflow
+        (1 to 64).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** (doc_id, simhash, k, c): the four 16-bit chunks of each signature,
+    * hot-chunk-guarded (chunks shared by >100 docs dropped, both
+    * engines). Exposed for the sub-quadratic-candidates unit test.
+    */
+  private[ops] def simhashChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = Mat(s, simhashSig(s, d), "simhash-sig")
+    val chunks = sig.select($"doc_id", $"simhash",
+      explode(array((0 to 3).map(k => struct(lit(k).as("k"),
+        shiftright($"simhash", 16 * k).bitwiseAND(lit(65535L)).as("c"))): _*)).as("kc"))
+      .select($"doc_id", $"simhash", $"kc.k".as("k"), $"kc.c".as("c"))
+    val hot = chunks.groupBy("k", "c").agg(count(lit(1)).as("bn"))
+      .filter($"bn" > 100).select("k", "c")
+    chunks.join(broadcast(hot), Seq("k", "c"), "left_anti")
+  }
+
+  /** Candidate pairs from the chunk-band equi-join (propose stage). */
+  private[ops] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = simhashChunks(s, d)
+    g.select($"doc_id".as("doc_a"), $"simhash".as("sa"), $"k", $"c")
+      .join(g.select($"doc_id".as("doc_b"), $"simhash".as("sb"), $"k", $"c"), Seq("k", "c"))
+      .filter($"doc_a" < $"doc_b")
+      .select("doc_a", "doc_b", "sa", "sb").distinct()
+  }
 
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, d) => {
       import s.implicits._
-      val votes = (1 to 16).map(j =>
-        sum(when(substring($"h", j, 1).isin(odds: _*), 1).otherwise(-1)).as(s"s$j"))
-      val sig = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("w"))
-        .select($"doc_id", md5($"w").as("h"))
-        .groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
-        .select($"doc_id",
-          (1 to 16).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-      sig.groupBy("simhash")
-        .agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
-        .filter($"cnt" > 1)
-        .orderBy("simhash")
+      simhashCandidates(s, d)
+        .select($"doc_a", $"doc_b",
+          bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy("doc_a", "doc_b")
     },
     Some {
-      val votes = (1 to 16).map(j =>
-        s"SUM(CASE WHEN substring(h, $j, 1) IN ('1','3','5','7','9','b','d','f') " +
-          s"THEN 1 ELSE -1 END) AS s$j").mkString(", ")
-      val bits = (1 to 16).map(j => s"CASE WHEN s$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
-        .mkString(" + ")
+      val votes = (1 to 64).map { j =>
+        val dig = (j - 1) / 4 + 1
+        val bit = (j - 1) % 4
+        s"SUM(CASE WHEN ((${hexValSql(s"substring(h, $dig, 1)")}) >> $bit) & 1 = 1 " +
+          s"THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(", ")
+      val bits = (1 to 64).map { j =>
+        // 1L << 63 is Long.MinValue; spell it as BIGINT-safe arithmetic
+        val v = if (j == 64) "-9223372036854775807 - 1" else (1L << (j - 1)).toString
+        s"(CASE WHEN s$j > 0 THEN $v ELSE 0 END)"
+      }.mkString(" + ")
       "WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents), " +
         s"v AS (SELECT doc_id, $votes FROM tok GROUP BY 1), " +
-        s"sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v) " +
-        "SELECT simhash, count(*) AS cnt, min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
-        "FROM sig GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"
+        s"sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v), " +
+        "ch AS (SELECT doc_id, simhash, k, (simhash >> (16 * k)) & 65535 AS c " +
+        "FROM sig, (SELECT unnest([0, 1, 2, 3]) AS k) ks), " +
+        "shot AS (SELECT k, c FROM ch GROUP BY 1, 2 HAVING count(*) > 100), " +
+        "sg AS (SELECT * FROM ch ANTI JOIN shot USING (k, c)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.simhash AS sa, b.simhash AS sb FROM sg a " +
+        "JOIN sg b ON a.k = b.k AND a.c = b.c AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+        "FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY 1, 2"
     })
 
   // ----------------------------------------------- exact Jaccard verify
