@@ -149,13 +149,15 @@ object LlmPipeline2 {
     "dedup_ngram_jaccard",
     (s, d) => {
       import s.implicits._
-      // The gram relation is NOT persisted: it is cheaper to recompute
-      // the codegen'd tokenize pass than to cache ~corpus-sized string
-      // rows (measured); only the small band table is cached. The same
-      // hot-bucket guard as dedup_near_minhash bounds the pair blowup.
+      // The gram relation is NOT materialized: it is cheaper to
+      // recompute the codegen'd tokenize pass than to round-trip
+      // ~corpus-sized string rows (measured); only the small band table
+      // is. Mat, not persist(): nothing leaks into the caller's session
+      // cache (see graft.core.Mat). The same hot-bucket guard as
+      // dedup_near_minhash bounds the pair blowup.
       val g3 = LlmPipeline.gramRows(s, d, 3)
       val bd = LlmPipeline.guardBands(
-        LlmPipeline.bandRowsFrom(s, g3).persist())
+        Mat(s, LlmPipeline.bandRowsFrom(s, g3), "jac-bands"))
       val cand = bd.select($"doc_id".as("doc_a"), $"band")
         .join(bd.select($"doc_id".as("doc_b"), $"band"), "band")
         .filter($"doc_a" < $"doc_b")
@@ -165,9 +167,9 @@ object LlmPipeline2 {
       // the shuffled volume is |cand docs| × grams, not the corpus.
       val candDocs = cand.select($"doc_a".as("doc_id"))
         .union(cand.select($"doc_b".as("doc_id"))).distinct()
-      val gr = g3
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        .distinct().persist()
+      val gr = Mat(s,
+        g3.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct(),
+        "jac-grams")
       val sz = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(gr.select($"doc_id".as("doc_a"), $"x"), "doc_a")
@@ -197,86 +199,182 @@ object LlmPipeline2 {
 
   // ------------------------------------------- embedding-cosine near-dup
 
-  /** Sign-bit bucket of the first `bits` embedding components — the
-    * aligned-hyperplane LSH key. NULL/short arrays fold to '0' bits in
-    * both engines.
+  /** 64 random hyperplanes with ±1 weights over the 64-dim embedding
+    * space: w(p,i) = +1 iff the first hex digit of md5("plane-p-dim-i")
+    * is odd. Derived from md5 so any engine can regenerate them; shipped
+    * into both the Spark plan and the oracle SQL as LITERALS generated
+    * by this one function, so the two engines share them by construction.
+    * ±1 weights make every product exact in IEEE double (±1.0 * x flips
+    * a sign bit), so the only float accumulation is the fold — and both
+    * engines fold left-to-right in index order (DotProductF and DuckDB's
+    * list_dot_product), making the signature bit-identical, not
+    * approximately equal.
     */
-  private def signBucket(emb: Column, bits: Int): Column =
-    concat((1 to bits).map(i =>
-      when(try_element_at(emb, lit(i)) >= 0, "1").otherwise("0")): _*)
+  private lazy val planes: IndexedSeq[IndexedSeq[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to 64).map { p =>
+      (1 to 64).map { i =>
+        val h = md.digest(s"plane-$p-dim-$i".getBytes("UTF-8"))
+        md.reset()
+        if (((h(0) >> 4) & 1) == 1) 1.0f else -1.0f
+      }
+    }
+  }
 
-  private def signBucketSql(bits: Int): String =
-    (1 to bits).map(i =>
-      s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
+  private def planeLit(p: Int): Column = typedLit(planes(p - 1))
 
-  /** Embedding near-duplicate pairs: candidates share a 4-bit sign
-    * bucket (16 buckets ⇒ ~N²/16 of the pair space, and truly
-    * near-identical vectors almost surely share signs), then the exact
-    * cosine — computed by a (pos)-join partial aggregate, not array
-    * folds — keeps pairs ≥ 0.4. Vectors are L2-normalized (FIXTURES.md)
-    * so the dot product IS the cosine.
+  private def planeSqlLit(p: Int): String =
+    planes(p - 1).map(w => if (w > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** 64-bit sign-random-projection (SRP) signature: bit j = 1 iff
+    * embedding · plane_j ≥ 0. For two vectors at angle θ each bit agrees
+    * with probability 1 − θ/π, so Hamming similarity estimates cosine —
+    * the standard Charikar construction. One codegen'd projection (64
+    * fused DotProductF loops) per row; embarrassingly parallel at any
+    * scale.
+    */
+  private def embSigTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dots = (1 to 64).map(p =>
+      graft.functions.VectorExpressions.dotF(s, $"embedding", planeLit(p)).as(s"dp$p"))
+    t(s, d, "embeddings")
+      .select(($"vec_id" +: $"embedding" +: dots): _*)
+      .select($"vec_id", $"embedding",
+        // j=64 contributes Long.MinValue (the sign bit); left-fold keeps
+        // partial sums in range, as in the SimHash signature above.
+        (1 to 64).map(j => when(col(s"dp$j") >= 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** DuckDB spelling of the same signature (expects `v` = the embedding
+    * cast to DOUBLE[] in an enclosing CTE).
+    */
+  private def embSigSql: String =
+    (1 to 64).map { j =>
+      val v = if (j == 64) "-9223372036854775807 - 1" else (1L << (j - 1)).toString
+      s"(CASE WHEN list_dot_product(v, ${planeSqlLit(j)}) >= 0 THEN $v ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val embKs = "(SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS k) ks"
+
+  /** (vec_id, k, c): the eight 8-bit bands of each signature,
+    * hot-bucket-guarded (bands shared by >100 vectors dropped, both
+    * engines). With a per-bucket cap B every row joins ≤ B others per
+    * band, so candidate volume is ≤ bands·B·N = O(N) — never N². At
+    * fixed N the band width sets the average bucket to N/2⁸; growing the
+    * corpus means growing the band width ~log₂N to hold that average,
+    * which is a re-parameterization, not a redesign.
+    */
+  private[ops] def embChunksFrom(sigs: DataFrame): DataFrame = {
+    val s8 = sigs.sparkSession
+    import s8.implicits._
+    val chunks = sigs.select($"vec_id", explode(array((0 to 7).map(k =>
+      struct(lit(k).as("k"),
+        shiftright($"sig", 8 * k).bitwiseAND(lit(255L)).as("c"))): _*)).as("kc"))
+      .select($"vec_id", $"kc.k".as("k"), $"kc.c".as("c"))
+    val hot = chunks.groupBy("k", "c").agg(count(lit(1)).as("bn"))
+      .filter($"bn" > 100).select("k", "c")
+    chunks.join(broadcast(hot), Seq("k", "c"), "left_anti")
+  }
+
+  /** Candidate pairs from the band equi-join (propose stage). Exposed
+    * for the sub-quadratic-candidates unit test.
+    */
+  private[ops] def embCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = embChunksFrom(Mat(s, embSigTable(s, d), "emb-sig"))
+    g.select($"vec_id".as("va"), $"k", $"c")
+      .join(g.select($"vec_id".as("vb"), $"k", $"c"), Seq("k", "c"))
+      .filter($"va" < $"vb")
+      .select("va", "vb").distinct()
+  }
+
+  /** Embedding near-duplicate pairs, two-stage like the text dedups:
+    * PROPOSE by banded SRP-LSH (8 bands × 8 bits of the 64-bit
+    * signature; a pair at cosine c collides on one band with probability
+    * (1−θ/π)⁸, so true near-dups surface while random pairs collide at
+    * 2⁻⁸ per band — and the hot-bucket guard caps even those), DISPOSE
+    * by the exact cosine ≥ 0.4, computed per candidate pair with the
+    * native codegen'd DotProductF fold. The band shuffle carries only
+    * (vec_id, sig, band); embeddings are joined back from the
+    * materialized signature table only for surviving candidates.
+    * Vectors are L2-normalized (FIXTURES.md) so dot = cosine. The oracle
+    * folds with list_dot_product — same index order, bit-identical.
     */
   private val dedupEmbeddingCosine = Q(
     "dedup_embedding_cosine",
     (s, d) => {
       import s.implicits._
-      val bk = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding", signBucket($"embedding", 4).as("bucket"))
-      // Carry the arrays through the bucket join and fold per pair —
-      // the pos-exploded alternative shuffles |pairs| × dim rows, this
-      // one shuffles |vectors| once and the fold is pipeline-local
-      // (DotProductF keeps it inside whole-stage codegen).
-      val cand = bk.select($"vec_id".as("va"), $"embedding".as("ea"), $"bucket")
-        .join(bk.select($"vec_id".as("vb"), $"embedding".as("eb"), $"bucket"), "bucket")
+      val sigs = Mat(s, embSigTable(s, d), "emb-sig")
+      val g = embChunksFrom(sigs)
+      val cand = g.select($"vec_id".as("va"), $"k", $"c")
+        .join(g.select($"vec_id".as("vb"), $"k", $"c"), Seq("k", "c"))
         .filter($"va" < $"vb")
+        .select("va", "vb").distinct()
       cand
+        .join(sigs.select($"vec_id".as("va"), $"embedding".as("ea")), "va")
+        .join(sigs.select($"vec_id".as("vb"), $"embedding".as("eb")), "vb")
         .select($"va", $"vb",
           dround(graft.functions.VectorExpressions.dotF(s, $"ea", $"eb"), 6).as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy("va", "vb")
     },
-    Some("WITH bk AS (SELECT vec_id, " + signBucketSql(4) + " AS bucket FROM embeddings), " +
-      "cand AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM bk a " +
-      "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
-      "ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, " +
-      "generate_subscripts(embedding, 1) AS pos FROM embeddings), " +
-      "cs AS (SELECT va, vb, " + OSql.sround("SUM(a.x * b.x)", 6) + " AS cos FROM cand " +
-      "JOIN ex a ON a.vec_id = va JOIN ex b ON b.vec_id = vb AND b.pos = a.pos " +
-      "GROUP BY 1, 2) " +
+    Some("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings), " +
+      s"sig AS (SELECT vec_id, v, CAST($embSigSql AS BIGINT) AS sig FROM e), " +
+      s"ch AS (SELECT vec_id, k, (sig >> (8 * k)) & 255 AS c FROM sig, $embKs), " +
+      "hot AS (SELECT k, c FROM ch GROUP BY 1, 2 HAVING count(*) > 100), " +
+      "g AS (SELECT * FROM ch ANTI JOIN hot USING (k, c)), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb FROM g a " +
+      "JOIN g b ON a.k = b.k AND a.c = b.c AND a.vec_id < b.vec_id), " +
+      "cs AS (SELECT va, vb, " + OSql.sround("list_dot_product(ea.v, eb.v)", 6) +
+      " AS cos FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb) " +
       "SELECT va, vb, cos FROM cs WHERE cos >= 0.4 ORDER BY 1, 2"))
 
   // ------------------------------------------------------- bucketed ANN
 
-  /** LSH-bucketed approximate top-k: the probe (vec_id = 0) only scans
-    * its own 4-bit sign bucket — N/2⁴ of the corpus on uniform data,
-    * the scale path next to sim_cosine_topk's exact O(N) scan. Same
-    * native `DotProductF` fold as the exact operator, same rounding, so
-    * the two are directly comparable.
+  /** LSH-bucketed approximate top-k: the probe (vec_id = 0) scans only
+    * vectors sharing at least one of its eight 8-bit signature bands —
+    * banded multi-probe. Expected scan on uniform data is ~8·N/2⁸ = N/32
+    * (vs the exact sim_cosine_topk's full O(N) scan), and band width
+    * grows ~log₂N with the corpus to keep buckets bounded, so the scan
+    * stays a vanishing fraction at scale. True neighbors share bands
+    * with probability amplified by the SRP construction (see
+    * dedup_embedding_cosine). Exact dot product (native DotProductF
+    * fold), same rounding as the exact operator — the two are directly
+    * comparable.
     */
   private val simAnnLsh = Q(
     "sim_ann_lsh",
     (s, d) => {
       import s.implicits._
-      val emb = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding", signBucket($"embedding", 4).as("bucket"))
-      val probe = emb.filter($"vec_id" === 0)
-        .select($"embedding".as("probe"), $"bucket")
-      emb.join(broadcast(probe), "bucket")
+      val sigs = Mat(s, embSigTable(s, d), "emb-sig")
+      val ch = sigs.select($"vec_id", explode(array((0 to 7).map(k =>
+        struct(lit(k).as("k"),
+          shiftright($"sig", 8 * k).bitwiseAND(lit(255L)).as("c"))): _*)).as("kc"))
+        .select($"vec_id", $"kc.k".as("k"), $"kc.c".as("c"))
+      val probeBands = ch.filter($"vec_id" === 0).select("k", "c")
+      val probeVec = sigs.filter($"vec_id" === 0).select($"embedding".as("probe"))
+      ch.join(broadcast(probeBands), Seq("k", "c"))
+        .select("vec_id").distinct()
+        .join(sigs.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(broadcast(probeVec))
         .select($"vec_id",
           dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"probe"), 6)
             .as("sim"))
         .orderBy($"sim".desc, $"vec_id".asc)
         .limit(10)
     },
-    Some("WITH bk AS (SELECT vec_id, embedding, " + signBucketSql(4) +
-      " AS bucket FROM embeddings), " +
-      "probe AS (SELECT embedding AS p, bucket FROM bk WHERE vec_id = 0), " +
-      "ex AS (SELECT b.vec_id, CAST(unnest(b.embedding) AS DOUBLE) AS x, " +
-      "generate_subscripts(b.embedding, 1) AS i FROM bk b JOIN probe ON b.bucket = probe.bucket), " +
-      "px AS (SELECT CAST(unnest(p) AS DOUBLE) AS y, generate_subscripts(p, 1) AS i FROM probe) " +
-      "SELECT vec_id, " + OSql.sround("SUM(x * y)", 6) + " AS sim " +
-      "FROM ex JOIN px USING (i) GROUP BY vec_id ORDER BY sim DESC, vec_id ASC LIMIT 10"))
+    Some("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings), " +
+      s"sig AS (SELECT vec_id, v, CAST($embSigSql AS BIGINT) AS sig FROM e), " +
+      s"ch AS (SELECT vec_id, k, (sig >> (8 * k)) & 255 AS c FROM sig, $embKs), " +
+      "probe AS (SELECT k, c FROM ch WHERE vec_id = 0), " +
+      "pv AS (SELECT v AS pvec FROM sig WHERE vec_id = 0), " +
+      "cand AS (SELECT DISTINCT vec_id FROM ch JOIN probe USING (k, c)) " +
+      "SELECT s.vec_id, " + OSql.sround("list_dot_product(s.v, pv.pvec)", 6) + " AS sim " +
+      "FROM cand JOIN sig s USING (vec_id), pv ORDER BY sim DESC, vec_id ASC LIMIT 10"))
 
   // ------------------------------------------------------- text analysis
 
