@@ -73,6 +73,41 @@ object EventTime {
       OSql.sround("AVG(CAST(t1 - t0 AS DOUBLE))", 2) + " AS avg_session_ms " +
       "FROM p GROUP BY 1 ORDER BY 1"))
 
+  /** Spark's NATIVE session_window primitive — the idiomatic
+    * sessionization operator (vs stream_session's portable lag+cumsum
+    * spelling of the same semantics). Emits one row per (user, session):
+    * start = first event, end = last event + gap, exactly Spark's
+    * session-window bounds. Boundary semantics pinned by the oracle: a
+    * gap of EXACTLY 30 minutes starts a NEW session (session_window
+    * merges only strictly-overlapping [t, t+gap) intervals), so the
+    * oracle's new-session flag is `>=` where stream_session's is `>`
+    * (the engines agree; SessionTwinSpec pins the reconstruction).
+    * Scale: one shuffle on user_id, sessions merged within partitions —
+    * same cost envelope as the window spelling; in a streaming context
+    * this operator carries per-key open-session state bounded by the
+    * watermark.
+    */
+  private val sessionWindowNative = Q(
+    "stream_session_window",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", session_window(timestamp_millis($"ms"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+        .select($"user_id", unix_millis($"sw.start").as("start_ms"),
+          unix_millis($"sw.end").as("end_ms"), $"n_events", $"total_value")
+        .orderBy("user_id", "start_ms")
+    },
+    Some("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events), " +
+      "f AS (SELECT user_id, event_id, ms, value, CASE WHEN lag(ms) OVER w IS NULL OR " +
+      "ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS is_new FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)), " +
+      "s AS (SELECT user_id, ms, value, SUM(is_new) OVER (PARTITION BY user_id " +
+      "ORDER BY ms ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f) " +
+      "SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms, " +
+      "count(*) AS n_events, " + OSql.msum("value") + " AS total_value " +
+      "FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms"))
+
   /** dropDuplicates twin: first event per (user_id, event_type) in event
     * time — row_number over the watermark ordering.
     */
@@ -160,5 +195,6 @@ object EventTime {
       "FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms > s.ms " +
       "ORDER BY e.event_id"))
 
-  val qs: Seq[Q] = Seq(tumbling, session, dedup, lateData, sliding, asof)
+  val qs: Seq[Q] =
+    Seq(tumbling, session, sessionWindowNative, dedup, lateData, sliding, asof)
 }

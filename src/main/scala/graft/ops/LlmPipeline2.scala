@@ -92,7 +92,7 @@ object LlmPipeline2 {
   }
 
   /** Candidate pairs from the chunk-band equi-join (propose stage). */
-  private[ops] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val g = simhashChunks(s, d)
     g.select($"doc_id".as("doc_a"), $"simhash".as("sa"), $"k", $"c")
@@ -281,7 +281,7 @@ object LlmPipeline2 {
   /** Candidate pairs from the band equi-join (propose stage). Exposed
     * for the sub-quadratic-candidates unit test.
     */
-  private[ops] def embCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val g = embChunksFrom(Mat(s, embSigTable(s, d), "emb-sig"))
     g.select($"vec_id".as("va"), $"k", $"c")

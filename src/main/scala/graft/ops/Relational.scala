@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Det, OSql, Q, Tables}
+import graft.core.{Det, OSql, Q, Tables, TmpDirs}
 
 /** Relational surface: scans, filters, joins, aggregations, sorts and
   * set operations (SURVEY.md §2.2).
@@ -66,6 +66,51 @@ object Relational {
     },
     Some("SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
       "count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type"))
+
+  /** A1–A3 format fidelity: the reference's native archive format is
+    * gzip NDJSON text, not parquet. Stage the events table as gzip
+    * NDJSON (content deterministically derived from the archive), then
+    * read the text back through gzip decompress → `from_json` (A2
+    * decompress + A3 parse) — including the nested `props` payload,
+    * parsed as JSON-in-JSON — and aggregate. The oracle restates the
+    * aggregation over the same source rows; equality proves the text
+    * round trip is lossless (to_json/from_json of DOUBLE uses
+    * shortest-round-trip rendering, and the sum accumulates in DECIMAL).
+    *
+    * Scale stance: .gz is not splittable — parallelism is one task per
+    * archive file, exactly the reference's per-file reader model — so
+    * the staged write keeps Spark's default output partitioning: N part
+    * files ⇒ N parallel decompress tasks. A 100 TB archive arrives as
+    * many files, never one.
+    */
+  private val scanTextGz = Q(
+    "scan_text_gz",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val dir = TmpDirs.dir("events-ndjson-gz")
+      Tables.events(s, d)
+        .select(to_json(struct(
+          $"event_id", $"user_id", $"event_type", $"value", $"ms", $"props")).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(dir)
+      val lineSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("ms", LongType), StructField("props", StringType)))
+      s.read.text(dir)
+        .select(from_json($"value", lineSchema).as("e"))
+        .select($"e.event_type".as("event_type"), $"e.value".as("value"),
+          from_json($"e.props", StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum($"k").as("sum_k"),
+          moneySum($"value").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS cnt, " +
+      "CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+      OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY event_type ORDER BY event_type"))
 
   /** Kinesis-shard routing model (reference stage A6/A7): an explicit
     * arithmetic hash — NOT Spark's internal hash(), which DuckDB cannot
@@ -590,7 +635,7 @@ object Relational {
       "EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1"))
 
   val qs: Seq[Q] = Seq(
-    scanProject, scanPrunedFilter, jsonSource, sinkPartition,
+    scanProject, scanPrunedFilter, jsonSource, scanTextGz, sinkPartition,
     filterConjunctive, filterRegex, transformRewrite, filterNullSemantics,
     joinInnerHash, joinSortmergeLarge, joinBroadcastChain, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinThetaRange, joinCrossSmall,
