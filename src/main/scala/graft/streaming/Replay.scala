@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import scala.jdk.CollectionConverters._
 import graft.core.{Det, OSql, Q, TmpDirs}
 
 /** The reference's identity re-expressed Spark-first: replay an archived
@@ -67,6 +68,15 @@ object Replay {
     */
   @volatile private[graft] var lastReplayRows: Long = -1L
 
+  /** Per-micro-batch progress of the last [[replayArchive]] run as seen
+    * by the A9 [[org.apache.spark.sql.streaming.StreamingQueryListener]]:
+    * (batchId, numInputRows), batch order. The listener is the push-based
+    * A9 surface (the reference logs per-batch counts/failures); the
+    * `observe` metric above is the pull-based one — ReplayTwinSpec
+    * asserts they agree with each other and with the source count.
+    */
+  @volatile private[graft] var lastReplayProgress: Seq[(Long, Long)] = Nil
+
   /** Stage 1: single-pass (or rate-limited) replay of the archived
     * events into a sharded, batch-capped, epoch-idempotent sink
     * directory. Returns the sink path.
@@ -103,6 +113,22 @@ object Replay {
       // A9: per-batch progress metric, surfaced through the streaming
       // progress events (observedMetrics) and summed below.
       .observe("replay_progress", count(lit(1)).as("rows"))
+    // A9 push-based progress: a StreamingQueryListener logging one line
+    // per micro-batch (the reference's per-batch progress log). The
+    // driver contract is single-threaded, so every progress event during
+    // this run belongs to this query.
+    val batchLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        batchLog.add((e.progress.batchId, e.progress.numInputRows))
+        System.err.println(
+          s"[replay] batch=${e.progress.batchId} rows=${e.progress.numInputRows}")
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -138,6 +164,13 @@ object Replay {
       .flatMap(p => Option(p.observedMetrics.get("replay_progress")))
       .map(_.getLong(0)).sum
     lastReplayRows = rows
+    // The listener bus delivers asynchronously — wait (bounded) until the
+    // push-based log has seen every observed row before detaching.
+    val deadline = System.currentTimeMillis() + 5000
+    while (batchLog.asScala.map(_._2).sum < rows &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    s.streams.removeListener(listener)
+    lastReplayProgress = batchLog.asScala.toSeq.sortBy(_._1)
     System.err.println(
       s"[replay] archive=$srcPath rows=$rows batches=${q.recentProgress.length} sink=$out")
     out

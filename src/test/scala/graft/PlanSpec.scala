@@ -54,4 +54,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "expected partial and final HashAggregate stages")
   }
+
+  test("dedup_embedding_cosine proposes via equi-joins only — no all-pairs product") {
+    val plan = executedPlan("dedup_embedding_cosine")
+    assert(!plan.contains("CartesianProduct"),
+      "banded LSH must never degrade to a cartesian pair product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join on the band key")
+    assert(plan.contains("dotproductf"),
+      "exact dispose stage must use the native codegen fold")
+  }
+
+  test("sim_ann_ivf scans only the chosen cells (broadcast cell filter, native fold)") {
+    val plan = executedPlan("sim_ann_ivf")
+    assert(plan.contains("BroadcastHashJoin"),
+      "cell membership must be a broadcast semi/inner join on label")
+    assert(plan.contains("dotproductf"))
+  }
 }

@@ -51,6 +51,8 @@ class ReplayTwinSpec extends SparkSpec {
     val source = spark.read.parquet(s"$sf/events.parquet").count()
     assert(replayedDf.count() === source)
     assert(Replay.lastReplayRows === source)
+    // the push-based A9 listener saw the same rows as the observe metric
+    assert(Replay.lastReplayProgress.map(_._2).sum === source)
     // shard routing is a pure function of the partition key
     val byKey = replayedDf
       .select("user_id", "shard").distinct()
@@ -72,6 +74,10 @@ class ReplayTwinSpec extends SparkSpec {
     // loss-free across epochs, and A9 progress saw every row
     assert(replayed.count() === src.count())
     assert(Replay.lastReplayRows === src.count())
+    // multi-epoch run: the A9 listener logged one entry per micro-batch
+    // and collectively saw every row
+    assert(Replay.lastReplayProgress.map(_._2).sum === src.count())
+    assert(Replay.lastReplayProgress.count(_._2 > 0) > 1)
     // put cap holds per epoch-prefixed put_seq
     assert(replayed.groupBy("shard", "put_seq").count().filter(col("count") > 500).isEmpty)
     // ordering contract is scoped to (epoch, shard): within one epoch a
