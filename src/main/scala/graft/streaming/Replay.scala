@@ -91,8 +91,6 @@ object Replay {
       nShards: Int = 4,
       maxFilesPerTrigger: Int = 0,
       stage: DataFrame => DataFrame = identity): String = {
-    val out = TmpDirs.dir("replay-out")
-    val ckpt = TmpDirs.dir("replay-ckpt")
     val schema = s.read.parquet(srcPath).schema
     // FileStreamSource wants a directory or a glob; a brace-glob on the
     // file name streams a single archive file with its parent as base.
@@ -105,10 +103,40 @@ object Replay {
     // batched sink (A7). The stage hook is the seam a deployment uses
     // for its own predicates and rewrites; Catalyst still pushes
     // eligible filters into the streaming scan.
-    val stream = stage(
-      reader
-        .parquet(srcGlob)
-        .withColumn("ms", expr("ts div 1000000")))
+    runReplay(s,
+      stage(reader.parquet(srcGlob).withColumn("ms", expr("ts div 1000000"))),
+      nShards)
+  }
+
+  /** The reference's NATIVE-format front door: the archive is gzip
+    * NDJSON text. The streaming text source decompresses by extension
+    * (A2) and `from_json` parses each line — including the nested
+    * `props` payload kept as a string — before the same shard/sink core
+    * (A3 → A6/A7). One task per .gz file, the reference's per-file
+    * reader parallelism.
+    */
+  def replayTextGz(s: SparkSession, archiveDir: String, nShards: Int = 4): String = {
+    import org.apache.spark.sql.types._
+    val lineSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ms", LongType), StructField("props", StringType)))
+    val parsed = s.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(archiveDir)
+      .select(from_json(col("value"), lineSchema).as("e"))
+      .select("e.*")
+    runReplay(s, parsed, nShards)
+  }
+
+  /** Source-agnostic replay core: partition-key shard routing (A6), A9
+    * progress metrics (observe + listener), and the epoch-idempotent
+    * batched sink (A7). Returns the sink path.
+    */
+  private def runReplay(s: SparkSession, source: DataFrame, nShards: Int): String = {
+    val out = TmpDirs.dir("replay-out")
+    val ckpt = TmpDirs.dir("replay-ckpt")
+    val stream = source
       .withColumn("shard", pmod(xxhash64(col("user_id")), lit(nShards)))
       // A9: per-batch progress metric, surfaced through the streaming
       // progress events (observedMetrics) and summed below.
@@ -172,7 +200,7 @@ object Replay {
     s.streams.removeListener(listener)
     lastReplayProgress = batchLog.asScala.toSeq.sortBy(_._1)
     System.err.println(
-      s"[replay] archive=$srcPath rows=$rows batches=${q.recentProgress.length} sink=$out")
+      s"[replay] rows=$rows batches=${q.recentProgress.length} sink=$out")
     out
   }
 
@@ -269,5 +297,34 @@ object Replay {
       "FROM events WHERE CAST(props->>'$.k' AS BIGINT) >= 50 " +
       "GROUP BY 1, 2 ORDER BY 1, 2"))
 
-  val qs: Seq[Q] = Seq(replayStream, replayFiltered)
+  /** End-to-end replay in the reference's NATIVE archive format (the
+    * full A1→A8 chain): events staged as gzip NDJSON (A1), streamed
+    * through decompress + parse (A2/A3) into the sharded batched sink
+    * (A6/A7), then the watermarked windowed aggregation over the
+    * replayed stream (A8). Same oracle as replay_stream/stream_tumbling
+    * — the hash match proves the text-format path is loss-free,
+    * dup-free, and value-exact (to_json/from_json round-trips doubles;
+    * sums accumulate in DECIMAL).
+    */
+  private val replayTextArchive = Q(
+    "replay_text_gz",
+    (s, d) => {
+      import s.implicits._
+      if (s.read.parquet(s"$d/events.parquet").isEmpty)
+        Seq.empty[(Long, String, Long, Double)]
+          .toDF("hour_start", "event_type", "cnt", "total_value")
+      else {
+        val arch = TmpDirs.dir("gz-archive")
+        graft.core.Tables.events(s, d)
+          .select(to_json(struct(
+            $"event_id", $"user_id", $"event_type", $"value", $"ms", $"props")).as("value"))
+          .write.mode("overwrite").option("compression", "gzip").text(arch)
+        aggregateReplayed(s, replayTextGz(s, arch))
+      }
+    },
+    Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
+      "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  val qs: Seq[Q] = Seq(replayStream, replayFiltered, replayTextArchive)
 }

@@ -16,6 +16,12 @@ class ReplayTwinSpec extends SparkSpec {
     assert(streaming.toSeq === batch.toSeq)
   }
 
+  test("native-format gzip NDJSON replay equals the batch twin too") {
+    val streaming = run("replay_text_gz").collect().map(_.toSeq)
+    val batch = run("stream_tumbling").collect().map(_.toSeq)
+    assert(streaming.toSeq === batch.toSeq)
+  }
+
   test("stateful-session stream (flatMapGroupsWithState) equals its batch twin") {
     val streaming = run("stream_session_state").collect().map(_.toSeq)
     val batch = run("stream_session").collect().map(_.toSeq)
