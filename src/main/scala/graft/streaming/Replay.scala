@@ -77,6 +77,19 @@ object Replay {
     */
   @volatile private[graft] var lastReplayProgress: Seq[(Long, Long)] = Nil
 
+  /** Malformed-line count of the last [[replayTextGz]] run (A9 "failed
+    * records"): lines the NDJSON parse rejected and the sink dropped
+    * (dead-letter semantics — a corrupt record must never become a
+    * null-keyed row in a shard). Test-asserted on a corrupted archive.
+    */
+  @volatile private[graft] var lastParseErrors: Long = -1L
+
+  /** Raw progress events of the last [[runReplay]] run — the source
+    * front doors read their own observe metrics out of these.
+    */
+  @volatile private var lastRunProgress
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
   /** Stage 1: single-pass (or rate-limited) replay of the archived
     * events into a sharded, batch-capped, epoch-idempotent sink
     * directory. Returns the sink path.
@@ -117,16 +130,32 @@ object Replay {
     */
   def replayTextGz(s: SparkSession, archiveDir: String, nShards: Int = 4): String = {
     import org.apache.spark.sql.types._
-    val lineSchema = StructType(Seq(
+    val fields = Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("value", DoubleType),
-      StructField("ms", LongType), StructField("props", StringType)))
+      StructField("ms", LongType), StructField("props", StringType))
+    // PERMISSIVE from_json never yields a null struct — malformed lines
+    // surface ONLY through the declared corrupt-record column.
+    val lineSchema = StructType(fields :+ StructField("_corrupt", StringType))
     val parsed = s.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(archiveDir)
-      .select(from_json(col("value"), lineSchema).as("e"))
-      .select("e.*")
-    runReplay(s, parsed, nShards)
+      .select(from_json(col("value"), lineSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("e"))
+      // A9 failed records: count lines the parse rejected, then DROP
+      // them (dead-letter semantics). Without the filter a corrupt line
+      // becomes an all-null row whose null partition key would land in a
+      // default shard partition — silent corruption, not replay.
+      .observe("parse_errors",
+        sum(when(col("e._corrupt").isNotNull, 1L).otherwise(0L)).as("failed"))
+      .filter(col("e._corrupt").isNull)
+      .select(fields.map(f => col(s"e.${f.name}")): _*)
+    val out = runReplay(s, parsed, nShards)
+    lastParseErrors = lastRunProgress
+      .flatMap(p => Option(p.observedMetrics.get("parse_errors")))
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).sum
+    System.err.println(s"[replay] failed_records=$lastParseErrors")
+    out
   }
 
   /** Source-agnostic replay core: partition-key shard routing (A6), A9
@@ -187,8 +216,9 @@ object Replay {
       }
       .start()
     q.awaitTermination()
+    lastRunProgress = q.recentProgress.toSeq
     // A9 progress: sum the observed per-batch row counts for this run.
-    val rows = q.recentProgress.toSeq
+    val rows = lastRunProgress
       .flatMap(p => Option(p.observedMetrics.get("replay_progress")))
       .map(_.getLong(0)).sum
     lastReplayRows = rows

@@ -22,6 +22,24 @@ class ReplayTwinSpec extends SparkSpec {
     assert(streaming.toSeq === batch.toSeq)
   }
 
+  test("text replay counts and dead-letters malformed lines (A9 failed records)") {
+    import org.apache.spark.sql.functions._
+    val arch = graft.core.TmpDirs.dir("corrupt-archive")
+    graft.core.Tables.events(spark, sf)
+      .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ms"), col("props"))).as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(arch)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(arch, "garbage.txt"),
+      "not json at all\n{\n{\"event_id\": oops}\n".getBytes("UTF-8"))
+    val out = Replay.replayTextGz(spark, arch)
+    val good = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(Replay.lastParseErrors === 3L)
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() === good)
+    assert(sunk.filter(col("user_id").isNull).isEmpty)
+  }
+
   test("stateful-session stream (flatMapGroupsWithState) equals its batch twin") {
     val streaming = run("stream_session_state").collect().map(_.toSeq)
     val batch = run("stream_session").collect().map(_.toSeq)
