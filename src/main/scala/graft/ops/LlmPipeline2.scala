@@ -13,10 +13,12 @@ import graft.core.{Det, Mat, OSql, Q, Tables}
   * Shared design rules (see LlmPipeline.scala): token/gram work is
   * explode + codegen'd projection + partial/final aggregate — never
   * interpreted array lambdas on the hot path; candidate generation is
-  * always bucketed (band key, simhash value, sign-bit bucket) — never
-  * an all-pairs product; every float that crosses an order-dependent
-  * accumulation is floor-rounded identically in Spark and the DuckDB
-  * oracle.
+  * always bucketed (MinHash band, SimHash chunk, SRP band, IVF cell) —
+  * never an all-pairs product, with hot buckets guard-capped so
+  * candidate volume stays O(N·cap); every float that crosses an
+  * order-dependent accumulation is floor-rounded identically in Spark
+  * and the DuckDB oracle, and signature folds run in index order in
+  * both engines (DotProductF ↔ list_dot_product).
   */
 object LlmPipeline2 {
   import Det._

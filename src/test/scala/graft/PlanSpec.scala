@@ -71,4 +71,10 @@ class PlanSpec extends SparkSpec {
       "cell membership must be a broadcast semi/inner join on label")
     assert(plan.contains("dotproductf"))
   }
+
+  test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
+    val plan = executedPlan("dedup_simhash")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
