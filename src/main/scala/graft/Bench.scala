@@ -15,10 +15,18 @@ object Bench {
     // Streaming-stack warmup (state store, listener bus, checkpoint
     // machinery): ~2.5s of once-per-session init that otherwise lands on
     // whichever streaming query happens to run first — same rationale as
-    // the JVM/codegen warmup above. Uses the tiny sf so it stays cheap.
+    // the JVM/codegen warmup above. Prefers the tiny sf0.001 so it stays
+    // cheap, but falls back to the bench dir so the warmup still runs
+    // (and warns rather than silently skewing the first streaming
+    // query's timing) when data lives elsewhere.
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        "/root/testdata/sf0.001"
+      else sfDir
     SparkEntry.queries.get("replay_stream")
-      .foreach(fn => try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () })
+      .foreach(fn => try fn(spark, warmDir).count()
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] streaming warmup failed: $t") })
     // Sorted key order: HashMap iteration order reshuffles whenever keys
     // are added, which made round-over-round per-query numbers
     // incomparable (a query scheduled right after a heavyweight

@@ -54,6 +54,50 @@ object Tables {
     }
 }
 
+/** THE gzip-NDJSON archive record (the reference's native wire format):
+  * one definition shared by the batch scan (`scan_text_gz`), the
+  * streaming replay front door (`Replay.replayTextGz`) and the archive
+  * staging writers — so the schema the archive is WRITTEN with and the
+  * schema it is PARSED with can never drift apart (a drifted field would
+  * silently null out under PERMISSIVE from_json).
+  */
+object Ndjson {
+  import org.apache.spark.sql.types._
+
+  /** The archive record fields, in wire order. `props` stays a raw JSON
+    * string (JSON-in-JSON, parsed on demand downstream).
+    */
+  val fields: Seq[StructField] = Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType),
+    StructField("ms", LongType), StructField("props", StringType))
+
+  /** Parse schema for clean lines. */
+  val recordSchema: StructType = StructType(fields)
+
+  /** Parse schema with the declared corrupt-record column (PERMISSIVE
+    * from_json never yields a null struct — malformed lines surface ONLY
+    * through this column).
+    */
+  val corruptColumn = "_corrupt"
+  val corruptSchema: StructType =
+    StructType(fields :+ StructField(corruptColumn, StringType))
+
+  /** Stage the events table as a gzip NDJSON archive (content
+    * deterministically derived from the parquet archive) and return the
+    * directory. Keeps Spark's source partitioning: N part files ⇒ N
+    * parallel decompress tasks downstream (.gz is not splittable — the
+    * reference's one-reader-per-file model).
+    */
+  def stageGz(spark: SparkSession, dir: String, label: String): String = {
+    val out = TmpDirs.dir(label)
+    Tables.events(spark, dir)
+      .select(to_json(struct(fields.map(f => col(f.name)): _*)).as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(out)
+    out
+  }
+}
+
 /** All scratch space (streaming sinks, checkpoints, state dirs) lives
   * under ONE per-JVM root that a shutdown hook removes — repeated
   * Verify/Bench runs leave no orphaned /tmp/graft-* dirs. Dirs are

@@ -280,17 +280,22 @@ object LlmPipeline2 {
     chunks.join(broadcast(hot), Seq("k", "c"), "left_anti")
   }
 
-  /** Candidate pairs from the band equi-join (propose stage). Exposed
-    * for the sub-quadratic-candidates unit test.
+  /** Candidate pairs from the band equi-join (propose stage). This IS
+    * the propose stage `dedup_embedding_cosine` runs — the
+    * sub-quadratic-candidates unit test pins the shipped code path, not
+    * a parallel copy.
     */
-  private[graft] def embCandidates(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val g = embChunksFrom(Mat(s, embSigTable(s, d), "emb-sig"))
+  private[graft] def embCandidatesFrom(g: DataFrame): DataFrame = {
+    val s8 = g.sparkSession
+    import s8.implicits._
     g.select($"vec_id".as("va"), $"k", $"c")
       .join(g.select($"vec_id".as("vb"), $"k", $"c"), Seq("k", "c"))
       .filter($"va" < $"vb")
       .select("va", "vb").distinct()
   }
+
+  private[graft] def embCandidates(s: SparkSession, d: String): DataFrame =
+    embCandidatesFrom(embChunksFrom(Mat(s, embSigTable(s, d), "emb-sig")))
 
   /** Embedding near-duplicate pairs, two-stage like the text dedups:
     * PROPOSE by banded SRP-LSH (8 bands × 8 bits of the 64-bit
@@ -309,11 +314,7 @@ object LlmPipeline2 {
     (s, d) => {
       import s.implicits._
       val sigs = Mat(s, embSigTable(s, d), "emb-sig")
-      val g = embChunksFrom(sigs)
-      val cand = g.select($"vec_id".as("va"), $"k", $"c")
-        .join(g.select($"vec_id".as("vb"), $"k", $"c"), Seq("k", "c"))
-        .filter($"va" < $"vb")
-        .select("va", "vb").distinct()
+      val cand = embCandidatesFrom(embChunksFrom(sigs))
       cand
         .join(sigs.select($"vec_id".as("va"), $"embedding".as("ea")), "va")
         .join(sigs.select($"vec_id".as("vb"), $"embedding".as("eb")), "vb")
@@ -389,10 +390,13 @@ object LlmPipeline2 {
     * Determinism: cell scoring never touches float accumulation order.
     * Components are integer-quantized (floor(x·10⁶ + 0.5) — identical in
     * both engines), centroid sums and the probe·centroid dot are then
-    * EXACT BIGINT arithmetic; the only division is one double op on
-    * identical inputs. The final in-cell scan is the usual codegen'd
-    * DotProductF fold with 6dp floor-rounding, like the other similarity
-    * operators.
+    * EXACT integer arithmetic — accumulated in DECIMAL(38,0) on the
+    * Spark side and HUGEINT in DuckDB, because pq·sq reaches
+    * ~1e12·n_cell and a 64-bit product would overflow exactly on the
+    * large-cell scale path this operator exists for; the only division
+    * is one double op on identical inputs. The final in-cell scan is the
+    * usual codegen'd DotProductF fold with 6dp floor-rounding, like the
+    * other similarity operators.
     */
   private val simAnnIvf = Q(
     "sim_ann_ivf",
@@ -408,7 +412,8 @@ object LlmPipeline2 {
       val probeQ = iq.filter($"vec_id" === 0).select($"pos", $"q".as("pq"))
       val chosen = cellSum.join(broadcast(probeQ), "pos")
         .groupBy("label")
-        .agg(sum($"pq" * $"sq").as("idot"))
+        .agg(sum($"pq".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"sq")
+          .as("idot"))
         .join(broadcast(cellN), "label")
         .select($"label", ($"idot".cast("double") / $"n").as("score"))
         .orderBy($"score".desc, $"label".asc)
@@ -429,7 +434,7 @@ object LlmPipeline2 {
       "cn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1), " +
       "cs AS (SELECT label, pos, SUM(q) AS sq FROM iq GROUP BY 1, 2), " +
       "pq AS (SELECT pos, q AS pqv FROM iq WHERE vec_id = 0), " +
-      "sc AS (SELECT cs.label, CAST(SUM(pqv * sq) AS DOUBLE) / any_value(n) AS score " +
+      "sc AS (SELECT cs.label, CAST(SUM(CAST(pqv AS HUGEINT) * sq) AS DOUBLE) / any_value(n) AS score " +
       "FROM cs JOIN pq USING (pos) JOIN cn ON cn.label = cs.label GROUP BY 1), " +
       "chosen AS (SELECT label FROM sc ORDER BY score DESC, label ASC LIMIT 2), " +
       "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Det, OSql, Q, Tables, TmpDirs}
+import graft.core.{Det, Ndjson, OSql, Q, Tables}
 
 /** Relational surface: scans, filters, joins, aggregations, sorts and
   * set operations (SURVEY.md §2.2).
@@ -88,17 +88,11 @@ object Relational {
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.types._
-      val dir = TmpDirs.dir("events-ndjson-gz")
-      Tables.events(s, d)
-        .select(to_json(struct(
-          $"event_id", $"user_id", $"event_type", $"value", $"ms", $"props")).as("value"))
-        .write.mode("overwrite").option("compression", "gzip").text(dir)
-      val lineSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType),
-        StructField("ms", LongType), StructField("props", StringType)))
+      // Shared record definition (graft.core.Ndjson): the schema the
+      // archive is written with IS the schema it is parsed with.
+      val dir = Ndjson.stageGz(s, d, "events-ndjson-gz")
       s.read.text(dir)
-        .select(from_json($"value", lineSchema).as("e"))
+        .select(from_json($"value", Ndjson.recordSchema).as("e"))
         .select($"e.event_type".as("event_type"), $"e.value".as("value"),
           from_json($"e.props", StructType(Seq(StructField("k", IntegerType))))
             .getField("k").cast("long").as("k"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import scala.jdk.CollectionConverters._
-import graft.core.{Det, OSql, Q, TmpDirs}
+import graft.core.{Det, Ndjson, OSql, Q, Tables, TmpDirs}
 
 /** The reference's identity re-expressed Spark-first: replay an archived
   * event stream from object storage into a sharded streaming sink, then
@@ -130,26 +130,19 @@ object Replay {
     */
   def replayTextGz(s: SparkSession, archiveDir: String, nShards: Int = 4): String = {
     import org.apache.spark.sql.types._
-    val fields = Seq(
-      StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("event_type", StringType), StructField("value", DoubleType),
-      StructField("ms", LongType), StructField("props", StringType))
-    // PERMISSIVE from_json never yields a null struct — malformed lines
-    // surface ONLY through the declared corrupt-record column.
-    val lineSchema = StructType(fields :+ StructField("_corrupt", StringType))
     val parsed = s.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(archiveDir)
-      .select(from_json(col("value"), lineSchema,
-        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("e"))
+      .select(from_json(col("value"), Ndjson.corruptSchema,
+        Map("columnNameOfCorruptRecord" -> Ndjson.corruptColumn)).as("e"))
       // A9 failed records: count lines the parse rejected, then DROP
       // them (dead-letter semantics). Without the filter a corrupt line
       // becomes an all-null row whose null partition key would land in a
       // default shard partition — silent corruption, not replay.
       .observe("parse_errors",
-        sum(when(col("e._corrupt").isNotNull, 1L).otherwise(0L)).as("failed"))
-      .filter(col("e._corrupt").isNull)
-      .select(fields.map(f => col(s"e.${f.name}")): _*)
+        sum(when(col(s"e.${Ndjson.corruptColumn}").isNotNull, 1L).otherwise(0L)).as("failed"))
+      .filter(col(s"e.${Ndjson.corruptColumn}").isNull)
+      .select(Ndjson.fields.map(f => col(s"e.${f.name}")): _*)
     val out = runReplay(s, parsed, nShards)
     lastParseErrors = lastRunProgress
       .flatMap(p => Option(p.observedMetrics.get("parse_errors")))
@@ -173,17 +166,23 @@ object Replay {
     // A9 push-based progress: a StreamingQueryListener logging one line
     // per micro-batch (the reference's per-batch progress log). The
     // driver contract is single-threaded, so every progress event during
-    // this run belongs to this query.
-    val batchLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    // this run belongs to this query. The listener — NOT
+    // `q.recentProgress`, which Spark caps at
+    // numRecentProgressUpdates (100) entries and would undercount a
+    // throttled replay of a >100-file archive — is the progress source
+    // of record for the run.
+    val progressLog = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val done = new java.util.concurrent.CountDownLatch(1)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        batchLog.add((e.progress.batchId, e.progress.numInputRows))
+        progressLog.add(e.progress)
         System.err.println(
           s"[replay] batch=${e.progress.batchId} rows=${e.progress.numInputRows}")
       }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = done.countDown()
     }
     s.streams.addListener(listener)
     val q = stream.writeStream
@@ -202,11 +201,15 @@ object Replay {
         // oversized "put". The write OVERWRITES only this epoch's
         // partitions (dynamic mode) — a sink-retry of the same epochId
         // is therefore idempotent, never duplicating puts.
+        // The epoch prefix reserves 1e12 put batches (5e14 rows) per
+        // epoch — no realistic single micro-batch can overflow into the
+        // next epoch's put_seq namespace, and ~9.2e6 epochs fit in a
+        // Long, far beyond any replay run's batch count.
         val byShard = Window.partitionBy(col("shard"))
           .orderBy(col("ms"), col("event_id"))
         batch.repartition(nShards, col("shard"))
           .withColumn("put_seq",
-            (lit(epochId * 1000000L) + (row_number().over(byShard) - 1) / 500).cast("long"))
+            (lit(epochId * 1000000000000L) + (row_number().over(byShard) - 1) / 500).cast("long"))
           .withColumn("epoch", lit(epochId))
           .write
           .mode("overwrite")
@@ -216,21 +219,21 @@ object Replay {
       }
       .start()
     q.awaitTermination()
-    lastRunProgress = q.recentProgress.toSeq
+    // The listener bus delivers asynchronously but in posting order, so
+    // once the termination event arrives every progress event of this
+    // run has been delivered — wait (bounded) for it before detaching.
+    done.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    s.streams.removeListener(listener)
+    val progress = progressLog.asScala.toSeq.sortBy(_.batchId)
+    lastRunProgress = progress
     // A9 progress: sum the observed per-batch row counts for this run.
-    val rows = lastRunProgress
+    val rows = progress
       .flatMap(p => Option(p.observedMetrics.get("replay_progress")))
       .map(_.getLong(0)).sum
     lastReplayRows = rows
-    // The listener bus delivers asynchronously — wait (bounded) until the
-    // push-based log has seen every observed row before detaching.
-    val deadline = System.currentTimeMillis() + 5000
-    while (batchLog.asScala.map(_._2).sum < rows &&
-      System.currentTimeMillis() < deadline) Thread.sleep(20)
-    s.streams.removeListener(listener)
-    lastReplayProgress = batchLog.asScala.toSeq.sortBy(_._1)
+    lastReplayProgress = progress.map(p => (p.batchId, p.numInputRows))
     System.err.println(
-      s"[replay] rows=$rows batches=${q.recentProgress.length} sink=$out")
+      s"[replay] rows=$rows batches=${progress.length} sink=$out")
     out
   }
 
@@ -282,7 +285,10 @@ object Replay {
       import s.implicits._
       // An empty archive replays zero batches, so the sink dir has no
       // files to infer a schema from — short-circuit to an empty result.
-      if (s.read.parquet(s"$d/events.parquet").isEmpty)
+      // Tables.events (not a raw read) so the nanos-timestamp heal runs
+      // before anything touches the TIMESTAMP(NANOS) parquet on an
+      // externally-built session.
+      if (Tables.events(s, d).isEmpty)
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
       else aggregateReplayed(s, replayArchive(s, s"$d/events.parquet"))
@@ -303,7 +309,7 @@ object Replay {
     "replay_filtered",
     (s, d) => {
       import s.implicits._
-      if (s.read.parquet(s"$d/events.parquet").isEmpty)
+      if (Tables.events(s, d).isEmpty)
         Seq.empty[(Long, String, Long, Long)]
           .toDF("hour_start", "event_type_u", "cnt", "sum_k")
       else {
@@ -340,17 +346,10 @@ object Replay {
     "replay_text_gz",
     (s, d) => {
       import s.implicits._
-      if (s.read.parquet(s"$d/events.parquet").isEmpty)
+      if (Tables.events(s, d).isEmpty)
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
-      else {
-        val arch = TmpDirs.dir("gz-archive")
-        graft.core.Tables.events(s, d)
-          .select(to_json(struct(
-            $"event_id", $"user_id", $"event_type", $"value", $"ms", $"props")).as("value"))
-          .write.mode("overwrite").option("compression", "gzip").text(arch)
-        aggregateReplayed(s, replayTextGz(s, arch))
-      }
+      else aggregateReplayed(s, replayTextGz(s, Ndjson.stageGz(s, d, "gz-archive")))
     },
     Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +

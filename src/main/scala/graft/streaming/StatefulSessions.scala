@@ -93,10 +93,16 @@ object StatefulSessions {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserAgg], epochId: Long) =>
         // keyed upsert, executor-side: bucket by user hash (the real
         // sink's shard key), stamp the epoch; last epoch wins on read.
+        // Dynamic overwrite keyed by epoch makes a RETRIED epoch (Spark
+        // re-runs a failed foreachBatch with the same epochId) replace
+        // its own partitions instead of appending duplicate rows — the
+        // same idempotence-by-batchId contract as the replay sink.
         batch.toDF()
           .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(16)))
           .withColumn("epoch", lit(epochId))
-          .write.mode("append").partitionBy("bucket").parquet(state)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "epoch").parquet(state)
       }
       .start()
     q.awaitTermination()
@@ -114,7 +120,9 @@ object StatefulSessions {
     "stream_session_state",
     (s, d) => {
       import s.implicits._
-      if (s.read.parquet(s"$d/events.parquet").isEmpty)
+      // Tables.events heals the nanos-timestamp conf before the raw
+      // streaming read in run() touches the TIMESTAMP(NANOS) parquet.
+      if (graft.core.Tables.events(s, d).isEmpty)
         Seq.empty[(Long, Long, Long, Double)]
           .toDF("user_id", "n_sessions", "n_events", "avg_session_ms")
       else run(s, s"$d/events.parquet")

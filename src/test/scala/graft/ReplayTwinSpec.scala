@@ -24,11 +24,7 @@ class ReplayTwinSpec extends SparkSpec {
 
   test("text replay counts and dead-letters malformed lines (A9 failed records)") {
     import org.apache.spark.sql.functions._
-    val arch = graft.core.TmpDirs.dir("corrupt-archive")
-    graft.core.Tables.events(spark, sf)
-      .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ms"), col("props"))).as("value"))
-      .write.mode("overwrite").option("compression", "gzip").text(arch)
+    val arch = graft.core.Ndjson.stageGz(spark, sf, "corrupt-archive")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(arch, "garbage.txt"),
       "not json at all\n{\n{\"event_id\": oops}\n".getBytes("UTF-8"))
