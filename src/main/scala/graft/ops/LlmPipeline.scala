@@ -329,7 +329,89 @@ object LlmPipeline {
       "FROM dots JOIN cnt na ON na.label = label_a JOIN cnt nb ON nb.label = label_b " +
       "JOIN sd ON sd.label = label_a ORDER BY label_a, label_b"))
 
+  // ---------------------------------------------- near-dup cluster (CC)
+
+  /** Connected components over the near-dup candidate graph — the
+    * CLUSTER stage that completes the dedup pipeline (propose →
+    * dispose → cluster → keep one doc per cluster). Edges are the
+    * banded-MinHash candidate pairs (the propose stage above); the
+    * operator is edge-set agnostic, so the Jaccard-disposed set plugs in
+    * identically in a production pipeline.
+    *
+    * Algorithm: Pregel-style min-label propagation — label(v) starts as
+    * v and each round takes the min over the neighborhood, so every
+    * vertex converges to the smallest doc_id in its component (the
+    * deterministic canonical "keeper"). Each round is ONE shuffle of the
+    * (vertex, label) table joined against the edge table — both keyed by
+    * vertex, co-partitioned after the first round — and the loop runs
+    * for the cluster DIAMETER, not the cluster size. Near-dup clusters
+    * are band-quasi-cliques (diameter ≈ 2), so 2–3 rounds close a
+    * corpus; a pathological chain graph would want the large-star/
+    * small-star contraction (O(log n) rounds) — same per-round plan,
+    * different propagation rule. Labels are materialized per round
+    * ([[graft.core.Mat]]) to cut the growing lineage; the driver-side
+    * loop holds only a changed/not-changed flag, never data.
+    *
+    * The oracle walks the same edges with a recursive CTE (transitive
+    * closure → min reachable id) — quadratic in cluster size but exact,
+    * fine at oracle scale; the Spark side IS the scale path.
+    */
+  private val dedupCluster = Q(
+    "dedup_cluster",
+    (s, d) => {
+      import s.implicits._
+      val guarded = guardBands(Mat(s, bandRows(s, d), "cc-bands"))
+      val cand = guarded.select($"doc_id".as("doc_a"), $"band")
+        .join(guarded.select($"doc_id".as("doc_b"), $"band"), "band")
+        .filter($"doc_a" < $"doc_b")
+        .select("doc_a", "doc_b").distinct()
+      // Eager localCheckpoint, not Mat: the loop needs its lineage CUT
+      // each round (otherwise round k re-executes all k−1 predecessors
+      // inside every join — exponential), but a parquet round trip per
+      // round pays ~0.5 s of job overhead × rounds. localCheckpoint
+      // keeps the tiny label table in executor memory; a production run
+      // on a fault-prone cluster would use reliable checkpoint() to a
+      // state dir instead — same plan, durable lineage cut.
+      val edges = cand.select($"doc_a".as("v"), $"doc_b".as("u"))
+        .union(cand.select($"doc_b".as("v"), $"doc_a".as("u")))
+        .localCheckpoint(true)
+      var labels = edges.select($"v").distinct()
+        .select($"v", $"v".as("lbl")).localCheckpoint(true)
+      var iter = 0
+      var converged = labels.isEmpty
+      while (!converged && iter < 16) {
+        val nbrMin = edges
+          .join(labels.select($"v".as("u"), $"lbl".as("ulbl")), "u")
+          .groupBy("v").agg(min($"ulbl").as("nmin"))
+        // one job per round: the stepped table carries (old, new) label
+        // so the convergence probe is a cheap filter on checkpointed
+        // data, not a second join
+        val stepped = labels.join(nbrMin, Seq("v"), "left")
+          .select($"v", $"lbl",
+            least($"lbl", coalesce($"nmin", $"lbl")).as("nlbl"))
+          .localCheckpoint(true)
+        converged = stepped.filter($"nlbl" =!= $"lbl").isEmpty
+        labels = stepped.select($"v", $"nlbl".as("lbl"))
+        iter += 1
+      }
+      val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "lbl")
+        .select($"v".as("doc_id"), $"lbl".as("cluster"), $"n_members")
+        .orderBy("doc_id")
+    },
+    Some("WITH RECURSIVE " + bandCtes + guardCtes + ", " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+      "e2 AS (SELECT doc_a AS a, doc_b AS b FROM cand " +
+      "UNION ALL SELECT doc_b, doc_a FROM cand), " +
+      "walk(a, b) AS (SELECT a, b FROM e2 " +
+      "UNION SELECT w.a, e.b FROM walk w JOIN e2 e ON w.b = e.a), " +
+      "cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM walk GROUP BY a), " +
+      "sz AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1) " +
+      "SELECT doc_id, cluster, n_members FROM cl JOIN sz USING (cluster) " +
+      "ORDER BY doc_id"))
+
   val qs: Seq[Q] = Seq(
     dedupExact, tokenizeWordcount, textStats, simCosineTopk, multimodalJoin,
-    dedupNearMinhash, textNgram, simPairwiseLabel)
+    dedupNearMinhash, textNgram, simPairwiseLabel, dedupCluster)
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.{Det, OSql, Q, Tables, TmpDirs}
+
+/** Stream-stream INTERVAL join — the Structured Streaming join family
+  * (conversion funnels, attribution, request/response pairing): every
+  * purchase is matched to the clicks of the same user in the preceding
+  * 30 minutes, both sides being live streams.
+  *
+  * Spark semantics exercised: watermarks on BOTH inputs plus an
+  * event-time range in the join condition — exactly what lets the
+  * engine bound the join state. Each side buffers a row only until the
+  * other side's watermark passes the end of its match range, so state
+  * is O(rows in the watermark horizon) per user-key range, sharded by
+  * the equi-key (user_id) across executors — never the full history.
+  * Inner-join matches emit immediately (emission is not gated on the
+  * watermark; the watermark only evicts state), so the result is
+  * batch-equal however the stream was micro-batched, which is what lets
+  * the DuckDB range-join oracle hash-check a genuinely streaming run.
+  *
+  * The aggregation over the matched pairs runs batch-side on the sink
+  * table: counts are exact and the delay sum is exact integer-in-double
+  * (delays ≤ 1.8e6 ms, so partial sums stay far below 2^53), making the
+  * average order-independent.
+  */
+object StreamJoin {
+
+  private def side(
+      s: SparkSession, glob: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tpe: String, prefix: String): DataFrame =
+    s.readStream.schema(schema).parquet(glob)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${prefix}_user"),
+        expr("ts div 1000000").as(s"${prefix}_ms"))
+      .withColumn(s"${prefix}_ets", timestamp_millis(col(s"${prefix}_ms")))
+      .withWatermark(s"${prefix}_ets", "1 hour")
+
+  /** Run the click→purchase interval join as a real two-stream query;
+    * returns the matched pairs (one row per click/purchase pair).
+    */
+  def run(s: SparkSession, eventsPath: String): DataFrame = {
+    val schema = s.read.parquet(eventsPath).schema
+    val glob = eventsPath.replaceAll("([^/]+)$", "{$1}")
+    val clicks = side(s, glob, schema, "click", "c")
+    val purchases = side(s, glob, schema, "purchase", "p")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ets") >= col("c_ets") &&
+        col("p_ets") <= col("c_ets") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("c_ms"), col("p_ms"))
+    val ckpt = TmpDirs.dir("sjoin-ckpt")
+    val table = "sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(table)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(table)
+  }
+
+  private val streamJoinInterval = Q(
+    "stream_join_interval",
+    (s, d) => {
+      import s.implicits._
+      // Tables.events heals the nanos-timestamp conf before the raw
+      // streaming reads touch the TIMESTAMP(NANOS) parquet.
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(Long, Long, Double)].toDF("hour_start", "cnt", "avg_delay_ms")
+      else
+        run(s, s"$d/events.parquet")
+          // integer `div`, not `/`: double division of epoch-ms values
+          // then a truncating cast can land one hour off at bucket
+          // boundaries; div is exact in both engines (// in DuckDB)
+          .groupBy((expr("c_ms div 3600000") * 3600L).as("hour_start"))
+          .agg(count(lit(1)).as("cnt"),
+            Det.dround(sum($"p_ms" - $"c_ms").cast("double") / count(lit(1)), 4)
+              .as("avg_delay_ms"))
+          .orderBy("hour_start")
+    },
+    Some("SELECT CAST((epoch_ms(c.ts) // 3600000) * 3600 AS BIGINT) AS hour_start, " +
+      "count(*) AS cnt, " +
+      OSql.sround("CAST(SUM(epoch_ms(p.ts) - epoch_ms(c.ts)) AS DOUBLE) / count(*)", 4) +
+      " AS avg_delay_ms " +
+      "FROM events c JOIN events p ON p.user_id = c.user_id " +
+      "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+      "AND epoch_ms(p.ts) >= epoch_ms(c.ts) " +
+      "AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 1800000 " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(streamJoinInterval)
+}

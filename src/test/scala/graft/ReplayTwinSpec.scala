@@ -42,6 +42,26 @@ class ReplayTwinSpec extends SparkSpec {
     assert(streaming.toSeq === batch.toSeq)
   }
 
+  test("stream-stream interval join equals its batch range-join twin") {
+    import org.apache.spark.sql.functions._
+    val streaming = run("stream_join_interval").collect().map(_.toSeq)
+    val ev = graft.core.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms").as("c_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ms").as("p_ms"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ms") >= col("c_ms") && col("p_ms") <= col("c_ms") + 1800000L)
+      .groupBy((expr("c_ms div 3600000") * 3600L).as("hour_start"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.core.Det.dround(sum(col("p_ms") - col("c_ms")).cast("double") / count(lit(1)), 4)
+          .as("avg_delay_ms"))
+      .orderBy("hour_start")
+      .collect().map(_.toSeq)
+    assert(streaming.nonEmpty)
+    assert(streaming.toSeq === batch.toSeq)
+  }
+
   test("replay sink respects the shard layout and the 500-record put-batch cap") {
     import org.apache.spark.sql.functions._
     val out = Replay.replayArchive(spark, s"$sf/events.parquet", nShards = 4)
