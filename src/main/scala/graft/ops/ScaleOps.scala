@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables, TmpDirs}
+
+/** Scale-technique operators: the join/storage/ingest patterns a 100 TB
+  * deployment leans on, each demonstrated as a first-class verified
+  * query rather than a comment. Every result is hash-checked against a
+  * plain-SQL oracle, proving the technique is a pure execution-plan
+  * change — same answer, different (scale-safe) plan.
+  */
+object ScaleOps {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Salted repartition join — the manual skew-mitigation pattern. The
+    * fact side derives a deterministic salt (l_linenumber mod S — at
+    * scale, any per-row value uncorrelated with the join key); the dim
+    * side is replicated S× with an exploded salt column, and the join
+    * key becomes (key, salt), so one hot orderkey's rows spread over S
+    * reducer partitions instead of one straggler task. S multiplies the
+    * dim shuffle volume — you salt only keys a count-sketch flags as
+    * hot in production (AQE's skew-join split is the automatic cousin;
+    * this operator is the explicit form for engines/pipelines where AQE
+    * can't see the skew, e.g. pre-partitioned sinks). The oracle is the
+    * UNSALTED join — the hash match proves salting changed the plan,
+    * not the answer.
+    */
+  private val joinSkewSalted = Q(
+    "join_skew_salted",
+    (s, d) => {
+      import s.implicits._
+      val S = 8
+      val fact = t(s, d, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice",
+          pmod($"l_linenumber", lit(S)).as("salt"))
+      val dim = t(s, d, "orders")
+        .select($"o_orderkey", $"o_orderpriority",
+          explode(array((0 until S).map(lit(_)): _*)).as("salt"))
+      fact.join(dim, $"l_orderkey" === $"o_orderkey" && fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), moneySum($"l_extendedprice").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("SELECT o_orderpriority, count(*) AS cnt, " +
+      OSql.msum("l_extendedprice") + " AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  /** Bucketed co-located join — the zero-shuffle storage layout. Both
+    * sides are written CLUSTERED BY the join key into the same bucket
+    * count, so the join's children already satisfy its distribution
+    * requirement and Catalyst plans a SortMergeJoin with NO Exchange on
+    * either side (pinned in PlanSpec). At 100 TB this is THE pattern
+    * for a fact table joined repeatedly on one key: pay the bucketed
+    * write once, skip the dominant shuffle on every subsequent join.
+    * Scratch tables live in [[TmpDirs]] locations and are dropped in a
+    * finally — nothing leaks into the caller's catalog.
+    */
+  /** Stage both join sides as bucketed scratch tables, run `f` on the
+    * co-located join, then drop the tables — exposed so PlanSpec can
+    * pin the shuffle-free plan inside the tables' lifetime.
+    */
+  private[graft] def withBucketedJoin[T](s: SparkSession, d: String)(
+      f: DataFrame => T): T = {
+    import s.implicits._
+    val (ta, tb) = ("graft_bkt_lineitem", "graft_bkt_orders")
+    try {
+      s.sql(s"DROP TABLE IF EXISTS $ta")
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      s.sql(s"CREATE TABLE $ta (l_orderkey BIGINT, l_extendedprice DOUBLE) " +
+        s"USING PARQUET CLUSTERED BY (l_orderkey) INTO 8 BUCKETS " +
+        s"LOCATION '${TmpDirs.dir("bkt-lineitem")}'")
+      s.sql(s"CREATE TABLE $tb (o_orderkey BIGINT, o_orderpriority STRING) " +
+        s"USING PARQUET CLUSTERED BY (o_orderkey) INTO 8 BUCKETS " +
+        s"LOCATION '${TmpDirs.dir("bkt-orders")}'")
+      t(s, d, "lineitem").select($"l_orderkey", $"l_extendedprice")
+        .write.mode("overwrite").insertInto(ta)
+      t(s, d, "orders").select($"o_orderkey", $"o_orderpriority")
+        .write.mode("overwrite").insertInto(tb)
+      // merge hint: the pattern targets LARGE×LARGE (a broadcastable
+      // side wouldn't need bucketing) — pin SMJ so the zero-exchange
+      // shape is the one demonstrated at every test scale factor
+      f(s.table(ta).hint("merge").join(s.table(tb), $"l_orderkey" === $"o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), moneySum($"l_extendedprice").as("revenue"))
+        .orderBy("o_orderpriority"))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $ta")
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+    }
+  }
+
+  private val joinBucketed = Q(
+    "join_bucketed",
+    // materialize inside the tables' lifetime (the catalog cleanup in
+    // the finally runs before the caller consumes the DataFrame)
+    (s, d) => withBucketedJoin(s, d)(_.localCheckpoint(true)),
+    Some("SELECT o_orderpriority, count(*) AS cnt, " +
+      OSql.msum("l_extendedprice") + " AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  /** CDC upsert (MERGE semantics): apply a keyed changelog (updates +
+    * deletes, versioned) over a base snapshot — latest version wins,
+    * deletes drop the key. The changelog here is derived
+    * deterministically from the snapshot itself (every 10th key gets a
+    * +10% reprice at v1, every 17th a delete at v2) so both engines
+    * build the identical change stream. The merge is the standard
+    * shuffle-once window idiom: union base+changes, row_number per key
+    * by version desc, keep rn=1 non-deletes — at scale this is one
+    * hash-partition by key over base∪Δ, the same shape a foreachBatch
+    * MERGE INTO sink executes incrementally.
+    */
+  private val cdcUpsert = Q(
+    "cdc_upsert",
+    (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "orders")
+        .select($"o_orderkey".as("key"), $"o_totalprice".as("price"),
+          $"o_orderstatus".as("status"), lit(0L).as("ver"), lit("U").as("op"))
+      val repriced = base.filter($"key" % 10 === 0)
+        .select($"key", ($"price" * lit(1.1)).as("price"), $"status",
+          lit(1L).as("ver"), lit("U").as("op"))
+      val deletes = base.filter($"key" % 17 === 0)
+        .select($"key", $"price", $"status", lit(2L).as("ver"), lit("D").as("op"))
+      val w = Window.partitionBy($"key").orderBy($"ver".desc)
+      base.unionByName(repriced).unionByName(deletes)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"op" =!= "D")
+        .groupBy("status")
+        .agg(count(lit(1)).as("cnt"), moneySum($"price").as("total_price"))
+        .orderBy("status")
+    },
+    Some("WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price, " +
+      "o_orderstatus AS status, 0 AS ver, 'U' AS op FROM orders), " +
+      "rep AS (SELECT key, price * 1.1 AS price, status, 1 AS ver, 'U' AS op " +
+      "FROM base WHERE key % 10 = 0), " +
+      "del AS (SELECT key, price, status, 2 AS ver, 'D' AS op " +
+      "FROM base WHERE key % 17 = 0), " +
+      "merged AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY ver DESC) AS rn " +
+      "FROM (SELECT * FROM base UNION ALL SELECT * FROM rep UNION ALL SELECT * FROM del)) " +
+      "SELECT status, count(*) AS cnt, " + OSql.msum("price") + " AS total_price " +
+      "FROM merged WHERE rn = 1 AND op <> 'D' GROUP BY 1 ORDER BY 1"))
+
+  /** CSV source (the last cell of the format matrix: parquet, JSON,
+    * gzip NDJSON, CSV). Events are staged as RFC-4180 CSV — explicit
+    * escape='"' so embedded quotes in the JSON `props` column
+    * round-trip (Spark's default backslash escaping is NOT RFC CSV) —
+    * then read back with an explicit schema (no inference scan) and
+    * aggregated, `props` re-parsed from the quoted cell. The oracle
+    * restates the aggregation over the parquet archive: the hash match
+    * proves the CSV round trip — quoting, doubles
+    * (shortest-round-trip), nested JSON — is lossless.
+    */
+  private val scanCsv = Q(
+    "scan_csv",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val dir = TmpDirs.dir("events-csv")
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"value", $"ms", $"props")
+        .write.mode("overwrite").option("escape", "\"").csv(dir)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("ms", LongType), StructField("props", StringType)))
+      s.read.schema(schema).option("escape", "\"").csv(dir)
+        .select($"event_type", $"value",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum($"k").as("sum_k"),
+          moneySum($"value").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS cnt, " +
+      "CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+      OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY event_type ORDER BY event_type"))
+
+  val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv)
+}

@@ -72,6 +72,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("dotproductf"))
   }
 
+  test("join_bucketed is co-located: sort-merge join with ZERO exchanges") {
+    graft.ops.ScaleOps.withBucketedJoin(spark, sf) { df =>
+      df.collect()
+      // AQE prints the final plan first, then "== Initial Plan ==" —
+      // assert on the final section only
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"))
+      // the join's subtree must be exchange-free: bucketing already
+      // satisfies the distribution requirement on both sides. The only
+      // exchanges allowed are AFTER the partial aggregate (final agg +
+      // the orderBy range partition), i.e. on post-join, tiny data —
+      // and those render ABOVE the join in the tree, so everything from
+      // the join down must be shuffle-free.
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSubtree.contains("Exchange"),
+        "bucketed join sides must not shuffle")
+    }
+  }
+
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
     val plan = executedPlan("dedup_simhash")
     assert(!plan.contains("CartesianProduct"))
