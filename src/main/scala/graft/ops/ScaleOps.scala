@@ -182,5 +182,39 @@ object ScaleOps {
       OSql.msum("value") + " AS total_value " +
       "FROM events GROUP BY event_type ORDER BY event_type"))
 
-  val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv)
+  /** Heavy hitters via the native Misra-Gries
+    * `TypedImperativeAggregate` ([[graft.functions.HeavyHitters]]):
+    * the sketch pass PROPOSES candidate tokens in one O(capacity)-state
+    * ObjectHashAggregate scan (no groupBy shuffle of the token
+    * universe), then the DISPOSE pass re-counts ONLY the ≤capacity
+    * candidates exactly (broadcast semi-join, then a partial+final agg
+    * over a capacity-bounded key set). Misra-Gries guarantees every
+    * token with frequency > n/(capacity+1) survives any partition split
+    * and merge order, so with capacity 64 ≫ 10 the exact top-10 is
+    * provably inside the candidate set — which is why a
+    * merge-order-dependent sketch can still carry an exact SQL oracle.
+    * At 100 TB this is the point: the exact groupBy's shuffle carries
+    * the whole token universe; the sketch's shuffle carries
+    * #partitions × 64 entries.
+    */
+  private val aggHeavyHitters = Q(
+    "agg_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("token"))
+      val cands = tok
+        .agg(graft.functions.HeavyHitters.sketch(s, $"token", 64).as("cand"))
+        .select(explode($"cand").as("token"))
+      tok.join(broadcast(cands), "token")
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token".asc)
+        .limit(10)
+    },
+    Some("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+      "SELECT token, count(*) AS cnt FROM tok GROUP BY 1 " +
+      "ORDER BY cnt DESC, token ASC LIMIT 10"))
+
+  val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv, aggHeavyHitters)
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProductF
+import graft.functions.{DotProductF, HeavyHitters}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * expressions at session build time, so a deployment enables the whole
@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_f expects exactly 2 arguments, got ${children.length}")
         DotProductF(children(0), children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"), HeavyHitters.info, HeavyHitters.build))
   }
 }

@@ -92,6 +92,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("agg_heavy_hitters sketches via partial+final ObjectHashAggregate") {
+    val plan = executedPlan("agg_heavy_hitters")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "the TypedImperativeAggregate must run as partial+final object agg")
+    assert(plan.contains("heavy_hitters"))
+  }
+
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
     val plan = executedPlan("dedup_simhash")
     assert(!plan.contains("CartesianProduct"))

@@ -97,6 +97,43 @@ class ScaleProofSpec extends SparkSpec {
     assert(cand.contains((1L, 2L)) && cand.contains((2L, 3L)))
   }
 
+  test("heavy-hitters sketch keeps the majority token through evictions and merges") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // capacity 2, stream dominated by "hot": Misra-Gries guarantees any
+    // token with frequency > n/(cap+1) = n/3 survives — drive update
+    // and an out-of-order merge directly against the aggregate class.
+    val agg = graft.functions.HeavyHitters(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.StringType, nullable = true), 2)
+    def feed(tokens: Seq[String]) = {
+      val buf = agg.createAggregationBuffer()
+      tokens.foreach { t =>
+        agg.update(buf,
+          org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(t)))
+      }
+      buf
+    }
+    val b1 = feed(Seq("hot", "a", "hot", "b", "hot", "c", "hot"))
+    val b2 = feed(Seq("hot", "d", "hot", "e", "hot"))
+    assert(b1.size <= 2 && b2.size <= 2)
+    // serialization round trip (the shuffle path) then merge
+    val merged = agg.merge(agg.deserialize(agg.serialize(b1)),
+      agg.deserialize(agg.serialize(b2)))
+    assert(merged.size <= 2)
+    assert(merged.keys.map(_.toString).toSet.contains("hot"))
+  }
+
+  test("agg_heavy_hitters equals the exact top-10 (sketch proposes, exact count disposes)") {
+    // skewed fixture where the tail would evict under a small sketch —
+    // the full query (capacity 64) must still produce the exact top-10
+    val words = (0 until 10).flatMap(i => Seq.fill(50 - i)(s"hh$i")) ++
+      (0 until 200).map(i => s"tail$i")
+    val dir = stageTables("documents" -> docsDf(Seq(1L -> words.mkString(" "))))
+    val got = run("agg_heavy_hitters", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === (0 until 10).map(i => (s"hh$i", (50 - i).toLong)))
+  }
+
   test("scan_text_gz round trip is lossless vs the parquet archive") {
     val viaGz = run("scan_text_gz").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
