@@ -195,6 +195,70 @@ object EventTime {
       "FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms > s.ms " +
       "ORDER BY e.event_id"))
 
+  /** Ordered funnel analysis (signup → click → purchase): per user, the
+    * first signup, the first click within the HOUR after that signup,
+    * and the first purchase within the hour after that click — the
+    * standard min-timestamp-chain funnel with per-step conversion
+    * windows, NOT a per-event sequence scan. Each
+    * stage is one filtered per-user partial+final min-aggregate joined
+    * to the previous stage's (user, ms) table, so three scans of the
+    * (pre-filtered, pushed-down) event types and three user-keyed
+    * shuffles of #users-sized tables — at 100 TB the event scans prune
+    * by type at the source and the join tables are users, not events.
+    * avg_funnel_ms averages the integer ms deltas of completing users
+    * (exact integer sums in double range — order-independent).
+    */
+  private val funnelSteps = Q(
+    "funnel_steps",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id", $"event_type", $"ms")
+      val s1 = e.filter($"event_type" === "signup")
+        .groupBy("user_id").agg(min($"ms").as("s_ms"))
+      val s2 = e.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"ms" >= $"s_ms" && $"ms" <= $"s_ms" + 3600000L)
+        .groupBy("user_id").agg(min($"ms").as("c_ms"), min($"s_ms").as("s_ms"))
+      val s3 = e.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"ms" >= $"c_ms" && $"ms" <= $"c_ms" + 3600000L)
+        .groupBy("user_id").agg(min($"ms").as("p_ms"), min($"s_ms").as("s_ms"))
+      e.select($"user_id").distinct()
+        .join(s1.select($"user_id", lit(1).as("f1")), Seq("user_id"), "left")
+        .join(s2.select($"user_id", lit(1).as("f2")), Seq("user_id"), "left")
+        .join(s3.select($"user_id", $"p_ms", $"s_ms", lit(1).as("f3")), Seq("user_id"), "left")
+        .select(
+          (coalesce($"f1", lit(0)) + coalesce($"f2", lit(0)) + coalesce($"f3", lit(0)))
+            .cast("long").as("stage"),
+          ($"p_ms" - $"s_ms").as("funnel_ms"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"),
+          dround(sum($"funnel_ms").cast("double") / count($"funnel_ms"), 4)
+            .as("avg_funnel_ms"))
+        .orderBy("stage")
+    },
+    Some("WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events), " +
+      "s1 AS (SELECT user_id, min(ms) AS s_ms FROM e WHERE event_type = 'signup' GROUP BY 1), " +
+      "s2 AS (SELECT e.user_id, min(e.ms) AS c_ms, min(s_ms) AS s_ms FROM e " +
+      "JOIN s1 ON e.user_id = s1.user_id AND e.ms >= s1.s_ms " +
+      "AND e.ms <= s1.s_ms + 3600000 " +
+      "WHERE event_type = 'click' GROUP BY 1), " +
+      "s3 AS (SELECT e.user_id, min(e.ms) AS p_ms, min(s_ms) AS s_ms FROM e " +
+      "JOIN s2 ON e.user_id = s2.user_id AND e.ms >= s2.c_ms " +
+      "AND e.ms <= s2.c_ms + 3600000 " +
+      "WHERE event_type = 'purchase' GROUP BY 1), " +
+      "u AS (SELECT DISTINCT user_id FROM e), " +
+      "st AS (SELECT u.user_id, " +
+      "(CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END + " +
+      "CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END + " +
+      "CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS stage, " +
+      "s3.p_ms - s3.s_ms AS funnel_ms FROM u " +
+      "LEFT JOIN s1 ON u.user_id = s1.user_id " +
+      "LEFT JOIN s2 ON u.user_id = s2.user_id " +
+      "LEFT JOIN s3 ON u.user_id = s3.user_id) " +
+      "SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users, " +
+      OSql.sround("CAST(SUM(funnel_ms) AS DOUBLE) / count(funnel_ms)", 4) +
+      " AS avg_funnel_ms FROM st GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] =
-    Seq(tumbling, session, sessionWindowNative, dedup, lateData, sliding, asof)
+    Seq(tumbling, session, sessionWindowNative, dedup, lateData, sliding, asof,
+      funnelSteps)
 }

@@ -228,7 +228,46 @@ object Scalars {
       "string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS type_counts " +
       "FROM c GROUP BY 1 ORDER BY 1"))
 
+  /** ANSI-safe scalar surface: Spark 4 runs ANSI mode by default, where
+    * a divide-by-zero / bad cast / overflow THROWS mid-query — at 100 TB
+    * one malformed row four hours in kills the job. The `try_` family is
+    * the row-level containment story: the failing row degrades to NULL
+    * and the pipeline keeps moving (the scalar cousin of the NDJSON
+    * dead-letter path). try_divide → NULL at the qty=24 singularity;
+    * try_cast('R' as int) → NULL always (DuckDB TRY_CAST agrees);
+    * try_add(k, Long.MaxValue) overflows → NULL exactly when k > 0 —
+    * the oracle restates that rule with a guarded CASE (DuckDB has no
+    * try_add; its BIGINT overflow raises).
+    */
+  private val scalarTrySafe = Q(
+    "scalar_try_safe",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select($"l_returnflag",
+          expr("try_divide(l_extendedprice, l_quantity - 24.0D)").as("safe_div"),
+          expr("try_cast(l_returnflag AS INT)").as("safe_cast"),
+          expr("try_add(l_orderkey, 9223372036854775807L)").as("safe_add"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          (count(lit(1)) - count($"safe_div")).as("div_nulls"),
+          moneySum(coalesce($"safe_div", lit(0.0))).as("sum_safe_div"),
+          count($"safe_cast").as("cast_ok"),
+          count($"safe_add").as("add_ok"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH t AS (SELECT l_returnflag, " +
+      "l_extendedprice / nullif(l_quantity - 24.0, 0) AS safe_div, " +
+      "TRY_CAST(l_returnflag AS INT) AS safe_cast, " +
+      "CASE WHEN l_orderkey > 0 THEN NULL " +
+      "ELSE l_orderkey + 9223372036854775807 END AS safe_add FROM lineitem) " +
+      "SELECT l_returnflag, count(*) AS cnt, " +
+      "count(*) - count(safe_div) AS div_nulls, " +
+      OSql.msum("coalesce(safe_div, 0)") + " AS sum_safe_div, " +
+      "count(safe_cast) AS cast_ok, count(safe_add) AS add_ok " +
+      "FROM t GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     scalarString, scalarDate, scalarMath, scalarCaseJson,
-    arrayOps, arrayExplode, higherOrderFn, udfScalar, mapOps)
+    arrayOps, arrayExplode, higherOrderFn, udfScalar, mapOps, scalarTrySafe)
 }
