@@ -48,10 +48,24 @@ object Tables {
       .withColumn("ms", expr("ts div 1000000"))
   }
 
-  private def ensureNanosConf(spark: SparkSession): Unit =
+  /** Heal the nanos-timestamp read conf (see [[events]]). Public within
+    * the engine so streaming front doors that read the events parquet
+    * directly (Replay, StreamJoin, StatefulSessions) can heal an
+    * externally-built session before their first raw read.
+    */
+  private[graft] def ensureNanosConf(spark: SparkSession): Unit =
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
+
+  /** FileStreamSource wants a directory or a glob; brace-globbing the
+    * file name streams a single archive file with its parent as base.
+    * A directory path passes through the replaceAll unchanged in
+    * effect (its last segment braces to itself). One definition for
+    * every streaming front door.
+    */
+  private[graft] def srcGlob(path: String): String =
+    path.replaceAll("([^/]+)$", "{$1}")
 }
 
 /** THE gzip-NDJSON archive record (the reference's native wire format):

@@ -378,8 +378,9 @@ object LlmPipeline {
       var labels = edges.select($"v").distinct()
         .select($"v", $"v".as("lbl")).localCheckpoint(true)
       var iter = 0
+      val maxIter = 16
       var converged = labels.isEmpty
-      while (!converged && iter < 16) {
+      while (!converged && iter < maxIter) {
         val nbrMin = edges
           .join(labels.select($"v".as("u"), $"lbl".as("ulbl")), "u")
           .groupBy("v").agg(min($"ulbl").as("nmin"))
@@ -394,6 +395,14 @@ object LlmPipeline {
         labels = stepped.select($"v", $"nlbl".as("lbl"))
         iter += 1
       }
+      // fail loudly, never return partial labels: a component with
+      // diameter > maxIter (an 18+-doc edit chain) would otherwise be
+      // silently split into several clusters. Real corpora converge in
+      // 2-3 rounds; hitting the cap means the graph needs the
+      // large-star/small-star O(log n) contraction, not a bigger cap.
+      if (!converged) sys.error(
+        s"dedup_cluster: label propagation did not converge in $maxIter rounds " +
+          "(component diameter exceeds the cap)")
       val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "lbl")
         .select($"v".as("doc_id"), $"lbl".as("cluster"), $"n_members")

@@ -34,9 +34,13 @@ object ScaleOps {
     (s, d) => {
       import s.implicits._
       val S = 8
+      // salt from a hash of a non-key column: l_linenumber itself is
+      // 1..7, which would leave salt 0 forever empty (S−1 spread and a
+      // dead dim replica). The salt never reaches the output, so the
+      // engine-internal xxhash64 is fine here.
       val fact = t(s, d, "lineitem")
         .select($"l_orderkey", $"l_extendedprice",
-          pmod($"l_linenumber", lit(S)).as("salt"))
+          pmod(xxhash64($"l_partkey", $"l_linenumber"), lit(S.toLong)).cast("int").as("salt"))
       val dim = t(s, d, "orders")
         .select($"o_orderkey", $"o_orderpriority",
           explode(array((0 until S).map(lit(_)): _*)).as("salt"))
@@ -67,10 +71,12 @@ object ScaleOps {
   private[graft] def withBucketedJoin[T](s: SparkSession, d: String)(
       f: DataFrame => T): T = {
     import s.implicits._
-    val (ta, tb) = ("graft_bkt_lineitem", "graft_bkt_orders")
+    // UUID-suffixed names: never collides with (or drops!) a table the
+    // caller's externally-built session may own, and concurrent
+    // invocations sharing a metastore cannot race on create/insert/drop.
+    val run = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ta, tb) = (s"graft_bkt_lineitem_$run", s"graft_bkt_orders_$run")
     try {
-      s.sql(s"DROP TABLE IF EXISTS $ta")
-      s.sql(s"DROP TABLE IF EXISTS $tb")
       s.sql(s"CREATE TABLE $ta (l_orderkey BIGINT, l_extendedprice DOUBLE) " +
         s"USING PARQUET CLUSTERED BY (l_orderkey) INTO 8 BUCKETS " +
         s"LOCATION '${TmpDirs.dir("bkt-lineitem")}'")
@@ -188,14 +194,20 @@ object ScaleOps {
     * ObjectHashAggregate scan (no groupBy shuffle of the token
     * universe), then the DISPOSE pass re-counts ONLY the ≤capacity
     * candidates exactly (broadcast semi-join, then a partial+final agg
-    * over a capacity-bounded key set). Misra-Gries guarantees every
-    * token with frequency > n/(capacity+1) survives any partition split
-    * and merge order, so with capacity 64 ≫ 10 the exact top-10 is
-    * provably inside the candidate set — which is why a
-    * merge-order-dependent sketch can still carry an exact SQL oracle.
-    * At 100 TB this is the point: the exact groupBy's shuffle carries
-    * the whole token universe; the sketch's shuffle carries
-    * #partitions × 64 entries.
+    * over a capacity-bounded key set).
+    *
+    * The declared result is the SUPPORT-THRESHOLD set — every token
+    * with exact count·65 > n (frequency above n/(capacity+1)) — because
+    * that is precisely what Misra-Gries guarantees survives any
+    * partition split and merge order: the sketch can MISS nothing above
+    * the threshold (completeness), and the exact re-count discards the
+    * below-threshold survivors (soundness). A "top-k" contract would be
+    * unsound — rank k can sit below the threshold on a flat
+    * distribution and get evicted. The threshold test is exact integer
+    * arithmetic (cnt·65 > n), identical in both engines. At 100 TB this
+    * is the point: the exact groupBy's shuffle carries the whole token
+    * universe; the sketch's shuffle carries #partitions × 64 entries,
+    * and n comes from the same single scan.
     */
   private val aggHeavyHitters = Q(
     "agg_heavy_hitters",
@@ -203,18 +215,21 @@ object ScaleOps {
       import s.implicits._
       val tok = t(s, d, "documents")
         .select(explode(split($"text", " ")).as("token"))
-      val cands = tok
-        .agg(graft.functions.HeavyHitters.sketch(s, $"token", 64).as("cand"))
-        .select(explode($"cand").as("token"))
+      // one scan: total token count n AND the sketch's candidate set
+      val sk = tok.agg(count(lit(1)).as("n"),
+        graft.functions.HeavyHitters.sketch(s, $"token", 64).as("cand"))
+      val cands = sk.select($"n", explode($"cand").as("token"))
       tok.join(broadcast(cands), "token")
-        .groupBy("token")
+        .groupBy("token", "n")
         .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * lit(65L) > $"n")
+        .select($"token", $"cnt")
         .orderBy($"cnt".desc, $"token".asc)
-        .limit(10)
     },
-    Some("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
-      "SELECT token, count(*) AS cnt FROM tok GROUP BY 1 " +
-      "ORDER BY cnt DESC, token ASC LIMIT 10"))
+    Some("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "tot AS (SELECT count(*) AS n FROM tok) " +
+      "SELECT token, count(*) AS cnt FROM tok, tot GROUP BY token, n " +
+      "HAVING count(*) * 65 > n ORDER BY cnt DESC, token ASC"))
 
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv, aggHeavyHitters)
 }

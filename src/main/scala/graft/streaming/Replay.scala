@@ -104,10 +104,11 @@ object Replay {
       nShards: Int = 4,
       maxFilesPerTrigger: Int = 0,
       stage: DataFrame => DataFrame = identity): String = {
+    // heal first: the archive may be the TIMESTAMP(NANOS) events parquet
+    // and this is a public front door an external session can call
+    Tables.ensureNanosConf(s)
     val schema = s.read.parquet(srcPath).schema
-    // FileStreamSource wants a directory or a glob; a brace-glob on the
-    // file name streams a single archive file with its parent as base.
-    val srcGlob = srcPath.replaceAll("([^/]+)$", "{$1}")
+    val srcGlob = Tables.srcGlob(srcPath)
     val reader = s.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)

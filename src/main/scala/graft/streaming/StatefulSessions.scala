@@ -77,8 +77,9 @@ object StatefulSessions {
     */
   def run(s: SparkSession, eventsPath: String): DataFrame = {
     import s.implicits._
+    graft.core.Tables.ensureNanosConf(s)
     val schema = s.read.parquet(eventsPath).schema
-    val glob = eventsPath.replaceAll("([^/]+)$", "{$1}")
+    val glob = graft.core.Tables.srcGlob(eventsPath)
     val ckpt = TmpDirs.dir("sess-ckpt")
     val state = TmpDirs.dir("sess-state")
     val stream = s.readStream.schema(schema).parquet(glob)

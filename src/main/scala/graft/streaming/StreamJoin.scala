@@ -41,10 +41,17 @@ object StreamJoin {
 
   /** Run the click→purchase interval join as a real two-stream query;
     * returns the matched pairs (one row per click/purchase pair).
+    *
+    * The sink is an executor-side parquet dir, NOT the memory sink: the
+    * un-aggregated pair set is join-output-sized (a per-user product
+    * within the window), and a memory table would pin it in the driver
+    * for the session's lifetime. Parquet under [[TmpDirs]] is bounded,
+    * cleaned up, and exactly what the real deployment's sink would be.
     */
   def run(s: SparkSession, eventsPath: String): DataFrame = {
+    Tables.ensureNanosConf(s)
     val schema = s.read.parquet(eventsPath).schema
-    val glob = eventsPath.replaceAll("([^/]+)$", "{$1}")
+    val glob = Tables.srcGlob(eventsPath)
     val clicks = side(s, glob, schema, "click", "c")
     val purchases = side(s, glob, schema, "purchase", "p")
     val joined = clicks.join(purchases,
@@ -53,16 +60,17 @@ object StreamJoin {
         col("p_ets") <= col("c_ets") + expr("INTERVAL 30 MINUTES"))
       .select(col("c_user").as("user_id"), col("c_ms"), col("p_ms"))
     val ckpt = TmpDirs.dir("sjoin-ckpt")
-    val table = "sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val out = TmpDirs.dir("sjoin-out")
     val q = joined.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(table)
+      .format("parquet")
+      .option("path", out)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(table)
+    // explicit schema: a zero-match run leaves no files to infer from
+    s.read.schema(joined.schema).parquet(out)
   }
 
   private val streamJoinInterval = Q(

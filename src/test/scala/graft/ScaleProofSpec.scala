@@ -123,9 +123,11 @@ class ScaleProofSpec extends SparkSpec {
     assert(merged.keys.map(_.toString).toSet.contains("hot"))
   }
 
-  test("agg_heavy_hitters equals the exact top-10 (sketch proposes, exact count disposes)") {
-    // skewed fixture where the tail would evict under a small sketch —
-    // the full query (capacity 64) must still produce the exact top-10
+  test("agg_heavy_hitters returns exactly the above-threshold set on a skewed fixture") {
+    // 10 heavy tokens (counts 50..41, all above n/65 of n=655) over a
+    // 200-singleton tail: the sketch must retain every heavy token
+    // through evictions and the exact re-count must discard the whole
+    // tail (counts of 1 are far below the support threshold).
     val words = (0 until 10).flatMap(i => Seq.fill(50 - i)(s"hh$i")) ++
       (0 until 200).map(i => s"tail$i")
     val dir = stageTables("documents" -> docsDf(Seq(1L -> words.mkString(" "))))
