@@ -104,4 +104,36 @@ class PropertySpec extends SparkSpec {
     assert(except + inter === custKeys) // A = (A∖B) ⊎ (A∩B)
     assert(unionD === except + suppKeys) // |A∪B| = |A∖B| + |B|
   }
+
+  test("Misra-Gries: freq > n/(cap+1) tokens survive ANY partition split + merge order (forAll)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    val tokGen = Gen.chooseNum(0, 19).map(i => s"t$i")
+    val streamGen = Gen.listOfN(400, tokGen)
+    val capGen = Gen.chooseNum(2, 12)
+    val splitGen = Gen.listOfN(6, Gen.chooseNum(1, 399))
+    check(Prop.forAll(streamGen, capGen, splitGen) { (stream, cap, cuts) =>
+      val agg = graft.functions.HeavyHitters(
+        BoundReference(0, StringType, nullable = true), cap)
+      // split the stream into partitions at the generated cut points,
+      // sketch each independently, then merge left-to-right (with a
+      // serialization round trip — the shuffle path)
+      val bounds = (0 +: cuts.distinct.sorted :+ stream.length).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => stream.slice(a, b) }
+      val merged = parts.map { p =>
+        val buf = agg.createAggregationBuffer()
+        p.foreach(t => agg.update(buf, InternalRow(UTF8String.fromString(t))))
+        agg.deserialize(agg.serialize(buf))
+      }.reduceLeft(agg.merge)
+      val survivors = merged.keys.map(_.toString).toSet
+      val exact = stream.groupBy(identity).view.mapValues(_.size)
+      val n = stream.length
+      val mustSurvive = exact.collect {
+        case (t, c) if c.toLong * (cap + 1) > n => t
+      }.toSet
+      merged.size <= cap && mustSurvive.subsetOf(survivors)
+    }, min = 200)
+  }
 }
