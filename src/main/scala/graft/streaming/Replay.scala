@@ -103,7 +103,8 @@ object Replay {
       srcPath: String,
       nShards: Int = 4,
       maxFilesPerTrigger: Int = 0,
-      stage: DataFrame => DataFrame = identity): String = {
+      stage: DataFrame => DataFrame = identity,
+      resumeDirs: Option[(String, String)] = None): String = {
     // heal first: the archive may be the TIMESTAMP(NANOS) events parquet
     // and this is a public front door an external session can call
     Tables.ensureNanosConf(s)
@@ -119,7 +120,7 @@ object Replay {
     // eligible filters into the streaming scan.
     runReplay(s,
       stage(reader.parquet(srcGlob).withColumn("ms", expr("ts div 1000000"))),
-      nShards)
+      nShards, resumeDirs)
   }
 
   /** The reference's NATIVE-format front door: the archive is gzip
@@ -155,10 +156,19 @@ object Replay {
   /** Source-agnostic replay core: partition-key shard routing (A6), A9
     * progress metrics (observe + listener), and the epoch-idempotent
     * batched sink (A7). Returns the sink path.
+    *
+    * @param resumeDirs pass a previous run's (sink, checkpoint) pair to
+    *   RESUME it: the file-source checkpoint remembers which archive
+    *   files were already replayed, so only files added since are
+    *   processed and the sink is extended, never duplicated — the
+    *   restart-after-crash / incremental-archive contract (tested in
+    *   ReplayTwinSpec).
     */
-  private def runReplay(s: SparkSession, source: DataFrame, nShards: Int): String = {
-    val out = TmpDirs.dir("replay-out")
-    val ckpt = TmpDirs.dir("replay-ckpt")
+  private def runReplay(
+      s: SparkSession, source: DataFrame, nShards: Int,
+      resumeDirs: Option[(String, String)] = None): String = {
+    val (out, ckpt) = resumeDirs.getOrElse(
+      (TmpDirs.dir("replay-out"), TmpDirs.dir("replay-ckpt")))
     val stream = source
       .withColumn("shard", pmod(xxhash64(col("user_id")), lit(nShards)))
       // A9: per-batch progress metric, surfaced through the streaming

@@ -101,6 +101,40 @@ class ReplayTwinSpec extends SparkSpec {
     assert(byKey.isEmpty)
   }
 
+  test("replay resumes from its checkpoint: a grown archive replays only the new files, no dups") {
+    import org.apache.spark.sql.functions._
+    // stage a 3-part archive, but reveal only part 1 to the first run
+    val full = graft.core.TmpDirs.dir("resume-staging")
+    spark.read.parquet(s"$sf/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(full)
+    val parts = new java.io.File(full).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length === 3)
+    val arch = new java.io.File(graft.core.TmpDirs.dir("resume-archive"))
+    def reveal(f: java.io.File): Unit =
+      java.nio.file.Files.copy(f.toPath, new java.io.File(arch, f.getName).toPath)
+    reveal(parts(0))
+    val out = graft.core.TmpDirs.dir("resume-out")
+    val ckpt = graft.core.TmpDirs.dir("resume-ckpt")
+    val dirs = Some((out, ckpt))
+    Replay.replayArchive(spark, arch.getPath, nShards = 4, resumeDirs = dirs)
+    val afterLeg1 = spark.read.parquet(out).count()
+    val leg1Rows = Replay.lastReplayRows
+    assert(afterLeg1 > 0 && afterLeg1 === leg1Rows)
+    // the "crashed process restarts after the archive grew" leg: same
+    // checkpoint + sink, two new files — only they must replay
+    reveal(parts(1)); reveal(parts(2))
+    Replay.replayArchive(spark, arch.getPath, nShards = 4, resumeDirs = dirs)
+    assert(Replay.lastReplayRows === spark.read.parquet(full).count() - leg1Rows,
+      "second leg must process exactly the two new files")
+    val sunk = spark.read.parquet(out)
+    // loss-free AND dup-free across the restart
+    assert(sunk.count() === spark.read.parquet(full).count())
+    assert(sunk.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+    // the resumed run continues the epoch sequence instead of restarting it
+    assert(sunk.select("epoch").distinct().count() >= 2)
+  }
+
   test("throttled multi-epoch replay: loss-free, epoch-scoped ordering, idempotent epoch retry") {
     import org.apache.spark.sql.functions._
     // A multi-file archive + maxFilesPerTrigger=1 forces a multi-epoch
