@@ -60,12 +60,34 @@ object Tables {
 
   /** FileStreamSource wants a directory or a glob; brace-globbing the
     * file name streams a single archive file with its parent as base.
-    * A directory path passes through the replaceAll unchanged in
-    * effect (its last segment braces to itself). One definition for
-    * every streaming front door.
+    * A directory path passes through unchanged in effect (its last
+    * segment braces to itself). Hadoop glob metacharacters in the file
+    * name — including the comma, which is an ALTERNATION SEPARATOR
+    * inside braces and would silently match the wrong files (zero-row
+    * "successful" replay) — are backslash-escaped first. One definition
+    * for every streaming front door.
     */
-  private[graft] def srcGlob(path: String): String =
-    path.replaceAll("([^/]+)$", "{$1}")
+  private def splitLast(path: String): (String, String) = {
+    val slash = path.lastIndexOf('/')
+    (path.substring(0, slash + 1), path.substring(slash + 1))
+  }
+
+  private def escapeName(name: String): String =
+    name.replaceAll("([\\\\*?\\[\\]{}^!,])", "\\\\$1")
+
+  /** Escape Hadoop glob metacharacters in the final path segment —
+    * Spark's BATCH readers also glob their paths, so a literal
+    * `[v1]`-style file name needs this before any `spark.read`.
+    */
+  private[graft] def escapeGlob(path: String): String = {
+    val (dir, name) = splitLast(path)
+    dir + escapeName(name)
+  }
+
+  private[graft] def srcGlob(path: String): String = {
+    val (dir, name) = splitLast(path)
+    s"$dir{${escapeName(name)}}"
+  }
 }
 
 /** THE gzip-NDJSON archive record (the reference's native wire format):

@@ -379,8 +379,12 @@ object LlmPipeline {
         .select($"v", $"v".as("lbl")).localCheckpoint(true)
       var iter = 0
       val maxIter = 16
+      // maxIter + 1 loop passes: diameter d needs d changing rounds
+      // PLUS one confirming round to observe convergence, so a
+      // diameter-16 chain legitimately uses 17 passes — only a change
+      // in pass 17 means the diameter truly exceeds the cap.
       var converged = labels.isEmpty
-      while (!converged && iter < maxIter) {
+      while (!converged && iter <= maxIter) {
         val nbrMin = edges
           .join(labels.select($"v".as("u"), $"lbl".as("ulbl")), "u")
           .groupBy("v").agg(min($"ulbl").as("nmin"))

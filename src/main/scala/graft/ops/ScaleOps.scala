@@ -74,6 +74,13 @@ object ScaleOps {
     // UUID-suffixed names: never collides with (or drops!) a table the
     // caller's externally-built session may own, and concurrent
     // invocations sharing a metastore cannot race on create/insert/drop.
+    // The graft_bkt_ prefix is the engine's reserved scratch namespace:
+    // entries left by a hard-crashed previous run (its finally never
+    // ran) are swept here, so orphans cannot accumulate in a
+    // persistent metastore.
+    s.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bkt_"))
+      .foreach(tbl => s.sql(s"DROP TABLE IF EXISTS ${tbl.name}"))
     val run = java.util.UUID.randomUUID().toString.replace("-", "")
     val (ta, tb) = (s"graft_bkt_lineitem_$run", s"graft_bkt_orders_$run")
     try {

@@ -108,7 +108,9 @@ object Replay {
     // heal first: the archive may be the TIMESTAMP(NANOS) events parquet
     // and this is a public front door an external session can call
     Tables.ensureNanosConf(s)
-    val schema = s.read.parquet(srcPath).schema
+    // escapeGlob: batch readers glob their paths too — a literal
+    // metacharacter in the archive file name must not be interpreted
+    val schema = s.read.parquet(Tables.escapeGlob(srcPath)).schema
     val srcGlob = Tables.srcGlob(srcPath)
     val reader = s.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)

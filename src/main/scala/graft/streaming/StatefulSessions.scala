@@ -78,7 +78,7 @@ object StatefulSessions {
   def run(s: SparkSession, eventsPath: String): DataFrame = {
     import s.implicits._
     graft.core.Tables.ensureNanosConf(s)
-    val schema = s.read.parquet(eventsPath).schema
+    val schema = s.read.parquet(graft.core.Tables.escapeGlob(eventsPath)).schema
     val glob = graft.core.Tables.srcGlob(eventsPath)
     val ckpt = TmpDirs.dir("sess-ckpt")
     val state = TmpDirs.dir("sess-state")

@@ -50,7 +50,7 @@ object StreamJoin {
     */
   def run(s: SparkSession, eventsPath: String): DataFrame = {
     Tables.ensureNanosConf(s)
-    val schema = s.read.parquet(eventsPath).schema
+    val schema = s.read.parquet(Tables.escapeGlob(eventsPath)).schema
     val glob = Tables.srcGlob(eventsPath)
     val clicks = side(s, glob, schema, "click", "c")
     val purchases = side(s, glob, schema, "purchase", "p")

@@ -101,6 +101,19 @@ class ReplayTwinSpec extends SparkSpec {
     assert(byKey.isEmpty)
   }
 
+  test("replay of an archive file with glob metacharacters in its name is lossless") {
+    // a comma is an alternation separator inside Hadoop brace globs —
+    // unescaped, `{events,2024.parquet}` matches zero files and the
+    // replay would "succeed" with 0 rows (silent data loss)
+    val dir = graft.core.TmpDirs.dir("glob-archive")
+    val weird = new java.io.File(dir, "events,2024[v1].parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), weird.toPath)
+    val out = Replay.replayArchive(spark, weird.getPath)
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
   test("replay resumes from its checkpoint: a grown archive replays only the new files, no dups") {
     import org.apache.spark.sql.functions._
     // stage a 3-part archive, but reveal only part 1 to the first run
