@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Corpus-preparation operators beyond cleaning/dedup: PII redaction and
+  * weighted source mixing — the two passes that sit between a cleaned
+  * corpus and a training run. Both are single-scan, shuffle-light, and
+  * hash-verified against DuckDB running the identical arithmetic.
+  */
+object CorpusOps {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** PII patterns shared verbatim by both engines: the character classes
+    * and bounded repetition used here mean Java regex (Spark) and RE2
+    * (DuckDB) agree on every match extent — no backreferences, no
+    * lookaround, no engine-divergent constructs.
+    */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — mask email addresses and phone numbers, keeping a
+    * per-doc redaction count for the audit trail. The corpus text is
+    * synthetic word-salad with no PII, so each doc deterministically
+    * gets a doc_id-derived email + phone APPENDED first (both engines
+    * build the identical string); the mask must then match
+    * variable-length live tokens, not a fixture constant. At scale this
+    * is one codegen'd projection over the scan — no shuffle, no UDF:
+    * `regexp_replace`/`regexp_count` are native expressions in Spark
+    * and the counts aggregate into the compliance report for free.
+    */
+  private val textPiiMask = Q(
+    "text_pii_mask",
+    (s, d) => {
+      import s.implicits._
+      val raw = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@mail.example.com or call +1-555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+      t(s, d, "documents")
+        .select($"doc_id", raw.as("raw"))
+        .select($"doc_id",
+          regexp_count($"raw", lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count($"raw", lit(phonePat)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace($"raw", lit(emailPat), lit("<EMAIL>")),
+            lit(phonePat), lit("<PHONE>")).as("masked"))
+        .orderBy("doc_id")
+    },
+    Some("WITH r AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw " +
+      "FROM documents) " +
+      s"SELECT doc_id, CAST(len(regexp_extract_all(raw, '$emailPat')) AS BIGINT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(raw, '$phonePat')) AS BIGINT) AS n_phones, " +
+      s"regexp_replace(regexp_replace(raw, '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g') AS masked " +
+      "FROM r ORDER BY doc_id"))
+
+  /** Deterministic per-doc uniform in [0,1): the first 6 md5 hex digits
+    * of the doc id, converted to an integer by positional arithmetic.
+    * `instr`/`substr`/`md5` spell and behave identically in Spark SQL
+    * and DuckDB, so the SAME snippet (modulo the string-cast type name)
+    * is used by both engines — the sampling decision is reproducible
+    * across engines, retries, and partitionings, which `rand()` is not.
+    */
+  private def hexUnit(castExpr: String): String = {
+    val digits = (1 to 6).map { i =>
+      s"(instr('0123456789abcdef', substr(md5($castExpr), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}"
+    }.mkString(" + ")
+    s"(($digits) / 16777216.0)"
+  }
+
+  /** Weighted corpus mixing with epoch upsampling — the standard
+    * training-mix transform: give every source an equal share of a
+    * 1.5×-the-corpus character budget, so each doc gets a repeat factor
+    * r = budget_share / source_chars; emit floor(r) copies plus one
+    * more when the doc's deterministic hash-uniform falls below
+    * frac(r). The rate table is #sources rows (broadcast); the emit is
+    * an explode of a ≤⌈r⌉-element sequence — no shuffle touches the
+    * corpus until the final partial+final agg. Every arithmetic input
+    * (char sums, counts) is an exact integer, so the IEEE division both
+    * engines perform is bit-identical and the stochastic-rounding
+    * comparison cannot diverge. The realized share column verifies the
+    * mix actually landed on target.
+    */
+  private val corpusMixEpochs = Q(
+    "corpus_mix_epochs",
+    (s, d) => {
+      import s.implicits._
+      val full = Window.partitionBy(lit(1))
+      val rates = t(s, d, "documents")
+        .groupBy("source").agg(sum($"n_chars").as("src_chars"))
+        .withColumn("total", sum($"src_chars").over(full))
+        .withColumn("n_src", count(lit(1)).over(full))
+        .select($"source",
+          (lit(1.5) * $"total" / ($"n_src" * $"src_chars")).as("rate"))
+      t(s, d, "documents")
+        .join(broadcast(rates), "source")
+        .withColumn("u", expr(hexUnit("CAST(doc_id AS STRING)")))
+        .withColumn("copies",
+          (floor($"rate") + when($"u" < $"rate" - floor($"rate"), 1L).otherwise(0L)).cast("long"))
+        // copies ≥ 1 holds whenever r ≥ 1 (upsampling); the filter keeps
+        // the downsampling case (r < 1, copies may be 0) well-defined —
+        // sequence(1, 0) would COUNT DOWN, not emit nothing
+        .filter($"copies" >= 1)
+        .select($"source", $"n_chars",
+          explode(sequence(lit(1L), $"copies")).as("epoch"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_emitted"),
+          sum($"n_chars").cast("long").as("chars_emitted"))
+        .withColumn("share",
+          dround($"chars_emitted".cast("double") /
+            sum($"chars_emitted").over(full), 4))
+        .orderBy("source")
+    },
+    Some("WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars " +
+      "FROM documents GROUP BY 1), " +
+      "t AS (SELECT source, src_chars, sum(src_chars) OVER () AS total, " +
+      "count(*) OVER () AS n_src FROM s), " +
+      "r AS (SELECT d.doc_id, d.source, d.n_chars, " +
+      "1.5 * t.total / (t.n_src * t.src_chars) AS rate, " +
+      s"${hexUnit("CAST(doc_id AS VARCHAR)")} AS u " +
+      "FROM documents d JOIN t ON d.source = t.source), " +
+      "c AS (SELECT source, n_chars, CAST(floor(rate) AS BIGINT) + " +
+      "CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS copies FROM r), " +
+      "e AS (SELECT source, n_chars, unnest(generate_series(1, copies)) AS epoch " +
+      "FROM c WHERE copies >= 1), " +
+      "g AS (SELECT source, count(*) AS n_emitted, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars_emitted FROM e GROUP BY 1) " +
+      "SELECT source, n_emitted, chars_emitted, " +
+      OSql.sround("CAST(chars_emitted AS DOUBLE) / sum(chars_emitted) OVER ()", 4) +
+      " AS share FROM g ORDER BY source"))
+
+  val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs)
+}

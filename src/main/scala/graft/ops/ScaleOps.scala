@@ -238,5 +238,127 @@ object ScaleOps {
       "SELECT token, count(*) AS cnt FROM tok, tot GROUP BY token, n " +
       "HAVING count(*) * 65 > n ORDER BY cnt DESC, token ASC"))
 
-  val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv, aggHeavyHitters)
+  /** Binned interval join — the scale path for range predicates. The
+    * naive plan for `point BETWEEN lo AND hi` is a broadcast
+    * nested-loop join: every point row is tested against every interval
+    * (O(|P|·|I|) comparisons — at 100 TB the scan never ends). Binning
+    * turns it into an EQUI-join: points get `bin = floor(p / W)`,
+    * intervals are replicated to every bin they overlap (width == W ⇒
+    * exactly 2 rows each, the bounded-replication invariant), the join
+    * runs hash-partitioned on `bin`, and the exact BETWEEN is re-checked
+    * on the ≤2-bin candidate set. Membership is decided ONLY by the
+    * exact predicate, so bin-boundary float behavior cannot change the
+    * answer — the oracle is the naive theta join, and the hash match
+    * proves binning changed the plan, not the result.
+    */
+  private val joinRangeBinned = Q(
+    "join_range_binned",
+    (s, d) => {
+      import s.implicits._
+      val W = 2000.0
+      val iv = t(s, d, "orders")
+        .filter($"o_orderkey" % 97 === 0)
+        .select($"o_orderkey", ($"o_totalprice" - 1000.0).as("lo"),
+          ($"o_totalprice" + 1000.0).as("hi"))
+        // interval width == bin width ⇒ floor(hi/W) == floor(lo/W) + 1
+        // always: replication is exactly 2×, independent of data
+        .withColumn("bin", explode(sequence(floor($"lo" / W), floor($"hi" / W))))
+      t(s, d, "lineitem")
+        .select($"l_extendedprice".as("p"), floor($"l_extendedprice" / W).as("bin"))
+        .join(iv, "bin")
+        .filter($"p" >= $"lo" && $"p" <= $"hi")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("cnt"), moneySum($"p").as("matched_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, count(*) AS cnt, " +
+      OSql.msum("l_extendedprice") + " AS matched_price " +
+      "FROM orders JOIN lineitem " +
+      "ON l_extendedprice BETWEEN o_totalprice - 1000.0 AND o_totalprice + 1000.0 " +
+      "WHERE o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"))
+
+  /** Z-order (Morton) clustering — the multi-dimensional data-layout
+    * technique behind file-skipping indexes: quantize each dimension to
+    * 4 bits, interleave the bits arithmetically (no engine-specific bit
+    * ops, so the oracle reproduces the code exactly), and cluster rows
+    * by z-cell. The per-cell min/max bounds this query emits ARE the
+    * payoff being demonstrated: after a z-ordered write, every file's
+    * footer stats bound BOTH dimensions tightly, so a 2-D predicate
+    * prunes files on either column — a 1-D sort gives tight bounds on
+    * one dimension only. At 100 TB the write path is
+    * `repartitionByRange(zcode).sortWithinPartitions(zcode)` before the
+    * parquet write; this operator verifies the zcode math and the
+    * locality it buys, hash-checked against the identical arithmetic in
+    * the oracle.
+    */
+  private val zorderCluster = {
+    // bit-interleave via pure integer arithmetic; `div` is the dialect's
+    // integer-division token (Spark `DIV`, DuckDB `//`)
+    def interleave(div: String): String =
+      (0 until 4).map { i =>
+        val b = 1L << i
+        s"((qx $div $b) % 2) * ${1L << (2 * i + 1)} + ((qy $div $b) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+    Q(
+      "zorder_cluster",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .select($"p_size", $"p_retailprice",
+            // p_size 1..50 → 0..15; p_retailprice 900..1000 → 0..15
+            expr("((p_size - 1) * 16) DIV 50").as("qx"),
+            expr("LEAST(GREATEST(CAST(FLOOR((p_retailprice - 900.0) / 6.25) AS BIGINT), 0), 15)").as("qy"))
+          .withColumn("zcell", expr(s"(${interleave("DIV")}) DIV 16"))
+          .groupBy("zcell")
+          .agg(count(lit(1)).as("cnt"),
+            min($"p_size").as("min_size"), max($"p_size").as("max_size"),
+            min($"p_retailprice").as("min_price"), max($"p_retailprice").as("max_price"))
+          .orderBy("zcell")
+      },
+      Some("WITH b AS (SELECT p_size, p_retailprice, " +
+        "((p_size - 1) * 16) // 50 AS qx, " +
+        "LEAST(GREATEST(CAST(FLOOR((p_retailprice - 900.0) / 6.25) AS BIGINT), 0), 15) AS qy " +
+        "FROM part), " +
+        s"z AS (SELECT p_size, p_retailprice, (${interleave("//")}) // 16 AS zcell FROM b) " +
+        "SELECT zcell, count(*) AS cnt, " +
+        "min(p_size) AS min_size, max(p_size) AS max_size, " +
+        "min(p_retailprice) AS min_price, max(p_retailprice) AS max_price " +
+        "FROM z GROUP BY 1 ORDER BY 1"))
+  }
+
+  /** Exact distributed percentiles. Spark's `percentile` aggregate
+    * carries a per-group value→count map through partial/final
+    * aggregation — O(#distinct values) state, which for a bounded
+    * domain like quantities (50 distinct) is tiny at ANY corpus size,
+    * so exact is the right choice here; `approx_percentile` (KLL-style
+    * sketch) is the sibling for unbounded domains. Determinism: the
+    * requested fractions are quarters, so the interpolation
+    * `lower + (higher − lower) · frac` is EXACT binary arithmetic on
+    * integer-valued doubles — both engines compute the identical bit
+    * pattern, no rounding shim needed.
+    */
+  private val aggQuantiles = Q(
+    "agg_quantiles",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          min($"l_quantity").as("q_min"),
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"),
+          max($"l_quantity").as("q_max"))
+        .select($"l_returnflag", $"cnt", $"q_min",
+          $"q".getItem(0).as("q25"), $"q".getItem(1).as("q50"),
+          $"q".getItem(2).as("q75"), $"q_max")
+        .orderBy("l_returnflag")
+    },
+    Some("WITH q AS (SELECT l_returnflag, count(*) AS cnt, " +
+      "min(l_quantity) AS q_min, " +
+      "quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q, " +
+      "max(l_quantity) AS q_max FROM lineitem GROUP BY 1) " +
+      "SELECT l_returnflag, cnt, q_min, q[1] AS q25, q[2] AS q50, q[3] AS q75, q_max " +
+      "FROM q ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv,
+    aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles)
 }

@@ -157,6 +157,47 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------- corpus mix & layout
+
+  test("pii mask leaves no live email or phone; counts audit the injections") {
+    val rows = run("text_pii_mask").collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val masked = r.getAs[String]("masked")
+      assert(!masked.contains("@"), s"unmasked email in: $masked")
+      assert(!masked.matches("(?s).*[0-9]{1,2}-[0-9]{3}-[0-9]{4}.*"),
+        s"unmasked phone in: $masked")
+      assert(r.getAs[Long]("n_emails") >= 1L)
+      assert(r.getAs[Long]("n_phones") >= 1L)
+    }
+  }
+
+  test("corpus mix lands every source on the uniform target share") {
+    val rows = run("corpus_mix_epochs").collect()
+    val target = 1.0 / rows.length
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("share") - target) < 0.01,
+        s"${r.getString(0)}: share ${r.getAs[Double]("share")} vs target $target")
+      // upsampling regime (r ∈ [1,2]): strictly more copies than docs,
+      // never more than 2×
+      assert(r.getAs[Long]("n_emitted") >= 25L && r.getAs[Long]("n_emitted") <= 50L)
+    }
+  }
+
+  test("z-order cells bound BOTH dimensions — the file-skipping payoff") {
+    val rows = run("zorder_cluster").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // a cell fixes the top 2 quantized bits of each dim: ≤4 qx steps
+      // (≈12.5 size units) and ≤4 qy steps (25.0 price units)
+      assert(r.getAs[Int]("max_size") - r.getAs[Int]("min_size") <= 13,
+        s"cell ${r.getLong(0)}: size bound violated")
+      assert(r.getAs[Double]("max_price") - r.getAs[Double]("min_price") <= 25.0,
+        s"cell ${r.getLong(0)}: price bound violated")
+    }
+  }
+
   // ------------------------------------------------------------ empty sweep
 
   test("every declared query survives fully empty tables") {

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
       "exact dispose stage must use the native codegen fold")
   }
 
+  test("join_range_binned runs as an equi-join on the bin key, never nested-loop") {
+    val plan = executedPlan("join_range_binned")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "binning must turn the BETWEEN theta join into a hash-partitionable equi-join")
+  }
+
   test("sim_ann_ivf scans only the chosen cells (broadcast cell filter, native fold)") {
     val plan = executedPlan("sim_ann_ivf")
     assert(plan.contains("BroadcastHashJoin"),
