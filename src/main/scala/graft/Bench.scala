@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** The driver captures only the LAST ~2000 characters of stdout and
+   *  parses the benchmark JSON out of that tail; sbt then appends its own
+   *  "[success] Total time: ..." line (~80 chars). Rounds 1-4 printed one
+   *  unabridged JSON line (96 queries x full-precision doubles ~ 3.1 KB)
+   *  whose head was sheared off, so every BENCH_r*.json landed with
+   *  parsed:null. Budget the line to fit the window with margin. */
+  private val MaxJsonLine = 1800
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
+  /** Serialize (name -> seconds) compactly; if the line would overflow the
+   *  driver's tail window, fold the *cheapest* queries into a `_rest`
+   *  aggregate (count + summed seconds) so every expensive query — the ones
+   *  a plan audit cares about — always survives verbatim. */
+  private def render(results: Seq[(String, Double)], total: Double, sfDir: String): String = {
+    def line(keep: Seq[(String, Double)], restN: Int, restSum: Double): String = {
+      val entries = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+        (if (restN > 0) Seq("\"_rest_n\":" + restN, "\"_rest_sec\":" + fmt(restSum)) else Nil)
+      val qs = entries.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Drop cheapest-first until the line fits.
+    val byCost = results.sortBy(_._2)
+    var dropped = 0
+    var out = line(results, 0, 0.0)
+    while (out.length > MaxJsonLine && dropped < results.size) {
+      dropped += 1
+      val rest = byCost.take(dropped)
+      out = line(byCost.drop(dropped), rest.size, rest.map(_._2).sum)
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,15 +48,13 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     // Streaming-stack warmup (state store, listener bus, checkpoint
     // machinery): ~2.5s of once-per-session init that otherwise lands on
-    // whichever streaming query happens to run first — same rationale as
-    // the JVM/codegen warmup above. Prefers the tiny sf0.001 so it stays
-    // cheap, but falls back to the bench dir so the warmup still runs
-    // (and warns rather than silently skewing the first streaming
-    // query's timing) when data lives elsewhere.
-    val warmDir =
-      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
-        "/root/testdata/sf0.001"
-      else sfDir
+    // whichever streaming query happens to run first. Dir is overridable
+    // (SPARK_GRAFT_WARM_DIR) so the bench isn't coupled to one machine
+    // layout; prefers a tiny sf so warmup stays cheap, falls back to the
+    // bench dir (warning, not silently skewing the first streaming query).
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .orElse(Some("/root/testdata/sf0.001").filter(new java.io.File(_).isDirectory))
+      .getOrElse { System.err.println("[bench] warmup falling back to bench dir"); sfDir }
     SparkEntry.queries.get("replay_stream")
       .foreach(fn => try fn(spark, warmDir).count()
       catch { case t: Throwable =>
@@ -32,7 +64,13 @@ object Bench {
     // incomparable (a query scheduled right after a heavyweight
     // streaming op absorbs its JVM/GC residue). Sorted order + an
     // explicit GC between queries keeps each timing self-contained.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated key filter for local perf iteration
+    // (SPARK_GRAFT_ONLY=stream_join_interval,replay_filtered ...).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -42,10 +80,16 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision per-query record for humans / round-over-round diffs
+    // (the stdout line below may fold cheap queries into `_rest`).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable => System.err.println(s"[bench] bench_full.json write failed: $t") }
+    println(render(results, total, sfDir))
     spark.stop()
   }
 }

@@ -189,6 +189,36 @@ object Mat {
   * entry point constructs an identical engine session.
   */
 object Sessions {
+  /** Default state-store shard count for the engine's stateful streaming
+    * queries (windowed agg, stream-stream join, flatMapGroupsWithState).
+    *
+    * A streaming query pins its state partitioning to
+    * spark.sql.shuffle.partitions AT FIRST START (it is recorded in the
+    * checkpoint), and every state partition is a live state-store
+    * instance paying per-batch snapshot/fsync overhead — a stream-stream
+    * join runs FOUR stores per partition. The engine's batch default
+    * (one partition per core) is the wrong shape for streams: state
+    * overhead scales with shard count, not data. This knob is a
+    * deployment parameter — size it to sustained state volume (at 100 TB
+    * you raise it into the hundreds so each store's keyspace fits in
+    * executor memory); the default suits up to ~10^7 state keys.
+    */
+  val StreamStateShards: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHARDS", "8").toInt
+
+  /** Run `body` with spark.sql.shuffle.partitions temporarily set to
+    * `n`, restoring the caller's value after. The conf is read when a
+    * STREAMING query starts, so wrapping start()..awaitTermination()
+    * scopes the state shard count to that query. Relies on the engine's
+    * single-threaded driver contract (SURVEY §1) — a concurrent batch
+    * query in the same session would observe the narrowed value.
+    */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
   def config(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.withExtensions(new graft.plans.GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", cpus)

@@ -16,6 +16,11 @@ object ScaleOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Guard for the once-per-JVM orphaned-scratch-table sweep in
+    * [[withBucketedJoin]].
+    */
+  private val orphanSweepDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Salted repartition join — the manual skew-mitigation pattern. The
     * fact side derives a deterministic salt (l_linenumber mod S — at
     * scale, any per-row value uncorrelated with the join key); the dim
@@ -73,14 +78,22 @@ object ScaleOps {
     import s.implicits._
     // UUID-suffixed names: never collides with (or drops!) a table the
     // caller's externally-built session may own, and concurrent
-    // invocations sharing a metastore cannot race on create/insert/drop.
+    // invocations IN THIS JVM cannot race on create/insert/drop.
     // The graft_bkt_ prefix is the engine's reserved scratch namespace:
     // entries left by a hard-crashed previous run (its finally never
-    // ran) are swept here, so orphans cannot accumulate in a
-    // persistent metastore.
-    s.catalog.listTables().collect()
-      .filter(_.name.startsWith("graft_bkt_"))
-      .foreach(tbl => s.sql(s"DROP TABLE IF EXISTS ${tbl.name}"))
+    // ran) are swept ONCE per JVM, before this process has created any
+    // scratch table of its own — so the sweep can only ever see true
+    // orphans from a dead process, never a live invocation's tables.
+    // Caveat the sweep assumes: one driver process per metastore at a
+    // time (the engine's deployment model); two drivers sharing a
+    // persistent metastore could sweep each other's in-flight scratch
+    // tables at startup, so a multi-driver deployment should disable
+    // the sweep and garbage-collect the namespace out of band.
+    if (orphanSweepDone.compareAndSet(false, true)) {
+      s.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_bkt_"))
+        .foreach(tbl => s.sql(s"DROP TABLE IF EXISTS ${tbl.name}"))
+    }
     val run = java.util.UUID.randomUUID().toString.replace("-", "")
     val (ta, tb) = (s"graft_bkt_lineitem_$run", s"graft_bkt_orders_$run")
     try {

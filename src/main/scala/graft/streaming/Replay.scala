@@ -178,24 +178,32 @@ object Replay {
       .observe("replay_progress", count(lit(1)).as("rows"))
     // A9 push-based progress: a StreamingQueryListener logging one line
     // per micro-batch (the reference's per-batch progress log). The
-    // driver contract is single-threaded, so every progress event during
-    // this run belongs to this query. The listener — NOT
-    // `q.recentProgress`, which Spark caps at
+    // listener — NOT `q.recentProgress`, which Spark caps at
     // numRecentProgressUpdates (100) entries and would undercount a
     // throttled replay of a >100-file archive — is the progress source
-    // of record for the run.
+    // of record for the run. The listener bus is SESSION-GLOBAL, so an
+    // externally-built session running concurrent streaming queries
+    // would leak their events into this run's accounting: every event
+    // is filtered by the started query's runId. The listener registers
+    // before start() (events post asynchronously; registering after
+    // could miss the first batch), so the runId it must match is
+    // handed over right after start() — progress/termination events
+    // for the run cannot precede start() returning.
     val progressLog = new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.sql.streaming.StreamingQueryProgress]()
     val done = new java.util.concurrent.CountDownLatch(1)
+    val expectedRun = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         progressLog.add(e.progress)
-        System.err.println(
-          s"[replay] batch=${e.progress.batchId} rows=${e.progress.numInputRows}")
+        if (e.progress.runId == expectedRun.get)
+          System.err.println(
+            s"[replay] batch=${e.progress.batchId} rows=${e.progress.numInputRows}")
       }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = done.countDown()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.runId == expectedRun.get) done.countDown()
     }
     s.streams.addListener(listener)
     val q = stream.writeStream
@@ -231,13 +239,20 @@ object Replay {
           .parquet(out)
       }
       .start()
+    expectedRun.set(q.runId)
     q.awaitTermination()
     // The listener bus delivers asynchronously but in posting order, so
     // once the termination event arrives every progress event of this
     // run has been delivered — wait (bounded) for it before detaching.
-    done.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    // A timeout means a slow/backed-up bus: the progress accounting
+    // below may UNDERCOUNT, so say so instead of silently proceeding.
+    if (!done.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      System.err.println(
+        "[replay] WARN: listener bus did not deliver the termination " +
+          "event within 10s — progress metrics below may undercount")
     s.streams.removeListener(listener)
-    val progress = progressLog.asScala.toSeq.sortBy(_.batchId)
+    val progress = progressLog.asScala.toSeq
+      .filter(_.runId == q.runId).sortBy(_.batchId)
     lastRunProgress = progress
     // A9 progress: sum the observed per-batch row counts for this run.
     val rows = progress
@@ -277,14 +292,17 @@ object Replay {
     val table = "replay_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val schema = s.read.parquet(path).schema
     val agg = build(s.readStream.schema(schema).parquet(path))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(table)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state shard count scoped to the stream (see Sessions.StreamStateShards)
+    graft.core.Sessions.withShufflePartitions(s, graft.core.Sessions.StreamStateShards) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(table)
   }
 

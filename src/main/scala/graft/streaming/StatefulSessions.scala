@@ -87,7 +87,12 @@ object StatefulSessions {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
-    val q = stream.writeStream
+    // flatMapGroupsWithState keeps one state store per shuffle
+    // partition; scope the shard count to the stream
+    // (see Sessions.StreamStateShards).
+    graft.core.Sessions.withShufflePartitions(
+      s, graft.core.Sessions.StreamStateShards) {
+      val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -106,7 +111,8 @@ object StatefulSessions {
           .partitionBy("bucket", "epoch").parquet(state)
       }
       .start()
-    q.awaitTermination()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"epoch".desc)
     s.read.parquet(state)

@@ -17,9 +17,14 @@ import graft.core.{Det, OSql, Q, Tables, TmpDirs}
   * is O(rows in the watermark horizon) per user-key range, sharded by
   * the equi-key (user_id) across executors — never the full history.
   * Inner-join matches emit immediately (emission is not gated on the
-  * watermark; the watermark only evicts state), so the result is
-  * batch-equal however the stream was micro-batched, which is what lets
-  * the DuckDB range-join oracle hash-check a genuinely streaming run.
+  * watermark; the watermark only evicts state). Batch-equality is NOT
+  * unconditional, though: a row arriving in a later micro-batch BEHIND
+  * the advanced watermark is dropped as late, so a multi-epoch run over
+  * files that arrive out of event-time order can diverge from the batch
+  * oracle. The runs here are batch-equal because the unthrottled
+  * AvailableNow trigger ingests the whole archive in a single data
+  * micro-batch — no second batch exists to be late — and [[run]]
+  * fails loudly if that single-batch condition ever stops holding.
   *
   * The aggregation over the matched pairs runs batch-side on the sink
   * table: counts are exact and the delay sum is exact integer-in-double
@@ -61,14 +66,30 @@ object StreamJoin {
       .select(col("c_user").as("user_id"), col("c_ms"), col("p_ms"))
     val ckpt = TmpDirs.dir("sjoin-ckpt")
     val out = TmpDirs.dir("sjoin-out")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // A stream-stream join runs FOUR state stores per shuffle partition
+    // (keyToNumValues/keyWithIndexToValue × both sides); scope the state
+    // shard count to the stream (see Sessions.StreamStateShards).
+    val q = graft.core.Sessions.withShufflePartitions(
+      s, graft.core.Sessions.StreamStateShards) {
+      val q0 = joined.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    // Oracle-equality precondition (see the scaladoc above): the whole
+    // archive must have been ingested in ONE data micro-batch, else
+    // watermark lateness across batches could have dropped rows. Fail
+    // loudly rather than hand a silently-diverged result to the caller.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"stream-stream join ran $dataBatches data micro-batches; " +
+        "batch-equality with the range-join oracle holds only for a " +
+        "single-batch AvailableNow run")
     // explicit schema: a zero-match run leaves no files to infer from
     s.read.schema(joined.schema).parquet(out)
   }
