@@ -10,18 +10,24 @@ object Bench {
    *  parsed:null. Budget the line to fit the window with margin. */
   private val MaxJsonLine = 1800
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  /** Locale-pinned: the f-interpolator delegates to String.format with
+   *  the DEFAULT locale, so a comma-decimal JVM would emit "1,234" and
+   *  break the JSON line this formatting exists to keep parseable. */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** Serialize (name -> seconds) compactly; if the line would overflow the
    *  driver's tail window, fold the *cheapest* queries into a `_rest`
    *  aggregate (count + summed seconds) so every expensive query — the ones
    *  a plan audit cares about — always survives verbatim. */
-  private def render(results: Seq[(String, Double)], total: Double, sfDir: String): String = {
+  private def render(results: Seq[(String, Double)], total: Double, sfDir: String,
+      errors: Seq[String]): String = {
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(keep: Seq[(String, Double)], restN: Int, restSum: Double): String = {
       val entries = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         (if (restN > 0) Seq("\"_rest_n\":" + restN, "\"_rest_sec\":" + fmt(restSum)) else Nil)
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Drop cheapest-first until the line fits.
     val byCost = results.sortBy(_._2)
@@ -70,26 +76,37 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }
+    // A query that throws must be VISIBLE, not a fast-looking timing row:
+    // its elapsed time is negated (sentinel) and its name lands in the
+    // "errors" array of both JSON outputs, so a bench-only regression
+    // (e.g. an OOM at sf0.1) can never read as an improvement.
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          errors += name
+          System.err.println(s"[bench] ERROR $name: ${t.getClass.getName}: ${t.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches a query persisted so later timings aren't skewed by
       // leftover executor memory pressure
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      name -> (if (errors.lastOption.contains(name)) -dt else dt)
     }
-    val total = results.map(_._2).sum
+    // errored queries don't contribute to the comparable total
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Full-precision per-query record for humans / round-over-round diffs
     // (the stdout line below may fold cheap queries into `_rest`).
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"queries":$fullQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case t: Throwable => System.err.println(s"[bench] bench_full.json write failed: $t") }
-    println(render(results, total, sfDir))
+    println(render(results, total, sfDir, errors.toSeq))
     spark.stop()
   }
 }

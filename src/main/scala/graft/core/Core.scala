@@ -203,8 +203,22 @@ object Sessions {
     * you raise it into the hundreds so each store's keyspace fits in
     * executor memory); the default suits up to ~10^7 state keys.
     */
-  val StreamStateShards: Int =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHARDS", "8").toInt
+  val StreamStateShards: Int = {
+    // Validate here: a bare .toInt in object init would surface a typo'd
+    // env var as an ExceptionInInitializerError on first Sessions access
+    // (masking the cause), and 0/negative would fail every stateful
+    // streaming query at runtime. Fall back loudly instead.
+    val default = 8
+    sys.env.get("SPARK_GRAFT_STREAM_SHARDS") match {
+      case None => default
+      case Some(raw) => raw.toIntOption.filter(_ > 0).getOrElse {
+        System.err.println(
+          s"[graft] WARN: SPARK_GRAFT_STREAM_SHARDS='$raw' is not a " +
+            s"positive integer; using default $default")
+        default
+      }
+    }
+  }
 
   /** Run `body` with spark.sql.shuffle.partitions temporarily set to
     * `n`, restoring the caller's value after. The conf is read when a

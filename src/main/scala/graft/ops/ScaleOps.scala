@@ -81,10 +81,13 @@ object ScaleOps {
     // invocations IN THIS JVM cannot race on create/insert/drop.
     // The graft_bkt_ prefix is the engine's reserved scratch namespace:
     // entries left by a hard-crashed previous run (its finally never
-    // ran) are swept ONCE per JVM, before this process has created any
-    // scratch table of its own — so the sweep can only ever see true
-    // orphans from a dead process, never a live invocation's tables.
-    // Caveat the sweep assumes: one driver process per metastore at a
+    // ran) are swept ONCE per JVM. Like withShufflePartitions, this
+    // relies on the single-threaded driver contract (SURVEY §1): the
+    // CAS makes the sweep run once, but it does NOT fence a concurrent
+    // same-JVM invocation racing past the CAS and creating its scratch
+    // tables while the sweep is still enumerating — sequential callers
+    // can only ever expose true orphans from a dead process to it.
+    // Same assumption across processes: one driver per metastore at a
     // time (the engine's deployment model); two drivers sharing a
     // persistent metastore could sweep each other's in-flight scratch
     // tables at startup, so a multi-driver deployment should disable
@@ -216,6 +219,17 @@ object ScaleOps {
     * candidates exactly (broadcast semi-join, then a partial+final agg
     * over a capacity-bounded key set).
     *
+    * Two-scan trade, stated deliberately: the sketch pass and the
+    * recount pass EACH scan+explode the corpus. Materializing the
+    * tokenized relation once to share the explode would replace two
+    * column-pruned, codegen'd passes over the (compressed) corpus with
+    * one write plus two reads of the token relation — which is LARGER
+    * than the corpus it came from (one row per token, uncompressed
+    * strings), and measured on this engine such corpus-sized
+    * materialization loses to recompute (see the gramRows note,
+    * LlmPipeline.scala). Two scans of the source is the cheaper plan at
+    * every scale factor tested and the cheaper IO at 100 TB.
+    *
     * The declared result is the SUPPORT-THRESHOLD set — every token
     * with exact count·65 > n (frequency above n/(capacity+1)) — because
     * that is precisely what Misra-Gries guarantees survives any
@@ -339,6 +353,65 @@ object ScaleOps {
         "FROM z GROUP BY 1 ORDER BY 1"))
   }
 
+  /** Date-partitioned archive scan with partition pruning — the
+    * reference's defining A1 behavior (SURVEY §2.1 A1, §4.2): replay
+    * only the time range asked for by LISTING only its keys, never
+    * touching the rest of the archive. The reference scopes its object
+    * listing to `YYYY/MM/DD/HH` prefixes; the Spark-native spelling is
+    * a Hive-partitioned directory tree (`dt=YYYY-MM-DD/`) where the
+    * time-range predicate becomes a PARTITION FILTER resolved against
+    * directory names at planning time — the 7-day query below reads 7
+    * of the 30 day-directories and the other 23 are never opened (file
+    * count pinned in PlanSpec). At 100 TB this is the single biggest
+    * scan-cost lever: "replay yesterday" out of years of archive costs
+    * one day's IO, not a full scan with a post-filter. The oracle
+    * restates the same predicate over the flat events table — the hash
+    * match proves pruning changed the IO, not the answer.
+    */
+  private[graft] def stageTimePartitioned(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = TmpDirs.dir("events-dt")
+    // At scale this write is the archive's ingest layout decision:
+    // partitionBy(dt) so every downstream time-ranged replay prunes.
+    Tables.events(s, d)
+      .withColumn("dt", date_format(timestamp_millis($"ms"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    dir
+  }
+
+  /** The time-ranged read over the staged tree ("replay week 2 of the
+    * month"); split out so PlanSpec can pin the pruned partition count
+    * on the same DataFrame the key executes.
+    */
+  private[graft] def timePartitionedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(dir)
+      // dt is a DATE partition column (directory-name type inference);
+      // the string literals cast to date, and the predicate is resolved
+      // against partition VALUES at planning time — a partition filter,
+      // not a data filter.
+      .filter($"dt" >= "2024-01-08" && $"dt" <= "2024-01-14")
+      .groupBy($"dt".cast("string").as("dt"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), moneySum($"value").as("total_value"))
+      .orderBy("dt", "event_type")
+  }
+
+  private val scanTimePartitioned = Q(
+    "scan_time_partitioned",
+    (s, d) => {
+      import s.implicits._
+      // an empty archive writes no partition directories — nothing to
+      // infer a schema from on the read side
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(String, String, Long, Double)]
+          .toDF("dt", "event_type", "cnt", "total_value")
+      else timePartitionedRead(s, stageTimePartitioned(s, d))
+    },
+    Some("SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, count(*) AS cnt, " +
+      OSql.msum("value") + " AS total_value FROM events " +
+      "WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"))
+
   /** Exact distributed percentiles. Spark's `percentile` aggregate
     * carries a per-group value→count map through partial/final
     * aggregation — O(#distinct values) state, which for a bounded
@@ -373,5 +446,6 @@ object ScaleOps {
       "FROM q ORDER BY 1"))
 
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv,
-    aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles)
+    aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
+    scanTimePartitioned)
 }

@@ -193,6 +193,13 @@ object Replay {
       org.apache.spark.sql.streaming.StreamingQueryProgress]()
     val done = new java.util.concurrent.CountDownLatch(1)
     val expectedRun = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
+    // Termination can beat expectedRun.set() for a fast AvailableNow run
+    // (e.g. an empty archive): the listener records EVERY terminated
+    // runId so the await below can be skipped when the event already
+    // arrived — comparing only against expectedRun would miss it and
+    // stall the full await timeout on every empty replay.
+    val terminated = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.util.UUID]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -202,8 +209,10 @@ object Replay {
           System.err.println(
             s"[replay] batch=${e.progress.batchId} rows=${e.progress.numInputRows}")
       }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+        terminated.add(e.runId)
         if (e.runId == expectedRun.get) done.countDown()
+      }
     }
     s.streams.addListener(listener)
     val q = stream.writeStream
@@ -244,9 +253,12 @@ object Replay {
     // The listener bus delivers asynchronously but in posting order, so
     // once the termination event arrives every progress event of this
     // run has been delivered — wait (bounded) for it before detaching.
-    // A timeout means a slow/backed-up bus: the progress accounting
-    // below may UNDERCOUNT, so say so instead of silently proceeding.
-    if (!done.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // If the event already landed (recorded in `terminated` — possible
+    // before expectedRun.set() ran), skip the wait. A timeout means a
+    // slow/backed-up bus: the progress accounting below may UNDERCOUNT,
+    // so say so instead of silently proceeding.
+    if (!terminated.contains(q.runId) &&
+        !done.await(10, java.util.concurrent.TimeUnit.SECONDS))
       System.err.println(
         "[replay] WARN: listener bus did not deliver the termination " +
           "event within 10s — progress metrics below may undercount")
@@ -290,8 +302,16 @@ object Replay {
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt = TmpDirs.dir("agg-ckpt")
     val table = "replay_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = s.read.parquet(path).schema
-    val agg = build(s.readStream.schema(schema).parquet(path))
+    // A directory passes through untouched — replayed sinks are
+    // PARTITIONED dirs (shard=/epoch=) and a brace-glob would defeat
+    // partition discovery (the schema'd stream then asserts reading
+    // partition columns out of the data files). Only a single archive
+    // FILE needs the glob treatment (FileStreamSource wants a dir/glob).
+    val (batchPath, streamPath) =
+      if (new java.io.File(path).isDirectory) (path, path)
+      else (Tables.escapeGlob(path), Tables.srcGlob(path))
+    val schema = s.read.parquet(batchPath).schema
+    val agg = build(s.readStream.schema(schema).parquet(streamPath))
     // state shard count scoped to the stream (see Sessions.StreamStateShards)
     graft.core.Sessions.withShufflePartitions(s, graft.core.Sessions.StreamStateShards) {
       val q = agg.writeStream
@@ -386,5 +406,99 @@ object Replay {
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
 
-  val qs: Seq[Q] = Seq(replayStream, replayFiltered, replayTextArchive)
+  /** Live sliding-window run — completes the streaming window matrix
+    * (tumbling: `replay_stream`; session: `stream_session_state` /
+    * native session_window; sliding: THIS). A real `readStream` over
+    * the archive with a 1-hour watermark and a 1h × 15min sliding
+    * window — each event lands in exactly 4 open windows, so streaming
+    * state holds ≤ 4 × #eventTypes windows per active hour, evicted as
+    * the watermark passes. Counts are exact, so the result is
+    * bit-identical no matter how the stream was micro-batched — same
+    * DuckDB oracle as the batch twin `stream_sliding`.
+    */
+  private val replaySliding = Q(
+    "replay_sliding",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(Long, String, Long)].toDF("win_start", "event_type", "cnt")
+      else runStreamToTable(s, s"$d/events.parquet") { in =>
+        in.withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+          .withWatermark("ets", "1 hour")
+          .groupBy(window($"ets", "1 hour", "15 minutes"), $"event_type")
+          .agg(count(lit(1)).as("cnt"))
+      }.select(unix_timestamp($"window.start").as("win_start"), $"event_type", $"cnt")
+        .orderBy("win_start", "event_type")
+    },
+    // identical oracle to the batch twin stream_sliding (EventTime.scala)
+    Some("WITH e AS (SELECT epoch_ms(ts)//1000 AS t, event_type FROM events), " +
+      "k AS (SELECT unnest([0,1,2,3]) AS k) " +
+      "SELECT CAST((t//900 - k) * 900 AS BIGINT) AS win_start, event_type, count(*) AS cnt " +
+      "FROM e CROSS JOIN k GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  /** TRUE streaming dedup — `dropDuplicatesWithinWatermark`, the
+    * operator that turns an at-least-once replay into exactly-once
+    * delivery (the batch twin `stream_dedup` states the semantics; this
+    * runs them as a live stream). The archive is staged AT-LEAST-ONCE —
+    * every event written twice, the second copy in later files, so a
+    * throttled run re-delivers each event in a LATER micro-batch — and
+    * the stream drops re-deliveries on the unique event_id. State at
+    * scale: one entry per key seen within the watermark horizon, evicted
+    * once the watermark passes (vs. plain dropDuplicates whose state
+    * grows forever) — the delay only needs to cover the sink's maximum
+    * redelivery lag, not the archive span. Duplicates are exact copies,
+    * so whichever arrival is kept the row content is identical —
+    * micro-batching cannot change the result, which is what lets the
+    * driver hash-compare against the batch oracle (the original event
+    * set). Exercised throttled + twin-asserted in ReplayTwinSpec.
+    */
+  private[graft] def dedupWatermarked(
+      s: SparkSession, d: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id", $"event_type", $"ms")
+    // two sequential writes: the duplicate copy lands in files the
+    // file source orders AFTER the originals (mod-time order)
+    val dir = TmpDirs.dir("dup-archive")
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val out = TmpDirs.dir("dedup-out")
+    val ckpt = TmpDirs.dir("dedup-ckpt")
+    val reader = s.readStream.schema(s.read.parquet(dir).schema)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val deduped = reader.parquet(dir)
+      .withColumn("ets", timestamp_millis($"ms"))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    graft.core.Sessions.withShufflePartitions(
+      s, graft.core.Sessions.StreamStateShards) {
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .select($"event_id", $"user_id", $"event_type", $"ms")
+      .orderBy("event_id")
+  }
+
+  private val streamDedupWatermark = Q(
+    "stream_dedup_watermark",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(Long, Long, String, Long)]
+          .toDF("event_id", "user_id", "event_type", "ms")
+      else dedupWatermarked(s, d)
+    },
+    Some("SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms " +
+      "FROM events ORDER BY event_id"))
+
+  val qs: Seq[Q] =
+    Seq(replayStream, replayFiltered, replayTextArchive, replaySliding,
+      streamDedupWatermark)
 }

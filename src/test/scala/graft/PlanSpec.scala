@@ -105,6 +105,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("heavy_hitters"))
   }
 
+  test("scan_time_partitioned prunes the directory tree: 7 of 30 day-partitions read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = graft.ops.ScaleOps.stageTimePartitioned(spark, sf)
+    val df = graft.ops.ScaleOps.timePartitionedRead(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the time-range predicate must be a PARTITION filter (resolved
+    // against directory names), not a post-scan data filter
+    assert(plan.toString.contains("PartitionFilters: [isnotnull(dt"),
+      "dt range must reach the scan as a partition filter")
+    // collect() does not descend through AQE wrappers — unwrap the
+    // adaptive root and query-stage nodes explicitly
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scansOf)
+      }
+    val scans = scansOf(plan)
+    assert(scans.nonEmpty)
+    val partitionsRead = scans.map(_.metrics("numPartitions").value).sum
+    assert(partitionsRead === 7,
+      s"expected exactly the 7 day-partitions in range, read $partitionsRead")
+    // and the pruned scan must still see the unpruned total of 30 days
+    assert(spark.read.parquet(dir).select("dt").distinct().count() === 30)
+  }
+
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
     val plan = executedPlan("dedup_simhash")
     assert(!plan.contains("CartesianProduct"))

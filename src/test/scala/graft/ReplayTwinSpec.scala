@@ -62,6 +62,83 @@ class ReplayTwinSpec extends SparkSpec {
     assert(streaming.toSeq === batch.toSeq)
   }
 
+  test("live sliding-window stream equals its batch twin stream_sliding") {
+    val streaming = run("replay_sliding").collect().map(_.toSeq)
+    val batch = run("stream_sliding").collect().map(_.toSeq)
+    assert(streaming.nonEmpty)
+    assert(streaming.toSeq === batch.toSeq)
+  }
+
+  test("watermarked streaming dedup drops at-least-once redeliveries, throttled and not") {
+    import org.apache.spark.sql.functions._
+    val original = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    // single-pass: both copies in one micro-batch — in-batch dedup
+    val single = run("stream_dedup_watermark").collect().map(_.toSeq)
+    assert(single.toSeq === original.toSeq)
+    // throttled: one file per micro-batch, so the duplicate copy is
+    // re-delivered in LATER batches and must be dropped by state (or as
+    // watermark-late — either way it is a duplicate of an emitted row)
+    val throttled = graft.streaming.Replay
+      .dedupWatermarked(spark, sf, maxFilesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    assert(throttled.toSeq === original.toSeq)
+  }
+
+  /** Stage the events archive as `n` files split by `splitter` (written
+    * sequentially so file mod-time order == write order) and return the
+    * dir — the controlled multi-epoch replay input.
+    */
+  private def stageSplit(n: Int)(
+      splitter: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): String = {
+    val dir = graft.core.TmpDirs.dir("sess-et-archive")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    (0 until n).foreach { i =>
+      splitter(ev, i).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5) // distinct mod-times keep source file order stable
+    }
+    dir
+  }
+
+  test("event-time-timeout sessions: time-ordered throttled replay (timeouts fire) equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    // 3 files split by event-time range — in-order delivery, so the
+    // 1-hour delay drops nothing and between batches the advancing
+    // watermark CLOSES old sessions via the event-time timeout
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val Array(q1, q2) = ev.selectExpr("ts div 1000000 AS ms")
+      .stat.approxQuantile("ms", Array(0.33, 0.66), 0.0).map(_.toLong)
+    val dir = stageSplit(3) { (df, i) =>
+      val ms = expr("ts div 1000000")
+      i match {
+        case 0 => df.filter(ms <= q1)
+        case 1 => df.filter(ms > q1 && ms <= q2)
+        case 2 => df.filter(ms > q2)
+      }
+    }
+    val streamed = graft.streaming.StatefulSessions
+      .runEventTime(spark, dir, delay = "1 hour", maxFilesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = run("stream_session").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("event-time-timeout sessions: SHUFFLED multi-batch replay (out-of-order) equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    // rows scattered across 3 files with no time affinity — every batch
+    // interleaves the whole archive span; the wide delay admits all of
+    // it and the interval-merge state must reassemble exact sessions
+    val dir = stageSplit(3) { (df, i) =>
+      df.filter(pmod(xxhash64(col("event_id")), lit(3)) === i)
+    }
+    val streamed = graft.streaming.StatefulSessions
+      .runEventTime(spark, dir, delay = "3650 days", maxFilesPerTrigger = 1)
+      .collect().map(_.toSeq)
+    val batch = run("stream_session").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("replay sink respects the shard layout and the 500-record put-batch cap") {
     import org.apache.spark.sql.functions._
     val out = Replay.replayArchive(spark, s"$sf/events.parquet", nShards = 4)
