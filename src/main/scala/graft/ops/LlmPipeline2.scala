@@ -380,47 +380,77 @@ object LlmPipeline2 {
       "FROM cand JOIN sig s USING (vec_id), pv ORDER BY sim DESC, vec_id ASC LIMIT 10"))
 
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
-    * path next to the SRP-LSH one. Cells are the embedding `label`
-    * groups (the fixture's given partition; a real deployment trains
-    * ~√N k-means cells — the plumbing is identical); the probe scores
-    * every cell centroid, picks the nProbe=2 nearest, and scans ONLY
-    * those cells — 2/L of the corpus, with L growing ~√N, so the scan is
-    * sub-linear at scale while the centroid table stays tiny (L × 64).
+    * path next to the SRP-LSH one. The index is TRAINED here: a
+    * deterministic Lloyd (k-means) loop — K=8 cells seeded by the K
+    * smallest vec_ids, 2 fixed iterations — assigns every vector to its
+    * nearest centroid by the same score the probe uses. The probe then
+    * scores the K trained centroids, picks the nProbe=2 nearest, and
+    * scans ONLY their inverted lists — 2/K of the corpus, with K growing
+    * ~√N at scale while the centroid table stays tiny (K × 64). Each
+    * Lloyd E-step is the standard broadcast plan (K×64 centroid table
+    * map-side-joined to the quantized components, one shuffle per
+    * vec_id-group), the M-step one shuffle by cell — k-means at 100 TB
+    * is exactly these two shapes per iteration.
     *
-    * Determinism: cell scoring never touches float accumulation order.
-    * Components are integer-quantized (floor(x·10⁶ + 0.5) — identical in
-    * both engines), centroid sums and the probe·centroid dot are then
-    * EXACT integer arithmetic — accumulated in DECIMAL(38,0) on the
-    * Spark side and HUGEINT in DuckDB, because pq·sq reaches
-    * ~1e12·n_cell and a 64-bit product would overflow exactly on the
-    * large-cell scale path this operator exists for; the only division
-    * is one double op on identical inputs. The final in-cell scan is the
-    * usual codegen'd DotProductF fold with 6dp floor-rounding, like the
-    * other similarity operators.
+    * Determinism (what lets DuckDB replay the SAME training): nothing
+    * random and no float accumulation order anywhere. Components are
+    * integer-quantized (floor(x·10⁶ + 0.5), identical in both engines);
+    * centroids are carried UNDIVIDED as (Σq, n), so vector·centroid
+    * scores are exact integer dots — accumulated in DECIMAL(38,0) /
+    * HUGEINT because q·sq reaches ~1e12·n_cell — followed by ONE double
+    * division of identical inputs; assignment ties break on smallest
+    * cell id. Both engines therefore compute bit-identical assignments
+    * every iteration. The final in-cell scan is the usual codegen'd
+    * DotProductF fold with 6dp floor-rounding, like the other
+    * similarity operators.
     */
   private val simAnnIvf = Q(
     "sim_ann_ivf",
     (s, d) => {
       import s.implicits._
+      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val emb = t(s, d, "embeddings")
-      val iq = emb
-        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "x")))
-        .select($"vec_id", $"label", $"pos",
-          floor($"x" * lit(1e6) + lit(0.5)).cast("long").as("q"))
-      val cellN = emb.groupBy("label").agg(count(lit(1)).as("n"))
-      val cellSum = iq.groupBy("label", "pos").agg(sum($"q").as("sq"))
+      // quantized components, reused by every E/M-step: materialize once
+      val iq = Mat(s, emb
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"vec_id", $"pos",
+          floor($"x" * lit(1e6) + lit(0.5)).cast("long").as("q")), "ivf-iq")
+      val seeds = emb.orderBy($"vec_id").limit(8).select($"vec_id".as("cell"))
+      // centroid relation: (cell, pos, sq = Σq over members, n = #members)
+      val c0 = iq.join(broadcast(seeds), $"vec_id" === $"cell")
+        .select($"cell", $"pos", $"q".as("sq"), lit(1L).as("n"))
+      // E-step: assign every vector to the argmax-score centroid. The
+      // argmax is a max(struct(score, -cell)) aggregate — same answer as
+      // a row_number window (ties → smallest cell) with a partial+final
+      // agg instead of an exchange+sort, and no materialization: both
+      // Lloyd iterations fuse into the single job that builds a2.
+      def assign(cent: DataFrame): DataFrame =
+        iq.join(broadcast(cent), "pos")
+          .groupBy($"vec_id", $"cell")
+          .agg((sum($"q".cast(Dec38) * $"sq").cast("double") / max($"n")).as("score"))
+          .groupBy($"vec_id")
+          .agg(max(struct($"score", (-$"cell").as("nc"))).as("m"))
+          .select($"vec_id", (-$"m.nc").as("cell"))
+      // M-step: recompute (Σq, n) per surviving cell
+      def centroids(a: DataFrame): DataFrame = {
+        val n = a.groupBy("cell").agg(count(lit(1)).as("n"))
+        iq.join(a, "vec_id").groupBy($"cell", $"pos")
+          .agg(sum($"q").as("sq"))
+          .join(broadcast(n), "cell")
+      }
+      // a2 is consumed twice (c2 + the final inverted-list join) —
+      // materialize once; everything upstream stays lazy inside its job
+      val a2 = Mat(s, assign(centroids(assign(c0))), "ivf-assign")
+      val c2 = centroids(a2)
       val probeQ = iq.filter($"vec_id" === 0).select($"pos", $"q".as("pq"))
-      val chosen = cellSum.join(broadcast(probeQ), "pos")
-        .groupBy("label")
-        .agg(sum($"pq".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"sq")
-          .as("idot"))
-        .join(broadcast(cellN), "label")
-        .select($"label", ($"idot".cast("double") / $"n").as("score"))
-        .orderBy($"score".desc, $"label".asc)
+      val chosen = c2.join(broadcast(probeQ), "pos")
+        .groupBy("cell")
+        .agg((sum($"pq".cast(Dec38) * $"sq").cast("double") / max($"n")).as("score"))
+        .orderBy($"score".desc, $"cell".asc)
         .limit(2)
-        .select("label")
+        .select("cell")
       val probeVec = emb.filter($"vec_id" === 0).select($"embedding".as("probe"))
-      emb.join(broadcast(chosen), "label")
+      emb.join(a2, "vec_id").join(broadcast(chosen), "cell")
         .crossJoin(broadcast(probeVec))
         .select($"vec_id",
           dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"probe"), 6)
@@ -428,20 +458,37 @@ object LlmPipeline2 {
         .orderBy($"sim".desc, $"vec_id".asc)
         .limit(10)
     },
-    Some("WITH iq AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos, " +
+    Some("WITH iq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
       "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q " +
       "FROM embeddings), " +
-      "cn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1), " +
-      "cs AS (SELECT label, pos, SUM(q) AS sq FROM iq GROUP BY 1, 2), " +
+      "seeds AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 8), " +
+      "c0 AS (SELECT s.cell, iq.pos, iq.q AS sq, CAST(1 AS BIGINT) AS n " +
+      "FROM seeds s JOIN iq ON iq.vec_id = s.cell), " +
+      "s1 AS (SELECT iq.vec_id, c0.cell, " +
+      "CAST(SUM(CAST(iq.q AS HUGEINT) * c0.sq) AS DOUBLE) / max(c0.n) AS score " +
+      "FROM iq JOIN c0 USING (pos) GROUP BY 1, 2), " +
+      "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn FROM s1) WHERE rn = 1), " +
+      "n1 AS (SELECT cell, count(*) AS n FROM a1 GROUP BY 1), " +
+      "c1 AS (SELECT a1.cell, iq.pos, SUM(iq.q) AS sq, max(n1.n) AS n " +
+      "FROM iq JOIN a1 USING (vec_id) JOIN n1 ON n1.cell = a1.cell GROUP BY 1, 2), " +
+      "s2 AS (SELECT iq.vec_id, c1.cell, " +
+      "CAST(SUM(CAST(iq.q AS HUGEINT) * c1.sq) AS DOUBLE) / max(c1.n) AS score " +
+      "FROM iq JOIN c1 USING (pos) GROUP BY 1, 2), " +
+      "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn FROM s2) WHERE rn = 1), " +
+      "n2 AS (SELECT cell, count(*) AS n FROM a2 GROUP BY 1), " +
+      "c2 AS (SELECT a2.cell, iq.pos, SUM(iq.q) AS sq, max(n2.n) AS n " +
+      "FROM iq JOIN a2 USING (vec_id) JOIN n2 ON n2.cell = a2.cell GROUP BY 1, 2), " +
       "pq AS (SELECT pos, q AS pqv FROM iq WHERE vec_id = 0), " +
-      "sc AS (SELECT cs.label, CAST(SUM(CAST(pqv AS HUGEINT) * sq) AS DOUBLE) / any_value(n) AS score " +
-      "FROM cs JOIN pq USING (pos) JOIN cn ON cn.label = cs.label GROUP BY 1), " +
-      "chosen AS (SELECT label FROM sc ORDER BY score DESC, label ASC LIMIT 2), " +
-      "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "sc AS (SELECT c2.cell, CAST(SUM(CAST(pqv AS HUGEINT) * c2.sq) AS DOUBLE) / max(c2.n) AS score " +
+      "FROM c2 JOIN pq USING (pos) GROUP BY 1), " +
+      "chosen AS (SELECT cell FROM sc ORDER BY score DESC, cell ASC LIMIT 2), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
       "FROM embeddings), " +
       "pv AS (SELECT v AS pvec FROM e WHERE vec_id = 0) " +
       "SELECT e.vec_id, " + OSql.sround("list_dot_product(e.v, pv.pvec)", 6) + " AS sim " +
-      "FROM e JOIN chosen USING (label), pv " +
+      "FROM e JOIN a2 USING (vec_id) JOIN chosen USING (cell), pv " +
       "ORDER BY sim DESC, vec_id ASC LIMIT 10"))
 
   // ------------------------------------------------------- text analysis
