@@ -298,17 +298,20 @@ object Replay {
     * directory to completion (complete mode, memory sink, single
     * available-now pass) and return the final table.
     */
-  private[graft] def runStreamToTable(s: SparkSession, path: String)(
+  private[graft] def runStreamToTable(
+      s: SparkSession, path: String, rawGlob: Boolean = false)(
       build: DataFrame => DataFrame): DataFrame = {
     val ckpt = TmpDirs.dir("agg-ckpt")
     val table = "replay_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // A directory passes through untouched — replayed sinks are
     // PARTITIONED dirs (shard=/epoch=) and a brace-glob would defeat
     // partition discovery (the schema'd stream then asserts reading
-    // partition columns out of the data files). Only a single archive
-    // FILE needs the glob treatment (FileStreamSource wants a dir/glob).
+    // partition columns out of the data files). A caller-supplied glob
+    // (rawGlob, e.g. the time-range dir scope) also passes through.
+    // Only a single archive FILE needs the escape treatment
+    // (FileStreamSource wants a dir/glob).
     val (batchPath, streamPath) =
-      if (new java.io.File(path).isDirectory) (path, path)
+      if (rawGlob || new java.io.File(path).isDirectory) (path, path)
       else (Tables.escapeGlob(path), Tables.srcGlob(path))
     val schema = s.read.parquet(batchPath).schema
     val agg = build(s.readStream.schema(schema).parquet(streamPath))
@@ -498,7 +501,44 @@ object Replay {
     Some("SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms " +
       "FROM events ORDER BY event_id"))
 
+  /** Time-scoped STREAMING replay — A1's defining behavior run live
+    * (the batch twin is `scan_time_partitioned`): the reference lists
+    * only the archive keys under the requested `YYYY/MM/DD` prefixes
+    * and replays those. Spark-natively, the replay stream's source path
+    * IS the scoped listing — a brace-glob over exactly the in-range
+    * `dt=` day directories of the partitioned archive tree, so the
+    * FileStreamSource never lists, opens, or checkpoints a byte of the
+    * out-of-range days. At 100 TB "replay last week" costs one week's
+    * listing + IO out of years of archive. The oracle restates the
+    * predicate over the flat events table; since the stream applies NO
+    * row filter, the hash match proves the directory scoping alone
+    * delivered exactly the in-range rows.
+    */
+  private val replayTimeRange = Q(
+    "replay_time_range",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(String, String, Long, Double)]
+          .toDF("dt", "event_type", "cnt", "total_value")
+      else {
+        val tree = graft.ops.ScaleOps.stageTimePartitioned(s, d)
+        val days = (8 to 14).map(i => f"$i%02d").mkString(",")
+        runStreamToTable(s, s"$tree/dt=2024-01-{$days}", rawGlob = true) { in =>
+          in.groupBy(
+              date_format(timestamp_millis($"ms"), "yyyy-MM-dd").as("dt"),
+              $"event_type")
+            .agg(count(lit(1)).as("cnt"), Det.moneySum($"value").as("total_value"))
+        }.orderBy("dt", "event_type")
+      }
+    },
+    // same oracle as the batch twin scan_time_partitioned
+    Some("SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, count(*) AS cnt, " +
+      OSql.msum("value") + " AS total_value FROM events " +
+      "WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"))
+
   val qs: Seq[Q] =
     Seq(replayStream, replayFiltered, replayTextArchive, replaySliding,
-      streamDedupWatermark)
+      streamDedupWatermark, replayTimeRange)
 }

@@ -165,7 +165,7 @@ object StatefulSessions {
       closedSessions: Long, closedDurMs: Long, closedEvents: Long,
       open: Seq[Iv])
 
-  private def mergeIvs(ivs: Seq[Iv]): Seq[Iv] =
+  private[graft] def mergeIvs(ivs: Seq[Iv]): Seq[Iv] =
     ivs.sortBy(i => (i.t0, i.last)).foldLeft(List.empty[Iv]) { (acc, iv) =>
       acc match {
         case h :: t if iv.t0 - h.last <= GapMs =>

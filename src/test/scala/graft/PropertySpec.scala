@@ -89,6 +89,32 @@ class PropertySpec extends SparkSpec {
     }, min = 8)
   }
 
+  test("interval-merge session state is exact under ANY batch split and arrival order (forAll)") {
+    import graft.streaming.StatefulSessions.{Iv, mergeIvs}
+    val G = 1800000L // GapMs
+    // event times spanning ~4h in minute steps so gaps straddle G
+    val ptsGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(0L, 240L).map(_ * 60000L))
+    check(Prop.forAll(ptsGen, Gen.chooseNum(1, 6), Gen.long) { (pts, nBatches, seed) =>
+      // fold the points through the streaming state in a random batch
+      // split and random arrival order — exactly what an out-of-order
+      // multi-epoch replay feeds foldGroupEt
+      val shuffled = new scala.util.Random(seed).shuffle(pts)
+      val batches = shuffled.grouped(
+        math.max(1, shuffled.size / nBatches)).toSeq
+      val folded = batches.foldLeft(Seq.empty[Iv]) { (open, b) =>
+        mergeIvs(open ++ b.map(ms => Iv(ms, ms, 1L)))
+      }
+      // reference: sort every point, split where the gap exceeds G
+      val sorted = pts.sorted
+      val ref = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, p) =>
+        if (p - acc.head.head <= G) (p :: acc.head) :: acc.tail
+        else List(p) :: acc
+      }.reverse.map(sess => Iv(sess.min, sess.max, sess.size.toLong))
+      folded.sortBy(_.t0) == ref.sortBy(_.t0)
+    }, min = 300)
+  }
+
   test("set-algebra cardinality laws hold against the raw tables") {
     val custKeys = spark.read.parquet(s"$sf/customer.parquet")
       .select($"c_nationkey".cast("long")).distinct().count()

@@ -139,6 +139,13 @@ class ReplayTwinSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("time-scoped streaming replay equals the partition-pruned batch scan") {
+    val streamed = run("replay_time_range").collect().map(_.toSeq)
+    val batch = run("scan_time_partitioned").collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("replay sink respects the shard layout and the 500-record put-batch cap") {
     import org.apache.spark.sql.functions._
     val out = Replay.replayArchive(spark, s"$sf/events.parquet", nShards = 4)
