@@ -78,28 +78,38 @@ object LlmPipeline {
     * is a 1-row broadcast; the dot product is the native codegen'd
     * `DotProductF` expression (graft.functions) — a fused primitive
     * loop, same left-to-right double fold in both engines, rounded to
-    * 6dp before the ORDER BY so the top-20 cut is on identical keys.
+    * 6dp before the ORDER BY so the top-k cut is on identical keys.
+    * Shared with `sim_ann_recall`, which measures the ANN indexes
+    * against this exact scan.
     */
-  private val simCosineTopk = Q(
-    "sim_cosine_topk",
-    (s, d) => {
-      import s.implicits._
-      val emb = t(s, d, "embeddings")
-      val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe"))
-      emb.crossJoin(broadcast(probe))
-        .select($"vec_id",
-          dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"probe"), 6)
-            .as("sim"))
-        .orderBy($"sim".desc, $"vec_id".asc)
-        .limit(20)
-    },
-    Some("WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0), " +
+  private[ops] def exactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe"))
+    emb.crossJoin(broadcast(probe))
+      .select($"vec_id",
+        dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"probe"), 6)
+          .as("sim"))
+      .orderBy($"sim".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** DuckDB spelling of [[exactTopK]] (the oracle side of the exact
+    * scan), parameterized by k so the recall key can reuse it.
+    */
+  private[ops] def exactTopkSql(k: Int): String =
+    "WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0), " +
       "ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i " +
       "FROM embeddings), " +
       "px AS (SELECT unnest(p) AS y, generate_subscripts(p, 1) AS i FROM probe) " +
       "SELECT vec_id, " + OSql.sround("SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))", 6) +
       " AS sim FROM ex JOIN px USING (i) GROUP BY vec_id " +
-      "ORDER BY sim DESC, vec_id ASC LIMIT 20"))
+      s"ORDER BY sim DESC, vec_id ASC LIMIT $k"
+
+  private val simCosineTopk = Q(
+    "sim_cosine_topk",
+    (s, d) => exactTopK(s, d, 20),
+    Some(exactTopkSql(20)))
 
   /** Multimodal row: text metadata ⋈ vector modality on the shared id. */
   private val multimodalJoin = Q(

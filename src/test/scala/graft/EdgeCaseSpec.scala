@@ -198,6 +198,23 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- IVF parameters
+
+  test("IVF index re-parameterizes: K=4/nProbe=2 still returns a sane top-10") {
+    val rows = graft.ops.LlmPipeline2.ivfTopK(spark, sf, numCells = 4).collect()
+    assert(rows.length === 10)
+    // the probe always finds itself (cosine ~1.0, tie-broken first) —
+    // its own cell must rank among the probed lists at any K
+    assert(rows(0).getLong(0) === 0L)
+    assert(rows(0).getDouble(1) > 0.999)
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims === sims.sorted.reverse, "sims must be non-increasing")
+    // the declared key IS the helper at its K=8/nProbe=2 defaults
+    val declared = run("sim_ann_ivf").collect().map(_.toSeq)
+    val viaHelper = graft.ops.LlmPipeline2.ivfTopK(spark, sf).collect().map(_.toSeq)
+    assert(declared.toSeq === viaHelper.toSeq)
+  }
+
   // ------------------------------------------------------------ empty sweep
 
   test("every declared query survives fully empty tables") {
@@ -209,7 +226,10 @@ class EdgeCaseSpec extends SparkSpec {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (key, fn) =>
       try {
         val n = fn(spark, dir).count()
-        if (n <= 1) None else Some(s"$key: unexpected $n rows") // ≤1 allows grand-total rows
+        // ≤1 allows grand-total rows; sim_ann_recall reports one
+        // (zero-overlap) row per index even on an empty corpus
+        val cap = if (key == "sim_ann_recall") 2 else 1
+        if (n <= cap) None else Some(s"$key: unexpected $n rows")
       } catch { case e: Throwable => Some(s"$key: ${e.getClass.getSimpleName} ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
