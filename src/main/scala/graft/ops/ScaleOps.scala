@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Det, OSql, Q, Tables, TmpDirs}
+import graft.core.{Det, Mat, OSql, Q, Tables, TmpDirs}
 
 /** Scale-technique operators: the join/storage/ingest patterns a 100 TB
   * deployment leans on, each demonstrated as a first-class verified
@@ -412,6 +412,53 @@ object ScaleOps {
       "WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' " +
       "GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** Join-driven DYNAMIC partition pruning over the same archive tree —
+    * the 100 TB star-join sibling of `scan_time_partitioned`'s static
+    * range. There the pruning predicate is a literal the planner
+    * resolves against directory names; here it is NOT known at plan
+    * time: the replay is scoped by a campaign calendar (a dimension
+    * table), "replay the days campaign 2 ran". Spark's DPP turns the
+    * broadcast join's build side into a runtime partition filter on the
+    * fact scan (`dynamicpruningexpression` reusing the broadcast — zero
+    * extra jobs), so only the 6 of 30 day-directories whose dt survives
+    * the dim filter are ever listed or read (pinned in PlanSpec). This
+    * is the shape every 100 TB fact-to-dimension replay query needs:
+    * the IO is bounded by the dimension's selectivity even though no
+    * literal date range exists in the query text. The oracle restates
+    * the join over the flat events table — the hash match proves DPP
+    * changed the IO, not the answer.
+    */
+  private[graft] def dppRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // The campaign calendar: one row per archive day, campaign id
+    // derived deterministically from the day-of-month so both engines
+    // build the identical dimension. Materialized as its own parquet
+    // (a genuine filterable dim scan, not a foldable local relation).
+    val dim = Mat(s, s.read.parquet(dir).select($"dt").distinct()
+      .select($"dt", (dayofmonth($"dt") % 5).cast("int").as("campaign")), "dpp-dim")
+    s.read.parquet(dir)
+      .join(dim.filter($"campaign" === 2).select("dt"), Seq("dt"))
+      .groupBy($"dt".cast("string").as("dt"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), moneySum($"value").as("total_value"))
+      .orderBy("dt", "event_type")
+  }
+
+  private val scanDppJoin = Q(
+    "scan_dpp_join",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(String, String, Long, Double)]
+          .toDF("dt", "event_type", "cnt", "total_value")
+      else dppRead(s, stageTimePartitioned(s, d))
+    },
+    Some("WITH f AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, value " +
+      "FROM events), " +
+      "dim AS (SELECT dt FROM (SELECT DISTINCT dt FROM f) " +
+      "WHERE date_part('day', CAST(dt AS DATE)) % 5 = 2) " +
+      "SELECT dt, event_type, count(*) AS cnt, " + OSql.msum("value") +
+      " AS total_value FROM f JOIN dim USING (dt) GROUP BY 1, 2 ORDER BY 1, 2"))
+
   /** Exact distributed percentiles. Spark's `percentile` aggregate
     * carries a per-group value→count map through partial/final
     * aggregation — O(#distinct values) state, which for a bounded
@@ -447,5 +494,5 @@ object ScaleOps {
 
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
-    scanTimePartitioned)
+    scanTimePartitioned, scanDppJoin)
 }

@@ -15,6 +15,21 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** All FileSourceScanExec leaves of an executed plan — collect() does
+    * not descend through AQE wrappers, so unwrap the adaptive root and
+    * query-stage nodes explicitly.
+    */
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+
   test("scan_pruned_filter pushes predicates and prunes columns at the parquet scan") {
     val plan = executedPlan("scan_pruned_filter")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
@@ -115,17 +130,6 @@ class PlanSpec extends SparkSpec {
     // against directory names), not a post-scan data filter
     assert(plan.toString.contains("PartitionFilters: [isnotnull(dt"),
       "dt range must reach the scan as a partition filter")
-    // collect() does not descend through AQE wrappers — unwrap the
-    // adaptive root and query-stage nodes explicitly
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scansOf(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scansOf(q.plan)
-        case s: FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(scansOf)
-      }
     val scans = scansOf(plan)
     assert(scans.nonEmpty)
     val partitionsRead = scans.map(_.metrics("numPartitions").value).sum
@@ -133,6 +137,22 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the 7 day-partitions in range, read $partitionsRead")
     // and the pruned scan must still see the unpruned total of 30 days
     assert(spark.read.parquet(dir).select("dt").distinct().count() === 30)
+  }
+
+  test("scan_dpp_join prunes fact partitions at RUNTIME through the dim join (DPP)") {
+    val dir = graft.ops.ScaleOps.stageTimePartitioned(spark, sf)
+    val df = graft.ops.ScaleOps.dppRead(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the predicate must arrive as a DPP subquery filter on the fact
+    // scan — no literal date range exists anywhere in the query
+    val factScans = scansOf(plan)
+      .filter(_.toString.contains("dynamicpruningexpression"))
+    assert(factScans.nonEmpty,
+      "fact scan must carry a dynamicpruningexpression partition filter")
+    val partitionsRead = factScans.map(_.metrics("numPartitions").value).sum
+    assert(partitionsRead === 6,
+      s"campaign-2 days are 6 of 30; DPP read $partitionsRead partitions")
   }
 
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
