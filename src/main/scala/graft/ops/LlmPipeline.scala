@@ -341,26 +341,141 @@ object LlmPipeline {
 
   // ---------------------------------------------- near-dup cluster (CC)
 
+  /** Min-label connected components over a SYMMETRIC edge list (v, u)
+    * — the shared CC engine behind `dedup_cluster`. Two algorithms,
+    * picked by the data:
+    *
+    *  1. Pregel-style min-label propagation: label(v) starts as v and
+    *     each round takes the min over the neighborhood, so every
+    *     vertex converges to the smallest id in its component. Each
+    *     round is ONE shuffle of the (vertex, label) table joined
+    *     against the edge table — both keyed by vertex, co-partitioned
+    *     after the first round — and the loop runs for the cluster
+    *     DIAMETER, not the cluster size. Near-dup clusters are
+    *     band-quasi-cliques (diameter ≈ 2), so 2–3 rounds close a
+    *     corpus.
+    *  2. Past the diameter cap (a pathological high-diameter graph,
+    *     e.g. an edit CHAIN longer than the cap), the fold switches to
+    *     [[starContraction]] — the large-star/small-star algorithm,
+    *     O(log n) rounds regardless of diameter — instead of failing
+    *     or silently splitting components. Same labels, proven by the
+    *     PropertySpec law that runs both against a union-find oracle.
+    *
+    * Eager localCheckpoint, not Mat: the loop needs its lineage CUT
+    * each round (otherwise round k re-executes all k−1 predecessors
+    * inside every join — exponential), but a parquet round trip per
+    * round pays ~0.5 s of job overhead × rounds. localCheckpoint keeps
+    * the tiny label table in executor memory; a production run on a
+    * fault-prone cluster would use reliable checkpoint() to a state
+    * dir instead — same plan, durable lineage cut.
+    */
+  private[graft] def connectedComponents(
+      s: SparkSession, edgesIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = edgesIn.localCheckpoint(true)
+    var labels = edges.select($"v").distinct()
+      .select($"v", $"v".as("lbl")).localCheckpoint(true)
+    var iter = 0
+    val maxIter = 16
+    // maxIter + 1 loop passes: diameter d needs d changing rounds
+    // PLUS one confirming round to observe convergence, so a
+    // diameter-16 chain legitimately uses 17 passes — only a change
+    // in pass 17 means the diameter truly exceeds the cap.
+    var converged = labels.isEmpty
+    while (!converged && iter <= maxIter) {
+      val nbrMin = edges
+        .join(labels.select($"v".as("u"), $"lbl".as("ulbl")), "u")
+        .groupBy("v").agg(min($"ulbl").as("nmin"))
+      // one job per round: the stepped table carries (old, new) label
+      // so the convergence probe is a cheap filter on checkpointed
+      // data, not a second join
+      val stepped = labels.join(nbrMin, Seq("v"), "left")
+        .select($"v", $"lbl",
+          least($"lbl", coalesce($"nmin", $"lbl")).as("nlbl"))
+        .localCheckpoint(true)
+      converged = stepped.filter($"nlbl" =!= $"lbl").isEmpty
+      labels = stepped.select($"v", $"nlbl".as("lbl"))
+      iter += 1
+    }
+    if (converged) labels else starContraction(s, edges)
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the
+    * high-diameter-safe path: O(log n) alternating rounds regardless
+    * of component diameter, vs min-label propagation's O(diameter).
+    *
+    *  - large-star: every node v links its LARGER neighbors to
+    *    m = min(Γ(v) ∪ {v}) — long tails fold toward local minima;
+    *  - small-star: every node v links its smaller neighbors (and
+    *    itself) to its minimum smaller neighbor — stars flatten.
+    *
+    * Each half-round is one groupBy(min) + one co-keyed join over the
+    * edge table (the same two shapes as a Lloyd iteration — the plan a
+    * 1000-executor cluster wants), with a localCheckpoint lineage cut.
+    * At convergence every component is a star centered at its minimum
+    * id, so the label read-off is one neighborhood-min pass. The
+    * except()-based convergence probe is two anti-joins over the
+    * (shrinking) canonical edge set; a production run would instead
+    * compare a per-round (count, hash) signature — noted, not needed
+    * at test scale. Returns (v, lbl) for every vertex incident to an
+    * input edge; input must be symmetric.
+    */
+  private[graft] def starContraction(
+      s: SparkSession, edgesIn: DataFrame): DataFrame = {
+    import s.implicits._
+    def canon(e: DataFrame): DataFrame =
+      e.filter($"a" =!= $"b")
+        .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+        .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.select($"a".as("v"), $"b".as("u"))
+        .union(e.select($"b".as("v"), $"a".as("u")))
+    val verts = edgesIn.select($"v").distinct().localCheckpoint(true)
+    var cur = canon(edgesIn.select($"v".as("a"), $"u".as("b")))
+      .localCheckpoint(true)
+    var iter = 0
+    val maxIter = 64 // ≫ log₂ of any representable vertex count
+    var done = cur.isEmpty
+    while (!done && iter < maxIter) {
+      val e = sym(cur)
+      // large-star: u > v joins m = min(Γ(v) ∪ {v})
+      val mins = e.groupBy($"v").agg(min($"u").as("mn"))
+        .select($"v", least($"v", $"mn").as("m"))
+      val afterLs = canon(
+        e.join(mins, "v").filter($"u" > $"v")
+          .select($"u".as("a"), $"m".as("b"))).localCheckpoint(true)
+      // small-star: smaller neighbors (and v) join v's min neighbor
+      val sm = sym(afterLs).filter($"u" < $"v")
+      val mins2 = sm.groupBy($"v").agg(min($"u").as("mn"))
+      val next = canon(
+        sm.join(mins2, "v").select($"u".as("a"), $"mn".as("b"))
+          .union(mins2.select($"v".as("a"), $"mn".as("b"))))
+        .localCheckpoint(true)
+      done = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur = next
+      iter += 1
+    }
+    if (!done) sys.error(
+      s"starContraction: not converged in $maxIter rounds (cannot happen " +
+        "for graphs with < 2^64 vertices — indicates an edge-set bug)")
+    // read labels off the final star forest; a vertex whose component
+    // collapsed entirely (never happens for ≥2-node components, but
+    // cheap to cover) labels itself
+    val nbrMin = sym(cur).groupBy($"v").agg(min($"u").as("mn"))
+    verts.join(nbrMin, Seq("v"), "left")
+      .select($"v", least($"v", coalesce($"mn", $"v")).as("lbl"))
+  }
+
   /** Connected components over the near-dup candidate graph — the
     * CLUSTER stage that completes the dedup pipeline (propose →
     * dispose → cluster → keep one doc per cluster). Edges are the
     * banded-MinHash candidate pairs (the propose stage above); the
     * operator is edge-set agnostic, so the Jaccard-disposed set plugs in
-    * identically in a production pipeline.
-    *
-    * Algorithm: Pregel-style min-label propagation — label(v) starts as
-    * v and each round takes the min over the neighborhood, so every
-    * vertex converges to the smallest doc_id in its component (the
-    * deterministic canonical "keeper"). Each round is ONE shuffle of the
-    * (vertex, label) table joined against the edge table — both keyed by
-    * vertex, co-partitioned after the first round — and the loop runs
-    * for the cluster DIAMETER, not the cluster size. Near-dup clusters
-    * are band-quasi-cliques (diameter ≈ 2), so 2–3 rounds close a
-    * corpus; a pathological chain graph would want the large-star/
-    * small-star contraction (O(log n) rounds) — same per-round plan,
-    * different propagation rule. Labels are materialized per round
-    * ([[graft.core.Mat]]) to cut the growing lineage; the driver-side
-    * loop holds only a changed/not-changed flag, never data.
+    * identically in a production pipeline. The fold is
+    * [[connectedComponents]]: min-label propagation for the common
+    * quasi-clique case, switching to the large-star/small-star
+    * contraction for high-diameter graphs past the propagation cap.
     *
     * The oracle walks the same edges with a recursive CTE (transitive
     * closure → min reachable id) — quadratic in cluster size but exact,
@@ -375,48 +490,9 @@ object LlmPipeline {
         .join(guarded.select($"doc_id".as("doc_b"), $"band"), "band")
         .filter($"doc_a" < $"doc_b")
         .select("doc_a", "doc_b").distinct()
-      // Eager localCheckpoint, not Mat: the loop needs its lineage CUT
-      // each round (otherwise round k re-executes all k−1 predecessors
-      // inside every join — exponential), but a parquet round trip per
-      // round pays ~0.5 s of job overhead × rounds. localCheckpoint
-      // keeps the tiny label table in executor memory; a production run
-      // on a fault-prone cluster would use reliable checkpoint() to a
-      // state dir instead — same plan, durable lineage cut.
       val edges = cand.select($"doc_a".as("v"), $"doc_b".as("u"))
         .union(cand.select($"doc_b".as("v"), $"doc_a".as("u")))
-        .localCheckpoint(true)
-      var labels = edges.select($"v").distinct()
-        .select($"v", $"v".as("lbl")).localCheckpoint(true)
-      var iter = 0
-      val maxIter = 16
-      // maxIter + 1 loop passes: diameter d needs d changing rounds
-      // PLUS one confirming round to observe convergence, so a
-      // diameter-16 chain legitimately uses 17 passes — only a change
-      // in pass 17 means the diameter truly exceeds the cap.
-      var converged = labels.isEmpty
-      while (!converged && iter <= maxIter) {
-        val nbrMin = edges
-          .join(labels.select($"v".as("u"), $"lbl".as("ulbl")), "u")
-          .groupBy("v").agg(min($"ulbl").as("nmin"))
-        // one job per round: the stepped table carries (old, new) label
-        // so the convergence probe is a cheap filter on checkpointed
-        // data, not a second join
-        val stepped = labels.join(nbrMin, Seq("v"), "left")
-          .select($"v", $"lbl",
-            least($"lbl", coalesce($"nmin", $"lbl")).as("nlbl"))
-          .localCheckpoint(true)
-        converged = stepped.filter($"nlbl" =!= $"lbl").isEmpty
-        labels = stepped.select($"v", $"nlbl".as("lbl"))
-        iter += 1
-      }
-      // fail loudly, never return partial labels: a component with
-      // diameter > maxIter (an 18+-doc edit chain) would otherwise be
-      // silently split into several clusters. Real corpora converge in
-      // 2-3 rounds; hitting the cap means the graph needs the
-      // large-star/small-star O(log n) contraction, not a bigger cap.
-      if (!converged) sys.error(
-        s"dedup_cluster: label propagation did not converge in $maxIter rounds " +
-          "(component diameter exceeds the cap)")
+      val labels = connectedComponents(s, edges)
       val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "lbl")
         .select($"v".as("doc_id"), $"lbl".as("cluster"), $"n_members")

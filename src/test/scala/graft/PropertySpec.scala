@@ -115,6 +115,47 @@ class PropertySpec extends SparkSpec {
     }, min = 300)
   }
 
+  /** Driver-side union-find oracle: vertex → min id of its component. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("star-contraction CC equals a union-find oracle on random graphs (forAll)") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 25L)
+      b <- Gen.chooseNum(0L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    check(Prop.forAll(Gen.nonEmptyListOf(edgeGen)) { pairs =>
+      val uniq = pairs.distinct
+      val sym = uniq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val got = graft.ops.LlmPipeline.starContraction(spark, sym.toDF("v", "u"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(uniq)
+    }, min = 10)
+  }
+
+  test("a 40-node chain (diameter past the propagation cap) resolves via the star fallback") {
+    // the Pregel fold needs 39 rounds here — far past its 16-round cap;
+    // connectedComponents must hand over to starContraction and still
+    // produce the exact component minimum, not fail or split the chain
+    val pairs = (0L until 39L).map(i => (i, i + 1))
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val labels = graft.ops.LlmPipeline
+      .connectedComponents(spark, sym.toDF("v", "u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 40)
+    assert(labels.forall(_._2 == 0L), "every chain vertex joins component 0")
+  }
+
   test("set-algebra cardinality laws hold against the raw tables") {
     val custKeys = spark.read.parquet(s"$sf/customer.parquet")
       .select($"c_nationkey".cast("long")).distinct().count()
