@@ -185,6 +185,50 @@ class ReplayTwinSpec extends SparkSpec {
     assert(byKey.isEmpty)
   }
 
+  test("ProcessingTime-trigger soak: live replay picks up files arriving after start") {
+    import org.apache.spark.sql.functions._
+    // the long-running daemon shape: the query starts against a partial
+    // archive and must replay files written AFTER start on later ticks
+    val staged = graft.core.TmpDirs.dir("live-staging")
+    spark.read.parquet(s"$sf/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(staged)
+    val parts = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length === 3)
+    val arch = new java.io.File(graft.core.TmpDirs.dir("live-archive"))
+    def reveal(f: java.io.File): Unit =
+      java.nio.file.Files.copy(f.toPath, new java.io.File(arch, f.getName).toPath)
+    reveal(parts(0))
+    val (q, out) = Replay.startLiveReplay(spark, arch.getPath)
+    def sunkCount(): Long =
+      try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+    def awaitCount(target: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (sunkCount() < target && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(sunkCount() === target, s"live replay did not reach $target rows in 60s")
+    }
+    try {
+      val leg1 = spark.read.parquet(parts(0).getPath).count()
+      awaitCount(leg1)
+      // the archive GROWS while the query is live — the next ticks must
+      // replay exactly the new files, never re-replaying old ones
+      reveal(parts(1)); reveal(parts(2))
+      val total = spark.read.parquet(s"$sf/events.parquet").count()
+      awaitCount(total)
+    } finally q.stop()
+    val sunk = spark.read.parquet(out)
+    // loss-free, dup-free, multi-epoch, and the put contract holds live
+    assert(sunk.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+    assert(sunk.select("epoch").distinct().count() >= 2)
+    assert(sunk.groupBy("shard", "put_seq").count().filter(col("count") > 500).isEmpty)
+    // content equality with the batch archive (the twin assertion)
+    assert(sunk.select("event_id", "user_id", "event_type", "ms")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq ===
+      graft.core.Tables.events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+        .orderBy("event_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("replay of an archive file with glob metacharacters in its name is lossless") {
     // a comma is an alternation separator inside Hadoop brace globs —
     // unescaped, `{events,2024.parquet}` matches zero files and the
