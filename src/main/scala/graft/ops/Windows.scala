@@ -14,9 +14,12 @@ import graft.core.{Det, OSql, Q, Tables}
   *
   * Scale: a window partitioned by a high-cardinality key (user_id,
   * custkey) shuffles once on that key and sorts within partitions —
-  * the same plan shape a 1000-executor cluster wants. Only
-  * window_rank_dense runs an (intentional) global window on a
-  * 100..1000-row dimension table.
+  * the same plan shape a 1000-executor cluster wants. Three keys run
+  * (intentional) GLOBAL windows on bounded inputs — window_rank_dense
+  * and window_percent_rank on the supplier dimension, window_moving_avg
+  * on per-day pre-aggregates; each documents the single-partition bound
+  * and the two-phase (range-partition + offset merge) spelling a 100×
+  * input would need.
   */
 object Windows {
   import Det._
@@ -53,6 +56,17 @@ object Windows {
       "FROM orders JOIN customer ON o_custkey = c_custkey) " +
       "WHERE rn <= 3 ORDER BY c_mktsegment, rn"))
 
+  /** Global rank / dense_rank / ntile over the supplier DIMENSION.
+    * `Window.orderBy` without partitionBy moves the whole input through
+    * ONE partition (WindowExec warns) — correct here by construction:
+    * the semantics are genuinely global and the input is a bounded
+    * dimension table (10⁴ rows at sf1, not a fact stream). A 100×
+    * supplier table would need the two-phase spelling instead:
+    * range-partition by the sort key, rank within partitions, then add
+    * per-partition offsets computed from partition counts (and for
+    * dense_rank, distinct-value counts) — one extra tiny aggregate, no
+    * single-partition sort. Documented bound, deliberate trade.
+    */
   private val rankDense = Q(
     "window_rank_dense",
     (s, d) => {
@@ -140,6 +154,14 @@ object Windows {
     * epoch-day. Daily totals are summed EXACTLY in decimal first, so the
     * moving sum (≤7 decimal terms) is order-independent; only the final
     * divide happens in double, identically in both engines.
+    *
+    * The window itself is global (one row per DAY after the pre-agg, so
+    * the single-partition WindowExec sees #days rows — bounded by the
+    * calendar, not the corpus; the fact-table shuffle happens in the
+    * partial+final daily aggregate, which scales normally). A
+    * multi-year/multi-series variant would partitionBy(series) or
+    * two-phase it: range-partition by day with a 6-day overlap fringe,
+    * average within partitions, drop the fringe rows.
     */
   private val movingAvg = Q(
     "window_moving_avg",
@@ -163,7 +185,10 @@ object Windows {
   /** Distribution window functions (percent_rank, cume_dist): both are
     * pure rank arithmetic — (rank−1)/(n−1) and rank/n — identical in
     * both engines, rounded to 6dp. Runs on the supplier dimension (the
-    * documented small-global-window pattern; never on fact tables).
+    * documented small-global-window pattern; never on fact tables —
+    * same single-partition bound and two-phase alternative as
+    * `window_rank_dense` above: global rank = within-partition rank +
+    * range-partition offset, and n comes from one count).
     */
   private val percentRank = Q(
     "window_percent_rank",
