@@ -132,5 +132,105 @@ object CorpusOps {
       OSql.sround("CAST(chars_emitted AS DOUBLE) / sum(chars_emitted) OVER ()", 4) +
       " AS share FROM g ORDER BY source"))
 
-  val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs)
+  /** Benchmark DECONTAMINATION — the train/test-overlap gate every
+    * training-data pipeline runs before a model ever sees the corpus:
+    * flag any training doc sharing a word-8-gram with the held-out
+    * evaluation set (the standard n-gram contamination rule). The
+    * "benchmark" here is the deterministic ~1% slice doc_id % 97 = 0 —
+    * a stand-in for the real eval suites, which at scale are exactly
+    * this shape: a small fixed gram set. The plan is the scale plan:
+    * one gram pass over the corpus (the same explode + lead shape as
+    * the dedup shingles, [[LlmPipeline.gramRows]]), the benchmark gram
+    * set DISTINCT'd and BROADCAST (eval suites are tiny and fixed — the
+    * build side never grows with the corpus), a map-side left-semi
+    * probe, and a per-language partial+final rollup. No corpus-sized
+    * shuffle anywhere: the only wide exchange carries the ~1% benchmark
+    * grams. Docs shorter than 8 tokens have no grams and cannot be
+    * contaminated, in both engines.
+    */
+  private val corpusDecontaminate = Q(
+    "corpus_decontaminate",
+    (s, d) => {
+      import s.implicits._
+      val g8 = LlmPipeline.gramRows(s, d, 8)
+        .select($"doc_id", md5($"x").as("g"))
+      val benchGrams = g8.filter($"doc_id" % 97 === 0).select("g").distinct()
+      val contaminated = g8.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(benchGrams), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      t(s, d, "documents")
+        .filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", $"lang")
+        .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"hit", lit(0L))).cast("long").as("n_contaminated"))
+        .withColumn("rate",
+          dround($"n_contaminated".cast("double") / $"n_docs", 4))
+        .orderBy("lang")
+    },
+    Some {
+      val g8 = (0 to 7).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        s"g AS (SELECT doc_id, md5($g8) AS g FROM " +
+        "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i " +
+        "FROM tok WHERE len(t) >= 8)), " +
+        "bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0), " +
+        "cont AS (SELECT DISTINCT doc_id FROM g WHERE doc_id % 97 <> 0 " +
+        "AND g IN (SELECT g FROM bg)) " +
+        "SELECT d.lang, count(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_contaminated, " +
+        OSql.sround("CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS DOUBLE) / count(*)", 4) + " AS rate " +
+        "FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id " +
+        "WHERE d.doc_id % 97 <> 0 GROUP BY 1 ORDER BY 1"
+    })
+
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * filter (the CCNet-style pass that ranks docs by how "language-like"
+    * they are under a cheap LM; here the LM is the corpus's own unigram
+    * distribution). avg_logp(doc) = mean over tokens of ln(cnt(w)/N).
+    * Plan at scale: one explode pass builds the token relation, the
+    * unigram table is a partial+final count agg, and the scoring join
+    * shuffles by TOKEN (the unigram table is vocab-sized — unbounded at
+    * corpus scale, so a broadcast would be wrong; the shuffle join is
+    * the honest plan), then one partial+final per-doc agg.
+    *
+    * Residual ULP risk (documented, accepted — same class as
+    * `text_token_count.avg_ratio`): ln() may differ by 1 ulp between
+    * libm implementations and the per-doc sum accumulates in
+    * engine-chosen order; both sit ~11 orders of magnitude under the
+    * 4dp rounding grid, and no threshold consumes the value, so a flip
+    * could change one printed digit, never row membership. Never
+    * observed across sf0.001-0.1.
+    */
+  private val textUnigramLogprob = Q(
+    "text_unigram_logprob",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum($"cnt").cast("double").as("n"))
+      tok.join(freq, "w")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          dround(sum(log($"cnt".cast("double") / $"n")) / count(lit(1)), 4)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+    Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents), " +
+      "f AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1), " +
+      "tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f) " +
+      "SELECT doc_id, count(*) AS n_tok, " +
+      OSql.sround("SUM(ln(CAST(cnt AS DOUBLE) / n)) / count(*)", 4) +
+      " AS avg_logp FROM tok JOIN f USING (w), tt " +
+      "GROUP BY doc_id ORDER BY doc_id LIMIT 1000"))
+
+  val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
+    textUnigramLogprob)
 }

@@ -215,6 +215,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(declared.toSeq === viaHelper.toSeq)
   }
 
+  // ------------------------------------------------------ corpus gating
+
+  test("decontamination flags 8-gram overlap with the benchmark slice, skips short docs") {
+    val bench = (0 until 20).map(i => s"w$i").mkString(" ") // doc 0: benchmark (0 % 97 = 0)
+    val leaky = "intro " + (5 until 13).map(i => s"w$i").mkString(" ") + " outro"
+    val clean = (0 until 20).map(i => s"z$i").mkString(" ")
+    val short = "w5 w6 w7 w8 w9 w10 w11" // 7 tokens: no 8-gram possible
+    val dir = stageTables("documents" -> Seq(
+      (0L, bench, "en", "s1", bench.length.toLong),
+      (1L, leaky, "en", "s1", leaky.length.toLong),
+      (2L, clean, "en", "s1", clean.length.toLong),
+      (3L, short, "en", "s1", short.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = run("corpus_decontaminate", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 3L) // docs 1,2,3 checked (0 is benchmark)
+    assert(r(0).getLong(2) === 1L) // only the leaky doc shares an 8-gram
+  }
+
+  test("unigram logprob matches hand-computed values on a tiny vocabulary") {
+    def dmirror(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val dir = stageTables("documents" -> Seq(
+      (1L, "a a a", "en", "s1", 5L),
+      (2L, "b", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = run("text_unigram_logprob", dir).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getDouble(2)))).toMap
+    // counts: a=3, b=1, N=4 → p(a)=0.75, p(b)=0.25
+    assert(r(1L) === ((3L, dmirror(math.log(0.75)))))
+    assert(r(2L) === ((1L, dmirror(math.log(0.25)))))
+  }
+
   // ------------------------------------------------------------ empty sweep
 
   test("every declared query survives fully empty tables") {
