@@ -155,6 +155,17 @@ class PlanSpec extends SparkSpec {
       s"campaign-2 days are 6 of 30; DPP read $partitionsRead partitions")
   }
 
+  test("corpus_decontaminate probes the benchmark grams via broadcast — no corpus-wide shuffle join") {
+    val plan = executedPlan("corpus_decontaminate")
+    // the contamination probe must be a broadcast left-semi join on the
+    // (small, fixed) benchmark gram set, never a shuffled join keyed by
+    // the corpus's gram universe
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "benchmark gram probe must be a broadcast left-semi join")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join in the decontamination path")
+  }
+
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
     val plan = executedPlan("dedup_simhash")
     assert(!plan.contains("CartesianProduct"))
