@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.Q
 import graft.ops.{CorpusOps, EventTime, LlmPipeline, LlmPipeline2, Relational, Scalars, ScaleOps, Udafs, Windows}
-import graft.streaming.{Replay, StatefulSessions, StreamJoin}
+import graft.streaming.{CdcApply, Replay, StatefulSessions, StreamJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the per-file operator inventories; each Q carries both the
@@ -12,7 +12,8 @@ object SparkEntry {
   private val all: Seq[Q] =
     Relational.qs ++ Windows.qs ++ Scalars.qs ++ Udafs.qs ++
       EventTime.qs ++ LlmPipeline.qs ++ LlmPipeline2.qs ++ Replay.qs ++
-      StatefulSessions.qs ++ StreamJoin.qs ++ ScaleOps.qs ++ CorpusOps.qs
+      StatefulSessions.qs ++ StreamJoin.qs ++ ScaleOps.qs ++ CorpusOps.qs ++
+      CdcApply.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

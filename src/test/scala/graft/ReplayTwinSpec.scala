@@ -185,6 +185,22 @@ class ReplayTwinSpec extends SparkSpec {
     assert(byKey.isEmpty)
   }
 
+  test("throttled streaming CDC apply (multi-epoch bucket-scoped merge) equals the batch MERGE") {
+    import org.apache.spark.sql.functions._
+    // one file per micro-batch: updates and deletes land in LATER
+    // epochs than the snapshot and must merge incrementally — the
+    // bucket-scoped dynamic-overwrite path, not a single-batch rewrite
+    val streamed = graft.streaming.CdcApply
+      .applyChangelog(spark, sf, maxFilesPerTrigger = 1)
+      .groupBy("status")
+      .agg(count(lit(1)).as("cnt"),
+        graft.core.Det.moneySum(col("price")).as("total_price"))
+      .orderBy("status").collect().map(_.toSeq)
+    val batch = run("cdc_upsert").collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("ProcessingTime-trigger soak: live replay picks up files arriving after start") {
     import org.apache.spark.sql.functions._
     // the long-running daemon shape: the query starts against a partial
