@@ -459,6 +459,103 @@ object ScaleOps {
       "SELECT dt, event_type, count(*) AS cnt, " + OSql.msum("value") +
       " AS total_value FROM f JOIN dim USING (dt) GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** GLOBAL rank at fact scale — the two-phase spelling the global-
+    * window scaladocs (Windows.scala) promise, implemented as a key:
+    * `Window.orderBy` without partitionBy funnels the whole relation
+    * through ONE partition; this plan never does. Phase 1: range-
+    * repartition by the sort key + sort within partitions — rows are
+    * now globally ordered across partition boundaries, and
+    * `monotonically_increasing_id` encodes (partition, local row
+    * offset) for free, so the LOCAL rank is pure arithmetic on the id
+    * (no window function at all — pinned in PlanSpec). Phase 2: per-
+    * partition counts (P rows) roll into cumulative offsets, broadcast
+    * back, and global rank = local rank + partition offset. Total cost:
+    * ONE range shuffle of the fact + a P-row aggregate — the plan shape
+    * a 1000-executor global rank needs. The range boundaries are
+    * sampled (non-deterministic between runs), so the id table is
+    * materialized once (localCheckpoint) and both phases read the SAME
+    * partitioning; the final rank is boundary-invariant because the
+    * sort key (price, orderkey) is unique. Oracle: the plain global
+    * row_number — the hash match proves the two-phase plan is a pure
+    * plan change.
+    */
+  /** Phase 1 of [[windowRankDistributed]] before its lineage cut —
+    * split out so PlanSpec can pin the range exchange (the checkpoint
+    * severs the executed plan, hiding phase 1 from the final query's
+    * plan text).
+    */
+  private[graft] def rankIdsPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .repartitionByRange(32, $"o_totalprice".desc, $"o_orderkey".asc)
+      .sortWithinPartitions($"o_totalprice".desc, $"o_orderkey".asc)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright($"mid", 33))
+      .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+  }
+
+  private val windowRankDistributed = Q(
+    "window_rank_distributed",
+    (s, d) => {
+      import s.implicits._
+      val ids = rankIdsPlan(s, d).localCheckpoint(true)
+      // cumulative offsets over the P partition counts — a P-row global
+      // window (the documented tiny-relation exception), then broadcast
+      val offs = ids.groupBy("pid").agg(count(lit(1)).as("n"))
+        .withColumn("off", sum($"n").over(Window.orderBy($"pid")) - $"n")
+        .select("pid", "off")
+      ids.join(broadcast(offs), "pid")
+        .select($"o_orderkey", $"o_totalprice",
+          ($"lrn" + $"off").cast("long").as("rnk"))
+        .orderBy("rnk")
+        .limit(1000)
+    },
+    Some("SELECT o_orderkey, o_totalprice, " +
+      "CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk " +
+      "FROM orders ORDER BY rnk LIMIT 1000"))
+
+  /** Schema evolution across the archive — the real-world reader
+    * concern every long-lived archive hits: the producer added a field
+    * mid-stream, so early objects lack a column late objects carry.
+    * The archive is staged in two "eras" (even event_ids in the v1
+    * schema; odd event_ids with an appended `schema_ver` column) and
+    * read back with `mergeSchema` — parquet's per-file schema
+    * reconciliation surfaces the missing column as NULL for v1-era
+    * rows instead of failing the scan or silently dropping the field.
+    * At 100 TB mergeSchema's footer-union cost is why production
+    * archives carry an explicit evolved schema in a catalog; the READ
+    * semantics verified here (old rows → NULL, new rows → value) are
+    * identical either way. The oracle restates the era rule over the
+    * flat table — the hash match proves the evolved read is lossless
+    * in both directions.
+    */
+  private val scanSchemaMerge = Q(
+    "scan_schema_merge",
+    (s, d) => {
+      import s.implicits._
+      val dir = TmpDirs.dir("events-drift")
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"event_type", $"value")
+      ev.filter($"event_id" % 2 === 0)
+        .write.mode("overwrite").parquet(dir)
+      ev.filter($"event_id" % 2 === 1)
+        .withColumn("schema_ver", lit(2L))
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when($"schema_ver".isNull, 1L).otherwise(0L)).cast("long").as("n_v1"),
+          sum(when($"schema_ver".isNotNull, 1L).otherwise(0L)).cast("long").as("n_v2"),
+          moneySum(when($"schema_ver".isNotNull, $"value")).as("v2_value"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS cnt, " +
+      "CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1, " +
+      "CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2, " +
+      OSql.msum("CASE WHEN event_id % 2 = 1 THEN value END") + " AS v2_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
+
   /** Exact distributed percentiles. Spark's `percentile` aggregate
     * carries a per-group value→count map through partial/final
     * aggregation — O(#distinct values) state, which for a bounded
@@ -494,5 +591,5 @@ object ScaleOps {
 
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
-    scanTimePartitioned, scanDppJoin)
+    scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge)
 }

@@ -166,6 +166,19 @@ class PlanSpec extends SparkSpec {
       "no corpus-sized shuffle join in the decontamination path")
   }
 
+  test("window_rank_distributed ranks via range partitioning — no row_number window at all") {
+    // phase 1 (pre-checkpoint): the fact flows through a range exchange
+    val ids = graft.ops.ScaleOps.rankIdsPlan(spark, sf)
+    ids.collect()
+    assert(ids.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "phase 1 must be a range repartition of the fact")
+    // full key: the global rank comes from id arithmetic + broadcast
+    // offsets; the only window anywhere is the P-row offset sum
+    val plan = executedPlan("window_rank_distributed")
+    assert(!plan.contains("row_number("),
+      "no row_number window may appear — that is the single-partition shape")
+  }
+
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
     val plan = executedPlan("dedup_simhash")
     assert(!plan.contains("CartesianProduct"))
