@@ -78,10 +78,17 @@ object CdcApply {
         val ss = batch.sparkSession
         val b = batch.withColumn("bucket", pmod(col("key"), lit(Buckets)))
         val touched = b.select("bucket").distinct()
-        // current state of ONLY the touched buckets (first epoch: none)
+        // Current state of ONLY the touched buckets. Before the first
+        // commit the dir has no data files — detect that by LISTING,
+        // not by swallowing read exceptions: a blanket catch would
+        // silently RESET the table on a genuinely corrupt read, which
+        // for a merge sink is data loss dressed as an empty first epoch.
+        val hasData = Option(new java.io.File(table).listFiles())
+          .exists(_.exists(f => f.isDirectory && f.getName.startsWith("bucket=")))
         val cur =
-          try ss.read.parquet(table).join(broadcast(touched), Seq("bucket"), "left_semi")
-          catch { case _: Throwable => b.filter(lit(false)) }
+          if (hasData)
+            ss.read.parquet(table).join(broadcast(touched), Seq("bucket"), "left_semi")
+          else b.filter(lit(false))
         val w = Window.partitionBy(col("key")).orderBy(col("ver").desc)
         // materialize BEFORE the overwrite destroys the files the merge
         // read from (localCheckpoint = executor-memory lineage cut)
