@@ -82,10 +82,11 @@ object LlmPipeline {
     * Shared with `sim_ann_recall`, which measures the ANN indexes
     * against this exact scan.
     */
-  private[ops] def exactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[ops] def exactTopK(
+      s: SparkSession, d: String, k: Int, probeId: Long = 0L): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
-    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe"))
+    val probe = emb.filter($"vec_id" === probeId).select($"embedding".as("probe"))
     emb.crossJoin(broadcast(probe))
       .select($"vec_id",
         dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"probe"), 6)
@@ -95,10 +96,11 @@ object LlmPipeline {
   }
 
   /** DuckDB spelling of [[exactTopK]] (the oracle side of the exact
-    * scan), parameterized by k so the recall key can reuse it.
+    * scan), parameterized by k and probe so the recall key can reuse
+    * it.
     */
-  private[ops] def exactTopkSql(k: Int): String =
-    "WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0), " +
+  private[ops] def exactTopkSql(k: Int, probeId: Long = 0L): String =
+    s"WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = $probeId), " +
       "ex AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i " +
       "FROM embeddings), " +
       "px AS (SELECT unnest(p) AS y, generate_subscripts(p, 1) AS i FROM probe) " +
