@@ -459,6 +459,36 @@ object ScaleOps {
       "SELECT dt, event_type, count(*) AS cnt, " + OSql.msum("value") +
       " AS total_value FROM f JOIN dim USING (dt) GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** ORC cell of the format matrix (parquet, JSON, gzip NDJSON, CSV,
+    * ORC): events staged as ORC and read back THROUGH a predicate, so
+    * the scan exercises ORC's row-group statistics pushdown — the same
+    * PushedFilters machinery the parquet path pins, over the other
+    * major columnar archive format a replay engine meets in the wild.
+    * The oracle restates the aggregation over the parquet archive: the
+    * hash match proves the ORC round trip (doubles, longs, strings) is
+    * lossless.
+    */
+  private val scanOrc = Q(
+    "scan_orc",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(String, Long, Double)].toDF("event_type", "cnt", "total_value")
+      else {
+        val dir = TmpDirs.dir("events-orc")
+        Tables.events(s, d)
+          .select($"event_id", $"user_id", $"event_type", $"value", $"ms")
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .filter($"value" >= 10.0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), moneySum($"value").as("total_value"))
+          .orderBy("event_type")
+      }
+    },
+    Some("SELECT event_type, count(*) AS cnt, " + OSql.msum("value") +
+      " AS total_value FROM events WHERE value >= 10.0 GROUP BY 1 ORDER BY 1"))
+
   /** GLOBAL rank at fact scale — the two-phase spelling the global-
     * window scaladocs (Windows.scala) promise, implemented as a key:
     * `Window.orderBy` without partitionBy funnels the whole relation
@@ -591,5 +621,6 @@ object ScaleOps {
 
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
-    scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge)
+    scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
+    scanOrc)
 }
