@@ -124,14 +124,24 @@ object Ndjson {
     * directory. Keeps Spark's source partitioning: N part files ⇒ N
     * parallel decompress tasks downstream (.gz is not splittable — the
     * reference's one-reader-per-file model).
+    *
+    * Cached per (label, source dir) per JVM: the archive is FIXTURE —
+    * the staged bytes are a pure function of the source — so the batch
+    * scan and the streaming replay that read the same label share one
+    * staging write instead of re-encoding the corpus each. A caller
+    * that intends to MUTATE its copy (the corrupt-archive test) uses
+    * its own label and stays isolated.
     */
-  def stageGz(spark: SparkSession, dir: String, label: String): String = {
-    val out = TmpDirs.dir(label)
-    Tables.events(spark, dir)
-      .select(to_json(struct(fields.map(f => col(f.name)): _*)).as("value"))
-      .write.mode("overwrite").option("compression", "gzip").text(out)
-    out
-  }
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def stageGz(spark: SparkSession, dir: String, label: String): String =
+    staged.computeIfAbsent(s"$label|$dir", _ => {
+      val out = TmpDirs.dir(label)
+      Tables.events(spark, dir)
+        .select(to_json(struct(fields.map(f => col(f.name)): _*)).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      out
+    })
 }
 
 /** All scratch space (streaming sinks, checkpoints, state dirs) lives

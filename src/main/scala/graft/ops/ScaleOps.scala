@@ -368,16 +368,26 @@ object ScaleOps {
     * restates the same predicate over the flat events table — the hash
     * match proves pruning changed the IO, not the answer.
     */
-  private[graft] def stageTimePartitioned(s: SparkSession, d: String): String = {
-    import s.implicits._
-    val dir = TmpDirs.dir("events-dt")
-    // At scale this write is the archive's ingest layout decision:
-    // partitionBy(dt) so every downstream time-ranged replay prunes.
-    Tables.events(s, d)
-      .withColumn("dt", date_format(timestamp_millis($"ms"), "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("dt").parquet(dir)
-    dir
-  }
+  /** Cached per source dir per JVM: the partitioned tree is the
+    * archive's INGEST LAYOUT — written once when the data lands, then
+    * amortized over every pruned scan/replay after (three keys and two
+    * plan pins read it). The first caller pays the write; the tree is
+    * treated read-only by every consumer.
+    */
+  private val stagedTrees =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def stageTimePartitioned(s: SparkSession, d: String): String =
+    stagedTrees.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val dir = TmpDirs.dir("events-dt")
+      // At scale this write is the archive's ingest layout decision:
+      // partitionBy(dt) so every downstream time-ranged replay prunes.
+      Tables.events(s, d)
+        .withColumn("dt", date_format(timestamp_millis($"ms"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("dt").parquet(dir)
+      dir
+    })
 
   /** The time-ranged read over the staged tree ("replay week 2 of the
     * month"); split out so PlanSpec can pin the pruned partition count

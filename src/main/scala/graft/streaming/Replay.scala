@@ -438,7 +438,7 @@ object Replay {
       if (Tables.events(s, d).isEmpty)
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
-      else aggregateReplayed(s, replayTextGz(s, Ndjson.stageGz(s, d, "gz-archive")))
+      else aggregateReplayed(s, replayTextGz(s, Ndjson.stageGz(s, d, "events-ndjson-gz")))
     },
     Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
