@@ -215,6 +215,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(declared.toSeq === viaHelper.toSeq)
   }
 
+  // ------------------------------------------------- scale-key edges
+
+  test("distributed rank: fully tied sort values still rank uniquely by order key") {
+    // degenerate range-partitioner input: every price equal, so the
+    // boundaries land entirely on the orderkey tiebreak — ranks must
+    // still be the unique global row_number
+    val dir = stageTables("orders" ->
+      Seq.tabulate(100)(i => ((i + 1).toLong, 500.0)).toDF("o_orderkey", "o_totalprice"))
+    val rows = run("window_rank_distributed", dir).collect()
+    assert(rows.length === 100)
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      (1 to 100).map(i => (i.toLong, i.toLong)))
+  }
+
+  test("schema-merge scan: an archive holding only the evolved era reads with n_v1 = 0") {
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(1000), "click", 20.0),
+      (3L, ns(2000), "click", 30.0)).toDF("event_id", "ts", "event_type", "value"))
+    val r = run("scan_schema_merge", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 2L) // cnt
+    assert(r(0).getLong(2) === 0L) // no v1-era rows
+    assert(r(0).getLong(3) === 2L) // both rows carry the evolved column
+  }
+
   // ------------------------------------------------------ corpus gating
 
   test("decontamination flags 8-gram overlap with the benchmark slice, skips short docs") {
