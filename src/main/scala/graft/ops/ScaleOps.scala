@@ -469,6 +469,60 @@ object ScaleOps {
       "SELECT dt, event_type, count(*) AS cnt, " + OSql.msum("value") +
       " AS total_value FROM f JOIN dim USING (dt) GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** Runtime BLOOM-FILTER join pruning — the sibling of DPP for
+    * non-partition columns: in a large×large shuffle join where one
+    * side carries a selective filter, Spark's InjectRuntimeFilter
+    * builds a bloom filter over the filtered side's join keys (a
+    * one-pass `bloom_filter_agg` subquery) and pushes a `might_contain`
+    * probe into the OTHER side's scan — rows that cannot join are
+    * dropped at the scan instead of being shuffled. At 100 TB this is
+    * the difference between shuffling the whole fact table and
+    * shuffling the ~selectivity fraction that can match. The driver's
+    * test tables sit under the feature's size thresholds (it is tuned
+    * for real clusters), so the helper scopes the thresholds down and
+    * pins broadcast off — the technique is the plan change, and the
+    * oracle (the plain join) proves the bloom filter dropped no row it
+    * shouldn't: false positives only, never false negatives.
+    *
+    * Execution happens INSIDE the conf scope (localCheckpoint, the
+    * join_bucketed pattern) because runtime-filter injection runs at
+    * optimization time — a lazily returned plan would optimize after
+    * the confs were restored.
+    */
+  private[graft] def withRuntimeFilterJoin[T](s: SparkSession, d: String)(
+      f: DataFrame => T): T = {
+    import s.implicits._
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val dim = t(s, d, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderpriority")
+      val df = t(s, d, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice")
+        .join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), moneySum($"l_extendedprice").as("revenue"))
+        .orderBy("o_orderpriority")
+      f(df)
+    } finally saved.foreach { case (k, ov) =>
+      ov.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  private val joinRuntimeFilter = Q(
+    "join_runtime_filter",
+    (s, d) => withRuntimeFilterJoin(s, d)(_.localCheckpoint(true)),
+    Some("SELECT o_orderpriority, count(*) AS cnt, " +
+      OSql.msum("l_extendedprice") + " AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"))
+
   /** ORC cell of the format matrix (parquet, JSON, gzip NDJSON, CSV,
     * ORC): events staged as ORC and read back THROUGH a predicate, so
     * the scan exercises ORC's row-group statistics pushdown — the same
@@ -632,5 +686,5 @@ object ScaleOps {
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
-    scanOrc)
+    scanOrc, joinRuntimeFilter)
 }

@@ -179,6 +179,17 @@ class PlanSpec extends SparkSpec {
       "no row_number window may appear — that is the single-partition shape")
   }
 
+  test("join_runtime_filter probes a bloom filter at the fact side — the non-partition DPP sibling") {
+    graft.ops.ScaleOps.withRuntimeFilterJoin(spark, sf) { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "the runtime bloom probe must reach the fact side of the join")
+      assert(plan.contains("SortMergeJoin"),
+        "the technique targets the shuffle join (broadcast is scoped off)")
+    }
+  }
+
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
     val plan = executedPlan("dedup_simhash")
     assert(!plan.contains("CartesianProduct"))
