@@ -338,6 +338,41 @@ object Relational {
         .orderBy("r_name", "n_name"),
     Some("SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2"))
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the last
+    * join comparator cell: NULL keys MATCH each other instead of
+    * dropping (the SQL `=` behavior the other join keys show). Both
+    * sides deterministically NULL out nationkey % 7 = 0 so the
+    * null-match path actually carries rows. Scale note: `<=>` is still
+    * an EQUI-join to Spark — the plan hash-partitions on the key with
+    * NULLs hashing to one bucket, so it keeps the shuffle-join shape a
+    * theta-join rewrite would lose; the flip side is that a NULL-heavy
+    * key concentrates in a single partition — at 100 TB a mostly-NULL
+    * column wants the salted pattern (`join_skew_salted`) or a
+    * NULL-split union, exactly like any other hot key.
+    */
+  private val joinNullSafe = Q(
+    "join_null_safe",
+    (s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer").select($"c_custkey",
+        when($"c_nationkey" % 7 === 0, lit(null).cast("long"))
+          .otherwise($"c_nationkey").as("nk"))
+      val su = t(s, d, "supplier").select($"s_suppkey",
+        when($"s_nationkey" % 7 === 0, lit(null).cast("long"))
+          .otherwise($"s_nationkey").as("nk"))
+      c.join(su, c("nk") <=> su("nk"))
+        .groupBy(coalesce(c("nk"), lit(-1L)).as("nk_group"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("nk_group")
+    },
+    Some("WITH c AS (SELECT c_custkey, CASE WHEN c_nationkey % 7 = 0 THEN NULL " +
+      "ELSE c_nationkey END AS nk FROM customer), " +
+      "s AS (SELECT s_suppkey, CASE WHEN s_nationkey % 7 = 0 THEN NULL " +
+      "ELSE s_nationkey END AS nk FROM supplier) " +
+      "SELECT coalesce(c.nk, -1) AS nk_group, count(*) AS cnt " +
+      "FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk " +
+      "GROUP BY 1 ORDER BY 1"))
+
   // ------------------------------------------------------------ aggregates
 
   /** Flagship (TPC-H Q1 analog): partial+final hash aggregate over a
@@ -633,6 +668,7 @@ object Relational {
     filterConjunctive, filterRegex, transformRewrite, filterNullSemantics,
     joinInnerHash, joinSortmergeLarge, joinBroadcastChain, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinThetaRange, joinCrossSmall,
+    joinNullSafe,
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
     aggRollup, aggCube, aggGroupingSets, aggStats, aggPivot, unpivotStack,
     sortMultiKey, topkGlobal,
