@@ -231,6 +231,48 @@ object CorpusOps {
       " AS avg_logp FROM tok JOIN f USING (w), tt " +
       "GROUP BY doc_id ORDER BY doc_id LIMIT 1000"))
 
+  /** Repetition-based quality gate (the Gopher/C4 family of rules):
+    * per document, the top-unigram mass ratio max_cnt/n_tokens and the
+    * type-token ratio n_distinct/n_tokens — a document dominated by one
+    * token or with collapsed vocabulary is boilerplate/spam, not prose,
+    * and repetition is the single highest-yield web-corpus filter after
+    * dedup. One explode then two partial+final aggregations: the
+    * (doc_id, token) groupBy collapses duplicate tokens MAP-SIDE, so
+    * the shuffle carries per-doc vocabularies, not the token stream;
+    * the per-doc rollup then shuffles one row per (doc, distinct
+    * token). The repetitive flag uses exact integer arithmetic
+    * (max_cnt·25 > n_tokens·3 ⇔ ratio > 0.12 — sized to the corpus,
+    * whose ratios span 0.05–0.30) so the boolean can never flip on a
+    * float rounding edge between engines.
+    */
+  private val textRepetition = Q(
+    "text_repetition",
+    (s, d) => {
+      import s.implicits._
+      val perTok = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("cnt"))
+      perTok.groupBy("doc_id")
+        .agg(sum($"cnt").cast("long").as("n_tokens"),
+          count(lit(1)).as("n_distinct"), max($"cnt").as("max_cnt"))
+        .select($"doc_id", $"n_tokens", $"n_distinct", $"max_cnt",
+          dround($"max_cnt".cast("double") / $"n_tokens", 6).as("max_ratio"),
+          dround($"n_distinct".cast("double") / $"n_tokens", 6).as("ttr"),
+          ($"max_cnt" * lit(25L) > $"n_tokens" * lit(3L)).as("repetitive"))
+        .orderBy("doc_id")
+    },
+    Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2), " +
+      "a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, " +
+      "count(*) AS n_distinct, max(cnt) AS max_cnt FROM c GROUP BY 1) " +
+      "SELECT doc_id, n_tokens, n_distinct, max_cnt, " +
+      OSql.sround("CAST(max_cnt AS DOUBLE) / n_tokens", 6) + " AS max_ratio, " +
+      OSql.sround("CAST(n_distinct AS DOUBLE) / n_tokens", 6) + " AS ttr, " +
+      "(max_cnt * 25 > n_tokens * 3) AS repetitive " +
+      "FROM a ORDER BY doc_id"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
-    textUnigramLogprob)
+    textUnigramLogprob, textRepetition)
 }

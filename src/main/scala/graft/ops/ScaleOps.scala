@@ -133,47 +133,97 @@ object ScaleOps {
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "GROUP BY 1 ORDER BY 1"))
 
+  /** The deterministic keyed changelog shared by `cdc_upsert` and
+    * `cdc_scd2`: over the orders snapshot, every 10th key gets a +10%
+    * reprice at v1 and every 17th a delete at v2. Derived from the
+    * snapshot itself so both engines build the identical change stream.
+    */
+  private def cdcChangeLog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, d, "orders")
+      .select($"o_orderkey".as("key"), $"o_totalprice".as("price"),
+        $"o_orderstatus".as("status"), lit(0L).as("ver"), lit("U").as("op"))
+    val repriced = base.filter($"key" % 10 === 0)
+      .select($"key", ($"price" * lit(1.1)).as("price"), $"status",
+        lit(1L).as("ver"), lit("U").as("op"))
+    val deletes = base.filter($"key" % 17 === 0)
+      .select($"key", $"price", $"status", lit(2L).as("ver"), lit("D").as("op"))
+    base.unionByName(repriced).unionByName(deletes)
+  }
+
+  /** DuckDB spelling of [[cdcChangeLog]] — the shared CTE prefix ends
+    * with `chg`, the full change stream.
+    */
+  private val cdcLogSql =
+    "WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price, " +
+      "o_orderstatus AS status, 0 AS ver, 'U' AS op FROM orders), " +
+      "rep AS (SELECT key, price * 1.1 AS price, status, 1 AS ver, 'U' AS op " +
+      "FROM base WHERE key % 10 = 0), " +
+      "del AS (SELECT key, price, status, 2 AS ver, 'D' AS op " +
+      "FROM base WHERE key % 17 = 0), " +
+      "chg AS (SELECT * FROM base UNION ALL SELECT * FROM rep UNION ALL SELECT * FROM del)"
+
   /** CDC upsert (MERGE semantics): apply a keyed changelog (updates +
     * deletes, versioned) over a base snapshot — latest version wins,
-    * deletes drop the key. The changelog here is derived
-    * deterministically from the snapshot itself (every 10th key gets a
-    * +10% reprice at v1, every 17th a delete at v2) so both engines
-    * build the identical change stream. The merge is the standard
-    * shuffle-once window idiom: union base+changes, row_number per key
-    * by version desc, keep rn=1 non-deletes — at scale this is one
-    * hash-partition by key over base∪Δ, the same shape a foreachBatch
-    * MERGE INTO sink executes incrementally.
+    * deletes drop the key. The changelog is [[cdcChangeLog]]. The merge
+    * is the standard shuffle-once window idiom: union base+changes,
+    * row_number per key by version desc, keep rn=1 non-deletes — at
+    * scale this is one hash-partition by key over base∪Δ, the same
+    * shape a foreachBatch MERGE INTO sink executes incrementally.
     */
   private val cdcUpsert = Q(
     "cdc_upsert",
     (s, d) => {
       import s.implicits._
-      val base = t(s, d, "orders")
-        .select($"o_orderkey".as("key"), $"o_totalprice".as("price"),
-          $"o_orderstatus".as("status"), lit(0L).as("ver"), lit("U").as("op"))
-      val repriced = base.filter($"key" % 10 === 0)
-        .select($"key", ($"price" * lit(1.1)).as("price"), $"status",
-          lit(1L).as("ver"), lit("U").as("op"))
-      val deletes = base.filter($"key" % 17 === 0)
-        .select($"key", $"price", $"status", lit(2L).as("ver"), lit("D").as("op"))
       val w = Window.partitionBy($"key").orderBy($"ver".desc)
-      base.unionByName(repriced).unionByName(deletes)
+      cdcChangeLog(s, d)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1 && $"op" =!= "D")
         .groupBy("status")
         .agg(count(lit(1)).as("cnt"), moneySum($"price").as("total_price"))
         .orderBy("status")
     },
-    Some("WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price, " +
-      "o_orderstatus AS status, 0 AS ver, 'U' AS op FROM orders), " +
-      "rep AS (SELECT key, price * 1.1 AS price, status, 1 AS ver, 'U' AS op " +
-      "FROM base WHERE key % 10 = 0), " +
-      "del AS (SELECT key, price, status, 2 AS ver, 'D' AS op " +
-      "FROM base WHERE key % 17 = 0), " +
+    Some(cdcLogSql + ", " +
       "merged AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY ver DESC) AS rn " +
-      "FROM (SELECT * FROM base UNION ALL SELECT * FROM rep UNION ALL SELECT * FROM del)) " +
+      "FROM chg) " +
       "SELECT status, count(*) AS cnt, " + OSql.msum("price") + " AS total_price " +
       "FROM merged WHERE rn = 1 AND op <> 'D' GROUP BY 1 ORDER BY 1"))
+
+  /** SCD type-2 history build — the other half of CDC: instead of
+    * keeping only the latest version (`cdc_upsert`), every version
+    * becomes a validity interval [valid_from, valid_to) with the open
+    * interval flagged current; a delete closes the key's last interval
+    * and leaves no current row. One window over the version order per
+    * key derives `valid_to` as lead(ver) — at 100 TB this is a single
+    * hash-partition by key over the change stream, the exact shuffle a
+    * MERGE-based SCD2 maintenance job pays, and the key-predicate
+    * (changed keys only) pushes BELOW the window because it filters the
+    * partition column, so unchanged keys never enter the shuffle.
+    * Emitted: the full interval history of every changed key (unchanged
+    * keys are trivially one open interval).
+    */
+  private val cdcScd2 = Q(
+    "cdc_scd2",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"key").orderBy($"ver")
+      cdcChangeLog(s, d)
+        .withColumn("valid_to", lead($"ver", 1).over(w))
+        .filter($"op" === "U" && ($"key" % 10 === 0 || $"key" % 17 === 0))
+        .select($"key", $"ver".as("valid_from"), $"valid_to",
+          dround($"price", 2).as("price"), $"status",
+          $"valid_to".isNull.as("is_current"))
+        .orderBy("key", "valid_from")
+    },
+    Some(cdcLogSql + ", " +
+      "iv AS (SELECT key, CAST(ver AS BIGINT) AS valid_from, " +
+      "CAST(lead(ver) OVER (PARTITION BY key ORDER BY ver) AS BIGINT) AS valid_to, " +
+      "price, status, op FROM chg) " +
+      "SELECT key, valid_from, valid_to, " +
+      OSql.sround("price", 2) + " AS price, status, " +
+      "(valid_to IS NULL) AS is_current " +
+      "FROM iv WHERE op = 'U' AND (key % 10 = 0 OR key % 17 = 0) " +
+      "ORDER BY key, valid_from"))
 
   /** CSV source (the last cell of the format matrix: parquet, JSON,
     * gzip NDJSON, CSV). Events are staged as RFC-4180 CSV — explicit
@@ -683,8 +733,98 @@ object ScaleOps {
       "SELECT l_returnflag, cnt, q_min, q[1] AS q25, q[2] AS q50, q[3] AS q75, q_max " +
       "FROM q ORDER BY 1"))
 
-  val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, scanCsv,
+  /** Incremental aggregate maintenance — the materialized-view pattern
+    * that makes 100 TB dashboards affordable: per-(day, event_type)
+    * PARTIAL aggregates (count + exact decimal sum) are the stored
+    * artifact; when a new day of raw data arrives, only ITS partials
+    * are computed and the final answer is an algebraic merge of stored
+    * ∪ delta — the raw history is never rescanned. Here days with
+    * day%4==3 play the newly-arrived delta and the rest are
+    * materialized to scratch parquet first (the "stored" view state,
+    * via [[Mat]]); the merge is a groupBy over partials whose row count
+    * is days×types, not events. Correctness hinges on the partials
+    * carrying ALGEBRAIC state — count and exact DECIMAL sums (both
+    * engines sum decimals exactly, so merge order cannot matter); avg
+    * is derived only at the end. The oracle recomputes from raw — the
+    * hash match proves the incremental path is exact, not approximate.
+    */
+  private val aggIncremental = Q(
+    "agg_incremental",
+    (s, d) => {
+      import s.implicits._
+      val partials = Tables.events(s, d)
+        .groupBy(expr("ms div 86400000").as("day"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), sum($"value".cast(Dec)).as("sval"))
+      val stored = Mat(s, partials.filter(!($"day" % 4 === 3)), "agg-inc-base")
+      val delta = partials.filter($"day" % 4 === 3)
+      stored.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum($"cnt").cast("long").as("cnt"),
+          dround(sum($"sval").cast("double"), 2).as("total_value"),
+          dround(sum($"sval").cast("double") / sum($"cnt"), 4).as("avg_value"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS cnt, " +
+      OSql.msum("value") + " AS total_value, " +
+      OSql.mavg("value") + " AS avg_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
+
+  /** Small-file compaction — the table-maintenance pass every long-lived
+    * 100 TB archive needs: streaming ingest (one file per trigger per
+    * shard) leaves thousands of KB-scale files whose per-file open/
+    * footer cost eventually dominates scans. The job lists ONLY file
+    * metadata (sizes — never data) to size the output at
+    * ceil(totalBytes / target), then rewrites with `coalesce(n)` — a
+    * shuffle-free narrow repartition, so compaction costs one read +
+    * one write and nothing else. Target here is 1 MiB to exercise the
+    * sizing math at test scale; production uses 128 MiB (the parquet
+    * row-group sweet spot). Returns an exact integrity summary (counts,
+    * an exact id checksum, money totals) computed FROM THE COMPACTED
+    * OUTPUT; the oracle computes the same summary from the original
+    * archive, so the hash match proves the rewrite is lossless.
+    * File-count behavior (64 fragments → few) is pinned in
+    * ScaleProofSpec via [[compactRun]].
+    */
+  /** The 64-fragment "small-file problem" tree is FIXTURE — a pure
+    * function of the archive — so like the gz archive it stages once
+    * per (corpus, JVM) and the timed path measures the compaction job
+    * itself: metadata listing + coalesce rewrite + integrity summary.
+    */
+  private val fragStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def compactRun(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    import s.implicits._
+    val frag = fragStaged.computeIfAbsent(d, _ => {
+      val p = TmpDirs.dir("compact-frag")
+      Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(p)
+      p
+    })
+    val out = TmpDirs.dir("compact-out")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(frag)
+    val targetBytes = 1L << 20
+    val nOut = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    s.read.parquet(frag).coalesce(nOut).write.mode("overwrite").parquet(out)
+    val summary = s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"event_id").cast("long").as("sum_id"),
+        moneySum($"value").as("total_value"))
+      .orderBy("event_type")
+    (summary, before.length, dataFiles(out).length)
+  }
+
+  private val sinkCompact = Q(
+    "sink_compact",
+    (s, d) => compactRun(s, d)._1,
+    Some("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+      OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
-    scanOrc, joinRuntimeFilter)
+    scanOrc, joinRuntimeFilter, aggIncremental, sinkCompact)
 }

@@ -275,6 +275,37 @@ class EdgeCaseSpec extends SparkSpec {
 
   // ------------------------------------------------------------ empty sweep
 
+  test("SCD2: reprice opens a new interval, delete closes history with no current row") {
+    // key 10: repriced → two intervals, second open/current
+    // key 17: deleted → one closed interval, no current row
+    // key 170: repriced then deleted → two closed intervals
+    // key 3: unchanged → not emitted (trivially one open interval)
+    val dir = stageTables("orders" ->
+      Seq((10L, 100.0, "O"), (17L, 50.0, "F"), (170L, 80.0, "P"), (3L, 10.0, "O"))
+        .toDF("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val rows = run("cdc_scd2", dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(5))
+    }
+    assert(!rows.exists(_._1 == 3L))
+    assert(rows.filter(_._1 == 10L).toSet ===
+      Set((10L, 0L, 1L, false), (10L, 1L, -1L, true)))
+    assert(rows.filter(_._1 == 17L).toSet === Set((17L, 0L, 2L, false)))
+    assert(rows.filter(_._1 == 170L).toSet ===
+      Set((170L, 0L, 1L, false), (170L, 1L, 2L, false)))
+  }
+
+  test("repetition gate: a one-token document flags repetitive, varied prose does not") {
+    val dir = stageTables("documents" -> Seq(
+      (1L, Array.fill(40)("spam").mkString(" "), "en", "s1", 160L),
+      (2L, (0 until 40).map(i => s"w$i").mkString(" "), "en", "s1", 160L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val byId = run("text_repetition", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(6)))).toMap
+    assert(byId(1L) === ((40L, 1L, true)))   // max_ratio 1.0 → repetitive
+    assert(byId(2L) === ((40L, 40L, false))) // all-distinct → clean
+  }
+
   test("every declared query survives fully empty tables") {
     val empties = graft.core.Tables.names.map { n =>
       val raw = spark.read.parquet(s"$sf/$n.parquet").filter(lit(false))

@@ -136,6 +136,18 @@ class ScaleProofSpec extends SparkSpec {
     assert(got.toSeq === (0 until 10).map(i => (s"hh$i", (50 - i).toLong)))
   }
 
+  test("sink_compact: 64 ingest fragments compact to size-targeted files, losslessly") {
+    val (summary, before, after) = graft.ops.ScaleOps.compactRun(spark, sf)
+    assert(before === 64, "the staged small-file problem should be 64 fragments")
+    assert(after >= 1 && after < 8, s"compaction should merge to a few files, got $after")
+    // lossless: the exact id checksum over the compacted output equals
+    // the checksum over the original archive
+    val compacted = summary.agg(sum($"sum_id")).collect()(0).getLong(0)
+    val original = graft.core.Tables.events(spark, sf)
+      .agg(sum($"event_id")).collect()(0).getLong(0)
+    assert(compacted === original)
+  }
+
   test("scan_text_gz round trip is lossless vs the parquet archive") {
     val viaGz = run("scan_text_gz").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
