@@ -190,6 +190,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cdc_scd2 pushes the changed-key predicate below the version window") {
+    val plan = executedPlan("cdc_scd2")
+    val windowIdx = plan.indexOf("Window")
+    val pushedIdx = plan.indexOf("% 10) = 0) OR")
+    assert(windowIdx >= 0 && pushedIdx >= 0, "expected a Window and the OR predicate")
+    // the OR filter on the partition key must sit BELOW the window (at
+    // the scans), so unchanged keys never enter the shuffle…
+    assert(pushedIdx > windowIdx,
+      "changed-key predicate must be below the Window, not above it")
+    // …and the only residual filter above the window is the op filter
+    assert(!plan.substring(0, windowIdx).contains("% 10"),
+      "no key-mod predicate may remain above the Window")
+  }
+
+  test("text_repetition collapses duplicate tokens map-side (two partial+final aggs)") {
+    val plan = executedPlan("text_repetition")
+    // explode feeds a PARTIAL aggregate before the first exchange — the
+    // token stream never shuffles raw — and the per-doc rollup is its
+    // own partial+final pair: ≥4 HashAggregates across 2 exchanges.
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "expected two partial+final HashAggregate pairs")
+    val firstExchange = plan.indexOf("Exchange")
+    val generate = plan.indexOf("Generate")
+    assert(generate > firstExchange,
+      "the explode must sit below every exchange (map-side partial agg)")
+  }
+
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
     val plan = executedPlan("dedup_simhash")
     assert(!plan.contains("CartesianProduct"))
