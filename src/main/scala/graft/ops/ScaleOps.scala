@@ -733,6 +733,33 @@ object ScaleOps {
       "SELECT l_returnflag, cnt, q_min, q[1] AS q25, q[2] AS q50, q[3] AS q75, q_max " +
       "FROM q ORDER BY 1"))
 
+  /** Approximate distributed percentiles — the unbounded-domain sibling
+    * `agg_quantiles`'s scaladoc names. `approx_percentile` carries a
+    * bounded KLL-style sketch (state ∝ accuracy, here 1000, NOT ∝
+    * #distinct values) through partial/final aggregation, so it is the
+    * right choice when the domain grows with the data — prices, not
+    * quantities. Declared WITHOUT an oracle (rows-only check, same
+    * contract as `agg_approx_hll`): the sketch's outputs are
+    * implementation-defined, so DuckDB's approx_quantile would not
+    * hash-match; the rank-error guarantee is pinned by a tolerance test
+    * against the exact percentiles in EdgeCaseSpec instead.
+    */
+  private val aggApproxQuantile = Q(
+    "agg_approx_quantile",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)")
+            .as("q"))
+        .select($"l_returnflag", $"cnt",
+          $"q".getItem(0).as("q25"), $"q".getItem(1).as("q50"),
+          $"q".getItem(2).as("q75"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
   /** Incremental aggregate maintenance — the materialized-view pattern
     * that makes 100 TB dashboards affordable: per-(day, event_type)
     * PARTIAL aggregates (count + exact decimal sum) are the stored
@@ -826,5 +853,5 @@ object ScaleOps {
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
-    scanOrc, joinRuntimeFilter, aggIncremental, sinkCompact)
+    scanOrc, joinRuntimeFilter, aggIncremental, sinkCompact, aggApproxQuantile)
 }

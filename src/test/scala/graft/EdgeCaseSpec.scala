@@ -306,6 +306,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert(byId(2L) === ((40L, 40L, false))) // all-distinct → clean
   }
 
+  test("approx quantiles (no oracle by design) sit within 2% rank error of exact") {
+    val approx = run("agg_approx_quantile").collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    // exact value at rank fraction p ± 0.02 brackets the KLL estimate
+    val brackets = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.23D, 0.27D, 0.48D, 0.52D, 0.73D, 0.77D))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    approx.foreach { case (flag, qs) =>
+      val b = brackets(flag)
+      Seq(0, 1, 2).foreach { i =>
+        assert(qs(i) >= b(2 * i) && qs(i) <= b(2 * i + 1),
+          s"$flag q${25 * (i + 1)}=${qs(i)} outside exact-rank bracket [${b(2 * i)}, ${b(2 * i + 1)}]")
+      }
+    }
+  }
+
+  test("pagerank: structurally identical users tie; better-connected types rank higher") {
+    // users 1,2 share the identical type set {a,b}; type a additionally
+    // reaches users 3,4 while type b reaches only 1,2.
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(1), 1L, "a"), (2L, ns(2), 1L, "b"),
+      (3L, ns(3), 2L, "a"), (4L, ns(4), 2L, "b"),
+      (5L, ns(5), 3L, "a"), (6L, ns(6), 4L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type"))
+    val ranks = run("graph_pagerank", dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("u:1") === ranks("u:2"), "identical neighborhoods must tie exactly")
+    assert(ranks("t:a") > ranks("t:b"), "the higher-degree type must outrank")
+    assert(ranks("t:a") > ranks("u:3"), "a hub outranks a leaf")
+  }
+
   test("every declared query survives fully empty tables") {
     val empties = graft.core.Tables.names.map { n =>
       val raw = spark.read.parquet(s"$sf/$n.parquet").filter(lit(false))
