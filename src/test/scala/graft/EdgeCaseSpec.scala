@@ -215,6 +215,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(declared.toSeq === viaHelper.toSeq)
   }
 
+  test("PQ index re-parameterizes: 16 subspaces / K=8 still returns a sane top-10") {
+    val rows = graft.ops.LlmPipeline2.pqTopK(spark, sf, numSub = 16, numCells = 8)
+      .collect()
+    assert(rows.length === 10)
+    // exact re-rank guarantees the probe tops the list as long as the
+    // ADC shortlist admits it — its own codes maximize the table sum
+    assert(rows(0).getLong(0) === 0L)
+    assert(rows(0).getDouble(1) > 0.999)
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims === sims.sorted.reverse, "sims must be non-increasing")
+    // the declared key IS the helper at its M=8/K=16/R=50 defaults
+    val declared = run("sim_ann_pq").collect().map(_.toSeq)
+    val viaHelper = graft.ops.LlmPipeline2.pqTopK(spark, sf).collect().map(_.toSeq)
+    assert(declared.toSeq === viaHelper.toSeq)
+  }
+
   // ------------------------------------------------- scale-key edges
 
   test("distributed rank: fully tied sort values still rank uniquely by order key") {
@@ -350,7 +366,7 @@ class EdgeCaseSpec extends SparkSpec {
         val n = fn(spark, dir).count()
         // ≤1 allows grand-total rows; sim_ann_recall reports one
         // (zero-overlap) row per index even on an empty corpus
-        val cap = if (key == "sim_ann_recall") 2 else 1
+        val cap = if (key == "sim_ann_recall") 3 else 1
         if (n <= cap) None else Some(s"$key: unexpected $n rows")
       } catch { case e: Throwable => Some(s"$key: ${e.getClass.getSimpleName} ${e.getMessage}") }
     }

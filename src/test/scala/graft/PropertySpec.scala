@@ -203,4 +203,38 @@ class PropertySpec extends SparkSpec {
       merged.size <= cap && mustSurvive.subsetOf(survivors)
     }, min = 200)
   }
+
+  test("integer pagerank equals a local reference fold on random bipartite graphs (forAll)") {
+    // The determinism claim behind graph_pagerank is that the scaled
+    // integer recurrence has exactly ONE answer regardless of engine or
+    // summation order — so a plain driver-side fold over the same edges
+    // must reproduce Spark's distributed result bit-for-bit.
+    val Scale = 10000000000L
+    val Teleport = Scale * 15L / 100L
+    def ref(pairs: Set[(Long, String)]): Map[String, Long] = {
+      val edges = pairs.toSeq.flatMap { case (u, t) =>
+        Seq((s"u:$u", s"t:$t"), (s"t:$t", s"u:$u")) }
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      var rank: Map[String, Long] = deg.keys.map(_ -> Scale).toMap
+      for (_ <- 1 to 2) {
+        rank = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> (Teleport + 85L * es.map { case (src, _) => rank(src) / deg(src) }.sum / 100L)
+        }
+      }
+      rank
+    }
+    val pairGen = for {
+      u <- Gen.chooseNum(1L, 8L)
+      t <- Gen.oneOf("a", "b", "c", "d", "e")
+    } yield (u, t)
+    check(Prop.forAll(Gen.nonEmptyListOf(pairGen)) { raw =>
+      val rows = raw.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, i.toLong * 1000000L, u, t) }
+      val dir = stageTables("events" ->
+        rows.toDF("event_id", "ts", "user_id", "event_type"))
+      val got = graft.ops.GraphOps.pagerankRanks(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == ref(raw.toSet)
+    }, min = 12)
+  }
 }
