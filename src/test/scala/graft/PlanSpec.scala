@@ -217,6 +217,16 @@ class PlanSpec extends SparkSpec {
       "the explode must sit below every exchange (map-side partial agg)")
   }
 
+  test("graph_pagerank iterates via equi-joins and partial+final aggs — no product, no window") {
+    val plan = executedPlan("graph_pagerank")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "every superstep must stay an equi-join on src/dst")
+    // the per-iteration contribution rollup must combine map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "expected partial+final aggregate pairs per iteration")
+    assert(!plan.contains("Window"), "the argmax-free recurrence needs no window")
+  }
+
   test("dedup_simhash proposes via the chunk equi-join — no all-pairs product") {
     val plan = executedPlan("dedup_simhash")
     assert(!plan.contains("CartesianProduct"))

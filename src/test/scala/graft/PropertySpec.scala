@@ -204,6 +204,38 @@ class PropertySpec extends SparkSpec {
     }, min = 200)
   }
 
+  test("SCD2 intervals chain, close on delete, and carry exact prices (forAll)") {
+    // The fixture rule fully determines each changed key's history:
+    //   %10 only     → [0,1) closed, [1,∞) current at price·1.1
+    //   %17 only     → [0,2) closed by the delete, no current row
+    //   %10 and %17  → [0,1), [1,2), no current row
+    // so a driver-side model can predict the EXACT output rows,
+    // including the deterministic 2dp rounding of the repriced value.
+    def r2(x: Double): Double = math.floor(x * 100.0 + 0.5) / 100.0
+    def expected(key: Long, price: Double): Set[(Long, Long, Long, Double, Boolean)] = {
+      val rep = key % 10 == 0
+      val del = key % 17 == 0
+      if (rep && del) Set((key, 0L, 1L, r2(price), false), (key, 1L, 2L, r2(price * 1.1), false))
+      else if (rep) Set((key, 0L, 1L, r2(price), false), (key, 1L, -1L, r2(price * 1.1), true))
+      else if (del) Set((key, 0L, 2L, r2(price), false))
+      else Set.empty
+    }
+    val rowGen = for {
+      key <- Gen.chooseNum(1L, 400L)
+      price <- Gen.chooseNum(1.0, 99999.0)
+    } yield (key, price, "O")
+    check(Prop.forAll(Gen.nonEmptyListOf(rowGen)) { raw =>
+      val rows = raw.distinctBy(_._1)
+      val dir = stageTables("orders" ->
+        rows.toDF("o_orderkey", "o_totalprice", "o_orderstatus"))
+      val got = run("cdc_scd2", dir).collect().map { r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getDouble(3), r.getBoolean(5))
+      }.toSet
+      got == rows.flatMap { case (k, p, _) => expected(k, p) }.toSet
+    }, min = 10)
+  }
+
   test("integer pagerank equals a local reference fold on random bipartite graphs (forAll)") {
     // The determinism claim behind graph_pagerank is that the scaled
     // integer recurrence has exactly ONE answer regardless of engine or
