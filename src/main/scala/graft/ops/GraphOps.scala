@@ -84,5 +84,27 @@ object GraphOps {
       "r2 AS (SELECT dst AS node, CAST(1500000000 + (85 * s) // 100 AS BIGINT) AS rank FROM c2) " +
       "SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 20"))
 
-  val qs: Seq[Q] = Seq(graphPagerank)
+  /** Connected components via LARGE-STAR/SMALL-STAR contraction as a
+    * DECLARED key — not just `dedup_cluster`'s past-the-diameter-cap
+    * fallback. The two keys cluster the SAME banded-MinHash candidate
+    * graph ([[LlmPipeline.candidateEdges]]) with different algorithms:
+    * min-label propagation is O(diameter) rounds (right for near-dup
+    * quasi-cliques, diameter ≈ 2); star contraction is O(log n) rounds
+    * regardless of diameter (right for chain-shaped graphs — citation
+    * webs, edit histories). Both declare the SAME oracle string, so a
+    * divergence between the two algorithms is caught by the hash gate
+    * itself, and the PropertySpec law additionally pins both against a
+    * union-find oracle on random graphs including chains. Declaring the
+    * star path keeps it benchmarked and verified every round instead of
+    * dormant until the first pathological corpus triggers it.
+    */
+  private val graphComponentsStar = Q(
+    "graph_components_star",
+    (s, d) => {
+      val edges = LlmPipeline.candidateEdges(s, d, "star-bands")
+      LlmPipeline.labeledClusters(s, LlmPipeline.starContraction(s, edges))
+    },
+    Some(LlmPipeline.clusterOracleSql))
+
+  val qs: Seq[Q] = Seq(graphPagerank, graphComponentsStar)
 }

@@ -483,24 +483,47 @@ object LlmPipeline {
     * closure → min reachable id) — quadratic in cluster size but exact,
     * fine at oracle scale; the Spark side IS the scale path.
     */
-  private val dedupCluster = Q(
-    "dedup_cluster",
-    (s, d) => {
-      import s.implicits._
-      val guarded = guardBands(Mat(s, bandRows(s, d), "cc-bands"))
-      val cand = guarded.select($"doc_id".as("doc_a"), $"band")
-        .join(guarded.select($"doc_id".as("doc_b"), $"band"), "band")
-        .filter($"doc_a" < $"doc_b")
-        .select("doc_a", "doc_b").distinct()
-      val edges = cand.select($"doc_a".as("v"), $"doc_b".as("u"))
-        .union(cand.select($"doc_b".as("v"), $"doc_a".as("u")))
-      val labels = connectedComponents(s, edges)
-      val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
-      labels.join(sizes, "lbl")
-        .select($"v".as("doc_id"), $"lbl".as("cluster"), $"n_members")
-        .orderBy("doc_id")
-    },
-    Some("WITH RECURSIVE " + bandCtes + guardCtes + ", " +
+  /** Banded-MinHash candidate pairs as a SYMMETRIC edge list (v, u) —
+    * the propose stage shared by [[dedupCluster]] (Pregel fold) and
+    * `graph_components_star` (direct star contraction): both cluster the
+    * SAME graph, so a shared builder keeps the two keys comparable by
+    * construction. `label` isolates each caller's [[graft.core.Mat]]
+    * scratch dir.
+    */
+  private[ops] def candidateEdges(
+      s: SparkSession, d: String, label: String): DataFrame = {
+    import s.implicits._
+    val guarded = guardBands(Mat(s, bandRows(s, d), label))
+    val cand = guarded.select($"doc_id".as("doc_a"), $"band")
+      .join(guarded.select($"doc_id".as("doc_b"), $"band"), "band")
+      .filter($"doc_a" < $"doc_b")
+      .select("doc_a", "doc_b").distinct()
+    cand.select($"doc_a".as("v"), $"doc_b".as("u"))
+      .union(cand.select($"doc_b".as("v"), $"doc_a".as("u")))
+  }
+
+  /** Label every vertex of a symmetric (v, u) edge list with its
+    * component minimum and join in component sizes — the shared
+    * read-off for both clustering keys.
+    */
+  private[ops] def labeledClusters(
+      s: SparkSession, labels: DataFrame): DataFrame = {
+    import s.implicits._
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lbl")
+      .select($"v".as("doc_id"), $"lbl".as("cluster"), $"n_members")
+      .orderBy("doc_id")
+  }
+
+  /** Transitive-closure oracle over the candidate graph (recursive CTE
+    * → min reachable id) — quadratic in cluster size but exact, fine at
+    * oracle scale. Shared verbatim by `dedup_cluster` and
+    * `graph_components_star`: the two keys declare DIFFERENT cluster
+    * algorithms over the same graph, so their oracles are identical and
+    * a divergence between them is an algorithm bug by construction.
+    */
+  private[ops] lazy val clusterOracleSql: String =
+    "WITH RECURSIVE " + bandCtes + guardCtes + ", " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id), " +
       "e2 AS (SELECT doc_a AS a, doc_b AS b FROM cand " +
@@ -510,7 +533,15 @@ object LlmPipeline {
       "cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM walk GROUP BY a), " +
       "sz AS (SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1) " +
       "SELECT doc_id, cluster, n_members FROM cl JOIN sz USING (cluster) " +
-      "ORDER BY doc_id"))
+      "ORDER BY doc_id"
+
+  private val dedupCluster = Q(
+    "dedup_cluster",
+    (s, d) => {
+      val edges = candidateEdges(s, d, "cc-bands")
+      labeledClusters(s, connectedComponents(s, edges))
+    },
+    Some(clusterOracleSql))
 
   val qs: Seq[Q] = Seq(
     dedupExact, tokenizeWordcount, textStats, simCosineTopk, multimodalJoin,

@@ -28,10 +28,10 @@ object LlmPipeline2 {
   /** Value of a lowercase hex digit char column (0..15), portable:
     * ascii() has identical semantics in Spark and DuckDB.
     */
-  private def hexVal(c: Column): Column =
+  private[ops] def hexVal(c: Column): Column =
     when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
 
-  private def hexValSql(e: String): String =
+  private[ops] def hexValSql(e: String): String =
     s"CASE WHEN ascii($e) <= 57 THEN ascii($e) - 48 ELSE ascii($e) - 87 END"
 
   // ------------------------------------------------------------- SimHash
@@ -928,22 +928,42 @@ object LlmPipeline2 {
     * per-frame rows, partial-agg rollup — is the real plumbing and is
     * what the oracle verifies.
     */
-  private val multimodalDecode = Q(
-    "multimodal_decode",
-    (s, d) => {
-      import s.implicits._
-      val withPayload = t(s, d, "documents")
-        .select($"doc_id", $"lang", encode($"text", "utf-8").as("payload"))
-        .select($"doc_id", $"lang",
-          length($"payload").cast("long").as("n_bytes"),
-          md5($"payload").as("digest"))
-      // -- FAKE DECODE: dimensions/frames derived from the digest where a
-      //    real decoder would parse the media header ------------------
-      val decoded = withPayload.select($"doc_id", $"lang", $"n_bytes",
+  /** The opaque-binary payload with FAKE-decoded media header —
+    * dimensions/frames derived from the payload digest where a real
+    * deployment's decoder UDF would parse the container header. Shared
+    * by `multimodal_decode` (frame explode) and `multimodal_resize`
+    * (aspect-preserving scale plumbing), so both keys see the same
+    * asset dims by construction.
+    */
+  private[ops] def fakeDecoded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select($"doc_id", $"lang", encode($"text", "utf-8").as("payload"))
+      .select($"doc_id", $"lang",
+        length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("digest"))
+      .select($"doc_id", $"lang", $"n_bytes",
         (lit(16) + hexVal(substring($"digest", 1, 1)) * 8).cast("long").as("width"),
         (lit(16) + hexVal(substring($"digest", 2, 1)) * 8).cast("long").as("height"),
         (lit(1) + hexVal(substring($"digest", 3, 1)) % 4).cast("int").as("n_frames"),
         $"digest")
+  }
+
+  /** Oracle-side mirror of [[fakeDecoded]]: CTE chain ending in `dec`. */
+  private[ops] lazy val decodeCtes: String =
+    "p AS (SELECT doc_id, lang, " +
+      "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS digest " +
+      "FROM documents), " +
+      "dec AS (SELECT doc_id, lang, n_bytes, " +
+      s"CAST(16 + (${hexValSql("substring(digest, 1, 1)")}) * 8 AS BIGINT) AS width, " +
+      s"CAST(16 + (${hexValSql("substring(digest, 2, 1)")}) * 8 AS BIGINT) AS height, " +
+      s"1 + (${hexValSql("substring(digest, 3, 1)")}) % 4 AS n_frames, digest FROM p)"
+
+  private val multimodalDecode = Q(
+    "multimodal_decode",
+    (s, d) => {
+      import s.implicits._
+      val decoded = fakeDecoded(s, d)
       decoded
         .select($"doc_id", $"lang", $"n_bytes", $"width", $"height",
           explode(sequence(lit(1), $"n_frames")).as("frame"), $"digest")
@@ -954,13 +974,7 @@ object LlmPipeline2 {
         .orderBy("doc_id", "frame")
         .limit(2000)
     },
-    Some("WITH p AS (SELECT doc_id, lang, " +
-      "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, md5(text) AS digest " +
-      "FROM documents), " +
-      "dec AS (SELECT doc_id, lang, n_bytes, " +
-      s"CAST(16 + (${hexValSql("substring(digest, 1, 1)")}) * 8 AS BIGINT) AS width, " +
-      s"CAST(16 + (${hexValSql("substring(digest, 2, 1)")}) * 8 AS BIGINT) AS height, " +
-      s"1 + (${hexValSql("substring(digest, 3, 1)")}) % 4 AS n_frames, digest FROM p) " +
+    Some(s"WITH $decodeCtes " +
       "SELECT doc_id, lang, n_bytes, width, height, CAST(frame AS BIGINT) AS frame, " +
       s"CAST(${hexValSql("substring(digest, 3 + frame, 1)")} AS BIGINT) AS feature " +
       "FROM (SELECT *, unnest(generate_series(1, n_frames)) AS frame FROM dec) " +

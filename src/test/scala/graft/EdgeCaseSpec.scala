@@ -355,6 +355,59 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ranks("t:a") > ranks("u:3"), "a hub outranks a leaf")
   }
 
+  test("corpus_pack_sequences two-phase packing equals the naive global-window spelling") {
+    // the distributed plan (range partitions + broadcast offsets) must be
+    // a PURE plan change: same bins as one global exclusive cumsum
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val naive = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("tok"))
+      .withColumn("cum", sum($"tok").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"doc_id")) - $"tok")
+      .withColumn("seq", expr("cum div 256"))
+      .groupBy("seq")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").cast("long").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+    val packed = run("corpus_pack_sequences").collect().map(_.toSeq).toSet
+    assert(packed === naive.collect().map(_.toSeq).toSet)
+    // conservation: every token lands in exactly one sequence
+    val total = docs.select(sum(size(split($"text", " ")).cast("long"))).head.getLong(0)
+    assert(run("corpus_pack_sequences").agg(sum($"n_tokens")).head.getLong(0) === total)
+  }
+
+  test("embedding_quantize stays within int8 range and the rounding error bound") {
+    val rows = run("embedding_quantize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qmin, qmax) = (r.getLong(2), r.getLong(3))
+      val (scale, l1) = (r.getDouble(4), r.getDouble(5))
+      assert(qmin >= -127 && qmax <= 127, s"q out of int8 range: $qmin..$qmax")
+      // per-element |err| ≤ scale/2, 64 dims ⇒ Σ ≤ 32·scale (+ rounding slack)
+      assert(l1 <= 32.0 * scale + 0.01, s"l1_err $l1 breaches bound for scale $scale")
+    }
+  }
+
+  test("graph_components_star labels the candidate graph identically to the Pregel fold") {
+    val star = run("graph_components_star").collect().map(_.toSeq).toSet
+    val pregel = run("dedup_cluster").collect().map(_.toSeq).toSet
+    assert(star === pregel,
+      "star contraction and min-label propagation must agree on every cluster")
+  }
+
+  test("multimodal_resize fits every asset into the 64-canvas preserving aspect") {
+    val rows = run("multimodal_resize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.max(ow, oh) === 64L, "the long side must scale to exactly 64")
+      assert(math.min(ow, oh) >= 1L)
+      // aspect preserved up to the integer floor: the short side sits
+      // within 1 of the exact ratio 64·min/max
+      val exactShort = 64.0 * math.min(w, h) / math.max(w, h)
+      assert(math.abs(math.min(ow, oh) - exactShort) <= 1.0,
+        s"short side ${math.min(ow, oh)} vs exact $exactShort for ${w}x$h")
+    }
+  }
+
   test("every declared query survives fully empty tables") {
     val empties = graft.core.Tables.names.map { n =>
       val raw = spark.read.parquet(s"$sf/$n.parquet").filter(lit(false))

@@ -232,4 +232,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sample_reservoir lowers to TakeOrdered — a size-k heap per partition, never a global sort") {
+    val plan = executedPlan("sample_reservoir")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "hash-ranked k-sample must be TakeOrderedAndProject, not Sort+Limit")
+  }
+
+  test("corpus_pack_sequences packs via range partitioning + broadcast offsets — no global token window") {
+    // phase 1 (pre-checkpoint): the token table flows through a range
+    // exchange, the same spelling window_rank_distributed pins
+    val ids = graft.ops.PackOps.packIdsPlan(spark, sf)
+    ids.collect()
+    assert(ids.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "phase 1 must be a range repartition of the token table")
+    // full key: the corpus-side cumsum window is partitioned by pid and
+    // the P-row offsets arrive by broadcast — the single-partition
+    // global-window shape never appears over the token table
+    val plan = executedPlan("corpus_pack_sequences")
+    assert(plan.contains("BroadcastHashJoin"),
+      "partition offsets must join back by broadcast")
+    assert(plan.contains("windowspecdefinition(pid"),
+      "the per-row cumsum must be the pid-partitioned window")
+  }
 }
