@@ -206,6 +206,56 @@ object EventTime {
       "FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms > s.ms " +
       "ORDER BY e.event_id"))
 
+  /** NEAREST-in-time as-of join — the bidirectional sibling of
+    * [[asof]]: for every event, the signup of the same user closest in
+    * time (either direction; ties break to the earlier one — the
+    * sensor-alignment semantics time-series tooling calls "nearest").
+    * Still not a join: the previous-signup max and next-signup min are
+    * two range frames over the SAME (user_id, ms) sort — Spark runs the
+    * growing and shrinking frames as two window passes, but the second
+    * reuses the first's partitioning AND sort order, so the whole
+    * operator costs ONE shuffle and ONE sort (plan-pinned) — the same
+    * single-exchange economics as the backward as-of, where a
+    * nearest-merge join would pay a per-key two-sided scan. The pick is
+    * exact integer arithmetic (ms − prev ≤ next − ms), so both engines
+    * agree bit-for-bit. A signup row is its own nearest signup
+    * (distance 0) — declared semantics, identical in the oracle.
+    */
+  private val asofNearest = Q(
+    "join_asof_nearest",
+    (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ms".asc)
+      val wPrev = byUser.rangeBetween(Window.unboundedPreceding, 0)
+      val wNext = byUser.rangeBetween(0, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"ms")
+        .withColumn("prev_ms", max(when($"event_type" === "signup", $"ms")).over(wPrev))
+        .withColumn("next_ms", min(when($"event_type" === "signup", $"ms")).over(wNext))
+        .withColumn("nearest_signup_ms",
+          when($"prev_ms".isNull, $"next_ms")
+            .when($"next_ms".isNull, $"prev_ms")
+            .when($"ms" - $"prev_ms" <= $"next_ms" - $"ms", $"prev_ms")
+            .otherwise($"next_ms"))
+        .select($"event_id", $"user_id", $"ms", $"nearest_signup_ms",
+          abs($"ms" - $"nearest_signup_ms").as("dist_ms"))
+        .orderBy("event_id")
+    },
+    Some("WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms " +
+      "FROM events), " +
+      "w AS (SELECT event_id, user_id, ms, " +
+      "max(CASE WHEN event_type = 'signup' THEN ms END) OVER " +
+      "(PARTITION BY user_id ORDER BY ms RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ms, " +
+      "min(CASE WHEN event_type = 'signup' THEN ms END) OVER " +
+      "(PARTITION BY user_id ORDER BY ms RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ms " +
+      "FROM e) " +
+      "SELECT event_id, user_id, ms, " +
+      "CASE WHEN prev_ms IS NULL THEN next_ms WHEN next_ms IS NULL THEN prev_ms " +
+      "WHEN ms - prev_ms <= next_ms - ms THEN prev_ms ELSE next_ms END AS nearest_signup_ms, " +
+      "abs(ms - (CASE WHEN prev_ms IS NULL THEN next_ms WHEN next_ms IS NULL THEN prev_ms " +
+      "WHEN ms - prev_ms <= next_ms - ms THEN prev_ms ELSE next_ms END)) AS dist_ms " +
+      "FROM w ORDER BY event_id"))
+
   /** Ordered funnel analysis (signup → click → purchase): per user, the
     * first signup, the first click within the HOUR after that signup,
     * and the first purchase within the hour after that click — the
@@ -271,5 +321,5 @@ object EventTime {
 
   val qs: Seq[Q] =
     Seq(tumbling, session, sessionWindowNative, dedup, lateData, sliding, asof,
-      funnelSteps)
+      asofNearest, funnelSteps)
 }

@@ -355,6 +355,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ranks("t:a") > ranks("u:3"), "a hub outranks a leaf")
   }
 
+  test("join_asof_nearest picks the closer signup and breaks ties to the earlier one") {
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(100), 1L, "signup"), // a signup is its own nearest (dist 0)
+      (2L, ns(150), 1L, "click"), // equidistant 100 vs 200 → earlier wins
+      (3L, ns(190), 1L, "click"), // strictly closer to 200
+      (4L, ns(200), 1L, "signup"),
+      (5L, ns(500), 2L, "click"), // no signup for user 2 → NULL
+      (6L, ns(50), 3L, "click"), // only a LATER signup exists → forward match
+      (7L, ns(80), 3L, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type"))
+    val got = run("join_asof_nearest", dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) === Some(100L))
+    assert(got(2L) === Some(100L), "tie must break to the earlier signup")
+    assert(got(3L) === Some(200L))
+    assert(got(5L) === None)
+    assert(got(6L) === Some(80L), "an event before every signup matches forward")
+  }
+
   test("corpus_pack_sequences two-phase packing equals the naive global-window spelling") {
     // the distributed plan (range partitions + broadcast offsets) must be
     // a PURE plan change: same bins as one global exclusive cumsum

@@ -233,6 +233,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_asof_nearest evaluates both range frames after one hash shuffle and one sort") {
+    val df = run("join_asof_nearest")
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    // Spark evaluates the growing (unboundedPreceding..0) and shrinking
+    // (0..unboundedFollowing) frames as two WindowExec passes — but both
+    // share the (user_id, ms) sort, so the second pays NO new exchange
+    // and NO new sort. The scale property pinned here is the data
+    // movement: exactly one hash shuffle and one window-side sort.
+    assert(all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) <= 2)
+    val hashShuffles = all.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashShuffles.size === 1,
+      "the nearest as-of costs exactly one user_id shuffle (plus the output sort)")
+    // ≤2 sorts total: the shared window sort + the final ORDER BY
+    assert(all.count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]) <= 2,
+      "the second frame must reuse the first frame's sort order")
+  }
+
   test("sample_reservoir lowers to TakeOrdered — a size-k heap per partition, never a global sort") {
     val plan = executedPlan("sample_reservoir")
     assert(plan.contains("TakeOrderedAndProject"),
