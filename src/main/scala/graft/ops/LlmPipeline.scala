@@ -95,6 +95,30 @@ object LlmPipeline {
       .limit(k)
   }
 
+  /** Exact top-k for a PROBE SET in one corpus pass: the embeddings scan
+    * joins the tiny broadcast probe table once, and each probe's top-k
+    * is read off a probe-partitioned window — same (sim desc, vec_id)
+    * tie rule as [[exactTopK]], so the per-probe sets are identical to
+    * three single-probe runs. The recall gate uses this so the exact
+    * side costs one scan regardless of probe-set size — the shape a
+    * sampled 100-probe rollout gate needs.
+    */
+  private[ops] def exactTopKMulti(
+      s: SparkSession, d: String, k: Int, probes: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val probeTab = emb.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"embedding".as("pv"))
+    val w = Window.partitionBy($"probe").orderBy($"sim".desc, $"vec_id".asc)
+    emb.crossJoin(broadcast(probeTab))
+      .select($"probe", $"vec_id",
+        Det.dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"probe", $"vec_id")
+  }
+
   /** DuckDB spelling of [[exactTopK]] (the oracle side of the exact
     * scan), parameterized by k and probe so the recall key can reuse
     * it.
@@ -417,11 +441,13 @@ object LlmPipeline {
     * 1000-executor cluster wants), with a localCheckpoint lineage cut.
     * At convergence every component is a star centered at its minimum
     * id, so the label read-off is one neighborhood-min pass. The
-    * except()-based convergence probe is two anti-joins over the
-    * (shrinking) canonical edge set; a production run would instead
-    * compare a per-round (count, hash) signature — noted, not needed
-    * at test scale. Returns (v, lbl) for every vertex incident to an
-    * input edge; input must be symmetric.
+    * convergence probe is count-gated: a changing round almost always
+    * changes the canonical edge COUNT (one cheap aggregate over the
+    * checkpointed table), so the anti-join set-equality check runs only
+    * on the rare count-stable round — and since |next| = |cur|, ONE
+    * direction (next ∖ cur = ∅) proves equality, halving the probe.
+    * Returns (v, lbl) for every vertex incident to an input edge; input
+    * must be symmetric.
     */
   private[graft] def starContraction(
       s: SparkSession, edgesIn: DataFrame): DataFrame = {
@@ -436,9 +462,10 @@ object LlmPipeline {
     val verts = edgesIn.select($"v").distinct().localCheckpoint(true)
     var cur = canon(edgesIn.select($"v".as("a"), $"u".as("b")))
       .localCheckpoint(true)
+    var curCount = cur.count()
     var iter = 0
     val maxIter = 64 // ≫ log₂ of any representable vertex count
-    var done = cur.isEmpty
+    var done = curCount == 0
     while (!done && iter < maxIter) {
       val e = sym(cur)
       // large-star: u > v joins m = min(Γ(v) ∪ {v})
@@ -454,8 +481,10 @@ object LlmPipeline {
         sm.join(mins2, "v").select($"u".as("a"), $"mn".as("b"))
           .union(mins2.select($"v".as("a"), $"mn".as("b"))))
         .localCheckpoint(true)
-      done = next.except(cur).isEmpty && cur.except(next).isEmpty
+      val nextCount = next.count()
+      done = nextCount == curCount && next.except(cur).isEmpty
       cur = next
+      curCount = nextCount
       iter += 1
     }
     if (!done) sys.error(

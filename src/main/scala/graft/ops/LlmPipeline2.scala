@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Mat, OSql, Q, Tables}
 
@@ -387,6 +388,40 @@ object LlmPipeline2 {
       .limit(k)
   }
 
+  /** [[lshTopK]] for a PROBE SET in one pass — the probe-band table
+    * carries a `probe` column (|probes|·72 rows, still a broadcast),
+    * candidates are distinct per (probe, vec_id), and each probe's
+    * top-k is read off a probe-partitioned window with the identical
+    * (sim desc, vec_id asc) rule. Returns (probe, vec_id).
+    */
+  private[ops] def lshTopKMulti(
+      s: SparkSession, d: String, k: Int = 10,
+      probes: Seq[Long] = Seq(0L)): DataFrame = {
+    import s.implicits._
+    val sigs = sigTable(s, d)
+    val ch = sigs.select($"vec_id", explode(array((0 to 7).map(k =>
+      struct(lit(k).as("k"),
+        shiftright($"sig", 8 * k).bitwiseAND(lit(255L)).as("c"))): _*)).as("kc"))
+      .select($"vec_id", $"kc.k".as("k"), $"kc.c".as("c"))
+    val masks = lit(0L) +: (0 to 7).map(b => lit(1L << b))
+    val probeBands = ch.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"k",
+        explode(array(masks.map($"c".bitwiseXOR(_)): _*)).as("c"))
+    val probeVecs = sigs.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"embedding".as("pv"))
+    val wK = Window.partitionBy($"probe").orderBy($"sim".desc, $"vec_id".asc)
+    ch.join(broadcast(probeBands), Seq("k", "c"))
+      .select("probe", "vec_id").distinct()
+      .join(sigs.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(probeVecs), "probe")
+      .select($"probe", $"vec_id",
+        dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wK))
+      .filter($"rn" <= k)
+      .select("probe", "vec_id")
+  }
+
   /** DuckDB spelling of [[lshTopK]], parameterized by k so the recall
     * key can reuse it.
     */
@@ -440,9 +475,13 @@ object LlmPipeline2 {
     * same two plan shapes per Lloyd iteration) instead of re-designing.
     * Exercised at K=4 in EdgeCaseSpec; the declared key runs K=8/nProbe=2.
     */
-  private[graft] def ivfTopK(
-      s: SparkSession, d: String, numCells: Int = 8, nProbe: Int = 2,
-      k: Int = 10, probeId: Long = 0L): DataFrame = {
+  /** The trained IVF index artifacts for (corpus, K): quantized
+    * components `iq`, trained assignment `a2` (vector → inverted list)
+    * and the final centroid table `c2` — all IndexCache'd, so the
+    * single-probe key and the multi-probe recall gate share ONE build.
+    */
+  private def ivfIndex(s: SparkSession, d: String, numCells: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
       import s.implicits._
       val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val emb = t(s, d, "embeddings")
@@ -485,6 +524,16 @@ object LlmPipeline2 {
       // the final centroid table is K×64 rows and probe-independent —
       // cache it so each extra probe pays only its own scoring + scan
       val c2 = graft.core.IndexCache(s, s"ivf-c2|K=$numCells|$d", centroids(a2))
+      (iq, a2, c2)
+  }
+
+  private[graft] def ivfTopK(
+      s: SparkSession, d: String, numCells: Int = 8, nProbe: Int = 2,
+      k: Int = 10, probeId: Long = 0L): DataFrame = {
+      import s.implicits._
+      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val emb = t(s, d, "embeddings")
+      val (iq, a2, c2) = ivfIndex(s, d, numCells)
       val probeQ = iq.filter($"vec_id" === probeId).select($"pos", $"q".as("pq"))
       val chosen = c2.join(broadcast(probeQ), "pos")
         .groupBy("cell")
@@ -500,6 +549,42 @@ object LlmPipeline2 {
             .as("sim"))
         .orderBy($"sim".desc, $"vec_id".asc)
         .limit(k)
+  }
+
+  /** [[ivfTopK]] for a PROBE SET in one pass — same cached index, same
+    * per-probe selection rules (cell choice: score desc, cell asc;
+    * result: sim desc, vec_id asc) read off probe-partitioned windows,
+    * so each probe's set is identical to its single-probe run while the
+    * inverted-list scan and scoring run as ONE job for all probes.
+    * Returns (probe, vec_id).
+    */
+  private[ops] def ivfTopKMulti(
+      s: SparkSession, d: String, numCells: Int = 8, nProbe: Int = 2,
+      k: Int = 10, probes: Seq[Long] = Seq(0L)): DataFrame = {
+    import s.implicits._
+    val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val emb = t(s, d, "embeddings")
+    val (iq, a2, c2) = ivfIndex(s, d, numCells)
+    val probeQ = iq.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"pos", $"q".as("pq"))
+    val wCell = Window.partitionBy($"probe").orderBy($"score".desc, $"cell".asc)
+    val chosen = c2.join(broadcast(probeQ), "pos")
+      .groupBy($"probe", $"cell")
+      .agg((sum($"pq".cast(Dec38) * $"sq").cast("double") / max($"n")).as("score"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter($"rn" <= nProbe)
+      .select("probe", "cell")
+    val probeVecs = emb.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"embedding".as("pv"))
+    val wK = Window.partitionBy($"probe").orderBy($"sim".desc, $"vec_id".asc)
+    emb.join(a2, "vec_id").join(broadcast(chosen), "cell")
+      .join(broadcast(probeVecs), "probe")
+      .select($"probe", $"vec_id",
+        dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wK))
+      .filter($"rn" <= k)
+      .select("probe", "vec_id")
   }
 
   /** DuckDB spelling of [[ivfTopK]] (the unrolled Lloyd CTEs),
@@ -580,9 +665,14 @@ object LlmPipeline2 {
     * sum of 8 table entries — no float accumulation anywhere, so the
     * ranking hash-matches DuckDB bit for bit.
     */
-  private[graft] def pqTopK(
-      s: SparkSession, d: String, numSub: Int = 8, numCells: Int = 16,
-      k: Int = 10, probeId: Long = 0L, rerank: Int = 80): DataFrame = {
+  /** The trained PQ index artifacts for (corpus, M, K): sub-tagged
+    * quantized components `iq`, the full-corpus `codes` and the integer
+    * `codebook` — IndexCache'd, shared by the single-probe key and the
+    * multi-probe recall gate.
+    */
+  private def pqIndex(
+      s: SparkSession, d: String, numSub: Int, numCells: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val emb = t(s, d, "embeddings")
@@ -633,6 +723,15 @@ object LlmPipeline2 {
     val codebook = graft.core.IndexCache(s, s"pq-book|M=$numSub|K=$numCells|$d",
       trained.select($"sub", $"cell", $"pos",
         floor($"sq".cast("double") / $"n").cast("long").as("cm")))
+    (iq, codes, codebook)
+  }
+
+  private[graft] def pqTopK(
+      s: SparkSession, d: String, numSub: Int = 8, numCells: Int = 16,
+      k: Int = 10, probeId: Long = 0L, rerank: Int = 80): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val (iq, codes, codebook) = pqIndex(s, d, numSub, numCells)
     val probeQ = iq.filter($"vec_id" === probeId).select($"sub", $"pos", $"q".as("pq"))
     val table = codebook.join(broadcast(probeQ), Seq("sub", "pos"))
       .groupBy($"sub", $"cell")
@@ -651,6 +750,43 @@ object LlmPipeline2 {
           .as("sim"))
       .orderBy($"sim".desc, $"vec_id".asc)
       .limit(k)
+  }
+
+  /** [[pqTopK]] for a PROBE SET in one pass — same cached codes and
+    * codebook; the ADC table gains a `probe` column (|probes|·M·K rows,
+    * still broadcast), the shortlist and the exact re-rank read off
+    * probe-partitioned windows with the identical tie rules. Returns
+    * (probe, vec_id).
+    */
+  private[ops] def pqTopKMulti(
+      s: SparkSession, d: String, numSub: Int = 8, numCells: Int = 16,
+      k: Int = 10, probes: Seq[Long] = Seq(0L), rerank: Int = 80): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val (iq, codes, codebook) = pqIndex(s, d, numSub, numCells)
+    val probeQ = iq.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"sub", $"pos", $"q".as("pq"))
+    val table = codebook.join(broadcast(probeQ), Seq("sub", "pos"))
+      .groupBy($"probe", $"sub", $"cell")
+      .agg(sum($"pq" * $"cm").as("t"))
+    val wShort = Window.partitionBy($"probe").orderBy($"approx_score".desc, $"vec_id".asc)
+    val shortlist = codes.join(broadcast(table), Seq("sub", "cell"))
+      .groupBy($"probe", $"vec_id")
+      .agg(sum($"t").as("approx_score"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter($"rn" <= rerank)
+      .select("probe", "vec_id")
+    val probeVecs = emb.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"embedding".as("pv"))
+    val wK = Window.partitionBy($"probe").orderBy($"sim".desc, $"vec_id".asc)
+    emb.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(probeVecs), "probe")
+      .select($"probe", $"vec_id",
+        dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wK))
+      .filter($"rn" <= k)
+      .select("probe", "vec_id")
   }
 
   /** DuckDB spelling of [[pqTopK]] (unrolled per-subspace Lloyd CTEs),
@@ -726,19 +862,23 @@ object LlmPipeline2 {
     "sim_ann_recall",
     (s, d) => {
       import s.implicits._
-      val perProbe = recallProbes.map { p =>
-        // the probe's exact set feeds both overlap joins — Mat once
-        val exact = Mat(s, LlmPipeline.exactTopK(s, d, 10, p).select($"vec_id"),
-          "recall-exact")
-        def overlap(name: String, approx: DataFrame): DataFrame =
-          exact.join(approx.select($"vec_id"), "vec_id")
-            .agg(count(lit(1)).as("o"))
-            .select(lit(name).as("method"), $"o")
-        overlap("ivf", ivfTopK(s, d, probeId = p))
-          .unionByName(overlap("lsh", lshTopK(s, d, probeId = p)))
-          .unionByName(overlap("pq", pqTopK(s, d, probeId = p)))
-      }
-      perProbe.reduce(_ unionByName _)
+      // Every side runs its WHOLE probe set in one pass: the exact scan
+      // joins the 3-row broadcast probe table once (one corpus scan, one
+      // Mat), and each index runs ONE batched probe pipeline via its
+      // *Multi sibling — 4 jobs total instead of 12 (3 probes × 4
+      // pipelines), with per-probe sets provably identical (same cached
+      // index artifacts, same tie rules, read off probe-partitioned
+      // windows). The overlap is a (probe, vec_id) equi-join, summed
+      // over probes per method.
+      val exactAll = Mat(s,
+        LlmPipeline.exactTopKMulti(s, d, 10, recallProbes), "recall-exact")
+      def overlap(name: String, approxAll: DataFrame): DataFrame =
+        exactAll.join(approxAll, Seq("probe", "vec_id"))
+          .agg(count(lit(1)).as("o"))
+          .select(lit(name).as("method"), $"o")
+      overlap("ivf", ivfTopKMulti(s, d, probes = recallProbes))
+        .unionByName(overlap("lsh", lshTopKMulti(s, d, probes = recallProbes)))
+        .unionByName(overlap("pq", pqTopKMulti(s, d, probes = recallProbes)))
         .groupBy("method")
         .agg(sum($"o").cast("long").as("n_overlap"))
         .select($"method", $"n_overlap",
