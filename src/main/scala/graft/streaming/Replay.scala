@@ -591,7 +591,52 @@ object Replay {
       "WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' " +
       "GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** BACKFILL + LIVE-TAIL union — the lambda-architecture cutover every
+    * long-lived replay deployment performs: history up to a cutover day
+    * is served by a partition-pruned BATCH scan (days 01–20 of the
+    * archive tree, 20 of 30 dirs listed), the tail from the cutover on
+    * by a STREAMING replay scoped to exactly the remaining day dirs
+    * (brace glob — the FileStreamSource never lists a pre-cutover
+    * byte), and the two legs meet in one rollup. The seam is the bug
+    * surface: a day double-counted or dropped at the cutover is
+    * invisible to either leg alone, so the oracle is the plain
+    * aggregate over the WHOLE archive — the hash match proves the seam
+    * is exact. Both legs carry EXACT partials across the union (counts
+    * + unrounded DECIMAL sums; rounding only after the final merge),
+    * because per-leg rounded values would not re-aggregate — the same
+    * partial-then-finalize discipline `agg_incremental` pins. At 100 TB
+    * each leg keeps its native economics: the backfill reads columnar
+    * history at scan speed, the tail replays incrementally with
+    * checkpointed progress.
+    */
+  private val replayBackfill = Q(
+    "replay_backfill",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(String, Long, Double)]
+          .toDF("event_type", "cnt", "total_value")
+      else {
+        val tree = graft.ops.ScaleOps.stageTimePartitioned(s, d)
+        val partial = (df: DataFrame) => df.groupBy($"event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum($"value".cast(Det.Dec)).as("vsum"))
+        val hist = partial(
+          s.read.parquet(tree).filter($"dt" < "2024-01-21"))
+        val tailDays = (21 to 30).map(i => f"$i%02d").mkString(",")
+        val live = runStreamToTable(
+          s, s"$tree/dt=2024-01-{$tailDays}", rawGlob = true)(partial)
+        hist.unionByName(live)
+          .groupBy($"event_type")
+          .agg(sum($"cnt").cast("long").as("cnt"),
+            Det.dround(sum($"vsum").cast("double"), 2).as("total_value"))
+          .orderBy("event_type")
+      }
+    },
+    Some("SELECT event_type, count(*) AS cnt, " + OSql.msum("value") +
+      " AS total_value FROM events GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] =
     Seq(replayStream, replayFiltered, replayTextArchive, replaySliding,
-      streamDedupWatermark, replayTimeRange)
+      streamDedupWatermark, replayTimeRange, replayBackfill)
 }
