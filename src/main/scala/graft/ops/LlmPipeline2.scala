@@ -481,7 +481,17 @@ object LlmPipeline2 {
     * single-probe key and the multi-probe recall gate share ONE build.
     */
   private def ivfIndex(s: SparkSession, d: String, numCells: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) =
+    // Training stages are SAMPLE/COMPONENT-sized (quantized components
+    // of the corpus, K×64 centroids) — at the engine's per-core default
+    // every tiny Lloyd exchange pays 32 tasks of scheduling for
+    // kilobytes of data. Scope the build to the stream-shard count (the
+    // same small-relation knob the stateful streams use); a production
+    // run sizes it to the sample, not the corpus. Results are
+    // partitioning-invariant (exact integer aggregates + deterministic
+    // argmax), so the narrowed build is a pure cost change.
+    graft.core.Sessions.withShufflePartitions(
+      s, graft.core.Sessions.StreamStateShards) {
       import s.implicits._
       val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val emb = t(s, d, "embeddings")
@@ -672,7 +682,10 @@ object LlmPipeline2 {
     */
   private def pqIndex(
       s: SparkSession, d: String, numSub: Int, numCells: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) =
+    // sample-sized training → narrowed shuffle width (see ivfIndex)
+    graft.core.Sessions.withShufflePartitions(
+      s, graft.core.Sessions.StreamStateShards) {
     import s.implicits._
     val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val emb = t(s, d, "embeddings")

@@ -449,6 +449,44 @@ object Relational {
     },
     None)
 
+  /** SKETCH MERGEABILITY as a hash-checked property — the
+    * re-aggregation contract every 100 TB rollup architecture rests on:
+    * per-shard HLL sketches union'd together must equal the sketch
+    * built directly over the whole stream (HLL register state is a
+    * per-bucket max, and max is associative/commutative, so the two
+    * constructions are REGISTER-IDENTICAL — deterministic equality, not
+    * approximate agreement). The key computes the distinct-user
+    * estimate both ways (direct `hll_sketch_agg` vs per-event-type
+    * partials merged by `hll_union_agg`) and emits the equality, plus
+    * the estimate's error against the exact count as a 5%-bound flag.
+    * DuckDB cannot replay Datasketches registers, so the oracle pins
+    * the exact count and asserts the two property columns by
+    * construction — a mergeability or accuracy regression flips a
+    * boolean in the Spark output and fails the hash, the same
+    * own-construction gating pattern as `sim_ann_recall`. The plan is
+    * the scale plan: both legs are partial+final ObjectHashAggregates;
+    * nothing rescans raw data to re-aggregate.
+    */
+  private val aggHllUnion = Q(
+    "agg_hll_union",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val direct = ev.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"))
+      val merged = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+      val exact = ev.agg(countDistinct($"user_id").as("n_exact"))
+      exact.crossJoin(direct).crossJoin(merged)
+        .select($"n_exact",
+          ($"est_union" === $"est_direct").as("union_eq_direct"),
+          (abs($"est_direct" - $"n_exact").cast("double") <=
+            lit(0.05) * $"n_exact").as("err_within_5pct"))
+    },
+    Some("SELECT count(DISTINCT user_id) AS n_exact, TRUE AS union_eq_direct, " +
+      "TRUE AS err_within_5pct FROM events"))
+
   private val aggRollup = Q(
     "agg_rollup",
     (s, d) => {
@@ -670,6 +708,7 @@ object Relational {
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinThetaRange, joinCrossSmall,
     joinNullSafe,
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
+    aggHllUnion,
     aggRollup, aggCube, aggGroupingSets, aggStats, aggPivot, unpivotStack,
     sortMultiKey, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
