@@ -101,7 +101,7 @@ object GraphOps {
   private val graphComponentsStar = Q(
     "graph_components_star",
     (s, d) => {
-      val edges = LlmPipeline.candidateEdges(s, d, "star-bands")
+      val edges = LlmPipeline.candidateEdges(s, d)
       LlmPipeline.labeledClusters(s, LlmPipeline.starContraction(s, edges))
     },
     Some(LlmPipeline.clusterOracleSql))

@@ -207,6 +207,41 @@ object Windows {
       "FROM supplier WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC) " +
       "ORDER BY s_suppkey"))
 
+  /** Bounded RANGE frame — the VALUE-bounded sibling of the row-counted
+    * moving average: per event type, each day's trailing-3-day revenue
+    * (`rangeBetween(-2, 0)` over the day number). ROWS and RANGE differ
+    * exactly when the series has gaps or duplicate order values: a
+    * 3-ROW frame would reach past a gap to older days, a 3-DAY range
+    * frame never does — the semantics a calendar metric needs. Daily
+    * totals pre-aggregate partial+final BEFORE the window (the shuffle
+    * carries #days × #types rows, not events), the window partitions by
+    * event_type (parallel across types, never single-partition), and
+    * the decimal sums stay EXACT through both the pre-agg and the frame
+    * sum — one rounding at the end, so frame-membership arithmetic is
+    * integer and engine-identical.
+    */
+  private val rangeFrame = Q(
+    "window_range_frame",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", expr("ms div 86400000").cast("long").as("day"))
+        .agg(sum($"value".cast(Dec)).as("vsum"))
+      val w = Window.partitionBy($"event_type").orderBy($"day").rangeBetween(-2, 0)
+      daily.select($"event_type", $"day",
+          dround($"vsum".cast("double"), 2).as("day_value"),
+          dround(sum($"vsum").over(w).cast("double"), 2).as("trail3"))
+        .orderBy("event_type", "day")
+    },
+    Some("WITH dly AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+      "SUM(CAST(value AS DECIMAL(20,6))) AS vsum FROM events GROUP BY 1, 2) " +
+      "SELECT event_type, day, " +
+      OSql.sround("CAST(vsum AS DOUBLE)", 2) + " AS day_value, " +
+      OSql.sround("CAST(SUM(vsum) OVER (PARTITION BY event_type ORDER BY day " +
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)", 2) + " AS trail3 " +
+      "FROM dly ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
-    rankTopk, rankDense, lagLead, runningSum, firstLast, movingAvg, percentRank)
+    rankTopk, rankDense, lagLead, runningSum, firstLast, movingAvg, percentRank,
+    rangeFrame)
 }

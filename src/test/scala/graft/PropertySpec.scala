@@ -236,6 +236,32 @@ class PropertySpec extends SparkSpec {
     }, min = 10)
   }
 
+  test("two-phase sequence packing equals the reference prefix-sum fold on random corpora") {
+    // random (doc_id, token-count) corpora through the REAL query fn vs
+    // a driver-side reference: seq(doc) = floor(exclusive-prefix-sum /
+    // 256) in doc_id order — the law the range-partition + broadcast-
+    // offset plan must preserve for ANY partition boundary sampling
+    val corpusGen = for {
+      n <- Gen.chooseNum(1, 120)
+      ids <- Gen.pick(n, 0L until 500L)
+      toks <- Gen.listOfN(n, Gen.chooseNum(1, 400))
+    } yield ids.toSeq.sorted.zip(toks)
+    corpusGen.sample.toSeq ++ Gen.listOfN(4, corpusGen).sample.getOrElse(Nil) foreach { corpus =>
+      val dir = stageTables("documents" -> corpus.map { case (id, tk) =>
+        (id, Seq.fill(tk)("w").mkString(" "), "en", "src", tk.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val got = run("corpus_pack_sequences", dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val ref = corpus.foldLeft((0L, Map.empty[Long, (Long, Long)])) {
+        case ((cum, acc), (_, tk)) =>
+          val seq = cum / 256
+          val (c, t) = acc.getOrElse(seq, (0L, 0L))
+          (cum + tk, acc.updated(seq, (c + 1, t + tk)))
+      }._2.toSeq.map { case (seq, (c, t)) => (seq, c, t) }.sortBy(_._1)
+      assert(got === ref)
+    }
+  }
+
   test("integer pagerank equals a local reference fold on random bipartite graphs (forAll)") {
     // The determinism claim behind graph_pagerank is that the scaled
     // integer recurrence has exactly ONE answer regardless of engine or
