@@ -573,6 +573,77 @@ object ScaleOps {
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"))
 
+  /** AQE SKEW-JOIN split — the AUTOMATIC cousin the salted join's
+    * scaladoc names: a hot key is manufactured (30% of the fact
+    * collapses onto key 0), the join is forced to sort-merge, and
+    * Spark's OptimizeSkewedJoin — seeing the runtime shuffle statistics
+    * — splits the oversized partition into advisory-sized chunks while
+    * replicating the matching dim rows, so the hot key runs as N
+    * parallel tasks instead of one straggler (SortMergeJoin(skew=true),
+    * pinned in PlanSpec). Thresholds are scoped down the same way
+    * `join_runtime_filter` scopes its feature (the defaults target
+    * cluster-sized shuffles) and restored in a finally. The dim side is
+    * the DISTINCT key set so the join is semantically a no-op — the
+    * oracle aggregates the mapped fact directly, proving the runtime
+    * re-plan changed the task layout, not the answer. Salting
+    * (explicit, engine-independent) and AQE (automatic, stats-driven)
+    * are the two production answers to skew; the engine now declares
+    * and verifies both.
+    *
+    * Two test-scale accommodations, both mirroring real 100 TB shape
+    * rather than faking it: (1) AQE splits a skewed REDUCE partition by
+    * mapper-index ranges, so it physically cannot split a partition fed
+    * by one mapper — and a sub-MB parquet fixture scans as one map
+    * task. The `repartition(16)` stands in for the thousands of scan
+    * tasks a real archive produces (at cluster scale the repartition is
+    * unnecessary and would be dropped). (2) The skew thresholds are
+    * scoped to KB sizes because the detector compares COMPRESSED
+    * shuffle bytes against them; the defaults (256 MB) describe real
+    * shuffles.
+    */
+  private[graft] def withSkewAqeJoin[T](s: SparkSession, d: String)(
+      f: DataFrame => T): T = {
+    import s.implicits._
+    val scoped = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val fact = t(s, d, "lineitem")
+        .select(when($"l_orderkey" % 10 < 3, 0L).otherwise($"l_orderkey").as("k"),
+          $"l_extendedprice")
+        .repartition(16)
+      // materialized so the join-side shuffle is a bare ENSURE_REQUIREMENTS
+      // exchange: OptimizeSkewedJoin only matches SMJ(Sort(stage),
+      // Sort(stage)), and the distinct's post-shuffle HashAggregate would
+      // otherwise sit between the Sort and the stage and mask the skew
+      val dim = fact.select($"k").distinct()
+        .withColumn("grp", pmod($"k", lit(5L)))
+        .localCheckpoint(true)
+      val df = fact.join(dim, "k")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), moneySum($"l_extendedprice").as("revenue"))
+        .orderBy("grp")
+      f(df)
+    } finally saved.foreach { case (k, ov) =>
+      ov.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  private val joinSkewAqe = Q(
+    "join_skew_aqe",
+    (s, d) => withSkewAqeJoin(s, d)(_.localCheckpoint(true)),
+    Some("WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 " +
+      "ELSE l_orderkey END AS k, l_extendedprice FROM lineitem) " +
+      "SELECT k % 5 AS grp, count(*) AS cnt, " +
+      OSql.msum("l_extendedprice") + " AS revenue " +
+      "FROM f GROUP BY 1 ORDER BY 1"))
+
   /** ORC cell of the format matrix (parquet, JSON, gzip NDJSON, CSV,
     * ORC): events staged as ORC and read back THROUGH a predicate, so
     * the scan exercises ORC's row-group statistics pushdown — the same
@@ -853,5 +924,6 @@ object ScaleOps {
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
-    scanOrc, joinRuntimeFilter, aggIncremental, sinkCompact, aggApproxQuantile)
+    scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
+    aggApproxQuantile)
 }

@@ -623,9 +623,16 @@ object Replay {
             sum($"value".cast(Det.Dec)).as("vsum"))
         val hist = partial(
           s.read.parquet(tree).filter($"dt" < "2024-01-21"))
-        val tailDays = (21 to 30).map(i => f"$i%02d").mkString(",")
-        val live = runStreamToTable(
-          s, s"$tree/dt=2024-01-{$tailDays}", rawGlob = true)(partial)
+        // an archive that ends before the cutover has no tail dirs —
+        // the streaming leg's source glob would match nothing and the
+        // schema read would fail the whole query; serve history-only
+        // instead (the real deployment state before the stream starts)
+        val tailDays = (21 to 30).map(i => f"$i%02d")
+          .filter(dd => new java.io.File(s"$tree/dt=2024-01-$dd").isDirectory)
+        val live =
+          if (tailDays.isEmpty) hist.limit(0)
+          else runStreamToTable(
+            s, s"$tree/dt=2024-01-{${tailDays.mkString(",")}}", rawGlob = true)(partial)
         hist.unionByName(live)
           .groupBy($"event_type")
           .agg(sum($"cnt").cast("long").as("cnt"),

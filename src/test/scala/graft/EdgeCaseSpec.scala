@@ -355,6 +355,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ranks("t:a") > ranks("u:3"), "a hub outranks a leaf")
   }
 
+  test("replay_backfill serves history-only when the archive ends before the cutover") {
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(1000), 1L, "a", 10.0, "{}"),
+      (2L, ns(2000), 2L, "a", 5.0, "{}"),
+      (3L, ns(3000), 1L, "b", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // every event is epoch-1970 — far before the 2024 cutover, so the
+    // streaming leg has no day dirs to glob and must be skipped, not
+    // crash the query
+    val got = run("replay_backfill", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(("a", 2L, 15.0), ("b", 1L, 2.5)))
+  }
+
   test("join_asof_nearest picks the closer signup and breaks ties to the earlier one") {
     val ns = (ms: Long) => ms * 1000000L
     val dir = stageTables("events" -> Seq(

@@ -190,6 +190,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_skew_aqe splits the hot key at runtime — SortMergeJoin(skew=true)") {
+    graft.ops.ScaleOps.withSkewAqeJoin(spark, sf) { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "OptimizeSkewedJoin must mark and split the skewed join")
+      assert(plan.contains("SortMergeJoin"),
+        "the technique targets the shuffle join (broadcast is scoped off)")
+    }
+  }
+
   test("cdc_scd2 pushes the changed-key predicate below the version window") {
     val plan = executedPlan("cdc_scd2")
     val windowIdx = plan.indexOf("Window")
