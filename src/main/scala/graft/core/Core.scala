@@ -216,7 +216,12 @@ object IndexCache {
   def apply(s: SparkSession, key: String, build: => DataFrame): DataFrame =
     s.read.parquet(paths.computeIfAbsent(key, _ => {
       val p = TmpDirs.dir("idx")
+      val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(p)
+      // staging cost lands on the first caller's timing — make it
+      // attributable instead of a mystery in that query's number
+      System.err.println(
+        f"[graft] index '$key' staged in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       p
     }))
 }

@@ -475,6 +475,25 @@ object LlmPipeline2 {
     * same two plan shapes per Lloyd iteration) instead of re-designing.
     * Exercised at K=4 in EdgeCaseSpec; the declared key runs K=8/nProbe=2.
     */
+  /** Quantized integer components of the embedding corpus — THE shared
+    * index artifact of the whole ANN family (IVF training, PQ codebooks
+    * and encode, every probe's query vector). Staged hash-partitioned by
+    * vec_id across the session's FULL core count, not the source scan's:
+    * the corpus is a handful of parquet splits (one, at bench scale), and
+    * an artifact staged at source parallelism would make the map side of
+    * every downstream E-step join and encode pass a single task — the
+    * exploded components are 64× the corpus row count, the one relation
+    * in the family that must never be read serially.
+    */
+  private def quantizedComponents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.core.IndexCache(s, s"ivf-iq|$d", t(s, d, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos",
+        floor($"x" * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id"))
+  }
+
   /** The trained IVF index artifacts for (corpus, K): quantized
     * components `iq`, trained assignment `a2` (vector → inverted list)
     * and the final centroid table `c2` — all IndexCache'd, so the
@@ -498,10 +517,7 @@ object LlmPipeline2 {
       // quantized components, reused by every E/M-step — an index
       // artifact shared across the family, built once per corpus per
       // JVM (IndexCache; see sigTable)
-      val iq = graft.core.IndexCache(s, s"ivf-iq|$d", emb
-        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
-        .select($"vec_id", $"pos",
-          floor($"x" * lit(1e6) + lit(0.5)).cast("long").as("q")))
+      val iq = quantizedComponents(s, d)
       val seeds = emb.orderBy($"vec_id").limit(numCells).select($"vec_id".as("cell"))
       // centroid relation: (cell, pos, sq = Σq over members, n = #members)
       val c0 = iq.join(broadcast(seeds), $"vec_id" === $"cell")
@@ -509,8 +525,7 @@ object LlmPipeline2 {
       // E-step: assign every vector to the argmax-score centroid. The
       // argmax is a max(struct(score, -cell)) aggregate — same answer as
       // a row_number window (ties → smallest cell) with a partial+final
-      // agg instead of an exchange+sort, and no materialization: both
-      // Lloyd iterations fuse into the single job that builds a2.
+      // agg instead of an exchange+sort.
       def assign(cent: DataFrame): DataFrame =
         iq.join(broadcast(cent), "pos")
           .groupBy($"vec_id", $"cell")
@@ -518,10 +533,16 @@ object LlmPipeline2 {
           .groupBy($"vec_id")
           .agg(max(struct($"score", (-$"cell").as("nc"))).as("m"))
           .select($"vec_id", (-$"m.nc").as("cell"))
-      // M-step: recompute (Σq, n) per surviving cell
+      // M-step: recompute (Σq, n) per surviving cell. The assignment
+      // table is one row per VECTOR (the components are 64×) — broadcast
+      // it to keep the M-step map-side; without the hint the in-flight
+      // aggregate has no stats and plans as an SMJ that shuffles every
+      // component row. At 100 TB the assignment no longer fits a
+      // broadcast: both sides bucket by vec_id instead (the
+      // join_bucketed co-location pattern) — same M-step, zero exchange.
       def centroids(a: DataFrame): DataFrame = {
         val n = a.groupBy("cell").agg(count(lit(1)).as("n"))
-        iq.join(a, "vec_id").groupBy($"cell", $"pos")
+        iq.join(broadcast(a), "vec_id").groupBy($"cell", $"pos")
           .agg(sum($"q").as("sq"))
           .join(broadcast(n), "cell")
       }
@@ -529,8 +550,18 @@ object LlmPipeline2 {
       // twice per query (c2 + the final inverted-list join) and by the
       // recall gate; train once per (corpus, K) per JVM. Training cost
       // lands on the first caller's timing (sim_ann_ivf in a bench run).
-      val a2 = graft.core.IndexCache(s, s"ivf-a2|K=$numCells|$d",
-        assign(centroids(assign(c0))))
+      // Inside the build thunk: the iteration-1 assignment feeds the
+      // M-step TWICE (member counts + component sums); left as a lazy
+      // subtree it would re-run the whole E-step once per consumer —
+      // measured 2× the training job. Materialize it (one vector-sized
+      // relation, 64× smaller than the components — exactly what a
+      // cluster run would persist between Lloyd rounds), and do so ONLY
+      // on cache miss: an eager checkpoint outside the thunk would
+      // re-run an E-step on every later caller that hits the cache.
+      val a2 = graft.core.IndexCache(s, s"ivf-a2|K=$numCells|$d", {
+        val a1 = assign(c0).localCheckpoint(true)
+        assign(centroids(a1))
+      })
       // the final centroid table is K×64 rows and probe-independent —
       // cache it so each extra probe pays only its own scoring + scan
       val c2 = graft.core.IndexCache(s, s"ivf-c2|K=$numCells|$d", centroids(a2))
@@ -692,10 +723,7 @@ object LlmPipeline2 {
     val dimsPerSub = 64 / numSub
     // same quantized-components artifact the IVF index uses (IndexCache
     // — shared across the whole embedding family)
-    val iq = graft.core.IndexCache(s, s"ivf-iq|$d", emb
-      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
-      .select($"vec_id", $"pos",
-        floor($"x" * lit(1e6) + lit(0.5)).cast("long").as("q")))
+    val iq = quantizedComponents(s, d)
       .withColumn("sub", expr(s"pos div $dimsPerSub"))
     // Codebooks train on a deterministic 25% SAMPLE (vec_id % 4 = 0) —
     // standard PQ practice: centroid quality needs a representative
@@ -717,9 +745,12 @@ object LlmPipeline2 {
         .groupBy($"vec_id", $"sub")
         .agg(max(struct($"score", (-$"cell").as("nc"))).as("m"))
         .select($"vec_id", $"sub", (-$"m.nc").as("cell"))
+    // assignment broadcast for the same reason as the IVF M-step (one
+    // row per vector×sub vs 8× component rows; bucketed co-location at
+    // corpus scale)
     def centroids(a: DataFrame): DataFrame = {
       val n = a.groupBy($"sub", $"cell").agg(count(lit(1)).as("n"))
-      iqTrain.join(a, Seq("vec_id", "sub")).groupBy($"sub", $"cell", $"pos")
+      iqTrain.join(broadcast(a), Seq("vec_id", "sub")).groupBy($"sub", $"cell", $"pos")
         .agg(sum($"q").as("sq"))
         .join(broadcast(n), Seq("sub", "cell"))
     }
@@ -728,8 +759,12 @@ object LlmPipeline2 {
     // from deterministic seeds already converges for ranking purposes
     // (measured: identical recall@10 to 2 iterations at sf0.01; the
     // shortlist re-rank absorbs residual centroid error)
-    val trained = graft.core.IndexCache(s, s"pq-cent|M=$numSub|K=$numCells|$d",
-      centroids(assign(iqTrain, c0)))
+    // sample assignment materialized before the M-step for the IVF
+    // reason (consumed twice; checkpoint only on cache miss)
+    val trained = graft.core.IndexCache(s, s"pq-cent|M=$numSub|K=$numCells|$d", {
+      val aT = assign(iqTrain, c0).localCheckpoint(true)
+      centroids(aT)
+    })
     // full-corpus encode: one E-step pass against the trained codebook
     val codes = graft.core.IndexCache(s, s"pq-codes|M=$numSub|K=$numCells|$d",
       assign(iq, trained))
