@@ -713,10 +713,7 @@ object LlmPipeline2 {
     */
   private def pqIndex(
       s: SparkSession, d: String, numSub: Int, numCells: Int)
-      : (DataFrame, DataFrame, DataFrame) =
-    // sample-sized training → narrowed shuffle width (see ivfIndex)
-    graft.core.Sessions.withShufflePartitions(
-      s, graft.core.Sessions.StreamStateShards) {
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val emb = t(s, d, "embeddings")
@@ -760,11 +757,17 @@ object LlmPipeline2 {
     // (measured: identical recall@10 to 2 iterations at sf0.01; the
     // shortlist re-rank absorbs residual centroid error)
     // sample assignment materialized before the M-step for the IVF
-    // reason (consumed twice; checkpoint only on cache miss)
-    val trained = graft.core.IndexCache(s, s"pq-cent|M=$numSub|K=$numCells|$d", {
-      val aT = assign(iqTrain, c0).localCheckpoint(true)
-      centroids(aT)
-    })
+    // reason (consumed twice; checkpoint only on cache miss). Training
+    // shuffles are SAMPLE-sized → narrowed width (see ivfIndex); the
+    // encode below is CORPUS-sized and stays at session width — one
+    // narrowing for both was measured as a 6.4M-row shuffle squeezed
+    // through 8 partitions.
+    val trained = graft.core.IndexCache(s, s"pq-cent|M=$numSub|K=$numCells|$d",
+      graft.core.Sessions.withShufflePartitions(
+        s, graft.core.Sessions.StreamStateShards) {
+        val aT = assign(iqTrain, c0).localCheckpoint(true)
+        centroids(aT).localCheckpoint(true)
+      })
     // full-corpus encode: one E-step pass against the trained codebook
     val codes = graft.core.IndexCache(s, s"pq-codes|M=$numSub|K=$numCells|$d",
       assign(iq, trained))
