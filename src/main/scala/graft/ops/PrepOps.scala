@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Training-corpus preparation operators, wave 2: span-level exact
+  * dedup, stride chunking, the distributed Gram matrix, and the fused
+  * end-to-end prep pipeline. All four are hash-verified against DuckDB
+  * running the identical arithmetic.
+  *
+  * Scale notes (the 100 TB stance, per operator):
+  *  - dedup_span_exact shuffles only (hash, doc_id) pairs — never text;
+  *    the ≥2-distinct-docs test is min(doc)≠max(doc), so no
+  *    count-distinct state, and partial aggregation collapses each
+  *    partition's span counts map-side before either shuffle;
+  *  - corpus_doc_chunk is generate → project with zero shuffles: chunk
+  *    rows are emitted straight off the scan and the final sort is the
+  *    only exchange (drop the orderBy when feeding a writer);
+  *  - embedding_gram's shuffle is d²-rows-per-partition REGARDLESS of
+  *    corpus size: hash-agg partial sums accumulate the outer product
+  *    map-side, so 100 TB of vectors still reduces to one tiny
+  *    d²-row exchange (this is distributed PCA's data pass);
+  *  - corpus_prep_e2e chains keeper-dedup → gates → agg in ONE plan:
+  *    a single scan, one hash-partition shuffle for the dedup window,
+  *    then partial+final agg — proving the pipeline stages compose
+  *    without materialization barriers between them.
+  */
+object PrepOps {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  // ------------------------------------------------------------------
+  // dedup_span_exact — cross-document duplicated-span detection at word
+  // 8-gram granularity (the substring-level dedup of Lee et al.'s
+  // "Deduplicating Training Data", distinct from doc-pair Jaccard: a
+  // span is "duplicated" iff its 8-gram occurs in ≥2 DISTINCT docs).
+  // ------------------------------------------------------------------
+
+  /** Oracle-side word-8-gram rows (doc_id, h): mirror of
+    * `LlmPipeline.gramRows(_, _, 8)` + md5.
+    */
+  private def gram8Ctes: String = {
+    val cat = (0 to 7).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "g AS (SELECT doc_id, md5(x) AS h FROM (SELECT doc_id, " +
+      "unnest(CASE WHEN len(t) >= 8 THEN " +
+      s"list_transform(generate_series(1, len(t)-7), i -> $cat) " +
+      "ELSE [] END) AS x FROM tok))"
+  }
+
+  private val dedupSpanExact = Q(
+    "dedup_span_exact",
+    (s, d) => {
+      import s.implicits._
+      val g = LlmPipeline.gramRows(s, d, 8).select($"doc_id", md5($"x").as("h"))
+      // ≥2 distinct docs ⇔ min≠max: no count-distinct state per hash.
+      val dup = g.groupBy("h")
+        .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+        .filter($"lo" =!= $"hi")
+        .select("h")
+      val spans = g.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val dups = g.join(dup, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      spans.join(dups, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_spans",
+          coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"))
+        .orderBy("doc_id")
+    },
+    Some(s"WITH $gram8Ctes, " +
+      "dup AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)), " +
+      "s AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY 1), " +
+      "dd AS (SELECT doc_id, count(*) AS n_dup_spans FROM g " +
+      "WHERE h IN (SELECT h FROM dup) GROUP BY 1) " +
+      "SELECT s.doc_id, s.n_spans, " +
+      "coalesce(dd.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans " +
+      "FROM s LEFT JOIN dd USING (doc_id) ORDER BY doc_id"))
+
+  // ------------------------------------------------------------------
+  // corpus_doc_chunk — fixed-window stride chunking (window 64 tokens,
+  // stride 48): the standard training/RAG chunk prep. Chunk identity is
+  // (doc_id, chunk_idx) plus a content hash for downstream exact-dedup
+  // of chunks.
+  // ------------------------------------------------------------------
+
+  private val chunkW = 64
+  private val chunkS = 48
+
+  private val corpusDocChunk = Q(
+    "corpus_doc_chunk",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", $"t",
+          explode(sequence(lit(0), size($"t") - 1, lit(chunkS))).as("start"))
+        .select($"doc_id",
+          ($"start" / chunkS).cast("long").as("chunk_idx"),
+          slice($"t", $"start" + 1, lit(chunkW)).as("c"))
+        .select($"doc_id", $"chunk_idx",
+          size($"c").cast("long").as("n_tok"),
+          md5(concat_ws(" ", $"c")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      s"st AS (SELECT doc_id, t, unnest(generate_series(0, len(t)-1, $chunkS)) AS s FROM tok), " +
+      s"c AS (SELECT doc_id, CAST(s // $chunkS AS BIGINT) AS chunk_idx, " +
+      s"list_slice(t, s+1, s+$chunkW) AS c FROM st) " +
+      "SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_tok, " +
+      "md5(array_to_string(c, ' ')) AS chunk_hash " +
+      "FROM c ORDER BY doc_id, chunk_idx"))
+
+  // ------------------------------------------------------------------
+  // embedding_gram — the distributed Gram matrix Σ q·qᵀ (upper
+  // triangle) over 1e-6-quantized integer embeddings: the single data
+  // pass behind distributed PCA / whitening. Components quantize to
+  // ≤1e6 (|x| ≤ 1), so products fit a long and the DECIMAL(38,0) sums
+  // are exact and order-independent in both engines.
+  // ------------------------------------------------------------------
+
+  private val embeddingGram = Q(
+    "embedding_gram",
+    (s, d) => {
+      import s.implicits._
+      val q = t(s, d, "embeddings")
+        .select(transform($"embedding",
+          x => floor(x * lit(1e6)).cast("long")).as("q"))
+      q.select($"q", posexplode($"q").as(Seq("i0", "qi")))
+        .select($"i0", $"qi", posexplode($"q").as(Seq("j0", "qj")))
+        .filter($"j0" >= $"i0")
+        .groupBy(($"i0" + 1).cast("long").as("i"), ($"j0" + 1).cast("long").as("j"))
+        .agg(sum(($"qi" * $"qj").cast(DecimalType(38, 0))).as("gd"))
+        // exact decimal rendered as digits: the only parquet/pandas-safe
+        // carrier for a 38-digit exact integer on both engines
+        .select($"i", $"j", $"gd".cast("string").as("g"))
+        .orderBy("i", "j")
+    },
+    Some("WITH e AS (SELECT list_transform(embedding, " +
+      "x -> CAST(floor(x * 1e6) AS BIGINT)) AS q FROM embeddings), " +
+      // DuckDB's generate_series table function cannot take lateral
+      // column params, so the oracle pins the fixture's dim (64); the
+      // Spark side adapts to any dim via posexplode.
+      "a AS (SELECT q, i, q[i] AS qi FROM e, generate_series(1, 64) AS g1(i)), " +
+      "b AS (SELECT i, j, qi, q[j] AS qj FROM a, generate_series(1, 64) AS g2(j) " +
+      "WHERE j >= i) " +
+      "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
+      "CAST(SUM(CAST(qi * qj AS DECIMAL(38,0))) AS VARCHAR) AS g " +
+      "FROM b GROUP BY 1, 2 ORDER BY i, j"))
+
+  // ------------------------------------------------------------------
+  // corpus_prep_e2e — the fused prep pipeline: exact-dedup keeper →
+  // length gate → punctuation gate → per-(lang, source) accounting, as
+  // ONE declarative plan (single scan; Catalyst fuses the gates into
+  // the post-window projection).
+  // ------------------------------------------------------------------
+
+  private val corpusPrepE2e = Q(
+    "corpus_prep_e2e",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy(md5($"text")).orderBy($"doc_id".asc)
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+        .filter($"n_tok" >= 20)
+        .withColumn("punct_ratio",
+          (length($"text") -
+            length(regexp_replace($"text", "[.,!?;:]", ""))).cast("double") /
+            length($"text"))
+        .filter($"punct_ratio" < 0.2)
+        .withColumn("quality",
+          least($"n_tok".cast("double") / 50.0, lit(1.0)) * lit(0.5) +
+            (lit(1.0) - $"punct_ratio") * lit(0.5))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          dround(sum($"quality".cast(Dec)).cast("double") / count(lit(1)), 4)
+            .as("avg_quality"))
+        .orderBy("lang", "source")
+    },
+    Some("WITH k AS (SELECT *, row_number() OVER " +
+      "(PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn FROM documents), " +
+      "b AS (SELECT lang, source, text, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+      "FROM k WHERE rn = 1), " +
+      "f AS (SELECT lang, source, n_tok, " +
+      "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) " +
+      "/ length(text) AS punct_ratio FROM b WHERE n_tok >= 20), " +
+      "q AS (SELECT lang, source, n_tok, " +
+      "least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5 + " +
+      "(1.0 - punct_ratio) * 0.5 AS quality " +
+      "FROM f WHERE punct_ratio < 0.2) " +
+      "SELECT lang, source, count(*) AS n_docs, " +
+      "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, " +
+      OSql.sround("CAST(SUM(CAST(quality AS DECIMAL(20,6))) AS DOUBLE) / count(*)", 4) +
+      " AS avg_quality FROM q GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  val qs: Seq[Q] = Seq(dedupSpanExact, corpusDocChunk, embeddingGram, corpusPrepE2e)
+}

@@ -443,6 +443,69 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("span dedup counts cross-doc spans only — internal repetition is not duplication") {
+    // doc 0 repeats its own 8-gram (a..h twice); doc 1 shares that gram;
+    // doc 2 is under 8 tokens and must not appear at all.
+    val docs = Seq(
+      (0L, "a b c d e f g h a b c d e f g h", "en", "s0", 31L),
+      (1L, "p q r s t u v w a b c d e f g h", "en", "s0", 31L),
+      (2L, "too short for one span", "en", "s0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val byDoc = run("dedup_span_exact", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 16 tokens ⇒ 9 spans each. The shared gram "a b c d e f g h" sits at
+    // doc0 pos 1+9 and doc1 pos 9 ⇒ dup counts 2 and 1; doc0's other
+    // internal grams stay single-doc and must NOT count.
+    assert(byDoc === Map(0L -> ((9L, 2L)), 1L -> ((9L, 1L))))
+  }
+
+  test("chunker emits one short chunk under the window, strided chunks above it") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, mk(10), "en", "s0", 10L),
+      (1L, mk(64), "en", "s0", 64L),
+      (2L, mk(100), "en", "s0", 100L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val rows = run("corpus_doc_chunk", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      (0L, 0L, 10L),                           // under window: one chunk
+      (1L, 0L, 64L), (1L, 1L, 16L),            // stride 48 from a 64-token doc
+      (2L, 0L, 64L), (2L, 1L, 52L), (2L, 2L, 4L)))
+  }
+
+  test("embedding_gram equals the reference outer-product fold") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -0.25f, 1.0f), 0L),
+      (1L, Array(-1.0f, 0.125f, 0.75f), 0L),
+      (2L, Array(0.0f, 0.5f, -0.5f), 1L)).toDF("vec_id", "embedding", "label")
+    val dir = stageTables("embeddings" -> vecs)
+    val got = run("embedding_gram", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2).toLong)
+      .toMap
+    val qs = Seq(Array(0.5, -0.25, 1.0), Array(-1.0, 0.125, 0.75), Array(0.0, 0.5, -0.5))
+      .map(_.map(x => math.floor(x * 1e6).toLong))
+    val want = (for {
+      i <- 0 until 3; j <- i until 3
+    } yield (i + 1L, j + 1L) -> qs.map(q => q(i) * q(j)).sum).toMap
+    assert(got === want)
+  }
+
+  test("prep pipeline keeps one copy of duplicate text and drops short docs") {
+    val long = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, long, "en", "s0", 100L),
+      (1L, long, "en", "s0", 100L),          // exact duplicate: keeper only
+      (2L, "tiny doc", "en", "s0", 8L))      // under the 20-token gate
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val rows = run("corpus_prep_e2e", dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(2) === 1L)   // n_docs: dup collapsed, short dropped
+    assert(rows(0).getLong(3) === 25L)  // total_tokens from the keeper only
+  }
+
   test("every declared query survives fully empty tables") {
     val empties = graft.core.Tables.names.map { n =>
       val raw = spark.read.parquet(s"$sf/$n.parquet").filter(lit(false))

@@ -279,6 +279,31 @@ class PlanSpec extends SparkSpec {
       "hash-ranked k-sample must be TakeOrderedAndProject, not Sort+Limit")
   }
 
+  test("dedup_span_exact stays equi-join only with map-side partial span counts") {
+    val plan = executedPlan("dedup_span_exact")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never form pairs — hash semi-join back to the dup set only")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "span counts must combine map-side before the doc_id shuffle")
+  }
+
+  test("embedding_gram reduces via partial aggregation to a d²-row exchange off one scan") {
+    val df = run("embedding_gram")
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(scansOf(p).length === 1, "the gram pass reads the corpus exactly once")
+    val s = p.toString
+    assert(s.contains("partial_sum"),
+      "outer-product sums must accumulate map-side — the shuffle is d² rows, not N·d²")
+  }
+
+  test("corpus_prep_e2e fuses dedup, gates, and accounting over a single corpus scan") {
+    val df = run("corpus_prep_e2e")
+    df.collect()
+    assert(scansOf(df.queryExecution.executedPlan).length === 1,
+      "the fused pipeline must not rescan the corpus between stages")
+  }
+
   test("corpus_pack_sequences packs via range partitioning + broadcast offsets — no global token window") {
     // phase 1 (pre-checkpoint): the token table flows through a range
     // exchange, the same spelling window_rank_distributed pins
