@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Event-stream analytics over the relational archive: gap-filling,
+  * robust central tendency, time-weighted averaging, and cohort
+  * retention — the reporting-side operators a replay consumer runs on
+  * the landed event table. All hash-verified against DuckDB.
+  *
+  * Scale shape (the 100 TB stance, per operator):
+  *  - window_fill_forward and event_time_weighted are ONE
+  *    partitionBy(user_id) window each — key-partitioned (one hash
+  *    shuffle, state bounded per user), never a global window;
+  *  - agg_median_mode's median is a per-group sort-based exact
+  *    percentile (grouped, so each group sorts independently); the mode
+  *    path is two partial+final aggs — bucket counts collapse MAP-SIDE
+  *    — plus a per-group top-1 window over the bucket table (bounded by
+  *    |buckets|, not |events|);
+  *  - cohort_retention is three partial+final aggs chained on the same
+  *    user_id hash partitioning (distinct user-days → per-user min →
+  *    cell counts): Catalyst reuses the exchange, and no cell count
+  *    ever touches the driver.
+  */
+object AnalyticsOps {
+  import Det._
+
+  // ------------------------------------------------------------------
+  // window_fill_forward — last-observation-carried-forward gap filling
+  // (the standard sensor/telemetry repair): `error` events carry no
+  // usable reading, so their value is nulled and refilled from the
+  // user's most recent non-null observation. IGNORE NULLS last_value
+  // over a (user, time) window, exercised in both engines.
+  // ------------------------------------------------------------------
+
+  private val windowFillForward = Q(
+    "window_fill_forward",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ms",
+          when($"event_type" === "error", lit(null).cast("double"))
+            .otherwise($"value").as("v"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select($"user_id", $"event_id", $"ms", $"v",
+        last($"v", ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("user_id", "ms", "event_id")
+    },
+    Some("SELECT user_id, event_id, epoch_ms(ts) AS ms, v, " +
+      "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_ms(ts), event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
+      "FROM (SELECT user_id, event_id, ts, " +
+      "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v " +
+      "FROM events) ORDER BY user_id, ms, event_id"))
+
+  // ------------------------------------------------------------------
+  // agg_median_mode — exact interpolated median plus a DETERMINISTIC
+  // mode per event_type. SQL `mode()` leaves ties implementation-
+  // defined, so the mode is computed explicitly: integer-bucketed
+  // counts ranked (cnt desc, bucket asc) — bit-stable in any engine.
+  // ------------------------------------------------------------------
+
+  private val aggMedianMode = Q(
+    "agg_median_mode",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dround(percentile($"value", lit(0.5)), 4).as("median_v"))
+      val buckets = ev
+        .select($"event_type", floor($"value").cast("long").as("b"))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"cnt".desc, $"b".asc)
+      val mode = buckets.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"event_type", $"b".as("mode_bucket"), $"cnt".as("mode_cnt"))
+      med.join(mode, "event_type").orderBy("event_type")
+    },
+    Some("WITH med AS (SELECT event_type, count(*) AS n, " +
+      OSql.sround("quantile_cont(value, 0.5)", 4) + " AS median_v " +
+      "FROM events GROUP BY 1), " +
+      "bk AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS b, " +
+      "count(*) AS cnt FROM events GROUP BY 1, 2), " +
+      "md AS (SELECT event_type, b AS mode_bucket, cnt AS mode_cnt, " +
+      "row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY cnt DESC, b ASC) AS rn FROM bk) " +
+      "SELECT m.event_type, m.n, m.median_v, md.mode_bucket, md.mode_cnt " +
+      "FROM med m JOIN md ON m.event_type = md.event_type AND md.rn = 1 " +
+      "ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // event_time_weighted — per-user TIME-WEIGHTED average of the value
+  // signal (piecewise-constant hold until the next event): the honest
+  // average for irregularly-sampled telemetry, where a plain mean
+  // over-weights bursts. Weights are exact integer ms deltas; the
+  // value·Δ products accumulate in DECIMAL so the sum is exact and
+  // order-independent in both engines (cast to double only once, at
+  // the end).
+  // ------------------------------------------------------------------
+
+  private val eventTimeWeighted = Q(
+    "event_time_weighted",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ms", $"value")
+        .withColumn("next_ms", lead($"ms", 1).over(w))
+        .filter($"next_ms".isNotNull)
+        .select($"user_id", ($"next_ms" - $"ms").as("delta"), $"value")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"delta").cast("long").as("span_ms"),
+          dround(sum($"value".cast(Dec) * $"delta").cast("double") /
+            sum($"delta").cast("double"), 6).as("twa"))
+        .orderBy("user_id")
+    },
+    Some("WITH seq AS (SELECT user_id, value, epoch_ms(ts) AS ms, " +
+      "lead(epoch_ms(ts)) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_ms(ts), event_id) AS next_ms FROM events), " +
+      "iv AS (SELECT user_id, next_ms - ms AS delta, value FROM seq " +
+      "WHERE next_ms IS NOT NULL) " +
+      "SELECT user_id, count(*) AS n_intervals, " +
+      "CAST(sum(delta) AS BIGINT) AS span_ms, " +
+      OSql.sround("CAST(sum(CAST(value AS DECIMAL(20,6)) * delta) AS DOUBLE) " +
+        "/ CAST(sum(delta) AS DOUBLE)", 6) + " AS twa " +
+      "FROM iv GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // cohort_retention — the classic retention triangle: users grouped by
+  // first-seen day (cohort), counted on each subsequent active day
+  // offset. Exact distinct counting via the (user, day) distinct set.
+  // ------------------------------------------------------------------
+
+  private val cohortRetention = Q(
+    "cohort_retention",
+    (s, d) => {
+      import s.implicits._
+      // min-over-user WINDOW, not a groupBy+self-join: the join spelling
+      // scans the event table twice (Catalyst shares no subtrees); the
+      // unordered window computes the cohort day on the same user_id
+      // hash partitioning the distinct already produced — one scan, and
+      // the distinct's exchange is reused.
+      val ud = Tables.events(s, d)
+        .select($"user_id", expr("ms div 86400000").as("day"))
+        .distinct()
+      ud.withColumn("cohort_day",
+        min($"day").over(Window.partitionBy($"user_id")))
+        .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("WITH ud AS (SELECT DISTINCT user_id, " +
+      "epoch_ms(ts) // 86400000 AS day FROM events), " +
+      "c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1) " +
+      "SELECT cohort_day, day - cohort_day AS day_offset, " +
+      "count(*) AS n_users FROM ud JOIN c USING (user_id) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  val qs: Seq[Q] =
+    Seq(windowFillForward, aggMedianMode, eventTimeWeighted, cohortRetention)
+}

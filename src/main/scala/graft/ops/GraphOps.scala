@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Q, Tables}
+import graft.core.{OSql, Q, Tables}
 
 /** Iterative graph analytics beyond connected components
   * (`dedup_cluster`): link analysis over a graph DERIVED from the
@@ -106,5 +106,87 @@ object GraphOps {
     },
     Some(LlmPipeline.clusterOracleSql))
 
-  val qs: Seq[Q] = Seq(graphPagerank, graphComponentsStar)
+  /** Triangle counting + global clustering coefficient over the same
+    * banded-MinHash candidate graph — the standard graph-quality probe
+    * (a near-dup candidate graph with few triangles is noise; dense
+    * triangles mean boilerplate families worth clustering).
+    *
+    * Scale design: the naive wedge join explodes on hub vertices
+    * (Σ deg² cost concentrated on the hottest key), so edges are
+    * ORIENTED by the (degree, id) total order — every edge points from
+    * its lower-degree endpoint — before the wedge self-join. Each
+    * triangle then forms exactly one wedge, AT ITS MINIMUM-DEGREE
+    * VERTEX: out-degrees under this orientation are bounded by O(√|E|)
+    * for any graph, which caps the hot key and is the classic
+    * MapReduce triangle-count bound (Suri & Vassilvitskii's
+    * partition-friendly scheme). Every join is an equi-join: wedge
+    * pairs close via a hash join against the id-ordered edge set. The
+    * wedge count for the coefficient is Σ d(d-1)/2 in exact integer
+    * arithmetic off the degree table — no float until the final ratio,
+    * rounded identically in both engines.
+    *
+    * The oracle counts triangles by pure id-order (a<b<c triple join)
+    * — orientation-independence of the count is exactly what the hash
+    * gate then proves.
+    */
+  private val graphTriangleCount = Q(
+    "graph_triangle_count",
+    (s, d) => {
+      import s.implicits._
+      // Materialize the edge set once (graft.core.Mat): five branches
+      // consume it (ordered set, degree table, both wedge sides, the
+      // closing semi-join) and without it each branch re-runs the band
+      // self-join that derives the candidate pairs.
+      val sym = graft.core.Mat(s,
+        LlmPipeline.candidateEdges(s, d), "tri-edges") // symmetric (v, u)
+      val ordered = sym.filter($"v" < $"u")
+        .select($"v".as("a"), $"u".as("b"))
+      val deg = sym.groupBy($"v".as("x")).agg(count(lit(1)).as("dg"))
+      val withDeg = ordered
+        .join(deg.select($"x".as("a"), $"dg".as("da")), "a")
+        .join(deg.select($"x".as("b"), $"dg".as("db")), "b")
+      val oriented = graft.core.Mat(s, withDeg.select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+          struct($"a".as("s"), $"b".as("t")))
+          .otherwise(struct($"b".as("s"), $"a".as("t"))).as("e"))
+        .select($"e.s".as("s"), $"e.t".as("t")), "tri-oriented")
+      // wedges at the orientation-minimum vertex; (t1 < t2) by id so the
+      // closing edge lookup is the id-ordered set itself
+      val e1 = oriented.select($"s", $"t".as("t1"))
+      val e2 = oriented.select($"s", $"t".as("t2"))
+      val wedges = e1.join(e2, Seq("s")).filter($"t1" < $"t2")
+        .select($"t1".as("a"), $"t2".as("b"))
+      val nTri = wedges.join(ordered, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      // count CLOSED wedges (= 3·triangles… counted once per closing
+      // join row): the semi-join keeps one row per closed wedge, and
+      // each triangle contributes exactly one wedge, so count = |tri|.
+      val nEdge = ordered.agg(count(lit(1)).as("n_edges"))
+      val nVert = deg.agg(count(lit(1)).as("n_vertices"))
+      val nWedge = deg.agg(sum(expr("(dg * (dg - 1)) div 2")).cast("long")
+        .as("n_wedges"))
+      nVert.crossJoin(nEdge).crossJoin(nWedge).crossJoin(nTri)
+        .select($"n_vertices", $"n_edges", $"n_wedges", $"n_triangles",
+          when($"n_wedges" === 0L, lit(0.0))
+            .otherwise(graft.core.Det.dround(
+              lit(3.0) * $"n_triangles" / $"n_wedges", 6))
+            .as("clustering_coeff"))
+    },
+    Some("WITH " + LlmPipeline.bandCtes + LlmPipeline.guardCtes + ", " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b " +
+      "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+      "deg AS (SELECT x, count(*) AS dg FROM " +
+      "(SELECT a AS x FROM cand UNION ALL SELECT b FROM cand) GROUP BY 1), " +
+      "tri AS (SELECT count(*) AS n FROM cand e1 " +
+      "JOIN cand e2 ON e2.a = e1.b " +
+      "JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+      "SELECT (SELECT count(*) FROM deg) AS n_vertices, " +
+      "(SELECT count(*) FROM cand) AS n_edges, " +
+      "(SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges, " +
+      "(SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles, " +
+      "(SELECT CASE WHEN sum((dg * (dg - 1)) // 2) = 0 THEN 0.0 ELSE " +
+      OSql.sround("3.0 * (SELECT n FROM tri) / sum((dg * (dg - 1)) // 2)", 6) +
+      " END FROM deg) AS clustering_coeff"))
+
+  val qs: Seq[Q] = Seq(graphPagerank, graphComponentsStar, graphTriangleCount)
 }

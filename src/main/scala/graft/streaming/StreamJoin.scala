@@ -39,7 +39,8 @@ object StreamJoin {
       tpe: String, prefix: String): DataFrame =
     s.readStream.schema(schema).parquet(glob)
       .filter(col("event_type") === tpe)
-      .select(col("user_id").as(s"${prefix}_user"),
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"),
         expr("ts div 1000000").as(s"${prefix}_ms"))
       .withColumn(s"${prefix}_ets", timestamp_millis(col(s"${prefix}_ms")))
       .withWatermark(s"${prefix}_ets", "1 hour")
@@ -53,7 +54,8 @@ object StreamJoin {
     * for the session's lifetime. Parquet under [[TmpDirs]] is bounded,
     * cleaned up, and exactly what the real deployment's sink would be.
     */
-  def run(s: SparkSession, eventsPath: String): DataFrame = {
+  def run(s: SparkSession, eventsPath: String,
+      joinType: String = "inner"): DataFrame = {
     Tables.ensureNanosConf(s)
     val schema = s.read.parquet(Tables.escapeGlob(eventsPath)).schema
     val glob = Tables.srcGlob(eventsPath)
@@ -62,8 +64,9 @@ object StreamJoin {
     val joined = clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ets") >= col("c_ets") &&
-        col("p_ets") <= col("c_ets") + expr("INTERVAL 30 MINUTES"))
-      .select(col("c_user").as("user_id"), col("c_ms"), col("p_ms"))
+        col("p_ets") <= col("c_ets") + expr("INTERVAL 30 MINUTES"),
+      joinType)
+      .select(col("c_user").as("user_id"), col("c_id"), col("c_ms"), col("p_ms"))
     val ckpt = TmpDirs.dir("sjoin-ckpt")
     val out = TmpDirs.dir("sjoin-out")
     // A stream-stream join runs FOUR state stores per shuffle partition
@@ -123,5 +126,58 @@ object StreamJoin {
       "AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 1800000 " +
       "GROUP BY 1 ORDER BY 1"))
 
-  val qs: Seq[Q] = Seq(streamJoinInterval)
+  /** Stream-stream LEFT OUTER interval join — the "clicks that never
+    * converted" side of the funnel, as a live two-stream query. The
+    * semantics Spark adds over the inner join: an unmatched left row is
+    * held in state until the global watermark proves no matching
+    * purchase can still arrive (watermark past the end of its 30-minute
+    * match window), THEN emitted with nulls. Clicks whose window is
+    * still open when the archive ends are NOT emitted — the streaming
+    * horizon, faithfully mirrored in the oracle: the final watermark is
+    * min(max click time, max purchase time) − 1 h (per-input watermarks
+    * are each side's max event time minus the declared delay; the
+    * global watermark is their min), and an unmatched click appears iff
+    * its window end sits strictly below that watermark. The boundary
+    * (strict <) is pinned by an EdgeCaseSpec fixture with a click whose
+    * window end equals the final watermark exactly (plus the probed
+    * epoch-0 caveat documented there).
+    *
+    * The emitted-pairs side is watermark-independent (matches emit
+    * immediately); only null-row emission is horizon-gated, which is
+    * exactly the operational difference this key exists to verify.
+    */
+  private val streamJoinOuter = Q(
+    "stream_join_outer",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("hour_start", "n_pairs", "n_unmatched")
+      else
+        run(s, s"$d/events.parquet", "left_outer")
+          .groupBy((expr("c_ms div 3600000") * 3600L).as("hour_start"))
+          .agg(count($"p_ms").as("n_pairs"),
+            sum(when($"p_ms".isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_unmatched"))
+          .orderBy("hour_start")
+    },
+    Some("WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ms " +
+      "FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT user_id, epoch_ms(ts) AS ms " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "wm AS (SELECT least((SELECT max(ms) FROM c), (SELECT max(ms) FROM p)) " +
+      "- 3600000 AS w), " +
+      "j AS (SELECT c.ms AS c_ms, p.ms AS p_ms FROM c JOIN p " +
+      "ON p.user_id = c.user_id AND p.ms >= c.ms AND p.ms <= c.ms + 1800000), " +
+      "um AS (SELECT c.ms AS c_ms FROM c, wm " +
+      "WHERE c.ms + 1800000 < wm.w AND NOT EXISTS (SELECT 1 FROM p " +
+      "WHERE p.user_id = c.user_id AND p.ms >= c.ms " +
+      "AND p.ms <= c.ms + 1800000)), " +
+      "allr AS (SELECT c_ms, p_ms FROM j " +
+      "UNION ALL SELECT c_ms, NULL AS p_ms FROM um) " +
+      "SELECT CAST((c_ms // 3600000) * 3600 AS BIGINT) AS hour_start, " +
+      "count(p_ms) AS n_pairs, " +
+      "CAST(sum(CASE WHEN p_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_unmatched FROM allr GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(streamJoinInterval, streamJoinOuter)
 }

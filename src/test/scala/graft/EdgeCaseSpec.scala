@@ -506,6 +506,135 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows(0).getLong(3) === 25L)  // total_tokens from the keeper only
   }
 
+  test("tfidf ranks by rounded score and breaks exact ties by term") {
+    val docs = Seq(
+      (0L, "a a b", "en", "s0", 5L),
+      (1L, "b c c", "en", "s0", 5L),
+      (2L, "a c", "en", "s0", 3L)) // equal tf ⇒ equal score ⇒ term order
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val rows = run("text_tfidf", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getString(1)).toMap
+    assert(rows((0L, 1L)) === "a", "doc 0: tf(a)=2/3 beats tf(b)=1/3")
+    assert(rows((2L, 1L)) === "a" && rows((2L, 2L)) === "c",
+      "equal scores must fall back to term order")
+  }
+
+  test("bm25 scores only query-term docs and orders by term richness") {
+    val docs = Seq(
+      (0L, "join join hash scan x", "en", "s0", 22L),
+      (1L, "join x y z", "en", "s0", 10L),
+      (2L, "p q r s", "en", "s0", 7L)) // no query term: not retrieved
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val rows = run("text_bm25", dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === Set(0L, 1L),
+      "a doc with no query term must not be retrieved")
+    assert(rows.find(_._1 == 0L).get._3 === 1L,
+      "three matched terms with higher tf must outrank one")
+  }
+
+  test("fill-forward repairs error gaps per user and leaves leading gaps null") {
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(100), 7L, "view", 1.0, "{}"),
+      (2L, ns(200), 7L, "error", 99.0, "{}"), // nulled, refills to 1.0
+      (3L, ns(300), 7L, "error", 98.0, "{}"),
+      (4L, ns(400), 7L, "view", 4.0, "{}"),
+      (5L, ns(100), 8L, "error", 97.0, "{}")) // leading gap: stays null
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("window_fill_forward", dir).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L) === Some(1.0) && got(2L) === Some(1.0) &&
+      got(3L) === Some(1.0) && got(4L) === Some(4.0))
+    assert(got(5L) === None, "no prior observation ⇒ the gap stays null")
+  }
+
+  test("median interpolates at even counts; mode ties break to the smaller bucket") {
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(1), 1L, "x", 1.0, "{}"), (2L, ns(2), 1L, "x", 2.0, "{}"),
+      (3L, ns(3), 1L, "x", 3.0, "{}"), (4L, ns(4), 1L, "x", 4.0, "{}"),
+      (5L, ns(5), 1L, "y", 5.5, "{}"), (6L, ns(6), 1L, "y", 5.7, "{}"),
+      (7L, ns(7), 1L, "y", 9.9, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("agg_median_mode", dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("x") === ((2.5, 1L, 1L)),
+      "even count interpolates; all-tied buckets pick the smallest")
+    assert(got("y") === ((5.7, 5L, 2L)))
+  }
+
+  test("time-weighted average holds each value until the next event") {
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(0), 1L, "a", 10.0, "{}"),    // held 100 ms
+      (2L, ns(100), 1L, "a", 20.0, "{}"),  // held 200 ms
+      (3L, ns(300), 1L, "a", 999.0, "{}"), // last: no interval, no weight
+      (4L, ns(50), 2L, "a", 7.0, "{}"))    // single event: no interval
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("event_time_weighted", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // (10·100 + 20·200) / 300 = 16.666667 at the 6dp grid
+    assert(got.toSeq === Seq((1L, 2L, 300L, 16.666667)))
+  }
+
+  test("cohort retention counts users per first-seen day and offset") {
+    val ns = (day: Long) => day * 86400000L * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(0), 1L, "a", 0.0, "{}"), (2L, ns(1), 1L, "a", 0.0, "{}"),
+      (3L, ns(0), 2L, "a", 0.0, "{}"),
+      (4L, ns(1), 3L, "a", 0.0, "{}"), (5L, ns(2), 3L, "a", 0.0, "{}"),
+      (6L, ns(2) + 1000000L, 3L, "b", 0.0, "{}")) // same day: one user-day
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("cohort_retention", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
+  test("triangle count sees a 4-clique of identical docs as fully clustered") {
+    val same = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = (0L to 3L).map(i => (i, same, "en", "s0", 40L)) :+
+      ((9L, "completely different words here", "en", "s0", 31L))
+    val dir = stageTables("documents" ->
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = run("graph_triangle_count", dir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    // K4: 4 vertices, 6 edges, Σ d(d-1)/2 = 4·3 = 12 wedges, 4 triangles,
+    // coefficient 3·4/12 = 1; the unrelated doc forms no edges at all.
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getDouble(4)) === ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("stream outer join emits null rows only past the watermark horizon") {
+    val ns = (ms: Long) => ms * 1000000L
+    // final watermark = min(max click, max purchase) − 1 h
+    //                 = 10_000_000 − 3_600_000 = 6_400_000
+    // NOT ms=0 for the emitted click: an event time of exactly epoch 0
+    // coincides with Spark's INITIAL watermark and the row is never
+    // admitted to join state (probed empirically; ms=1 onward behaves) —
+    // a measure-zero pathology real 2024-epoch archives cannot hit.
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(1000), 1L, "click", 0.0, "{}"), // end 1.801e6 < wm: emitted
+      (2L, ns(4600000L), 5L, "click", 0.0, "{}"), // end == wm: boundary, held
+      (3L, ns(6000000L), 6L, "click", 0.0, "{}"), // end > wm: held
+      (4L, ns(100), 4L, "click", 0.0, "{}"), // matched below
+      (5L, ns(1000), 4L, "purchase", 0.0, "{}"),
+      (6L, ns(10000000L), 2L, "click", 0.0, "{}"), // sets click max
+      (7L, ns(10000000L), 3L, "purchase", 0.0, "{}")) // sets purchase max
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("stream_join_outer", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L, 1L)),
+      "one matched pair and ONE closed-horizon unmatched click in hour 0; " +
+        "boundary-equal and open-window clicks stay unemitted")
+  }
+
   test("every declared query survives fully empty tables") {
     val empties = graft.core.Tables.names.map { n =>
       val raw = spark.read.parquet(s"$sf/$n.parquet").filter(lit(false))

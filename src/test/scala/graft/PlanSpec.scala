@@ -304,6 +304,51 @@ class PlanSpec extends SparkSpec {
       "the fused pipeline must not rescan the corpus between stages")
   }
 
+  test("text_bm25 is one corpus scan, map-side partials, and a TakeOrdered top-k") {
+    val df = run("text_bm25")
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(scansOf(p).count(_.toString.contains("documents")) === 1,
+      "dl and the per-term tfs must come from ONE conditional aggregation pass")
+    val s = p.toString
+    assert(s.contains("partial_count") || s.contains("partial_sum"),
+      "per-doc term counts must combine map-side")
+    assert(s.contains("TakeOrderedAndProject"),
+      "top-20 must be a size-k heap per partition, not a global sort")
+  }
+
+  test("cohort_retention derives cohorts with a keyed window over a single event scan") {
+    val df = run("cohort_retention")
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(scansOf(p).length === 1,
+      "the min-over-user window must not rescan events like a self-join would")
+    assert(!p.toString.contains("SortMergeJoin") &&
+      !p.toString.contains("BroadcastHashJoin"),
+      "cohort assignment is a window, not a join")
+  }
+
+  test("fill-forward and time-weighted windows are keyed by user — never global") {
+    for (key <- Seq("window_fill_forward", "event_time_weighted")) {
+      val plan = executedPlan(key)
+      // a Window with an empty partition spec prints "Window [..], [..]"
+      // with no partition column list and moves ALL data to one task
+      val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windowLines.nonEmpty && windowLines.forall(_.contains("[user_id")),
+        s"$key must partition its window by user_id: $windowLines")
+    }
+  }
+
+  test("triangle count closes wedges with equi-joins on the oriented edge set") {
+    val plan = executedPlan("graph_triangle_count")
+    assert(plan.contains("LeftSemi"),
+      "the closing-edge membership test must be a semi-join")
+    // the 1-row count assembly cross-joins are fine; the wedge join and
+    // closing join must not be — they carry the edge-set cardinality
+    assert(!plan.contains("CartesianProduct"),
+      "wedge formation must never be a product over the edge set")
+  }
+
   test("corpus_pack_sequences packs via range partitioning + broadcast offsets — no global token window") {
     // phase 1 (pre-checkpoint): the token table flows through a range
     // exchange, the same spelling window_rank_distributed pins
