@@ -1,0 +1,277 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Corpus-curation wave: the selection/sharding operators that sit
+  * between cleaning and training in a large-scale data pipeline —
+  * semantic (cluster-then-pairwise) dedup over the trained coarse
+  * quantizer, greedy token-budget selection, deterministic ntile
+  * sharding computed distributively, per-row importance-weighted
+  * sampling, and exact-sum second-moment feature statistics
+  * (correlation / covariance / OLS slope).
+  *
+  * Shared design rules (see LlmPipeline.scala): shuffles carry keys and
+  * counters, never document text; every float that crosses an
+  * order-dependent accumulation is either replaced by an exact decimal/
+  * integer sum or floor-rounded identically in Spark and the DuckDB
+  * oracle; window work is partitioned (or two-phase) — the engine never
+  * funnels a fact-sized relation through one task.
+  */
+object CurateOps {
+  import Det._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023's shape): cluster
+    * the embedding corpus with the SAME deterministic Lloyd k-means the
+    * IVF index trains ([[LlmPipeline2.ivfIndex]], K=8 here — build-once
+    * economics, the ANN family and this key share one trained index),
+    * then compare pairs ONLY within a cluster: exact cosine via the
+    * codegen'd DotProductF fold, a pair is semantic-duplicate at
+    * cos ≥ 0.4, and the keeper rule drops the higher vec_id. Output is
+    * the per-cluster dedup ledger (members / dup pairs / dropped).
+    *
+    * Scale: the learned coarse quantizer is the blocking structure —
+    * candidate volume is Σ|cell|² / 2, bounded by K ~ N/B̄ growing with
+    * the corpus to hold the target cell size B̄ (SemDeDup runs ~100k
+    * clusters at web scale; K=8 is the fixture parameterization of the
+    * same two plan shapes). The within-cell self-join is a cell-keyed
+    * equi-join — with K cells it shuffles on K keys, so production K
+    * also fixes the skew this K=8 run would have: cells ≈ shuffle
+    * partitions × many. Complementary to `dedup_embedding_cosine`
+    * (random-hyperplane banding): the learned quantizer groups by
+    * global geometry and surfaces pairs band collision can miss.
+    *
+    * The oracle replays the identical training through the shared
+    * unrolled Lloyd CTEs ([[LlmPipeline2.ivfCtes]]) — bit-identical
+    * assignments, then the same pair rule.
+    */
+  private val dedupSemantic = Q(
+    "dedup_semantic",
+    (s, d) => {
+      import s.implicits._
+      val (_, a2, _) = LlmPipeline2.ivfIndex(s, d, 8)
+      val emb = t(s, d, "embeddings")
+      val m = emb.join(a2, "vec_id").select($"cell", $"vec_id", $"embedding")
+      val pairs = m.select($"cell", $"vec_id".as("va"), $"embedding".as("ea"))
+        .join(m.select($"cell", $"vec_id".as("vb"), $"embedding".as("eb")), Seq("cell"))
+        .filter($"va" < $"vb")
+        .select($"cell", $"va", $"vb",
+          dround(graft.functions.VectorExpressions.dotF(s, $"ea", $"eb"), 6).as("cos"))
+        .filter($"cos" >= 0.4)
+      val members = m.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      val dups = pairs.groupBy("cell").agg(
+        count(lit(1)).as("p"), countDistinct($"vb").as("dr"))
+      members.join(dups, Seq("cell"), "left_outer")
+        .select($"cell", $"n_members",
+          coalesce($"p", lit(0L)).as("n_dup_pairs"),
+          coalesce($"dr", lit(0L)).as("n_dropped"))
+        .orderBy("cell")
+    },
+    Some("WITH " + LlmPipeline2.ivfCtes(8) + ", " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings), " +
+      "m AS (SELECT a2.cell, e.vec_id, e.v FROM e JOIN a2 USING (vec_id)), " +
+      "p AS (SELECT a.cell, a.vec_id AS va, b.vec_id AS vb, " +
+      OSql.sround("list_dot_product(a.v, b.v)", 6) + " AS cos " +
+      "FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id), " +
+      "dp AS (SELECT cell, count(*) AS p, count(DISTINCT vb) AS dr " +
+      "FROM p WHERE cos >= 0.4 GROUP BY 1), " +
+      "mem AS (SELECT cell, count(*) AS n_members FROM m GROUP BY 1) " +
+      "SELECT mem.cell, mem.n_members, COALESCE(dp.p, 0) AS n_dup_pairs, " +
+      "COALESCE(dp.dr, 0) AS n_dropped " +
+      "FROM mem LEFT JOIN dp USING (cell) ORDER BY cell"))
+
+  /** Greedy token-budget selection — data mixing's core primitive:
+    * each language gets a 5 000-token budget, filled by quality order
+    * (longest documents first; doc_id tiebreak makes the order total),
+    * admitting documents while the budget is unspent — the running sum
+    * BEFORE a document decides, so the first document always enters and
+    * the budget may overshoot by at most one document (the standard
+    * greedy-knapsack admission rule).
+    *
+    * Scale: ONE lang-partitioned window over (lang, tok) pairs — the
+    * shuffle carries two longs per document, never text (token counts
+    * are a codegen'd projection before the exchange). Languages are the
+    * partition key, so a 100 TB corpus runs one independent running
+    * sum per language; a single giant language would range-partition on
+    * the quality key and merge per-partition token totals by the same
+    * offset trick `window_rank_distributed` pins.
+    */
+  private val corpusTokenBudget = Q(
+    "corpus_token_budget",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select($"lang", $"doc_id", $"n_chars",
+          size(split($"text", " ")).cast("long").as("tok"))
+        .withColumn("cum", sum($"tok").over(w))
+        .filter($"cum" - $"tok" < 5000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tok_total"))
+        .orderBy("lang")
+    },
+    Some("WITH tk AS (SELECT lang, doc_id, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents), " +
+      "r AS (SELECT lang, tok, sum(tok) OVER (PARTITION BY lang " +
+      "ORDER BY n_chars DESC, doc_id ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tk) " +
+      "SELECT lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_total " +
+      "FROM r WHERE cum - tok < 5000 GROUP BY 1 ORDER BY 1"))
+
+  /** Deterministic 16-way corpus sharding — exact SQL NTILE computed
+    * DISTRIBUTIVELY. Documents are ordered by (md5(doc_id), doc_id) — a
+    * stable hash order, so shards are content-balanced and reproducible
+    * — and NTILE's bucket rule (first n mod k buckets take ⌈n/k⌉ rows,
+    * the rest ⌊n/k⌋) is evaluated as pure integer arithmetic on the
+    * GLOBAL RANK, which is itself computed by the two-phase plan
+    * `window_rank_distributed` pins: one range shuffle +
+    * monotonically_increasing_id for local rank, a P-row cumulative
+    * offset broadcast back, rank = local + offset. No single-partition
+    * window anywhere — the plan a 1000-executor shard assignment needs.
+    * The oracle runs DuckDB's native ntile(16) over the same order: the
+    * hash match proves the arithmetic spelling IS ntile.
+    */
+  private val windowNtileShard = Q(
+    "window_ntile_shard",
+    (s, d) => {
+      import s.implicits._
+      val k = 16
+      val ids = t(s, d, "documents")
+        .select($"doc_id", $"n_chars", md5($"doc_id".cast("string")).as("h"))
+        .repartitionByRange(32, $"h".asc, $"doc_id".asc)
+        .sortWithinPartitions($"h".asc, $"doc_id".asc)
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("pid", shiftright($"mid", 33))
+        .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+        .localCheckpoint(true)
+      val offs = ids.groupBy("pid").agg(count(lit(1)).as("n"))
+        .withColumn("off", sum($"n").over(Window.orderBy($"pid")) - $"n")
+        .select($"pid", $"off")
+      val tot = ids.agg(count(lit(1)).as("nn"))
+      ids.join(broadcast(offs), "pid").crossJoin(broadcast(tot))
+        .withColumn("rnk", $"lrn" + $"off")
+        .withColumn("bq", expr(s"nn div $k"))
+        .withColumn("bm", $"nn" % k)
+        // ⌈r/c⌉ as (r + c - 1) div c; the else-branch divisor bq is 0
+        // only when n < k, where the when-branch covers every rank
+        .withColumn("shard",
+          when($"rnk" <= $"bm" * ($"bq" + 1),
+            expr("(rnk + bq) div (bq + 1)"))
+            .otherwise(expr("bm + ((rnk - bm * (bq + 1)) + bq - 1) div bq"))
+            .cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_total"))
+        .orderBy("shard")
+    },
+    Some("SELECT shard, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars_total FROM " +
+      "(SELECT n_chars, CAST(ntile(16) OVER (ORDER BY " +
+      "md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS shard " +
+      "FROM documents) GROUP BY 1 ORDER BY 1"))
+
+  /** Importance-weighted sampling — per-ROW acceptance probability
+    * (here p = min(1, n_chars/2000): longer documents are
+    * proportionally more likely kept), decided by a deterministic
+    * per-document uniform u = (doc_id·2654435761) mod 10⁶ / 10⁶
+    * (Knuth's multiplicative hash — engine-portable integer
+    * arithmetic, no float RNG to disagree over). `u < p` reduces to
+    * the pure-integer comparison u_ppm < n_chars·500, so acceptance is
+    * exact in both engines; the min(1,·) clamp is absorbed because
+    * n_chars ≥ 2000 makes the right side ≥ 10⁶. Complements
+    * `sample_stratified` (fixed rate per stratum): importance sampling
+    * weights each row, the shape quality-weighted corpus downsampling
+    * actually uses. Embarrassingly parallel — a codegen'd predicate in
+    * the scan, one partial+final aggregate, no shuffle of text.
+    */
+  private val sampleImportance = Q(
+    "sample_importance",
+    (s, d) => {
+      import s.implicits._
+      val keep = ($"doc_id" * lit(2654435761L)) % 1000000L < $"n_chars" * 500L
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, $"n_chars").otherwise(0L)).as("chars_kept"))
+        .select($"lang", $"n_total", $"n_kept", $"chars_kept",
+          dround($"n_kept".cast("double") / $"n_total", 4).as("rate"))
+        .orderBy("lang")
+    },
+    Some("WITH m AS (SELECT lang, count(*) AS n_total, " +
+      "CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000000 < n_chars * 500 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000000 < n_chars * 500 " +
+      "THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept " +
+      "FROM documents GROUP BY 1) " +
+      "SELECT lang, n_total, n_kept, chars_kept, " +
+      OSql.sround("CAST(n_kept AS DOUBLE) / n_total", 4) + " AS rate " +
+      "FROM m ORDER BY lang"))
+
+  /** Second-moment feature statistics — Pearson correlation, sample
+    * covariance and the OLS slope of price on quantity, per return
+    * flag. The built-in corr/covar_samp aggregates accumulate doubles
+    * in partition order (non-deterministic across runs/engines), so
+    * this computes the five SUFFICIENT STATISTICS (Σx, Σy, Σxy, Σx²,
+    * Σy²) as exact DECIMAL sums — order-independent by construction,
+    * the same trick moneySum uses — then evaluates each statistic as
+    * ONE double expression over identical exact inputs, which both
+    * engines round identically. Scale: a partial+final aggregate of
+    * five decimal counters per group — the map-side-combine shape; the
+    * 2-pass "subtract the mean" formulation would cost a second scan
+    * for no determinism gain.
+    */
+  private val aggCorr = Q(
+    "agg_corr",
+    (s, d) => {
+      import s.implicits._
+      val sums = t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(Dec)).as("sx"),
+          sum($"l_extendedprice".cast(Dec)).as("sy"),
+          sum(($"l_quantity" * $"l_extendedprice").cast(Dec)).as("sxy"),
+          sum(($"l_quantity" * $"l_quantity").cast(Dec)).as("sxx"),
+          sum(($"l_extendedprice" * $"l_extendedprice").cast(Dec)).as("syy"))
+      val (nd, sxd, syd, sxyd, sxxd, syyd) =
+        ($"n".cast("double"), $"sx".cast("double"), $"sy".cast("double"),
+          $"sxy".cast("double"), $"sxx".cast("double"), $"syy".cast("double"))
+      sums.select($"l_returnflag", $"n",
+        dround((nd * sxyd - sxd * syd) /
+          sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+          .as("corr_qty_price"),
+        dround((sxyd - sxd * syd / nd) / (nd - 1), 6).as("covar_qty_price"),
+        dround((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+          .as("slope_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH s AS (SELECT l_returnflag, count(*) AS n, " +
+      "SUM(CAST(l_quantity AS DECIMAL(20,6))) AS sx, " +
+      "SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS sy, " +
+      "SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(20,6))) AS sxy, " +
+      "SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,6))) AS sxx, " +
+      "SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(20,6))) AS syy " +
+      "FROM lineitem GROUP BY 1), " +
+      "dd AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, " +
+      "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+      "CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, " +
+      "CAST(syy AS DOUBLE) AS syyd FROM s) " +
+      "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
+      OSql.sround("(nd * sxyd - sxd * syd) / " +
+        "sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))", 6) +
+      " AS corr_qty_price, " +
+      OSql.sround("(sxyd - sxd * syd / nd) / (nd - 1)", 6) +
+      " AS covar_qty_price, " +
+      OSql.sround("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)", 6) +
+      " AS slope_qty_price FROM dd ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(
+    dedupSemantic, corpusTokenBudget, windowNtileShard, sampleImportance,
+    aggCorr)
+}

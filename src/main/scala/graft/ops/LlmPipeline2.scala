@@ -499,7 +499,7 @@ object LlmPipeline2 {
     * and the final centroid table `c2` — all IndexCache'd, so the
     * single-probe key and the multi-probe recall gate share ONE build.
     */
-  private def ivfIndex(s: SparkSession, d: String, numCells: Int)
+  private[ops] def ivfIndex(s: SparkSession, d: String, numCells: Int)
       : (DataFrame, DataFrame, DataFrame) =
     // Training stages are SAMPLE/COMPONENT-sized (quantized components
     // of the corpus, K×64 centroids) — at the engine's per-core default
@@ -628,11 +628,14 @@ object LlmPipeline2 {
       .select("probe", "vec_id")
   }
 
-  /** DuckDB spelling of [[ivfTopK]] (the unrolled Lloyd CTEs),
-    * parameterized identically.
+  /** The unrolled Lloyd CTE chain (DuckDB spelling of [[ivfIndex]]):
+    * quantized components `iq` through the trained assignment `a2` and
+    * final centroid table `c2`. Shared WITH-body fragment so every
+    * oracle that consumes the trained index ([[ivfTopkSql]], the
+    * SemDeDup key in CurateOps) replays the IDENTICAL training.
     */
-  private def ivfTopkSql(numCells: Int, nProbe: Int, k: Int, probeId: Long = 0L): String =
-    "WITH iq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
+  private[ops] def ivfCtes(numCells: Int): String =
+    "iq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
       "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q " +
       "FROM embeddings), " +
       s"seeds AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT $numCells), " +
@@ -653,7 +656,13 @@ object LlmPipeline2 {
       "(PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn FROM s2) WHERE rn = 1), " +
       "n2 AS (SELECT cell, count(*) AS n FROM a2 GROUP BY 1), " +
       "c2 AS (SELECT a2.cell, iq.pos, SUM(iq.q) AS sq, max(n2.n) AS n " +
-      "FROM iq JOIN a2 USING (vec_id) JOIN n2 ON n2.cell = a2.cell GROUP BY 1, 2), " +
+      "FROM iq JOIN a2 USING (vec_id) JOIN n2 ON n2.cell = a2.cell GROUP BY 1, 2)"
+
+  /** DuckDB spelling of [[ivfTopK]] (the unrolled Lloyd CTEs),
+    * parameterized identically.
+    */
+  private def ivfTopkSql(numCells: Int, nProbe: Int, k: Int, probeId: Long = 0L): String =
+    "WITH " + ivfCtes(numCells) + ", " +
       s"pq AS (SELECT pos, q AS pqv FROM iq WHERE vec_id = $probeId), " +
       "sc AS (SELECT c2.cell, CAST(SUM(CAST(pqv AS HUGEINT) * c2.sq) AS DOUBLE) / max(c2.n) AS score " +
       "FROM c2 JOIN pq USING (pos) GROUP BY 1), " +

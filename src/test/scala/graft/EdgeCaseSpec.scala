@@ -635,6 +635,93 @@ class EdgeCaseSpec extends SparkSpec {
         "boundary-equal and open-window clicks stay unemitted")
   }
 
+  // ------------------------------------------------------- curation wave
+
+  test("dedup_semantic flags exact duplicates within their k-means cell") {
+    // 8 orthogonal-ish seed vectors (vec_id 0..7 become the K=8 Lloyd
+    // seeds), plus vec 8 = an exact copy of vec 0 and vec 9 close to
+    // vec 1 (cos 0.8). Identical vectors always share a cell (equal
+    // scores, same tiebreak), so the within-cell pair scan must flag
+    // both planted dups and nothing else (the rest are orthogonal).
+    val seedVecs = Seq.tabulate(8) { i =>
+      val v = Array.fill(8)(0f); v(i) = 1f; (i.toLong, v)
+    }
+    val extra = Seq(
+      (8L, { val v = Array.fill(8)(0f); v(0) = 1f; v }),
+      (9L, { val v = Array.fill(8)(0f); v(1) = 0.8f; v(2) = 0.6f; v }))
+    val dir = stageTables(
+      "embeddings" -> (seedVecs ++ extra).toDF("vec_id", "embedding"))
+    val rows = run("dedup_semantic", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum === 10L, "every vector is assigned to a cell")
+    val dupCells = rows.filter(_._3 > 0)
+    assert(dupCells.map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((2L, 1L, 1L), (2L, 1L, 1L)),
+      "exactly the two planted near-dup pairs, one dropped keeper each")
+    assert(dupCells.map(_._1).toSet === Set(0L, 1L),
+      "dups land in their seed's cell")
+  }
+
+  test("corpus_token_budget admits greedily until the running sum crosses") {
+    // en: 3000 + 2500 tokens admitted (budget unspent before each),
+    // the 10-token doc sees cum-before 5500 >= 5000 and is rejected.
+    // fr: untouched by en's spend — its own budget admits the one doc.
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "en", 300L, words(3000)),
+      (2L, "en", 200L, words(2500)),
+      (3L, "en", 100L, words(10)),
+      (4L, "fr", 50L, words(10)))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val dir = stageTables("documents" -> docs)
+    val got = run("corpus_token_budget", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("en", 2L, 5500L), ("fr", 1L, 10L)))
+  }
+
+  test("window_ntile_shard equals engine-native ntile, including n < k") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(150, 15)) { // 150 = 9*16+6 (uneven buckets); 15 < k=16
+      val docs = Seq.tabulate(n)(i => (i.toLong, (i * 37 % 997).toLong))
+        .toDF("doc_id", "n_chars")
+      val dir = stageTables("documents" -> docs)
+      val got = run("window_ntile_shard", dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val native = docs.select($"n_chars", ntile(16).over(
+          Window.orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc))
+          .cast("long").as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_total"))
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === native, s"distributed ntile diverged at n=$n")
+    }
+  }
+
+  test("sample_importance clamps: long docs always kept, empty docs never") {
+    val docs = Seq(
+      (1L, "en", 2000L, "a"), (2L, "en", 5000L, "b"), // p = 1 -> kept
+      (3L, "fr", 0L, "c")) // p = 0 -> never kept
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val dir = stageTables("documents" -> docs)
+    val byLang = run("sample_importance", dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byLang("en") === ((2L, 2L, 7000L)))
+    assert(byLang("fr") === ((1L, 0L, 0L)))
+  }
+
+  test("agg_corr on exactly linear data: corr 1, slope 2, covar n-1-scaled") {
+    val li = Seq.tabulate(5)(i => ("A", (i + 1).toDouble, 2.0 * (i + 1)))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = stageTables("lineitem" -> li)
+    val r = run("agg_corr", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 5L)
+    assert(r(0).getDouble(2) === 1.0) // corr
+    assert(r(0).getDouble(3) === 5.0) // covar_samp: cov(x, 2x) = 2*2.5
+    assert(r(0).getDouble(4) === 2.0) // OLS slope
+  }
+
   test("every declared query survives fully empty tables") {
     val empties = graft.core.Tables.names.map { n =>
       val raw = spark.read.parquet(s"$sf/$n.parquet").filter(lit(false))

@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpec {
       "exact dispose stage must use the native codegen fold")
   }
 
+  test("dedup_semantic pairs only within a cell — cell-keyed equi-join, native fold") {
+    val plan = executedPlan("dedup_semantic")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the within-cluster pair scan must stay an equi-join on the cell key")
+    assert(plan.contains("dotproductf"),
+      "exact cosine dispose must use the native codegen fold")
+  }
+
   test("join_range_binned runs as an equi-join on the bin key, never nested-loop") {
     val plan = executedPlan("join_range_binned")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
