@@ -44,9 +44,28 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosConf(spark)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ms", expr("ts div 1000000"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ms", msExpr(raw.schema))
   }
+
+  /** Epoch-millisecond expression for the archive's `ts` column, robust
+    * to both generations of the events schema: parquet TIMESTAMP(NANOS)
+    * read as a long of nanos (legacy nanosAsLong — see [[events]]) and
+    * parquet TIMESTAMP(MICROS) read as TIMESTAMP_NTZ. The session
+    * timezone is pinned to UTC ([[Sessions.config]]), so the NTZ
+    * wall-clock IS the instant and the NTZ→LTZ cast is exact. Both
+    * branches are integer-only (a float division of epoch nanos would
+    * exceed double's 2^53 mantissa and corrupt low-order millis).
+    * DuckDB's `epoch_ms(ts)` equals this in either generation, which is
+    * the only time representation verified queries may emit (SURVEY
+    * §1.3). Every `ts` consumer — batch or streaming — derives `ms`
+    * through this one definition so a future schema change lands here.
+    */
+  def msExpr(schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => expr("unix_micros(cast(ts as timestamp_ltz)) div 1000")
+    }
 
   /** Heal the nanos-timestamp read conf (see [[events]]). Public within
     * the engine so streaming front doors that read the events parquet

@@ -121,7 +121,7 @@ object Replay {
     // for its own predicates and rewrites; Catalyst still pushes
     // eligible filters into the streaming scan.
     runReplay(s,
-      stage(reader.parquet(srcGlob).withColumn("ms", expr("ts div 1000000"))),
+      stage(reader.parquet(srcGlob).withColumn("ms", Tables.msExpr(schema))),
       nShards, resumeDirs)
   }
 
@@ -302,7 +302,7 @@ object Replay {
     val (out, ckpt) = (TmpDirs.dir("live-out"), TmpDirs.dir("live-ckpt"))
     val schema = s.read.parquet(archiveDir).schema
     val stream = s.readStream.schema(schema).parquet(archiveDir)
-      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("ms", Tables.msExpr(schema))
       .withColumn("shard", pmod(xxhash64(col("user_id")), lit(nShards)))
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
@@ -461,7 +461,7 @@ object Replay {
       if (Tables.events(s, d).isEmpty)
         Seq.empty[(Long, String, Long)].toDF("win_start", "event_type", "cnt")
       else runStreamToTable(s, s"$d/events.parquet") { in =>
-        in.withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+        in.withColumn("ets", timestamp_millis(Tables.msExpr(in.schema)))
           .withWatermark("ets", "1 hour")
           .groupBy(window($"ets", "1 hour", "15 minutes"), $"event_type")
           .agg(count(lit(1)).as("cnt"))

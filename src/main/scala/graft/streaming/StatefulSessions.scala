@@ -86,7 +86,7 @@ object StatefulSessions {
     val ckpt = TmpDirs.dir("sess-ckpt")
     val state = TmpDirs.dir("sess-state")
     val stream = s.readStream.schema(schema).parquet(glob)
-      .select($"user_id", $"event_id", expr("ts div 1000000").as("ms"))
+      .select($"user_id", $"event_id", graft.core.Tables.msExpr(schema).as("ms"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
@@ -220,8 +220,8 @@ object StatefulSessions {
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val stream = reader.parquet(glob)
-      .select($"user_id", $"event_id", expr("ts div 1000000").as("ms"),
-        timestamp_millis(expr("ts div 1000000")).as("ets"))
+      .select($"user_id", $"event_id", graft.core.Tables.msExpr(schema).as("ms"),
+        timestamp_millis(graft.core.Tables.msExpr(schema)).as("ets"))
       .withWatermark("ets", delay)
       .as[EvT]
       .groupByKey(_.user_id)

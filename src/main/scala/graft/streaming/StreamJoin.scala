@@ -41,7 +41,7 @@ object StreamJoin {
       .filter(col("event_type") === tpe)
       .select(col("event_id").as(s"${prefix}_id"),
         col("user_id").as(s"${prefix}_user"),
-        expr("ts div 1000000").as(s"${prefix}_ms"))
+        graft.core.Tables.msExpr(schema).as(s"${prefix}_ms"))
       .withColumn(s"${prefix}_ets", timestamp_millis(col(s"${prefix}_ms")))
       .withWatermark(s"${prefix}_ets", "1 hour")
 
