@@ -181,6 +181,17 @@ object TmpDirs {
   def dir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(root, prefix + "-").toString
 
+  /** A STABLE scratch directory `<root>/<name>` — the same path every
+    * call with the same name (unlike [[dir]]): the warehouse-location
+    * model for PERSISTED index artifacts, where a later job must be
+    * able to find the table again by name. Still reaped at JVM exit.
+    */
+  def stable(name: String): String = {
+    val p = root.resolve(name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   private def rmrf(p: java.nio.file.Path): Unit = {
     import java.nio.file._
     import java.nio.file.attribute.BasicFileAttributes

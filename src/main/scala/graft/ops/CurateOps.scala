@@ -27,34 +27,40 @@ object CurateOps {
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023's shape): cluster
     * the embedding corpus with the SAME deterministic Lloyd k-means the
-    * IVF index trains ([[LlmPipeline2.ivfIndex]], K=8 here — build-once
-    * economics, the ANN family and this key share one trained index),
-    * then compare pairs ONLY within a cluster: exact cosine via the
-    * codegen'd DotProductF fold, a pair is semantic-duplicate at
-    * cos ≥ 0.4, and the keeper rule drops the higher vec_id. Output is
-    * the per-cluster dedup ledger (members / dup pairs / dropped).
+    * IVF index trains ([[LlmPipeline2.ivfIndex]]), then compare pairs
+    * ONLY within a cluster: exact cosine via the codegen'd DotProductF
+    * fold, a pair is semantic-duplicate at cos ≥ 0.4, and the keeper
+    * rule drops the higher vec_id. Output is the per-cluster dedup
+    * ledger (members / dup pairs / dropped).
     *
-    * Scale: the learned coarse quantizer is the blocking structure —
-    * candidate volume is Σ|cell|² / 2, bounded by K ~ N/B̄ growing with
-    * the corpus to hold the target cell size B̄ (SemDeDup runs ~100k
-    * clusters at web scale; K=8 is the fixture parameterization of the
-    * same two plan shapes). The within-cell self-join is a cell-keyed
-    * equi-join — with K cells it shuffles on K keys, so production K
-    * also fixes the skew this K=8 run would have: cells ≈ shuffle
-    * partitions × many. Complementary to `dedup_embedding_cosine`
-    * (random-hyperplane banding): the learned quantizer groups by
-    * global geometry and surfaces pairs band collision can miss.
+    * Scale: the learned coarse quantizer is the blocking structure, and
+    * the cell count GROWS WITH THE CORPUS — K = max(8, ⌈N/B̄⌉) with
+    * target mean cell B̄=64 ([[LlmPipeline2.ivfDerivedK]], one
+    * distributed `count()` decides it), so candidate volume is
+    * Σ|cell|²/2 ≈ N·B̄/2: LINEAR in N, the SemDeDup parameterization
+    * (~100k clusters at web scale), never a fixed-K N²/K blowup. The
+    * within-cell self-join is a cell-keyed equi-join shuffling on K
+    * keys, so the growing K is also what keeps the shuffle unskewed:
+    * cells ≫ shuffle partitions at scale. At the sf where N/B̄ ≤ 8 the
+    * clamp keeps K=8 — the exact index `sim_ann_ivf` declares, so the
+    * two keys share ONE trained artifact at fixture scale.
+    * Complementary to `dedup_embedding_cosine` (random-hyperplane
+    * banding): the learned quantizer groups by global geometry and
+    * surfaces pairs band collision can miss.
     *
     * The oracle replays the identical training through the shared
-    * unrolled Lloyd CTEs ([[LlmPipeline2.ivfCtes]]) — bit-identical
-    * assignments, then the same pair rule.
+    * unrolled Lloyd CTEs — [[LlmPipeline2.ivfCtesDerivedK]] restates
+    * the K rule as integer arithmetic over a window count, so both
+    * engines derive the same K from the data alone and the
+    * assignments stay bit-identical.
     */
   private val dedupSemantic = Q(
     "dedup_semantic",
     (s, d) => {
       import s.implicits._
-      val (_, a2, _) = LlmPipeline2.ivfIndex(s, d, 8)
       val emb = t(s, d, "embeddings")
+      val k = LlmPipeline2.ivfDerivedK(emb.count())
+      val (_, a2, _) = LlmPipeline2.ivfIndex(s, d, k)
       val m = emb.join(a2, "vec_id").select($"cell", $"vec_id", $"embedding")
       val pairs = m.select($"cell", $"vec_id".as("va"), $"embedding".as("ea"))
         .join(m.select($"cell", $"vec_id".as("vb"), $"embedding".as("eb")), Seq("cell"))
@@ -71,7 +77,7 @@ object CurateOps {
           coalesce($"dr", lit(0L)).as("n_dropped"))
         .orderBy("cell")
     },
-    Some("WITH " + LlmPipeline2.ivfCtes(8) + ", " +
+    Some("WITH " + LlmPipeline2.ivfCtesDerivedK + ", " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
       "FROM embeddings), " +
       "m AS (SELECT a2.cell, e.vec_id, e.v FROM e JOIN a2 USING (vec_id)), " +
@@ -176,6 +182,47 @@ object CurateOps {
       "md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS shard " +
       "FROM documents) GROUP BY 1 ORDER BY 1"))
 
+  /** Per-domain quota — the anti-dominance cap every web-scale corpus
+    * applies: no source (domain) may contribute more than M=30
+    * documents, the keepers chosen in quality order (longest first,
+    * doc_id tiebreak). Per-source ledger: total seen, kept under the
+    * cap, kept tokens. Without this gate one crawler-friendly domain
+    * floods the mixture; with it the corpus composition is bounded
+    * per origin.
+    *
+    * Scale: ONE source-partitioned window (row_number in quality
+    * order) + ONE partial+final aggregate — the shuffle carries
+    * (source, two longs) per document, never text (the token count
+    * projects before the exchange). Sources are high-cardinality at
+    * web scale, so the window distributes; a single mega-domain would
+    * range-partition on the quality key and take the first M by the
+    * same broadcast-offset trick `window_rank_distributed` pins.
+    */
+  private val corpusDomainCap = Q(
+    "corpus_domain_cap",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+      t(s, d, "documents")
+        .select($"source", $"doc_id", $"n_chars",
+          size(split($"text", " ")).cast("long").as("tok"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"rn" <= 30, 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"rn" <= 30, $"tok").otherwise(0L)).as("tok_kept"))
+        .orderBy("source")
+    },
+    Some("WITH r AS (SELECT source, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, " +
+      "row_number() OVER (PARTITION BY source " +
+      "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM documents) " +
+      "SELECT source, count(*) AS n_total, " +
+      "CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "CAST(SUM(CASE WHEN rn <= 30 THEN tok ELSE 0 END) AS BIGINT) AS tok_kept " +
+      "FROM r GROUP BY 1 ORDER BY 1"))
+
   /** Importance-weighted sampling — per-ROW acceptance probability
     * (here p = min(1, n_chars/2000): longer documents are
     * proportionally more likely kept), decided by a deterministic
@@ -273,5 +320,5 @@ object CurateOps {
 
   val qs: Seq[Q] = Seq(
     dedupSemantic, corpusTokenBudget, windowNtileShard, sampleImportance,
-    aggCorr)
+    aggCorr, corpusDomainCap)
 }

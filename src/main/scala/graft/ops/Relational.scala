@@ -126,6 +126,52 @@ object Relational {
       "count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
       "FROM events GROUP BY 1 ORDER BY 1"))
 
+  /** Kinesis RESHARDING semantics (A6/A7): a long replay crosses a
+    * shard-count change — the stream was split 8→16 mid-archive — and
+    * the router must stay consistent WITHIN each era while the era
+    * boundary itself is a pure function of event time. The cutover is
+    * the archive's midpoint millisecond ((min+max) div 2 — integer
+    * arithmetic both engines restate); records before it route with
+    * mod 8, after it with mod 16, using the same explicit arithmetic
+    * hash as `sink_partition`. Because 16 = 2·8 and the hash is fixed,
+    * each era-0 shard s splits into exactly the era-1 shards {s, s+8}
+    * — `parent_shard` (= shard mod 8) makes the split lineage explicit
+    * in the output: a per-key consumer that tracked shard s before the
+    * reshard reads {s, s+8} after it and misses nothing. Scale: one
+    * partial+final aggregate over (era, shard); the bounds cross-join
+    * is a broadcast of ONE row.
+    */
+  private val sinkReshard = Q(
+    "sink_reshard",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"value", $"ms")
+      val bounds = ev.agg(min($"ms").as("mn"), max($"ms").as("mx"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("era",
+          when($"ms" < expr("(mn + mx) div 2"), 0L).otherwise(1L))
+        .withColumn("shard",
+          (($"user_id" * lit(2654435761L)) % lit(2147483648L)) %
+            when($"era" === 0L, 8L).otherwise(16L))
+        .groupBy($"era", $"shard")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct($"user_id").as("n_users"),
+          moneySum($"value").as("total_value"))
+        .select($"era", $"shard", ($"shard" % 8).as("parent_shard"),
+          $"cnt", $"n_users", $"total_value")
+        .orderBy("era", "shard")
+    },
+    Some("WITH b AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS cut " +
+      "FROM events), " +
+      "r AS (SELECT CASE WHEN epoch_ms(ts) < b.cut THEN 0 ELSE 1 END AS era, " +
+      "((user_id * 2654435761) % 2147483648) % " +
+      "(CASE WHEN epoch_ms(ts) < b.cut THEN 8 ELSE 16 END) AS shard, " +
+      "user_id, value FROM events, b) " +
+      "SELECT CAST(era AS BIGINT) AS era, CAST(shard AS BIGINT) AS shard, " +
+      "CAST(shard % 8 AS BIGINT) AS parent_shard, count(*) AS cnt, " +
+      "count(DISTINCT user_id) AS n_users, " + OSql.msum("value") +
+      " AS total_value FROM r GROUP BY era, shard ORDER BY 1, 2"))
+
   // --------------------------------------------------------------- filters
 
   private val filterConjunctive = Q(
@@ -703,6 +749,7 @@ object Relational {
 
   val qs: Seq[Q] = Seq(
     scanProject, scanPrunedFilter, jsonSource, scanTextGz, sinkPartition,
+    sinkReshard,
     filterConjunctive, filterRegex, transformRewrite, filterNullSemantics,
     joinInnerHash, joinSortmergeLarge, joinBroadcastChain, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinThetaRange, joinCrossSmall,

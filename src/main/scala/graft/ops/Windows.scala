@@ -14,12 +14,13 @@ import graft.core.{Det, OSql, Q, Tables}
   *
   * Scale: a window partitioned by a high-cardinality key (user_id,
   * custkey) shuffles once on that key and sorts within partitions —
-  * the same plan shape a 1000-executor cluster wants. Three keys run
-  * (intentional) GLOBAL windows on bounded inputs — window_rank_dense
-  * and window_percent_rank on the supplier dimension, window_moving_avg
-  * on per-day pre-aggregates; each documents the single-partition bound
-  * and the two-phase (range-partition + offset merge) spelling a 100×
-  * input would need.
+  * the same plan shape a 1000-executor cluster wants. Two keys run
+  * (intentional) GLOBAL windows on bounded inputs — window_percent_rank
+  * on the supplier dimension, window_moving_avg on per-day
+  * pre-aggregates; each documents the single-partition bound and the
+  * two-phase (range-partition + offset merge) spelling a 100× input
+  * would need — and window_rank_dense IS that two-phase spelling,
+  * computing rank/dense_rank/ntile with no global-window exchange.
   */
 object Windows {
   import Det._
@@ -56,28 +57,79 @@ object Windows {
       "FROM orders JOIN customer ON o_custkey = c_custkey) " +
       "WHERE rn <= 3 ORDER BY c_mktsegment, rn"))
 
-  /** Global rank / dense_rank / ntile over the supplier DIMENSION.
-    * `Window.orderBy` without partitionBy moves the whole input through
-    * ONE partition (WindowExec warns) — correct here by construction:
-    * the semantics are genuinely global and the input is a bounded
-    * dimension table (10⁴ rows at sf1, not a fact stream). A 100×
-    * supplier table would need the two-phase spelling instead:
-    * range-partition by the sort key, rank within partitions, then add
-    * per-partition offsets computed from partition counts (and for
-    * dense_rank, distinct-value counts) — one extra tiny aggregate, no
-    * single-partition sort. Documented bound, deliberate trade.
+  /** Global rank / dense_rank / ntile, computed DISTRIBUTIVELY — no
+    * single-partition WindowExec anywhere (the naive `Window.orderBy`
+    * without partitionBy funnels the whole relation through ONE task).
+    * Three pure-arithmetic reductions over the two-phase global
+    * row_number machinery `window_rank_distributed` pins
+    * (ScaleOps.rankIdsPlan shape): (1) the global row_number `rn` in
+    * (s_acctbal DESC, s_suppkey ASC) order comes from ONE range
+    * shuffle + monotonically_increasing_id + a P-row broadcast offset
+    * table; (2) rank() = min(rn) within the tie group — a window
+    * PARTITIONED by the order value (tie groups are small; the
+    * exchange distributes); (3) dense_rank() = the tie-group's own
+    * row_number in value order, computed by the SAME two-phase trick
+    * over the ≤N-row per-value table; (4) ntile(4) = the
+    * `window_ntile_shard` integer bucket rule on `rn` and the
+    * broadcast total. Cost: two range shuffles (fact + value table) +
+    * one value-keyed shuffle + tiny broadcast aggregates — the plan a
+    * 1000-executor global rank over a 100× fact-shaped input needs.
+    * The oracle runs the plain global window functions: the hash match
+    * proves the arithmetic spelling IS rank/dense_rank/ntile.
     */
   private val rankDense = Q(
     "window_rank_dense",
     (s, d) => {
       import s.implicits._
-      val byBal = Window.orderBy($"s_acctbal".desc)
-      val byBalKey = Window.orderBy($"s_acctbal".desc, $"s_suppkey".asc)
-      t(s, d, "supplier")
-        .select($"s_suppkey", $"s_acctbal",
-          rank().over(byBal).cast("long").as("rnk"),
-          dense_rank().over(byBal).cast("long").as("drnk"),
-          ntile(4).over(byBalKey).cast("long").as("tile"))
+      // phase 1: range-shuffle to global order; (pid, lrn) from the id
+      val ids = t(s, d, "supplier")
+        .select($"s_suppkey", $"s_acctbal")
+        .repartitionByRange(32, $"s_acctbal".desc, $"s_suppkey".asc)
+        .sortWithinPartitions($"s_acctbal".desc, $"s_suppkey".asc)
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("pid", shiftright($"mid", 33))
+        .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+        .localCheckpoint(true)
+      // phase 2: P-row exclusive prefix sums → per-partition offsets.
+      // Spelled as a broadcast theta-join (Σ counts of EARLIER pids)
+      // instead of a global window, so not even the P-row step funnels
+      // through a single-partition WindowExec.
+      def prefixOffsets(cnts: DataFrame, pidCol: String): DataFrame =
+        cnts.as("a").join(
+            broadcast(cnts.as("b")), col(s"b.$pidCol") < col(s"a.$pidCol"), "left_outer")
+          .groupBy(col(s"a.$pidCol").as(pidCol))
+          .agg(coalesce(sum($"b.n"), lit(0L)).as("off"))
+      val offs = prefixOffsets(
+        ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
+      val tot = ids.agg(count(lit(1)).as("nn"))
+      val rn = ids.join(broadcast(offs), "pid")
+        .select($"s_suppkey", $"s_acctbal", ($"lrn" + $"off").as("rn"))
+      // rank = min rn of the tie group; the per-value ledger also
+      // feeds dense_rank below. One value-keyed shuffle, no text.
+      val vt = rn.groupBy($"s_acctbal".as("v")).agg(min($"rn").as("vrnk"))
+      // dense_rank = the VALUE's row_number in value order — the same
+      // two-phase spelling over the ≤N-row value table
+      val vids = vt
+        .repartitionByRange(32, $"v".desc)
+        .sortWithinPartitions($"v".desc)
+        .withColumn("mid2", monotonically_increasing_id())
+        .withColumn("pid2", shiftright($"mid2", 33))
+        .withColumn("lv", $"mid2".bitwiseAND(lit((1L << 33) - 1)) + 1)
+        .localCheckpoint(true)
+      val offs2 = prefixOffsets(
+        vids.groupBy("pid2").agg(count(lit(1)).as("n")), "pid2")
+      val vt2 = vids.join(broadcast(offs2), "pid2")
+        .select($"v", $"vrnk", ($"lv" + $"off").as("vdrnk"))
+      rn.join(vt2, $"s_acctbal" === $"v")
+        .crossJoin(broadcast(tot))
+        .withColumn("bq", expr("nn div 4"))
+        .withColumn("bm", $"nn" % 4)
+        // ntile bucket rule on the global rn (see window_ntile_shard)
+        .withColumn("tile",
+          when($"rn" <= $"bm" * ($"bq" + 1), expr("(rn + bq) div (bq + 1)"))
+            .otherwise(expr("bm + ((rn - bm * (bq + 1)) + bq - 1) div bq")))
+        .select($"s_suppkey", $"s_acctbal", $"vrnk".cast("long").as("rnk"),
+          $"vdrnk".cast("long").as("drnk"), $"tile".cast("long").as("tile"))
         .orderBy("s_suppkey")
     },
     Some("SELECT s_suppkey, s_acctbal, " +

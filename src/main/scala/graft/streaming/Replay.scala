@@ -77,6 +77,12 @@ object Replay {
     */
   @volatile private[graft] var lastReplayProgress: Seq[(Long, Long)] = Nil
 
+  /** Total milliseconds the last [[replayArchive]] run slept enforcing
+    * the records/second/shard drain cap (A7 throughput fidelity;
+    * test-asserted). 0 when the cap is off or never bound.
+    */
+  @volatile private[graft] var lastSinkPacingMs: Long = 0L
+
   /** Malformed-line count of the last [[replayTextGz]] run (A9 "failed
     * records"): lines the NDJSON parse rejected and the sink dropped
     * (dead-letter semantics — a corrupt record must never become a
@@ -97,6 +103,21 @@ object Replay {
     * @param maxFilesPerTrigger 0 = unthrottled single-pass drain (the
     *   bench/verify path); >0 = replay throttle, one epoch per file
     *   group (the rate-limit fidelity path, exercised in ReplayTwinSpec).
+    * @param maxBytesPerTrigger 0 = off; >0 = THROUGHPUT-granular intake
+    *   throttle (the file-source soft-caps each micro-batch at this many
+    *   source bytes) — the knob that bounds an epoch by data volume
+    *   rather than file count, since archive files are not equi-sized.
+    * @param putRecordsPerShardSec 0 = off; >0 = sink-side drain-rate
+    *   cap in records/second/shard — the Kinesis PutRecords model
+    *   (each shard absorbs 1000 rec/s; beyond it the producer gets
+    *   ProvisionedThroughputExceeded and must back off). The sink
+    *   paces each epoch to its slowest shard: epoch floor =
+    *   max-shard-records / rate (see [[writePutBatches]]); attained
+    *   pacing is recorded in [[lastSinkPacingMs]] (A9, test-asserted).
+    * @param sinkFault null = none; test seam invoked at the top of every
+    *   sink epoch — lets ReplayTwinSpec inject a mid-epoch crash (a
+    *   partially-landed put batch followed by an exception) and prove
+    *   the retried epoch replaces the partial batch exactly-once.
     */
   def replayArchive(
       s: SparkSession,
@@ -104,7 +125,10 @@ object Replay {
       nShards: Int = 4,
       maxFilesPerTrigger: Int = 0,
       stage: DataFrame => DataFrame = identity,
-      resumeDirs: Option[(String, String)] = None): String = {
+      resumeDirs: Option[(String, String)] = None,
+      maxBytesPerTrigger: Long = 0L,
+      putRecordsPerShardSec: Int = 0,
+      sinkFault: (DataFrame, Long) => Unit = null): String = {
     // heal first: the archive may be the TIMESTAMP(NANOS) events parquet
     // and this is a public front door an external session can call
     Tables.ensureNanosConf(s)
@@ -115,6 +139,8 @@ object Replay {
     val reader = s.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    if (maxBytesPerTrigger > 0)
+      reader.option("maxBytesPerTrigger", maxBytesPerTrigger)
     // Stage order mirrors the reference pipeline: parse (ms) → caller's
     // filter/transform stage (A4/A5) → partition-key routing (A6) →
     // batched sink (A7). The stage hook is the seam a deployment uses
@@ -122,7 +148,7 @@ object Replay {
     // eligible filters into the streaming scan.
     runReplay(s,
       stage(reader.parquet(srcGlob).withColumn("ms", Tables.msExpr(schema))),
-      nShards, resumeDirs)
+      nShards, resumeDirs, putRecordsPerShardSec, sinkFault)
   }
 
   /** The reference's NATIVE-format front door: the archive is gzip
@@ -168,7 +194,10 @@ object Replay {
     */
   private def runReplay(
       s: SparkSession, source: DataFrame, nShards: Int,
-      resumeDirs: Option[(String, String)] = None): String = {
+      resumeDirs: Option[(String, String)] = None,
+      putRecordsPerShardSec: Int = 0,
+      sinkFault: (DataFrame, Long) => Unit = null): String = {
+    lastSinkPacingMs = 0L
     val (out, ckpt) = resumeDirs.getOrElse(
       (TmpDirs.dir("replay-out"), TmpDirs.dir("replay-ckpt")))
     val stream = source
@@ -218,10 +247,15 @@ object Replay {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch(writePutBatches(out, nShards) _)
+      .foreachBatch(
+        writePutBatches(out, nShards, putRecordsPerShardSec, sinkFault) _)
       .start()
     expectedRun.set(q.runId)
-    q.awaitTermination()
+    // On failure (e.g. an injected sink fault) the listener must still
+    // detach — a leaked listener would accumulate every later query's
+    // progress events into an unreachable queue for the session's life.
+    try q.awaitTermination()
+    catch { case e: Throwable => s.streams.removeListener(listener); throw e }
     // The listener bus delivers asynchronously but in posting order, so
     // once the termination event arrives every progress event of this
     // run has been delivered — wait (bounded) for it before detaching.
@@ -266,8 +300,12 @@ object Replay {
     * namespace, and ~9.2e6 epochs fit in a Long, far beyond any replay
     * run's batch count.
     */
-  private def writePutBatches(out: String, nShards: Int)(
+  private def writePutBatches(out: String, nShards: Int,
+      putRecordsPerShardSec: Int = 0,
+      sinkFault: (DataFrame, Long) => Unit = null)(
       batch: DataFrame, epochId: Long): Unit = {
+    if (sinkFault != null) sinkFault(batch, epochId)
+    val t0 = System.nanoTime()
     val byShard = Window.partitionBy(col("shard"))
       .orderBy(col("ms"), col("event_id"))
     batch.repartition(nShards, col("shard"))
@@ -279,6 +317,29 @@ object Replay {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "epoch")
       .parquet(out)
+    // A7 drain-rate cap: each Kinesis shard absorbs putRecordsPerShardSec
+    // records/second — past it the producer sees
+    // ProvisionedThroughputExceeded and backs off, so a replayed epoch
+    // cannot complete faster than its SLOWEST shard's record count
+    // allows. Pace to that floor: epoch duration ≥ max-shard-records /
+    // rate, minus the time the write itself already took. The per-shard
+    // counts come from the sink's own parquet footers (row-group
+    // metadata, no data scan) — the written output IS the record of
+    // what each shard absorbed.
+    if (putRecordsPerShardSec > 0) {
+      val spark = batch.sparkSession
+      val maxShardRows = spark.read.parquet(out)
+        .filter(col("epoch") === epochId)
+        .groupBy(col("shard")).count()
+        .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+      val floorMs = maxShardRows * 1000L / putRecordsPerShardSec
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      val paceMs = math.max(0L, floorMs - elapsedMs)
+      if (paceMs > 0) Thread.sleep(paceMs)
+      lastSinkPacingMs += paceMs
+      System.err.println(
+        s"[replay] epoch=$epochId max_shard_rows=$maxShardRows pace_ms=$paceMs")
+    }
   }
 
   /** The LONG-RUNNING daemon shape: a `Trigger.ProcessingTime` replay
@@ -421,6 +482,36 @@ object Replay {
       "CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k " +
       "FROM events WHERE CAST(props->>'$.k' AS BIGINT) >= 50 " +
       "GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  /** The THROUGHPUT-capped replay as a declared key: the same A1→A8
+    * chain as `replay_stream`, but the sink drains under the Kinesis
+    * PutRecords model — a records/second/shard cap (each epoch paced
+    * to its slowest shard's record count; the backoff a real producer
+    * performs on ProvisionedThroughputExceeded) — and intake is
+    * bounded by `maxBytesPerTrigger` (throughput-granular, unlike the
+    * file-granular `maxFilesPerTrigger`). The rate is set high enough
+    * that pacing costs well under a second per epoch at bench scale
+    * while still exercising the capped path end to end; the oracle is
+    * the SAME SQL as the unthrottled replay — the hash match proves
+    * rate limiting never loses, duplicates, or reorders a record's
+    * accounting. ReplayTwinSpec drives the cap hard (low rate, multi-
+    * epoch) and asserts the attained pacing approaches the theoretical
+    * floor.
+    */
+  private val replayRateLimited = Q(
+    "replay_rate_limited",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(Long, String, Long, Double)]
+          .toDF("hour_start", "event_type", "cnt", "total_value")
+      else aggregateReplayed(s, replayArchive(s, s"$d/events.parquet",
+        maxBytesPerTrigger = 16L * 1024 * 1024,
+        putRecordsPerShardSec = 50000))
+    },
+    Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
+      "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
 
   /** End-to-end replay in the reference's NATIVE archive format (the
     * full A1→A8 chain): events staged as gzip NDJSON (A1), streamed
@@ -645,5 +736,6 @@ object Replay {
 
   val qs: Seq[Q] =
     Seq(replayStream, replayFiltered, replayTextArchive, replaySliding,
-      streamDedupWatermark, replayTimeRange, replayBackfill)
+      streamDedupWatermark, replayTimeRange, replayBackfill,
+      replayRateLimited)
 }

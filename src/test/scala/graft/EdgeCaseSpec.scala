@@ -662,6 +662,45 @@ class EdgeCaseSpec extends SparkSpec {
       "dups land in their seed's cell")
   }
 
+  test("dedup_semantic derives K = max(8, ceil(N/64)) — candidate volume linear in N, not N²") {
+    import graft.ops.LlmPipeline2.{ivfDerivedK, IvfTargetCell}
+    // the growth rule itself, across scales: K tracks N/B̄ above the
+    // fixture clamp, so mean cell size stays ≈B̄ at ANY corpus size
+    assert(ivfDerivedK(1L) === 8)
+    assert(ivfDerivedK(8 * 64L) === 8)
+    assert(ivfDerivedK(8 * 64L + 1) === 9)
+    assert(ivfDerivedK(2000L) === 32)
+    assert(ivfDerivedK(1000000000L) === 15625000)
+    // on real data: the trained partition's candidate volume Σ|c|·(|c|−1)/2
+    // is bounded by N·B̄·slack (linear in N) — the SemDeDup economics the
+    // declared key now runs; a fixed-K parameterization would be N²/2K
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val k = ivfDerivedK(n)
+    val (_, a2, _) = graft.ops.LlmPipeline2.ivfIndex(spark, sf, k)
+    val sizes = a2.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(sizes.sum === n, "every vector lands in exactly one cell")
+    val candPairs = sizes.map(c => c * (c - 1) / 2).sum
+    assert(candPairs <= n * IvfTargetCell * 2,
+      s"candidate volume $candPairs must stay linear in N=$n (B̄=$IvfTargetCell)")
+  }
+
+  test("persisted IVF artifacts reopen bit-identically in a FRESH session") {
+    // build-once/query-forever across jobs: a restarted cluster must
+    // reopen the persisted index instead of retraining. newSession()
+    // shares the JVM but none of the session state — its reads cannot
+    // ride any lineage or cache of the training session.
+    val (ap, cp) = graft.ops.LlmPipeline2.ivfPersist(spark, sf)
+    val s2 = spark.newSession()
+    val reopened = s2.read.parquet(ap).orderBy("vec_id").collect().map(_.toSeq)
+    val orig = spark.read.parquet(ap).orderBy("vec_id").collect().map(_.toSeq)
+    assert(reopened.toSeq === orig.toSeq)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(reopened.length === n, "every corpus vector has a persisted assignment")
+    // the centroid table covers exactly the cells the assignment uses
+    assert(s2.read.parquet(cp).select("cell").distinct().collect().map(_.getLong(0)).toSet
+      === reopened.map(_(1).asInstanceOf[Long]).toSet)
+  }
+
   test("corpus_token_budget admits greedily until the running sum crosses") {
     // en: 3000 + 2500 tokens admitted (budget unspent before each),
     // the 10-token doc sees cum-before 5500 >= 5000 and is rejected.

@@ -188,6 +188,37 @@ class PlanSpec extends SparkSpec {
       "no row_number window may appear — that is the single-partition shape")
   }
 
+  test("index_persist serves from the REOPENED persisted tables, not training lineage") {
+    val df = run("index_persist")
+    df.collect()
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.size >= 2, "both persisted artifacts must be scanned")
+    assert(scans.forall(_.metadata.get("Location").exists(_.contains("ivf-store-"))),
+      "every scan must read the persisted artifact store — lineage back to " +
+        "the training job would retrain on every consumer")
+  }
+
+  test("window_rank_dense computes rank/dense_rank/ntile with NO window operator at all") {
+    // The two-phase spelling replaces every window — even the P-row
+    // offset cumsum runs as a broadcast prefix-sum join — so the
+    // executed plan must contain zero WindowExec nodes and no window
+    // function text anywhere.
+    val df = run("window_rank_dense")
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    assert(nodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      "no WindowExec may appear — global rank must be id arithmetic + broadcast offsets")
+    assert(!df.queryExecution.executedPlan.toString.contains("row_number("),
+      "no row_number window may appear — that is the single-partition shape")
+  }
+
   test("join_runtime_filter probes a bloom filter at the fact side — the non-partition DPP sibling") {
     graft.ops.ScaleOps.withRuntimeFilterJoin(spark, sf) { df =>
       df.collect()

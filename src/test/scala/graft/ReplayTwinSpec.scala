@@ -107,10 +107,10 @@ class ReplayTwinSpec extends SparkSpec {
     // 1-hour delay drops nothing and between batches the advancing
     // watermark CLOSES old sessions via the event-time timeout
     val ev = spark.read.parquet(s"$sf/events.parquet")
-    val Array(q1, q2) = ev.selectExpr("ts div 1000000 AS ms")
+    val Array(q1, q2) = ev.select(graft.core.Tables.msExpr(ev.schema).as("ms"))
       .stat.approxQuantile("ms", Array(0.33, 0.66), 0.0).map(_.toLong)
     val dir = stageSplit(3) { (df, i) =>
-      val ms = expr("ts div 1000000")
+      val ms = graft.core.Tables.msExpr(df.schema)
       i match {
         case 0 => df.filter(ms <= q1)
         case 1 => df.filter(ms > q1 && ms <= q2)
@@ -331,5 +331,82 @@ class ReplayTwinSpec extends SparkSpec {
     ep0.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "epoch").parquet(out)
     assert(spark.read.parquet(out).count() === total)
+  }
+
+  test("A7 drain-rate cap: records/sec/shard pacing bounds the replay; bytes-per-trigger bounds epochs") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$sf/events.parquet")
+    val n = src.count()
+    val archive = graft.core.TmpDirs.dir("rate-archive")
+    src.repartition(2).write.mode("overwrite").parquet(archive)
+    // unthrottled control: the cap off ⇒ zero pacing recorded
+    Replay.replayArchive(spark, archive, nShards = 4)
+    assert(Replay.lastSinkPacingMs === 0L)
+    // rate low enough that pacing dominates sink write time: per shard
+    // ≈ n/4 records at 100 rec/s/shard ⇒ the whole run must sleep
+    // ≥ (n/4)/100 s minus write overhead — assert a conservative floor.
+    // maxBytesPerTrigger (throughput-granular intake, vs the file-
+    // granular maxFilesPerTrigger) splits the 2-file archive into ≥2
+    // epochs, so pacing provably accumulates ACROSS epochs.
+    val bytesCap = new java.io.File(archive).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).min
+    val out = Replay.replayArchive(spark, archive, nShards = 4,
+      maxBytesPerTrigger = bytesCap, putRecordsPerShardSec = 100)
+    val sunk = spark.read.parquet(out)
+    assert(sunk.select("epoch").distinct().count() > 1,
+      "bytes-per-trigger must split the archive into multiple epochs")
+    // loss-free and dup-free under both throttles
+    assert(sunk.count() === n)
+    assert(sunk.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+    // the cap actually paced: total sleep ≥ half the theoretical floor
+    // (the other half generously covers genuine write time)
+    val floorMs = (n / 4) * 1000L / 100
+    assert(Replay.lastSinkPacingMs >= floorMs / 2,
+      s"pacing ${Replay.lastSinkPacingMs}ms must approach the ${floorMs}ms rate floor")
+  }
+
+  test("mid-epoch sink crash: the retried epoch replaces the partial put batch exactly-once") {
+    import org.apache.spark.sql.functions._
+    // 2-file archive throttled to one file per epoch. The first attempt
+    // of epoch 1 lands HALF its puts (the mid-batch crash of a real
+    // PutRecords loop — some batches of the 500-record chunking already
+    // succeeded) and then dies. The restarted run re-runs epoch 1 under
+    // the SAME epochId, and the dynamic-overwrite-by-epoch sink must
+    // replace the partial partitions — exactly-once, not at-least-once.
+    val src = spark.read.parquet(s"$sf/events.parquet")
+    val archive = graft.core.TmpDirs.dir("fault-archive")
+    src.repartition(2).write.mode("overwrite").parquet(archive)
+    val out = graft.core.TmpDirs.dir("fault-out")
+    val ckpt = graft.core.TmpDirs.dir("fault-ckpt")
+    val dirs = Some((out, ckpt))
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val fault: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, epoch) =>
+      if (epoch == 1L && armed.getAndSet(false)) {
+        // the partial landing: half the records, in sink layout, appended
+        batch.filter(col("event_id") % 2 === 0)
+          .withColumn("put_seq", lit(epoch * 1000000000000L))
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").partitionBy("shard", "epoch").parquet(out)
+        throw new RuntimeException("injected mid-epoch sink crash")
+      }
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Replay.replayArchive(spark, archive, nShards = 4,
+        maxFilesPerTrigger = 1, resumeDirs = dirs, sinkFault = fault)
+    }
+    assert((failed.getMessage + Option(failed.getCause).mkString)
+      .contains("injected mid-epoch sink crash"))
+    // the crash left a PARTIAL epoch 1 on disk — the at-least-once state
+    val partial = spark.read.parquet(out)
+    assert(partial.filter(col("epoch") === 1).count() > 0)
+    assert(partial.count() < src.count())
+    // restart with the same checkpoint+sink: epoch 1 retries, overwrite
+    Replay.replayArchive(spark, archive, nShards = 4,
+      maxFilesPerTrigger = 1, resumeDirs = dirs)
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() === src.count(), "retried epoch must land exactly-once")
+    assert(sunk.groupBy("event_id").count().filter(col("count") > 1).isEmpty,
+      "no record may survive twice across the partial write + retry")
+    // the put-batch contract still holds after the replaced epoch
+    assert(sunk.groupBy("shard", "put_seq").count().filter(col("count") > 500).isEmpty)
   }
 }
