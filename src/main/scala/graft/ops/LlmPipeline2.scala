@@ -858,9 +858,13 @@ object LlmPipeline2 {
     // full-corpus encode: one E-step pass against the trained codebook
     val codes = graft.core.IndexCache(s, s"pq-codes|M=$numSub|K=$numCells|$d",
       assign(iq, trained))
-    val codebook = graft.core.IndexCache(s, s"pq-book|M=$numSub|K=$numCells|$d",
-      trained.select($"sub", $"cell", $"pos",
-        floor($"sq".cast("double") / $"n").cast("long").as("cm")))
+    // the integer-mean codebook is a PROJECTION of the cached trained
+    // artifact (M·K·dims rows) — staging it as a third parquet write
+    // bought nothing but a job; every consumer re-projects the
+    // pq-cent scan instead (measured: one fewer staging job on the
+    // family's first build, identical results)
+    val codebook = trained.select($"sub", $"cell", $"pos",
+      floor($"sq".cast("double") / $"n").cast("long").as("cm"))
     (iq, codes, codebook)
   }
 

@@ -333,6 +333,52 @@ class ReplayTwinSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === total)
   }
 
+  test("resharding mid-replay: a resumed leg at 16 shards keeps per-era routing consistent with the 8-shard era") {
+    import org.apache.spark.sql.functions._
+    // the live-sink counterpart of the sink_reshard key: leg 1 replays
+    // part of the archive at 8 shards; the stream is then reshard-split
+    // and leg 2 RESUMES (same checkpoint+sink) at 16. Within each era
+    // the router must be exactly pmod(hash, n_era), and because 16 is a
+    // multiple of 8 every era-2 record of a user lands in a shard whose
+    // mod-8 parent is the user's era-1 shard — the split lineage a
+    // per-key consumer relies on.
+    val full = graft.core.TmpDirs.dir("reshard-staging")
+    spark.read.parquet(s"$sf/events.parquet").repartition(2)
+      .write.mode("overwrite").parquet(full)
+    val parts = new java.io.File(full).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val arch = new java.io.File(graft.core.TmpDirs.dir("reshard-archive"))
+    def reveal(f: java.io.File): Unit =
+      java.nio.file.Files.copy(f.toPath, new java.io.File(arch, f.getName).toPath)
+    reveal(parts(0))
+    val out = graft.core.TmpDirs.dir("reshard-out")
+    val ckpt = graft.core.TmpDirs.dir("reshard-ckpt")
+    val dirs = Some((out, ckpt))
+    Replay.replayArchive(spark, arch.getPath, nShards = 8, resumeDirs = dirs)
+    val maxEp1 = spark.read.parquet(out)
+      .agg(max(col("epoch").cast("long"))).collect()(0).getLong(0)
+    reveal(parts(1))
+    Replay.replayArchive(spark, arch.getPath, nShards = 16, resumeDirs = dirs)
+    val sunk = spark.read.parquet(out)
+      .withColumn("era", when(col("epoch") <= maxEp1, 1L).otherwise(2L))
+    // loss-free across the reshard
+    assert(sunk.count() === spark.read.parquet(full).count())
+    assert(sunk.filter(col("era") === 2).count() > 0, "leg 2 must have replayed")
+    // era-exact routing: every row sits in pmod(hash, its era's count)
+    assert(sunk.filter(col("era") === 1 &&
+      col("shard") =!= pmod(xxhash64(col("user_id")), lit(8))).isEmpty)
+    assert(sunk.filter(col("era") === 2 &&
+      col("shard") =!= pmod(xxhash64(col("user_id")), lit(16))).isEmpty)
+    // split lineage: a user's era-2 shard mod 8 IS their era-1 shard
+    // (8 | 16), so consumers of old shard s read exactly {s, s+8} after
+    val byUser = sunk.groupBy("user_id")
+      .agg(max(when(col("era") === 1, col("shard"))).as("s8"),
+        max(when(col("era") === 2, col("shard") % 8)).as("s16p"))
+      .filter(col("s8").isNotNull && col("s16p").isNotNull)
+    assert(byUser.filter(col("s8") =!= col("s16p")).isEmpty,
+      "era-2 parent shard must equal the era-1 shard for every user")
+  }
+
   test("A7 drain-rate cap: records/sec/shard pacing bounds the replay; bytes-per-trigger bounds epochs") {
     import org.apache.spark.sql.functions._
     val src = spark.read.parquet(s"$sf/events.parquet")
