@@ -684,6 +684,37 @@ class EdgeCaseSpec extends SparkSpec {
       s"candidate volume $candPairs must stay linear in N=$n (B̄=$IvfTargetCell)")
   }
 
+  test("sink_reshard: the cutover millisecond itself belongs to the 16-shard era") {
+    // cut = (min+max) div 2 = 2000; era membership is STRICT < cut, so
+    // the event AT 2000 routes with mod 16. user_id=1 hashes to
+    // 507152113 → shard 1 under mod 8 AND mod 16 (parent 1): the split
+    // lineage column is pinned alongside the boundary rule.
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(1000), 1L, "a", 1.0),
+      (2L, ns(1999), 1L, "a", 1.0),
+      (3L, ns(2000), 1L, "a", 1.0),
+      (4L, ns(3000), 1L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val rows = run("sink_reshard", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((0L, 1L, 1L, 2L), (1L, 1L, 1L, 2L)))
+  }
+
+  test("corpus_domain_cap keeps at most 30 per source, chosen in quality order") {
+    // source "a" floods with 32 docs: exactly the 30 longest survive
+    // (the two shortest are cut); source "b" is under the cap — all kept
+    val docs = (1 to 32).map(i => (i.toLong, "w w", "en", "a", (200 - i).toLong)) ++
+      Seq((100L, "w", "en", "b", 10L), (101L, "w", "en", "b", 9L),
+        (102L, "w", "en", "b", 8L))
+    val dir = stageTables(
+      "documents" -> docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = run("corpus_domain_cap", dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("a") === ((32L, 30L, 60L)), "30 kept × 2 tokens each")
+    assert(r("b") === ((3L, 3L, 3L)))
+  }
+
   test("persisted IVF artifacts reopen bit-identically in a FRESH session") {
     // build-once/query-forever across jobs: a restarted cluster must
     // reopen the persisted index instead of retraining. newSession()
