@@ -588,6 +588,29 @@ object Relational {
     * variance to integers at ~9e8). The median uses Spark's exact
     * `percentile`, matching DuckDB's quantile_cont interpolation.
     */
+  /** Fixed-width integer histogram over order prices — the binning
+    * primitive data-quality profiling and distribution dashboards run
+    * at corpus scale. Bucket = floor(price / 20000): one float
+    * division + floor of identical IEEE doubles, bit-equal in both
+    * engines. ONE partial+final aggregate whose map-side combine
+    * carries (count, decimal sum) per bucket — state is bounded by
+    * the bucket count, not the row count, at any corpus size.
+    */
+  private val aggHistogram = Q(
+    "agg_histogram",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select(floor($"o_totalprice" / 20000.0).cast("long").as("bucket"),
+          $"o_totalprice")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), moneySum($"o_totalprice").as("total"))
+        .orderBy("bucket")
+    },
+    Some("SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket, " +
+      "count(*) AS cnt, " + OSql.msum("o_totalprice") + " AS total " +
+      "FROM orders GROUP BY 1 ORDER BY 1"))
+
   private val aggStats = Q(
     "agg_stats",
     (s, d) => {
@@ -756,7 +779,8 @@ object Relational {
     joinNullSafe,
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
     aggHllUnion,
-    aggRollup, aggCube, aggGroupingSets, aggStats, aggPivot, unpivotStack,
+    aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggPivot,
+    unpivotStack,
     sortMultiKey, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }

@@ -37,6 +37,35 @@ object Scalars {
       "split_part(p_name, ' ', 1) AS first_tok, replace(p_type, ' ', '-') AS type_r " +
       "FROM part ORDER BY p_partkey LIMIT 500"))
 
+  /** Bitwise surface — the integer ops key-hashing, bucketing, and
+    * bitmap tricks are built from: AND/OR/XOR, shifts, and popcount,
+    * all exact BIGINT arithmetic both engines define identically. The
+    * xor mixes two key columns (the cheap key-combining trick
+    * composite routing uses); popcount over the masked key is the
+    * bit-sampling primitive SimHash-family code relies on. Pure
+    * codegen projection, no shuffle but the output sort.
+    */
+  private val scalarBitwise = Q(
+    "scalar_bitwise",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select($"o_orderkey",
+          $"o_orderkey".bitwiseAND(lit(255L)).as("band"),
+          $"o_orderkey".bitwiseOR(lit(4096L)).as("bor"),
+          $"o_orderkey".bitwiseXOR($"o_custkey").as("bxor"),
+          shiftleft($"o_orderkey", 2).as("shl"),
+          shiftright($"o_orderkey", 3).as("shr"),
+          bit_count($"o_orderkey".bitwiseAND(lit(0xFFFFL))).cast("long").as("bits"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    },
+    Some("SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 4096 AS bor, " +
+      "xor(o_orderkey, o_custkey) AS bxor, (o_orderkey << 2) AS shl, " +
+      "(o_orderkey >> 3) AS shr, " +
+      "CAST(bit_count(o_orderkey & 65535) AS BIGINT) AS bits " +
+      "FROM orders ORDER BY o_orderkey LIMIT 500"))
+
   /** Date surface. Spark dayofweek is 1=Sunday..7; DuckDB's is
     * 0=Sunday..6 — the oracle adds 1. Epoch seconds via floor(epoch())
     * = unix_timestamp truncation for post-1970 data.
@@ -269,5 +298,6 @@ object Scalars {
 
   val qs: Seq[Q] = Seq(
     scalarString, scalarDate, scalarMath, scalarCaseJson,
-    arrayOps, arrayExplode, higherOrderFn, udfScalar, mapOps, scalarTrySafe)
+    arrayOps, arrayExplode, higherOrderFn, udfScalar, mapOps, scalarTrySafe,
+    scalarBitwise)
 }

@@ -715,6 +715,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r("b") === ((3L, 3L, 3L)))
   }
 
+  test("sim_ann_ivfpq quality: the composed index recovers most of the exact top-10") {
+    // the composed path can only return vectors from the probed
+    // inverted lists, so its recall is bounded by IVF's — but within
+    // those lists the exact re-rank must recover what ADC found. A
+    // banding/training regression that tanks the composition shows up
+    // here as a recall collapse, invisible to the hash gate alone.
+    val approx = graft.ops.LlmPipeline2.ivfPqTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+    val exact = emb.crossJoin(org.apache.spark.sql.functions.broadcast(probe))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.dotF(spark, col("embedding"), col("p")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.size === 10)
+    assert((approx & exact).size >= 6,
+      s"composed recall ${(approx & exact).size}/10 collapsed")
+  }
+
   test("persisted IVF artifacts reopen bit-identically in a FRESH session") {
     // build-once/query-forever across jobs: a restarted cluster must
     // reopen the persisted index instead of retraining. newSession()
