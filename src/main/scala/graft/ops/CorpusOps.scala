@@ -273,6 +273,73 @@ object CorpusOps {
       "(max_cnt * 25 > n_tokens * 3) AS repetitive " +
       "FROM a ORDER BY doc_id"))
 
+  /** Pre-training data-quality gate: the single-pass corpus profile a
+    * pipeline asserts on before spending compute — row count, null and
+    * empty text, language arity, length bounds, and the
+    * metadata-consistency check (n_chars vs actual length). ONE
+    * partial+final aggregate; every counter is map-side combinable,
+    * so the profile costs one scan at any corpus size and the result
+    * is a single bounded row regardless of input.
+    */
+  private val qualityProfile = Q(
+    "quality_profile",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"text".isNull, 1L).otherwise(0L)).as("null_text"),
+        sum(when(length($"text") === 0, 1L).otherwise(0L)).as("empty_text"),
+        sum(when($"lang".isNull, 1L).otherwise(0L)).as("null_lang"),
+        countDistinct($"lang").as("langs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        sum(when(length($"text") =!= $"n_chars", 1L).otherwise(0L))
+          .as("len_mismatch"))
+    },
+    Some("SELECT count(*) AS n_rows, " +
+      "CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text, " +
+      "CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text, " +
+      "CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang, " +
+      "count(DISTINCT lang) AS langs, " +
+      "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+      "CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS len_mismatch FROM documents"))
+
+  /** Incremental-ingest dedup — the production shape of exact dedup
+    * once a corpus is LIVE: an incoming batch (odd doc_ids here) is
+    * checked against the existing corpus's content-hash set (even
+    * doc_ids) and only novel documents admitted; the per-language
+    * ledger (incoming / novel / dup) is what an ingest run reports.
+    * Complements `dedup_exact` (within-corpus): this is the
+    * new-vs-known boundary. Scale: the join carries (md5, lang) only
+    * — never text — and the existing side is a distinct hash set; at
+    * 100 TB both sides bucket by hash and the probe is co-located,
+    * the same economics as the span-dedup family.
+    */
+  private val dedupIncremental = Q(
+    "dedup_incremental",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"lang", md5($"text").as("h"))
+      val existing = docs.filter($"doc_id" % 2 === 0)
+        .select($"h").distinct().withColumn("seen", lit(1L))
+      docs.filter($"doc_id" % 2 === 1)
+        .join(existing, Seq("h"), "left_outer")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"),
+          sum(when($"seen".isNotNull, 1L).otherwise(0L)).as("n_dup"))
+        .orderBy("lang")
+    },
+    Some("WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents " +
+      "WHERE doc_id % 2 = 0), " +
+      "inc AS (SELECT lang, md5(text) AS h FROM documents WHERE doc_id % 2 = 1) " +
+      "SELECT lang, count(*) AS n_incoming, " +
+      "CAST(SUM(CASE WHEN ex.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+      "CAST(SUM(CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
+      "FROM inc LEFT JOIN ex ON inc.h = ex.h GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
-    textUnigramLogprob, textRepetition)
+    textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental)
 }

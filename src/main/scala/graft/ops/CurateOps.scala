@@ -261,6 +261,36 @@ object CurateOps {
       OSql.sround("CAST(n_kept AS DOUBLE) / n_total", 4) + " AS rate " +
       "FROM m ORDER BY lang"))
 
+  /** Deterministic train/val/test split — the three-way hash
+    * partition every training run starts from: a per-document uniform
+    * u = (doc_id·2654435761) mod 100 (the same Knuth multiplicative
+    * hash `sample_importance` uses — engine-portable integer
+    * arithmetic, retry-reproducible, no RNG) routes 80/10/10, and the
+    * ledger reports docs + tokens per split. Membership is a pure
+    * function of the row, so the split is stable under re-runs,
+    * repartitioning, and incremental ingest — the property that keeps
+    * eval sets honest. Embarrassingly parallel: a codegen'd
+    * projection + one partial+final aggregate.
+    */
+  private val sampleHashSplit = Q(
+    "sample_hash_split",
+    (s, d) => {
+      import s.implicits._
+      val u = ($"doc_id" * lit(2654435761L)) % 100L
+      t(s, d, "documents")
+        .select(
+          when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"),
+          size(split($"text", " ")).cast("long").as("tok"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tok_total"))
+        .orderBy("split")
+    },
+    Some("WITH r AS (SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' " +
+      "WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END AS split, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents) " +
+      "SELECT split, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_total " +
+      "FROM r GROUP BY 1 ORDER BY 1"))
+
   /** Second-moment feature statistics — Pearson correlation, sample
     * covariance and the OLS slope of price on quantity, per return
     * flag. The built-in corr/covar_samp aggregates accumulate doubles
@@ -320,5 +350,5 @@ object CurateOps {
 
   val qs: Seq[Q] = Seq(
     dedupSemantic, corpusTokenBudget, windowNtileShard, sampleImportance,
-    aggCorr, corpusDomainCap)
+    aggCorr, corpusDomainCap, sampleHashSplit)
 }

@@ -206,6 +206,42 @@ object EventTime {
       "FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms > s.ms " +
       "ORDER BY e.event_id"))
 
+  /** As-of join with a MATCH TOLERANCE — the telemetry-alignment
+    * variant: a prior signup only counts if it happened within the
+    * last hour, else the event is UNMATCHED (null) — stale context
+    * must not attach. Same single-exchange window spelling as
+    * [[asof]] (one shuffle on user_id, one frame), plus one exact
+    * integer comparison; the oracle restates the identical window +
+    * CASE, so the tolerance boundary (gap exactly 3 600 000 ms
+    * matches; one more fails) is hash-pinned.
+    */
+  private val asofTolerance = Q(
+    "join_asof_tolerance",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"ms")
+        .withColumn("prev_ms",
+          max(when($"event_type" === "signup", $"ms")).over(w))
+        .withColumn("matched_signup_ms",
+          when($"ms" - $"prev_ms" <= 3600000L, $"prev_ms"))
+        .select($"event_id", $"user_id", $"ms", $"matched_signup_ms",
+          ($"ms" - $"matched_signup_ms").as("gap_ms"))
+        .orderBy("event_id")
+    },
+    Some("WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms " +
+      "FROM events), " +
+      "w AS (SELECT event_id, user_id, ms, " +
+      "max(CASE WHEN event_type = 'signup' THEN ms END) OVER " +
+      "(PARTITION BY user_id ORDER BY ms " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ms FROM e) " +
+      "SELECT event_id, user_id, ms, " +
+      "CASE WHEN ms - prev_ms <= 3600000 THEN prev_ms END AS matched_signup_ms, " +
+      "ms - (CASE WHEN ms - prev_ms <= 3600000 THEN prev_ms END) AS gap_ms " +
+      "FROM w ORDER BY event_id"))
+
   /** NEAREST-in-time as-of join — the bidirectional sibling of
     * [[asof]]: for every event, the signup of the same user closest in
     * time (either direction; ties break to the earlier one — the
@@ -321,5 +357,5 @@ object EventTime {
 
   val qs: Seq[Q] =
     Seq(tumbling, session, sessionWindowNative, dedup, lateData, sliding, asof,
-      asofNearest, funnelSteps)
+      asofNearest, asofTolerance, funnelSteps)
 }

@@ -684,6 +684,21 @@ class EdgeCaseSpec extends SparkSpec {
       s"candidate volume $candPairs must stay linear in N=$n (B̄=$IvfTargetCell)")
   }
 
+  test("join_asof_tolerance: a gap of exactly one hour matches; one ms more does not") {
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(0L), 7L, "signup"),
+      (2L, ns(3600000L), 7L, "click"), // gap exactly 1 h → matches
+      (3L, ns(0L), 8L, "signup"),
+      (4L, ns(3600001L), 8L, "click")) // 1 ms beyond → unmatched
+      .toDF("event_id", "ts", "user_id", "event_type"))
+    val r = run("join_asof_tolerance", dir).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+    assert(r(2L) === Some(0L))
+    assert(r(4L) === None)
+    assert(r(1L) === None, "a signup has no prior signup (strict before)")
+  }
+
   test("sink_reshard: the cutover millisecond itself belongs to the 16-shard era") {
     // cut = (min+max) div 2 = 2000; era membership is STRICT < cut, so
     // the event AT 2000 routes with mod 16. user_id=1 hashes to
