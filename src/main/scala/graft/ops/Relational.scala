@@ -588,6 +588,37 @@ object Relational {
     * variance to integers at ~9e8). The median uses Spark's exact
     * `percentile`, matching DuckDB's quantile_cont interpolation.
     */
+  /** arg-max/arg-min per group with a DETERMINISTIC tiebreak: SQL
+    * max_by/arg_max leave equal-value ties implementation-defined, so
+    * both extremes are spelled as max/min over a (value, event_id)
+    * STRUCT — lexicographic comparison makes the tie rule explicit
+    * (max → higher id, min → lower id) and engine-independent. One
+    * partial+final aggregate (the struct is the accumulator); the
+    * oracle restates the rule as rank-1 windows.
+    */
+  private val aggArgmax = Q(
+    "agg_argmax",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(max(struct($"value", $"event_id")).as("mx"),
+          min(struct($"value", $"event_id")).as("mn"))
+        .select($"event_type",
+          $"mx.event_id".as("max_event"), $"mx.value".as("max_value"),
+          $"mn.event_id".as("min_event"), $"mn.value".as("min_value"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, event_id, value FROM events), " +
+      "mx AS (SELECT event_type, event_id AS max_event, value AS max_value FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY value DESC, event_id DESC) AS rn FROM e) WHERE rn = 1), " +
+      "mn AS (SELECT event_type, event_id AS min_event, value AS min_value FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY value ASC, event_id ASC) AS rn FROM e) WHERE rn = 1) " +
+      "SELECT event_type, max_event, max_value, min_event, min_value " +
+      "FROM mx JOIN mn USING (event_type) ORDER BY event_type"))
+
   /** Fixed-width integer histogram over order prices — the binning
     * primitive data-quality profiling and distribution dashboards run
     * at corpus scale. Bucket = floor(price / 20000): one float
@@ -779,8 +810,8 @@ object Relational {
     joinNullSafe,
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
     aggHllUnion,
-    aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggPivot,
-    unpivotStack,
+    aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggArgmax,
+    aggPivot, unpivotStack,
     sortMultiKey, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }

@@ -185,6 +185,36 @@ object Scalars {
       "(SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i " +
       "FROM embeddings) WHERE i <= 4 GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** OUTER generator semantics — the explode variant ingest code
+    * actually needs: a row whose derived array is EMPTY must survive
+    * the flatten (with a null element), not vanish — losing it would
+    * silently drop documents from a pipeline keyed on the exploded
+    * side. The array is genuinely data-dependent (name tokens
+    * filtered by prefix, often empty); the profile (rows, null-rows,
+    * distinct tokens) pins conservation: every part contributes ≥1
+    * row. DuckDB has no unnest-outer, so the oracle restates it as
+    * CASE-to-[NULL] before unnest — same semantics, hash-checked.
+    */
+  private val arrayExplodeOuter = Q(
+    "array_explode_outer",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select($"p_partkey",
+          expr("filter(split(p_name, ' '), x -> x LIKE 'a%')").as("atoks"))
+        .select($"p_partkey", explode_outer($"atoks").as("tok"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"tok".isNull, 1L).otherwise(0L)).as("n_empty"),
+          countDistinct($"tok").as("n_distinct"))
+    },
+    Some("WITH a AS (SELECT p_partkey, " +
+      "list_filter(string_split(p_name, ' '), x -> x LIKE 'a%') AS atoks FROM part), " +
+      "x AS (SELECT p_partkey, unnest(CASE WHEN len(atoks) = 0 " +
+      "THEN [CAST(NULL AS VARCHAR)] ELSE atoks END) AS tok FROM a) " +
+      "SELECT count(*) AS n_rows, " +
+      "CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, " +
+      "count(DISTINCT tok) AS n_distinct FROM x"))
+
   /** Catalyst higher-order functions (lambdas): transform + aggregate.
     * The fold runs in array order in both engines → deterministic.
     */
@@ -298,6 +328,6 @@ object Scalars {
 
   val qs: Seq[Q] = Seq(
     scalarString, scalarDate, scalarMath, scalarCaseJson,
-    arrayOps, arrayExplode, higherOrderFn, udfScalar, mapOps, scalarTrySafe,
-    scalarBitwise)
+    arrayOps, arrayExplode, arrayExplodeOuter, higherOrderFn, udfScalar,
+    mapOps, scalarTrySafe, scalarBitwise)
 }
