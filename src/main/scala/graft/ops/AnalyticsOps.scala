@@ -134,6 +134,47 @@ object AnalyticsOps {
       "FROM iv GROUP BY 1 ORDER BY 1"))
 
   // ------------------------------------------------------------------
+  /** Calendar gap-fill — the missing-bucket repair every time-series
+    * report needs: daily counts per event type INCLUDING days with no
+    * events (reported as zero), over the archive's [min, max] day
+    * span. The spine is `sequence(min_day, max_day)` exploded from ONE
+    * aggregated row and cross-joined with the distinct type set —
+    * spine size is days × types (bounded by the calendar, not the
+    * data), so the only data-sized operations are the per-(type, day)
+    * partial+final count and one left join from the (tiny,
+    * broadcast-able) spine to the counts. A missing day surfacing as
+    * an absent row instead of a zero is the classic dashboard bug
+    * this key pins against.
+    */
+  private val windowGapFill = Q(
+    "window_gap_fill",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_type", to_date(timestamp_millis($"ms")).as("day"))
+      val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+      val spine = ev.agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      val types = ev.select($"event_type").distinct()
+      spine.crossJoin(types)
+        .join(counts, Seq("event_type", "day"), "left_outer")
+        .select($"event_type", $"day".cast("string").as("day"),
+          coalesce($"c", lit(0L)).as("cnt"))
+        .orderBy("event_type", "day")
+    },
+    Some("WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day " +
+      "FROM events), " +
+      "c AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2), " +
+      "b AS (SELECT min(day) AS mn, max(day) AS mx FROM e), " +
+      "spine AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), " +
+      "CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+      "t AS (SELECT DISTINCT event_type FROM e) " +
+      "SELECT t.event_type, CAST(spine.day AS VARCHAR) AS day, " +
+      "CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt " +
+      "FROM spine CROSS JOIN t " +
+      "LEFT JOIN c ON c.event_type = t.event_type AND c.day = spine.day " +
+      "ORDER BY 1, 2"))
+
   // cohort_retention — the classic retention triangle: users grouped by
   // first-seen day (cohort), counted on each subsequent active day
   // offset. Exact distinct counting via the (user, day) distinct set.
@@ -165,5 +206,6 @@ object AnalyticsOps {
       "GROUP BY 1, 2 ORDER BY 1, 2"))
 
   val qs: Seq[Q] =
-    Seq(windowFillForward, aggMedianMode, eventTimeWeighted, cohortRetention)
+    Seq(windowFillForward, aggMedianMode, eventTimeWeighted, cohortRetention,
+      windowGapFill)
 }

@@ -588,6 +588,33 @@ object Relational {
     * variance to integers at ~9e8). The median uses Spark's exact
     * `percentile`, matching DuckDB's quantile_cont interpolation.
     */
+  /** Ordered string aggregation (SQL LISTAGG/string_agg) — the
+    * report-building concatenation, made deterministic: collect_set's
+    * order is partition-dependent, so the list is SORTED before the
+    * join (sort_array ∘ collect_set), which is exactly the ORDER BY
+    * the oracle's string_agg declares. State per group is the
+    * distinct-value set — bounded by the domain (priorities), not
+    * rows, at any scale.
+    */
+  private val aggStringAgg = Q(
+    "agg_string_agg",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(concat_ws(",", sort_array(collect_set($"o_orderpriority")))
+          .as("priorities"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    },
+    Some("WITH dst AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders), " +
+      "ag AS (SELECT o_orderstatus, " +
+      "string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities " +
+      "FROM dst GROUP BY 1), " +
+      "cn AS (SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1) " +
+      "SELECT o_orderstatus, priorities, cnt FROM ag JOIN cn USING (o_orderstatus) " +
+      "ORDER BY o_orderstatus"))
+
   /** arg-max/arg-min per group with a DETERMINISTIC tiebreak: SQL
     * max_by/arg_max leave equal-value ties implementation-defined, so
     * both extremes are spelled as max/min over a (value, event_id)
@@ -811,7 +838,7 @@ object Relational {
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
     aggHllUnion,
     aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggArgmax,
-    aggPivot, unpivotStack,
+    aggStringAgg, aggPivot, unpivotStack,
     sortMultiKey, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }
