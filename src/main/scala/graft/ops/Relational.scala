@@ -496,22 +496,25 @@ object Relational {
     None)
 
   /** SKETCH MERGEABILITY as a hash-checked property — the
-    * re-aggregation contract every 100 TB rollup architecture rests on:
-    * per-shard HLL sketches union'd together must equal the sketch
-    * built directly over the whole stream (HLL register state is a
-    * per-bucket max, and max is associative/commutative, so the two
-    * constructions are REGISTER-IDENTICAL — deterministic equality, not
-    * approximate agreement). The key computes the distinct-user
-    * estimate both ways (direct `hll_sketch_agg` vs per-event-type
-    * partials merged by `hll_union_agg`) and emits the equality, plus
-    * the estimate's error against the exact count as a 5%-bound flag.
+    * re-aggregation contract every 100 TB rollup architecture rests
+    * on: per-shard HLL sketches union'd together must estimate the
+    * stream as well as the sketch built directly over it. The
+    * CONTRACTUAL property is the error bound, not register identity:
+    * HLL registers are per-bucket maxes (associative/commutative),
+    * but DataSketches' union path may re-target the register width
+    * (HLL_4/6/8 promotion), so the union's estimate can differ from
+    * the direct sketch's at the margin while both honor the bound —
+    * observed at sf0.1, where demanding equality was a false claim.
+    * The key computes the distinct-user estimate both ways (direct
+    * `hll_sketch_agg` vs per-event-type partials merged by
+    * `hll_union_agg`) and emits each construction's 5%-bound flag.
     * DuckDB cannot replay Datasketches registers, so the oracle pins
-    * the exact count and asserts the two property columns by
-    * construction — a mergeability or accuracy regression flips a
-    * boolean in the Spark output and fails the hash, the same
-    * own-construction gating pattern as `sim_ann_recall`. The plan is
-    * the scale plan: both legs are partial+final ObjectHashAggregates;
-    * nothing rescans raw data to re-aggregate.
+    * the exact count and asserts the property columns by construction
+    * — an accuracy or mergeability regression flips a boolean in the
+    * Spark output and fails the hash, the same own-construction
+    * gating pattern as `sim_ann_recall`. The plan is the scale plan:
+    * both legs are partial+final ObjectHashAggregates; nothing
+    * rescans raw data to re-aggregate.
     */
   private val aggHllUnion = Q(
     "agg_hll_union",
@@ -526,12 +529,13 @@ object Relational {
       val exact = ev.agg(countDistinct($"user_id").as("n_exact"))
       exact.crossJoin(direct).crossJoin(merged)
         .select($"n_exact",
-          ($"est_union" === $"est_direct").as("union_eq_direct"),
           (abs($"est_direct" - $"n_exact").cast("double") <=
-            lit(0.05) * $"n_exact").as("err_within_5pct"))
+            lit(0.05) * $"n_exact").as("direct_within_5pct"),
+          (abs($"est_union" - $"n_exact").cast("double") <=
+            lit(0.05) * $"n_exact").as("union_within_5pct"))
     },
-    Some("SELECT count(DISTINCT user_id) AS n_exact, TRUE AS union_eq_direct, " +
-      "TRUE AS err_within_5pct FROM events"))
+    Some("SELECT count(DISTINCT user_id) AS n_exact, TRUE AS direct_within_5pct, " +
+      "TRUE AS union_within_5pct FROM events"))
 
   private val aggRollup = Q(
     "agg_rollup",

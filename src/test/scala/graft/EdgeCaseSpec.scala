@@ -684,6 +684,18 @@ class EdgeCaseSpec extends SparkSpec {
       s"candidate volume $candPairs must stay linear in N=$n (B̄=$IvfTargetCell)")
   }
 
+  test("window_gap_fill surfaces a zero row for a day with no events") {
+    val ns = (ms: Long) => ms * 1000000L
+    val day2 = 2L * 86400000L // 1970-01-03; 1970-01-02 has no events
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(0L), 1L, "a"),
+      (2L, ns(day2), 1L, "a")).toDF("event_id", "ts", "user_id", "event_type"))
+    val rows = run("window_gap_fill", dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("a", "1970-01-01", 1L), ("a", "1970-01-02", 0L), ("a", "1970-01-03", 1L)))
+  }
+
   test("join_asof_tolerance: a gap of exactly one hour matches; one ms more does not") {
     val ns = (ms: Long) => ms * 1000000L
     val dir = stageTables("events" -> Seq(
