@@ -27,6 +27,20 @@ object Windows {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Exclusive prefix sums of a (pid, n) count table via a broadcast
+    * theta-join (Σ counts of strictly-earlier pids, 0 for the first) —
+    * the offset table of every two-phase global-rank spelling, spelled
+    * WITHOUT a window so not even the P-row step funnels through a
+    * single-partition WindowExec. Property-tested against a
+    * driver-side scan in PropertySpec.
+    */
+  private[graft] def prefixOffsets(cnts: DataFrame, pidCol: String): DataFrame =
+    cnts.as("a").join(
+        broadcast(cnts.as("b")),
+        col(s"b.$pidCol") < col(s"a.$pidCol"), "left_outer")
+      .groupBy(col(s"a.$pidCol").as(pidCol))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+
   /** Top-3 orders per market segment. The rank filter is written
     * declaratively (row_number ≤ 3 over a window) and Catalyst's
     * WindowGroupLimit rule turns it into the two-phase top-k plan:
@@ -90,15 +104,8 @@ object Windows {
         .withColumn("pid", shiftright($"mid", 33))
         .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
         .localCheckpoint(true)
-      // phase 2: P-row exclusive prefix sums → per-partition offsets.
-      // Spelled as a broadcast theta-join (Σ counts of EARLIER pids)
-      // instead of a global window, so not even the P-row step funnels
-      // through a single-partition WindowExec.
-      def prefixOffsets(cnts: DataFrame, pidCol: String): DataFrame =
-        cnts.as("a").join(
-            broadcast(cnts.as("b")), col(s"b.$pidCol") < col(s"a.$pidCol"), "left_outer")
-          .groupBy(col(s"a.$pidCol").as(pidCol))
-          .agg(coalesce(sum($"b.n"), lit(0L)).as("off"))
+      // phase 2: P-row exclusive prefix sums → per-partition offsets
+      // (broadcast theta-join, no WindowExec — see [[prefixOffsets]])
       val offs = prefixOffsets(
         ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
       val tot = ids.agg(count(lit(1)).as("nn"))

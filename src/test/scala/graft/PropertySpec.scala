@@ -295,4 +295,16 @@ class PropertySpec extends SparkSpec {
       got == ref(raw.toSet)
     }, min = 12)
   }
+
+  test("prefixOffsets: broadcast theta-join equals the exclusive prefix-sum scan (forAll)") {
+    // the offset table every two-phase global-rank spelling rides on —
+    // wrong here and every distributed rank/ntile/packing key shifts
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0L, 50L))) { ns =>
+      val cnts = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("pid", "n")
+      val got = graft.ops.Windows.prefixOffsets(cnts, "pid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ns.indices.map(i => i.toLong -> ns.take(i).sum).toMap
+      got == want
+    }, min = 15)
+  }
 }
