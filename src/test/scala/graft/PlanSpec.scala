@@ -188,6 +188,20 @@ class PlanSpec extends SparkSpec {
       "no row_number window may appear — that is the single-partition shape")
   }
 
+  test("corpus_domain_cap windows over a source-keyed exchange, never a global sort") {
+    val plan = executedPlan("corpus_domain_cap")
+    assert(plan.contains("hashpartitioning(source"),
+      "the quota window must partition by source — the distributed shape")
+  }
+
+  test("window_gap_fill joins the calendar spine by broadcast — no sort-merge join") {
+    // spine (days × types) and the per-(type, day) counts are bounded
+    // by the calendar, not the data: both joins must stay broadcast
+    val plan = executedPlan("window_gap_fill")
+    assert(!plan.contains("SortMergeJoin"),
+      "calendar-bounded relations must broadcast, not shuffle the join")
+  }
+
   test("index_persist serves from the REOPENED persisted tables, not training lineage") {
     val df = run("index_persist")
     df.collect()
