@@ -798,6 +798,42 @@ object Relational {
     Some("SELECT 'cust' AS src, c_custkey AS ukey, c_acctbal AS acctbal FROM customer " +
       "UNION ALL SELECT 'supp', s_suppkey, s_acctbal FROM supplier ORDER BY src, ukey"))
 
+  /** Schema-evolved union — merging archive generations whose column
+    * sets DIVERGED (an old extract without `acctbal`, a new one with
+    * an added `segment`): `unionByName(allowMissingColumns)` aligns by
+    * NAME and nulls the absent columns, where positional UNION would
+    * silently mis-bind them. The per-generation null accounting in
+    * the output pins the fill rule; DuckDB's `UNION ALL BY NAME` is
+    * the exact oracle counterpart.
+    */
+  private val setUnionByName = Q(
+    "set_union_byname",
+    (s, d) => {
+      import s.implicits._
+      val gen1 = t(s, d, "customer")
+        .select(lit("g1").as("gen"), $"c_custkey".as("ukey"),
+          $"c_mktsegment".as("segment"))
+      val gen2 = t(s, d, "customer")
+        .select(lit("g2").as("gen"), $"c_custkey".as("ukey"),
+          $"c_acctbal".as("acctbal"))
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when($"segment".isNull, 1L).otherwise(0L)).as("null_segment"),
+          sum(when($"acctbal".isNull, 1L).otherwise(0L)).as("null_acctbal"),
+          moneySum($"acctbal").as("bal_total"))
+        .orderBy("gen")
+    },
+    Some("WITH u AS (SELECT 'g1' AS gen, c_custkey AS ukey, " +
+      "c_mktsegment AS segment FROM customer " +
+      "UNION ALL BY NAME SELECT 'g2' AS gen, c_custkey AS ukey, " +
+      "c_acctbal AS acctbal FROM customer) " +
+      "SELECT gen, count(*) AS cnt, " +
+      "CAST(SUM(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_segment, " +
+      "CAST(SUM(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_acctbal, " +
+      OSql.msum("acctbal") + " AS bal_total " +
+      "FROM u GROUP BY 1 ORDER BY 1"))
+
   private val setUnionDistinct = Q(
     "set_union_distinct",
     (s, d) => {
@@ -844,5 +880,5 @@ object Relational {
     aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggArgmax,
     aggStringAgg, aggPivot, unpivotStack,
     sortMultiKey, topkGlobal,
-    setUnionAll, setUnionDistinct, setIntersect, setExcept)
+    setUnionAll, setUnionByName, setUnionDistinct, setIntersect, setExcept)
 }

@@ -37,6 +37,31 @@ object Scalars {
       "split_part(p_name, ' ', 1) AS first_tok, replace(p_type, ' ', '-') AS type_r " +
       "FROM part ORDER BY p_partkey LIMIT 500"))
 
+  /** Regex-extract surface — capture groups and match counting, the
+    * log-parsing primitives (A3-adjacent): group extraction from the
+    * three-word type field and a vowel-run count. Patterns use only
+    * constructs Java regex and RE2 agree on (character classes,
+    * bounded groups — no backreferences/lookaround), the same rule
+    * the PII masks follow.
+    */
+  private val scalarRegex = Q(
+    "scalar_regex",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select($"p_partkey",
+          regexp_extract($"p_type", "(\\w+) (\\w+) (\\w+)", 2).as("mid_word"),
+          regexp_extract($"p_type", "^(\\w+)", 1).as("first_word"),
+          regexp_count($"p_name", lit("[aeiou]+")).cast("long").as("vowel_runs"))
+        .orderBy("p_partkey")
+        .limit(500)
+    },
+    Some("SELECT p_partkey, " +
+      "regexp_extract(p_type, '(\\w+) (\\w+) (\\w+)', 2) AS mid_word, " +
+      "regexp_extract(p_type, '^(\\w+)', 1) AS first_word, " +
+      "CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS vowel_runs " +
+      "FROM part ORDER BY p_partkey LIMIT 500"))
+
   /** Bitwise surface — the integer ops key-hashing, bucketing, and
     * bitmap tricks are built from: AND/OR/XOR, shifts, and popcount,
     * all exact BIGINT arithmetic both engines define identically. The
@@ -329,5 +354,5 @@ object Scalars {
   val qs: Seq[Q] = Seq(
     scalarString, scalarDate, scalarMath, scalarCaseJson,
     arrayOps, arrayExplode, arrayExplodeOuter, higherOrderFn, udfScalar,
-    mapOps, scalarTrySafe, scalarBitwise)
+    mapOps, scalarTrySafe, scalarBitwise, scalarRegex)
 }
