@@ -592,6 +592,59 @@ object Relational {
     * variance to integers at ~9e8). The median uses Spark's exact
     * `percentile`, matching DuckDB's quantile_cont interpolation.
     */
+  /** Predicate aggregates — count_if / bool_and / bool_or, the
+    * assertion-shaped aggregation surface data-quality rules compile
+    * to. All three are partial+final with trivially mergeable state
+    * (a count, two booleans); results are exact in any engine.
+    */
+  private val aggBool = Q(
+    "agg_bool",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count_if($"value" > 50.0).as("n_high"),
+          bool_and($"value" >= 0.0).as("all_nonneg"),
+          bool_or($"value" > 99.0).as("any_extreme"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, CAST(count_if(value > 50.0) AS BIGINT) AS n_high, " +
+      "bool_and(value >= 0.0) AS all_nonneg, " +
+      "bool_or(value > 99.0) AS any_extreme " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
+
+  /** DISCRETE percentiles — the quantile that returns an actual
+    * observed value (quantile_disc), the right choice when the domain
+    * is discrete and an interpolated midpoint is meaningless. Spark's
+    * `percentile_approx` with accuracy high enough is NOT the same
+    * operator; the exact spelling is `percentile` with... Spark has no
+    * percentile_disc, so the discrete pick is spelled explicitly:
+    * rank-1 selection at ⌈p·n⌉ in value order — pure integer
+    * arithmetic on the global per-group rank, restating exactly
+    * DuckDB's quantile_disc definition. Values are integer-valued
+    * quantities, so no rounding shim is needed anywhere.
+    */
+  private val aggPercentileDisc = Q(
+    "agg_percentile_disc",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"l_quantity".asc)
+      val ranked = t(s, d, "lineitem")
+        .select($"l_returnflag", $"l_quantity")
+        .withColumn("rn", row_number().over(w))
+      val n = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(n), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max(when($"rn" === ceil(lit(0.5) * $"n"), $"l_quantity")).as("p50_disc"),
+          max(when($"rn" === ceil(lit(0.9) * $"n"), $"l_quantity")).as("p90_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, " +
+      "quantile_disc(l_quantity, 0.5) AS p50_disc, " +
+      "quantile_disc(l_quantity, 0.9) AS p90_disc " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"))
+
   /** Ordered string aggregation (SQL LISTAGG/string_agg) — the
     * report-building concatenation, made deterministic: collect_set's
     * order is partition-dependent, so the list is SORTED before the
@@ -878,7 +931,7 @@ object Relational {
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
     aggHllUnion,
     aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggArgmax,
-    aggStringAgg, aggPivot, unpivotStack,
+    aggStringAgg, aggBool, aggPercentileDisc, aggPivot, unpivotStack,
     sortMultiKey, topkGlobal,
     setUnionAll, setUnionByName, setUnionDistinct, setIntersect, setExcept)
 }

@@ -145,6 +145,36 @@ object Windows {
       "CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS BIGINT) AS tile " +
       "FROM supplier ORDER BY s_suppkey"))
 
+  /** nth_value over the FULL partition frame — "the user's second and
+    * third readings in time order", the onboarding-analysis shape
+    * (first purchase vs second purchase). The unbounded-following
+    * frame makes the nth value visible on every row; one keyed window
+    * + one agg collapses it per user. Users with fewer than n events
+    * surface NULL (pinned by the oracle's identical frame).
+    */
+  private val nthValue = Q(
+    "window_nth_value",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select($"user_id", $"value", $"ms", $"event_id")
+        .withColumn("second_v", nth_value($"value", 2).over(w))
+        .withColumn("third_v", nth_value($"value", 3).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max($"second_v").as("second_v"), max($"third_v").as("third_v"))
+        .orderBy("user_id")
+    },
+    Some("WITH w AS (SELECT user_id, " +
+      "nth_value(value, 2) OVER win AS second_v, " +
+      "nth_value(value, 3) OVER win AS third_v FROM events " +
+      "WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) " +
+      "SELECT user_id, count(*) AS n_events, max(second_v) AS second_v, " +
+      "max(third_v) AS third_v FROM w GROUP BY 1 ORDER BY 1"))
+
   private val lagLead = Q(
     "window_lag_lead",
     (s, d) => {
@@ -301,6 +331,6 @@ object Windows {
       "FROM dly ORDER BY 1, 2"))
 
   val qs: Seq[Q] = Seq(
-    rankTopk, rankDense, lagLead, runningSum, firstLast, movingAvg, percentRank,
+    rankTopk, rankDense, lagLead, nthValue, runningSum, firstLast, movingAvg, percentRank,
     rangeFrame)
 }
