@@ -684,6 +684,20 @@ class EdgeCaseSpec extends SparkSpec {
       s"candidate volume $candPairs must stay linear in N=$n (B̄=$IvfTargetCell)")
   }
 
+  test("agg_percentile_disc picks the LOWER middle of an even-count group") {
+    // n=4 values (10,20,30,40): the discrete median is the rank-⌈0.5·4⌉=2
+    // element = 20, an OBSERVED value — an interpolating quantile would
+    // invent 25. p90 → rank ⌈3.6⌉=4 → 40.
+    val rows = Seq((1L, 1L, "R", 10.0), (2L, 1L, "R", 20.0),
+      (3L, 1L, "R", 30.0), (4L, 1L, "R", 40.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val dir = stageTables("lineitem" -> rows)
+    val r = run("agg_percentile_disc", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(1) === 20.0)
+    assert(r(0).getDouble(2) === 40.0)
+  }
+
   test("window_gap_fill surfaces a zero row for a day with no events") {
     val ns = (ms: Long) => ms * 1000000L
     val day2 = 2L * 86400000L // 1970-01-03; 1970-01-02 has no events
