@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Q, Tables}
+
+/** The declarative SQL entry surface: correlated subqueries (EXISTS,
+  * NOT IN, correlated scalar), LATERAL per-group top-k, and the multiset
+  * (ALL) set operations. These keys exist to prove the engine's SQL
+  * front-door — a replay consumer who writes plain ANSI SQL against the
+  * landed tables — plans to the SAME distributed shapes as the DataFrame
+  * keys, because Catalyst decorrelates them:
+  *
+  *  - EXISTS / IN      → left-semi hash join (no per-row re-execution);
+  *  - NOT IN           → null-aware anti join (three-valued-logic
+  *                       correct — one inner NULL empties the result);
+  *  - correlated scalar → partial+final aggregate joined back on the
+  *                       correlation key;
+  *  - LATERAL + LIMIT  → WindowGroupLimit (rank-based group-limit
+  *                       pushdown, map-side top-k BEFORE the shuffle)
+  *                       joined to the broadcast outer side.
+  *
+  * Scale stance: none of these re-execute the inner query per outer row
+  * (the naive nested-loop reading); every one is a single pass over the
+  * big table plus one shuffle or broadcast. At 100 TB the decorrelated
+  * plans are exactly the ones a hand-writer would pick; the point of the
+  * keys is that the optimizer gets there from the subquery spelling.
+  */
+object SqlSurface {
+
+  /** Register the tables a SQL-spelled key needs under a key-unique
+    * prefix (temp views are session-global; a shared name would let one
+    * key's view shadow another's mid-bench).
+    */
+  private def views(s: SparkSession, d: String, pfx: String, ts: String*): Unit =
+    ts.foreach(t => Tables.t(s, d, t).createOrReplaceTempView(s"${pfx}_$t"))
+
+  // ------------------------------------------------------------------
+  // subquery_exists — correlated EXISTS: customers holding at least one
+  // very large finished order. Catalyst decorrelates to a left-semi
+  // join on o_custkey; the orders scan keeps its pushed filters.
+  // ------------------------------------------------------------------
+
+  private val subqueryExists = Q(
+    "subquery_exists",
+    (s, d) => {
+      views(s, d, "sq_ex", "customer", "orders")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, c_acctbal
+          |FROM sq_ex_customer c
+          |WHERE EXISTS (SELECT 1 FROM sq_ex_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderstatus = 'F'
+          |                AND o.o_totalprice > 450000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c " +
+      "WHERE EXISTS (SELECT 1 FROM orders o " +
+      "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F' " +
+      "AND o.o_totalprice > 450000) ORDER BY c_custkey"))
+
+  // ------------------------------------------------------------------
+  // subquery_not_in — NOT IN (subquery) with its full three-valued
+  // logic: parts that never shipped at near-capacity quantity. Plans as
+  // a null-aware anti join (NAAJ); the NULL-poisoning law (one NULL in
+  // the inner set empties the result) is pinned in SqlSurfaceSpec
+  // rather than here, because an empty result would be a useless
+  // correctness fixture.
+  // ------------------------------------------------------------------
+
+  private val subqueryNotIn = Q(
+    "subquery_not_in",
+    (s, d) => {
+      views(s, d, "sq_ni", "part", "lineitem")
+      s.sql(
+        """SELECT p_partkey, p_brand
+          |FROM sq_ni_part
+          |WHERE p_partkey NOT IN (SELECT l_partkey FROM sq_ni_lineitem
+          |                        WHERE l_quantity >= 48)
+          |ORDER BY p_partkey""".stripMargin)
+    },
+    Some("SELECT p_partkey, p_brand FROM part " +
+      "WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem " +
+      "WHERE l_quantity >= 48) ORDER BY p_partkey"))
+
+  // ------------------------------------------------------------------
+  // subquery_scalar_corr — correlated SCALAR subquery: customers whose
+  // balance clears 90% of their own segment's maximum. Decorrelates to
+  // a per-segment max aggregate joined back on c_mktsegment — the inner
+  // runs ONCE, not per row. max() is exact (no float-summation-order
+  // hazard) and 0.9 * max is the identical IEEE product in both
+  // engines, so the boundary compare is bit-deterministic.
+  // ------------------------------------------------------------------
+
+  private val subqueryScalarCorr = Q(
+    "subquery_scalar_corr",
+    (s, d) => {
+      views(s, d, "sq_sc", "customer")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, c_acctbal
+          |FROM sq_sc_customer c
+          |WHERE c_acctbal > (SELECT 0.9 * max(c2.c_acctbal)
+          |                   FROM sq_sc_customer c2
+          |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c " +
+      "WHERE c_acctbal > (SELECT 0.9 * max(c2.c_acctbal) FROM customer c2 " +
+      "WHERE c2.c_mktsegment = c.c_mktsegment) ORDER BY c_custkey"))
+
+  // ------------------------------------------------------------------
+  // join_lateral_topk — LATERAL correlated subquery with ORDER BY +
+  // LIMIT: each nation's two richest customers. Spark 4 plans this as
+  // WindowGroupLimit (map-side per-group top-k BEFORE the exchange, so
+  // the shuffle carries ≤ 2·|nations| candidate rows per map task, not
+  // the customer table) + a broadcast join to the nation side —
+  // verified in PlanSpec. This is the per-entity-top-k idiom at 100 TB:
+  // group-limit pushdown makes the shuffle width independent of fact
+  // cardinality.
+  // ------------------------------------------------------------------
+
+  private val joinLateralTopk = Q(
+    "join_lateral_topk",
+    (s, d) => {
+      views(s, d, "sq_lt", "nation", "customer")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM sq_lt_nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM sq_lt_customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    },
+    Some("SELECT n.n_name, t.c_custkey, t.c_acctbal FROM nation n, " +
+      "LATERAL (SELECT c_custkey, c_acctbal FROM customer c " +
+      "WHERE c.c_nationkey = n.n_nationkey " +
+      "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t " +
+      "ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey"))
+
+  // ------------------------------------------------------------------
+  // set_intersect_all / set_except_all — the MULTISET set operations:
+  // INTERSECT ALL keeps min(m, n) copies of a row present m and n
+  // times; EXCEPT ALL keeps max(0, m − n). Spark's intersectAll /
+  // exceptAll spell both as a single hash aggregate per side plus one
+  // co-partitioned compare (replicate-by-count via generate) — no sort,
+  // no driver collect. The nationkey columns are duplicate-heavy on
+  // purpose: DISTINCT-flavored set ops (already declared) would collapse
+  // them, so these keys prove the bag semantics specifically.
+  // ------------------------------------------------------------------
+
+  private val setIntersectAll = Q(
+    "set_intersect_all",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.t(s, d, "customer")
+        .select($"c_nationkey".cast("long").as("nationkey"))
+      val sup = Tables.t(s, d, "supplier")
+        .select($"s_nationkey".cast("long").as("nationkey"))
+      c.intersectAll(sup).orderBy("nationkey")
+    },
+    Some("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer " +
+      "INTERSECT ALL " +
+      "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1"))
+
+  private val setExceptAll = Q(
+    "set_except_all",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.t(s, d, "customer")
+        .select($"c_nationkey".cast("long").as("nationkey"))
+      val sup = Tables.t(s, d, "supplier")
+        .select($"s_nationkey".cast("long").as("nationkey"))
+      c.exceptAll(sup).orderBy("nationkey")
+    },
+    Some("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer " +
+      "EXCEPT ALL " +
+      "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(
+    subqueryExists, subqueryNotIn, subqueryScalarCorr, joinLateralTopk,
+    setIntersectAll, setExceptAll)
+}
