@@ -340,6 +340,46 @@ object CorpusOps {
       "CAST(SUM(CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
       "FROM inc LEFT JOIN ex ON inc.h = ex.h GROUP BY 1 ORDER BY 1"))
 
+  /** text_lexical_diversity — per-doc type-token ratio and top-token
+    * dominance, the two division-only diversity signals a curation
+    * pipeline thresholds on (low TTR or a dominant token ⇒ boilerplate
+    * / spam). Chosen over word-entropy deliberately: entropy sums
+    * per-term float logs in data-dependent order (cross-engine
+    * summation-order hazard), while TTR and top-share are each ONE
+    * double division of two exact longs — bit-deterministic anywhere.
+    * Scale: explode → partial+final (doc_id, token) agg (token counts
+    * collapse map-side) → per-doc rollup on the SAME doc_id keying, so
+    * the second agg reuses the first's partitioning; no joins, and the
+    * shuffle carries per-doc vocabularies, never the token stream.
+    */
+  private val textLexicalDiversity = Q(
+    "text_lexical_diversity",
+    (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      tf.groupBy("doc_id")
+        .agg(sum($"cnt").cast("long").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max($"cnt").as("max_cnt"))
+        .select($"doc_id", $"n_tokens", $"n_distinct",
+          dround($"n_distinct".cast("double") / $"n_tokens", 6).as("ttr"),
+          dround($"max_cnt".cast("double") / $"n_tokens", 6).as("top_share"))
+        .orderBy("doc_id")
+    },
+    Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2) " +
+      "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, " +
+      "count(*) AS n_distinct, " +
+      OSql.sround("CAST(count(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT)", 6) +
+      " AS ttr, " +
+      OSql.sround("CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT)", 6) +
+      " AS top_share " +
+      "FROM tf GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
-    textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental)
+    textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
+    textLexicalDiversity)
 }

@@ -921,9 +921,44 @@ object ScaleOps {
       OSql.msum("value") + " AS total_value " +
       "FROM events GROUP BY 1 ORDER BY 1"))
 
+  /** scan_binary — the `binaryFile` ingestion surface for opaque
+    * multimodal payloads (images/audio land as bytes + metadata; see
+    * multimodal_decode for the downstream path). The corpus text is
+    * first landed as per-source raw files (partitionBy(source) text
+    * sink — the directory layout a media archive has), then re-read
+    * through the binaryFile source. The query projects ONLY path +
+    * length, so the reader serves pure file-status metadata and never
+    * opens file contents — the 100 TB point: manifest queries over a
+    * binary lake cost a directory listing, not a read. The oracle
+    * restates each source's byte count from the documents table
+    * (Σ utf-8 bytes + one newline per row), proving the binary landing
+    * is byte-lossless end to end.
+    */
+  private val scanBinary = Q(
+    "scan_binary",
+    (s, d) => {
+      import s.implicits._
+      val dir = TmpDirs.dir("docs-binary")
+      Tables.t(s, d, "documents")
+        .select($"source", $"text")
+        .write.mode("overwrite").partitionBy("source").text(dir)
+      // partition discovery turns the source=<v> dirs back into a
+      // `source` column — the binary lake is partition-pruned like any
+      // other table; the glob skips the sink's _SUCCESS marker.
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(dir)
+        .select($"source", $"length")
+        .groupBy("source")
+        .agg(sum($"length").cast("long").as("n_bytes"))
+        .orderBy("source")
+    },
+    Some("SELECT source, CAST(SUM(octet_length(encode(text)) + 1) AS BIGINT) AS n_bytes " +
+      "FROM documents GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
-    aggApproxQuantile)
+    aggApproxQuantile, scanBinary)
 }

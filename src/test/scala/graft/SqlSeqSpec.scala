@@ -171,6 +171,26 @@ class SqlSeqSpec extends SparkSpec {
       "exactly the planted 500.0 among ~11s is > 3 sigma")
   }
 
+  // ------------------------------------------------- curation additions
+
+  test("text_lexical_diversity computes exact TTR and top-token share") {
+    val docs = Seq((1L, "a a b", "en", "s1", 5L), (2L, "x y z", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = run("text_lexical_diversity", stageTables("documents" -> docs))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(1L) === ((3L, 2L, 0.666667, 0.666667)))
+    assert(r(2L) === ((3L, 3L, 1.0, 0.333333)))
+  }
+
+  test("scan_binary is a metadata-only read — file contents never deserialized") {
+    val df = run("scan_binary")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("content"),
+      "projecting only (source, length) must keep the binary payload unread")
+  }
+
   test("funnel_time_to_convert only counts purchases after the first view") {
     val dir = stageTables("events" -> eventsDf(Seq(
       (1L, 1000L, 1L, "purchase", 0.0), // before any view: not a conversion
