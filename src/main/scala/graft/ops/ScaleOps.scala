@@ -945,9 +945,16 @@ object ScaleOps {
       // partition discovery turns the source=<v> dirs back into a
       // `source` column — the binary lake is partition-pruned like any
       // other table; the glob skips the sink's _SUCCESS marker.
-      s.read.format("binaryFile")
+      val bin = s.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")
         .load(dir)
+      // an EMPTY archive writes no source=<v> dirs, so discovery has no
+      // partition column to surface — synthesize the typed column so the
+      // manifest query stays schema-stable on zero files
+      val withSrc =
+        if (bin.columns.contains("source")) bin
+        else bin.withColumn("source", lit(null).cast("string"))
+      withSrc
         .select($"source", $"length")
         .groupBy("source")
         .agg(sum($"length").cast("long").as("n_bytes"))

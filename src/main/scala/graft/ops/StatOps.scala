@@ -1,0 +1,404 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Distributional profiling, attribution, and snapshot-lifecycle
+  * operators — the data-quality and reporting layer a replay consumer
+  * runs over the landed archive: higher-moment shape statistics,
+  * weighted robust centers, per-key cumulative distribution, bipartite
+  * degree profiles, first-touch attribution, and snapshot-to-snapshot
+  * table diffing. All hash-verified against DuckDB.
+  *
+  * Scale shape (the 100 TB stance, per operator):
+  *  - agg_skew_kurtosis: the fact table collapses MAP-SIDE to
+  *    |event_types| rows of exact integer moment sums (partial+final
+  *    agg); no row-level shuffle, and the skew/kurtosis formulas run on
+  *    the tiny aggregate only.
+  *  - agg_weighted_median: one partitionBy(returnflag) hash shuffle;
+  *    the running and total weights are two frames over the SAME window
+  *    partition spec, so Catalyst plans one exchange + one sort.
+  *  - window_cume_dist: keyed window (per event_type) — never a global
+  *    WindowExec.
+  *  - graph_degree_stats: distinct + two partial+final aggs, each
+  *    output orders of magnitude smaller than its input.
+  *  - seq_first_touch: both per-user reductions (first event, purchase
+  *    revenue) hash-partition on user_id — the exchange is reused — and
+  *    only then collapse to |channels| rows.
+  *  - cdc_snapshot_diff: BOTH snapshot states come from ONE aggregate
+  *    over one user_id shuffle (conditional max over an integer event
+  *    ordinal) — not one scan per snapshot; the diff classification is
+  *    a projection over the per-key state table.
+  *  - sample_temperature: the only non-keyed reduction is over the
+  *    DOMAIN table (|sources| rows, a bounded dimension); per-domain
+  *    weights are rounded to fixed decimals BEFORE the cross-domain
+  *    normalization sum so the total is an exact decimal sum —
+  *    order-independent on any cluster.
+  *  - scan_json_badrecords: the PERMISSIVE dead-letter path as a batch
+  *    operator — parse failures are counted per type map-side, never
+  *    thrown, never collected.
+  */
+object StatOps {
+  import Det._
+
+  // ------------------------------------------------------------------
+  // agg_skew_kurtosis — population skewness + excess kurtosis per
+  // event_type from EXACT integer moment sums. events.value is exactly
+  // 2-decimal, so v = round(value*100) is an exact integer and the
+  // raw moments Σv, Σv², Σv³, Σv⁴ are exact integer sums —
+  // order-independent, bit-identical in any engine (v³ fits a long;
+  // v⁴ can pass Long.Max so it is lifted to DECIMAL(38,0) / HUGEINT
+  // before the final multiply, and every sum accumulates there).
+  // Skewness and kurtosis are scale-invariant so the cent
+  // scaling cancels; only the mean is rescaled. The double-arithmetic
+  // formula text is identical in both engines (left-associative, one
+  // correctly-rounded sqrt), so the rounded output is bit-stable.
+  // ------------------------------------------------------------------
+
+  private val Dec380: DecimalType = DecimalType(38, 0)
+
+  private val aggSkewKurtosis = Q(
+    "agg_skew_kurtosis",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .select($"event_type",
+          round($"value" * 100).cast("long").as("v"))
+        .withColumn("v2", $"v" * $"v")
+      val m = v.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"v".cast(Dec380)).cast("double").as("s1"),
+        sum($"v2".cast(Dec380)).cast("double").as("s2"),
+        sum(($"v2" * $"v").cast(Dec380)).cast("double").as("s3"),
+        // v⁴ can pass Long.Max (|v| ≤ ~5.7e4 ⇒ v⁴ ≤ ~1e19) — lift to
+        // decimal BEFORE the final multiply; DuckDB mirrors via HUGEINT
+        sum($"v2".cast(Dec380) * $"v2").cast("double").as("s4"))
+      m.withColumn("m1", $"s1" / $"n")
+        .withColumn("m2", $"s2" / $"n" - $"m1" * $"m1")
+        .select($"event_type", $"n".cast("long").as("n"),
+          dround($"m1" / 100.0, 6).as("mean_v"),
+          dround(($"s3" / $"n" - lit(3.0) * $"m1" * ($"s2" / $"n")
+            + lit(2.0) * $"m1" * $"m1" * $"m1")
+            / ($"m2" * sqrt($"m2")), 6).as("skewness"),
+          dround(($"s4" / $"n" - lit(4.0) * $"m1" * ($"s3" / $"n")
+            + lit(6.0) * $"m1" * $"m1" * ($"s2" / $"n")
+            - lit(3.0) * $"m1" * $"m1" * $"m1" * $"m1")
+            / ($"m2" * $"m2") - lit(3.0), 6).as("kurtosis_excess"))
+        .orderBy("event_type")
+    },
+    Some("WITH b AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(sum(v) AS DOUBLE) AS s1, CAST(sum(v*v) AS DOUBLE) AS s2, " +
+      "CAST(sum((v*v)*v) AS DOUBLE) AS s3, " +
+      "CAST(sum(CAST(v*v AS HUGEINT)*(v*v)) AS DOUBLE) AS s4 " +
+      "FROM b GROUP BY 1), " +
+      "c AS (SELECT event_type, n, s1/n AS m1, s2, s3, s4, " +
+      "s2/n - (s1/n)*(s1/n) AS m2 FROM m) " +
+      "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+      OSql.sround("m1 / 100.0", 6) + " AS mean_v, " +
+      OSql.sround("(s3/n - 3.0*m1*(s2/n) + 2.0*m1*m1*m1) " +
+        "/ (m2 * sqrt(m2))", 6) + " AS skewness, " +
+      OSql.sround("(s4/n - 4.0*m1*(s3/n) + 6.0*m1*m1*(s2/n) " +
+        "- 3.0*m1*m1*m1*m1) / (m2*m2) - 3.0", 6) +
+      " AS kurtosis_excess FROM c ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // agg_weighted_median — exact lower weighted median of
+  // l_extendedprice weighted by l_quantity, per returnflag: the first
+  // price (in the total (price, orderkey, linenumber) order) whose
+  // running weight reaches half the group total. l_quantity is
+  // integral, so the running and total weights are exact longs and the
+  // 2·W ≥ T pick is pure integer comparison — no float boundary. The
+  // running and the group-total sums are two frames over the SAME
+  // partition spec: one exchange, one sort.
+  // ------------------------------------------------------------------
+
+  private val aggWeightedMedian = Q(
+    "agg_weighted_median",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.t(s, d, "lineitem")
+        .select($"l_returnflag", $"l_extendedprice",
+          $"l_quantity".cast("long").as("w"),
+          $"l_orderkey", $"l_linenumber")
+      val run = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".asc, $"l_orderkey".asc,
+          $"l_linenumber".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy($"l_returnflag")
+      li.select($"l_returnflag", $"l_extendedprice",
+          sum($"w").over(run).as("cw"), sum($"w").over(tot).as("tw"))
+        .groupBy("l_returnflag")
+        .agg(min($"tw").as("total_weight"),
+          min(when(lit(2) * $"cw" >= $"tw", $"l_extendedprice"))
+            .as("weighted_median"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH c AS (SELECT l_returnflag, l_extendedprice, " +
+      "sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag " +
+      "ORDER BY l_extendedprice, l_orderkey, l_linenumber " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
+      "sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) " +
+      "AS tw FROM lineitem) " +
+      "SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS total_weight, " +
+      "min(l_extendedprice) FILTER (WHERE 2*cw >= tw) " +
+      "AS weighted_median FROM c GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // window_cume_dist — cumulative distribution of the value signal
+  // within each event_type: cume_dist = (#rows with value ≤ mine) / n,
+  // the keyed-percentile primitive a monitoring layer thresholds on.
+  // Tied values share a cume_dist in both engines (the frame extends
+  // through the last peer), so the output is total-order-stable.
+  // ------------------------------------------------------------------
+
+  private val windowCumeDist = Q(
+    "window_cume_dist",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"value".asc)
+      Tables.events(s, d)
+        .select($"event_type", $"event_id", $"value",
+          dround(cume_dist().over(w), 6).as("cd"))
+        .orderBy("event_type", "event_id")
+    },
+    Some("SELECT event_type, event_id, value, " +
+      OSql.sround("cume_dist() OVER (PARTITION BY event_type " +
+        "ORDER BY value)", 6) + " AS cd " +
+      "FROM events ORDER BY event_type, event_id"))
+
+  // ------------------------------------------------------------------
+  // graph_degree_stats — degree histogram of the user↔active-day
+  // bipartite graph: per user the number of DISTINCT UTC days it was
+  // active on (its degree, an exact ms div 86400000 integer), then how
+  // many users sit at each degree — the activity-profile histogram an
+  // engagement report opens with. The distinct collapses map-side;
+  // every shuffle in the chain carries strictly fewer rows than the
+  // one before (events → user-days → users → degrees).
+  // ------------------------------------------------------------------
+
+  private val graphDegreeStats = Q(
+    "graph_degree_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", expr("ms div 86400000").as("day"))
+        .distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_users"))
+        .orderBy("degree")
+    },
+    Some("SELECT degree, count(*) AS n_users FROM (" +
+      "SELECT user_id, count(DISTINCT epoch_ms(ts) // 86400000) " +
+      "AS degree FROM events GROUP BY 1) GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // seq_first_touch — first-touch attribution: every user is credited
+  // to the CHANNEL of their first event (by ms, event_id), and each
+  // channel reports its cohort size, how many of its users ever
+  // purchased, and the exact purchase revenue it is credited with.
+  // The first-event pick and the purchase rollup are both per-user
+  // reductions on the same user_id hash partitioning; revenue
+  // accumulates in DECIMAL so the cross-user sum is exact.
+  // ------------------------------------------------------------------
+
+  private val seqFirstTouch = Q(
+    "seq_first_touch",
+    (s, d) => {
+      import s.implicits._
+      // ONE aggregate does both per-user reductions: the first touch is
+      // the lexicographic min of (ms, event_id, event_type) structs —
+      // (ms, event_id) is a total order, so the carried event_type is
+      // exact — and the purchase revenue is a conditional decimal sum
+      // in the same pass. One shuffle, no window sort, no join.
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(struct($"ms", $"event_id", $"event_type")).as("ft"),
+          sum(when($"event_type" === "purchase", $"value").cast(Dec))
+            .as("rev"))
+      perUser
+        .groupBy($"ft.event_type".as("channel"))
+        .agg(count(lit(1)).as("n_users"),
+          count($"rev").as("n_converted"),
+          dround(coalesce(sum($"rev"), lit(0).cast(Dec))
+            .cast("double"), 2).as("revenue"))
+        .orderBy("channel")
+    },
+    Some("WITH ft AS (SELECT user_id, event_type AS channel FROM (" +
+      "SELECT user_id, event_type, row_number() OVER (" +
+      "PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn " +
+      "FROM events) WHERE rn = 1), " +
+      "pu AS (SELECT user_id, " +
+      "SUM(CAST(value AS DECIMAL(20,6))) AS rev FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY 1) " +
+      "SELECT channel, count(*) AS n_users, " +
+      "count(rev) AS n_converted, " +
+      OSql.sround("CAST(COALESCE(SUM(rev), 0) AS DOUBLE)", 2) +
+      " AS revenue " +
+      "FROM ft LEFT JOIN pu USING (user_id) GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // cdc_snapshot_diff — snapshot-to-snapshot table diff: the per-user
+  // STATE (last event's value; an 'error' last-event is a tombstone =
+  // absent) is materialized as of two cut points T1 < T2, and every
+  // key is classified added / deleted / changed / unchanged — the
+  // audit a CDC consumer runs to reconcile two replays. BOTH states
+  // come from ONE aggregate over ONE user_id shuffle — a conditional
+  // lexicographic struct-max carries (ord, type, value) per snapshot,
+  // so the fact table is scanned once and never joined back. The
+  // ordinal packs (ms, event_id) into a single long (event_id < 1e5
+  // here; the struct-max head field could equally be the raw pair at
+  // any scale). Values diff as exact cent integers.
+  // ------------------------------------------------------------------
+
+  private val cdcSnapshotDiff = Q(
+    "cdc_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type",
+          round($"value" * 100).cast("long").as("v"),
+          ($"ms" * 1000000L + $"event_id").as("ord"), $"ms")
+      val cuts = ev.agg(
+        ((min($"ms") + max($"ms")) / 2).cast("long").as("t1"),
+        (min($"ms") + (max($"ms") - min($"ms")) * 3 / 4)
+          .cast("long").as("t2"))
+      // BOTH snapshot states come from ONE aggregate: the state is the
+      // lexicographic max of (ord, event_type, v) structs — ord =
+      // packed (ms, event_id) is a total order, so the carried type and
+      // value are exactly the last event's. No join-back to the fact
+      // table; the whole key costs one user_id shuffle.
+      val st = ev.crossJoin(broadcast(cuts))
+        .filter($"ms" <= $"t2")
+        .groupBy("user_id")
+        .agg(max(when($"ms" <= $"t1",
+            struct($"ord", $"event_type", $"v"))).as("s1"),
+          max(struct($"ord", $"event_type", $"v")).as("s2"))
+      val diff = st
+        .select($"user_id",
+          $"s1.event_type".as("tp1"), $"s1.v".as("v1"),
+          $"s2.event_type".as("tp2"), $"s2.v".as("v2"))
+        .withColumn("p1", $"tp1".isNotNull && $"tp1" =!= "error")
+        .withColumn("p2", $"tp2".isNotNull && $"tp2" =!= "error")
+        .withColumn("class",
+          when(!$"p1" && $"p2", "added")
+            .when($"p1" && !$"p2", "deleted")
+            .when($"p1" && $"p2" && $"v1" =!= $"v2", "changed")
+            .when($"p1" && $"p2", "unchanged"))
+        .filter($"class".isNotNull)
+      diff.groupBy("class")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when($"class" === "changed", $"v2" - $"v1")
+            .otherwise(lit(0L))).as("delta_cents"))
+        .orderBy("class")
+    },
+    Some("WITH ev AS (SELECT user_id, event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS v, " +
+      "epoch_ms(ts)*1000000 + event_id AS ord, epoch_ms(ts) AS ms " +
+      "FROM events), " +
+      "cuts AS (SELECT CAST((min(ms)+max(ms))/2 AS BIGINT) AS t1, " +
+      "CAST(min(ms) + (max(ms)-min(ms))*3/4 AS BIGINT) AS t2 FROM ev), " +
+      "st AS (SELECT user_id, " +
+      "max(ord) FILTER (WHERE ms <= t1) AS o1, max(ord) AS o2 " +
+      "FROM ev, cuts WHERE ms <= t2 GROUP BY 1), " +
+      "df AS (SELECT st.user_id, " +
+      "(a.event_type IS NOT NULL AND a.event_type <> 'error') AS p1, " +
+      "(b.event_type IS NOT NULL AND b.event_type <> 'error') AS p2, " +
+      "a.v AS v1, b.v AS v2 FROM st " +
+      "LEFT JOIN ev a ON st.user_id = a.user_id AND st.o1 = a.ord " +
+      "LEFT JOIN ev b ON st.user_id = b.user_id AND st.o2 = b.ord), " +
+      "cl AS (SELECT CASE " +
+      "WHEN NOT p1 AND p2 THEN 'added' " +
+      "WHEN p1 AND NOT p2 THEN 'deleted' " +
+      "WHEN p1 AND p2 AND v1 <> v2 THEN 'changed' " +
+      "WHEN p1 AND p2 THEN 'unchanged' END AS class, v1, v2 FROM df) " +
+      "SELECT class, count(*) AS n_keys, " +
+      "CAST(SUM(CASE WHEN class = 'changed' THEN v2 - v1 ELSE 0 END) " +
+      "AS BIGINT) AS delta_cents FROM cl WHERE class IS NOT NULL " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // sample_temperature — temperature-flattened domain mixture (the
+  // multinomial α-reweighting multilingual/multi-domain training runs
+  // use, α = 0.5 here): domain size (Σ n_chars per source) →
+  // w = size^α → share = w / Σw → expected docs out of a 1000-doc
+  // epoch. α = 0.5 is spelled sqrt() — correctly rounded IEEE in any
+  // engine — and each w is rounded to 6 decimals BEFORE the
+  // normalization sum, which then runs in exact DECIMAL over the
+  // bounded domain table: order-independent on any cluster (a raw
+  // float Σw would be partition-order-dependent).
+  // ------------------------------------------------------------------
+
+  private val sampleTemperature = Q(
+    "sample_temperature",
+    (s, d) => {
+      import s.implicits._
+      val dom = Tables.t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sz"))
+        .withColumn("w", dround(sqrt($"sz".cast("double")), 6).cast(Dec))
+      val tot = dom.agg(sum($"w").cast("double").as("tw"))
+      dom.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"sz",
+          dround($"w".cast("double") / $"tw", 6).as("share"))
+        .withColumn("expected_docs",
+          floor($"share" * 1000 + 0.5).cast("long"))
+        .orderBy("source")
+    },
+    Some("WITH dom AS (SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS sz, " +
+      "CAST(" + OSql.sround("sqrt(CAST(sum(n_chars) AS DOUBLE))", 6) +
+      " AS DECIMAL(20,6)) AS w FROM documents GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM dom) " +
+      "SELECT source, n_docs, sz, " +
+      OSql.sround("CAST(w AS DOUBLE) / tw", 6) + " AS share, " +
+      "CAST(floor(" + OSql.sround("CAST(w AS DOUBLE) / tw", 6) +
+      " * 1000 + 0.5) AS BIGINT) AS expected_docs " +
+      "FROM dom, tot ORDER BY source"))
+
+  // ------------------------------------------------------------------
+  // scan_json_badrecords — the batch dead-letter path (reference A3's
+  // PERMISSIVE parse as a first-class scan): a deterministic 1-in-7
+  // corruption (leading '{' stripped) models archive rot, the strict-
+  // schema parse nulls out exactly the bad rows instead of failing the
+  // job, and the per-type report counts parsed vs dead-letter rows
+  // plus the parsed-k checksum. Parse failures are counted map-side —
+  // no row is ever thrown to the driver.
+  // ------------------------------------------------------------------
+
+  private val scanJsonBadrecords = Q(
+    "scan_json_badrecords",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_type", $"event_id",
+          when($"event_id" % 7 === 0, expr("substring(props, 2)"))
+            .otherwise($"props").as("raw"))
+      val parsed = ev.select($"event_type",
+        from_json($"raw", StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      parsed.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"k").as("n_parsed"),
+          (count(lit(1)) - count($"k")).as("n_dead_letter"),
+          sum($"k".cast("long")).as("k_sum"))
+        .orderBy("event_type")
+    },
+    Some("WITH raw AS (SELECT event_type, " +
+      "CASE WHEN event_id % 7 = 0 THEN substring(props, 2) " +
+      "ELSE props END AS raw FROM events), " +
+      "p AS (SELECT event_type, CASE WHEN json_valid(raw) THEN " +
+      "CAST(json_extract(raw, '$.k') AS INTEGER) END AS k FROM raw) " +
+      "SELECT event_type, count(*) AS n_rows, count(k) AS n_parsed, " +
+      "count(*) - count(k) AS n_dead_letter, " +
+      "CAST(sum(k) AS BIGINT) AS k_sum " +
+      "FROM p GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(
+    aggSkewKurtosis, aggWeightedMedian, windowCumeDist, graphDegreeStats,
+    seqFirstTouch, cdcSnapshotDiff, sampleTemperature, scanJsonBadrecords)
+}
