@@ -398,7 +398,323 @@ object StatOps {
       "CAST(sum(k) AS BIGINT) AS k_sum " +
       "FROM p GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // window_zscore_rolling — rolling anomaly detection: each event
+  // scored against the TRAILING 20-event window of its own user's
+  // stream (the online monitoring shape, vs anomaly_zscore's global
+  // per-type baseline). The entire statistic is integer until the last
+  // step: with frame sums s1=Σv, s2=Σv² over exact cents,
+  // z = (n·v − s1) / sqrt(n·s2 − s1²) — numerator and radicand are
+  // exact longs, so the score is one division and one
+  // correctly-rounded sqrt: bit-deterministic in any engine, immune
+  // to windowed-float re-association (DuckDB's segment-tree window
+  // aggregation re-associates sums — exact integers don't care).
+  // Keyed window: one user_id hash shuffle, bounded per-key state.
+  // ------------------------------------------------------------------
+
+  private val windowZscoreRolling = Q(
+    "window_zscore_rolling",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ms",
+          round($"value" * 100).cast("long").as("v"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc, $"event_id".asc)
+        .rowsBetween(-19, Window.currentRow)
+      ev.select($"user_id", $"event_id", $"v",
+          count(lit(1)).over(w).as("n"),
+          sum($"v").over(w).as("s1"),
+          sum($"v" * $"v").over(w).as("s2"))
+        .filter($"n" >= 10 && $"n" * $"s2" - $"s1" * $"s1" > 0)
+        .withColumn("z", ($"n" * $"v" - $"s1").cast("double")
+          / sqrt(($"n" * $"s2" - $"s1" * $"s1").cast("double")))
+        .filter(abs($"z") > 2.0)
+        .select($"user_id", $"event_id", $"v", $"n".cast("long").as("n"),
+          dround($"z", 6).as("z"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "f AS (SELECT user_id, event_id, v, " +
+      "CAST(count(*) OVER fr AS BIGINT) AS n, " +
+      "CAST(sum(v) OVER fr AS BIGINT) AS s1, " +
+      "CAST(sum(v*v) OVER fr AS BIGINT) AS s2 FROM b " +
+      "WINDOW fr AS (PARTITION BY user_id ORDER BY ms, event_id " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+      "z AS (SELECT user_id, event_id, v, n, " +
+      "CAST(n*v - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) " +
+      "AS zr FROM f WHERE n >= 10 AND n*s2 - s1*s1 > 0) " +
+      "SELECT user_id, event_id, v, n, " + OSql.sround("zr", 6) +
+      " AS z FROM z WHERE abs(zr) > 2.0 ORDER BY user_id, event_id"))
+
+  // ------------------------------------------------------------------
+  // seq_rfm_score — RFM (recency / frequency / monetary) customer
+  // segmentation WITHOUT a global ntile: per-user R/F/M reduce in one
+  // aggregate, the three quartile boundary sets come from exact
+  // interpolated percentiles of that (much smaller) user table, and
+  // each user scores 1-4 by comparing against the BROADCAST
+  // boundaries — a projection, where textbook ntile(4)×3 would funnel
+  // every user through a single-partition window three times. Scores
+  // collapse to ≤64 (r,f,m) segment cells.
+  // ------------------------------------------------------------------
+
+  private val seqRfmScore = Q(
+    "seq_rfm_score",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max($"ms").as("r"), count(lit(1)).as("f"),
+          sum(round($"value" * 100).cast("long")).as("m"))
+      val qs = per.agg(
+        percentile($"r", array(lit(0.25), lit(0.5), lit(0.75))).as("qr"),
+        percentile($"f", array(lit(0.25), lit(0.5), lit(0.75))).as("qf"),
+        percentile($"m", array(lit(0.25), lit(0.5), lit(0.75))).as("qm"))
+      def score(c: org.apache.spark.sql.Column, q: String) =
+        lit(1) + (c > col(q)(0)).cast("int") +
+          (c > col(q)(1)).cast("int") + (c > col(q)(2)).cast("int")
+      per.crossJoin(broadcast(qs))
+        .select(score($"r", "qr").as("score_r"),
+          score($"f", "qf").as("score_f"), score($"m", "qm").as("score_m"))
+        .groupBy("score_r", "score_f", "score_m")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("score_r", "score_f", "score_m")
+    },
+    Some("WITH per AS (SELECT user_id, max(epoch_ms(ts)) AS r, " +
+      "count(*) AS f, " +
+      "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS m " +
+      "FROM events GROUP BY 1), " +
+      "q AS (SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS qr, " +
+      "quantile_cont(f, [0.25, 0.5, 0.75]) AS qf, " +
+      "quantile_cont(m, [0.25, 0.5, 0.75]) AS qm FROM per), " +
+      "sc AS (SELECT " +
+      "1 + CAST(r > qr[1] AS INT) + CAST(r > qr[2] AS INT) " +
+      "+ CAST(r > qr[3] AS INT) AS score_r, " +
+      "1 + CAST(f > qf[1] AS INT) + CAST(f > qf[2] AS INT) " +
+      "+ CAST(f > qf[3] AS INT) AS score_f, " +
+      "1 + CAST(m > qm[1] AS INT) + CAST(m > qm[2] AS INT) " +
+      "+ CAST(m > qm[3] AS INT) AS score_m FROM per, q) " +
+      "SELECT score_r, score_f, score_m, count(*) AS n_users " +
+      "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"))
+
+  // ------------------------------------------------------------------
+  // dedup_url_canonical — URL canonicalization dedup (the first pass
+  // of every web-crawl pipeline): synthetic per-doc URLs carry the
+  // four classic noise variants (scheme, case, trailing slash,
+  // query/fragment junk) over a shared base so adjacent doc pairs
+  // collide after canonicalization; the chain is lower → strip scheme
+  // → strip ?/# tail → strip trailing slash (each pattern matches at
+  // most once, so Spark's replace-all and DuckDB's replace-first
+  // agree), keeper = min doc_id per canonical key. Shuffle carries
+  // (canonical, doc_id) only.
+  // ------------------------------------------------------------------
+
+  private val dedupUrlCanonical = Q(
+    "dedup_url_canonical",
+    (s, d) => {
+      import s.implicits._
+      val base = expr("doc_id div 2").cast("string")
+      val docs = Tables.t(s, d, "documents")
+        .select($"doc_id", $"source",
+          when($"doc_id" % 4 === 0,
+            concat(lit("https://site"), base, lit(".com/p")))
+            .when($"doc_id" % 4 === 1,
+              concat(lit("http://SITE"), base, lit(".COM/p/")))
+            .when($"doc_id" % 4 === 2,
+              concat(lit("https://site"), base, lit(".com/p?utm_source=feed")))
+            .otherwise(concat(lit("https://site"), base, lit(".com/p#frag")))
+            .as("url"))
+      val canon = docs.withColumn("c",
+        regexp_replace(regexp_replace(regexp_replace(
+          lower($"url"), "^https?://", ""), "[?#].*$", ""), "/$", ""))
+      val keeper = canon.groupBy("c").agg(min($"doc_id").as("keep_id"))
+      canon.join(keeper, Seq("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(($"doc_id" === $"keep_id").cast("long")).as("n_kept"))
+        .orderBy("source")
+    },
+    Some("WITH u AS (SELECT doc_id, source, CASE doc_id % 4 " +
+      "WHEN 0 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p' " +
+      "WHEN 1 THEN 'http://SITE' || CAST(doc_id // 2 AS VARCHAR) || '.COM/p/' " +
+      "WHEN 2 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p?utm_source=feed' " +
+      "ELSE 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p#frag' " +
+      "END AS url FROM documents), " +
+      "c AS (SELECT doc_id, source, regexp_replace(regexp_replace(" +
+      "regexp_replace(lower(url), '^https?://', ''), '[?#].*$', ''), " +
+      "'/$', '') AS c FROM u), " +
+      "k AS (SELECT c, min(doc_id) AS keep_id FROM c GROUP BY 1) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_kept FROM c JOIN k USING (c) GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // agg_gini_diversity — per-user Gini impurity of the event_type
+  // distribution: 1 − Σpᵢ² = (n² − Σcntᵢ²)/n², the diversity measure
+  // chosen over Shannon entropy DELIBERATELY (entropy needs per-term
+  // logs — not correctly-rounded-guaranteed across libm
+  // implementations; Gini is pure rational arithmetic on exact
+  // counts, one division at the end — bit-deterministic anywhere;
+  // same stance as text_lexical_diversity's TTR-over-entropy call).
+  // Two chained aggs on the same user_id partitioning.
+  // ------------------------------------------------------------------
+
+  private val aggGiniDiversity = Q(
+    "agg_gini_diversity",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(sum($"cnt").as("n"), sum($"cnt" * $"cnt").as("sq"))
+        .select($"user_id", $"n".cast("long").as("n"),
+          dround(($"n" * $"n" - $"sq").cast("double")
+            / ($"n" * $"n").cast("double"), 6).as("gini"))
+        .orderBy("user_id")
+    },
+    Some("WITH c AS (SELECT user_id, event_type, count(*) AS cnt " +
+      "FROM events GROUP BY 1, 2), " +
+      "g AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n, " +
+      "CAST(sum(cnt*cnt) AS BIGINT) AS sq FROM c GROUP BY 1) " +
+      "SELECT user_id, n, " +
+      OSql.sround("CAST(n*n - sq AS DOUBLE) / CAST(n*n AS DOUBLE)", 6) +
+      " AS gini FROM g ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // topk_windowed — top-2 event types per tumbling hour (the rolling
+  // leaderboard a monitoring dashboard renders): exact hour bucket
+  // ms div 3600000, per-(hour, type) counts collapse map-side, the
+  // rank window partitions BY HOUR — distributed across buckets,
+  // never a global sort; ties break by event_type for a total order.
+  // ------------------------------------------------------------------
+
+  private val topkWindowed = Q(
+    "topk_windowed",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .select(expr("ms div 3600000").as("hr"), $"event_type")
+        .groupBy("hr", "event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"hr")
+        .orderBy($"cnt".desc, $"event_type".asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .orderBy("hr", "rn")
+    },
+    Some("WITH c AS (SELECT epoch_ms(ts) // 3600000 AS hr, event_type, " +
+      "count(*) AS cnt FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT hr, event_type, cnt, row_number() OVER (" +
+      "PARTITION BY hr ORDER BY cnt DESC, event_type ASC) AS rn FROM c) " +
+      "SELECT hr, event_type, cnt, rn FROM r WHERE rn <= 2 " +
+      "ORDER BY hr, rn"))
+
+  // ------------------------------------------------------------------
+  // join_temporal_dim — point-in-time dimensional join (the consumer
+  // of every SCD2 history): profile events (signup/error) define a
+  // user's tier over half-open validity intervals [ms, next-ms) via
+  // lead(), and each purchase joins to the tier IN EFFECT AT ITS
+  // EVENT TIME. The join is an EQUI-join on user_id with the interval
+  // check as a residual predicate — hash-partitionable on the key
+  // (per-user interval sets are small), never a theta-only join.
+  // Intervals partition time per user, so each purchase matches at
+  // most one dim row; pre-first-profile purchases survive the left
+  // join as the 'none' tier.
+  // ------------------------------------------------------------------
+
+  private val joinTemporalDim = Q(
+    "join_temporal_dim",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val wd = Window.partitionBy($"user_id")
+        .orderBy($"valid_from".asc, $"event_id".asc)
+      val dim = ev.filter($"event_type".isin("signup", "error"))
+        .select($"user_id", $"ms".as("valid_from"), $"event_id",
+          floor($"value" / 100).cast("long").as("tier"))
+        .withColumn("valid_to", lead($"valid_from", 1).over(wd))
+        .drop("event_id")
+      val facts = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ms".as("pms"), $"value")
+      facts.join(dim,
+          facts("user_id") === dim("user_id") &&
+            $"pms" >= $"valid_from" &&
+            ($"valid_to".isNull || $"pms" < $"valid_to"),
+          "left")
+        .select(coalesce($"tier", lit(-1L)).as("tier"), $"value")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_purchases"),
+          moneySum($"value").as("revenue"))
+        .orderBy("tier")
+    },
+    Some("WITH ev AS (SELECT user_id, event_id, event_type, value, " +
+      "epoch_ms(ts) AS ms FROM events), " +
+      "dim AS (SELECT user_id, ms AS valid_from, " +
+      "CAST(floor(value / 100) AS BIGINT) AS tier, " +
+      "lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) " +
+      "AS valid_to FROM ev WHERE event_type IN ('signup', 'error')), " +
+      "f AS (SELECT ev.user_id, ev.ms AS pms, ev.value FROM ev " +
+      "WHERE event_type = 'purchase') " +
+      "SELECT COALESCE(dim.tier, -1) AS tier, " +
+      "count(*) AS n_purchases, " + OSql.msum("f.value") + " AS revenue " +
+      "FROM f LEFT JOIN dim ON f.user_id = dim.user_id " +
+      "AND f.pms >= dim.valid_from " +
+      "AND (dim.valid_to IS NULL OR f.pms < dim.valid_to) " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // scalar_url — the parse_url surface (host / path / query-param /
+  // fragment extraction every web-crawl pipeline runs): over the same
+  // synthetic URL fixture as dedup_url_canonical, count per lowered
+  // host the URLs carrying a utm_source query tag and a fragment.
+  // DuckDB has no parse_url, so the oracle restates the components as
+  // anchored regexps — the hash match proves the regexp spelling IS
+  // parse_url for this grammar. Single projection + map-side agg.
+  // ------------------------------------------------------------------
+
+  private val scalarUrl = Q(
+    "scalar_url",
+    (s, d) => {
+      import s.implicits._
+      val base = expr("doc_id div 2").cast("string")
+      val urls = Tables.t(s, d, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 4 === 0,
+            concat(lit("https://site"), base, lit(".com/p")))
+            .when($"doc_id" % 4 === 1,
+              concat(lit("http://SITE"), base, lit(".COM/p/")))
+            .when($"doc_id" % 4 === 2,
+              concat(lit("https://site"), base, lit(".com/p?utm_source=feed")))
+            .otherwise(concat(lit("https://site"), base, lit(".com/p#frag")))
+            .as("url"))
+      urls.select(
+          lower(expr("parse_url(url, 'HOST')")).as("host"),
+          expr("parse_url(url, 'QUERY', 'utm_source')").as("utm"),
+          expr("parse_url(url, 'REF')").as("frag"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_urls"),
+          count($"utm").as("n_query_tagged"),
+          count($"frag").as("n_fragmented"))
+        .orderBy("host")
+    },
+    Some("WITH u AS (SELECT doc_id, CASE doc_id % 4 " +
+      "WHEN 0 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p' " +
+      "WHEN 1 THEN 'http://SITE' || CAST(doc_id // 2 AS VARCHAR) || '.COM/p/' " +
+      "WHEN 2 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p?utm_source=feed' " +
+      "ELSE 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p#frag' " +
+      "END AS url FROM documents), " +
+      "p AS (SELECT lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) " +
+      "AS host, " +
+      "CASE WHEN url LIKE '%?%utm_source=%' THEN " +
+      "regexp_extract(url, '[?&]utm_source=([^&#]*)', 1) END AS utm, " +
+      "CASE WHEN url LIKE '%#%' THEN " +
+      "regexp_extract(url, '#(.*)$', 1) END AS frag FROM u) " +
+      "SELECT host, count(*) AS n_urls, count(utm) AS n_query_tagged, " +
+      "count(frag) AS n_fragmented FROM p GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     aggSkewKurtosis, aggWeightedMedian, windowCumeDist, graphDegreeStats,
-    seqFirstTouch, cdcSnapshotDiff, sampleTemperature, scanJsonBadrecords)
+    seqFirstTouch, cdcSnapshotDiff, sampleTemperature, scanJsonBadrecords,
+    windowZscoreRolling, seqRfmScore, dedupUrlCanonical, aggGiniDiversity,
+    topkWindowed, joinTemporalDim, scalarUrl)
 }

@@ -176,6 +176,168 @@ class StatSpec extends SparkSpec {
 
   // ------------------------------------------------------- dead letters
 
+  // ------------------------------------------------- rolling z-score
+
+  test("rolling z-score flags a spike against the trailing window only") {
+    // 10 warm-up events at 1.00 (zero variance → excluded), then a spike
+    val ev = (Seq.tabulate(10)(i =>
+      (i.toLong, ns(1000L + i), 1L, "t", 1.0, "{}")) :+
+      (10L, ns(2000L), 1L, "t", 100.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val rows = run("window_zscore_rolling", dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(1) === 10L) // only the spike is flagged
+    assert(rows(0).getDouble(4) > 2.0)
+  }
+
+  test("rolling z-score is silent on a constant stream") {
+    val ev = Seq.tabulate(30)(i =>
+      (i.toLong, ns(1000L + i), 1L, "t", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    assert(run("window_zscore_rolling", dir).collect().isEmpty)
+  }
+
+  // ---------------------------------------------------------- RFM
+
+  test("RFM: monetary quartiles separate four users with equal R and F") {
+    val ev = (1 to 4).flatMap { u =>
+      Seq((u * 10L, ns(1000L), u.toLong, "t", 0.0, "{}"),
+        (u * 10L + 1, ns(2000L), u.toLong, "t", u * 10.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val got = run("seq_rfm_score", dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    // same recency + frequency → score 1; m = 10..40 → scores 1..4
+    assert(got === Map((1, 1, 1) -> 1L, (1, 1, 2) -> 1L,
+      (1, 1, 3) -> 1L, (1, 1, 4) -> 1L))
+  }
+
+  test("RFM segment counts conserve the user population") {
+    val rows = run("seq_rfm_score").collect()
+    val users = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum === users)
+  }
+
+  // ------------------------------------------------ URL canonicalization
+
+  test("all four URL noise variants collapse to one canonical key") {
+    val docs = Seq(
+      (0L, "x", "en", "s1", 1L), (1L, "x", "en", "s1", 1L),
+      (2L, "x", "en", "s2", 1L), (3L, "x", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val got = run("dedup_url_canonical", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc pair (0,1) shares base 0 (scheme/case/slash noise), pair (2,3)
+    // shares base 1 (?utm / #frag noise) — one keeper per pair
+    assert(got === Map("s1" -> ((2L, 1L)), "s2" -> ((2L, 1L))))
+  }
+
+  test("URL dedup keeps exactly one doc per shared base") {
+    val rows = run("dedup_url_canonical").collect()
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val bases = docs.select(expr("doc_id div 2")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === bases)
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+  }
+
+  // ----------------------------------------------------- Gini diversity
+
+  test("Gini: single-type user scores 0, balanced two-type user 0.5") {
+    val ev = Seq(
+      (1L, ns(1000), 1L, "a", 0.0, "{}"), (2L, ns(2000), 1L, "a", 0.0, "{}"),
+      (3L, ns(1000), 2L, "a", 0.0, "{}"), (4L, ns(2000), 2L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val got = run("agg_gini_diversity", dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 0.5))
+  }
+
+  // ---------------------------------------------------- windowed top-k
+
+  test("windowed top-k ranks by count and breaks ties alphabetically") {
+    val hr = 3600000L
+    val ev = (Seq.fill(3)("c") ++ Seq.fill(2)("b") ++ Seq.fill(2)("a") ++
+      Seq("z")).zipWithIndex.map { case (t, i) =>
+      (i.toLong, ns(hr * 5 + i), 1L, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val rows = run("topk_windowed", dir).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(1) === "c") // count 3
+    assert(rows(1).getString(1) === "a") // 2-way tie at 2 → alphabetical
+  }
+
+  // ---------------------------------------------------- temporal join
+
+  test("temporal dim join picks the tier in effect at purchase time") {
+    val ev = Seq(
+      (1L, ns(10L), 1L, "signup", 150.0, "{}"),   // tier 1, [10, 50)
+      (2L, ns(50L), 1L, "error", 250.0, "{}"),    // tier 2, [50, ∞)
+      (3L, ns(5L), 1L, "purchase", 1.0, "{}"),    // before any profile → -1
+      (4L, ns(10L), 1L, "purchase", 2.0, "{}"),   // inclusive lower bound
+      (5L, ns(49L), 1L, "purchase", 3.0, "{}"),   // still tier 1
+      (6L, ns(50L), 1L, "purchase", 4.0, "{}"),   // exclusive upper → tier 2
+      (7L, ns(100L), 1L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val got = run("join_temporal_dim", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      -1L -> ((1L, 1.0)),
+      1L -> ((2L, 5.0)),
+      2L -> ((2L, 9.0))))
+  }
+
+  // ------------------------------------------------------- parse_url
+
+  test("parse_url components: case-folded host, query tag, fragment") {
+    val docs = Seq(
+      (0L, "x", "en", "s", 1L), (1L, "x", "en", "s", 1L),
+      (2L, "x", "en", "s", 1L), (3L, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val got = run("scalar_url", dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 0,1 → site0.com (one via SITE0.COM); 2 carries ?utm, 3 #frag
+    assert(got === Map(
+      "site0.com" -> ((2L, 0L, 0L)),
+      "site1.com" -> ((2L, 1L, 1L))))
+  }
+
+  // ------------------------------------------------------- plan pins
+
+  test("plan: RFM scoring never plans a WindowExec") {
+    val plan = run("seq_rfm_score").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "broadcast-quantile scoring must not window")
+  }
+
+  test("plan: rolling z-score windows are keyed by user, never global") {
+    val plan = run("window_zscore_rolling").queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"),
+      "frame must hash-partition on user_id")
+    assert(!plan.contains("SinglePartition"),
+      "no single-partition window allowed")
+  }
+
+  test("plan: snapshot diff never joins the fact table back") {
+    val plan = run("cdc_snapshot_diff").queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "state must come from one aggregate, not a join-back")
+  }
+
+  test("plan: temporal dim join stays an equi-join on user_id") {
+    val plan = run("join_temporal_dim").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "interval check must ride a user_id equi-join, not a theta scan")
+  }
+
   test("json dead-letter path nulls exactly the corrupted rows") {
     val ev = Seq.tabulate(21)(i =>
       (i.toLong, ns(1000L + i), 1L, "t", 0.0, s"""{"k": $i}"""))
