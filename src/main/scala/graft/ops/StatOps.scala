@@ -712,9 +712,56 @@ object StatOps {
       "SELECT host, count(*) AS n_urls, count(utm) AS n_query_tagged, " +
       "count(frag) AS n_fragmented FROM p GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // window_ewma — exponentially weighted moving average with α = 1/2
+  // over each user's last 8 events: the smoothing filter telemetry
+  // dashboards run, spelled so it is BIT-EXACT. The taps 2⁻ⁱ are exact
+  // binary fractions and v·2⁻ⁱ only shifts the exponent of an exact
+  // ≤16-bit cent integer, so the 8-term weighted sum needs ≤24
+  // mantissa bits — EXACT in IEEE double in any summation order; the
+  // normalizer 255/128 is exact too, leaving ONE rounded division.
+  // (A general-α EWMA sums inexact products — the same cross-engine
+  // hazard agg_gini_diversity documents; α = 1/2 dissolves it.)
+  // Eight lag() taps share one (user_id; ms, event_id) window spec →
+  // ONE WindowExec after ONE hash exchange; rows without a full frame
+  // are withheld (no partial-warmup ambiguity).
+  // ------------------------------------------------------------------
+
+  private val windowEwma = Q(
+    "window_ewma",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc, $"event_id".asc)
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ms",
+          round($"value" * 100).cast("long").as("v"))
+      val taps = (0 to 7).map(i =>
+        lag($"v", i).over(w).cast("double") * lit(math.pow(0.5, i)))
+      ev.withColumn("ws", taps.reduce(_ + _))
+        .withColumn("tail", lag($"v", 7).over(w))
+        .filter($"tail".isNotNull)
+        .select($"user_id", $"event_id",
+          dround($"ws" / (lit(255.0) / lit(128.0)) / lit(100.0), 6)
+            .as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "l AS (SELECT user_id, event_id, " +
+      (0 to 7).map(i =>
+        s"CAST(lag(v, $i) OVER fr AS DOUBLE) AS v$i").mkString(", ") +
+      " FROM b WINDOW fr AS (PARTITION BY user_id " +
+      "ORDER BY ms, event_id)) " +
+      "SELECT user_id, event_id, " +
+      OSql.sround("(" + (0 to 7).map(i =>
+        s"v$i * ${1.0 / (1 << i)}").mkString(" + ") +
+        ") / (255.0/128.0) / 100.0", 6) + " AS ewma " +
+      "FROM l WHERE v7 IS NOT NULL ORDER BY user_id, event_id"))
+
   val qs: Seq[Q] = Seq(
     aggSkewKurtosis, aggWeightedMedian, windowCumeDist, graphDegreeStats,
     seqFirstTouch, cdcSnapshotDiff, sampleTemperature, scanJsonBadrecords,
     windowZscoreRolling, seqRfmScore, dedupUrlCanonical, aggGiniDiversity,
-    topkWindowed, joinTemporalDim, scalarUrl)
+    topkWindowed, joinTemporalDim, scalarUrl, windowEwma)
 }

@@ -262,6 +262,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weighted median equals a reference cumulative-weight fold on random groups") {
+    // random (flag, price-cents, weight) groups through the REAL query
+    // fn vs a driver-side reference: sort by (price, orderkey,
+    // linenumber), first price whose running weight W has 2W ≥ T — the
+    // law the one-exchange dual-frame plan must preserve
+    val groupGen = for {
+      n <- Gen.chooseNum(1, 60)
+      prices <- Gen.listOfN(n, Gen.chooseNum(100, 99999))
+      weights <- Gen.listOfN(n, Gen.chooseNum(1, 50))
+    } yield prices.zip(weights)
+    Gen.listOfN(5, groupGen).sample.getOrElse(Nil).zipWithIndex.foreach {
+      case (rows, gi) =>
+        val flag = ('A' + gi).toChar.toString
+        val li = rows.zipWithIndex.map { case ((p, w), i) =>
+          (flag, p / 100.0, w.toDouble, i.toLong, i) }
+          .toDF("l_returnflag", "l_extendedprice", "l_quantity",
+            "l_orderkey", "l_linenumber")
+        val dir = stageTables("lineitem" -> li)
+        val got = run("agg_weighted_median", dir).collect()
+          .map(r => (r.getLong(1), r.getDouble(2))).head
+        val sorted = rows.zipWithIndex
+          .sortBy { case ((p, _), i) => (p, i) }
+        val total = sorted.map(_._1._2.toLong).sum
+        val (cum, med) = sorted.foldLeft((0L, Option.empty[Int])) {
+          case ((c, found), ((p, w), _)) =>
+            val c2 = c + w
+            (c2, found.orElse(if (2 * c2 >= total) Some(p) else None))
+        }
+        assert(cum === total)
+        assert(got === ((total, med.get / 100.0)))
+    }
+  }
+
+  test("EWMA equals the exact 8-tap reference fold on random streams") {
+    // α = 1/2 makes every term an exact double, so the engine output
+    // must BIT-match a driver-side fold of the same taps — and sit
+    // inside the hull of its frame
+    val streamGen = for {
+      n <- Gen.chooseNum(8, 60)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0, 56021))
+    } yield vs
+    Gen.listOfN(5, streamGen).sample.getOrElse(Nil).foreach { vs =>
+      val ev = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, i * 1000000000L, 1L, "t", v / 100.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = stageTables("events" -> ev)
+      val got = run("window_ewma", dir).collect()
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      val expect = (7 until vs.length).map { i =>
+        val frame = (0 to 7).map(k => vs(i - k).toDouble)
+        val ws = frame.zipWithIndex.map { case (v, k) =>
+          v * math.pow(0.5, k) }.sum
+        val e = math.floor(ws / (255.0 / 128.0) / 100.0 * 1e6 + 0.5) / 1e6
+        val hullLo = frame.min / (100.0) - 1e-6
+        val hullHi = frame.max / (100.0) + 1e-6
+        assert(e >= hullLo && e <= hullHi)
+        i.toLong -> e
+      }.toMap
+      assert(got === expect)
+    }
+  }
+
   test("integer pagerank equals a local reference fold on random bipartite graphs (forAll)") {
     // The determinism claim behind graph_pagerank is that the scaled
     // integer recurrence has exactly ONE answer regardless of engine or

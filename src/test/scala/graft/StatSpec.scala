@@ -338,6 +338,30 @@ class StatSpec extends SparkSpec {
       "interval check must ride a user_id equi-join, not a theta scan")
   }
 
+  // ------------------------------------------------------------ EWMA
+
+  test("EWMA of a constant stream is the constant, bit-exact") {
+    val ev = Seq.tabulate(10)(i =>
+      (i.toLong, ns(1000L + i), 1L, "t", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val rows = run("window_ewma", dir).collect()
+    assert(rows.length === 3) // rows 8, 9, 10 have a full 8-tap frame
+    assert(rows.forall(_.getDouble(2) === 2.0))
+  }
+
+  test("EWMA weights decay by exact powers of two") {
+    // 7 zero events then a 1.00 spike: ewma = 1.00 / (255/128) = 128/255
+    val ev = (Seq.tabulate(7)(i =>
+      (i.toLong, ns(1000L + i), 1L, "t", 0.0, "{}")) :+
+      (7L, ns(2000L), 1L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val rows = run("window_ewma", dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getDouble(2) === 0.501961) // round6(128/255)
+  }
+
   test("json dead-letter path nulls exactly the corrupted rows") {
     val ev = Seq.tabulate(21)(i =>
       (i.toLong, ns(1000L + i), 1L, "t", 0.0, s"""{"k": $i}"""))
