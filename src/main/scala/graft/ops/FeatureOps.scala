@@ -1,0 +1,299 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** ML feature-engineering and model-fitting primitives over the
+  * relational archive — the preprocessing a training pipeline runs
+  * after curation: closed-form regression from exact sufficient
+  * statistics, per-key min-max feature scaling, the hashing-trick
+  * vectorizer, and sequential path mining. All hash-verified against
+  * DuckDB.
+  *
+  * Scale shape (the 100 TB stance, per operator):
+  *  - agg_ols2: the fact table collapses MAP-SIDE to |flags| rows of
+  *    nine exact DECIMAL moment sums; the 2×2 normal-equation solve is
+  *    a projection over that tiny aggregate (the closed form needs no
+  *    iteration and no matrix library).
+  *  - feature_minmax_scale: per-type extrema collapse map-side and
+  *    broadcast back over the fact scan — the fact table is read once
+  *    and NEVER shuffled (the anomaly_zscore layout).
+  *  - text_hashing_trick: explode → partial+final agg keyed by a
+  *    256-ary md5-prefix bucket — the shuffle carries (bucket, token)
+  *    pairs, bounded by vocabulary, never document text.
+  *  - seq_trigram_paths: two lag taps share one (user_id; ms,
+  *    event_id) window spec (ONE exchange + sort), path counts
+  *    collapse map-side, and the global top-10 is a TakeOrdered —
+  *    O(k·partitions) driver cost, no global sort.
+  */
+object FeatureOps {
+  import Det._
+
+  // ------------------------------------------------------------------
+  // agg_ols2 — two-feature ordinary least squares per returnflag:
+  // price ~ β0 + β1·quantity + β2·discount, solved in CLOSED FORM
+  // from nine exact decimal moment sums (quantity integral, price and
+  // discount 2-decimal → every cross-product is an exact ≤4-decimal
+  // value, so the DECIMAL(38,6) sums are exact and order-independent).
+  // The centered normal equations reduce to a 2×2 Cramer solve —
+  // identical double-formula text in both engines, rounded once.
+  // The single-feature sibling is agg_corr's OLS slope.
+  // ------------------------------------------------------------------
+
+  private val aggOls2 = Q(
+    "agg_ols2",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.t(s, d, "lineitem").select($"l_returnflag",
+        $"l_quantity".as("x1"), $"l_discount".as("x2"),
+        $"l_extendedprice".as("y"))
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x1".cast(Dec)).cast("double").as("sx1"),
+        sum($"x2".cast(Dec)).cast("double").as("sx2"),
+        sum($"y".cast(Dec)).cast("double").as("sy"),
+        sum(($"x1" * $"x1").cast(Dec)).cast("double").as("sx1x1"),
+        sum(($"x2" * $"x2").cast(Dec)).cast("double").as("sx2x2"),
+        sum(($"x1" * $"x2").cast(Dec)).cast("double").as("sx1x2"),
+        sum(($"x1" * $"y").cast(Dec)).cast("double").as("sx1y"),
+        sum(($"x2" * $"y").cast(Dec)).cast("double").as("sx2y"))
+      m.withColumn("a11", $"n" * $"sx1x1" - $"sx1" * $"sx1")
+        .withColumn("a12", $"n" * $"sx1x2" - $"sx1" * $"sx2")
+        .withColumn("a22", $"n" * $"sx2x2" - $"sx2" * $"sx2")
+        .withColumn("b1", $"n" * $"sx1y" - $"sx1" * $"sy")
+        .withColumn("b2", $"n" * $"sx2y" - $"sx2" * $"sy")
+        .withColumn("det", $"a11" * $"a22" - $"a12" * $"a12")
+        .withColumn("beta1", ($"a22" * $"b1" - $"a12" * $"b2") / $"det")
+        .withColumn("beta2", ($"a11" * $"b2" - $"a12" * $"b1") / $"det")
+        .select($"l_returnflag", $"n".cast("long").as("n"),
+          dround($"beta1", 6).as("beta_quantity"),
+          dround($"beta2", 6).as("beta_discount"),
+          dround(($"sy" - $"beta1" * $"sx1" - $"beta2" * $"sx2") / $"n", 6)
+            .as("beta_intercept"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH m AS (SELECT l_returnflag, " +
+      "CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx1, " +
+      "CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sx2, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sy, " +
+      "CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx1x1, " +
+      "CAST(sum(CAST(l_discount * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sx2x2, " +
+      "CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sx1x2, " +
+      "CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sx1y, " +
+      "CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sx2y " +
+      "FROM lineitem GROUP BY 1), " +
+      "c AS (SELECT l_returnflag, n, sx1, sx2, sy, " +
+      "n*sx1x1 - sx1*sx1 AS a11, n*sx1x2 - sx1*sx2 AS a12, " +
+      "n*sx2x2 - sx2*sx2 AS a22, n*sx1y - sx1*sy AS b1, " +
+      "n*sx2y - sx2*sy AS b2 FROM m), " +
+      "sv AS (SELECT l_returnflag, n, sx1, sx2, sy, " +
+      "(a22*b1 - a12*b2) / (a11*a22 - a12*a12) AS beta1, " +
+      "(a11*b2 - a12*b1) / (a11*a22 - a12*a12) AS beta2 FROM c) " +
+      "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
+      OSql.sround("beta1", 6) + " AS beta_quantity, " +
+      OSql.sround("beta2", 6) + " AS beta_discount, " +
+      OSql.sround("(sy - beta1*sx1 - beta2*sx2) / n", 6) +
+      " AS beta_intercept FROM sv ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // feature_minmax_scale — per-type min-max normalization of the value
+  // signal to [0, 1] (the feature-scaling pass before training): the
+  // per-type extrema collapse map-side to |types| rows and broadcast
+  // back over the fact scan — the fact table itself never shuffles.
+  // Exact cent integers in, ONE division out.
+  // ------------------------------------------------------------------
+
+  private val featureMinmaxScale = Q(
+    "feature_minmax_scale",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_type", $"event_id",
+          round($"value" * 100).cast("long").as("v"))
+      val ext = ev.groupBy("event_type")
+        .agg(min($"v").as("vmin"), max($"v").as("vmax"))
+      ev.join(broadcast(ext), Seq("event_type"))
+        .filter($"vmax" > $"vmin")
+        .select($"event_type", $"event_id",
+          dround(($"v" - $"vmin").cast("double")
+            / ($"vmax" - $"vmin").cast("double"), 6).as("scaled"))
+        .orderBy("event_type", "event_id")
+    },
+    Some("WITH b AS (SELECT event_type, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "e AS (SELECT event_type, min(v) AS vmin, max(v) AS vmax " +
+      "FROM b GROUP BY 1) " +
+      "SELECT event_type, event_id, " +
+      OSql.sround("CAST(v - vmin AS DOUBLE) / CAST(vmax - vmin AS DOUBLE)", 6) +
+      " AS scaled FROM b JOIN e USING (event_type) " +
+      "WHERE vmax > vmin ORDER BY event_type, event_id"))
+
+  // ------------------------------------------------------------------
+  // text_hashing_trick — the feature-hashing vectorizer (the fixed-
+  // dimension text featurizer that needs no vocabulary pass): every
+  // token maps to one of 256 buckets by md5-hex prefix — engine-
+  // portable, no integer conversion needed — and the report carries
+  // per-bucket token mass plus distinct-token load (the collision
+  // measure that sizes the hash dimension). Shuffle carries (bucket,
+  // token), bounded by vocabulary.
+  // ------------------------------------------------------------------
+
+  private val textHashingTrick = Q(
+    "text_hashing_trick",
+    (s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+        .select(substring(md5($"tok"), 1, 2).as("bucket"), $"tok")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct($"tok").as("n_distinct"))
+        .orderBy("bucket")
+    },
+    Some("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      "b AS (SELECT substring(md5(tok), 1, 2) AS bucket, tok FROM t " +
+      "WHERE length(tok) > 0) " +
+      "SELECT bucket, count(*) AS n_tokens, " +
+      "count(DISTINCT tok) AS n_distinct FROM b GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // seq_trigram_paths — the top-10 3-event behavioral paths (the
+  // next-order sibling of markov_transitions' bigrams): two lag taps
+  // over ONE (user_id; ms, event_id) window spec give each event its
+  // two predecessors, complete trigrams count map-side, and the
+  // global top-10 is a TakeOrdered with (count desc, path asc)
+  // tiebreak — no global sort anywhere.
+  // ------------------------------------------------------------------
+
+  private val seqTrigramPaths = Q(
+    "seq_trigram_paths",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", $"ms", $"event_id", $"event_type")
+        .withColumn("p1", lag($"event_type", 1).over(w))
+        .withColumn("p2", lag($"event_type", 2).over(w))
+        .filter($"p2".isNotNull)
+        .select(concat($"p2", lit(">"), $"p1", lit(">"), $"event_type")
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"path".asc)
+        .limit(10)
+    },
+    Some("WITH l AS (SELECT event_type, " +
+      "lag(event_type, 1) OVER fr AS p1, " +
+      "lag(event_type, 2) OVER fr AS p2 FROM events " +
+      "WINDOW fr AS (PARTITION BY user_id " +
+      "ORDER BY epoch_ms(ts), event_id)) " +
+      "SELECT p2 || '>' || p1 || '>' || event_type AS path, " +
+      "count(*) AS cnt FROM l WHERE p2 IS NOT NULL " +
+      "GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT 10"))
+
+  // ------------------------------------------------------------------
+  // agg_bitmap_distinct — bitmap-index distinct counting for BOUNDED
+  // domains (the roaring-bitmap pattern a warehouse uses where
+  // count-distinct state must stay O(1)): each active HOUR-OF-DAY maps
+  // to one of 24 fixed bits, per-user masks fold with bit_or
+  // (associative + commutative → any partition order), distinct
+  // active hours = popcount, and the mask itself is the behavioral
+  // signature the report groups by. Pure integer arithmetic end to
+  // end; two chained aggs, each output orders of magnitude smaller
+  // than its input.
+  // ------------------------------------------------------------------
+
+  private val aggBitmapDistinct = Q(
+    "agg_bitmap_distinct",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id",
+          expr("shiftleft(cast(1 as bigint), " +
+            "cast(ms div 3600000 % 24 as int))").as("b"))
+        .groupBy("user_id")
+        .agg(bit_or($"b").as("mask"))
+        .select($"user_id", $"mask", bit_count($"mask").cast("long")
+          .as("n_hours"))
+        .groupBy("mask", "n_hours")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("mask")
+    },
+    Some("WITH b AS (SELECT user_id, " +
+      "(CAST(1 AS BIGINT) << CAST(epoch_ms(ts) // 3600000 % 24 AS INT)) " +
+      "AS b FROM events), " +
+      "m AS (SELECT user_id, bit_or(b) AS mask FROM b GROUP BY 1) " +
+      "SELECT CAST(mask AS BIGINT) AS mask, " +
+      "CAST(bit_count(mask) AS BIGINT) AS n_hours, " +
+      "count(*) AS n_users FROM m GROUP BY 1, 2 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // seq_attribution_linear — linear multi-touch attribution (the
+  // equal-split complement of seq_first_touch's winner-takes-all):
+  // each purchase's value divides equally over the user's PRIOR
+  // non-purchase touches, so a channel's credit is Σ v_p/k_p over the
+  // (touch, purchase) pairs it appears in. Each quotient is rounded
+  // to 6dp BEFORE the cross-pair sum, which then runs in exact
+  // DECIMAL — order-independent on any cluster (the
+  // sample_temperature normalization trick). The pair join is
+  // user-keyed (touch sets are per-user bounded), never a cross-user
+  // product.
+  // ------------------------------------------------------------------
+
+  private val seqAttributionLinear = Q(
+    "seq_attribution_linear",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val touches = ev.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"event_type".as("channel"),
+          $"ms".as("tms"), $"event_id".as("tid"))
+      val purchases = ev
+        .withColumn("k",
+          count(when($"event_type" =!= "purchase", 1)).over(
+            Window.partitionBy($"user_id")
+              .orderBy($"ms".asc, $"event_id".asc)
+              .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter($"event_type" === "purchase" && $"k" > 0)
+        .select($"user_id", $"ms".as("pms"), $"event_id".as("pid"),
+          round($"value" * 100).cast("long").as("vc"), $"k")
+      touches.join(purchases, Seq("user_id"))
+        .filter($"tms" < $"pms" ||
+          ($"tms" === $"pms" && $"tid" < $"pid"))
+        .select($"channel",
+          dround($"vc".cast("double") / 100.0 / $"k", 6).cast(Dec)
+            .as("credit"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_pairs"),
+          dround(sum($"credit").cast("double"), 4).as("credit"))
+        .orderBy("channel")
+    },
+    Some("WITH ev AS (SELECT user_id, event_id, event_type, " +
+      "epoch_ms(ts) AS ms, CAST(round(value*100) AS BIGINT) AS vc " +
+      "FROM events), " +
+      "p AS (SELECT user_id, ms AS pms, event_id AS pid, vc, " +
+      "count(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER " +
+      "(PARTITION BY user_id ORDER BY ms, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS k, " +
+      "event_type FROM ev), " +
+      "pp AS (SELECT user_id, pms, pid, vc, k FROM p " +
+      "WHERE event_type = 'purchase' AND k > 0), " +
+      "t AS (SELECT user_id, event_type AS channel, ms AS tms, " +
+      "event_id AS tid FROM ev WHERE event_type <> 'purchase'), " +
+      "pair AS (SELECT channel, CAST(" +
+      OSql.sround("CAST(vc AS DOUBLE) / 100.0 / k", 6) +
+      " AS DECIMAL(20,6)) AS credit FROM t JOIN pp USING (user_id) " +
+      "WHERE tms < pms OR (tms = pms AND tid < pid)) " +
+      "SELECT channel, count(*) AS n_pairs, " +
+      OSql.sround("CAST(sum(credit) AS DOUBLE)", 4) + " AS credit " +
+      "FROM pair GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(
+    aggOls2, featureMinmaxScale, textHashingTrick, seqTrigramPaths,
+    aggBitmapDistinct, seqAttributionLinear)
+}

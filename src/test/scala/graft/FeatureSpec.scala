@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the feature-engineering wave (FeatureOps): each test stages
+  * crafted tables and runs the REAL `SparkEntry.queries` functions.
+  */
+class FeatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ns = (ms: Long) => ms * 1000000L
+
+  test("OLS recovers exact coefficients from perfectly linear data") {
+    // y = 5 + 2·quantity + 30·discount, non-collinear design
+    val pts = Seq((1.0, 0.0), (2.0, 0.0), (1.0, 0.1), (2.0, 0.1), (3.0, 0.05))
+    val li = pts.zipWithIndex.map { case ((x1, x2), i) =>
+      ("A", x1, x2, 5.0 + 2.0 * x1 + 30.0 * x2, i.toLong, i) }
+      .toDF("l_returnflag", "l_quantity", "l_discount",
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    val dir = stageTables("lineitem" -> li)
+    val r = run("agg_ols2", dir).collect()(0)
+    assert(r.getLong(1) === 5L)
+    assert(r.getDouble(2) === 2.0)   // beta_quantity
+    assert(r.getDouble(3) === 30.0)  // beta_discount
+    assert(r.getDouble(4) === 5.0)   // intercept
+  }
+
+  test("min-max scaling maps extrema to 0 and 1, excludes constant keys") {
+    val ev = Seq(
+      (1L, ns(1000), 1L, "a", 1.0, "{}"),
+      (2L, ns(2000), 1L, "a", 2.0, "{}"),
+      (3L, ns(3000), 1L, "a", 3.0, "{}"),
+      (4L, ns(1000), 1L, "flat", 9.0, "{}"),
+      (5L, ns(2000), 1L, "flat", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val rows = run("feature_minmax_scale", dir).collect()
+    val got = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
+    assert(!rows.exists(_.getString(0) == "flat")) // zero range excluded
+  }
+
+  test("hashing trick conserves token mass and routes by md5 prefix") {
+    val docs = Seq(
+      (1L, "spark spark flink", "en", "s", 1L),
+      (2L, "spark duck", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val rows = run("text_hashing_trick", dir).collect()
+    assert(rows.map(_.getLong(1)).sum === 5L) // total tokens conserved
+    // 'spark' lands in the bucket of its md5 prefix, with 3 occurrences
+    val sparkBucket = spark.sql("SELECT substring(md5('spark'), 1, 2)")
+      .collect()(0).getString(0)
+    val b = rows.find(_.getString(0) == sparkBucket).get
+    assert(b.getLong(1) >= 3L)
+  }
+
+  test("bitmap distinct: hour masks OR together and popcount the domain") {
+    val hr = 3600000L
+    val ev = Seq(
+      (1L, ns(0L), 1L, "t", 0.0, "{}"),          // hour 0 → bit 1
+      (2L, ns(2 * hr), 1L, "t", 0.0, "{}"),      // hour 2 → bit 4
+      (3L, ns(2 * hr + 5), 1L, "t", 0.0, "{}"),  // dup hour, same bit
+      (4L, ns(25 * hr), 2L, "t", 0.0, "{}"))     // hour 25 ≡ 1 → bit 2
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val got = run("agg_bitmap_distinct", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      5L -> ((2L, 1L)),   // hours {0,2}
+      2L -> ((1L, 1L))))  // hour {1}
+  }
+
+  test("linear attribution splits purchase value equally over prior touches") {
+    val ev = Seq(
+      (1L, ns(1000), 1L, "view", 0.0, "{}"),
+      (2L, ns(2000), 1L, "click", 0.0, "{}"),
+      (3L, ns(3000), 1L, "purchase", 10.0, "{}"),
+      // user 2: purchase with NO prior touch → excluded entirely
+      (4L, ns(1000), 2L, "purchase", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val got = run("seq_attribution_linear", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      "view" -> ((1L, 5.0)),
+      "click" -> ((1L, 5.0))))
+  }
+
+  test("trigram path mining counts overlapping windows in stream order") {
+    val types = Seq("a", "b", "c", "a", "b", "c")
+    val ev = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ns(1000L + i), 1L, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val rows = run("seq_trigram_paths", dir).collect()
+    assert(rows(0).getString(0) === "a>b>c")
+    assert(rows(0).getLong(1) === 2L)
+    assert(rows.map(_.getLong(1)).sum === 4L) // n − 2 trigrams total
+  }
+}
