@@ -32,6 +32,16 @@ import graft.core.{Det, OSql, Q, Tables}
   *  - agg_histogram_equidepth: exact global depth buckets via the same
   *    two-phase global-row-number machinery as window_rank_dense — a
   *    range shuffle + broadcast offsets, not a global sort-to-one-task.
+  *  - funnel_abandonment: sessionization and the per-session rollup
+  *    ride ONE user_id shuffle; outcome classes collapse to two rows.
+  *  - seq_streak_longest: distinct days → islands (integer day − rank
+  *    trick) → per-user max → histogram; every shuffle strictly
+  *    smaller than the last.
+  *  - seq_interarrival_stats: one keyed lag + grouped exact
+  *    percentiles (the agg_quantiles layout — per-type sorts, never a
+  *    global one).
+  *  - anomaly_mad: two broadcast-back passes (median, then MAD); the
+  *    fact table is scanned twice and never shuffled.
   */
 object SeqOps {
   import Det._
@@ -274,7 +284,191 @@ object SeqOps {
       "count(*) AS cnt, min(value) AS lo, max(value) AS hi " +
       "FROM r GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // funnel_abandonment — abandoned-cart analysis: each user's stream
+  // splits into 30-minute-gap sessions (the stream_session idiom),
+  // a session converts iff it contains a purchase AFTER engaging
+  // (view/click), and the report compares converted vs abandoned
+  // sessions on count, length, and exact value. One user_id shuffle
+  // carries sessionization and the per-session rollup; outcome
+  // classes collapse to two rows.
+  // ------------------------------------------------------------------
+
+  private val funnelAbandonment = Q(
+    "funnel_abandonment",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+      val run = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ms", $"event_type",
+          round($"value" * 100).cast("long").as("vc"))
+        .withColumn("gap",
+          when($"ms" - lag($"ms", 1).over(w) > 1800000L || lag($"ms", 1)
+            .over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum($"gap").over(run))
+      val perSession = sess.groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          (max($"ms") - min($"ms")).as("span_ms"),
+          max(when($"event_type".isin("view", "click"), 1L)
+            .otherwise(0L)).as("engaged"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("purchased"),
+          sum(when($"event_type" === "purchase", $"vc").otherwise(0L))
+            .as("purchase_cents"))
+        .filter($"engaged" === 1L)
+      perSession
+        .withColumn("outcome",
+          when($"purchased" === 1L, "converted").otherwise("abandoned"))
+        .groupBy("outcome")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n_events").cast("long").as("n_events"),
+          sum($"span_ms").cast("long").as("total_span_ms"),
+          sum($"purchase_cents").cast("long").as("purchase_cents"))
+        .orderBy("outcome")
+    },
+    Some("WITH ev AS (SELECT user_id, event_id, event_type, " +
+      "epoch_ms(ts) AS ms, CAST(round(value*100) AS BIGINT) AS vc " +
+      "FROM events), " +
+      "g AS (SELECT *, CASE WHEN ms - lag(ms) OVER fr > 1800000 " +
+      "OR lag(ms) OVER fr IS NULL THEN 1 ELSE 0 END AS gap FROM ev " +
+      "WINDOW fr AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+      "sid AS (SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id " +
+      "ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "CURRENT ROW) AS BIGINT) AS sid FROM g), " +
+      "ps AS (SELECT user_id, sid, count(*) AS n_events, " +
+      "max(ms) - min(ms) AS span_ms, " +
+      "max(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) " +
+      "AS engaged, " +
+      "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+      "AS purchased, " +
+      "sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) " +
+      "AS purchase_cents FROM sid GROUP BY 1, 2) " +
+      "SELECT CASE WHEN purchased = 1 THEN 'converted' " +
+      "ELSE 'abandoned' END AS outcome, count(*) AS n_sessions, " +
+      "CAST(sum(n_events) AS BIGINT) AS n_events, " +
+      "CAST(sum(span_ms) AS BIGINT) AS total_span_ms, " +
+      "CAST(sum(purchase_cents) AS BIGINT) AS purchase_cents " +
+      "FROM ps WHERE engaged = 1 GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // seq_streak_longest — longest consecutive-day activity streak per
+  // user (the retention signal engagement teams chart): distinct
+  // active days → the day − dense-day-rank difference is CONSTANT
+  // within a consecutive run (the classic islands-on-calendar trick,
+  // all integer arithmetic) → max run length per user → streak
+  // histogram. Every shuffle strictly smaller than the last.
+  // ------------------------------------------------------------------
+
+  private val seqStreakLongest = Q(
+    "seq_streak_longest",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+      val days = Tables.events(s, d)
+        .select($"user_id", expr("ms div 86400000").as("day")).distinct()
+      val streaks = days
+        .withColumn("grp", $"day" - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max($"len").as("streak"))
+      streaks.groupBy("streak").agg(count(lit(1)).as("n_users"))
+        .orderBy("streak")
+    },
+    Some("WITH days AS (SELECT DISTINCT user_id, " +
+      "epoch_ms(ts) // 86400000 AS day FROM events), " +
+      "g AS (SELECT user_id, day, day - row_number() OVER (" +
+      "PARTITION BY user_id ORDER BY day) AS grp FROM days), " +
+      "runs AS (SELECT user_id, grp, count(*) AS len FROM g " +
+      "GROUP BY 1, 2), " +
+      "st AS (SELECT user_id, max(len) AS streak FROM runs GROUP BY 1) " +
+      "SELECT CAST(streak AS BIGINT) AS streak, count(*) AS n_users " +
+      "FROM st GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // seq_interarrival_stats — SLA percentile bands of inter-event gaps
+  // per event_type: one keyed lag gives exact integer ms deltas, and
+  // p50/p90/p99 are exact interpolated percentiles per type (grouped
+  // sort over bounded per-type sets — the agg_quantiles layout, never
+  // a global sort). The latency panel every on-call dashboard opens.
+  // ------------------------------------------------------------------
+
+  private val seqInterarrivalStats = Q(
+    "seq_interarrival_stats",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type", $"user_id")
+        .orderBy($"ms".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"event_type", $"user_id", $"ms", $"event_id")
+        .withColumn("delta", $"ms" - lag($"ms", 1).over(w))
+        .filter($"delta".isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          dround(percentile($"delta", lit(0.5)), 4).as("p50_ms"),
+          dround(percentile($"delta", lit(0.9)), 4).as("p90_ms"),
+          dround(percentile($"delta", lit(0.99)), 4).as("p99_ms"))
+        .orderBy("event_type")
+    },
+    Some("WITH dl AS (SELECT event_type, " +
+      "ms - lag(ms) OVER (PARTITION BY event_type, user_id " +
+      "ORDER BY ms, event_id) AS delta FROM " +
+      "(SELECT event_type, user_id, event_id, epoch_ms(ts) AS ms " +
+      "FROM events)) " +
+      "SELECT event_type, count(*) AS n_gaps, " +
+      OSql.sround("quantile_cont(delta, 0.5)", 4) + " AS p50_ms, " +
+      OSql.sround("quantile_cont(delta, 0.9)", 4) + " AS p90_ms, " +
+      OSql.sround("quantile_cont(delta, 0.99)", 4) + " AS p99_ms " +
+      "FROM dl WHERE delta IS NOT NULL GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // anomaly_mad — robust outlier flags via Median Absolute Deviation
+  // (the heavy-tail-safe complement of anomaly_zscore's moment
+  // z-score, which an outlier itself corrupts): per-type exact median
+  // over cents → broadcast → exact |v − med| deviations → second
+  // exact median (the MAD) → flag |v − med| > 3·1.4826·MAD. Two
+  // broadcast-back passes; the fact table is scanned twice and never
+  // shuffled.
+  // ------------------------------------------------------------------
+
+  private val anomalyMad = Q(
+    "anomaly_mad",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_type", $"event_id",
+          round($"value" * 100).cast("long").as("v"))
+      val med = ev.groupBy("event_type")
+        .agg(percentile($"v", lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs($"v".cast("double") - $"med"))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile($"adev", lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter($"adev" > lit(3.0) * lit(1.4826) * $"mad")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          min($"event_id").as("first_outlier_id"))
+        .orderBy("event_type")
+    },
+    Some("WITH b AS (SELECT event_type, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "m AS (SELECT event_type, quantile_cont(v, 0.5) AS med " +
+      "FROM b GROUP BY 1), " +
+      "dv AS (SELECT b.event_type, b.event_id, " +
+      "abs(CAST(b.v AS DOUBLE) - m.med) AS adev FROM b " +
+      "JOIN m USING (event_type)), " +
+      "md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad " +
+      "FROM dv GROUP BY 1) " +
+      "SELECT dv.event_type, count(*) AS n_outliers, " +
+      "min(dv.event_id) AS first_outlier_id " +
+      "FROM dv JOIN md USING (event_type) " +
+      "WHERE dv.adev > 3.0 * 1.4826 * md.mad " +
+      "GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     seqGapIslands, markovTransitions, intervalConcurrency,
-    funnelTimeToConvert, anomalyZscore, aggHistogramEquidepth)
+    funnelTimeToConvert, anomalyZscore, aggHistogramEquidepth,
+    funnelAbandonment, seqStreakLongest, seqInterarrivalStats,
+    anomalyMad)
 }

@@ -202,4 +202,58 @@ class SqlSeqSpec extends SparkSpec {
     assert(r(0).getLong(0) === 1L, "only user 2 converts")
     assert(r(0).getLong(3) === 5000L)
   }
+
+  test("abandonment splits sessions at the 30-minute gap and requires engagement") {
+    val m = 60000L
+    val dir = stageTables("events" -> eventsDf(Seq(
+      // session 1: view → purchase (converted, span 1 min, 10.00)
+      (1L, 0L, 1L, "view", 0.0),
+      (2L, m, 1L, "purchase", 10.0),
+      // session 2 (31 min later): click only → abandoned
+      (3L, 32 * m, 1L, "click", 0.0),
+      // user 2: error-only session → not engaged, excluded
+      (4L, 0L, 2L, "error", 0.0))))
+    val got = run("funnel_abandonment", dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "converted" -> ((1L, 2L, m, 1000L)),
+      "abandoned" -> ((1L, 1L, 0L, 0L))))
+  }
+
+  test("longest streak bridges consecutive days and breaks on gaps") {
+    val day = 86400000L
+    val dir = stageTables("events" -> eventsDf(Seq(
+      // user 1 active on days 1,2,3 then 7,8 → streak 3
+      (1L, 1 * day, 1L, "view", 0.0), (2L, 2 * day, 1L, "view", 0.0),
+      (3L, 2 * day + 5, 1L, "view", 0.0), // same-day dup collapses
+      (4L, 3 * day, 1L, "view", 0.0),
+      (5L, 7 * day, 1L, "view", 0.0), (6L, 8 * day, 1L, "view", 0.0),
+      // user 2: single day → streak 1
+      (7L, 5 * day, 2L, "view", 0.0))))
+    val got = run("seq_streak_longest", dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("inter-arrival percentiles are exact over integer gaps") {
+    val dir = stageTables("events" -> eventsDf(Seq(
+      (1L, 1000L, 1L, "view", 0.0),
+      (2L, 1010L, 1L, "view", 0.0),   // delta 10
+      (3L, 1030L, 1L, "view", 0.0),   // delta 20
+      (4L, 1060L, 1L, "view", 0.0)))) // delta 30
+    val r = run("seq_interarrival_stats", dir).collect()(0)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 20.0) // exact p50 of {10,20,30}
+  }
+
+  test("MAD outliers: a constant stream flags only the spike") {
+    val dir = stageTables("events" -> eventsDf(
+      Seq.tabulate(9)(i => (i.toLong, 1000L + i, 1L, "t", 10.0)) :+
+        (9L, 5000L, 1L, "t", 100.0)))
+    val r = run("anomaly_mad", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 1L) // only the 100.00 spike
+    assert(r(0).getLong(2) === 9L)
+  }
 }
