@@ -379,7 +379,85 @@ object CorpusOps {
       " AS top_share " +
       "FROM tf GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // tokenizer_bpe_pairs — the first iteration of BPE tokenizer
+  // training at corpus scale: the merge candidate is the most frequent
+  // ADJACENT CHARACTER PAIR inside tokens. Each token expands to its
+  // length−1 overlapping bigrams (a generate + project, zero extra
+  // shuffle beyond the pair count), counts collapse map-side, and the
+  // top-20 merge candidates come off a TakeOrdered with (cnt desc,
+  // pair asc) tiebreak — the exact work of one `merges.txt` line,
+  // distributed.
+  // ------------------------------------------------------------------
+
+  private val tokenizerBpePairs = Q(
+    "tokenizer_bpe_pairs",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc)
+        .limit(20)
+    },
+    Some("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      "ix AS (SELECT tok, unnest(range(1, length(tok))) AS i " +
+      "FROM tok WHERE length(tok) >= 2), " +
+      "p AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair FROM ix) " +
+      "SELECT pair, count(*) AS cnt FROM p GROUP BY 1 " +
+      "ORDER BY cnt DESC, pair ASC LIMIT 20"))
+
+  // ------------------------------------------------------------------
+  // corpus_perplexity_filter — CCNet-style perplexity-band filtering:
+  // per-doc unigram-LM average log-probability (the text_unigram_logprob
+  // statistic, 4dp-rounded — the rounding both engines already
+  // hash-agree on) banded into 0.5-nat buckets, reporting doc/token
+  // mass per band and the keep flag (band ≥ −8.0 nats here — the
+  // "head+middle" cut). Banding happens ON THE ROUNDED value, so band
+  // membership can only flip where the rounded statistics themselves
+  // diverge — which the base key's hash gate proves they don't.
+  // ------------------------------------------------------------------
+
+  private val corpusPerplexityFilter = Q(
+    "corpus_perplexity_filter",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum($"cnt").cast("double").as("n"))
+      val perDoc = tok.join(freq, "w")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          dround(sum(log($"cnt".cast("double") / $"n")) / count(lit(1)), 4)
+            .as("avg_logp"))
+      perDoc
+        .withColumn("band", floor($"avg_logp" * 2).cast("long"))
+        .withColumn("keep", ($"avg_logp" >= -8.0).cast("int"))
+        .groupBy("band", "keep")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("n_tokens"))
+        .orderBy("band")
+    },
+    Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents), " +
+      "f AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1), " +
+      "tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f), " +
+      "pd AS (SELECT doc_id, count(*) AS n_tok, " +
+      OSql.sround("SUM(ln(CAST(cnt AS DOUBLE) / n)) / count(*)", 4) +
+      " AS avg_logp FROM tok JOIN f USING (w), tt GROUP BY doc_id) " +
+      "SELECT CAST(floor(avg_logp * 2) AS BIGINT) AS band, " +
+      "CAST(avg_logp >= -8.0 AS INT) AS keep, count(*) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
+      "FROM pd GROUP BY 1, 2 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
-    textLexicalDiversity)
+    textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter)
 }

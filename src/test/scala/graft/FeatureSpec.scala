@@ -87,6 +87,29 @@ class FeatureSpec extends SparkSpec {
       "click" -> ((1L, 5.0))))
   }
 
+  test("BPE pair mining counts overlapping character bigrams") {
+    val docs = Seq((1L, "aaab aa", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val rows = run("tokenizer_bpe_pairs", dir).collect()
+    assert(rows(0).getString(0) === "aa") // 2 in 'aaab' + 1 in 'aa'
+    assert(rows(0).getLong(1) === 3L)
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("aa" -> 3L, "ab" -> 1L))
+  }
+
+  test("perplexity bands separate common-token from rare-token docs") {
+    val docs = Seq(
+      (1L, "x x x x", "en", "s", 7L), // ln(4/5) ≈ −0.223 → band −1
+      (2L, "q", "en", "s", 1L))       // ln(1/5) ≈ −1.609 → band −4
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val got = run("corpus_perplexity_filter", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(-1L -> ((1, 1L, 4L)), -4L -> ((1, 1L, 1L))))
+  }
+
   test("trigram path mining counts overlapping windows in stream order") {
     val types = Seq("a", "b", "c", "a", "b", "c")
     val ev = types.zipWithIndex.map { case (t, i) =>
