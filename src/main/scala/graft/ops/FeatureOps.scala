@@ -293,7 +293,36 @@ object FeatureOps {
       OSql.sround("CAST(sum(credit) AS DOUBLE)", 4) + " AS credit " +
       "FROM pair GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // agg_histogram_log2 — logarithmic (powers-of-two) value histogram
+  // per event_type for long-tailed distributions, with the log2
+  // bucket computed as length(bin(v)) — PURE INTEGER (a float
+  // ln(v)/ln(2) sits exactly on the bucket edge at every power of two
+  // — the cross-engine hazard this spelling dissolves). Counts and
+  // exact cent sums collapse map-side to |types|·~16 rows.
+  // ------------------------------------------------------------------
+
+  private val aggHistogramLog2 = Q(
+    "agg_histogram_log2",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          round($"value" * 100).cast("long").as("v"))
+        .filter($"v" > 0)
+        .withColumn("bucket", length(bin($"v")).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"v").cast("long").as("sum_cents"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("WITH b AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events) " +
+      "SELECT event_type, CAST(length(bin(v)) AS BIGINT) AS bucket, " +
+      "count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_cents " +
+      "FROM b WHERE v > 0 GROUP BY 1, 2 ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
     aggOls2, featureMinmaxScale, textHashingTrick, seqTrigramPaths,
-    aggBitmapDistinct, seqAttributionLinear)
+    aggBitmapDistinct, seqAttributionLinear, aggHistogramLog2)
 }

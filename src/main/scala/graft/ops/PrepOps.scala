@@ -199,5 +199,48 @@ object PrepOps {
       OSql.sround("CAST(SUM(CAST(quality AS DECIMAL(20,6))) AS DOUBLE) / count(*)", 4) +
       " AS avg_quality FROM q GROUP BY 1, 2 ORDER BY 1, 2"))
 
-  val qs: Seq[Q] = Seq(dedupSpanExact, corpusDocChunk, embeddingGram, corpusPrepE2e)
+  // ------------------------------------------------------------------
+  // corpus_chunk_stitch — the chunk → stitch ROUND-TRIP PROOF: docs
+  // are split into NON-overlapping 64-token chunks (the stride=window
+  // sibling of corpus_doc_chunk), re-assembled by sorting each doc's
+  // (chunk_idx, text) structs and joining with spaces, and compared
+  // byte-for-byte against the original — the losslessness guarantee a
+  // chunk-process-stitch pipeline (RAG ingestion, windowed scoring)
+  // rests on. collect_list is order-nondeterministic, so the stitch
+  // sorts the struct array BEFORE joining (the only correct spelling
+  // under parallel collection). The oracle pins the property from the
+  // ORIGINAL table (n_identical = n_docs — the sim_ann_recall
+  // own-construction gating pattern): a hash match proves the round
+  // trip dropped and duplicated nothing.
+  // ------------------------------------------------------------------
+
+  private val corpusChunkStitch = Q(
+    "corpus_chunk_stitch",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val chunks = docs
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id",
+          explode(sequence(lit(0), size($"t") - 1, lit(chunkW))).as("start"),
+          $"t")
+        .select($"doc_id", ($"start" / chunkW).cast("long").as("idx"),
+          concat_ws(" ", slice($"t", $"start" + 1, lit(chunkW))).as("c"))
+      val stitched = chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct($"idx", $"c"))), s => s("c")))
+            .as("stitched"))
+      docs.join(stitched, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(($"stitched" === $"text").cast("long")).cast("long")
+            .as("n_identical"),
+          sum($"n_chunks").cast("long").as("n_chunks"))
+    },
+    Some("SELECT count(*) AS n_docs, count(*) AS n_identical, " +
+      s"CAST(sum((len(string_split(text, ' ')) + ${chunkW - 1}) // $chunkW) " +
+      "AS BIGINT) AS n_chunks FROM documents"))
+
+  val qs: Seq[Q] = Seq(dedupSpanExact, corpusDocChunk, embeddingGram,
+    corpusPrepE2e, corpusChunkStitch)
 }

@@ -87,6 +87,31 @@ class FeatureSpec extends SparkSpec {
       "click" -> ((1L, 5.0))))
   }
 
+  test("chunk-stitch round trip is lossless and counts ceil(n/64) chunks") {
+    val long = (1 to 130).map(i => s"w$i").mkString(" ") // 130 tokens → 3 chunks
+    val docs = Seq((1L, long, "en", "s", 1L), (2L, "solo", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = stageTables("documents" -> docs)
+    val r = run("corpus_chunk_stitch", dir).collect()(0)
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 2L) // both stitched back byte-identical
+    assert(r.getLong(2) === 4L) // 3 + 1 chunks
+  }
+
+  test("log2 histogram buckets are exact at powers of two") {
+    val ev = Seq(
+      (1L, ns(1000), 1L, "t", 0.01, "{}"),  // v=1    → bucket 1
+      (2L, ns(2000), 1L, "t", 0.02, "{}"),  // v=2    → bucket 2
+      (3L, ns(3000), 1L, "t", 0.03, "{}"),  // v=3    → bucket 2
+      (4L, ns(4000), 1L, "t", 0.04, "{}"),  // v=4    → bucket 3
+      (5L, ns(5000), 1L, "t", 10.24, "{}")) // v=1024 → bucket 11
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val got = run("agg_histogram_log2", dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 11L -> 1L))
+  }
+
   test("BPE pair mining counts overlapping character bigrams") {
     val docs = Seq((1L, "aaab aa", "en", "s", 7L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
