@@ -65,8 +65,12 @@ object FeatureOps {
         .withColumn("b1", $"n" * $"sx1y" - $"sx1" * $"sy")
         .withColumn("b2", $"n" * $"sx2y" - $"sx2" * $"sy")
         .withColumn("det", $"a11" * $"a22" - $"a12" * $"a12")
-        .withColumn("beta1", ($"a22" * $"b1" - $"a12" * $"b2") / $"det")
-        .withColumn("beta2", ($"a11" * $"b2" - $"a12" * $"b1") / $"det")
+        // a collinear design has no unique solution — emit NULLs, not
+        // the engine-dependent x/0 a naked Cramer division would give
+        .withColumn("beta1",
+          when($"det" =!= 0, ($"a22" * $"b1" - $"a12" * $"b2") / $"det"))
+        .withColumn("beta2",
+          when($"det" =!= 0, ($"a11" * $"b2" - $"a12" * $"b1") / $"det"))
         .select($"l_returnflag", $"n".cast("long").as("n"),
           dround($"beta1", 6).as("beta_quantity"),
           dround($"beta2", 6).as("beta_discount"),
@@ -90,8 +94,10 @@ object FeatureOps {
       "n*sx2x2 - sx2*sx2 AS a22, n*sx1y - sx1*sy AS b1, " +
       "n*sx2y - sx2*sy AS b2 FROM m), " +
       "sv AS (SELECT l_returnflag, n, sx1, sx2, sy, " +
-      "(a22*b1 - a12*b2) / (a11*a22 - a12*a12) AS beta1, " +
-      "(a11*b2 - a12*b1) / (a11*a22 - a12*a12) AS beta2 FROM c) " +
+      "CASE WHEN a11*a22 - a12*a12 <> 0 THEN " +
+      "(a22*b1 - a12*b2) / (a11*a22 - a12*a12) END AS beta1, " +
+      "CASE WHEN a11*a22 - a12*a12 <> 0 THEN " +
+      "(a11*b2 - a12*b1) / (a11*a22 - a12*a12) END AS beta2 FROM c) " +
       "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
       OSql.sround("beta1", 6) + " AS beta_quantity, " +
       OSql.sround("beta2", 6) + " AS beta_discount, " +

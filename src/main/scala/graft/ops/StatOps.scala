@@ -76,17 +76,21 @@ object StatOps {
         // v⁴ can pass Long.Max (|v| ≤ ~5.7e4 ⇒ v⁴ ≤ ~1e19) — lift to
         // decimal BEFORE the final multiply; DuckDB mirrors via HUGEINT
         sum($"v2".cast(Dec380) * $"v2").cast("double").as("s4"))
+      // a zero-variance group has no defined shape — emit NULL, not the
+      // engine-dependent 0/0 NaN a naked division would produce
       m.withColumn("m1", $"s1" / $"n")
         .withColumn("m2", $"s2" / $"n" - $"m1" * $"m1")
         .select($"event_type", $"n".cast("long").as("n"),
           dround($"m1" / 100.0, 6).as("mean_v"),
-          dround(($"s3" / $"n" - lit(3.0) * $"m1" * ($"s2" / $"n")
-            + lit(2.0) * $"m1" * $"m1" * $"m1")
-            / ($"m2" * sqrt($"m2")), 6).as("skewness"),
-          dround(($"s4" / $"n" - lit(4.0) * $"m1" * ($"s3" / $"n")
-            + lit(6.0) * $"m1" * $"m1" * ($"s2" / $"n")
-            - lit(3.0) * $"m1" * $"m1" * $"m1" * $"m1")
-            / ($"m2" * $"m2") - lit(3.0), 6).as("kurtosis_excess"))
+          when($"m2" > 0,
+            dround(($"s3" / $"n" - lit(3.0) * $"m1" * ($"s2" / $"n")
+              + lit(2.0) * $"m1" * $"m1" * $"m1")
+              / ($"m2" * sqrt($"m2")), 6)).as("skewness"),
+          when($"m2" > 0,
+            dround(($"s4" / $"n" - lit(4.0) * $"m1" * ($"s3" / $"n")
+              + lit(6.0) * $"m1" * $"m1" * ($"s2" / $"n")
+              - lit(3.0) * $"m1" * $"m1" * $"m1" * $"m1")
+              / ($"m2" * $"m2") - lit(3.0), 6)).as("kurtosis_excess"))
         .orderBy("event_type")
     },
     Some("WITH b AS (SELECT event_type, " +
@@ -100,11 +104,13 @@ object StatOps {
       "s2/n - (s1/n)*(s1/n) AS m2 FROM m) " +
       "SELECT event_type, CAST(n AS BIGINT) AS n, " +
       OSql.sround("m1 / 100.0", 6) + " AS mean_v, " +
+      "CASE WHEN m2 > 0 THEN " +
       OSql.sround("(s3/n - 3.0*m1*(s2/n) + 2.0*m1*m1*m1) " +
-        "/ (m2 * sqrt(m2))", 6) + " AS skewness, " +
+        "/ (m2 * sqrt(m2))", 6) + " END AS skewness, " +
+      "CASE WHEN m2 > 0 THEN " +
       OSql.sround("(s4/n - 4.0*m1*(s3/n) + 6.0*m1*m1*(s2/n) " +
         "- 3.0*m1*m1*m1*m1) / (m2*m2) - 3.0", 6) +
-      " AS kurtosis_excess FROM c ORDER BY 1"))
+      " END AS kurtosis_excess FROM c ORDER BY 1"))
 
   // ------------------------------------------------------------------
   // agg_weighted_median — exact lower weighted median of

@@ -25,6 +25,20 @@ class FeatureSpec extends SparkSpec {
     assert(r.getDouble(4) === 5.0)   // intercept
   }
 
+  test("OLS on a degenerate (constant-feature) design yields NULL betas, not NaN") {
+    // discount identically zero → a22 = n·Σx2² − (Σx2)² is EXACTLY 0
+    // → singular → guarded NULLs (a merely-constant nonzero feature
+    // leaves a ~1e-17 float residue — deterministic in both engines,
+    // but not the exact zero the guard is for)
+    val li = (1 to 4).map(i =>
+      ("A", i.toDouble, 0.0, 100.0 * i, i.toLong, i))
+      .toDF("l_returnflag", "l_quantity", "l_discount",
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    val dir = stageTables("lineitem" -> li)
+    val r = run("agg_ols2", dir).collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("min-max scaling maps extrema to 0 and 1, excludes constant keys") {
     val ev = Seq(
       (1L, ns(1000), 1L, "a", 1.0, "{}"),

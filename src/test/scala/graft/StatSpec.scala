@@ -50,6 +50,16 @@ class StatSpec extends SparkSpec {
     assert(r.getDouble(4) < 0.0)         // uniform → negative excess kurtosis
   }
 
+  test("a zero-variance group yields NULL shape stats, not NaN") {
+    val ev = Seq.tabulate(5)(i =>
+      (i.toLong, ns(1000L + i), 1L, "t", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> ev)
+    val r = run("agg_skew_kurtosis", dir).collect()(0)
+    assert(r.getDouble(2) === 7.0)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("a right outlier produces positive skewness") {
     val vals = Seq(1.0, 1.0, 1.0, 1.0, 100.0)
     val ev = vals.zipWithIndex.map { case (v, i) =>
