@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Statistical inference and ML feature-engineering operators — the
+  * experimentation layer a replay consumer runs over the landed
+  * archive: two-sample hypothesis testing (A/B), categorical
+  * independence testing, leakage-safe target encoding, and
+  * market-basket association mining. All hash-verified against DuckDB.
+  *
+  * Scale shape (the 100 TB stance, per operator):
+  *  - stat_welch_ttest: the fact table collapses MAP-SIDE to
+  *    |event_types| rows of exact integer moment sums (conditional
+  *    partial+final agg, one pass, no row-level shuffle); the t/df
+  *    formulas run on the tiny aggregate only.
+  *  - stat_chi2_independence: contingency cells are a bounded
+  *    |langs|×|sources| domain — counts collapse map-side, the
+  *    zero-cell completion is a broadcast cross join of two dimension
+  *    lists, and each χ² term is integer-quantized BEFORE the
+  *    per-lang sum so the reduction is order-independent.
+  *  - feature_target_encode: category statistics (Σtarget, n per
+  *    bucket) collapse map-side to |buckets| rows and BROADCAST back
+  *    over the fact scan — the fact table is read once and never
+  *    shuffled; the leave-one-out encode is a pure projection.
+  *  - assoc_basket_lift: baskets are DISTINCT (user, type) pairs —
+  *    one hash shuffle — and the pair join is keyed on user_id with
+  *    per-user basket size bounded by |event_types|, so the
+  *    co-occurrence explosion is |U|·B² with small constant B, never
+  *    a cross join; singleton supports ride a broadcast.
+  */
+object MlStatOps {
+  import Det._
+
+  private val Dec380: DecimalType = DecimalType(38, 0)
+
+  // ------------------------------------------------------------------
+  // stat_welch_ttest — Welch's unequal-variance two-sample t-test per
+  // event_type, A/B split deterministically by user_id parity (the
+  // hash-split experiment assignment `sample_hash_split` models; parity
+  // keeps the oracle one expression). events.value is exactly
+  // 2-decimal, so v = round(value*100) is an exact integer and the
+  // conditional moment sums Σv, Σv² per arm are exact (accumulated in
+  // DECIMAL(38,0) / HUGEINT — order-independent in any engine). The
+  // t statistic and the Welch–Satterthwaite df are then double
+  // arithmetic over the six scalars with IDENTICAL formula text in
+  // both engines (left-associative, one correctly-rounded sqrt), so
+  // the dround(6) output is bit-stable. Sample variance uses the
+  // (Σv² − (Σv)²/n)/(n−1) form — exact integer numerator pieces
+  // divided once.
+  // ------------------------------------------------------------------
+
+  private val statWelchTtest = Q(
+    "stat_welch_ttest",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .select($"event_type",
+          pmod($"user_id", lit(2)).as("g"),
+          round($"value" * 100).cast("long").as("v"))
+      val m = v.groupBy("event_type").agg(
+        sum(when($"g" === 0, lit(1L)).otherwise(lit(0L))).as("na"),
+        sum(when($"g" === 1, lit(1L)).otherwise(lit(0L))).as("nb"),
+        sum(when($"g" === 0, $"v").cast(Dec380)).cast("double").as("s1a"),
+        sum(when($"g" === 0, $"v" * $"v").cast(Dec380)).cast("double").as("s2a"),
+        sum(when($"g" === 1, $"v").cast(Dec380)).cast("double").as("s1b"),
+        sum(when($"g" === 1, $"v" * $"v").cast(Dec380)).cast("double").as("s2b"))
+      // every intermediate division is conditioned on its denominator
+      // being nonzero — ANSI mode (the engine default) turns a 0
+      // divisor into a runtime error, and when() short-circuits
+      m.withColumn("ma", when($"na" > 0, $"s1a" / $"na"))
+        .withColumn("mb", when($"nb" > 0, $"s1b" / $"nb"))
+        .withColumn("sa", when($"na" > 1,
+          ($"s2a" - $"s1a" * $"s1a" / $"na") / ($"na" - 1) / $"na"))
+        .withColumn("sb", when($"nb" > 1,
+          ($"s2b" - $"s1b" * $"s1b" / $"nb") / ($"nb" - 1) / $"nb"))
+        // an arm of <2 rows has no sample variance, and two
+        // zero-variance arms have no defined t — NULL, not the
+        // engine-dependent 0/0 or ±inf a naked division would produce
+        .withColumn("ok", $"na" > 1 && $"nb" > 1 && ($"sa" + $"sb") > 0)
+        .select($"event_type", $"na", $"nb",
+          dround($"ma" / 100.0, 6).as("mean_a"),
+          dround($"mb" / 100.0, 6).as("mean_b"),
+          when($"ok",
+            dround(($"ma" - $"mb") / sqrt($"sa" + $"sb"), 6)).as("t_stat"),
+          when($"ok",
+            dround(($"sa" + $"sb") * ($"sa" + $"sb")
+              / ($"sa" * $"sa" / ($"na" - 1) + $"sb" * $"sb" / ($"nb" - 1)), 6))
+            .as("df"))
+        .orderBy("event_type")
+    },
+    Some("WITH b AS (SELECT event_type, user_id % 2 AS g, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "m AS (SELECT event_type, " +
+      "CAST(SUM(CASE WHEN g=0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN g=1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+      "CAST(SUM(CASE WHEN g=0 THEN CAST(v AS HUGEINT) END) AS DOUBLE) AS s1a, " +
+      "CAST(SUM(CASE WHEN g=0 THEN CAST(v AS HUGEINT)*v END) AS DOUBLE) AS s2a, " +
+      "CAST(SUM(CASE WHEN g=1 THEN CAST(v AS HUGEINT) END) AS DOUBLE) AS s1b, " +
+      "CAST(SUM(CASE WHEN g=1 THEN CAST(v AS HUGEINT)*v END) AS DOUBLE) AS s2b " +
+      "FROM b GROUP BY 1), " +
+      "c AS (SELECT event_type, na, nb, s1a/na AS ma, s1b/nb AS mb, " +
+      "(s2a - s1a*s1a/na) / (na-1) / na AS sa, " +
+      "(s2b - s1b*s1b/nb) / (nb-1) / nb AS sb FROM m) " +
+      "SELECT event_type, na, nb, " +
+      OSql.sround("ma / 100.0", 6) + " AS mean_a, " +
+      OSql.sround("mb / 100.0", 6) + " AS mean_b, " +
+      "CASE WHEN na > 1 AND nb > 1 AND sa + sb > 0 THEN " +
+      OSql.sround("(ma - mb) / sqrt(sa + sb)", 6) + " END AS t_stat, " +
+      "CASE WHEN na > 1 AND nb > 1 AND sa + sb > 0 THEN " +
+      OSql.sround("(sa + sb) * (sa + sb) " +
+        "/ (sa*sa/(na-1) + sb*sb/(nb-1))", 6) + " END AS df " +
+      "FROM c ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // stat_chi2_independence — Pearson χ² test of lang ⊥ source over the
+  // documents contingency table, reported as per-lang contribution rows
+  // (their sum is the global statistic; per-lang rows localize WHICH
+  // language drives dependence). The zero cells matter: a missing
+  // (lang, source) combination still contributes its full expectation
+  // e = rowTot·colTot/N, so the cell domain is the CROSS JOIN of the
+  // observed lang and source lists, left-joined to counts with
+  // coalesce(0). Each cell's (o−e)²/e is quantized to an integer
+  // (floor(x·1e6+0.5)) BEFORE the per-lang sum — the sum is then exact
+  // BIGINT arithmetic, order-independent in any engine, and the final
+  // /1e6 is a single exact division.
+  // ------------------------------------------------------------------
+
+  private val statChi2Independence = Q(
+    "stat_chi2_independence",
+    (s, d) => {
+      import s.implicits._
+      val doc = Tables.t(s, d, "documents").select($"lang", $"source")
+      val cnt = doc.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = doc.groupBy("lang").agg(count(lit(1)).as("rt"))
+      val colT = doc.groupBy("source").agg(count(lit(1)).as("ct"))
+      val n = doc.count().toDouble
+      val cells = broadcast(rowT).crossJoin(broadcast(colT))
+        .join(cnt, Seq("lang", "source"), "left")
+        .select($"lang", $"source", $"rt", $"ct",
+          coalesce($"o", lit(0L)).as("o"))
+        .withColumn("e", $"rt".cast("double") * $"ct" / lit(n))
+        .withColumn("term",
+          floor(($"o" - $"e") * ($"o" - $"e") / $"e" * lit(1e6) + lit(0.5))
+            .cast("long"))
+      cells.groupBy("lang").agg(
+          count(lit(1)).cast("long").as("n_cells"),
+          (sum($"term") / lit(1e6)).as("chi2_part"))
+        .orderBy("lang")
+    },
+    Some("WITH d AS (SELECT lang, source FROM documents), " +
+      "cnt AS (SELECT lang, source, count(*) AS o FROM d GROUP BY 1,2), " +
+      "rt AS (SELECT lang, count(*) AS rt FROM d GROUP BY 1), " +
+      "ct AS (SELECT source, count(*) AS ct FROM d GROUP BY 1), " +
+      "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d), " +
+      "cells AS (SELECT rt.lang, ct.source, rt.rt, ct.ct, " +
+      "COALESCE(cnt.o, 0) AS o FROM rt CROSS JOIN ct " +
+      "LEFT JOIN cnt ON cnt.lang = rt.lang AND cnt.source = ct.source), " +
+      "t AS (SELECT lang, CAST(floor((o - e)*(o - e)/e * 1e6 + 0.5) " +
+      "AS BIGINT) AS term FROM (SELECT lang, o, " +
+      "CAST(rt AS DOUBLE) * ct / (SELECT n FROM n) AS e FROM cells)) " +
+      "SELECT lang, CAST(count(*) AS BIGINT) AS n_cells, " +
+      "SUM(term) / 1e6 AS chi2_part FROM t GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // feature_target_encode — LEAKAGE-SAFE (leave-one-out) mean target
+  // encoding: each event's category bucket kb = props.k mod 10 is
+  // replaced by the mean target (value, in cents) of the OTHER rows in
+  // its bucket — the standard high-cardinality categorical encoder,
+  // spelled so a row never sees its own label. The per-bucket (Σv, n)
+  // table is tiny and BROADCAST back over the fact scan; the LOO value
+  // ((S−v)·1e6) div (n−1) is exact integer arithmetic (S−v ≥ 0, both
+  // engines' div/// truncate toward zero on non-negatives), so the
+  // per-event_type averages of the encodings are sums of exact longs —
+  // order-independent. A singleton bucket has no leave-one-out mean
+  // and encodes NULL.
+  // ------------------------------------------------------------------
+
+  private val featureTargetEncode = Q(
+    "feature_target_encode",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_type",
+          (get_json_object($"props", "$.k").cast("long") % 10).as("kb"),
+          round($"value" * 100).cast("long").as("v"))
+      val bucket = ev.groupBy("kb").agg(
+        sum($"v".cast(Dec380)).cast("long").as("sv"),
+        count(lit(1)).as("nk"))
+      ev.join(broadcast(bucket), "kb")
+        .withColumn("loo",
+          when($"nk" > 1, expr("((sv - v) * 1000000) div (nk - 1)")))
+        .groupBy("event_type").agg(
+          count($"loo").as("n_encoded"),
+          dround(sum($"loo").cast("double") / count($"loo") / lit(1e6) / 100.0, 6)
+            .as("avg_loo_mean"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, " +
+      "CAST(props->>'$.k' AS BIGINT) % 10 AS kb, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "b AS (SELECT kb, CAST(SUM(CAST(v AS HUGEINT)) AS BIGINT) AS sv, " +
+      "count(*) AS nk FROM e GROUP BY 1), " +
+      "l AS (SELECT event_type, CASE WHEN nk > 1 THEN " +
+      "((sv - v) * 1000000) // (nk - 1) END AS loo " +
+      "FROM e JOIN b USING (kb)) " +
+      "SELECT event_type, count(loo) AS n_encoded, " +
+      OSql.sround("CAST(SUM(loo) AS DOUBLE) / count(loo) / 1e6 / 100.0", 6) +
+      " AS avg_loo_mean FROM l GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // assoc_basket_lift — market-basket association mining over per-user
+  // event-type baskets: for every unordered type pair {a,b},
+  // support(a,b) = users with both / |U|, confidence(a→b) =
+  // P(b|a), lift = support(a,b) / (support(a)·support(b)) — lift > 1
+  // means the types co-occur more than independence predicts. Baskets
+  // are DISTINCT (user, type) pairs; the pair enumeration is a
+  // user-keyed self-join with a < b (per-user basket ≤ |types|, so the
+  // blow-up is |U|·B²/2 with B bounded — never a relation-level cross
+  // join); singleton supports and |U| are broadcast scalars. All
+  // counts are exact longs; the three ratios are single double
+  // divisions with identical text in both engines, dround(6).
+  // ------------------------------------------------------------------
+
+  private val assocBasketLift = Q(
+    "assoc_basket_lift",
+    (s, d) => {
+      import s.implicits._
+      val basket = Tables.events(s, d)
+        .select($"user_id", $"event_type").distinct()
+      val u = basket.select($"user_id").distinct().count().toDouble
+      val single = basket.groupBy("event_type").agg(count(lit(1)).as("c"))
+      val a = basket.select($"user_id", $"event_type".as("ta"))
+      val b = basket.select($"user_id", $"event_type".as("tb"))
+      a.join(b, "user_id").filter($"ta" < $"tb")
+        .groupBy("ta", "tb").agg(count(lit(1)).as("cab"))
+        .join(broadcast(single.select($"event_type".as("ta"), $"c".as("ca"))), "ta")
+        .join(broadcast(single.select($"event_type".as("tb"), $"c".as("cb"))), "tb")
+        .select($"ta", $"tb", $"cab",
+          dround($"cab".cast("double") / lit(u), 6).as("support"),
+          dround($"cab".cast("double") / $"ca", 6).as("confidence"),
+          dround($"cab".cast("double") * lit(u) / ($"ca".cast("double") * $"cb"), 6)
+            .as("lift"))
+        .orderBy("ta", "tb")
+    },
+    Some("WITH basket AS (SELECT DISTINCT user_id, event_type FROM events), " +
+      "u AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS u FROM basket), " +
+      "s AS (SELECT event_type, count(*) AS c FROM basket GROUP BY 1), " +
+      "p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS cab " +
+      "FROM basket a JOIN basket b ON a.user_id = b.user_id " +
+      "AND a.event_type < b.event_type GROUP BY 1,2) " +
+      "SELECT ta, tb, cab, " +
+      OSql.sround("CAST(cab AS DOUBLE) / (SELECT u FROM u)", 6) + " AS support, " +
+      OSql.sround("CAST(cab AS DOUBLE) / sa.c", 6) + " AS confidence, " +
+      OSql.sround("CAST(cab AS DOUBLE) * (SELECT u FROM u) " +
+        "/ (CAST(sa.c AS DOUBLE) * sb.c)", 6) + " AS lift " +
+      "FROM p JOIN s sa ON sa.event_type = ta " +
+      "JOIN s sb ON sb.event_type = tb ORDER BY 1, 2"))
+
+  val qs: Seq[Q] = Seq(
+    statWelchTtest, statChi2Independence, featureTargetEncode,
+    assocBasketLift)
+}

@@ -1,0 +1,133 @@
+package graft
+
+/** Laws for the statistical-inference / feature-engineering wave
+  * (MlStatOps): each test stages crafted tables and runs the REAL
+  * `SparkEntry.queries` functions on them.
+  */
+class MlStatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ns = (ms: Long) => ms * 1000000L
+
+  private def ev(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+    rows.map { case (id, ms, u, t, v, p) => (id, ns(ms), u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // ------------------------------------------------------- welch t-test
+
+  test("welch t-test: known two-sample case matches the closed form") {
+    // arm A (even user) = {1,2,3}, arm B (odd user) = {2,4,6}:
+    // t = (2-4)/sqrt(1/3 + 4/3) = -1.549193…, df = (5/3)²/(17/18) ≈ 2.94
+    val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1000L + i, 0L, "t", v, "{}") } ++
+      Seq(2.0, 4.0, 6.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, 2000L + i, 1L, "t", v, "{}") }
+    val r = run("stat_welch_ttest", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 4.0)
+    assert(math.abs(r.getDouble(5) - -1.549193) < 1e-5)
+    assert(math.abs(r.getDouble(6) - 2.941176) < 1e-5)
+  }
+
+  test("welch t-test: two zero-variance arms yield NULL t and df, not inf") {
+    val rows = Seq.tabulate(4)(i =>
+      (i.toLong, 1000L + i, i.toLong % 2, "t", if (i % 2 == 0) 1.0 else 2.0, "{}"))
+    val r = run("stat_welch_ttest", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("welch t-test: a single-row arm yields NULL (no sample variance)") {
+    val rows = Seq(
+      (1L, 1000L, 0L, "t", 1.0, "{}"), (2L, 1001L, 0L, "t", 5.0, "{}"),
+      (3L, 1002L, 1L, "t", 3.0, "{}"))
+    val r = run("stat_welch_ttest", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  // --------------------------------------------------- chi² independence
+
+  private def docs(rows: Seq[(Long, String, String)]) =
+    rows.map { case (id, l, s) => (id, s"text$id", l, s, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("chi²: a proportional (independent) table scores exactly zero") {
+    // counts a:(2,2) b:(3,3) — row/col products predict every cell
+    val rows =
+      Seq.tabulate(2)(i => (i.toLong, "a", "x")) ++
+        Seq.tabulate(2)(i => (10L + i, "a", "y")) ++
+        Seq.tabulate(3)(i => (20L + i, "b", "x")) ++
+        Seq.tabulate(3)(i => (30L + i, "b", "y"))
+    val got = run("stat_chi2_independence", stageTables("documents" -> docs(rows)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("a", 2L, 0.0), ("b", 2L, 0.0)))
+  }
+
+  test("chi²: a zero cell still contributes its expectation") {
+    // lang b never appears in source y — the (b, y) cell is ABSENT from
+    // the counts but must contribute e = rt·ct/N to b's statistic
+    val rows =
+      Seq.tabulate(2)(i => (i.toLong, "a", "x")) ++
+        Seq.tabulate(2)(i => (10L + i, "a", "y")) ++
+        Seq.tabulate(4)(i => (20L + i, "b", "x"))
+    val got = run("stat_chi2_independence", stageTables("documents" -> docs(rows)))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // N=8, b row: e(b,x)=4·6/8=3, o=4; e(b,y)=4·2/8=1, o=0 →
+    // contribution = 1/3 + 1 = 1.333333
+    assert(math.abs(got("b") - 1.333333) < 1e-5)
+    assert(got("a") > 0.0) // a's cells deviate symmetrically
+  }
+
+  // ----------------------------------------------------- target encoding
+
+  test("target encode: leave-one-out excludes the row's own label") {
+    // bucket 1 holds values 10 and 20 → they encode each other (20, 10);
+    // bucket 2 is a singleton → NULL (never its own label)
+    val rows = Seq(
+      (1L, 1000L, 1L, "t", 10.0, "{\"k\": 1}"),
+      (2L, 1001L, 1L, "t", 20.0, "{\"k\": 11}"), // 11 % 10 = bucket 1
+      (3L, 1002L, 1L, "t", 99.0, "{\"k\": 2}"))
+    val r = run("feature_target_encode", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 2L)              // singleton not encoded
+    assert(r.getDouble(2) === 15.0)          // mean of {20, 10}
+  }
+
+  test("target encode: averaging LOO within the bucket's own group recovers nothing leaked") {
+    // all rows share one bucket and one value — every LOO equals that
+    // value exactly (no self-inclusion bias)
+    val rows = Seq.tabulate(5)(i =>
+      (i.toLong, 1000L + i, 1L, "t", 7.0, "{\"k\": 3}"))
+    val r = run("feature_target_encode", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 5L && r.getDouble(2) === 7.0)
+  }
+
+  // ---------------------------------------------------------- basket lift
+
+  test("basket lift: perfect co-occurrence has lift U/(ca·cb); absent pairs emit no row") {
+    // u1:{A,B} u2:{A,B} u3:{A,C} — B,C never co-occur → no (B,C) row
+    val rows = Seq(
+      (1L, 1000L, 1L, "A", 1.0, "{}"), (2L, 1001L, 1L, "B", 1.0, "{}"),
+      (3L, 1002L, 2L, "A", 1.0, "{}"), (4L, 1003L, 2L, "B", 1.0, "{}"),
+      (5L, 1004L, 3L, "A", 1.0, "{}"), (6L, 1005L, 3L, "C", 1.0, "{}"))
+    val got = run("assoc_basket_lift", stageTables("events" -> ev(rows))).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq(("A", "B"), ("A", "C")))
+    val ab = got.find(t => t._1 == "A" && t._2 == "B").get._3
+    // cab=2, U=3, cA=3, cB=2: support 2/3, conf(A→B) 2/3, lift 2·3/(3·2)=1
+    assert(ab._1 === 2L)
+    assert(math.abs(ab._2 - 0.666667) < 1e-5)
+    assert(math.abs(ab._3 - 0.666667) < 1e-5)
+    assert(ab._4 === 1.0)
+  }
+
+  test("basket lift: duplicate events do not inflate the basket") {
+    // u1 fires A five times — the basket still holds one A
+    val rows = Seq.tabulate(5)(i =>
+      (i.toLong, 1000L + i, 1L, "A", 1.0, "{}")) ++ Seq(
+      (10L, 2000L, 1L, "B", 1.0, "{}"),
+      (11L, 2001L, 2L, "A", 1.0, "{}"), (12L, 2002L, 2L, "B", 1.0, "{}"))
+    val r = run("assoc_basket_lift", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(2) === 2L)   // both users co-hold {A,B} exactly once
+    assert(r.getDouble(5) === 1.0)
+  }
+}
