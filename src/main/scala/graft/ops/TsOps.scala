@@ -1,0 +1,270 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Time-series repair, forecasting, and distribution-drift operators —
+  * the monitoring layer a replay consumer runs over the landed archive:
+  * linear gap interpolation on the hourly grid, seasonal-naive
+  * forecasting with MAE scoring, population-stability drift (PSI), and
+  * hour-of-day Shannon entropy. All hash-verified against DuckDB.
+  *
+  * Scale shape (the 100 TB stance, per operator):
+  *  - ts_interpolate_linear: the fact table collapses map-side to an
+  *    (event_type, hour) grid BEFORE any window; the calendar spine is
+  *    sequence()-exploded from one bounds row per type (bounded by the
+  *    calendar, not data), and the prev/next windows are keyed by
+  *    event_type — never a global WindowExec. Interpolation is the
+  *    integer lerp (pv·(nh−h) + nv·(h−ph))·10⁶ div (nh−ph): every
+  *    operand non-negative, so truncating div agrees across engines.
+  *  - ts_forecast_snaive: history means and last-day actuals are two
+  *    conditional aggregates over the SAME (type, day, hour) grid —
+  *    one shuffle; the per-type max-day is a broadcast row.
+  *  - profile_drift_psi: era×bin counts collapse map-side to a
+  *    |types|·2·20 grid; Laplace-smoothed shares are exact rationals
+  *    evaluated with identical expression text, and each PSI term is
+  *    integer-quantized BEFORE the per-type sum (exact BIGINT
+  *    reduction, order-independent).
+  *  - agg_entropy: bucket counts collapse map-side to ≤24 rows per
+  *    type; each c·log₂c term quantizes to BIGINT before the sum.
+  *    (ln/log2 may differ by 1 ulp across engines — the same bounded
+  *    risk the unigram-LM keys carry, empirically hash-stable at all
+  *    three SFs.)
+  */
+object TsOps {
+  import Det._
+
+  private val HourMs = 3600000L
+  private val DayMs = 86400000L
+
+  // ------------------------------------------------------------------
+  // ts_interpolate_linear — repair the hourly per-type value series by
+  // LINEAR INTERPOLATION across missing hours (the telemetry-grid
+  // sibling of window_fill_forward's LOCF): the spine is every hour
+  // between a type's first and last observed hour; an absent hour gets
+  // the integer lerp between its nearest observed neighbors. The
+  // bounds come from observed data, so the spine's endpoints are
+  // always observed and every gap is interior (prev and next exist).
+  // Output is the per-type repair ledger: spine length, observed vs
+  // filled counts, and the exact sums of both populations.
+  // ------------------------------------------------------------------
+
+  private val tsInterpolateLinear = Q(
+    "ts_interpolate_linear",
+    (s, d) => {
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .select($"event_type", expr("ms div 3600000").as("h"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val bounds = hourly.groupBy("event_type")
+        .agg(min($"h").as("h0"), max($"h").as("h1"))
+      val spine = bounds.select($"event_type",
+        explode(sequence($"h0", $"h1")).as("h"))
+      val j = spine.join(hourly, Seq("event_type", "h"), "left")
+      val ord = Window.partitionBy($"event_type").orderBy($"h".asc)
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val marked = j.select($"event_type", $"h", $"v",
+        last($"v", ignoreNulls = true).over(back).as("pv"),
+        last(when($"v".isNotNull, $"h"), ignoreNulls = true).over(back).as("ph"),
+        first($"v", ignoreNulls = true).over(fwd).as("nv"),
+        first(when($"v".isNotNull, $"h"), ignoreNulls = true).over(fwd).as("nh"))
+      marked
+        .withColumn("fill", when($"v".isNull,
+          expr("((pv * (nh - h) + nv * (h - ph)) * 1000000) div (nh - ph)")))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_hours"),
+          count($"v").as("n_obs"),
+          count($"fill").as("n_filled"),
+          dround(sum($"v").cast("double") / 100.0, 2).as("obs_total"),
+          dround(sum($"fill").cast("double") / 1e6 / 100.0, 4).as("filled_total"))
+        .orderBy("event_type")
+    },
+    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+      "bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 " +
+      "FROM hourly GROUP BY 1), " +
+      "spine AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h " +
+      "FROM bounds), " +
+      "j AS (SELECT s.event_type, s.h, hourly.v FROM spine s " +
+      "LEFT JOIN hourly ON hourly.event_type = s.event_type AND hourly.h = s.h), " +
+      "m AS (SELECT event_type, h, v, " +
+      "last_value(v IGNORE NULLS) OVER w_back AS pv, " +
+      "last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) " +
+      "OVER w_back AS ph, " +
+      "first_value(v IGNORE NULLS) OVER w_fwd AS nv, " +
+      "first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) " +
+      "OVER w_fwd AS nh FROM j " +
+      "WINDOW w_back AS (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+      "w_fwd AS (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), " +
+      "f AS (SELECT event_type, h, v, CASE WHEN v IS NULL THEN " +
+      "((pv * (nh - h) + nv * (h - ph)) * 1000000) // (nh - ph) END AS fill " +
+      "FROM m) " +
+      "SELECT event_type, count(*) AS n_hours, count(v) AS n_obs, " +
+      "count(fill) AS n_filled, " +
+      OSql.sround("CAST(SUM(v) AS DOUBLE) / 100.0", 2) + " AS obs_total, " +
+      OSql.sround("CAST(SUM(fill) AS DOUBLE) / 1e6 / 100.0", 4) +
+      " AS filled_total FROM f GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // ts_forecast_snaive — seasonal-naive forecast with MAE scoring: the
+  // LAST archive day of each type is forecast hour-by-hour from the
+  // mean of the same hour-of-day over all PRIOR days (the hourly
+  // seasonal profile — the baseline every forecasting deployment must
+  // beat). History means are exact integer divisions (S·10⁶ div n,
+  // non-negative) and the per-hour absolute errors are exact BIGINTs,
+  // so the MAE is a single final division. Hours of the last day with
+  // no prior-day observation are unscorable and excluded (n_scored
+  // reports how many survive).
+  // ------------------------------------------------------------------
+
+  private val tsForecastSnaive = Q(
+    "ts_forecast_snaive",
+    (s, d) => {
+      import s.implicits._
+      val grid = Tables.events(s, d)
+        .select($"event_type", expr("ms div 86400000").as("day"),
+          expr("(ms div 3600000) % 24").as("hod"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "day", "hod").agg(sum($"c").as("v"))
+      val maxd = grid.groupBy("event_type").agg(max($"day").as("maxd"))
+      val g = grid.join(broadcast(maxd), "event_type")
+      val hist = g.filter($"day" < $"maxd")
+        .groupBy("event_type", "hod")
+        .agg(expr("(sum(v) * 1000000) div count(v)").as("fc"))
+      val lastDay = g.filter($"day" === $"maxd")
+        .select($"event_type", $"hod", $"v".as("actual"))
+      lastDay.join(hist, Seq("event_type", "hod"))
+        .withColumn("err", abs($"actual" * lit(1000000L) - $"fc"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_scored"),
+          dround(sum($"actual").cast("double") / 100.0, 2).as("actual_total"),
+          dround(sum($"err").cast("double") / count(lit(1)) / 1e6 / 100.0, 4)
+            .as("mae"))
+        .orderBy("event_type")
+    },
+    Some("WITH grid AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+      "(epoch_ms(ts) // 3600000) % 24 AS hod, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2,3), " +
+      "maxd AS (SELECT event_type, max(day) AS maxd FROM grid GROUP BY 1), " +
+      "g AS (SELECT grid.*, maxd.maxd FROM grid JOIN maxd USING (event_type)), " +
+      "hist AS (SELECT event_type, hod, " +
+      "(SUM(v) * 1000000) // count(v) AS fc FROM g WHERE day < maxd " +
+      "GROUP BY 1,2), " +
+      "s AS (SELECT g.event_type, g.v AS actual, " +
+      "abs(g.v * 1000000 - hist.fc) AS err FROM g " +
+      "JOIN hist ON hist.event_type = g.event_type AND hist.hod = g.hod " +
+      "WHERE g.day = g.maxd) " +
+      "SELECT event_type, count(*) AS n_scored, " +
+      OSql.sround("CAST(SUM(actual) AS DOUBLE) / 100.0", 2) + " AS actual_total, " +
+      OSql.sround("CAST(SUM(err) AS DOUBLE) / count(*) / 1e6 / 100.0", 4) +
+      " AS mae FROM s GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // profile_drift_psi — Population Stability Index between two archive
+  // eras (split by event_id parity — the deterministic A/B the other
+  // stat keys use), per event_type: values bucket into 20 fixed-width
+  // $50 bins (top bin open), counts get Laplace +1 smoothing so empty
+  // bins stay finite, and PSI = Σ (pa−pb)·ln(pa/pb) over the COMPLETE
+  // bin spine (absent bins still contribute through smoothing). The
+  // smoothed shares are exact rationals evaluated with identical
+  // expression text; each term quantizes to BIGINT·1e8 before the sum.
+  // PSI < 0.1 is the classic "no drift" read — the parity split is
+  // null by construction, making small values the expected output.
+  // ------------------------------------------------------------------
+
+  private val profileDriftPsi = Q(
+    "profile_drift_psi",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type", ($"event_id" % 2).as("era"),
+          least(expr("cast(round(value * 100) as long) div 5000"), lit(19L)).as("bin"))
+      val counts = e.groupBy("event_type", "era", "bin").agg(count(lit(1)).as("c"))
+      val spine = e.select($"event_type").distinct()
+        .select($"event_type", explode(sequence(lit(0L), lit(19L))).as("bin"))
+      val wide = spine
+        .join(counts.filter($"era" === 0).select($"event_type", $"bin", $"c".as("ca")),
+          Seq("event_type", "bin"), "left")
+        .join(counts.filter($"era" === 1).select($"event_type", $"bin", $"c".as("cb")),
+          Seq("event_type", "bin"), "left")
+        .select($"event_type", $"bin",
+          coalesce($"ca", lit(0L)).as("ca"), coalesce($"cb", lit(0L)).as("cb"))
+      val tot = wide.groupBy("event_type")
+        .agg(sum($"ca").as("ta"), sum($"cb").as("tb"))
+      wide.join(broadcast(tot), "event_type")
+        .withColumn("pa", ($"ca" + lit(1)).cast("double") / ($"ta" + lit(20)))
+        .withColumn("pb", ($"cb" + lit(1)).cast("double") / ($"tb" + lit(20)))
+        .withColumn("term",
+          floor(($"pa" - $"pb") * log($"pa" / $"pb") * lit(1e8) + lit(0.5))
+            .cast("long"))
+        .groupBy("event_type").agg(
+          sum($"ca").as("n_a"), sum($"cb").as("n_b"),
+          (sum($"term") / lit(1e8)).as("psi"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, event_id % 2 AS era, " +
+      "least(CAST(round(value*100) AS BIGINT) // 5000, 19) AS bin FROM events), " +
+      "counts AS (SELECT event_type, era, bin, count(*) AS c " +
+      "FROM e GROUP BY 1,2,3), " +
+      "spine AS (SELECT event_type, unnest(generate_series(0, 19)) AS bin " +
+      "FROM (SELECT DISTINCT event_type FROM e)), " +
+      "wide AS (SELECT s.event_type, s.bin, " +
+      "COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb FROM spine s " +
+      "LEFT JOIN counts a ON a.event_type = s.event_type AND a.bin = s.bin " +
+      "AND a.era = 0 " +
+      "LEFT JOIN counts b ON b.event_type = s.event_type AND b.bin = s.bin " +
+      "AND b.era = 1), " +
+      "tot AS (SELECT event_type, SUM(ca) AS ta, SUM(cb) AS tb " +
+      "FROM wide GROUP BY 1), " +
+      "t AS (SELECT w.event_type, w.ca, w.cb, " +
+      "CAST(floor((pa - pb) * ln(pa / pb) * 1e8 + 0.5) AS BIGINT) AS term " +
+      "FROM (SELECT w.*, CAST(w.ca + 1 AS DOUBLE) / (tot.ta + 20) AS pa, " +
+      "CAST(w.cb + 1 AS DOUBLE) / (tot.tb + 20) AS pb " +
+      "FROM wide w JOIN tot USING (event_type)) w) " +
+      "SELECT event_type, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b, " +
+      "SUM(term) / 1e8 AS psi FROM t GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // agg_entropy — Shannon entropy (bits) of each event_type's
+  // hour-of-day distribution: H = log₂T − (Σ c·log₂c)/T over the ≤24
+  // observed buckets. The identity form keeps every sum over exact
+  // integers: counts collapse map-side, each c·log₂c term quantizes
+  // to BIGINT·1e6 before the reduction, and the two log calls per
+  // output row are single expressions with identical text in both
+  // engines. A type seen in only one hour scores exactly 0; a uniform
+  // 24-hour spread scores log₂24 ≈ 4.585.
+  // ------------------------------------------------------------------
+
+  private val aggEntropy = Q(
+    "agg_entropy",
+    (s, d) => {
+      import s.implicits._
+      val buckets = Tables.events(s, d)
+        .select($"event_type", expr("(ms div 3600000) % 24").as("hod"))
+        .groupBy("event_type", "hod").agg(count(lit(1)).as("c"))
+        .withColumn("term",
+          floor($"c" * log2($"c") * lit(1e6) + lit(0.5)).cast("long"))
+      buckets.groupBy("event_type").agg(
+          count(lit(1)).as("n_buckets"),
+          sum($"c").as("n"),
+          dround(log2(sum($"c")) - (sum($"term") / lit(1e6)) / sum($"c"), 6)
+            .as("entropy_bits"))
+        .orderBy("event_type")
+    },
+    Some("WITH b AS (SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hod, " +
+      "count(*) AS c FROM events GROUP BY 1,2), " +
+      "t AS (SELECT event_type, c, " +
+      "CAST(floor(c * log2(c) * 1e6 + 0.5) AS BIGINT) AS term FROM b) " +
+      "SELECT event_type, count(*) AS n_buckets, CAST(SUM(c) AS BIGINT) AS n, " +
+      OSql.sround("log2(SUM(c)) - (SUM(term) / 1e6) / SUM(c)", 6) +
+      " AS entropy_bits FROM t GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(
+    tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy)
+}

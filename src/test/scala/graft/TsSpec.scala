@@ -1,0 +1,94 @@
+package graft
+
+/** Laws for the time-series / drift wave (TsOps): each test stages
+  * crafted tables and runs the REAL `SparkEntry.queries` functions.
+  */
+class TsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000L
+  private val D = 86400000L
+  private val ns = (ms: Long) => ms * 1000000L
+
+  private def ev(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+    rows.map { case (id, ms, u, t, v, p) => (id, ns(ms), u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // ------------------------------------------------------ interpolation
+
+  test("linear interpolation fills interior gaps exactly") {
+    // observed $10 at hour 0 and $40 at hour 3 → hours 1, 2 fill to
+    // $20, $30 (the exact lerp); spine is 4 hours, endpoints observed
+    val rows = Seq(
+      (1L, 0L, 1L, "t", 10.0, "{}"),
+      (2L, 3 * H, 1L, "t", 40.0, "{}"))
+    val r = run("ts_interpolate_linear", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 2L, 2L)))
+    assert(r.getDouble(4) === 50.0)   // observed total
+    assert(r.getDouble(5) === 50.0)   // 20 + 30 filled
+  }
+
+  test("a gapless series fills nothing") {
+    val rows = (0 until 3).map(i => (i.toLong, i * H, 1L, "t", 5.0, "{}"))
+    val r = run("ts_interpolate_linear", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(3) === 0L)
+    assert(r.isNullAt(5))             // sum over zero fills
+  }
+
+  // ---------------------------------------------------- seasonal naive
+
+  test("seasonal-naive forecasts the last day from prior same-hour means") {
+    // hod 0: history 10, 10 → forecast 10; last-day actual 16 → MAE $6.
+    // hod 1 exists ONLY on the last day → unscorable, excluded
+    val rows = Seq(
+      (1L, 0L, 1L, "t", 10.0, "{}"),
+      (2L, D, 1L, "t", 10.0, "{}"),
+      (3L, 2 * D, 1L, "t", 16.0, "{}"),
+      (4L, 2 * D + H, 1L, "t", 99.0, "{}"))
+    val r = run("ts_forecast_snaive", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 16.0)
+    assert(r.getDouble(3) === 6.0)
+  }
+
+  test("a perfect seasonal repeat scores zero MAE") {
+    val rows = (0 until 3).flatMap(day => Seq(
+      (day * 10L, day * D, 1L, "t", 25.0, "{}"),
+      (day * 10L + 1, day * D + H, 1L, "t", 35.0, "{}")))
+    val r = run("ts_forecast_snaive", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 2L && r.getDouble(3) === 0.0)
+  }
+
+  // -------------------------------------------------------------- PSI
+
+  test("identical era distributions score exactly zero PSI") {
+    // every value appears once per era → ca = cb in every bin
+    val rows = Seq(10.0, 10.0, 60.0, 60.0, 120.0, 120.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, 1000L + i, 1L, "t", v, "{}") }
+    val r = run("profile_drift_psi", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("a shifted era distribution scores positive PSI") {
+    // era 0 (even ids) all in bin 0; era 1 (odd ids) all in bin 2
+    val rows = (0 until 20).map(i =>
+      (i.toLong, 1000L + i, 1L, "t", if (i % 2 == 0) 10.0 else 120.0, "{}"))
+    val r = run("profile_drift_psi", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getDouble(3) > 1.0)  // total separation is far past the 0.25 alarm
+  }
+
+  // ---------------------------------------------------------- entropy
+
+  test("entropy: one hour bucket scores 0, a uniform pair scores exactly 1 bit") {
+    val rows = Seq(
+      (1L, 0L, 1L, "one", 1.0, "{}"),
+      (2L, 60000L, 1L, "one", 1.0, "{}"),
+      (3L, 0L, 1L, "two", 1.0, "{}"), (4L, 1000L, 1L, "two", 1.0, "{}"),
+      (5L, H, 1L, "two", 1.0, "{}"), (6L, H + 1000L, 1L, "two", 1.0, "{}"))
+    val got = run("agg_entropy", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("one") === ((1L, 2L, 0.0)))
+    assert(got("two") === ((2L, 4L, 1.0)))
+  }
+}
