@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.core.Q
-import graft.ops.{AnalyticsOps, CorpusOps, CurateOps, EventTime, GraphOps, LlmPipeline, LlmPipeline2, FeatureOps, MlStatOps, PackOps, TsOps, PrepOps, Relational, Scalars, ScaleOps, SeqOps, SqlSurface, StatOps, TextRank, Udafs, Windows}
+import graft.ops.{AnalyticsOps, CorpusOps, CurateOps, EventTime, GraphOps, LlmPipeline, LlmPipeline2, FeatureOps, MiningOps, MlStatOps, PackOps, TsOps, PrepOps, Relational, Scalars, ScaleOps, SeqOps, SqlSurface, StatOps, TextRank, Udafs, Windows}
 import graft.streaming.{CdcApply, Replay, StatefulSessions, StreamJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,7 @@ object SparkEntry {
       StatefulSessions.qs ++ StreamJoin.qs ++ ScaleOps.qs ++ CorpusOps.qs ++
       CdcApply.qs ++ GraphOps.qs ++ PackOps.qs ++ PrepOps.qs ++
       AnalyticsOps.qs ++ TextRank.qs ++ CurateOps.qs ++ SqlSurface.qs ++
-      SeqOps.qs ++ StatOps.qs ++ FeatureOps.qs ++ MlStatOps.qs ++ TsOps.qs
+      SeqOps.qs ++ StatOps.qs ++ FeatureOps.qs ++ MlStatOps.qs ++ TsOps.qs ++ MiningOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

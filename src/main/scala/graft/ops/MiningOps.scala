@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, OSql, Q, Tables}
+
+/** Graph mining, behavioral pattern matching, and recommendation-prep
+  * operators: BFS hop distances, Adamic-Adar link prediction,
+  * regex-over-sequence behavior detection, and deterministic negative
+  * sampling. All hash-verified against DuckDB.
+  *
+  * Scale shape (the 100 TB stance, per operator):
+  *  - graph_bfs_depth: each BFS round is ONE edges ⋈ frontier equi-join
+  *    plus a groupBy-min — the same co-partitioned join-per-superstep
+  *    shape as `graph_pagerank`; round count is the fixed search radius,
+  *    state is (node, dist) pairs only.
+  *  - graph_adamic_adar: pair candidates come from WITHIN-basket
+  *    self-joins (a basket = one order's distinct parts, bounded by
+  *    order size), so the blow-up is Σ|basket|² — linear in orders for
+  *    bounded baskets — never a relation-level cross join; each
+  *    common-neighbor weight 1/ln(deg) is integer-quantized before the
+  *    exact per-pair BIGINT sum, and the final top-20 is a TakeOrdered
+  *    (O(k) per partition), not a global sort.
+  *  - seq_pattern_regex: one user-keyed shuffle builds each user's
+  *    time-ordered type-initial string (bounded per user); the regex
+  *    scan is a codegen'd projection; the match histogram collapses
+  *    map-side.
+  *  - sample_negative: the candidate domain is users × 50 item buckets
+  *    (a broadcast cross join against a bounded dimension), the seen
+  *    set is an anti-join on the user key, and the per-user pick is a
+  *    keyed row_number over the md5 order — deterministic under
+  *    re-runs and repartitioning, no RNG state.
+  */
+object MiningOps {
+  import Det._
+
+  // ------------------------------------------------------------------
+  // graph_bfs_depth — BFS hop distances over the bipartite user ↔
+  // event-type interaction graph (the `graph_pagerank` edge list) from
+  // the 'purchase' type node, search radius 4 (covers the bipartite
+  // diameter here: types sit at even depth, users at odd). Each round
+  // relaxes dist(n) = min(dist(n), min over in-edges dist(m)+1) — pure
+  // integer arithmetic, bit-identical in any engine; the oracle unrolls
+  // the same four rounds as CTEs. Output is the reachability histogram
+  // (nodes per depth), the compact summary that stays bounded at any
+  // graph size.
+  // ------------------------------------------------------------------
+
+  private val graphBfsDepth = Q(
+    "graph_bfs_depth",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Tables.events(s, d)
+        .select(concat(lit("u:"), $"user_id".cast("string")).as("src"),
+          concat(lit("t:"), $"event_type").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select($"dst".as("src"), $"src".as("dst")))
+      var dist = s.range(1).select(lit("t:purchase").as("node"), lit(0L).as("dist"))
+      for (_ <- 1 to 4) {
+        val relaxed = edges.join(dist, edges("src") === dist("node"))
+          .select($"dst".as("node"), ($"dist" + 1).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("node").agg(min($"dist").as("dist"))
+      }
+      dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+    Some("WITH pairs AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src, " +
+      "'t:' || event_type AS dst FROM events), " +
+      "edges AS (SELECT src, dst FROM pairs " +
+      "UNION ALL SELECT dst, src FROM pairs), " +
+      "d0 AS (SELECT 't:purchase' AS node, CAST(0 AS BIGINT) AS dist), " +
+      "d1 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d0 " +
+      "UNION ALL SELECT e.dst, d.dist + 1 FROM edges e " +
+      "JOIN d0 d ON e.src = d.node) GROUP BY 1), " +
+      "d2 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d1 " +
+      "UNION ALL SELECT e.dst, d.dist + 1 FROM edges e " +
+      "JOIN d1 d ON e.src = d.node) GROUP BY 1), " +
+      "d3 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d2 " +
+      "UNION ALL SELECT e.dst, d.dist + 1 FROM edges e " +
+      "JOIN d2 d ON e.src = d.node) GROUP BY 1), " +
+      "d4 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d3 " +
+      "UNION ALL SELECT e.dst, d.dist + 1 FROM edges e " +
+      "JOIN d3 d ON e.src = d.node) GROUP BY 1) " +
+      "SELECT dist, count(*) AS n_nodes FROM d4 GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // graph_adamic_adar — Adamic-Adar link prediction over the bipartite
+  // part ↔ order graph: two parts co-appearing in orders are scored
+  // Σ over common orders of 1/ln(|order's parts|) — frequent
+  // co-purchases through SMALL baskets score higher than through big
+  // ones (the classic common-neighbor downweighting). Candidate pairs
+  // enumerate WITHIN each order (bounded basket), order degree ≥ 2 for
+  // any pair so ln(deg) > 0; each weight quantizes to BIGINT·10⁹
+  // before the exact per-pair sum. Top-20 by (score desc, pa, pb) —
+  // fully tie-broken.
+  // ------------------------------------------------------------------
+
+  private val graphAdamicAdar = Q(
+    "graph_adamic_adar",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.t(s, d, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      // a 1-part order forms no pair and has ln(deg)=0 — drop it
+      // before the weight so the division is always well-defined
+      val deg = li.groupBy("o").agg(count(lit(1)).as("dg"))
+        .filter($"dg" >= 2)
+      val withW = li.join(deg, "o")
+        .withColumn("w",
+          floor(lit(1e9) / log($"dg".cast("double")) + lit(0.5)).cast("long"))
+      val a = withW.select($"o", $"p".as("pa"), $"w")
+      val b = withW.select($"o", $"p".as("pb"))
+      a.join(b, "o").filter($"pa" < $"pb")
+        .groupBy("pa", "pb").agg(
+          count(lit(1)).as("n_common"),
+          sum($"w").as("score_q"))
+        .select($"pa", $"pb", $"n_common",
+          dround($"score_q".cast("double") / 1e9, 6).as("aa_score"))
+        .orderBy($"aa_score".desc, $"pa".asc, $"pb".asc)
+        .limit(20)
+    },
+    Some("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+      "FROM lineitem), " +
+      "deg AS (SELECT o, count(*) AS dg FROM li GROUP BY 1 HAVING count(*) >= 2), " +
+      "w AS (SELECT li.o, li.p, " +
+      "CAST(floor(1e9 / ln(CAST(dg AS DOUBLE)) + 0.5) AS BIGINT) AS w " +
+      "FROM li JOIN deg USING (o)), " +
+      "pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_common, " +
+      "SUM(a.w) AS score_q FROM w a JOIN w b ON a.o = b.o AND a.p < b.p " +
+      "GROUP BY 1,2) " +
+      "SELECT pa, pb, n_common, " +
+      OSql.sround("CAST(score_q AS DOUBLE) / 1e9", 6) + " AS aa_score " +
+      "FROM pairs ORDER BY aa_score DESC, pa, pb LIMIT 20"))
+
+  // ------------------------------------------------------------------
+  // seq_pattern_regex — MATCH_RECOGNIZE-style behavior detection: each
+  // user's event stream, time-ordered, becomes a string of type
+  // initials (c/e/p/s/v) and the funnel pattern s[cv]*p (signup, any
+  // browsing, purchase — contiguous) is counted per user with
+  // non-overlapping leftmost matches (Java regex and DuckDB RE2 agree
+  // on this grammar). The string builds through sort_array over
+  // (ms, event_id) structs — deterministic total order — and the
+  // output is the match-count histogram.
+  // ------------------------------------------------------------------
+
+  private val seqPatternRegex = Q(
+    "seq_pattern_regex",
+    (s, d) => {
+      import s.implicits._
+      val seqs = Tables.events(s, d)
+        .select($"user_id", struct($"ms", $"event_id",
+          substring($"event_type", 1, 1).as("i")).as("e"))
+        .groupBy("user_id").agg(collect_list($"e").as("es"))
+        .select($"user_id",
+          expr("array_join(transform(array_sort(es), x -> x.i), '')").as("str"))
+      seqs
+        .select($"user_id",
+          size(regexp_extract_all($"str", lit("s[cv]*p"), lit(0)))
+            .cast("long").as("matches"))
+        .groupBy("matches").agg(count(lit(1)).as("n_users"))
+        .orderBy("matches")
+    },
+    Some("WITH seqs AS (SELECT user_id, " +
+      "string_agg(substr(event_type, 1, 1), '' " +
+      "ORDER BY epoch_ms(ts), event_id) AS str FROM events GROUP BY 1), " +
+      "m AS (SELECT user_id, CAST(len(regexp_extract_all(str, 's[cv]*p')) " +
+      "AS BIGINT) AS matches FROM seqs) " +
+      "SELECT matches, count(*) AS n_users FROM m GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // sample_negative — deterministic negative sampling (the recsys /
+  // contrastive-training prep step): each user is assigned up to 2
+  // item buckets (props.k mod 50 — a domain sparse enough that every
+  // user genuinely misses some) they have NEVER interacted with,
+  // picked by md5(user:bucket) order — stable under re-runs,
+  // repartitioning, and incremental ingest, unlike rand(). The
+  // candidate grid is users × the bounded bucket dimension (broadcast
+  // cross join), seen pairs leave via a left anti join, and the pick
+  // is a user-keyed row_number. Output: per-bucket assignment ledger
+  // with an exact user-id checksum.
+  // ------------------------------------------------------------------
+
+  private val sampleNegative = Q(
+    "sample_negative",
+    (s, d) => {
+      import s.implicits._
+      val basket = Tables.events(s, d)
+        .select($"user_id",
+          (get_json_object($"props", "$.k").cast("long") % 50).as("kb"))
+        .distinct()
+      val users = basket.select($"user_id").distinct()
+      val buckets = basket.select($"kb").distinct()
+      val candidates = users.crossJoin(broadcast(buckets))
+      val unseen = candidates.join(basket, Seq("user_id", "kb"), "left_anti")
+      val w = Window.partitionBy($"user_id")
+        .orderBy(md5(concat($"user_id".cast("string"), lit(":"),
+          $"kb".cast("string"))).asc, $"kb".asc)
+      unseen.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .groupBy("kb").agg(
+          count(lit(1)).as("n_users"),
+          sum($"user_id").as("user_id_sum"))
+        .orderBy("kb")
+    },
+    Some("WITH basket AS (SELECT DISTINCT user_id, " +
+      "CAST(props->>'$.k' AS BIGINT) % 50 AS kb FROM events), " +
+      "cand AS (SELECT u.user_id, t.kb FROM " +
+      "(SELECT DISTINCT user_id FROM basket) u CROSS JOIN " +
+      "(SELECT DISTINCT kb FROM basket) t), " +
+      "unseen AS (SELECT c.user_id, c.kb FROM cand c " +
+      "LEFT JOIN basket b ON b.user_id = c.user_id " +
+      "AND b.kb = c.kb WHERE b.user_id IS NULL), " +
+      "r AS (SELECT user_id, kb, row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY " +
+      "md5(CAST(user_id AS VARCHAR) || ':' || CAST(kb AS VARCHAR)), kb) AS rn " +
+      "FROM unseen) " +
+      "SELECT kb, count(*) AS n_users, " +
+      "CAST(SUM(user_id) AS BIGINT) AS user_id_sum " +
+      "FROM r WHERE rn <= 2 GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(
+    graphBfsDepth, graphAdamicAdar, seqPatternRegex, sampleNegative)
+}

@@ -1,0 +1,123 @@
+package graft
+
+/** Laws for the graph-mining / pattern / negative-sampling wave
+  * (MiningOps): crafted tables through the REAL query functions.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ns = (ms: Long) => ms * 1000000L
+
+  private def ev(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+    rows.map { case (id, ms, u, t, v, p) => (id, ns(ms), u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // ---------------------------------------------------------------- BFS
+
+  test("BFS depths alternate type/user layers on the bipartite graph") {
+    // u1: purchase + A; u2: A only →
+    // depth 0 t:purchase, 1 u:1, 2 t:A, 3 u:2
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 1.0, "{}"),
+      (2L, 2000L, 1L, "A", 1.0, "{}"),
+      (3L, 3000L, 2L, "A", 1.0, "{}"))
+    val got = run("graph_bfs_depth", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("BFS never revisits: an already-settled node keeps its first depth") {
+    // u1 touches both types — t:A is reachable at depth 2 and must not
+    // drift deeper on later rounds
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 1.0, "{}"),
+      (2L, 2000L, 1L, "A", 1.0, "{}"),
+      (3L, 3000L, 2L, "purchase", 1.0, "{}"),
+      (4L, 4000L, 2L, "A", 1.0, "{}"))
+    val got = run("graph_bfs_depth", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // depth 0: t:purchase; depth 1: u1, u2; depth 2: t:A; nothing at 3+
+    assert(got === Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+  }
+
+  // -------------------------------------------------------- Adamic-Adar
+
+  test("Adamic-Adar downweights common neighbors by basket size") {
+    val li = Seq(
+      (1L, 101L), (1L, 102L),              // order 1: parts 101,102 (deg 2)
+      (2L, 101L), (2L, 102L), (2L, 103L))  // order 2: deg 3
+      .toDF("l_orderkey", "l_partkey")
+    val got = run("graph_adamic_adar", stageTables("lineitem" -> li)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // (101,102): 1/ln2 + 1/ln3 = 2.352934; (101,103) & (102,103): 1/ln3
+    assert(got((101L, 102L)) === ((2L, 2.352934)))
+    assert(got((101L, 103L)) === ((1L, 0.910239)))
+    assert(got((102L, 103L)) === ((1L, 0.910239)))
+  }
+
+  test("single-part orders contribute nothing to Adamic-Adar") {
+    val li = Seq((1L, 101L), (2L, 101L), (2L, 102L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = run("graph_adamic_adar", stageTables("lineitem" -> li)).collect()
+    assert(got.length === 1)
+    assert((got(0).getLong(0), got(0).getLong(1)) === ((101L, 102L)))
+    assert(got(0).getDouble(3) === 1.442695) // only order 2's weight
+  }
+
+  // ----------------------------------------------------- pattern regex
+
+  test("funnel pattern s[cv]*p counts non-overlapping completions per user") {
+    val rows = Seq(
+      // u1: s,c,v,p → one match
+      (1L, 1000L, 1L, "signup", 1.0, "{}"), (2L, 2000L, 1L, "click", 1.0, "{}"),
+      (3L, 3000L, 1L, "view", 1.0, "{}"), (4L, 4000L, 1L, "purchase", 1.0, "{}"),
+      // u2: s,p,s,p → two matches
+      (5L, 1000L, 2L, "signup", 1.0, "{}"), (6L, 2000L, 2L, "purchase", 1.0, "{}"),
+      (7L, 3000L, 2L, "signup", 1.0, "{}"), (8L, 4000L, 2L, "purchase", 1.0, "{}"),
+      // u3: p,c → zero (purchase precedes signup)
+      (9L, 1000L, 3L, "purchase", 1.0, "{}"), (10L, 2000L, 3L, "click", 1.0, "{}"))
+    val got = run("seq_pattern_regex", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("an error event breaks funnel contiguity") {
+    // s,e,p — the error's 'e' sits between signup and purchase, and
+    // the pattern only bridges clicks/views
+    val rows = Seq(
+      (1L, 1000L, 1L, "signup", 1.0, "{}"),
+      (2L, 2000L, 1L, "error", 1.0, "{}"),
+      (3L, 3000L, 1L, "purchase", 1.0, "{}"))
+    val got = run("seq_pattern_regex", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L))
+  }
+
+  // -------------------------------------------------- negative sampling
+
+  test("negative sampling assigns only never-seen buckets") {
+    // observed buckets {1, 2}; u1 saw only 1 → negative {2};
+    // u2 saw both → nothing to assign
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 1.0, "{\"k\": 1}"),
+      (2L, 2000L, 2L, "view", 1.0, "{\"k\": 1}"),
+      (3L, 3000L, 2L, "view", 1.0, "{\"k\": 2}"))
+    val got = run("sample_negative", stageTables("events" -> ev(rows))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((2L, 1L, 1L)))
+  }
+
+  test("negative sampling caps at two buckets per user") {
+    // u1 saw bucket 1 of domain {1,2,3,4} (u2 covers the rest) → u1
+    // gets exactly 2 of its 3 unseen buckets
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 1.0, "{\"k\": 1}"),
+      (2L, 2000L, 2L, "view", 1.0, "{\"k\": 2}"),
+      (3L, 3000L, 2L, "view", 1.0, "{\"k\": 3}"),
+      (4L, 4000L, 2L, "view", 1.0, "{\"k\": 4}"))
+    val got = run("sample_negative", stageTables("events" -> ev(rows))).collect()
+    val u1Assignments = got.map(r => r.getLong(1)).sum
+    // u1 contributes 2 picks, u2 contributes 1 (only bucket 1 unseen)
+    assert(u1Assignments === 3L)
+  }
+}
