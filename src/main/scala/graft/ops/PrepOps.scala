@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -241,6 +241,87 @@ object PrepOps {
       s"CAST(sum((len(string_split(text, ' ')) + ${chunkW - 1}) // $chunkW) " +
       "AS BIGINT) AS n_chunks FROM documents"))
 
+  // ------------------------------------------------------------------
+  // embedding_pca_top1 — the top principal direction of the embedding
+  // corpus by POWER ITERATION on the Gram matrix, entirely in exact
+  // integer arithmetic (the distributed-PCA primitive behind whitening
+  // / anisotropy removal — "all-but-the-top" post-processing). One
+  // data pass builds the full d×d integer Gram (the `embedding_gram`
+  // quantization; d² rows exchanged per partition regardless of corpus
+  // size), then three unrolled iterations run ON THE TINY MATRIX:
+  // w = G·v (DECIMAL(38,0) products and sums — exact), renormalize
+  // v' = (w·10⁶) div max|w| (truncating integer division, identical in
+  // both engines), sign-fixed so the first component is non-negative.
+  // Output: the first 8 components of the normalized direction (exact
+  // integers) plus max|w| of the last round as a digit string (the
+  // un-normalized eigenvalue carrier — too wide for a double).
+  // ------------------------------------------------------------------
+
+  private val embeddingPcaTop1 = Q(
+    "embedding_pca_top1",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = DecimalType(38, 0)
+      val q = t(s, d, "embeddings")
+        .select(transform($"embedding",
+          x => floor(x * lit(1e6)).cast("long")).as("q"))
+      val gram = q.select($"q", posexplode($"q").as(Seq("i0", "qi")))
+        .select($"i0", $"qi", posexplode($"q").as(Seq("j0", "qj")))
+        .groupBy(($"i0" + 1).cast("long").as("i"), ($"j0" + 1).cast("long").as("j"))
+        .agg(sum(($"qi" * $"qj").cast(Dec380)).as("g"))
+      val dim = gram.agg(max($"i").as("d"))
+      var v = dim.select(explode(sequence(lit(1L), $"d")).as("i"),
+        lit(1000000L).cast(Dec380).as("v"))
+      var lastM: DataFrame = null
+      for (_ <- 1 to 3) {
+        val w = gram.join(v.select($"i".as("j"), $"v"), Seq("j"))
+          .groupBy("i").agg(sum($"g" * $"v").as("w"))
+        lastM = w.agg(max(abs($"w")).as("m"))
+        v = w.crossJoin(broadcast(lastM))
+          .select($"i",
+            expr("(w * 1000000) div (CASE WHEN m = 0 THEN NULL ELSE m END)")
+              .cast(Dec380).as("v"))
+      }
+      val sign = v.filter($"i" === 1)
+        .select(when($"v" < 0, lit(-1L)).otherwise(lit(1L)).as("sg"))
+      v.filter($"i" <= 8)
+        .crossJoin(broadcast(sign))
+        .crossJoin(broadcast(lastM))
+        .select($"i", ($"v" * $"sg").cast("long").as("comp"),
+          $"m".cast(Dec380).cast("string").as("lambda_q"))
+        .orderBy("i")
+    },
+    Some("WITH e AS (SELECT list_transform(embedding, " +
+      "x -> CAST(floor(x * 1e6) AS BIGINT)) AS q FROM embeddings), " +
+      // the oracle pins the fixture's dim (64) — generate_series cannot
+      // take lateral params (same note as embedding_gram)
+      "a AS (SELECT q, i, q[i] AS qi FROM e, generate_series(1, 64) AS g1(i)), " +
+      "b AS (SELECT i, j, qi, q[j] AS qj FROM a, generate_series(1, 64) AS g2(j)), " +
+      "gr AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
+      "SUM(CAST(qi * qj AS HUGEINT)) AS g FROM b GROUP BY 1, 2), " +
+      "v0 AS (SELECT CAST(i AS BIGINT) AS i, CAST(1000000 AS HUGEINT) AS v " +
+      "FROM generate_series(1, 64) AS gs(i)), " +
+      "w1 AS (SELECT gr.i, SUM(gr.g * v0.v) AS w FROM gr " +
+      "JOIN v0 ON v0.i = gr.j GROUP BY 1), " +
+      "m1 AS (SELECT max(abs(w)) AS m FROM w1), " +
+      "v1 AS (SELECT i, (w * 1000000) // " +
+      "(CASE WHEN m = 0 THEN NULL ELSE m END) AS v FROM w1, m1), " +
+      "w2 AS (SELECT gr.i, SUM(gr.g * v1.v) AS w FROM gr " +
+      "JOIN v1 ON v1.i = gr.j GROUP BY 1), " +
+      "m2 AS (SELECT max(abs(w)) AS m FROM w2), " +
+      "v2 AS (SELECT i, (w * 1000000) // " +
+      "(CASE WHEN m = 0 THEN NULL ELSE m END) AS v FROM w2, m2), " +
+      "w3 AS (SELECT gr.i, SUM(gr.g * v2.v) AS w FROM gr " +
+      "JOIN v2 ON v2.i = gr.j GROUP BY 1), " +
+      "m3 AS (SELECT max(abs(w)) AS m FROM w3), " +
+      "v3 AS (SELECT i, (w * 1000000) // " +
+      "(CASE WHEN m = 0 THEN NULL ELSE m END) AS v FROM w3, m3), " +
+      "sg AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg " +
+      "FROM v3 WHERE i = 1) " +
+      "SELECT i, CAST(v * sg AS BIGINT) AS comp, " +
+      "CAST(CAST(m AS DECIMAL(38,0)) AS VARCHAR) AS lambda_q " +
+      "FROM v3, sg, m3 WHERE i <= 8 ORDER BY i"))
+
   val qs: Seq[Q] = Seq(dedupSpanExact, corpusDocChunk, embeddingGram,
-    corpusPrepE2e, corpusChunkStitch)
+    corpusPrepE2e, corpusChunkStitch, embeddingPcaTop1)
 }
