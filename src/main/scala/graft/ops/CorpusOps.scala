@@ -457,7 +457,55 @@ object CorpusOps {
       "CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
       "FROM pd GROUP BY 1, 2 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // tokenizer_vocab_coverage — vocabulary coverage analysis (the
+  // tokenizer-fit report every multilingual corpus decision consults):
+  // the top-100 corpus tokens by frequency (ties broken by token —
+  // fully deterministic at the cut) become the vocabulary, and each
+  // document's in-vocab TOKEN fraction (duplicates counted — this is
+  // token coverage, not type coverage) rolls up to a per-language
+  // mean. The per-doc ratio quantizes to exact ppm integers
+  // ((hits·10⁶) div n_tok, non-negative) before the language average,
+  // so the reduction is order-independent. Scale: the vocab is a
+  // bounded top-k (TakeOrdered, then broadcast); the corpus is
+  // scanned once for counting and once for probing.
+  // ------------------------------------------------------------------
+
+  private val tokenizerVocabCoverage = Q(
+    "tokenizer_vocab_coverage",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"w".asc).limit(100)
+        .select($"w")
+      val probed = tok.join(broadcast(vocab.withColumn("hit", lit(1L))),
+          Seq("w"), "left")
+        .groupBy("doc_id", "lang").agg(
+          count(lit(1)).as("n_tok"),
+          sum(coalesce($"hit", lit(0L))).as("n_in"))
+        .withColumn("ppm", expr("(n_in * 1000000) div n_tok"))
+      probed.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          dround(sum($"ppm").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("avg_coverage"))
+        .orderBy("lang")
+    },
+    Some("WITH tok AS (SELECT doc_id, lang, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok " +
+      "GROUP BY 1 ORDER BY cnt DESC, w LIMIT 100)), " +
+      "probed AS (SELECT doc_id, lang, count(*) AS n_tok, " +
+      "CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_in FROM tok LEFT JOIN vocab v ON v.w = tok.w GROUP BY 1,2), " +
+      "p AS (SELECT lang, (n_in * 1000000) // n_tok AS ppm FROM probed) " +
+      "SELECT lang, count(*) AS n_docs, " +
+      OSql.sround("CAST(SUM(ppm) AS DOUBLE) / count(*) / 1e6", 6) +
+      " AS avg_coverage FROM p GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
-    textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter)
+    textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
+    tokenizerVocabCoverage)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.{Det, OSql, Q, Tables}
@@ -259,7 +260,118 @@ object MlStatOps {
       "FROM p JOIN s sa ON sa.event_type = ta " +
       "JOIN s sb ON sb.event_type = tb ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // stat_ks_test — two-sample Kolmogorov–Smirnov statistic per
+  // event_type between the parity arms: D = max over values v of
+  // |F̂a(v) − F̂b(v)|. The whole computation is EXACT integer
+  // arithmetic until one final division: per-value arm counts collapse
+  // map-side, running counts RA/RB ride one type-keyed window in value
+  // order, and the sup is max|RA·TB − RB·TA| (cross-multiplied — no
+  // per-step float CDFs), divided once by TA·TB at the end. Products
+  // fit a long out to ~3·10⁹ rows per (type, arm); past that the
+  // cross-multiply lifts to DECIMAL the way the moment keys do.
+  // ------------------------------------------------------------------
+
+  private val statKsTest = Q(
+    "stat_ks_test",
+    (s, d) => {
+      import s.implicits._
+      val cnt = Tables.events(s, d)
+        .select($"event_type", pmod($"user_id", lit(2)).as("g"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(
+          sum(when($"g" === 0, lit(1L)).otherwise(lit(0L))).as("ca"),
+          sum(when($"g" === 1, lit(1L)).otherwise(lit(0L))).as("cb"))
+      val run = Window.partitionBy($"event_type").orderBy($"c".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy($"event_type")
+      cnt.select($"event_type",
+          sum($"ca").over(run).as("ra"), sum($"cb").over(run).as("rb"),
+          sum($"ca").over(tot).as("ta"), sum($"cb").over(tot).as("tb"))
+        .groupBy("event_type").agg(
+          max($"ta").as("n_a"), max($"tb").as("n_b"),
+          max(abs($"ra" * $"tb" - $"rb" * $"ta")).as("dnum"))
+        .select($"event_type", $"n_a", $"n_b",
+          when($"n_a" > 0 && $"n_b" > 0,
+            dround($"dnum".cast("double") / ($"n_a".cast("double") * $"n_b"), 6))
+            .as("d_stat"))
+        .orderBy("event_type")
+    },
+    Some("WITH b AS (SELECT event_type, user_id % 2 AS g, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+      "cnt AS (SELECT event_type, c, " +
+      "CAST(SUM(CASE WHEN g=0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(SUM(CASE WHEN g=1 THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+      "FROM b GROUP BY 1,2), " +
+      "r AS (SELECT event_type, " +
+      "SUM(ca) OVER (PARTITION BY event_type ORDER BY c " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra, " +
+      "SUM(cb) OVER (PARTITION BY event_type ORDER BY c " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb, " +
+      "SUM(ca) OVER (PARTITION BY event_type) AS ta, " +
+      "SUM(cb) OVER (PARTITION BY event_type) AS tb FROM cnt) " +
+      "SELECT event_type, CAST(max(ta) AS BIGINT) AS n_a, " +
+      "CAST(max(tb) AS BIGINT) AS n_b, " +
+      "CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN " +
+      OSql.sround("CAST(max(abs(ra*tb - rb*ta)) AS DOUBLE) " +
+        "/ (CAST(max(ta) AS DOUBLE) * max(tb))", 6) +
+      " END AS d_stat FROM r GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // stat_mann_whitney — Mann-Whitney U (rank-sum) per event_type
+  // between the parity arms, EXACT under ties: with the combined
+  // sample grouped by value, the tie-averaged rank of value v is
+  // (2·Cprev + m + 1)/2 where Cprev is the count strictly below and m
+  // the tie-group size — so TWICE the rank is an integer and the whole
+  // statistic stays in BIGINTs: U2 = Σ ca·(2Cprev+m+1) − na(na+1)
+  // (= 2U). The effect size AUC = U/(na·nb) — P(a-draw > b-draw) with
+  // ties split — is one final division, dround(6).
+  // ------------------------------------------------------------------
+
+  private val statMannWhitney = Q(
+    "stat_mann_whitney",
+    (s, d) => {
+      import s.implicits._
+      val cnt = Tables.events(s, d)
+        .select($"event_type", pmod($"user_id", lit(2)).as("g"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(
+          sum(when($"g" === 0, lit(1L)).otherwise(lit(0L))).as("ca"),
+          sum(when($"g" === 1, lit(1L)).otherwise(lit(0L))).as("cb"))
+        .withColumn("m", $"ca" + $"cb")
+      val prev = Window.partitionBy($"event_type").orderBy($"c".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cnt.select($"event_type", $"ca", $"cb", $"m",
+          coalesce(sum($"m").over(prev), lit(0L)).as("cprev"))
+        .groupBy("event_type").agg(
+          sum($"ca").as("na"), sum($"cb").as("nb"),
+          sum($"ca" * (lit(2) * $"cprev" + $"m" + 1)).as("r2a"))
+        .select($"event_type", $"na", $"nb",
+          ($"r2a" - $"na" * ($"na" + 1)).as("u2"),
+          when($"na" > 0 && $"nb" > 0,
+            dround(($"r2a" - $"na" * ($"na" + 1)).cast("double")
+              / (lit(2.0) * $"na" * $"nb"), 6)).as("auc"))
+        .orderBy("event_type")
+    },
+    Some("WITH b AS (SELECT event_type, user_id % 2 AS g, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+      "cnt AS (SELECT event_type, c, " +
+      "CAST(SUM(CASE WHEN g=0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(SUM(CASE WHEN g=1 THEN 1 ELSE 0 END) AS BIGINT) AS cb, " +
+      "CAST(count(*) AS BIGINT) AS m FROM b GROUP BY 1,2), " +
+      "r AS (SELECT event_type, ca, cb, m, " +
+      "COALESCE(SUM(m) OVER (PARTITION BY event_type ORDER BY c " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev " +
+      "FROM cnt), " +
+      "a AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na, " +
+      "CAST(SUM(cb) AS BIGINT) AS nb, " +
+      "CAST(SUM(ca * (2*cprev + m + 1)) AS BIGINT) AS r2a FROM r GROUP BY 1) " +
+      "SELECT event_type, na, nb, r2a - na*(na+1) AS u2, " +
+      "CASE WHEN na > 0 AND nb > 0 THEN " +
+      OSql.sround("CAST(r2a - na*(na+1) AS DOUBLE) / (2.0 * na * nb)", 6) +
+      " END AS auc FROM a ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
-    assocBasketLift)
+    assocBasketLift, statKsTest, statMannWhitney)
 }

@@ -265,6 +265,43 @@ object TsOps {
       OSql.sround("log2(SUM(c)) - (SUM(term) / 1e6) / SUM(c)", 6) +
       " AS entropy_bits FROM t GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // window_median_rolling — rolling MEDIAN of each user's last 5
+  // readings (the robust denoising filter; the median sibling of
+  // `window_moving_avg`, immune to the single spike that drags a
+  // mean): a 5-row trailing frame collects the cent values, sorts
+  // them, and picks the lower median at index (n+1) div 2. Every
+  // value is an exact integer, the frame is bounded (O(k) state per
+  // row), and the window is keyed by user — one hash shuffle, never a
+  // global WindowExec.
+  // ------------------------------------------------------------------
+
+  private val windowMedianRolling = Q(
+    "window_median_rolling",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc, $"event_id".asc)
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d)
+        .select($"user_id", $"ms", $"event_id",
+          round($"value" * 100).cast("long").as("c"))
+        .withColumn("win", sort_array(collect_list($"c").over(w)))
+        .select($"user_id", $"ms", $"event_id", $"c",
+          expr("win[((size(win) + 1) div 2) - 1]").as("med_c"))
+        .orderBy("user_id", "ms", "event_id")
+    },
+    Some("SELECT user_id, epoch_ms(ts) AS ms, event_id, c, " +
+      "l[(len(l) + 1) // 2] AS med_c FROM " +
+      "(SELECT user_id, ts, event_id, c, " +
+      "list_sort(array_agg(c) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_ms(ts), event_id " +
+      "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l FROM " +
+      "(SELECT user_id, ts, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events)) " +
+      "ORDER BY user_id, ms, event_id"))
+
   val qs: Seq[Q] = Seq(
-    tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy)
+    tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
+    windowMedianRolling)
 }

@@ -120,6 +120,62 @@ class MlStatSpec extends SparkSpec {
     assert(ab._4 === 1.0)
   }
 
+  // ------------------------------------------------------------- KS test
+
+  test("KS: completely separated arms score D = 1") {
+    // arm A (even user) = {1, 2}, arm B = {3, 4}: F̂a reaches 1 while
+    // F̂b is still 0 → sup gap is 1
+    val rows = Seq(
+      (1L, 1000L, 0L, "t", 1.0, "{}"), (2L, 1001L, 0L, "t", 2.0, "{}"),
+      (3L, 1002L, 1L, "t", 3.0, "{}"), (4L, 1003L, 1L, "t", 4.0, "{}"))
+    val r = run("stat_ks_test", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((2L, 2L)))
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("KS: identical arms score D = 0") {
+    val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.flatMap { case (v, i) => Seq(
+      (i.toLong * 2, 1000L + i, 0L, "t", v, "{}"),
+      (i.toLong * 2 + 1, 2000L + i, 1L, "t", v, "{}")) }
+    val r = run("stat_ks_test", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  // --------------------------------------------------------- Mann-Whitney
+
+  test("Mann-Whitney: full separation gives AUC 0 or 1, a tie gives 0.5") {
+    // type lo: A below B → AUC 0; type hi: A above B → AUC 1;
+    // type eq: single tied value → AUC 0.5 (tie split)
+    val rows = Seq(
+      (1L, 1000L, 0L, "lo", 1.0, "{}"), (2L, 1001L, 0L, "lo", 2.0, "{}"),
+      (3L, 1002L, 1L, "lo", 3.0, "{}"), (4L, 1003L, 1L, "lo", 4.0, "{}"),
+      (5L, 1004L, 0L, "hi", 3.0, "{}"), (6L, 1005L, 0L, "hi", 4.0, "{}"),
+      (7L, 1006L, 1L, "hi", 1.0, "{}"), (8L, 1007L, 1L, "hi", 2.0, "{}"),
+      (9L, 1008L, 0L, "eq", 5.0, "{}"), (10L, 1009L, 1L, "eq", 5.0, "{}"))
+    val got = run("stat_mann_whitney", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("lo") === ((0L, 0.0)))
+    assert(got("hi") === ((8L, 1.0)))   // u2 = 2U = 2·na·nb
+    assert(got("eq") === ((1L, 0.5)))
+  }
+
+  // ------------------------------------------------------ vocab coverage
+
+  test("vocab coverage: tokens past the top-100 cut count as OOV") {
+    // doc 1 (en): 120 distinct tokens t001..t120, each once;
+    // doc 2 (fr): t001 five times. Counts: t001=6, others 1 → the
+    // tie-broken vocab is exactly {t001..t100} and doc 1 covers 100/120
+    val toks = (1 to 120).map(i => f"t$i%03d")
+    val docs = Seq(
+      (1L, toks.mkString(" "), "en", "s0", 100L),
+      (2L, Seq.fill(5)("t001").mkString(" "), "fr", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = run("tokenizer_vocab_coverage", stageTables("documents" -> docs))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("fr") === 1.0)
+    assert(got("en") === 0.833333)      // (100·1e6 div 120) / 1e6
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>

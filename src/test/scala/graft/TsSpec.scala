@@ -78,6 +78,20 @@ class TsSpec extends SparkSpec {
     assert(r.getDouble(3) > 1.0)  // total separation is far past the 0.25 alarm
   }
 
+  // ---------------------------------------------------- rolling median
+
+  test("rolling median takes the lower middle of the trailing 5-frame") {
+    // values 10, 90, 20 → medians 10 (singleton), 10 (lower of pair),
+    // 20 (middle of three) — the spike at 90 never leaks through
+    val rows = Seq(
+      (1L, 1000L, 1L, "t", 10.0, "{}"),
+      (2L, 2000L, 1L, "t", 90.0, "{}"),
+      (3L, 3000L, 1L, "t", 20.0, "{}"))
+    val got = run("window_median_rolling", stageTables("events" -> ev(rows)))
+      .collect().map(_.getLong(4))
+    assert(got.toSeq === Seq(1000L, 1000L, 2000L))
+  }
+
   // ---------------------------------------------------------- entropy
 
   test("entropy: one hour bucket scores 0, a uniform pair scores exactly 1 bit") {
