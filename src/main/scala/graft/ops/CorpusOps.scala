@@ -504,8 +504,60 @@ object CorpusOps {
       OSql.sround("CAST(SUM(ppm) AS DOUBLE) / count(*) / 1e6", 6) +
       " AS avg_coverage FROM p GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // text_bigram_logprob — add-one-smoothed bigram LM scoring, the
+  // next-order sibling of `text_unigram_logprob`: per-doc mean of
+  // ln((c(w₁w₂)+1)/(c(w₁)+V)) over adjacent token pairs, with corpus
+  // bigram/unigram counts and vocabulary size V from the same scan.
+  // Bigrams come from a doc-keyed lead() window (one shuffle on
+  // doc_id, per-doc state bounded); the count tables are open-vocab
+  // and correctly SHUFFLE-join (never broadcast — same stance as the
+  // unigram key and TF-IDF's df). Same 4dp-rounding float-log policy
+  // as the unigram key (documented ulp risk, empirically hash-stable).
+  // ------------------------------------------------------------------
+
+  private val textBigramLogprob = Q(
+    "text_bigram_logprob",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      val wNext = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+      val big = tok
+        .withColumn("w2", lead($"w", 1).over(wNext))
+        .filter($"w2".isNotNull)
+        .select($"doc_id", $"w".as("w1"), $"w2")
+      val cBig = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cUni = tok.groupBy("w").agg(count(lit(1)).as("c1"))
+      val vocab = cUni.agg(count(lit(1)).cast("double").as("vv"))
+      big.join(cBig, Seq("w1", "w2"))
+        .join(cUni.select($"w".as("w1"), $"c1"), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"),
+          dround(sum(log(($"c12" + 1).cast("double") / ($"c1" + $"vv")))
+            / count(lit(1)), 4).as("avg_logp"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+    Some("WITH tok AS (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS w, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS pos " +
+      "FROM documents), " +
+      "big AS (SELECT doc_id, w AS w1, " +
+      "lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok), " +
+      "b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL), " +
+      "cb AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1,2), " +
+      "cu AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1), " +
+      "vv AS (SELECT CAST(count(*) AS DOUBLE) AS vv FROM cu) " +
+      "SELECT doc_id, count(*) AS n_big, " +
+      OSql.sround("SUM(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + vv))) / count(*)", 4) +
+      " AS avg_logp FROM b2 JOIN cb USING (w1, w2) " +
+      "JOIN cu ON cu.w = b2.w1, vv " +
+      "GROUP BY doc_id ORDER BY doc_id LIMIT 1000"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
-    tokenizerVocabCoverage)
+    tokenizerVocabCoverage, textBigramLogprob)
 }

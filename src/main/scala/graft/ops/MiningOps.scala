@@ -108,9 +108,13 @@ object MiningOps {
       // before the weight so the division is always well-defined
       val deg = li.groupBy("o").agg(count(lit(1)).as("dg"))
         .filter($"dg" >= 2)
-      val withW = li.join(deg, "o")
+      // both sides of the pair join read the SAME weighted edge list —
+      // materialize it once (Catalyst has no cross-branch subtree
+      // sharing; without this the scan+distinct+join runs twice)
+      val withW = graft.core.Mat(s, li.join(deg, "o")
         .withColumn("w",
-          floor(lit(1e9) / log($"dg".cast("double")) + lit(0.5)).cast("long"))
+          floor(lit(1e9) / log($"dg".cast("double")) + lit(0.5)).cast("long")),
+        "aa-edges")
       val a = withW.select($"o", $"p".as("pa"), $"w")
       val b = withW.select($"o", $"p".as("pb"))
       a.join(b, "o").filter($"pa" < $"pb")

@@ -371,7 +371,80 @@ object MlStatOps {
       OSql.sround("CAST(r2a - na*(na+1) AS DOUBLE) / (2.0 * na * nb)", 6) +
       " END AS auc FROM a ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // stat_bootstrap_ci — multiplier-bootstrap confidence interval for
+  // the per-type mean, the CLUSTER-SCALE resampling pattern: instead
+  // of drawing B resamples (impossible distributed), every row gets a
+  // deterministic integer weight per replicate — two md5 bits, so
+  // w ∈ {0,1,2} with mean 1 (binomial(2,½), the Poisson-bootstrap
+  // approximation) — and each replicate's weighted mean reduces
+  // map-side in ONE pass over the exploded (row × 16 replicates)
+  // stream. Replicate means are exact integer ppm ((Σwv·10⁶) div Σw);
+  // the 87.5% interval takes the 2nd and 15th of the 16 ordered means
+  // (row_number, tie-broken by replicate id — fully deterministic, no
+  // RNG state anywhere). Point estimate is the plain mean, same
+  // integer spelling.
+  // ------------------------------------------------------------------
+
+  private val statBootstrapCi = Q(
+    "stat_bootstrap_ci",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type", $"event_id",
+          round($"value" * 100).cast("long").as("v"))
+      val point = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        expr("(sum(v) * 1000000) div count(v)").as("point_ppm"))
+      val reps = e.withColumn("b", explode(sequence(lit(0), lit(15))))
+        .withColumn("hv",
+          expr("instr('0123456789abcdef', substring(md5(concat(" +
+            "cast(event_id as string), ':', cast(b as string))), 1, 1)) - 1"))
+        .withColumn("w", expr("(hv % 2) + ((hv div 2) % 2)"))
+        .groupBy("event_type", "b").agg(
+          sum($"w").as("sw"), sum($"w" * $"v").as("swv"))
+        .filter($"sw" > 0)
+        .withColumn("mean_ppm", expr("(swv * 1000000) div sw"))
+      val rn = Window.partitionBy($"event_type")
+        .orderBy($"mean_ppm".asc, $"b".asc)
+      val ci = reps.withColumn("rn", row_number().over(rn))
+        .groupBy("event_type").agg(
+          max(when($"rn" === 2, $"mean_ppm")).as("lo_ppm"),
+          max(when($"rn" === 15, $"mean_ppm")).as("hi_ppm"))
+      point.join(ci, Seq("event_type"))
+        .select($"event_type", $"n",
+          dround($"point_ppm".cast("double") / 1e6 / 100.0, 6).as("mean_usd"),
+          dround($"lo_ppm".cast("double") / 1e6 / 100.0, 6).as("ci_lo"),
+          dround($"hi_ppm".cast("double") / 1e6 / 100.0, 6).as("ci_hi"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "pt AS (SELECT event_type, count(*) AS n, " +
+      "(SUM(v) * 1000000) // count(v) AS point_ppm FROM e GROUP BY 1), " +
+      "reps AS (SELECT event_type, b, " +
+      "CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(w * v) AS BIGINT) AS swv " +
+      "FROM (SELECT event_type, v, b, " +
+      "(hv % 2) + ((hv // 2) % 2) AS w FROM (" +
+      "SELECT event_type, v, b, strpos('0123456789abcdef', " +
+      "substring(md5(CAST(event_id AS VARCHAR) || ':' || " +
+      "CAST(b AS VARCHAR)), 1, 1)) - 1 AS hv " +
+      "FROM e, (SELECT unnest(generate_series(0, 15)) AS b))) " +
+      "GROUP BY 1, 2 HAVING SUM(w) > 0), " +
+      "m AS (SELECT event_type, b, (swv * 1000000) // sw AS mean_ppm, " +
+      "row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY (swv * 1000000) // sw, b) AS rn FROM reps), " +
+      "ci AS (SELECT event_type, " +
+      "max(CASE WHEN rn = 2 THEN mean_ppm END) AS lo_ppm, " +
+      "max(CASE WHEN rn = 15 THEN mean_ppm END) AS hi_ppm " +
+      "FROM m GROUP BY 1) " +
+      "SELECT event_type, n, " +
+      OSql.sround("CAST(point_ppm AS DOUBLE) / 1e6 / 100.0", 6) + " AS mean_usd, " +
+      OSql.sround("CAST(lo_ppm AS DOUBLE) / 1e6 / 100.0", 6) + " AS ci_lo, " +
+      OSql.sround("CAST(hi_ppm AS DOUBLE) / 1e6 / 100.0", 6) + " AS ci_hi " +
+      "FROM pt JOIN ci USING (event_type) ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
-    assocBasketLift, statKsTest, statMannWhitney)
+    assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi)
 }

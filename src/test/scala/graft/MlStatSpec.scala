@@ -176,6 +176,48 @@ class MlStatSpec extends SparkSpec {
     assert(got("en") === 0.833333)      // (100·1e6 div 120) / 1e6
   }
 
+  // ---------------------------------------------------------- bootstrap
+
+  test("bootstrap CI collapses to the point for a constant stream") {
+    // every replicate's weighted mean of a constant IS the constant —
+    // lo = mean = hi regardless of the weights drawn
+    val rows = Seq.tabulate(40)(i => (i.toLong, 1000L + i, 1L, "t", 5.0, "{}"))
+    val r = run("stat_bootstrap_ci", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 40L)
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) === ((5.0, 5.0, 5.0)))
+  }
+
+  test("bootstrap CI brackets are ordered on a spread stream") {
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, 1000L + i, 1L, "t", 1.0 + (i % 10), "{}"))
+    val r = run("stat_bootstrap_ci", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getDouble(3) <= r.getDouble(2) + 1.0)  // lo near mean
+    assert(r.getDouble(3) < r.getDouble(4))          // lo strictly under hi
+    assert(r.getDouble(2) >= r.getDouble(3) - 1.0 &&
+      r.getDouble(2) <= r.getDouble(4) + 1.0)
+  }
+
+  // ------------------------------------------------------------- bigram LM
+
+  test("bigram logprob applies add-one smoothing over corpus counts") {
+    // one doc "a b a b": bigrams ab,ba,ab; c(ab)=2, c(ba)=1, c(a)=c(b)=2,
+    // V=2 → avg = (2·ln(3/4) + ln(2/4)) / 3 = −0.4228 at 4dp
+    val docs = Seq((1L, "a b a b", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = run("text_bigram_logprob", stageTables("documents" -> docs)).collect()(0)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === -0.4228)
+  }
+
+  test("a one-token document has no bigrams and drops out") {
+    val docs = Seq(
+      (1L, "solo", "en", "s0", 4L),
+      (2L, "a b", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = run("text_bigram_logprob", stageTables("documents" -> docs)).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>

@@ -419,4 +419,51 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(pid"),
       "the per-row cumsum must be the pid-partitioned window")
   }
+
+  test("basket pair mining stays keyed — no product over baskets") {
+    for (key <- Seq("assoc_basket_lift", "graph_adamic_adar", "graph_bfs_depth")) {
+      val plan = executedPlan(key)
+      assert(!plan.contains("CartesianProduct"),
+        s"$key must enumerate pairs through keyed equi-joins")
+    }
+  }
+
+  test("feature_target_encode broadcasts the bucket statistics over one fact scan") {
+    val plan = executedPlan("feature_target_encode")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |buckets|-row stats table must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the fact table must never shuffle for this join")
+  }
+
+  test("rolling and rank-stat windows are keyed — never global") {
+    val wants = Seq(
+      "window_median_rolling" -> "[user_id",
+      "stat_ks_test" -> "[event_type",
+      "stat_mann_whitney" -> "[event_type",
+      "ts_interpolate_linear" -> "[event_type")
+    for ((key, part) <- wants) {
+      val plan = executedPlan(key)
+      val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windowLines.nonEmpty && windowLines.forall(_.contains(part)),
+        s"$key must partition its windows by $part: $windowLines")
+    }
+  }
+
+  test("vocab coverage picks the vocabulary with TakeOrdered and probes by broadcast") {
+    val plan = executedPlan("tokenizer_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-100 vocab must be a size-k heap per partition")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 100-row vocab must broadcast to the probe scan")
+  }
+
+  test("negative sampling anti-joins the seen set and picks per user key") {
+    val plan = executedPlan("sample_negative")
+    assert(plan.contains("LeftAnti"),
+      "seen pairs must leave via an anti join")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[user_id")),
+      s"the pick must be a user-keyed row_number: $windowLines")
+  }
 }
