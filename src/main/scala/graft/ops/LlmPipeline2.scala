@@ -1433,9 +1433,70 @@ object LlmPipeline2 {
       OSql.sround("AVG(CAST(n_chars AS DOUBLE))", 4) + " AS avg_chars " +
       "FROM c GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  // ------------------------------------------- asymmetric containment
+
+  /** dedup_ngram_containment — ASYMMETRIC near-dup detection: the
+    * containment C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| finds
+    * quote/superset relationships that symmetric Jaccard misses — a
+    * short document fully embedded in a long one has high containment
+    * but low Jaccard (the denominators diverge), and real corpora are
+    * full of partial inclusions (quotations, boilerplate wrappers,
+    * expanded revisions). Candidates come from the SAME shared MinHash
+    * band table as `dedup_ngram_jaccard` (IndexCache — built once per
+    * corpus for the whole dedup family), gram sets are semi-join
+    * pruned to candidate docs, and the report keeps pairs where either
+    * direction's containment ≥ 0.8, with both directions emitted.
+    */
+  private val dedupNgramContainment = Q(
+    "dedup_ngram_containment",
+    (s, d) => {
+      import s.implicits._
+      val g3 = LlmPipeline.gramRows(s, d, 3)
+      val bd = LlmPipeline.guardBands(
+        Mat(s, LlmPipeline.bandRowsFrom(s, g3), "jac-bands"))
+      val cand = bd.select($"doc_id".as("doc_a"), $"band")
+        .join(bd.select($"doc_id".as("doc_b"), $"band"), "band")
+        .filter($"doc_a" < $"doc_b")
+        .select("doc_a", "doc_b").distinct()
+      val candDocs = cand.select($"doc_a".as("doc_id"))
+        .union(cand.select($"doc_b".as("doc_id"))).distinct()
+      val gr = Mat(s,
+        g3.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct(),
+        "cont-grams")
+      val sz = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(gr.select($"doc_id".as("doc_a"), $"x"), "doc_a")
+        .join(gr.select($"doc_id".as("doc_b"), $"x"), Seq("doc_b", "x"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          dround($"i".cast("double") / $"na", 6).as("c_ab"),
+          dround($"i".cast("double") / $"nb", 6).as("c_ba"))
+        .filter($"c_ab" >= 0.8 || $"c_ba" >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("WITH " + LlmPipeline.bandCtes + LlmPipeline.guardCtes + ", " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+      "gr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1), " +
+      "itr AS (SELECT doc_a, doc_b, count(*) AS i FROM cand " +
+      "JOIN gr ga ON ga.doc_id = doc_a JOIN gr gb ON gb.doc_id = doc_b AND gb.g = ga.g " +
+      "GROUP BY 1, 2), " +
+      "c AS (SELECT doc_a, doc_b, " +
+      OSql.sround("CAST(i AS DOUBLE) / sa.n", 6) + " AS c_ab, " +
+      OSql.sround("CAST(i AS DOUBLE) / sb.n", 6) + " AS c_ba " +
+      "FROM itr JOIN sz sa ON sa.doc_id = doc_a " +
+      "JOIN sz sb ON sb.doc_id = doc_b) " +
+      "SELECT doc_a, doc_b, c_ab, c_ba FROM c " +
+      "WHERE c_ab >= 0.8 OR c_ba >= 0.8 ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
     dedupSimhash, dedupNgramJaccard, dedupEmbeddingCosine, simAnnLsh, simAnnIvf,
     indexPersist, simAnnPq, simAnnIvfPq, simAnnRecall, textLangId,
     textQualityScore, textTokenCount, docFingerprint, multimodalDecode,
-    sampleStratified, corpusClean)
+    sampleStratified, corpusClean, dedupNgramContainment)
 }

@@ -444,7 +444,94 @@ object MlStatOps {
       OSql.sround("CAST(hi_ppm AS DOUBLE) / 1e6 / 100.0", 6) + " AS ci_hi " +
       "FROM pt JOIN ci USING (event_type) ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // stat_permutation_test — permutation test of the arm difference per
+  // event_type (the assumption-free sibling of the Welch t-test): the
+  // observed |Δmean| between the parity arms is compared against 16
+  // DETERMINISTIC label permutations — permutation b reassigns each
+  // event to an arm by an md5(event_id:b) bit, so the null resamples
+  // are reproducible on any cluster with no RNG state. Means are exact
+  // integer ppm ((S·10⁶) div n); the add-one p-value
+  // (1 + #{b : |Δb| ≥ |Δobs|}) / 17 is one exact division. Everything
+  // reduces map-side over the exploded (row × 16) stream — the same
+  // replicate-explosion shape as stat_bootstrap_ci.
+  // ------------------------------------------------------------------
+
+  private val statPermutationTest = Q(
+    "stat_permutation_test",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type", $"event_id",
+          pmod($"user_id", lit(2)).as("g"),
+          round($"value" * 100).cast("long").as("v"))
+      val obs = e.groupBy("event_type").agg(
+          sum(when($"g" === 0, $"v")).as("sa"),
+          sum(when($"g" === 0, lit(1L)).otherwise(lit(0L))).as("na"),
+          sum(when($"g" === 1, $"v")).as("sb"),
+          sum(when($"g" === 1, lit(1L)).otherwise(lit(0L))).as("nb"))
+        .select($"event_type", $"na", $"nb",
+          abs(expr("(sa * 1000000) div na") - expr("(sb * 1000000) div nb"))
+            .as("obs_d"))
+      val perm = e.withColumn("b", explode(sequence(lit(1), lit(16))))
+        .withColumn("pg",
+          expr("instr('0123456789abcdef', substring(md5(concat(" +
+            "cast(event_id as string), ':', cast(b as string))), 1, 1)) % 2"))
+        .groupBy("event_type", "b").agg(
+          sum(when($"pg" === 0, $"v")).as("sa"),
+          sum(when($"pg" === 0, lit(1L)).otherwise(lit(0L))).as("na"),
+          sum(when($"pg" === 1, $"v")).as("sb"),
+          sum(when($"pg" === 1, lit(1L)).otherwise(lit(0L))).as("nb"))
+        .filter($"na" > 0 && $"nb" > 0)
+        .select($"event_type",
+          abs(expr("(sa * 1000000) div na") - expr("(sb * 1000000) div nb"))
+            .as("perm_d"))
+      obs.join(perm, Seq("event_type"))
+        .groupBy("event_type").agg(
+          max($"na").as("n_a"), max($"nb").as("n_b"),
+          max($"obs_d").as("od"),
+          sum(($"perm_d" >= $"obs_d").cast("long")).as("n_ge"))
+        .select($"event_type", $"n_a", $"n_b",
+          dround($"od".cast("double") / 1e6 / 100.0, 6).as("obs_delta_usd"),
+          $"n_ge",
+          dround(($"n_ge" + lit(1)).cast("double") / lit(17.0), 6).as("p_value"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, event_id, user_id % 2 AS g, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "obs AS (SELECT event_type, " +
+      "CAST(SUM(CASE WHEN g=0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN g=1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+      "abs((SUM(CASE WHEN g=0 THEN v END) * 1000000) // " +
+      "SUM(CASE WHEN g=0 THEN 1 ELSE 0 END) - " +
+      "(SUM(CASE WHEN g=1 THEN v END) * 1000000) // " +
+      "SUM(CASE WHEN g=1 THEN 1 ELSE 0 END)) AS obs_d " +
+      "FROM e GROUP BY 1), " +
+      "perm AS (SELECT event_type, b, " +
+      "SUM(CASE WHEN pg=0 THEN v END) AS sa, " +
+      "SUM(CASE WHEN pg=0 THEN 1 ELSE 0 END) AS na, " +
+      "SUM(CASE WHEN pg=1 THEN v END) AS sb, " +
+      "SUM(CASE WHEN pg=1 THEN 1 ELSE 0 END) AS nb " +
+      "FROM (SELECT event_type, v, b, " +
+      "strpos('0123456789abcdef', substring(md5(" +
+      "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)) % 2 AS pg " +
+      "FROM e, (SELECT unnest(generate_series(1, 16)) AS b)) " +
+      "GROUP BY 1, 2 HAVING SUM(CASE WHEN pg=0 THEN 1 ELSE 0 END) > 0 " +
+      "AND SUM(CASE WHEN pg=1 THEN 1 ELSE 0 END) > 0), " +
+      "pd AS (SELECT event_type, " +
+      "abs((sa * 1000000) // na - (sb * 1000000) // nb) AS perm_d FROM perm) " +
+      "SELECT o.event_type, max(o.na) AS n_a, max(o.nb) AS n_b, " +
+      OSql.sround("CAST(max(o.obs_d) AS DOUBLE) / 1e6 / 100.0", 6) +
+      " AS obs_delta_usd, " +
+      "CAST(SUM(CASE WHEN pd.perm_d >= o.obs_d THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_ge, " +
+      OSql.sround("CAST(SUM(CASE WHEN pd.perm_d >= o.obs_d THEN 1 ELSE 0 END) " +
+        "+ 1 AS DOUBLE) / 17.0", 6) + " AS p_value " +
+      "FROM obs o JOIN pd ON pd.event_type = o.event_type " +
+      "GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
-    assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi)
+    assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
+    statPermutationTest)
 }

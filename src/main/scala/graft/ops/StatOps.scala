@@ -765,9 +765,59 @@ object StatOps {
         ") / (255.0/128.0) / 100.0", 6) + " AS ewma " +
       "FROM l WHERE v7 IS NOT NULL ORDER BY user_id, event_id"))
 
+  // ------------------------------------------------------------------
+  // scan_csv_badrecords — the CSV cell of the dead-letter matrix (the
+  // robustness sibling of `scan_json_badrecords`, completing the
+  // format-robustness story the strict `scan_csv` round trip started):
+  // events staged as CSV text with a deterministic 1-in-7 corruption
+  // (the integer cents field becomes 'xx'), read back PERMISSIVE with
+  // a declared corrupt-record column — the malformed rows surface as
+  // dead letters instead of failing the scan, counted map-side per
+  // type with an exact cents checksum over the survivors. The oracle
+  // restates the same accounting from the parquet archive.
+  // ------------------------------------------------------------------
+
+  private val scanCsvBadrecords = Q(
+    "scan_csv_badrecords",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val staged = graft.core.TmpDirs.dir("csv-bad")
+      Tables.events(s, d)
+        .select(concat_ws(",",
+          $"event_id", $"event_type",
+          when($"event_id" % 7 === 0, lit("xx"))
+            .otherwise(round($"value" * 100).cast("long").cast("string")))
+          .as("value"))
+        .write.mode("overwrite").text(staged)
+      val parsed = s.read
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("c", LongType),
+          StructField("_corrupt", StringType))))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(staged)
+      parsed.groupBy("event_type").agg(
+          count(lit(1)).as("n_rows"),
+          count($"c").as("n_parsed"),
+          count($"_corrupt").as("n_dead_letter"),
+          sum($"c").as("c_sum"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS n_rows, " +
+      "CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_parsed, " +
+      "CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_dead_letter, " +
+      "CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN " +
+      "CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS c_sum " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     aggSkewKurtosis, aggWeightedMedian, windowCumeDist, graphDegreeStats,
     seqFirstTouch, cdcSnapshotDiff, sampleTemperature, scanJsonBadrecords,
     windowZscoreRolling, seqRfmScore, dedupUrlCanonical, aggGiniDiversity,
-    topkWindowed, joinTemporalDim, scalarUrl, windowEwma)
+    topkWindowed, joinTemporalDim, scalarUrl, windowEwma, scanCsvBadrecords)
 }

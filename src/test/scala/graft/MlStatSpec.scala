@@ -218,6 +218,63 @@ class MlStatSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  // -------------------------------------------------- permutation test
+
+  test("permutation test: identical arms give p = 1") {
+    // every value appears once per arm → observed Δ = 0, and every
+    // permuted Δ ≥ 0 trivially → n_ge = 16, p = 17/17
+    val rows = (0 until 20).map(i =>
+      (i.toLong, 1000L + i, i.toLong % 2, "t", 5.0 + (i / 2) % 5, "{}"))
+    val r = run("stat_permutation_test", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(4) === 16L)
+    assert(r.getDouble(5) === 1.0)
+  }
+
+  test("permutation test: a huge real effect survives every resample") {
+    // arm A all $1, arm B all $100 — no md5 relabeling of 80 rows
+    // reproduces a $99 gap → n_ge = 0, p = 1/17
+    val rows = (0 until 80).map(i =>
+      (i.toLong, 1000L + i, i.toLong % 2, "t",
+        if (i % 2 == 0) 1.0 else 100.0, "{}"))
+    val r = run("stat_permutation_test", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getDouble(3) === 99.0)
+    assert(r.getLong(4) === 0L)
+    assert(r.getDouble(5) === 0.058824)
+  }
+
+  // ----------------------------------------------------- CSV dead letter
+
+  test("CSV dead-letter path quarantines the corrupted 1-in-7 rows") {
+    // ids 1..7, all one type: id 7 stages as 'xx' in the cents field →
+    // 6 parsed, 1 dead letter, checksum over survivors only
+    val rows = (1 to 7).map(i =>
+      (i.toLong, 1000L + i, 1L, "t", i.toDouble, "{}"))
+    val r = run("scan_csv_badrecords", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((7L, 6L, 1L)))
+    assert(r.getLong(4) === (1 to 6).map(_ * 100L).sum)
+  }
+
+  // ------------------------------------------------------- containment
+
+  test("containment flags a quoted (subset) document that Jaccard understates") {
+    // doc 2 is doc 1 plus a one-token wrapper: every gram of doc 1
+    // appears in doc 2 → C(1→2) = 1.0 exactly; the reverse direction
+    // is 8/9. (The pair band-collides — J = 8/9 is far above the LSH
+    // threshold — so the shared candidate path proposes it.)
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s0", 50L),
+      (2L, base + " w11", "en", "s0", 55L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = run("dedup_ngram_containment", stageTables("documents" -> docs))
+      .collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 0.888889)
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>
