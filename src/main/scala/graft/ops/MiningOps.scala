@@ -225,6 +225,115 @@ object MiningOps {
       "CAST(SUM(user_id) AS BIGINT) AS user_id_sum " +
       "FROM r WHERE rn <= 2 GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // sim_maxsim_labels — LATE-INTERACTION similarity between label
+  // groups (the ColBERT MaxSim shape): for probe group A scored
+  // against corpus group B, MaxSim(A→B) = mean over probe vectors i
+  // of max over j∈B of sim(i, j) — each probe token keeps its own
+  // best corpus match instead of collapsing both sides to centroids.
+  // Probe side = labels {0, 1} (the bounded shortlist — production
+  // late interaction always scores a shortlist, never the cross
+  // product of everything); corpus side = every OTHER label. Sims are
+  // the same 6dp-rounded dot_f folds as the exact-ANN family; each
+  // per-probe max quantizes to an exact 10⁶ integer before the group
+  // mean, so the reduction is order-independent. One corpus scan
+  // joins the broadcast probe table; maxes collapse per (probe vec,
+  // corpus label) map-side.
+  // ------------------------------------------------------------------
+
+  private val simMaxsimLabels = Q(
+    "sim_maxsim_labels",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.t(s, d, "embeddings")
+      val probes = emb.filter($"label".isin(0, 1))
+        .select($"vec_id".as("pid"), $"label".as("la"), $"embedding".as("pv"))
+      val sims = emb.filter($"label" >= 2)
+        .crossJoin(broadcast(probes))
+        .select($"pid", $"la", $"label".as("lb"),
+          Det.dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+            .as("sim"))
+      val best = sims.groupBy("pid", "la", "lb").agg(max($"sim").as("mx"))
+        .withColumn("q", floor($"mx" * lit(1e6) + lit(0.5)).cast("long"))
+      best.groupBy("la", "lb").agg(
+          count(lit(1)).as("n_probe"),
+          dround(sum($"q").cast("double") / count(lit(1)) / 1e6, 6).as("maxsim"))
+        .orderBy("la", "lb")
+    },
+    Some("WITH probes AS (SELECT vec_id AS pid, label AS la, embedding AS pv " +
+      "FROM embeddings WHERE label IN (0, 1)), " +
+      "sims AS (SELECT p.pid, p.la, e.label AS lb, " +
+      OSql.sround("list_dot_product(e.embedding, p.pv)", 6) + " AS sim " +
+      "FROM embeddings e CROSS JOIN probes p WHERE e.label >= 2), " +
+      "best AS (SELECT pid, la, lb, " +
+      "CAST(floor(max(sim) * 1e6 + 0.5) AS BIGINT) AS q " +
+      "FROM sims GROUP BY 1,2,3) " +
+      "SELECT la, lb, count(*) AS n_probe, " +
+      OSql.sround("CAST(SUM(q) AS DOUBLE) / count(*) / 1e6", 6) + " AS maxsim " +
+      "FROM best GROUP BY 1,2 ORDER BY 1,2"))
+
+  // ------------------------------------------------------------------
+  // graph_kcore_peel — k-core peeling (k = 2) over the part
+  // co-purchase graph: repeatedly drop nodes with degree < 2 and the
+  // edges they carry — the standard dense-subgraph extraction whose
+  // fixpoint is the 2-core. Three unrolled peel rounds (each is one
+  // degree aggregate + one semi-join filter per endpoint — the same
+  // co-partitioned superstep shape as the other iterative graph keys),
+  // reporting the per-round survivor ledger; a bounded peel is the
+  // honest spelling for a declared key (fixpoint looping belongs to
+  // the caller, as in dedup_cluster). Edges come from within-order
+  // pair enumeration — bounded baskets, never a cross join.
+  // ------------------------------------------------------------------
+
+  private val graphKcorePeel = Q(
+    "graph_kcore_peel",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.t(s, d, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val pairs = li.select($"o", $"p".as("a"))
+        .join(li.select($"o", $"p".as("b")), "o")
+        .filter($"a" < $"b")
+        .select("a", "b").distinct()
+      var edges = graft.core.Mat(s,
+        pairs.unionByName(pairs.select($"b".as("a"), $"a".as("b"))), "kcore-e")
+      val ledger = collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (r <- 1 to 3) {
+        val deg = edges.groupBy("a").agg(count(lit(1)).as("dg"))
+        val keep = deg.filter($"dg" >= 2).select($"a".as("n"))
+        edges = graft.core.Mat(s,
+          edges.join(keep.select($"n".as("a")), Seq("a"), "left_semi")
+            .join(keep.select($"n".as("b")), Seq("b"), "left_semi")
+            .select("a", "b"),
+          s"kcore-r$r")
+        ledger += edges.agg(
+            countDistinct($"a").as("n_nodes"),
+            (count(lit(1)) / 2).cast("long").as("n_edges"))
+          .select(lit(r.toLong).as("round"), $"n_nodes", $"n_edges")
+      }
+      ledger.reduce(_ unionByName _).orderBy("round")
+    },
+    Some("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+      "pr AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
+      "JOIN li b ON a.o = b.o AND a.p < b.p), " +
+      "e0 AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr), " +
+      "k1 AS (SELECT a AS n FROM e0 GROUP BY a HAVING count(*) >= 2), " +
+      "e1 AS (SELECT e.a, e.b FROM e0 e " +
+      "JOIN k1 x ON x.n = e.a JOIN k1 y ON y.n = e.b), " +
+      "k2 AS (SELECT a AS n FROM e1 GROUP BY a HAVING count(*) >= 2), " +
+      "e2 AS (SELECT e.a, e.b FROM e1 e " +
+      "JOIN k2 x ON x.n = e.a JOIN k2 y ON y.n = e.b), " +
+      "k3 AS (SELECT a AS n FROM e2 GROUP BY a HAVING count(*) >= 2), " +
+      "e3 AS (SELECT e.a, e.b FROM e2 e " +
+      "JOIN k3 x ON x.n = e.a JOIN k3 y ON y.n = e.b) " +
+      "SELECT * FROM (" +
+      "SELECT 1 AS round, count(DISTINCT a) AS n_nodes, " +
+      "CAST(count(*) / 2 AS BIGINT) AS n_edges FROM e1 " +
+      "UNION ALL SELECT 2, count(DISTINCT a), CAST(count(*) / 2 AS BIGINT) FROM e2 " +
+      "UNION ALL SELECT 3, count(DISTINCT a), CAST(count(*) / 2 AS BIGINT) FROM e3" +
+      ") ORDER BY round"))
+
   val qs: Seq[Q] = Seq(
-    graphBfsDepth, graphAdamicAdar, seqPatternRegex, sampleNegative)
+    graphBfsDepth, graphAdamicAdar, seqPatternRegex, sampleNegative,
+    simMaxsimLabels, graphKcorePeel)
 }

@@ -93,6 +93,39 @@ class MiningSpec extends SparkSpec {
     assert(got === Map(0L -> 1L))
   }
 
+  // ------------------------------------------------------------ MaxSim
+
+  test("MaxSim keeps each probe's best match and averages per group") {
+    // probes: label 0 = e1, label 1 = (0.6, 0.8); corpus label 2 holds
+    // e1 and e2 → label-0 probe maxes at 1.0 (e1), label-1 probe maxes
+    // at 0.8 (e2) — the mean-of-max never mixes the directions
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.6f, 0.8f, 0f, 0f), 1),
+      (3L, Array(1f, 0f, 0f, 0f), 2),
+      (4L, Array(0f, 1f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = run("sim_maxsim_labels", stageTables("embeddings" -> emb)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got((0, 2)) === ((1L, 1.0)))
+    assert(got((1, 2)) === ((1L, 0.8)))
+  }
+
+  // ------------------------------------------------------------ k-core
+
+  test("2-core peeling drops the pendant and keeps the triangle") {
+    // parts 1-2-3 form a triangle (each pair co-ordered); part 4 hangs
+    // off part 1 with degree 1 → round 1 peels it, the triangle is the
+    // stable 2-core
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 3L),
+      (4L, 1L), (4L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = run("graph_kcore_peel", stageTables("lineitem" -> li)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L)))
+  }
+
   // -------------------------------------------------- negative sampling
 
   test("negative sampling assigns only never-seen buckets") {
