@@ -921,9 +921,57 @@ object Relational {
     Some("SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer " +
       "EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1"))
 
+  /** RIGHT OUTER: the orders fact right-joined to the customer
+    * dimension — customers with no orders survive with nulls, the
+    * membership report every dimension-coverage audit needs. Same
+    * plan family as `join_left_outer` with the preserved side flipped;
+    * the per-segment ledger pins the null-fill arithmetic (count(o)
+    * counts matches only, count(*) counts preserved rows).
+    */
+  private val joinRightOuter = Q(
+    "join_right_outer",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey", "right_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"o_orderkey").as("n_matched"),
+          sum($"c_custkey".isNotNull.cast("long")).cast("long").as("n_kept"),
+          moneySum(coalesce($"o_totalprice", lit(0.0))).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+    Some("SELECT c_mktsegment, count(*) AS n_rows, " +
+      "count(o_orderkey) AS n_matched, " +
+      "CAST(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_kept, " + OSql.msum("COALESCE(o_totalprice, 0)") + " AS revenue " +
+      "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  /** Explicit NULL placement in sort order: Spark's default for ASC is
+    * NULLS FIRST while DuckDB's is NULLS LAST — silent cross-engine
+    * divergence unless the query SPELLS the placement. This key pins
+    * the explicit form both ways (ASC NULLS FIRST, then the tiebreak)
+    * so the contract is in the query text, not the engine default.
+    */
+  private val sortNullOrder = Q(
+    "sort_null_order",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          when($"event_type" === "error", lit(null).cast("double"))
+            .otherwise($"value").as("v"))
+        .orderBy($"v".asc_nulls_first, $"event_id".asc)
+        .limit(100)
+    },
+    Some("SELECT event_id, " +
+      "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v " +
+      "FROM events ORDER BY v ASC NULLS FIRST, event_id ASC LIMIT 100"))
+
   val qs: Seq[Q] = Seq(
     scanProject, scanPrunedFilter, jsonSource, scanTextGz, sinkPartition,
-    sinkReshard,
+    sinkReshard, joinRightOuter, sortNullOrder,
     filterConjunctive, filterRegex, transformRewrite, filterNullSemantics,
     joinInnerHash, joinSortmergeLarge, joinBroadcastChain, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinThetaRange, joinCrossSmall,

@@ -963,9 +963,43 @@ object ScaleOps {
     Some("SELECT source, CAST(SUM(octet_length(encode(text)) + 1) AS BIGINT) AS n_bytes " +
       "FROM documents GROUP BY 1 ORDER BY 1"))
 
+  /** scan_json_multiline — the multiLine cell of the JSON format
+    * matrix: a pretty-printed JSON ARRAY file (one document spanning
+    * many lines — the API-export/webhook-dump format, NOT splittable
+    * line-by-line) staged deterministically from the archive head
+    * (event_id < 2000, sorted so the array text is reproducible) and
+    * read back with `multiLine=true`, which parses the whole document
+    * per file. The per-type ledger + exact cents checksum prove the
+    * array round trip lossless; the oracle restates from parquet.
+    * Scale note: multiLine JSON is inherently one-task-per-FILE (the
+    * document is the split unit) — the honest cost of the format, why
+    * archives should prefer NDJSON; the key documents the trade, not
+    * hides it.
+    */
+  private val scanJsonMultiline = Q(
+    "scan_json_multiline",
+    (s, d) => {
+      import s.implicits._
+      val dir = TmpDirs.dir("events-mljson")
+      Tables.events(s, d)
+        .filter($"event_id" < 2000)
+        .select(struct($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("c")).as("e"))
+        .agg(to_json(sort_array(collect_list($"e"))).as("doc"))
+        .coalesce(1)
+        .write.mode("overwrite").text(dir)
+      s.read.option("multiLine", "true").json(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum($"c").as("c_sum"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS n_rows, " +
+      "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c_sum " +
+      "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
-    aggApproxQuantile, scanBinary)
+    aggApproxQuantile, scanBinary, scanJsonMultiline)
 }

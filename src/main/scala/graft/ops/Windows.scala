@@ -330,7 +330,57 @@ object Windows {
         "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)", 2) + " AS trail3 " +
       "FROM dly ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // window_pareto_80 — revenue-concentration analysis (the 80/20
+  // report): per market segment, the minimum number of customers whose
+  // cumulative revenue reaches 80% of the segment total. Revenue sums
+  // are exact cents (decimal→long), the running share rides ONE
+  // segment-keyed window in (revenue desc, custkey) order, and the
+  // 80% cut is the cross-multiplied integer test 5·cum ≥ 4·total — no
+  // float CDF anywhere. Output: segment ledger (customers, k80, and
+  // the exact concentration ratio in one final division).
+  // ------------------------------------------------------------------
+
+  private val windowPareto80 = Q(
+    "window_pareto_80",
+    (s, d) => {
+      import s.implicits._
+      val rev = graft.core.Tables.t(s, d, "orders")
+        .join(broadcast(graft.core.Tables.t(s, d, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"c_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("r"))
+      val run = Window.partitionBy($"c_mktsegment")
+        .orderBy($"r".desc, $"c_custkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy($"c_mktsegment")
+      rev.select($"c_mktsegment",
+          sum($"r").over(run).as("cum"), sum($"r").over(tot).as("t"),
+          count(lit(1)).over(tot).as("n"))
+        .withColumn("reached", ($"cum" * 5 >= $"t" * 4).cast("long"))
+        .groupBy("c_mktsegment").agg(
+          max($"n").as("n_customers"),
+          (max($"n") - sum($"reached") + 1).as("k80"))
+        .select($"c_mktsegment", $"n_customers", $"k80",
+          dround($"k80".cast("double") / $"n_customers", 6).as("k80_share"))
+        .orderBy("c_mktsegment")
+    },
+    Some("WITH rev AS (SELECT c_mktsegment, c_custkey, " +
+      "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+      "w AS (SELECT c_mktsegment, " +
+      "SUM(r) OVER (PARTITION BY c_mktsegment ORDER BY r DESC, c_custkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "SUM(r) OVER (PARTITION BY c_mktsegment) AS t, " +
+      "COUNT(*) OVER (PARTITION BY c_mktsegment) AS n FROM rev) " +
+      "SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n_customers, " +
+      "CAST(max(n) - SUM(CASE WHEN cum * 5 >= t * 4 THEN 1 ELSE 0 END) + 1 " +
+      "AS BIGINT) AS k80, " +
+      OSql.sround("CAST(max(n) - SUM(CASE WHEN cum * 5 >= t * 4 THEN 1 " +
+        "ELSE 0 END) + 1 AS DOUBLE) / max(n)", 6) + " AS k80_share " +
+      "FROM w GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     rankTopk, rankDense, lagLead, nthValue, runningSum, firstLast, movingAvg, percentRank,
-    rangeFrame)
+    rangeFrame, windowPareto80)
 }

@@ -1,0 +1,62 @@
+package graft
+
+/** Laws for the SQL-surface completions (right outer join, explicit
+  * null ordering, Pareto concentration): crafted tables through the
+  * REAL query functions.
+  */
+class SurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ns = (ms: Long) => ms * 1000000L
+
+  test("right outer join preserves customers with no orders") {
+    val orders = Seq((10L, 1L, "F", 100.0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val customer = Seq(
+      (1L, "A", 10L, 5.0), (2L, "B", 11L, 6.0))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = run("join_right_outer",
+      stageTables("orders" -> orders, "customer" -> customer)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got("A") === ((1L, 1L, 100.0)))
+    assert(got("B") === ((1L, 0L, 0.0)))   // preserved, unmatched, zero-filled
+  }
+
+  test("explicit NULLS FIRST puts the error rows ahead of every value") {
+    val rows = Seq(
+      (1L, ns(1000), 1L, "view", 5.0, "{}"),
+      (2L, ns(2000), 1L, "error", 9.0, "{}"),
+      (3L, ns(3000), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = run("sort_null_order", stageTables("events" -> rows)).collect()
+    assert(got(0).getLong(0) === 2L && got(0).isNullAt(1))
+    assert(got.drop(1).map(_.getDouble(1)).toSeq === Seq(1.0, 5.0))
+  }
+
+  test("Pareto: one whale covering 80% makes k80 = 1") {
+    // cust 1 books 80 of the 100 total; ten minnows book 2 each
+    val orders = (Seq((100L, 1L, 80.0)) ++ (2 to 11).map(c =>
+      (100L + c, c.toLong, 2.0)))
+      .map { case (ok, ck, v) => (ok, ck, "F", v, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val customer = (1 to 11).map(c => (c.toLong, "A", 10L, 5.0))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val r = run("window_pareto_80",
+      stageTables("orders" -> orders, "customer" -> customer)).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((11L, 1L)))
+    assert(r.getDouble(3) === 0.090909)
+  }
+
+  test("Pareto: a uniform segment needs 80% of its customers") {
+    val orders = (1 to 10).map(c => (100L + c, c.toLong, "F", 10.0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val customer = (1 to 10).map(c => (c.toLong, "A", 10L, 5.0))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val r = run("window_pareto_80",
+      stageTables("orders" -> orders, "customer" -> customer)).collect()(0)
+    assert(r.getLong(2) === 8L)   // 8 of 10 equal customers reach 80%
+  }
+}
