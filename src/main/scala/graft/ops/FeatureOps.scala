@@ -328,7 +328,67 @@ object FeatureOps {
       "count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_cents " +
       "FROM b WHERE v > 0 GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // feature_binning_transfer — the FITTED-TRANSFORMER pattern every ML
+  // pipeline needs and naive SQL gets wrong: quartile bin edges are
+  // LEARNED on the training era (even event_ids) and APPLIED unchanged
+  // to the serving era (odd event_ids) — recomputing edges on serving
+  // data would leak distribution shift into the features. Edges are
+  // exact discrete quartiles (the value at ⌈p·n⌉ in (value, event_id)
+  // order — the agg_percentile_disc rule) per event_type, found with
+  // ONE type-keyed window over the training era and collapsed to a
+  // |types|-row broadcast; the serving era classifies in a codegen'd
+  // CASE projection. Output: the serving-era bin ledger.
+  // ------------------------------------------------------------------
+
+  private val featureBinningTransfer = Q(
+    "feature_binning_transfer",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type", ($"event_id" % 2).as("era"), $"event_id",
+          round($"value" * 100).cast("long").as("v"))
+      val train = e.filter($"era" === 0)
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"v".asc, $"event_id".asc)
+      val tot = Window.partitionBy($"event_type")
+      val edges = train
+        .select($"event_type", $"v",
+          row_number().over(w).as("rn"), count(lit(1)).over(tot).as("n"))
+        .groupBy("event_type").agg(
+          max(when($"rn" * 4 >= $"n" && ($"rn" - 1) * 4 < $"n", $"v")).as("q1"),
+          max(when($"rn" * 2 >= $"n" && ($"rn" - 1) * 2 < $"n", $"v")).as("q2"),
+          max(when($"rn" * 4 >= $"n" * 3 && ($"rn" - 1) * 4 < $"n" * 3, $"v"))
+            .as("q3"))
+      e.filter($"era" === 1)
+        .join(broadcast(edges), "event_type")
+        .withColumn("bin",
+          when($"v" <= $"q1", 0L).when($"v" <= $"q2", 1L)
+            .when($"v" <= $"q3", 2L).otherwise(3L))
+        .groupBy("event_type", "bin").agg(
+          count(lit(1)).as("n"),
+          sum($"v").as("v_sum"))
+        .orderBy("event_type", "bin")
+    },
+    Some("WITH e AS (SELECT event_type, event_id % 2 AS era, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "tr AS (SELECT event_type, v, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS n FROM e WHERE era = 0), " +
+      "edges AS (SELECT event_type, " +
+      "max(CASE WHEN rn * 4 >= n AND (rn - 1) * 4 < n THEN v END) AS q1, " +
+      "max(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n THEN v END) AS q2, " +
+      "max(CASE WHEN rn * 4 >= n * 3 AND (rn - 1) * 4 < n * 3 THEN v END) AS q3 " +
+      "FROM tr GROUP BY 1) " +
+      "SELECT e.event_type, " +
+      "CAST(CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1 " +
+      "WHEN v <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bin, " +
+      "count(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum " +
+      "FROM e JOIN edges ON edges.event_type = e.event_type " +
+      "WHERE era = 1 GROUP BY 1, 2 ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
     aggOls2, featureMinmaxScale, textHashingTrick, seqTrigramPaths,
-    aggBitmapDistinct, seqAttributionLinear, aggHistogramLog2)
+    aggBitmapDistinct, seqAttributionLinear, aggHistogramLog2,
+    featureBinningTransfer)
 }

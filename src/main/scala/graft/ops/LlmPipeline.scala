@@ -116,7 +116,7 @@ object LlmPipeline {
           .as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
-      .select($"probe", $"vec_id")
+      .select($"probe", $"vec_id", $"rn")
   }
 
   /** DuckDB spelling of [[exactTopK]] (the oracle side of the exact

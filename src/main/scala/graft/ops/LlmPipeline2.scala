@@ -625,7 +625,7 @@ object LlmPipeline2 {
           .as("sim"))
       .withColumn("rn", row_number().over(wK))
       .filter($"rn" <= k)
-      .select("probe", "vec_id")
+      .select("probe", "vec_id", "rn")
   }
 
   /** K derived from the corpus size toward a target MEAN CELL SIZE
@@ -1494,9 +1494,69 @@ object LlmPipeline2 {
       "SELECT doc_a, doc_b, c_ab, c_ba FROM c " +
       "WHERE c_ab >= 0.8 OR c_ba >= 0.8 ORDER BY 1, 2"))
 
+  // ---------------------------------------------------------- ANN NDCG
+
+  /** sim_ann_ndcg — graded ranking quality of the IVF index against
+    * the exact scan (the retrieval-eval metric beyond recall@k, which
+    * treats position 1 and position 10 alike): relevance of an exact
+    * top-10 member is 11 − exact_rank (10 down to 1), the approximate
+    * list's DCG divides each hit's relevance by log₂(approx_rank + 1),
+    * and NDCG normalizes by the exact list's own DCG. Both rankings
+    * ride the SAME cached index artifacts and tie rules as
+    * `sim_ann_recall`; each rel/log₂ term quantizes to BIGINT·10⁹
+    * before the per-probe sum, leaving one final division.
+    */
+  private val simAnnNdcg = Q(
+    "sim_ann_ndcg",
+    (s, d) => {
+      import s.implicits._
+      val ex = Mat(s, LlmPipeline.exactTopKMulti(s, d, 10, recallProbes),
+          "ndcg-exact")
+        .select($"probe", $"vec_id", $"rn".as("rex"))
+      val ap = ivfTopKMulti(s, d, probes = recallProbes)
+        .select($"probe", $"vec_id", $"rn".as("rap"))
+      val idcg = ex.withColumn("t",
+          floor((lit(11) - $"rex").cast("double")
+            / log2(($"rex" + 1).cast("double")) * lit(1e9) + lit(0.5))
+            .cast("long"))
+        .groupBy("probe").agg(sum($"t").as("idcg_q"))
+      val dcg = ap.join(ex, Seq("probe", "vec_id"), "left")
+        .withColumn("rel", coalesce(lit(11) - $"rex", lit(0)))
+        .withColumn("t",
+          floor($"rel".cast("double")
+            / log2(($"rap" + 1).cast("double")) * lit(1e9) + lit(0.5))
+            .cast("long"))
+        .groupBy("probe").agg(
+          sum(($"rel" > 0).cast("long")).as("n_hits"),
+          sum($"t").as("dcg_q"))
+      dcg.join(idcg, "probe")
+        .select($"probe", $"n_hits",
+          dround($"dcg_q".cast("double") / $"idcg_q", 6).as("ndcg"))
+        .orderBy("probe")
+    },
+    Some {
+      val parts = recallProbes.map { p =>
+        s"(WITH x AS (SELECT vec_id, row_number() OVER " +
+          s"(ORDER BY sim DESC, vec_id) AS rex FROM (${LlmPipeline.exactTopkSql(10, p)})), " +
+          s"i AS (SELECT vec_id, row_number() OVER " +
+          s"(ORDER BY sim DESC, vec_id) AS rap FROM (${ivfTopkSql(8, 2, 10, p)})), " +
+          "dd AS (SELECT i.rap, COALESCE(11 - x.rex, 0) AS rel " +
+          "FROM i LEFT JOIN x USING (vec_id)), " +
+          "dn AS (SELECT CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_hits, SUM(CAST(floor(CAST(rel AS DOUBLE) / log2(rap + 1.0) " +
+          "* 1e9 + 0.5) AS BIGINT)) AS dcg FROM dd), " +
+          "idn AS (SELECT SUM(CAST(floor(CAST(11 - rex AS DOUBLE) / " +
+          "log2(rex + 1.0) * 1e9 + 0.5) AS BIGINT)) AS idcg FROM x) " +
+          s"SELECT CAST($p AS BIGINT) AS probe, n_hits, " +
+          OSql.sround("CAST(dcg AS DOUBLE) / idcg", 6) + " AS ndcg " +
+          "FROM dn, idn)"
+      }
+      parts.mkString(" UNION ALL ") + " ORDER BY probe"
+    })
+
   val qs: Seq[Q] = Seq(
     dedupSimhash, dedupNgramJaccard, dedupEmbeddingCosine, simAnnLsh, simAnnIvf,
     indexPersist, simAnnPq, simAnnIvfPq, simAnnRecall, textLangId,
     textQualityScore, textTokenCount, docFingerprint, multimodalDecode,
-    sampleStratified, corpusClean, dedupNgramContainment)
+    sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg)
 }

@@ -530,8 +530,86 @@ object MlStatOps {
       "FROM obs o JOIN pd ON pd.event_type = o.event_type " +
       "GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // eval_binary_classifier — the model-evaluation report for a binary
+  // rule: label = (event_type = 'purchase'), score = the event value,
+  // decision threshold $50. Confusion counts collapse map-side;
+  // precision/recall/F1 are single divisions of exact longs (F1 in the
+  // 2tp/(2tp+fp+fn) one-division form). AUC — P(score of a random
+  // positive > random negative, ties split) — reuses the
+  // `stat_mann_whitney` integer rank machinery: the fact table first
+  // collapses to the BOUNDED cent-value domain (≤|distinct cents|
+  // rows, corpus-size-independent), so the one unkeyed prefix window
+  // runs over a dimension table, not the fact stream — the same
+  // bounded-domain trade the exact-quantile keys document.
+  // ------------------------------------------------------------------
+
+  private val evalBinaryClassifier = Q(
+    "eval_binary_classifier",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+        .withColumn("p", ($"v" >= 5000).cast("long"))
+      val conf = e.agg(
+        sum($"y").as("n_pos"),
+        sum(lit(1) - $"y").as("n_neg"),
+        sum($"y" * $"p").as("tp"),
+        sum((lit(1) - $"y") * $"p").as("fp"),
+        sum($"y" * (lit(1) - $"p")).as("fn"),
+        sum((lit(1) - $"y") * (lit(1) - $"p")).as("tn"))
+      val byV = e.groupBy("v").agg(
+        sum($"y").as("c1"), sum(lit(1) - $"y").as("c0"))
+        .withColumn("m", $"c1" + $"c0")
+      val prev = Window.orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val auc = byV
+        .select($"c1", $"m", coalesce(sum($"m").over(prev), lit(0L)).as("cprev"))
+        .agg(sum($"c1" * (lit(2) * $"cprev" + $"m" + 1)).as("r2a"),
+          sum($"c1").as("n1"))
+      conf.crossJoin(auc)
+        .select($"n_pos", $"n_neg", $"tp", $"fp", $"fn", $"tn",
+          when($"tp" + $"fp" > 0,
+            dround($"tp".cast("double") / ($"tp" + $"fp"), 6)).as("precision"),
+          when($"n_pos" > 0,
+            dround($"tp".cast("double") / ($"tp" + $"fn"), 6)).as("recall"),
+          when(lit(2) * $"tp" + $"fp" + $"fn" > 0,
+            dround(lit(2.0) * $"tp" / (lit(2) * $"tp" + $"fp" + $"fn"), 6))
+            .as("f1"),
+          when($"n_pos" > 0 && $"n_neg" > 0,
+            dround(($"r2a" - $"n1" * ($"n1" + 1)).cast("double")
+              / (lit(2.0) * $"n_pos" * $"n_neg"), 6)).as("auc"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "ep AS (SELECT y, v, CAST(v >= 5000 AS BIGINT) AS p FROM e), " +
+      "conf AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS n_neg, " +
+      "CAST(SUM(y * p) AS BIGINT) AS tp, " +
+      "CAST(SUM((1 - y) * p) AS BIGINT) AS fp, " +
+      "CAST(SUM(y * (1 - p)) AS BIGINT) AS fn, " +
+      "CAST(SUM((1 - y) * (1 - p)) AS BIGINT) AS tn FROM ep), " +
+      "byv AS (SELECT v, CAST(SUM(y) AS BIGINT) AS c1, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS c0, CAST(count(*) AS BIGINT) AS m " +
+      "FROM ep GROUP BY 1), " +
+      "r AS (SELECT c1, m, COALESCE(SUM(m) OVER (ORDER BY v " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev FROM byv), " +
+      "auc AS (SELECT CAST(SUM(c1 * (2*cprev + m + 1)) AS BIGINT) AS r2a, " +
+      "CAST(SUM(c1) AS BIGINT) AS n1 FROM r) " +
+      "SELECT n_pos, n_neg, tp, fp, fn, tn, " +
+      "CASE WHEN tp + fp > 0 THEN " +
+      OSql.sround("CAST(tp AS DOUBLE) / (tp + fp)", 6) + " END AS precision, " +
+      "CASE WHEN n_pos > 0 THEN " +
+      OSql.sround("CAST(tp AS DOUBLE) / (tp + fn)", 6) + " END AS recall, " +
+      "CASE WHEN 2*tp + fp + fn > 0 THEN " +
+      OSql.sround("2.0 * tp / (2*tp + fp + fn)", 6) + " END AS f1, " +
+      "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+      OSql.sround("CAST(r2a - n1*(n1+1) AS DOUBLE) / (2.0 * n_pos * n_neg)", 6) +
+      " END AS auc FROM conf, auc"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
-    statPermutationTest)
+    statPermutationTest, evalBinaryClassifier)
 }

@@ -10,6 +10,34 @@ class FeatureSpec extends SparkSpec {
 
   private val ns = (ms: Long) => ms * 1000000L
 
+  test("binning transfer learns quartiles on era 0 and applies them to era 1") {
+    // train (even ids): 10,20,30,40 dollars -> edges 1000/2000/3000 cents;
+    // serve (odd ids): 5,15,25,35 land one per bin
+    val rows = Seq(
+      (2L, 1000L, 1L, "t", 10.0), (4L, 1001L, 1L, "t", 20.0),
+      (6L, 1002L, 1L, "t", 30.0), (8L, 1003L, 1L, "t", 40.0),
+      (1L, 2000L, 1L, "t", 5.0), (3L, 2001L, 1L, "t", 15.0),
+      (5L, 2002L, 1L, "t", 25.0), (7L, 2003L, 1L, "t", 35.0))
+      .map { case (id, ms, u, t, v) => (id, ns(ms), u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = run("feature_binning_transfer", stageTables("events" -> rows))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 500L), (1L, 1L, 1500L), (2L, 1L, 2500L), (3L, 1L, 3500L)))
+  }
+
+  test("binning transfer never recomputes edges on the serving era") {
+    // the serving era is wildly shifted - every serving row lands in the
+    // TOP training bin instead of re-binning uniformly
+    val rows = (Seq.tabulate(4)(i => (2L * i + 2, 1000L + i, 1L, "t", 10.0 + i)) ++
+      Seq.tabulate(4)(i => (2L * i + 1, 2000L + i, 1L, "t", 900.0 + i)))
+      .map { case (id, ms, u, t, v) => (id, ns(ms), u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = run("feature_binning_transfer", stageTables("events" -> rows))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((3L, 4L)))
+  }
+
   test("OLS recovers exact coefficients from perfectly linear data") {
     // y = 5 + 2·quantity + 30·discount, non-collinear design
     val pts = Seq((1.0, 0.0), (2.0, 0.0), (1.0, 0.1), (2.0, 0.1), (3.0, 0.05))

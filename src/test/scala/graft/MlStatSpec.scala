@@ -275,6 +275,40 @@ class MlStatSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.888889)
   }
 
+  // ------------------------------------------------------ classifier eval
+
+  test("classifier eval: a perfect rule scores 1.0 across the board") {
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 60.0, "{}"), (2L, 1001L, 1L, "purchase", 70.0, "{}"),
+      (3L, 1002L, 1L, "view", 40.0, "{}"), (4L, 1003L, 1L, "view", 30.0, "{}"))
+    val r = run("eval_binary_classifier", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) === ((2L, 0L, 0L, 2L)))
+    assert((r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getDouble(9))
+      === ((1.0, 1.0, 1.0, 1.0)))
+  }
+
+  test("classifier eval: a coin-flip rule scores 0.5 everywhere it can") {
+    // tp=1 fp=1 fn=1 tn=1; AUC pairs split 2-2
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 60.0, "{}"), (2L, 1001L, 1L, "purchase", 40.0, "{}"),
+      (3L, 1002L, 1L, "view", 70.0, "{}"), (4L, 1003L, 1L, "view", 30.0, "{}"))
+    val r = run("eval_binary_classifier", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) === ((1L, 1L, 1L, 1L)))
+    assert((r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getDouble(9))
+      === ((0.5, 0.5, 0.5, 0.5)))
+  }
+
+  // ------------------------------------------------------------- ANN NDCG
+
+  test("NDCG over the fixture probes is a valid graded score") {
+    val got = run("sim_ann_ndcg").collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 10L)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>
