@@ -988,7 +988,11 @@ object ScaleOps {
         .agg(to_json(sort_array(collect_list($"e"))).as("doc"))
         .coalesce(1)
         .write.mode("overwrite").text(dir)
-      s.read.option("multiLine", "true").json(dir)
+      // explicit schema: inference over an empty archive ("[]") yields
+      // a zero-column frame; schema-on-read keeps the contract stable
+      s.read.option("multiLine", "true")
+        .schema("c LONG, event_id LONG, event_type STRING")
+        .json(dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_rows"), sum($"c").as("c_sum"))
         .orderBy("event_type")

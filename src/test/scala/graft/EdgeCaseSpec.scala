@@ -863,8 +863,10 @@ class EdgeCaseSpec extends SparkSpec {
       try {
         val n = fn(spark, dir).count()
         // ≤1 allows grand-total rows; sim_ann_recall reports one
-        // (zero-overlap) row per index even on an empty corpus
-        val cap = if (key == "sim_ann_recall") 3 else 1
+        // (zero-overlap) row per index even on an empty corpus, and
+        // graph_kcore_peel's output IS the 3-round ledger (all-zero
+        // rounds on an empty graph)
+        val cap = if (key == "sim_ann_recall" || key == "graph_kcore_peel") 3 else 1
         if (n <= cap) None else Some(s"$key: unexpected $n rows")
       } catch { case e: Throwable => Some(s"$key: ${e.getClass.getSimpleName} ${e.getMessage}") }
     }
