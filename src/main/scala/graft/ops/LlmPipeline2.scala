@@ -142,6 +142,61 @@ object LlmPipeline2 {
 
   // ----------------------------------------------- exact Jaccard verify
 
+  /** Exact 6dp Jaccard for every LSH candidate pair (doc_a, doc_b, jac)
+    * — the dispose stage shared by the ≥0.5 dedup key and the
+    * threshold-sweep report. The gram relation is NOT materialized: it
+    * is cheaper to recompute the codegen'd tokenize pass than to
+    * round-trip ~corpus-sized string rows (measured); only the small
+    * band table is (Mat, not persist() — nothing leaks into the
+    * caller's session cache). The dedup_near_minhash hot-bucket guard
+    * bounds the pair blowup, and a broadcast semi-join prunes the gram
+    * table to candidate docs map-side BEFORE the distinct shuffle — the
+    * shuffled volume is |cand docs| × grams, not the corpus.
+    */
+  private def jacPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g3 = LlmPipeline.gramRows(s, d, 3)
+    val bd = LlmPipeline.guardBands(
+      Mat(s, LlmPipeline.bandRowsFrom(s, g3), "jac-bands"))
+    val cand = bd.select($"doc_id".as("doc_a"), $"band")
+      .join(bd.select($"doc_id".as("doc_b"), $"band"), "band")
+      .filter($"doc_a" < $"doc_b")
+      .select("doc_a", "doc_b").distinct()
+    val candDocs = cand.select($"doc_a".as("doc_id"))
+      .union(cand.select($"doc_b".as("doc_id"))).distinct()
+    val gr = Mat(s,
+      g3.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct(),
+      "jac-grams")
+    val sz = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(gr.select($"doc_id".as("doc_a"), $"x"), "doc_a")
+      .join(gr.select($"doc_id".as("doc_b"), $"x"), Seq("doc_b", "x"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        Det.dround($"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jac"))
+  }
+
+  /** DuckDB CTE chain ending in `jp(doc_a, doc_b, jac)` — the oracle
+    * side of [[jacPairs]], shared by both consumers.
+    */
+  private val jacPairsCtes: String =
+    LlmPipeline.bandCtes + LlmPipeline.guardCtes + ", " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+      "gr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1), " +
+      "itr AS (SELECT doc_a, doc_b, count(*) AS i FROM cand " +
+      "JOIN gr ga ON ga.doc_id = doc_a JOIN gr gb ON gb.doc_id = doc_b AND gb.g = ga.g " +
+      "GROUP BY 1, 2), " +
+      "jp AS (SELECT doc_a, doc_b, " +
+      OSql.sround("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 6) +
+      " AS jac FROM itr JOIN sz sa ON sa.doc_id = doc_a " +
+      "JOIN sz sb ON sb.doc_id = doc_b)"
+
   /** Exact 3-gram Jaccard over the LSH candidate pairs — the standard
     * two-stage near-dedup: banded MinHash proposes (bucketed, cheap),
     * exact Jaccard disposes. Cost is |candidates| × gram-set joins, not
@@ -152,53 +207,12 @@ object LlmPipeline2 {
     "dedup_ngram_jaccard",
     (s, d) => {
       import s.implicits._
-      // The gram relation is NOT materialized: it is cheaper to
-      // recompute the codegen'd tokenize pass than to round-trip
-      // ~corpus-sized string rows (measured); only the small band table
-      // is. Mat, not persist(): nothing leaks into the caller's session
-      // cache (see graft.core.Mat). The same hot-bucket guard as
-      // dedup_near_minhash bounds the pair blowup.
-      val g3 = LlmPipeline.gramRows(s, d, 3)
-      val bd = LlmPipeline.guardBands(
-        Mat(s, LlmPipeline.bandRowsFrom(s, g3), "jac-bands"))
-      val cand = bd.select($"doc_id".as("doc_a"), $"band")
-        .join(bd.select($"doc_id".as("doc_b"), $"band"), "band")
-        .filter($"doc_a" < $"doc_b")
-        .select("doc_a", "doc_b").distinct()
-      // Only candidate docs' gram sets matter: a broadcast semi-join
-      // prunes the gram table map-side BEFORE the distinct shuffle —
-      // the shuffled volume is |cand docs| × grams, not the corpus.
-      val candDocs = cand.select($"doc_a".as("doc_id"))
-        .union(cand.select($"doc_b".as("doc_id"))).distinct()
-      val gr = Mat(s,
-        g3.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct(),
-        "jac-grams")
-      val sz = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(gr.select($"doc_id".as("doc_a"), $"x"), "doc_a")
-        .join(gr.select($"doc_id".as("doc_b"), $"x"), Seq("doc_b", "x"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          dround($"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jac"))
+      jacPairs(s, d)
         .filter($"jac" >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
-    Some("WITH " + LlmPipeline.bandCtes + LlmPipeline.guardCtes + ", " +
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      "FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id), " +
-      "gr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), " +
-      "sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1), " +
-      "itr AS (SELECT doc_a, doc_b, count(*) AS i FROM cand " +
-      "JOIN gr ga ON ga.doc_id = doc_a JOIN gr gb ON gb.doc_id = doc_b AND gb.g = ga.g " +
-      "GROUP BY 1, 2) " +
-      "SELECT doc_a, doc_b, " + OSql.sround("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 6) +
-      " AS jac FROM itr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
-      "WHERE " + OSql.sround("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 6) + " >= 0.5 " +
-      "ORDER BY 1, 2"))
+    Some("WITH " + jacPairsCtes + " " +
+      "SELECT doc_a, doc_b, jac FROM jp WHERE jac >= 0.5 ORDER BY 1, 2"))
 
   // ------------------------------------------- embedding-cosine near-dup
 
@@ -1554,9 +1568,35 @@ object LlmPipeline2 {
       parts.mkString(" UNION ALL ") + " ORDER BY probe"
     })
 
+  // ------------------------------------------- dedup threshold tuning
+
+  /** dedup_threshold_sweep — the TUNING REPORT behind every dedup
+    * threshold decision: the exact-Jaccard distribution of the LSH
+    * candidate pairs, bucketed at 0.1 granularity (bucket 10 = exact
+    * gram-set duplicates). Operators pick the dedup cut by reading
+    * this histogram — where the mass concentrates tells you whether
+    * 0.5 over- or under-merges — and it costs ONE extra bounded
+    * aggregate over the SAME shared dispose stage (`jacPairs`) the
+    * dedup key already runs; the shared band table is an IndexCache
+    * artifact, built once per corpus.
+    */
+  private val dedupThresholdSweep = Q(
+    "dedup_threshold_sweep",
+    (s, d) => {
+      import s.implicits._
+      jacPairs(s, d)
+        .withColumn("bucket", floor($"jac" * 10).cast("long"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
+    },
+    Some("WITH " + jacPairsCtes + " " +
+      "SELECT CAST(floor(jac * 10) AS BIGINT) AS bucket, " +
+      "count(*) AS n_pairs FROM jp GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     dedupSimhash, dedupNgramJaccard, dedupEmbeddingCosine, simAnnLsh, simAnnIvf,
     indexPersist, simAnnPq, simAnnIvfPq, simAnnRecall, textLangId,
     textQualityScore, textTokenCount, docFingerprint, multimodalDecode,
-    sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg)
+    sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
+    dedupThresholdSweep)
 }

@@ -291,23 +291,29 @@ object MiningOps {
       import s.implicits._
       val li = Tables.t(s, d, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val pairs = li.select($"o", $"p".as("a"))
-        .join(li.select($"o", $"p".as("b")), "o")
-        .filter($"a" < $"b")
-        .select("a", "b").distinct()
+      // the materialized state is the CANONICAL (a < b) edge list —
+      // half the rows of the symmetric form; degree reads both
+      // endpoint columns, so nothing is lost
       var edges = graft.core.Mat(s,
-        pairs.unionByName(pairs.select($"b".as("a"), $"a".as("b"))), "kcore-e")
+        li.select($"o", $"p".as("a"))
+          .join(li.select($"o", $"p".as("b")), "o")
+          .filter($"a" < $"b")
+          .select("a", "b").distinct(),
+        "kcore-e")
       val ledger = collection.mutable.ArrayBuffer.empty[DataFrame]
       for (r <- 1 to 3) {
-        val deg = edges.groupBy("a").agg(count(lit(1)).as("dg"))
-        val keep = deg.filter($"dg" >= 2).select($"a".as("n"))
+        val deg = edges.select($"a".as("n"))
+          .unionByName(edges.select($"b".as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val keep = deg.filter($"dg" >= 2).select("n")
         edges = graft.core.Mat(s,
           edges.join(keep.select($"n".as("a")), Seq("a"), "left_semi")
             .join(keep.select($"n".as("b")), Seq("b"), "left_semi")
             .select("a", "b"),
           s"kcore-r$r")
-        ledger += edges.agg(
-            countDistinct($"a").as("n_nodes"),
+        ledger += edges
+          .select(explode(array($"a", $"b")).as("n"))
+          .agg(countDistinct($"n").as("n_nodes"),
             (count(lit(1)) / 2).cast("long").as("n_edges"))
           .select(lit(r.toLong).as("round"), $"n_nodes", $"n_edges")
       }

@@ -301,7 +301,101 @@ object TsOps {
       "CAST(round(value*100) AS BIGINT) AS c FROM events)) " +
       "ORDER BY user_id, ms, event_id"))
 
+  // ------------------------------------------------------------------
+  // window_drawdown — maximum drawdown of each type's cumulative value
+  // series (the risk metric: the deepest peak-to-trough fall of the
+  // running total): cum rides a type-keyed running sum over the hourly
+  // grid, peak a running max of cum, drawdown = peak − cum, all exact
+  // cents longs; one keyed window (the two frames share its exchange
+  // and sort). Reported in dollars with the final exact division.
+  // ------------------------------------------------------------------
+
+  private val windowDrawdown = Q(
+    "window_drawdown",
+    (s, d) => {
+      import s.implicits._
+      // net flow: purchases add, errors subtract — gives the series
+      // genuine troughs (a sum of non-negatives never draws down)
+      val hourly = Tables.events(s, d)
+        .select($"event_type", expr("ms div 3600000").as("h"),
+          when($"event_id" % 3 === 0, -round($"value" * 100).cast("long"))
+            .otherwise(round($"value" * 100).cast("long")).as("c"))
+        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val run = Window.partitionBy($"event_type").orderBy($"h".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly
+        .select($"event_type", $"h", sum($"v").over(run).as("cum"))
+        .withColumn("peak", max($"cum").over(
+          Window.partitionBy($"event_type").orderBy($"h".asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_hours"),
+          dround(max($"cum").cast("double") / 100.0, 2).as("peak_total"),
+          dround(max($"peak" - $"cum").cast("double") / 100.0, 2)
+            .as("max_drawdown"))
+        .orderBy("event_type")
+    },
+    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
+      "SUM(CASE WHEN event_id % 3 = 0 THEN -CAST(round(value*100) AS BIGINT) " +
+      "ELSE CAST(round(value*100) AS BIGINT) END) AS v " +
+      "FROM events GROUP BY 1,2), " +
+      "c1 AS (SELECT event_type, h, " +
+      "SUM(v) OVER (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hourly), " +
+      "c AS (SELECT event_type, h, cum, " +
+      "MAX(cum) OVER (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c1) " +
+      "SELECT event_type, count(*) AS n_hours, " +
+      OSql.sround("CAST(max(cum) AS DOUBLE) / 100.0", 2) + " AS peak_total, " +
+      OSql.sround("CAST(max(peak - cum) AS DOUBLE) / 100.0", 2) +
+      " AS max_drawdown FROM c GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // window_rolling_slope — rolling OLS trend over each type's last 5
+  // hourly points (the local trend detector behind rate-of-change
+  // alerting): closed-form slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from
+  // exact integer sufficient sums over a bounded 5-row frame; a
+  // single-point frame has zero x-variance and yields NULL, not 0/0.
+  // One type-keyed window; all five sums share its exchange and sort.
+  // ------------------------------------------------------------------
+
+  private val windowRollingSlope = Q(
+    "window_rolling_slope",
+    (s, d) => {
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .select($"event_type", expr("ms div 3600000").as("h"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val f = Window.partitionBy($"event_type").orderBy($"h".asc)
+        .rowsBetween(-4, Window.currentRow)
+      hourly
+        .select($"event_type", $"h",
+          count(lit(1)).over(f).as("n"),
+          sum($"h").over(f).as("sx"), sum($"v").over(f).as("sy"),
+          sum($"h" * $"v").over(f).as("sxy"),
+          sum($"h" * $"h").over(f).as("sxx"))
+        .withColumn("den", $"n" * $"sxx" - $"sx" * $"sx")
+        .select($"event_type", $"h",
+          when($"den" > 0,
+            dround(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+              / $"den" / 100.0, 6)).as("slope_usd_per_hour"))
+        .orderBy("event_type", "h")
+    },
+    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+      "s AS (SELECT event_type, h, " +
+      "COUNT(*) OVER f AS n, SUM(h) OVER f AS sx, SUM(v) OVER f AS sy, " +
+      "SUM(h * v) OVER f AS sxy, SUM(h * h) OVER f AS sxx FROM hourly " +
+      "WINDOW f AS (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) " +
+      "SELECT event_type, h, " +
+      "CASE WHEN n * sxx - sx * sx > 0 THEN " +
+      OSql.sround("CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) " +
+        "/ 100.0", 6) + " END AS slope_usd_per_hour " +
+      "FROM s ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
-    windowMedianRolling)
+    windowMedianRolling, windowDrawdown, windowRollingSlope)
 }

@@ -92,6 +92,39 @@ class TsSpec extends SparkSpec {
     assert(got.toSeq === Seq(1000L, 1000L, 2000L))
   }
 
+  // --------------------------------------------------------- drawdown
+
+  test("max drawdown measures the deepest peak-to-trough fall") {
+    // flows +10, +20, −30, +40 (id 3 negates) → cum 10,30,0,40:
+    // trough at 0 under the 30 peak → drawdown $30; final peak $40
+    val rows = Seq(
+      (1L, 0L, 1L, "t", 10.0, "{}"),
+      (2L, H, 1L, "t", 20.0, "{}"),
+      (3L, 2 * H, 1L, "t", 30.0, "{}"),
+      (4L, 3 * H, 1L, "t", 40.0, "{}"))
+    val r = run("window_drawdown", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 40.0)
+    assert(r.getDouble(3) === 30.0)
+  }
+
+  test("a monotone series never draws down") {
+    val rows = Seq(1L, 2L, 4L, 5L).zipWithIndex.map { case (id, i) =>
+      (id, i * H, 1L, "t", 10.0, "{}") }  // no id divisible by 3: all inflows
+    val r = run("window_drawdown", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  // ------------------------------------------------------ rolling slope
+
+  test("rolling slope recovers a perfect $1/hour trend; a lone point is NULL") {
+    val rows = (0 until 5).map(i =>
+      (2L * i + 1, i * H, 1L, "t", 1.0 + i, "{}"))
+    val got = run("window_rolling_slope", stageTables("events" -> ev(rows))).collect()
+    assert(got(0).isNullAt(2))               // n = 1 → zero x-variance
+    assert(got.last.getDouble(2) === 1.0)    // full 5-point frame
+  }
+
   // ---------------------------------------------------------- entropy
 
   test("entropy: one hour bucket scores 0, a uniform pair scores exactly 1 bit") {
