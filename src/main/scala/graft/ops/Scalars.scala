@@ -351,8 +351,67 @@ object Scalars {
       "count(safe_cast) AS cast_ok, count(safe_add) AS add_ok " +
       "FROM t GROUP BY 1 ORDER BY 1"))
 
+  /** Calendar arithmetic beyond `scalar_date`'s extract/trunc/diff
+    * family: month-relative operations whose CLAMPING semantics both
+    * engines define identically (Jan 31 + 1 month = the last day of
+    * February), last-of-month, and quarter — the fiscal-reporting
+    * scalar surface. Pure codegen projection + map-side agg.
+    */
+  private val scalarCalendar = Q(
+    "scalar_calendar",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select($"o_orderkey",
+          // dates ship as ISO strings — the engine-portable carrier the
+          // determinism rules (SURVEY §2.3) require for calendar values
+          add_months($"o_orderdate".cast("date"), 1).cast("string").as("next_month"),
+          last_day($"o_orderdate".cast("date")).cast("string").as("month_end"),
+          quarter($"o_orderdate").cast("long").as("qtr"),
+          (dayofmonth(last_day($"o_orderdate".cast("date"))) -
+            dayofmonth($"o_orderdate")).cast("long").as("days_to_eom"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    },
+    Some("SELECT o_orderkey, " +
+      "CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) " +
+      "AS VARCHAR) AS next_month, " +
+      "CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end, " +
+      "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, " +
+      "CAST(day(last_day(CAST(o_orderdate AS DATE))) " +
+      "- day(CAST(o_orderdate AS DATE)) AS BIGINT) AS days_to_eom " +
+      "FROM orders ORDER BY o_orderkey LIMIT 500"))
+
+  /** Geometric mean per event_type — the right central tendency for
+    * ratio/growth-shaped values, exp(mean(ln v)): each ln term
+    * quantizes to BIGINT·10⁹ before the sum (order-independent), and
+    * the one exp() call runs on an identical double in both engines.
+    */
+  private val aggGeomean = Q(
+    "agg_geomean",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          (round($"value" * 100).cast("long") / lit(100.0)).as("v"))
+        .filter($"v" > 0)
+        .withColumn("t", floor(log($"v") * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          dround(exp((sum($"t") / lit(1e9)) / count(lit(1))), 6).as("geomean"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) / 100.0 AS v FROM events), " +
+      "t AS (SELECT event_type, " +
+      "CAST(floor(ln(v) * 1e9 + 0.5) AS BIGINT) AS t FROM e WHERE v > 0) " +
+      "SELECT event_type, count(*) AS n, " +
+      OSql.sround("exp((SUM(t) / 1e9) / count(*))", 6) + " AS geomean " +
+      "FROM t GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     scalarString, scalarDate, scalarMath, scalarCaseJson,
     arrayOps, arrayExplode, arrayExplodeOuter, higherOrderFn, udfScalar,
-    mapOps, scalarTrySafe, scalarBitwise, scalarRegex)
+    mapOps, scalarTrySafe, scalarBitwise, scalarRegex, scalarCalendar,
+    aggGeomean)
 }

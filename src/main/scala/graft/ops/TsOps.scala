@@ -395,7 +395,68 @@ object TsOps {
         "/ 100.0", 6) + " END AS slope_usd_per_hour " +
       "FROM s ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // stat_trend_mann_kendall — the Mann-Kendall monotonic-trend test
+  // per event_type over the hourly series: S = Σ_{i<j} sign(v_j − v_i)
+  // with the tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+  // Σ_t t(t−1)(2t+5)]/18 and the continuity-corrected z. S comes from
+  // an all-pairs self-join — honest ONLY because the grid is
+  // CALENDAR-BOUNDED per type (hours in the archive span, not corpus
+  // rows; the fact table collapses map-side first), the same
+  // bounded-domain stance as the exact quantiles. Everything is exact
+  // integer until z's one sqrt/division with identical formula text.
+  // ------------------------------------------------------------------
+
+  private val statTrendMannKendall = Q(
+    "stat_trend_mann_kendall",
+    (s, d) => {
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .select($"event_type", expr("ms div 3600000").as("h"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val a = hourly.select($"event_type", $"h".as("hi"), $"v".as("vi"))
+      val b = hourly.select($"event_type", $"h".as("hj"), $"v".as("vj"))
+      val sStat = a.join(b, "event_type").filter($"hi" < $"hj")
+        .groupBy("event_type")
+        .agg(sum(signum(($"vj" - $"vi").cast("double")).cast("long")).as("s"))
+      val ties = hourly.groupBy("event_type", "v")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type").agg(
+          sum($"t").as("n"),
+          sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tcorr"))
+      sStat.join(ties, "event_type")
+        .withColumn("vars",
+          ($"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tcorr").cast("double")
+            / 18.0)
+        .select($"event_type", $"n", $"s",
+          when($"vars" > 0,
+            dround(when($"s" > 0, ($"s" - 1) / sqrt($"vars"))
+              .when($"s" < 0, ($"s" + 1) / sqrt($"vars"))
+              .otherwise(lit(0.0)), 6)).as("z"))
+        .orderBy("event_type")
+    },
+    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+      "st AS (SELECT a.event_type, " +
+      "CAST(SUM(CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s " +
+      "FROM hourly a JOIN hourly b ON a.event_type = b.event_type " +
+      "AND a.h < b.h GROUP BY 1), " +
+      "ties AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n, " +
+      "CAST(SUM(t * (t - 1) * (2*t + 5)) AS BIGINT) AS tcorr " +
+      "FROM (SELECT event_type, v, count(*) AS t FROM hourly GROUP BY 1,2) " +
+      "GROUP BY 1), " +
+      "j AS (SELECT st.event_type, n, s, " +
+      "CAST(n * (n - 1) * (2*n + 5) - tcorr AS DOUBLE) / 18.0 AS vars " +
+      "FROM st JOIN ties ON ties.event_type = st.event_type) " +
+      "SELECT event_type, n, s, " +
+      "CASE WHEN vars > 0 THEN " +
+      OSql.sround("CASE WHEN s > 0 THEN (s - 1) / sqrt(vars) " +
+        "WHEN s < 0 THEN (s + 1) / sqrt(vars) ELSE 0.0 END", 6) +
+      " END AS z FROM j ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
-    windowMedianRolling, windowDrawdown, windowRollingSlope)
+    windowMedianRolling, windowDrawdown, windowRollingSlope,
+    statTrendMannKendall)
 }

@@ -49,6 +49,44 @@ class SurfaceSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.090909)
   }
 
+  test("calendar arithmetic clamps month-relative dates") {
+    // Jan 31 + 1 month lands on leap-year Feb 29, not an invalid Feb 31
+    val ts = java.sql.Timestamp.valueOf("2024-01-31 00:00:00")
+    val orders = Seq((1L, 1L, "F", 10.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = run("scalar_calendar", stageTables("orders" -> orders)).collect()(0)
+    assert(r.getString(1) === "2024-02-29")
+    assert(r.getString(2) === "2024-01-31")
+    assert(r.getLong(3) === 1L)   // Q1
+    assert(r.getLong(4) === 0L)   // already at end of month
+  }
+
+  test("geometric mean of {1, 100} is exactly 10") {
+    val ns = (ms: Long) => ms * 1000000L
+    val rows = Seq(
+      (1L, ns(1000), 1L, "t", 1.0, "{}"),
+      (2L, ns(2000), 1L, "t", 100.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = run("agg_geomean", stageTables("events" -> rows)).collect()(0)
+    assert(r.getLong(1) === 2L && r.getDouble(2) === 10.0)
+  }
+
+  test("Mann-Kendall: monotone series scores S = n(n-1)/2; constants are NULL") {
+    val ns = (ms: Long) => ms * 1000000L
+    val H = 3600000L
+    val rows = (0 until 5).map(i =>
+      (i.toLong, ns(i * H), 1L, "up", 1.0 + i, "{}")) ++ (0 until 5).map(i =>
+      (10L + i, ns(i * H), 1L, "flat", 7.0, "{}"))
+    val got = run("stat_trend_mann_kendall",
+      stageTables("events" -> rows.toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("up").getLong(2) === 10L)
+    assert(got("up").getDouble(3) > 2.2 && got("up").getDouble(3) < 2.21)
+    assert(got("flat").getLong(2) === 0L && got("flat").isNullAt(3))
+  }
+
   test("Pareto: a uniform segment needs 80% of its customers") {
     val orders = (1 to 10).map(c => (100L + c, c.toLong, "F", 10.0, "1-URGENT"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
