@@ -608,8 +608,98 @@ object MlStatOps {
       OSql.sround("CAST(r2a - n1*(n1+1) AS DOUBLE) / (2.0 * n_pos * n_neg)", 6) +
       " END AS auc FROM conf, auc"))
 
+  // ------------------------------------------------------------------
+  // sample_class_balance — class-balancing downsample for training:
+  // every event_type is cut to the MINORITY class size, keepers picked
+  // by md5(event_id) order — deterministic under re-runs and
+  // repartitioning, no RNG. The minority size is a broadcast scalar
+  // (|types|-row aggregate), the pick a type-keyed row_number; the
+  // ledger carries an exact id checksum so the selection itself is
+  // hash-verified, not just its size.
+  // ------------------------------------------------------------------
+
+  private val sampleClassBalance = Q(
+    "sample_class_balance",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"event_type", $"event_id")
+      val minN = e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .agg(min($"cnt").as("min_n"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy(md5($"event_id".cast("string")).asc, $"event_id".asc)
+      e.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(minN))
+        .filter($"rn" <= $"min_n")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_kept"),
+          sum($"event_id").as("id_checksum"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, event_id FROM events), " +
+      "mn AS (SELECT min(cnt) AS min_n FROM " +
+      "(SELECT event_type, count(*) AS cnt FROM e GROUP BY 1)), " +
+      "r AS (SELECT event_type, event_id, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), " +
+      "event_id) AS rn FROM e) " +
+      "SELECT event_type, count(*) AS n_kept, " +
+      "CAST(SUM(event_id) AS BIGINT) AS id_checksum " +
+      "FROM r, mn WHERE rn <= min_n GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // agg_winsorized_mean — the robust mean after clipping at the exact
+  // discrete 5th/95th percentiles (the ⌈p·n⌉ rule the percentile-disc
+  // key pins): outliers saturate instead of dominating. Edges come
+  // from one type-keyed rank window over the grouped table; clipping
+  // and the mean are exact integer arithmetic with one final division.
+  // ------------------------------------------------------------------
+
+  private val aggWinsorizedMean = Q(
+    "agg_winsorized_mean",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type", $"event_id",
+          round($"value" * 100).cast("long").as("v"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"v".asc, $"event_id".asc)
+      val tot = Window.partitionBy($"event_type")
+      val edges = e
+        .select($"event_type", $"v",
+          row_number().over(w).as("rn"), count(lit(1)).over(tot).as("n"))
+        .groupBy("event_type").agg(
+          max(when($"rn" * 20 >= $"n" && ($"rn" - 1) * 20 < $"n", $"v")).as("p5"),
+          max(when($"rn" * 20 >= $"n" * 19 && ($"rn" - 1) * 20 < $"n" * 19, $"v"))
+            .as("p95"))
+      e.join(broadcast(edges), "event_type")
+        .withColumn("w", greatest(least($"v", $"p95"), $"p5"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          dround(max($"p5").cast("double") / 100.0, 2).as("p5_usd"),
+          dround(max($"p95").cast("double") / 100.0, 2).as("p95_usd"),
+          dround(sum($"w").cast("double") / count(lit(1)) / 100.0, 6)
+            .as("winsor_mean"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "r AS (SELECT event_type, v, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY v, event_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS n FROM e), " +
+      "edges AS (SELECT event_type, " +
+      "max(CASE WHEN rn * 20 >= n AND (rn - 1) * 20 < n THEN v END) AS p5, " +
+      "max(CASE WHEN rn * 20 >= n * 19 AND (rn - 1) * 20 < n * 19 THEN v END) " +
+      "AS p95 FROM r GROUP BY 1) " +
+      "SELECT e.event_type, count(*) AS n, " +
+      OSql.sround("CAST(max(p5) AS DOUBLE) / 100.0", 2) + " AS p5_usd, " +
+      OSql.sround("CAST(max(p95) AS DOUBLE) / 100.0", 2) + " AS p95_usd, " +
+      OSql.sround("CAST(SUM(greatest(least(v, p95), p5)) AS DOUBLE) " +
+        "/ count(*) / 100.0", 6) + " AS winsor_mean " +
+      "FROM e JOIN edges ON edges.event_type = e.event_type " +
+      "GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
-    statPermutationTest, evalBinaryClassifier)
+    statPermutationTest, evalBinaryClassifier, sampleClassBalance,
+    aggWinsorizedMean)
 }

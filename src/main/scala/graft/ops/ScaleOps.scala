@@ -1001,9 +1001,44 @@ object ScaleOps {
       "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c_sum " +
       "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY 1"))
 
+  /** scan_nested_struct — the NESTED-schema surface: the archive
+    * re-staged as parquet with a two-level struct (meta.detail) and an
+    * array column, then queried through dot-path projection + explode.
+    * Catalyst's nested-schema pruning pushes the projection INTO the
+    * scan — reading meta.detail.event_type must not deserialize the
+    * sibling cents field (pinned in PlanSpec) — and the generator
+    * explode runs over the pruned rows. The per-(type, tag) ledger is
+    * restated flat from the original parquet by the oracle, proving
+    * the nested round trip lossless.
+    */
+  private val scanNestedStruct = Q(
+    "scan_nested_struct",
+    (s, d) => {
+      import s.implicits._
+      val dir = TmpDirs.dir("events-nested")
+      Tables.events(s, d)
+        .select($"event_id",
+          struct($"user_id",
+            struct($"event_type",
+              round($"value" * 100).cast("long").as("c")).as("detail"))
+            .as("meta"),
+          array($"event_type",
+            concat(lit("k"), (get_json_object($"props", "$.k").cast("long") % 10)
+              .cast("string"))).as("tags"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select($"meta.detail.event_type".as("t"), explode($"tags").as("tag"))
+        .groupBy("t", "tag").agg(count(lit(1)).as("n"))
+        .orderBy("t", "tag")
+    },
+    Some("SELECT event_type AS t, tag, count(*) AS n FROM " +
+      "(SELECT event_type, unnest([event_type, " +
+      "'k' || CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS VARCHAR)]) AS tag " +
+      "FROM events) GROUP BY 1, 2 ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
-    aggApproxQuantile, scanBinary, scanJsonMultiline)
+    aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct)
 }

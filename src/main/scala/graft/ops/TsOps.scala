@@ -455,8 +455,60 @@ object TsOps {
         "WHEN s < 0 THEN (s + 1) / sqrt(vars) ELSE 0.0 END", 6) +
       " END AS z FROM j ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // window_cusum_change — CUSUM changepoint estimation per type over
+  // the hourly series, ENTIRELY in exact integers: the classic CUSUM
+  // statistic C_k = Σ_{i≤k}(v_i − mean) locates a level shift at the
+  // argmax of |C_k|; multiplying through by n clears the division —
+  // D_k = n·prefix_k − k·total is an exact BIGINT, its argmax the same
+  // hour. One keyed window (prefix sum + row index share the
+  // exchange); the magnitude pays ONE final division. The argmax hour
+  // is fully tie-broken (|D| desc, h asc).
+  // ------------------------------------------------------------------
+
+  private val windowCusumChange = Q(
+    "window_cusum_change",
+    (s, d) => {
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .select($"event_type", expr("ms div 3600000").as("h"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val run = Window.partitionBy($"event_type").orderBy($"h".asc)
+      val tot = Window.partitionBy($"event_type")
+      val dk = hourly.select($"event_type", $"h",
+          sum($"v").over(run.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("prefix"),
+          row_number().over(run).as("k"),
+          sum($"v").over(tot).as("s"), count(lit(1)).over(tot).as("n"))
+        .withColumn("dabs", abs($"n" * $"prefix" - $"k" * $"s"))
+      val pick = Window.partitionBy($"event_type")
+        .orderBy($"dabs".desc, $"h".asc)
+      dk.withColumn("rn", row_number().over(pick))
+        .filter($"rn" === 1)
+        .select($"event_type", $"n".cast("long").as("n_hours"),
+          $"h".as("cp_hour"),
+          dround($"dabs".cast("double") / $"n" / 100.0, 4).as("cusum_usd"))
+        .orderBy("event_type")
+    },
+    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+      "dk AS (SELECT event_type, h, " +
+      "abs(n * prefix - k * s) AS dabs, n FROM (" +
+      "SELECT event_type, h, " +
+      "SUM(v) OVER (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY h) AS k, " +
+      "SUM(v) OVER (PARTITION BY event_type) AS s, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS n FROM hourly)), " +
+      "pick AS (SELECT event_type, h, dabs, n, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY dabs DESC, h) AS rn FROM dk) " +
+      "SELECT event_type, CAST(n AS BIGINT) AS n_hours, h AS cp_hour, " +
+      OSql.sround("CAST(dabs AS DOUBLE) / n / 100.0", 4) + " AS cusum_usd " +
+      "FROM pick WHERE rn = 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
-    statTrendMannKendall)
+    statTrendMannKendall, windowCusumChange)
 }

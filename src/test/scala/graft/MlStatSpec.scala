@@ -309,6 +309,26 @@ class MlStatSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- balance/winsor
+
+  test("class balancing cuts every class to the minority size") {
+    val rows = (0 until 5).map(i => (i.toLong, 1000L + i, 1L, "A", 1.0, "{}")) ++
+      Seq((10L, 2000L, 1L, "B", 1.0, "{}"), (11L, 2001L, 1L, "B", 1.0, "{}"))
+    val got = run("sample_class_balance", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 2L, "B" -> 2L))
+  }
+
+  test("winsorized mean saturates the outlier at the 95th percentile") {
+    // values $1..$19 plus a $1000 spike (n=20): p5=$1, p95=$19, the
+    // spike clips to 19 → mean (190+19)/20 = 10.45
+    val rows = ((1 to 19).map(i => (i.toLong, 1000L + i, 1L, "t", i.toDouble, "{}")) :+
+      (20L, 1020L, 1L, "t", 1000.0, "{}"))
+    val r = run("agg_winsorized_mean", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getDouble(2), r.getDouble(3)) === ((1.0, 19.0)))
+    assert(r.getDouble(4) === 10.45)
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>

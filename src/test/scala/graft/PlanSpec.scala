@@ -458,6 +458,17 @@ class PlanSpec extends SparkSpec {
       "the 100-row vocab must broadcast to the probe scan")
   }
 
+  test("nested-struct scan prunes the unread sibling field") {
+    val plan = executedPlan("scan_nested_struct")
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    // the nested read wants meta.detail.event_type and tags — the
+    // sibling cents field must never reach the parquet scan
+    assert(schemas.exists(_.contains("event_type")),
+      "the dot-path projection must reach the scan")
+    assert(!schemas.exists(_.contains("c:bigint")),
+      s"nested pruning must drop the unread cents field: $schemas")
+  }
+
   test("negative sampling anti-joins the seen set and picks per user key") {
     val plan = executedPlan("sample_negative")
     assert(plan.contains("LeftAnti"),

@@ -125,6 +125,19 @@ class TsSpec extends SparkSpec {
     assert(got.last.getDouble(2) === 1.0)    // full 5-point frame
   }
 
+  // ------------------------------------------------------------ CUSUM
+
+  test("CUSUM locates a level shift at the last pre-shift hour") {
+    // $10/hour for hours 0-4 then $20/hour for 5-9: |D_k| peaks at
+    // k=5 (hour 4), magnitude n·25000 cents → $25 after /n
+    val rows = (0 until 10).map(i =>
+      (i.toLong, i * H, 1L, "t", if (i < 5) 10.0 else 20.0, "{}"))
+    val r = run("window_cusum_change", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 10L)
+    assert(r.getLong(2) === 4L)
+    assert(r.getDouble(3) === 25.0)
+  }
+
   // ---------------------------------------------------------- entropy
 
   test("entropy: one hour bucket scores 0, a uniform pair scores exactly 1 bit") {
