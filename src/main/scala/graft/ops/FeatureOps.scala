@@ -387,8 +387,41 @@ object FeatureOps {
       "FROM e JOIN edges ON edges.event_type = e.event_type " +
       "WHERE era = 1 GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // feature_recency — the recency feature (time since the user's last
+  // purchase STRICTLY BEFORE each event) every churn/propensity model
+  // starts from: a conditional IGNORE-NULLS last() over the exclusive
+  // trailing frame carries the previous purchase's timestamp forward,
+  // and the difference is exact integer milliseconds (NULL before the
+  // first purchase — no sentinel values). One user-keyed window.
+  // ------------------------------------------------------------------
+
+  private val featureRecency = Q(
+    "feature_recency",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select($"user_id", $"ms", $"event_id", $"event_type")
+        .withColumn("prev_purchase_ms",
+          last(when($"event_type" === "purchase", $"ms"), ignoreNulls = true)
+            .over(w))
+        .select($"user_id", $"ms", $"event_id",
+          ($"ms" - $"prev_purchase_ms").as("recency_ms"))
+        .orderBy("user_id", "ms", "event_id")
+    },
+    Some("SELECT user_id, ms, event_id, ms - prev_purchase_ms AS recency_ms " +
+      "FROM (SELECT user_id, epoch_ms(ts) AS ms, event_id, " +
+      "last_value(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END " +
+      "IGNORE NULLS) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_ms(ts), event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ms " +
+      "FROM events) ORDER BY user_id, ms, event_id"))
+
   val qs: Seq[Q] = Seq(
     aggOls2, featureMinmaxScale, textHashingTrick, seqTrigramPaths,
     aggBitmapDistinct, seqAttributionLinear, aggHistogramLog2,
-    featureBinningTransfer)
+    featureBinningTransfer, featureRecency)
 }

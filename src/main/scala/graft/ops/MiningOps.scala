@@ -339,7 +339,54 @@ object MiningOps {
       "UNION ALL SELECT 3, count(DISTINCT a), CAST(count(*) / 2 AS BIGINT) FROM e3" +
       ") ORDER BY round"))
 
+  // ------------------------------------------------------------------
+  // dedup_fuzzy_levenshtein — EDIT-DISTANCE fuzzy matching with
+  // blocking, the entity-resolution primitive for typo'd/variant
+  // records that token-set methods miss (one edit changes few grams
+  // but Jaccard needs shingle overlap): part names pair WITHIN their
+  // brand block only (never a relation-level product), a cheap
+  // length-band pre-filter (|len a − len b| ≤ 2 — an edit-distance
+  // lower bound) prunes before the quadratic-cost levenshtein() call,
+  // and pairs at distance ≤ 3 count as fuzzy duplicates. Both engines
+  // implement classic Levenshtein identically. Output: the per-brand
+  // resolution ledger.
+  // ------------------------------------------------------------------
+
+  private val dedupFuzzyLevenshtein = Q(
+    "dedup_fuzzy_levenshtein",
+    (s, d) => {
+      import s.implicits._
+      val p = Tables.t(s, d, "part")
+        .select($"p_brand", $"p_partkey", $"p_name",
+          length($"p_name").as("len"))
+      val a = p.select($"p_brand", $"p_partkey".as("ka"), $"p_name".as("na"),
+        $"len".as("la"))
+      val b = p.select($"p_brand", $"p_partkey".as("kb"), $"p_name".as("nb"),
+        $"len".as("lb"))
+      val cand = a.join(b, "p_brand").filter($"ka" < $"kb")
+        .filter(abs($"la" - $"lb") <= 2)
+      cand
+        .withColumn("dist", levenshtein($"na", $"nb"))
+        .groupBy("p_brand").agg(
+          count(lit(1)).as("n_candidates"),
+          sum(($"dist" <= 3).cast("long")).as("n_fuzzy_pairs"),
+          sum(($"dist" === 0).cast("long")).as("n_exact_pairs"))
+        .orderBy("p_brand")
+    },
+    Some("WITH p AS (SELECT p_brand, p_partkey, p_name, " +
+      "length(p_name) AS len FROM part), " +
+      "cand AS (SELECT a.p_brand, " +
+      "levenshtein(a.p_name, b.p_name) AS dist " +
+      "FROM p a JOIN p b ON a.p_brand = b.p_brand " +
+      "AND a.p_partkey < b.p_partkey AND abs(a.len - b.len) <= 2) " +
+      "SELECT p_brand, count(*) AS n_candidates, " +
+      "CAST(SUM(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_fuzzy_pairs, " +
+      "CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_exact_pairs " +
+      "FROM cand GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     graphBfsDepth, graphAdamicAdar, seqPatternRegex, sampleNegative,
-    simMaxsimLabels, graphKcorePeel)
+    simMaxsimLabels, graphKcorePeel, dedupFuzzyLevenshtein)
 }

@@ -701,5 +701,45 @@ object MlStatOps {
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
     statPermutationTest, evalBinaryClassifier, sampleClassBalance,
-    aggWinsorizedMean)
+    aggWinsorizedMean, assocItemset3)
+
+  // ------------------------------------------------------------------
+  // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:
+  // support of unordered event-type TRIPLES over user baskets. The
+  // enumeration is two chained user-keyed self-joins with a < b < c —
+  // per-user blow-up B³/6 with B bounded by the type domain, never a
+  // relation product — and the level-2 downward-closure property
+  // (every subset of a frequent triple is frequent) is what a real
+  // Apriori run would prune with; here the full bounded lattice level
+  // is emitted with exact support.
+  // ------------------------------------------------------------------
+
+  private lazy val assocItemset3 = Q(
+    "assoc_itemset3",
+    (s, d) => {
+      import s.implicits._
+      val basket = Tables.events(s, d)
+        .select($"user_id", $"event_type").distinct()
+      val u = basket.select($"user_id").distinct().count().toDouble
+      val a = basket.select($"user_id", $"event_type".as("ta"))
+      val b = basket.select($"user_id", $"event_type".as("tb"))
+      val c = basket.select($"user_id", $"event_type".as("tc"))
+      a.join(b, "user_id").filter($"ta" < $"tb")
+        .join(c, "user_id").filter($"tb" < $"tc")
+        .groupBy("ta", "tb", "tc").agg(count(lit(1)).as("n_users"))
+        .select($"ta", $"tb", $"tc", $"n_users",
+          dround($"n_users".cast("double") / lit(u), 6).as("support"))
+        .orderBy("ta", "tb", "tc")
+    },
+    Some("WITH basket AS (SELECT DISTINCT user_id, event_type FROM events), " +
+      "u AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS u FROM basket) " +
+      "SELECT a.event_type AS ta, b.event_type AS tb, c.event_type AS tc, " +
+      "count(*) AS n_users, " +
+      OSql.sround("CAST(count(*) AS DOUBLE) / (SELECT u FROM u)", 6) +
+      " AS support " +
+      "FROM basket a JOIN basket b ON a.user_id = b.user_id " +
+      "AND a.event_type < b.event_type " +
+      "JOIN basket c ON b.user_id = c.user_id " +
+      "AND b.event_type < c.event_type " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"))
 }

@@ -126,6 +126,52 @@ class MiningSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L)))
   }
 
+  // --------------------------------------------------- fuzzy Levenshtein
+
+  test("fuzzy dedup pairs within-brand near-identical names; length band prunes") {
+    val part = Seq(
+      (1L, "red bolt", "X"), (2L, "red colt", "X"),    // distance 1
+      (3L, "zzzzzzzzzzzzzz", "X"),                      // length-band pruned
+      (4L, "blue gear", "Y"), (5L, "blue gear", "Y"))   // exact duplicate
+      .toDF("p_partkey", "p_name", "p_brand")
+    val got = run("dedup_fuzzy_levenshtein", stageTables("part" -> part)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("X") === ((1L, 1L, 0L)))   // one candidate, fuzzy, not exact
+    assert(got("Y") === ((1L, 1L, 1L)))   // exact dup is also a fuzzy pair
+  }
+
+  // ------------------------------------------------------------ itemset3
+
+  test("triple supports count users holding all three types") {
+    val rows = Seq(
+      (1L, 1000L, 1L, "A", 1.0, "{}"), (2L, 1001L, 1L, "B", 1.0, "{}"),
+      (3L, 1002L, 1L, "C", 1.0, "{}"),
+      (4L, 1003L, 2L, "A", 1.0, "{}"), (5L, 1004L, 2L, "B", 1.0, "{}"),
+      (6L, 1005L, 3L, "A", 1.0, "{}"), (7L, 1006L, 3L, "B", 1.0, "{}"),
+      (8L, 1007L, 3L, "C", 1.0, "{}"), (9L, 1008L, 3L, "D", 1.0, "{}"))
+    val got = run("assoc_itemset3", stageTables("events" -> ev(rows))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got(("A", "B", "C")) === 2L)
+    assert(got(("A", "B", "D")) === 1L)
+    assert(got.size === 4)  // ABC, ABD, ACD, BCD
+  }
+
+  // ------------------------------------------------------------- recency
+
+  test("recency measures time since the STRICTLY previous purchase") {
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 1.0, "{}"),
+      (2L, 2000L, 1L, "purchase", 1.0, "{}"),
+      (3L, 3000L, 1L, "view", 1.0, "{}"),
+      (4L, 4000L, 1L, "purchase", 1.0, "{}"),
+      (5L, 5000L, 1L, "view", 1.0, "{}"))
+    val got = run("feature_recency", stageTables("events" -> ev(rows))).collect()
+    assert(got(0).isNullAt(3) && got(1).isNullAt(3))  // nothing strictly before
+    assert(got(2).getLong(3) === 1000L)
+    assert(got(3).getLong(3) === 2000L)  // its own purchase doesn't count
+    assert(got(4).getLong(3) === 1000L)
+  }
+
   // -------------------------------------------------- negative sampling
 
   test("negative sampling assigns only never-seen buckets") {
