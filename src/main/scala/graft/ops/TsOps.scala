@@ -507,8 +507,127 @@ object TsOps {
       OSql.sround("CAST(dabs AS DOUBLE) / n / 100.0", 4) + " AS cusum_usd " +
       "FROM pick WHERE rn = 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // interval_union_length — the UNION-OF-INTERVALS primitive (total
+  // covered time, overlaps counted once): every event opens a 10-min
+  // activity window and the user's covered duration is the union
+  // length, computed by the classic start-ordered sweep — the running
+  // max of prior ends rides one user-keyed exclusive-frame window, and
+  // each interval contributes max(0, end − max(start, prior_max_end)).
+  // Exact integer milliseconds throughout; the sibling of
+  // `interval_concurrency` (which counts depth; this measures
+  // coverage).
+  // ------------------------------------------------------------------
+
+  private val intervalUnionLength = Q(
+    "interval_union_length",
+    (s, d) => {
+      import s.implicits._
+      val win = 600000L // 10-minute activity window per event
+      val iv = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ms".as("st"),
+          ($"ms" + win).as("en"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"st".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      iv.withColumn("pmax", max($"en").over(w))
+        .withColumn("add",
+          greatest(lit(0L), $"en" - greatest($"st", coalesce($"pmax", $"st"))))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_windows"),
+          sum($"add").as("covered_ms"))
+        .orderBy("user_id")
+    },
+    Some("WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS st, " +
+      "epoch_ms(ts) + 600000 AS en FROM events), " +
+      "sw AS (SELECT user_id, en, st, " +
+      "max(en) OVER (PARTITION BY user_id ORDER BY st, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv) " +
+      "SELECT user_id, count(*) AS n_windows, " +
+      "CAST(SUM(greatest(0, en - greatest(st, COALESCE(pmax, st)))) " +
+      "AS BIGINT) AS covered_ms " +
+      "FROM sw GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // stat_runs_test — the Wald–Wolfowitz runs test per type over the
+  // hourly series: signs = (v > lower median of the type's hourly
+  // values), runs counted as 1 + sign changes in hour order, compared
+  // against the expected run count 1 + 2·n1·n0/n with its closed-form
+  // variance. Median is the exact discrete rule (value at ⌈n/2⌉);
+  // signs, run counting, and the class counts are exact integers; z is
+  // one guarded expression (a one-class series has no defined test).
+  // Too few runs ⇒ trending/clustered; too many ⇒ oscillating.
+  // ------------------------------------------------------------------
+
+  private val statRunsTest = Q(
+    "stat_runs_test",
+    (s, d) => {
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .select($"event_type", expr("ms div 3600000").as("h"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val rankW = Window.partitionBy($"event_type").orderBy($"v".asc, $"h".asc)
+      val tot = Window.partitionBy($"event_type")
+      val med = hourly
+        .select($"event_type", $"v",
+          row_number().over(rankW).as("rn"), count(lit(1)).over(tot).as("n"))
+        .groupBy("event_type").agg(
+          max(when($"rn" * 2 >= $"n" && ($"rn" - 1) * 2 < $"n", $"v")).as("med"))
+      val signed = hourly.join(broadcast(med), "event_type")
+        .withColumn("sg", ($"v" > $"med").cast("long"))
+      val ord = Window.partitionBy($"event_type").orderBy($"h".asc)
+      signed
+        .withColumn("chg",
+          when(lag($"sg", 1).over(ord).isNull, 1L)
+            .when(lag($"sg", 1).over(ord) =!= $"sg", 1L).otherwise(0L))
+        .groupBy("event_type").agg(
+          sum($"sg").as("n1"),
+          (count(lit(1)) - sum($"sg")).as("n0"),
+          sum($"chg").as("runs"))
+        .withColumn("n", ($"n1" + $"n0").cast("double"))
+        .withColumn("er", lit(1.0) + lit(2.0) * $"n1" * $"n0" / $"n")
+        .withColumn("vr",
+          when($"n1" > 0 && $"n0" > 0 && $"n" > 1,
+            lit(2.0) * $"n1" * $"n0" * (lit(2.0) * $"n1" * $"n0" - $"n")
+              / ($"n" * $"n" * ($"n" - 1))))
+        .select($"event_type", $"n1", $"n0", $"runs",
+          when($"vr" > 0, dround(($"runs" - $"er") / sqrt($"vr"), 6)).as("z"))
+        .orderBy("event_type")
+    },
+    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+      "r AS (SELECT event_type, v, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY v, h) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS n FROM hourly), " +
+      "med AS (SELECT event_type, " +
+      "max(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n THEN v END) AS med " +
+      "FROM r GROUP BY 1), " +
+      "sg AS (SELECT h.event_type, h.h, " +
+      "CAST(h.v > med.med AS BIGINT) AS sg " +
+      "FROM hourly h JOIN med ON med.event_type = h.event_type), " +
+      "chg AS (SELECT event_type, sg, CASE " +
+      "WHEN lag(sg) OVER w IS NULL THEN 1 " +
+      "WHEN lag(sg) OVER w <> sg THEN 1 ELSE 0 END AS chg FROM sg " +
+      "WINDOW w AS (PARTITION BY event_type ORDER BY h)), " +
+      "agg AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS n1, " +
+      "CAST(count(*) - SUM(sg) AS BIGINT) AS n0, " +
+      "CAST(SUM(chg) AS BIGINT) AS runs FROM chg GROUP BY 1), " +
+      "f AS (SELECT event_type, n1, n0, runs, " +
+      "CAST(n1 + n0 AS DOUBLE) AS n, " +
+      "1.0 + 2.0 * n1 * n0 / CAST(n1 + n0 AS DOUBLE) AS er, " +
+      "CASE WHEN n1 > 0 AND n0 > 0 AND n1 + n0 > 1 THEN " +
+      "2.0 * n1 * n0 * (2.0 * n1 * n0 - CAST(n1 + n0 AS DOUBLE)) " +
+      "/ (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE) " +
+      "* (CAST(n1 + n0 AS DOUBLE) - 1)) END AS vr FROM agg) " +
+      "SELECT event_type, n1, n0, runs, " +
+      "CASE WHEN vr > 0 THEN " +
+      OSql.sround("(runs - er) / sqrt(vr)", 6) + " END AS z " +
+      "FROM f ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
-    statTrendMannKendall, windowCusumChange)
+    statTrendMannKendall, windowCusumChange, intervalUnionLength,
+    statRunsTest)
 }

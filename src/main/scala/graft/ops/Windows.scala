@@ -380,7 +380,47 @@ object Windows {
         "ELSE 0 END) + 1 AS DOUBLE) / max(n)", 6) + " AS k80_share " +
       "FROM w GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // agg_hhi — Herfindahl–Hirschman concentration per market segment
+  // (the antitrust-style index completing the `window_pareto_80`
+  // concentration pair): HHI = Σ share_i² = Σ r_i² / (Σ r_i)² — the
+  // identity keeps everything in EXACT integer sums (Σr and Σr² in
+  // DECIMAL/HUGEINT; shares are never materialized) with one final
+  // division; effective competitor count is its reciprocal. HHI → 1
+  // is a monopoly, → 1/n is perfect competition.
+  // ------------------------------------------------------------------
+
+  private val aggHhi = Q(
+    "agg_hhi",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val rev = graft.core.Tables.t(s, d, "orders")
+        .join(broadcast(graft.core.Tables.t(s, d, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"c_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("r"))
+      rev.groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n_customers"),
+          sum($"r".cast(Dec380)).cast("double").as("t"),
+          sum(($"r".cast(Dec380) * $"r")).cast("double").as("sq"))
+        .select($"c_mktsegment", $"n_customers",
+          dround($"sq" / $"t" / $"t", 6).as("hhi"),
+          dround($"t" * $"t" / $"sq", 4).as("effective_n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("WITH rev AS (SELECT c_mktsegment, c_custkey, " +
+      "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+      "a AS (SELECT c_mktsegment, count(*) AS n_customers, " +
+      "CAST(SUM(CAST(r AS HUGEINT)) AS DOUBLE) AS t, " +
+      "CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE) AS sq FROM rev GROUP BY 1) " +
+      "SELECT c_mktsegment, n_customers, " +
+      OSql.sround("sq / t / t", 6) + " AS hhi, " +
+      OSql.sround("t * t / sq", 4) + " AS effective_n " +
+      "FROM a ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     rankTopk, rankDense, lagLead, nthValue, runningSum, firstLast, movingAvg, percentRank,
-    rangeFrame, windowPareto80)
+    rangeFrame, windowPareto80, aggHhi)
 }

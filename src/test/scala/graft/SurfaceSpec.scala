@@ -87,6 +87,22 @@ class SurfaceSpec extends SparkSpec {
     assert(got("flat").getLong(2) === 0L && got("flat").isNullAt(3))
   }
 
+  test("HHI: a duopoly scores 0.5, a monopoly 1.0") {
+    val orders = Seq(
+      (1L, 1L, "F", 50.0, "1-URGENT"), (2L, 2L, "F", 50.0, "1-URGENT"),
+      (3L, 3L, "F", 80.0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val customer = Seq(
+      (1L, "DUO", 10L, 5.0), (2L, "DUO", 10L, 5.0), (3L, "MONO", 10L, 5.0))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = run("agg_hhi",
+      stageTables("orders" -> orders, "customer" -> customer)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("DUO") === ((2L, 0.5, 2.0)))
+    assert(got("MONO") === ((1L, 1.0, 1.0)))
+  }
+
   test("Pareto: a uniform segment needs 80% of its customers") {
     val orders = (1 to 10).map(c => (100L + c, c.toLong, "F", 10.0, "1-URGENT"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

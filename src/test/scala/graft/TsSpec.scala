@@ -138,6 +138,47 @@ class TsSpec extends SparkSpec {
     assert(r.getDouble(3) === 25.0)
   }
 
+  // ----------------------------------------------------- interval union
+
+  test("interval union counts overlaps once and gaps not at all") {
+    // u1: windows [0,600k) ∪ [300k,900k) → 900k covered;
+    // u2: [0,600k) and [2M,2.6M) disjoint → 1.2M
+    val rows = Seq(
+      (1L, 0L, 1L, "view", 1.0, "{}"),
+      (2L, 300000L, 1L, "view", 1.0, "{}"),
+      (3L, 0L, 2L, "view", 1.0, "{}"),
+      (4L, 2000000L, 2L, "view", 1.0, "{}"))
+    val got = run("interval_union_length", stageTables("events" -> ev(rows)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 900000L, 2L -> 1200000L))
+  }
+
+  test("a window nested inside a longer coverage adds nothing") {
+    // second event 1s after the first: its window ends inside the
+    // first's remaining span plus 1s — union is 601s, not 1200s
+    val rows = Seq(
+      (1L, 0L, 1L, "view", 1.0, "{}"),
+      (2L, 1000L, 1L, "view", 1.0, "{}"))
+    val r = run("interval_union_length", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(2) === 601000L)
+  }
+
+  // ---------------------------------------------------------- runs test
+
+  test("runs test: alternation scores high positive z, a trend negative") {
+    val rows = (0 until 6).map(i =>
+      (i.toLong, i * H, 1L, "alt", if (i % 2 == 0) 10.0 else 20.0, "{}")) ++
+      (0 until 4).map(i => (10L + i, i * H, 1L, "trend", 10.0 * (i + 1), "{}"))
+    val got = run("stat_runs_test", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val alt = got("alt")
+    assert((alt.getLong(1), alt.getLong(2), alt.getLong(3)) === ((3L, 3L, 6L)))
+    assert(math.abs(alt.getDouble(4) - 1.825742) < 1e-5)
+    val tr = got("trend")
+    assert(tr.getLong(3) === 2L)
+    assert(math.abs(tr.getDouble(4) - -1.224745) < 1e-5)
+  }
+
   // ---------------------------------------------------------- entropy
 
   test("entropy: one hour bucket scores 0, a uniform pair scores exactly 1 bit") {
