@@ -701,7 +701,7 @@ object MlStatOps {
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
     statPermutationTest, evalBinaryClassifier, sampleClassBalance,
-    aggWinsorizedMean, assocItemset3)
+    aggWinsorizedMean, assocItemset3, evalCalibration)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:
@@ -742,4 +742,39 @@ object MlStatOps {
       "JOIN basket c ON b.user_id = c.user_id " +
       "AND b.event_type < c.event_type " +
       "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"))
+
+  // ------------------------------------------------------------------
+  // eval_calibration — the CALIBRATION CURVE for the value-as-score
+  // rule `eval_binary_classifier` thresholds: scores bucket into fixed
+  // $10 bins and each bin reports its observed positive (purchase)
+  // rate next to its mean score — a well-calibrated score tracks the
+  // diagonal; this is the reliability-diagram table every deployed
+  // classifier gets monitored with. Counts collapse map-side to the
+  // bounded bin domain; both reported ratios are single exact
+  // divisions.
+  // ------------------------------------------------------------------
+
+  private lazy val evalCalibration = Q(
+    "eval_calibration",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+        .withColumn("bin", least(expr("v div 1000"), lit(9L)))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum($"y").as("n_pos"),
+          dround(sum($"y").cast("double") / count(lit(1)), 6).as("pos_rate"),
+          dround(sum($"v").cast("double") / count(lit(1)) / 100.0, 4)
+            .as("mean_score_usd"))
+        .orderBy("bin")
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "b AS (SELECT y, v, least(v // 1000, 9) AS bin FROM e) " +
+      "SELECT bin, count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos, " +
+      OSql.sround("CAST(SUM(y) AS DOUBLE) / count(*)", 6) + " AS pos_rate, " +
+      OSql.sround("CAST(SUM(v) AS DOUBLE) / count(*) / 100.0", 4) +
+      " AS mean_score_usd FROM b GROUP BY 1 ORDER BY 1"))
 }

@@ -1036,9 +1036,39 @@ object ScaleOps {
       "'k' || CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS VARCHAR)]) AS tag " +
       "FROM events) GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** scan_parquet_zstd — the compression-codec cell of the format
+    * matrix: the archive rewritten as ZSTD parquet (the modern
+    * at-scale default — better ratio than snappy at similar decode
+    * cost) and read back through the same pushdown/pruning scan path;
+    * ledger + exact cents checksum prove the codec round trip
+    * lossless. Codec choice is a storage-layer knob — the plan is
+    * identical to the snappy scan, which is the point.
+    */
+  private val scanParquetZstd = Q(
+    "scan_parquet_zstd",
+    (s, d) => {
+      import s.implicits._
+      val dir = TmpDirs.dir("events-zstd")
+      Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("c"))
+        .write.mode("overwrite")
+        .option("compression", "zstd").parquet(dir)
+      s.read.parquet(dir)
+        .filter($"c" >= 1000)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum($"c").as("c_sum"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS n_rows, " +
+      "CAST(SUM(c) AS BIGINT) AS c_sum FROM " +
+      "(SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events) " +
+      "WHERE c >= 1000 GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
-    aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct)
+    aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct,
+    scanParquetZstd)
 }

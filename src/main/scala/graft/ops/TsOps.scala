@@ -625,9 +625,46 @@ object TsOps {
       OSql.sround("(runs - er) / sqrt(vr)", 6) + " END AS z " +
       "FROM f ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // window_mom_growth — period-over-period growth rate per type over
+  // fixed 30-day periods (the BI growth report): period totals are
+  // exact cents, prev rides a keyed lag, and the rate is one guarded
+  // division (the first period, or a zero base, reports NULL — no
+  // division blow-up). dround(6) on the single ratio.
+  // ------------------------------------------------------------------
+
+  private val windowMomGrowth = Q(
+    "window_mom_growth",
+    (s, d) => {
+      import s.implicits._
+      val period = Tables.events(s, d)
+        .select($"event_type", expr("ms div 2592000000").as("p"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "p").agg(sum($"c").as("v"))
+      val w = Window.partitionBy($"event_type").orderBy($"p".asc)
+      period
+        .withColumn("prev", lag($"v", 1).over(w))
+        .select($"event_type", $"p",
+          dround($"v".cast("double") / 100.0, 2).as("total_usd"),
+          when($"prev" > 0,
+            dround(($"v" - $"prev").cast("double") / $"prev", 6))
+            .as("growth"))
+        .orderBy("event_type", "p")
+    },
+    Some("WITH period AS (SELECT event_type, " +
+      "epoch_ms(ts) // 2592000000 AS p, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+      "l AS (SELECT event_type, p, v, " +
+      "lag(v) OVER (PARTITION BY event_type ORDER BY p) AS prev FROM period) " +
+      "SELECT event_type, p, " +
+      OSql.sround("CAST(v AS DOUBLE) / 100.0", 2) + " AS total_usd, " +
+      "CASE WHEN prev > 0 THEN " +
+      OSql.sround("CAST(v - prev AS DOUBLE) / prev", 6) + " END AS growth " +
+      "FROM l ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
-    statRunsTest)
+    statRunsTest, windowMomGrowth)
 }

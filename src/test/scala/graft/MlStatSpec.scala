@@ -329,6 +329,18 @@ class MlStatSpec extends SparkSpec {
     assert(r.getDouble(4) === 10.45)
   }
 
+  test("calibration bins report observed positive rate against mean score") {
+    // low bin: two views (rate 0); top bin: two purchases (rate 1)
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 5.0, "{}"), (2L, 1001L, 1L, "view", 6.0, "{}"),
+      (3L, 1002L, 1L, "purchase", 95.0, "{}"),
+      (4L, 1003L, 1L, "purchase", 99.0, "{}"))
+    val got = run("eval_calibration", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got(0L) === ((2L, 0.0)))
+    assert(got(9L) === ((2L, 1.0)))
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>

@@ -179,6 +179,18 @@ class TsSpec extends SparkSpec {
     assert(math.abs(tr.getDouble(4) - -1.224745) < 1e-5)
   }
 
+  // ------------------------------------------------------------ growth
+
+  test("period growth is (cur - prev)/prev with NULL on the first period") {
+    val P = 2592000000L
+    val rows = Seq(
+      (1L, 0L, 1L, "t", 100.0, "{}"),
+      (2L, P, 1L, "t", 150.0, "{}"))
+    val got = run("window_mom_growth", stageTables("events" -> ev(rows))).collect()
+    assert(got(0).isNullAt(3))
+    assert(got(1).getDouble(3) === 0.5)
+  }
+
   // ---------------------------------------------------------- entropy
 
   test("entropy: one hour bucket scores 0, a uniform pair scores exactly 1 bit") {
