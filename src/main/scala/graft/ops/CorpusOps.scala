@@ -556,8 +556,51 @@ object CorpusOps {
       "JOIN cu ON cu.w = b2.w1, vv " +
       "GROUP BY doc_id ORDER BY doc_id LIMIT 1000"))
 
+  // ------------------------------------------------------------------
+  // text_char_entropy — character-level Shannon entropy per document,
+  // the gibberish/encoding-junk detector word-level filters miss (a
+  // base64 blob has healthy word stats but abnormally HIGH char
+  // entropy; aaaa-padding scores abnormally LOW): per-doc char counts
+  // via explode, the same integer-quantized c·log₂c identity as
+  // `agg_entropy`, banded into 0.5-bit buckets for the bounded corpus
+  // report. Natural prose sits ~3.5–4.5 bits; the bands are the gate.
+  // ------------------------------------------------------------------
+
+  private val textCharEntropy = Q(
+    "text_char_entropy",
+    (s, d) => {
+      import s.implicits._
+      val chars = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", "")).as("ch"))
+        .filter($"ch" =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .withColumn("term",
+          floor($"c" * log2($"c") * lit(1e6) + lit(0.5)).cast("long"))
+      val perDoc = chars.groupBy("doc_id").agg(
+          sum($"c").as("n"),
+          dround(log2(sum($"c")) - (sum($"term") / lit(1e6)) / sum($"c"), 4)
+            .as("h"))
+      perDoc
+        .withColumn("band", floor($"h" * 2).cast("long"))
+        .groupBy("band").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n").cast("long").as("n_chars"))
+        .orderBy("band")
+    },
+    Some("WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch " +
+      "FROM documents), " +
+      "cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' " +
+      "GROUP BY 1,2), " +
+      "t AS (SELECT doc_id, c, " +
+      "CAST(floor(c * log2(c) * 1e6 + 0.5) AS BIGINT) AS term FROM cnt), " +
+      "pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, " +
+      OSql.sround("log2(SUM(c)) - (SUM(term) / 1e6) / SUM(c)", 4) +
+      " AS h FROM t GROUP BY 1) " +
+      "SELECT CAST(floor(h * 2) AS BIGINT) AS band, count(*) AS n_docs, " +
+      "CAST(SUM(n) AS BIGINT) AS n_chars FROM pd GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
-    tokenizerVocabCoverage, textBigramLogprob)
+    tokenizerVocabCoverage, textBigramLogprob, textCharEntropy)
 }

@@ -662,9 +662,66 @@ object TsOps {
       OSql.sround("CAST(v - prev AS DOUBLE) / prev", 6) + " END AS growth " +
       "FROM l ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // agg_autocorr_lag1 — lag-1 autocorrelation of the hourly series per
+  // type (the persistence diagnostic: near +1 = momentum, near −1 =
+  // oscillation, near 0 = noise): consecutive-hour pairs from one
+  // keyed lag, then Pearson r over the pairs from EXACT integer
+  // sufficient sums (Σx, Σy, Σxy, Σx², Σy² in DECIMAL — the agg_corr
+  // trick), a single guarded sqrt/division at the end.
+  // ------------------------------------------------------------------
+
+  private val aggAutocorrLag1 = Q(
+    "agg_autocorr_lag1",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .select($"event_type", expr("ms div 3600000").as("h"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+      val pairs = hourly
+        .withColumn("x", lag($"v", 1).over(w))
+        .filter($"x".isNotNull)
+        .select($"event_type", $"x", $"v".as("y"))
+      pairs.groupBy("event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x".cast(Dec380)).cast("double").as("sx"),
+          sum($"y".cast(Dec380)).cast("double").as("sy"),
+          sum(($"x".cast(Dec380) * $"y")).cast("double").as("sxy"),
+          sum(($"x".cast(Dec380) * $"x")).cast("double").as("sxx"),
+          sum(($"y".cast(Dec380) * $"y")).cast("double").as("syy"))
+        .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
+        .select($"event_type", $"n".cast("long").as("n_pairs"),
+          when($"dx" > 0 && $"dy" > 0,
+            dround(($"n" * $"sxy" - $"sx" * $"sy")
+              / sqrt($"dx" * $"dy"), 6)).as("acf1"))
+        .orderBy("event_type")
+    },
+    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+      "p AS (SELECT event_type, " +
+      "lag(v) OVER (PARTITION BY event_type ORDER BY h) AS x, v AS y " +
+      "FROM hourly), " +
+      "p2 AS (SELECT event_type, x, y FROM p WHERE x IS NOT NULL), " +
+      "m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, " +
+      "CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, " +
+      "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+      "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy FROM p2 GROUP BY 1), " +
+      "f AS (SELECT event_type, n, sx, sy, sxy, " +
+      "n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM m) " +
+      "SELECT event_type, CAST(n AS BIGINT) AS n_pairs, " +
+      "CASE WHEN dx > 0 AND dy > 0 THEN " +
+      OSql.sround("(n * sxy - sx * sy) / sqrt(dx * dy)", 6) +
+      " END AS acf1 FROM f ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
-    statRunsTest, windowMomGrowth)
+    statRunsTest, windowMomGrowth, aggAutocorrLag1)
 }

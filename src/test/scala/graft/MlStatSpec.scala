@@ -341,6 +341,17 @@ class MlStatSpec extends SparkSpec {
     assert(got(9L) === ((2L, 1.0)))
   }
 
+  test("char entropy separates repeated padding from diverse text") {
+    // "aaaaaaaa" → 0 bits (band 0); "abcdefgh" → 3 bits (band 6)
+    val docs = Seq(
+      (1L, "aaaaaaaa", "en", "s0", 8L),
+      (2L, "abcdefgh", "en", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = run("text_char_entropy", stageTables("documents" -> docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 6L -> 1L))
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>

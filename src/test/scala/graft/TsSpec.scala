@@ -191,6 +191,24 @@ class TsSpec extends SparkSpec {
     assert(got(1).getDouble(3) === 0.5)
   }
 
+  // ------------------------------------------------------ autocorr lag1
+
+  test("lag-1 autocorrelation: alternation scores -1, a line scores +1") {
+    val rows = (0 until 6).map(i =>
+      (i.toLong, i * H, 1L, "alt", if (i % 2 == 0) 10.0 else 20.0, "{}")) ++
+      (0 until 6).map(i => (10L + i, i * H, 1L, "line", 10.0 * (i + 1), "{}"))
+    val got = run("agg_autocorr_lag1", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("alt") === -1.0)
+    assert(got("line") === 1.0)
+  }
+
+  test("lag-1 autocorrelation of a constant series is NULL, not NaN") {
+    val rows = (0 until 4).map(i => (i.toLong, i * H, 1L, "t", 5.0, "{}"))
+    val r = run("agg_autocorr_lag1", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.isNullAt(2))
+  }
+
   // ---------------------------------------------------------- entropy
 
   test("entropy: one hour bucket scores 0, a uniform pair scores exactly 1 bit") {
