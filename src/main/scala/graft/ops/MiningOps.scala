@@ -306,11 +306,15 @@ object MiningOps {
           .unionByName(edges.select($"b".as("n")))
           .groupBy("n").agg(count(lit(1)).as("dg"))
         val keep = deg.filter($"dg" >= 2).select("n")
-        edges = graft.core.Mat(s,
-          edges.join(keep.select($"n".as("a")), Seq("a"), "left_semi")
-            .join(keep.select($"n".as("b")), Seq("b"), "left_semi")
-            .select("a", "b"),
-          s"kcore-r$r")
+        val next = edges
+          .join(keep.select($"n".as("a")), Seq("a"), "left_semi")
+          .join(keep.select($"n".as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+        // rounds 1-2 feed 5 consumers each (degree union ×2, two semi
+        // joins, ledger) and earn their Mat; the final round's edges
+        // are read ONCE by the ledger — materializing them would be a
+        // wasted parquet round trip
+        edges = if (r < 3) graft.core.Mat(s, next, s"kcore-r$r") else next
         ledger += edges
           .select(explode(array($"a", $"b")).as("n"))
           .agg(countDistinct($"n").as("n_nodes"),
