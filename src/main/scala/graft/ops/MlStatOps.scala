@@ -497,7 +497,10 @@ object MlStatOps {
           dround(($"n_ge" + lit(1)).cast("double") / lit(17.0), 6).as("p_value"))
         .orderBy("event_type")
     },
-    Some("WITH e AS (SELECT event_type, event_id, user_id % 2 AS g, " +
+    Some(permOracleSql))
+
+  private def permOracleSql: String =
+    "WITH e AS (SELECT event_type, event_id, user_id % 2 AS g, " +
       "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
       "obs AS (SELECT event_type, " +
       "CAST(SUM(CASE WHEN g=0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
@@ -528,7 +531,8 @@ object MlStatOps {
       OSql.sround("CAST(SUM(CASE WHEN pd.perm_d >= o.obs_d THEN 1 ELSE 0 END) " +
         "+ 1 AS DOUBLE) / 17.0", 6) + " AS p_value " +
       "FROM obs o JOIN pd ON pd.event_type = o.event_type " +
-      "GROUP BY 1 ORDER BY 1"))
+      "GROUP BY 1 ORDER BY 1"
+
 
   // ------------------------------------------------------------------
   // eval_binary_classifier — the model-evaluation report for a binary
@@ -701,7 +705,8 @@ object MlStatOps {
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
     statPermutationTest, evalBinaryClassifier, sampleClassBalance,
-    aggWinsorizedMean, assocItemset3, evalCalibration)
+    aggWinsorizedMean, assocItemset3, evalCalibration, statFdrBh,
+    evalPrSweep)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:
@@ -777,4 +782,96 @@ object MlStatOps {
       OSql.sround("CAST(SUM(y) AS DOUBLE) / count(*)", 6) + " AS pos_rate, " +
       OSql.sround("CAST(SUM(v) AS DOUBLE) / count(*) / 100.0", 4) +
       " AS mean_score_usd FROM b GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // stat_fdr_bh — Benjamini-Hochberg multiple-testing correction over
+  // the per-type permutation p-values (the FDR control every metrics
+  // platform needs once it tests many hypotheses at once): p-values
+  // rank ascending, the largest k with p_(k) <= k*q/m (q = 0.10)
+  // defines the rejection set, and every type at rank <= k rejects.
+  // The step-up scan is one bounded window over the |types|-row
+  // hypothesis table (never the fact stream); the BH threshold
+  // comparison happens on 6dp-rounded p-values with identical
+  // arithmetic text, so the cut is bit-stable.
+  // ------------------------------------------------------------------
+
+  private lazy val statFdrBh = Q(
+    "stat_fdr_bh",
+    (s, d) => {
+      import s.implicits._
+      val p = statPermutationTest.fn(s, d)
+        .select($"event_type", $"p_value")
+      val m = p.count().toDouble
+      val w = Window.orderBy($"p_value".asc, $"event_type".asc)
+      val ranked = p.withColumn("k", row_number().over(w))
+        .withColumn("pass",
+          ($"p_value" <= $"k" * lit(0.10) / lit(m)).cast("long"))
+      val kmax = ranked.agg(max(when($"pass" === 1, $"k")).as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .select($"event_type", $"k", $"p_value",
+          ($"k" <= coalesce($"kmax", lit(0L))).cast("long").as("rejected"))
+        .orderBy("k")
+    },
+    Some("WITH pv AS (" + permOracleSql + "), " +
+      "mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM pv), " +
+      "r AS (SELECT event_type, p_value, row_number() OVER " +
+      "(ORDER BY p_value, event_type) AS k FROM pv), " +
+      "km AS (SELECT max(CASE WHEN p_value <= k * 0.10 / " +
+      "(SELECT m FROM mm) THEN k END) AS kmax FROM r) " +
+      "SELECT event_type, CAST(k AS BIGINT) AS k, p_value, " +
+      "CAST(k <= COALESCE((SELECT kmax FROM km), 0) AS BIGINT) AS rejected " +
+      "FROM r ORDER BY k"))
+
+  // ------------------------------------------------------------------
+  // eval_pr_sweep — the precision/recall THRESHOLD SWEEP completing
+  // the evaluation family (the classifier report fixes one threshold;
+  // the sweep is how that threshold gets picked): 9 fixed $10
+  // thresholds, each scored from ONE pass of cumulative counts over
+  // the bounded cent-value domain - the fact table collapses map-side
+  // first, then a 9-row broadcast of thresholds probes the running
+  // totals. Precision and recall are single exact divisions per row.
+  // ------------------------------------------------------------------
+
+  private lazy val evalPrSweep = Q(
+    "eval_pr_sweep",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+      val byV = e.groupBy("v").agg(
+        sum($"y").as("c1"), count(lit(1)).as("m"))
+      val tot = byV.agg(sum($"c1").as("npos"))
+      val thresholds = s.range(1, 10)
+        .select(($"id" * 1000L).as("thr"))
+      val scored = thresholds.crossJoin(broadcast(tot))
+        .join(byV, byV("v") >= thresholds("thr"), "left")
+        .groupBy("thr", "npos").agg(
+          coalesce(sum($"c1"), lit(0L)).as("tp"),
+          coalesce(sum($"m"), lit(0L)).as("npred"))
+      scored.select($"thr",
+          $"tp", $"npred",
+          when($"npred" > 0,
+            dround($"tp".cast("double") / $"npred", 6)).as("precision"),
+          when($"npos" > 0,
+            dround($"tp".cast("double") / $"npos", 6)).as("recall"))
+        .orderBy("thr")
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "byv AS (SELECT v, CAST(SUM(y) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS m FROM e GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS npos FROM byv), " +
+      "thr AS (SELECT CAST(unnest(generate_series(1, 9)) * 1000 AS BIGINT) " +
+      "AS thr), " +
+      "sc AS (SELECT t.thr, " +
+      "CAST(COALESCE(SUM(b.c1), 0) AS BIGINT) AS tp, " +
+      "CAST(COALESCE(SUM(b.m), 0) AS BIGINT) AS npred " +
+      "FROM thr t LEFT JOIN byv b ON b.v >= t.thr GROUP BY 1) " +
+      "SELECT thr, tp, npred, " +
+      "CASE WHEN npred > 0 THEN " +
+      OSql.sround("CAST(tp AS DOUBLE) / npred", 6) + " END AS precision, " +
+      "CASE WHEN (SELECT npos FROM tot) > 0 THEN " +
+      OSql.sround("CAST(tp AS DOUBLE) / (SELECT npos FROM tot)", 6) +
+      " END AS recall FROM sc ORDER BY thr"))
 }

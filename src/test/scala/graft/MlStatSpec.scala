@@ -352,6 +352,43 @@ class MlStatSpec extends SparkSpec {
     assert(got === Map(0L -> 1L, 6L -> 1L))
   }
 
+  // ---------------------------------------------------------- FDR / PR
+
+  test("BH rejects the decisive types and spares the null one") {
+    // three types with a massive effect (p = 1/17 each) and one null
+    // (p = 1): the step-up passes at k = 3 (1/17 ≤ 3·0.1/4) — all
+    // three effects reject, the null does not. With only TWO effects
+    // among four hypotheses nothing would reject (1/17 > 2·0.025):
+    // the cut is a joint property of the whole p-value set, which is
+    // exactly what BH is for.
+    val rows = (0 until 80).flatMap { i =>
+      val arm = i % 2
+      Seq("big1", "big2", "big3").zipWithIndex.map { case (t, j) =>
+        (1000L * (j + 1) + i, 1000L + i, arm.toLong, t,
+          if (arm == 0) 1.0 else 100.0, "{}") } :+
+        (9000L + i, 9000L + i, arm.toLong, "null1", 5.0, "{}")
+    }
+    val got = run("stat_fdr_bh", stageTables("events" -> ev(rows))).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("big1") === 1L && got("big2") === 1L && got("big3") === 1L)
+    assert(got("null1") === 0L)
+  }
+
+  test("PR sweep: raising the threshold trades recall for precision") {
+    // purchases at high values, views at low → precision 1.0 once the
+    // threshold clears the views; recall falls as it clears purchases
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 15.0, "{}"), (2L, 1001L, 1L, "view", 25.0, "{}"),
+      (3L, 1002L, 1L, "purchase", 55.0, "{}"),
+      (4L, 1003L, 1L, "purchase", 85.0, "{}"))
+    val got = run("eval_pr_sweep", stageTables("events" -> ev(rows))).collect()
+      .filter(r => !r.isNullAt(3))
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1000L) === ((0.5, 1.0)))   // $10: everything predicted
+    assert(got(3000L) === ((1.0, 1.0)))   // $30: views cleared
+    assert(got(6000L) === ((1.0, 0.5)))   // $60: one purchase lost
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>
