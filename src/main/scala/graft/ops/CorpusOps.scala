@@ -599,8 +599,48 @@ object CorpusOps {
       "SELECT CAST(floor(h * 2) AS BIGINT) AS band, count(*) AS n_docs, " +
       "CAST(SUM(n) AS BIGINT) AS n_chars FROM pd GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // text_readability — sentence-level readability statistics (the
+  // Flesch-family core without syllable counting, which no SQL engine
+  // spells identically): sentences split on [.!?]+ runs, per-doc
+  // words-per-sentence as an exact integer ratio (ppm-quantized
+  // before any averaging), rolled into a per-language report. Long
+  // sentences are the classic complexity proxy; a corpus whose mean
+  // drifts up is getting harder to read.
+  // ------------------------------------------------------------------
+
+  private val textReadability = Q(
+    "text_readability",
+    (s, d) => {
+      import s.implicits._
+      val perDoc = t(s, d, "documents")
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("n_words"),
+          size(filter(split($"text", "[.!?]+"),
+            x => length(trim(x)) > 0)).cast("long").as("n_sent"))
+        .filter($"n_sent" > 0)
+        .withColumn("wps_ppm", expr("(n_words * 1000000) div n_sent"))
+      perDoc.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_sent").as("n_sentences"),
+          dround(sum($"wps_ppm").cast("double") / count(lit(1)) / 1e6, 4)
+            .as("avg_words_per_sentence"))
+        .orderBy("lang")
+    },
+    Some("WITH pd AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+      "CAST(len(list_filter(string_split_regex(text, '[.!?]+'), " +
+      "x -> len(trim(x)) > 0)) AS BIGINT) AS n_sent FROM documents), " +
+      "p2 AS (SELECT lang, n_sent, " +
+      "(n_words * 1000000) // n_sent AS wps_ppm FROM pd WHERE n_sent > 0) " +
+      "SELECT lang, count(*) AS n_docs, " +
+      "CAST(SUM(n_sent) AS BIGINT) AS n_sentences, " +
+      OSql.sround("CAST(SUM(wps_ppm) AS DOUBLE) / count(*) / 1e6", 4) +
+      " AS avg_words_per_sentence FROM p2 GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
-    tokenizerVocabCoverage, textBigramLogprob, textCharEntropy)
+    tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
+    textReadability)
 }

@@ -420,7 +420,54 @@ object Windows {
       OSql.sround("t * t / sq", 4) + " AS effective_n " +
       "FROM a ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // agg_gini_revenue — the Gini coefficient of customer revenue per
+  // segment (completing the concentration trio with `window_pareto_80`
+  // and `agg_hhi`): the sorted-rank identity
+  // G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n keeps everything exact — ranks
+  // from one segment-keyed window, Σ i·x and Σx as exact DECIMAL sums
+  // — with two divisions of identical text at the end. 0 = perfect
+  // equality, →1 = one customer holds everything.
+  // ------------------------------------------------------------------
+
+  private val aggGiniRevenue = Q(
+    "agg_gini_revenue",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val rev = graft.core.Tables.t(s, d, "orders")
+        .join(broadcast(graft.core.Tables.t(s, d, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"c_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("r"))
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"r".asc, $"c_custkey".asc)
+      rev.withColumn("i", row_number().over(w))
+        .groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n"),
+          sum($"r".cast(Dec380)).cast("double").as("t"),
+          sum(($"r".cast(Dec380) * $"i")).cast("double").as("wsum"))
+        .select($"c_mktsegment", $"n",
+          when($"t" > 0 && $"n" > 0,
+            dround(lit(2.0) * $"wsum" / ($"n" * $"t")
+              - ($"n" + 1).cast("double") / $"n", 6)).as("gini"))
+        .orderBy("c_mktsegment")
+    },
+    Some("WITH rev AS (SELECT c_mktsegment, c_custkey, " +
+      "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+      "rk AS (SELECT c_mktsegment, r, row_number() OVER " +
+      "(PARTITION BY c_mktsegment ORDER BY r, c_custkey) AS i FROM rev), " +
+      "a AS (SELECT c_mktsegment, count(*) AS n, " +
+      "CAST(SUM(CAST(r AS HUGEINT)) AS DOUBLE) AS t, " +
+      "CAST(SUM(CAST(r AS HUGEINT) * i) AS DOUBLE) AS wsum " +
+      "FROM rk GROUP BY 1) " +
+      "SELECT c_mktsegment, n, " +
+      "CASE WHEN t > 0 AND n > 0 THEN " +
+      OSql.sround("2.0 * wsum / (n * t) - CAST(n + 1 AS DOUBLE) / n", 6) +
+      " END AS gini FROM a ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     rankTopk, rankDense, lagLead, nthValue, runningSum, firstLast, movingAvg, percentRank,
-    rangeFrame, windowPareto80, aggHhi)
+    rangeFrame, windowPareto80, aggHhi, aggGiniRevenue)
 }

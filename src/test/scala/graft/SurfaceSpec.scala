@@ -103,6 +103,39 @@ class SurfaceSpec extends SparkSpec {
     assert(got("MONO") === ((1L, 1.0, 1.0)))
   }
 
+  test("Gini: equal customers score 0; concentration pushes toward 1") {
+    // EQ: four equal customers → G = 0 exactly;
+    // SKEW: 1,1,1,97 → G = 2·(1+2+3+4·97)/(4·100) − 5/4 = 0.72
+    val orders = ((1 to 4).map(c => (100L + c, c.toLong, 10.0)) ++
+      Seq((200L, 11L, 1.0), (201L, 12L, 1.0), (202L, 13L, 1.0),
+        (203L, 14L, 97.0)))
+      .map { case (ok, ck, v) => (ok, ck, "F", v, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val customer = ((1 to 4).map(c => (c.toLong, "EQ")) ++
+      (11 to 14).map(c => (c.toLong, "SKEW")))
+      .map { case (ck, seg) => (ck, seg, 10L, 5.0) }
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = run("agg_gini_revenue",
+      stageTables("orders" -> orders, "customer" -> customer)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("EQ") === 0.0)
+    assert(got("SKEW") === 0.72)
+  }
+
+  test("readability counts sentences on terminal-punctuation runs") {
+    val docs = Seq(
+      // 2 sentences, 4 words → 2 words/sentence
+      (1L, "one two. three four!", "en", "s0", 20L),
+      // "..." collapses to one boundary; 1 sentence, 3 words
+      (2L, "wait for it...", "fr", "s0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = run("text_readability", stageTables("documents" -> docs)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("en") === ((2L, 2.0)))
+    assert(got("fr") === ((1L, 3.0)))
+  }
+
   test("Pareto: a uniform segment needs 80% of its customers") {
     val orders = (1 to 10).map(c => (100L + c, c.toLong, "F", 10.0, "1-URGENT"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
