@@ -706,7 +706,7 @@ object MlStatOps {
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
     statPermutationTest, evalBinaryClassifier, sampleClassBalance,
     aggWinsorizedMean, assocItemset3, evalCalibration, statFdrBh,
-    evalPrSweep)
+    evalPrSweep, profileColumnStats, featureDecayScore)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:
@@ -874,4 +874,75 @@ object MlStatOps {
       "CASE WHEN (SELECT npos FROM tot) > 0 THEN " +
       OSql.sround("CAST(tp AS DOUBLE) / (SELECT npos FROM tot)", 6) +
       " END AS recall FROM sc ORDER BY thr"))
+
+  // ------------------------------------------------------------------
+  // profile_column_stats — the ANALYZE TABLE statistics collector as a
+  // declared operator (the per-column profile a cost-based optimizer
+  // and every data-quality monitor consume): nulls, distinct count,
+  // min and max for the fact table's numeric columns, computed in ONE
+  // scan via a generator unpivot (stack) followed by a single grouped
+  // aggregate - never one job per column. min/max/counts are
+  // order-independent by construction; no sums, no rounding hazards.
+  // ------------------------------------------------------------------
+
+  private lazy val profileColumnStats = Q(
+    "profile_column_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "lineitem")
+        .select(expr("stack(3, " +
+          "'l_quantity', l_quantity, " +
+          "'l_extendedprice', l_extendedprice, " +
+          "'l_discount', l_discount) AS (col, val)"))
+        .groupBy("col").agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count($"val")).as("n_nulls"),
+          countDistinct($"val").as("n_distinct"),
+          min($"val").as("min_val"),
+          max($"val").as("max_val"))
+        .orderBy("col")
+    },
+    Some("SELECT col, count(*) AS n_rows, " +
+      "count(*) - count(val) AS n_nulls, " +
+      "CAST(count(DISTINCT val) AS BIGINT) AS n_distinct, " +
+      "min(val) AS min_val, max(val) AS max_val FROM (" +
+      "SELECT 'l_quantity' AS col, l_quantity AS val FROM lineitem " +
+      "UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem " +
+      "UNION ALL SELECT 'l_discount', l_discount FROM lineitem) " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // feature_decay_score - exponentially time-decayed engagement (the
+  // recsys recency-weighted activity feature): each event contributes
+  // 2^(-age_days) relative to the archive head, halving per day, so a
+  // burst yesterday outweighs steady activity last month. Each decay
+  // term quantizes to BIGINT*1e6 before the per-user sum (the
+  // float-pow ulp risk bounded the same way as the entropy keys); the
+  // archive-head timestamp is a 1-row broadcast.
+  // ------------------------------------------------------------------
+
+  private lazy val featureDecayScore = Q(
+    "feature_decay_score",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id", $"ms")
+      val head = e.agg(max($"ms").as("maxms"))
+      e.crossJoin(broadcast(head))
+        .withColumn("t",
+          floor(pow(lit(2.0),
+            -(($"maxms" - $"ms").cast("double") / lit(86400000.0)))
+            * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          dround(sum($"t").cast("double") / 1e6, 4).as("decay_score"))
+        .orderBy("user_id")
+    },
+    Some("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), " +
+      "h AS (SELECT max(ms) AS maxms FROM e), " +
+      "t AS (SELECT user_id, " +
+      "CAST(floor(pow(2.0, -(CAST(maxms - ms AS DOUBLE) / 86400000.0)) " +
+      "* 1e6 + 0.5) AS BIGINT) AS t FROM e, h) " +
+      "SELECT user_id, count(*) AS n_events, " +
+      OSql.sround("CAST(SUM(t) AS DOUBLE) / 1e6", 4) + " AS decay_score " +
+      "FROM t GROUP BY 1 ORDER BY 1"))
 }

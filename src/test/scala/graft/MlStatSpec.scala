@@ -389,6 +389,32 @@ class MlStatSpec extends SparkSpec {
     assert(got(6000L) === ((1.0, 0.5)))   // $60: one purchase lost
   }
 
+  // ---------------------------------------------------- stats / decay
+
+  test("column profile reports nulls, distincts, and bounds per column") {
+    val li = Seq(
+      (1.0, 10.0, 0.1), (2.0, 20.0, 0.1), (2.0, 30.0, 0.2))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val got = run("profile_column_stats", stageTables("lineitem" -> li)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got("l_quantity") === ((3L, 0L, 2L, 1.0, 2.0)))
+    assert(got("l_extendedprice") === ((3L, 0L, 3L, 10.0, 30.0)))
+    assert(got("l_discount") === ((3L, 0L, 2L, 0.1, 0.2)))
+  }
+
+  test("decay score halves per day and sums at the head") {
+    // u1: events at head and exactly 1 day earlier → 1.0 + 0.5
+    val D = 86400000L
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 1.0, "{}"),
+      (2L, 1000L + D, 1L, "view", 1.0, "{}"))
+    val r = run("feature_decay_score", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.5)
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>
