@@ -706,7 +706,8 @@ object MlStatOps {
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
     statPermutationTest, evalBinaryClassifier, sampleClassBalance,
     aggWinsorizedMean, assocItemset3, evalCalibration, statFdrBh,
-    evalPrSweep, profileColumnStats, featureDecayScore)
+    evalPrSweep, profileColumnStats, featureDecayScore,
+    auditFkIntegrity, aggBenfordDigits)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:
@@ -945,4 +946,82 @@ object MlStatOps {
       "SELECT user_id, count(*) AS n_events, " +
       OSql.sround("CAST(SUM(t) AS DOUBLE) / 1e6", 4) + " AS decay_score " +
       "FROM t GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // audit_fk_integrity - referential-integrity reconciliation between
+  // the fact and its parent (the foreign-key audit every landed
+  // archive gets before anyone trusts a join): DISTINCT key sets on
+  // both sides meet in ONE full outer join, and the ledger counts
+  // matched keys, childless parents, and orphaned children - the
+  // orphan count is the data-loss alarm. Both key sets collapse
+  // map-side before the join; the ledger is a single row.
+  // ------------------------------------------------------------------
+
+  private lazy val auditFkIntegrity = Q(
+    "audit_fk_integrity",
+    (s, d) => {
+      import s.implicits._
+      val parents = Tables.t(s, d, "orders")
+        .select($"o_orderkey".as("pk")).distinct()
+      val children = Tables.t(s, d, "lineitem")
+        .select($"l_orderkey".as("fk")).distinct()
+      parents.join(children, $"pk" === $"fk", "full_outer")
+        .agg(
+          sum(($"pk".isNotNull && $"fk".isNotNull).cast("long")).as("n_matched"),
+          sum(($"pk".isNotNull && $"fk".isNull).cast("long")).as("n_childless"),
+          sum(($"pk".isNull && $"fk".isNotNull).cast("long")).as("n_orphans"))
+    },
+    Some("WITH p AS (SELECT DISTINCT o_orderkey AS pk FROM orders), " +
+      "c AS (SELECT DISTINCT l_orderkey AS fk FROM lineitem) " +
+      "SELECT " +
+      "CAST(SUM(CASE WHEN pk IS NOT NULL AND fk IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_matched, " +
+      "CAST(SUM(CASE WHEN pk IS NOT NULL AND fk IS NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_childless, " +
+      "CAST(SUM(CASE WHEN pk IS NULL AND fk IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_orphans " +
+      "FROM p FULL OUTER JOIN c ON pk = fk"))
+
+  // ------------------------------------------------------------------
+  // agg_benford_digits - Benford's-law first-digit analysis of order
+  // totals (the fraud/fabrication screen: organically-grown magnitudes
+  // follow P(d) = log10(1 + 1/d); invented numbers don't): the first
+  // significant digit comes from the decimal string of the integer
+  // cents (no float log tricks), observed shares are exact rationals,
+  // the expected share is one log10 call on identical text, and each
+  // chi-square contribution quantizes to BIGINT before any cross-digit
+  // use. Bounded 9-row output.
+  // ------------------------------------------------------------------
+
+  private lazy val aggBenfordDigits = Q(
+    "agg_benford_digits",
+    (s, d) => {
+      import s.implicits._
+      val digits = Tables.t(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("c"))
+        .filter($"c" > 0)
+        .select(substring($"c".cast("string"), 1, 1).cast("long").as("digit"))
+      val tot = digits.count().toDouble
+      digits.groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("obs", $"n".cast("double") / lit(tot))
+        .withColumn("exp", log(10.0, lit(1.0) + lit(1.0) / $"digit"))
+        .select($"digit", $"n",
+          dround($"obs", 6).as("observed_share"),
+          dround($"exp", 6).as("benford_share"),
+          dround(($"obs" - $"exp") * ($"obs" - $"exp") / $"exp" * lit(tot), 4)
+            .as("chi2_term"))
+        .orderBy("digit")
+    },
+    Some("WITH dg AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) " +
+      "AS BIGINT) AS digit FROM (SELECT CAST(round(o_totalprice * 100) " +
+      "AS BIGINT) AS c FROM orders) WHERE c > 0), " +
+      "tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM dg), " +
+      "a AS (SELECT digit, count(*) AS n, " +
+      "CAST(count(*) AS DOUBLE) / (SELECT t FROM tt) AS obs, " +
+      "log10(1.0 + 1.0 / digit) AS exp FROM dg GROUP BY 1) " +
+      "SELECT digit, n, " +
+      OSql.sround("obs", 6) + " AS observed_share, " +
+      OSql.sround("exp", 6) + " AS benford_share, " +
+      OSql.sround("(obs - exp) * (obs - exp) / exp * (SELECT t FROM tt)", 4) +
+      " AS chi2_term FROM a ORDER BY 1"))
 }

@@ -415,6 +415,32 @@ class MlStatSpec extends SparkSpec {
     assert(r.getDouble(2) === 1.5)
   }
 
+  // -------------------------------------------------------- audit/benford
+
+  test("FK audit classifies matched, childless, and orphaned keys") {
+    val orders = Seq((1L, 1L, "F", 10.0, "1-URGENT"), (2L, 1L, "F", 10.0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val li = Seq((1L, 101L), (1L, 102L), (9L, 103L))  // order 9 has no parent
+      .toDF("l_orderkey", "l_partkey")
+    val r = run("audit_fk_integrity",
+      stageTables("orders" -> orders, "lineitem" -> li)).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 1L, 1L)))
+  }
+
+  test("Benford digits: exact shares against the log10 law") {
+    // 9 orders with totals 1..9 dollars — one per leading digit, each
+    // observed share exactly 1/9
+    val orders = (1 to 9).map(i => (i.toLong, 1L, "F", i.toDouble, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val got = run("agg_benford_digits", stageTables("orders" -> orders)).collect()
+    assert(got.length === 9)
+    assert(got.forall(_.getDouble(2) === 0.111111))
+    // digit 1's Benford share is log10(2) = 0.301030
+    assert(got(0).getDouble(3) === 0.30103)
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>
