@@ -707,7 +707,8 @@ object MlStatOps {
     statPermutationTest, evalBinaryClassifier, sampleClassBalance,
     aggWinsorizedMean, assocItemset3, evalCalibration, statFdrBh,
     evalPrSweep, profileColumnStats, featureDecayScore,
-    auditFkIntegrity, aggBenfordDigits)
+    auditFkIntegrity, aggBenfordDigits, anomalyTukeyFence,
+    aggTrimmedMean)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:
@@ -1024,4 +1025,97 @@ object MlStatOps {
       OSql.sround("exp", 6) + " AS benford_share, " +
       OSql.sround("(obs - exp) * (obs - exp) / exp * (SELECT t FROM tt)", 4) +
       " AS chi2_term FROM a ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // anomaly_tukey_fence - the boxplot outlier rule completing the
+  // anomaly trio (z-score assumes normality, MAD a symmetric spread;
+  // Tukey fences are the distribution-free default): exact discrete
+  // quartiles per type, fences at Q1 - 3*IQR div 2 and Q3 + 3*IQR
+  // div 2 (integer arithmetic - IQR >= 0 so the halving truncates
+  // identically in both engines), per-type outlier ledger.
+  // ------------------------------------------------------------------
+
+  private lazy val anomalyTukeyFence = Q(
+    "anomaly_tukey_fence",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type", $"event_id",
+          round($"value" * 100).cast("long").as("v"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"v".asc, $"event_id".asc)
+      val tot = Window.partitionBy($"event_type")
+      val edges = e
+        .select($"event_type", $"v",
+          row_number().over(w).as("rn"), count(lit(1)).over(tot).as("n"))
+        .groupBy("event_type").agg(
+          max(when($"rn" * 4 >= $"n" && ($"rn" - 1) * 4 < $"n", $"v")).as("q1"),
+          max(when($"rn" * 4 >= $"n" * 3 && ($"rn" - 1) * 4 < $"n" * 3, $"v"))
+            .as("q3"))
+        .withColumn("lo", expr("q1 - (3 * (q3 - q1)) div 2"))
+        .withColumn("hi", expr("q3 + (3 * (q3 - q1)) div 2"))
+      e.join(broadcast(edges), "event_type")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          max($"lo").as("fence_lo"), max($"hi").as("fence_hi"),
+          sum(($"v" < $"lo").cast("long")).as("n_below"),
+          sum(($"v" > $"hi").cast("long")).as("n_above"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "r AS (SELECT event_type, v, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY v, event_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS n FROM e), " +
+      "edges AS (SELECT event_type, q1 - (3 * (q3 - q1)) // 2 AS lo, " +
+      "q3 + (3 * (q3 - q1)) // 2 AS hi FROM (SELECT event_type, " +
+      "max(CASE WHEN rn * 4 >= n AND (rn - 1) * 4 < n THEN v END) AS q1, " +
+      "max(CASE WHEN rn * 4 >= n * 3 AND (rn - 1) * 4 < n * 3 THEN v END) " +
+      "AS q3 FROM r GROUP BY 1)) " +
+      "SELECT e.event_type, count(*) AS n, " +
+      "max(lo) AS fence_lo, max(hi) AS fence_hi, " +
+      "CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below, " +
+      "CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above " +
+      "FROM e JOIN edges ON edges.event_type = e.event_type " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // agg_trimmed_mean - the 5%-trimmed mean per type: unlike
+  // `agg_winsorized_mean` (which CLIPS the tails to the percentile
+  // values) the trimmed estimator EXCLUDES them - rows ranked outside
+  // (ceil(n/20), n - ceil(n/20)] leave before the exact integer mean.
+  // Same one keyed rank window; the two estimators bracket the robust
+  // center from opposite directions.
+  // ------------------------------------------------------------------
+
+  private lazy val aggTrimmedMean = Q(
+    "agg_trimmed_mean",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type", $"event_id",
+          round($"value" * 100).cast("long").as("v"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"v".asc, $"event_id".asc)
+      val tot = Window.partitionBy($"event_type")
+      e.select($"event_type", $"v",
+          row_number().over(w).as("rn"), count(lit(1)).over(tot).as("n"))
+        .withColumn("cut", expr("(n + 19) div 20"))
+        .filter($"rn" > $"cut" && $"rn" <= $"n" - $"cut")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_kept"),
+          dround(sum($"v").cast("double") / count(lit(1)) / 100.0, 6)
+            .as("trimmed_mean"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "r AS (SELECT event_type, v, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY v, event_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS n FROM e), " +
+      "k AS (SELECT event_type, v FROM (SELECT event_type, v, rn, n, " +
+      "(n + 19) // 20 AS cut FROM r) WHERE rn > cut AND rn <= n - cut) " +
+      "SELECT event_type, count(*) AS n_kept, " +
+      OSql.sround("CAST(SUM(v) AS DOUBLE) / count(*) / 100.0", 6) +
+      " AS trimmed_mean FROM k GROUP BY 1 ORDER BY 1"))
 }

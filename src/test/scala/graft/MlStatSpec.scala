@@ -441,6 +441,30 @@ class MlStatSpec extends SparkSpec {
     assert(got(0).getDouble(3) === 0.30103)
   }
 
+  // --------------------------------------------------- tukey / trimmed
+
+  test("Tukey fences flag only the planted spike") {
+    // 19 values $10..$28 plus a $500 spike: Q1=$14, Q3=$24, IQR=$10 →
+    // fences [-$1, $39] — exactly the spike sits above
+    val rows = ((0 until 19).map(i =>
+      (i.toLong, 1000L + i, 1L, "t", 10.0 + i, "{}")) :+
+      (20L, 1020L, 1L, "t", 500.0, "{}"))
+    val r = run("anomaly_tukey_fence", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(2), r.getLong(3)) === ((-100L, 3900L)))
+    assert((r.getLong(4), r.getLong(5)) === ((0L, 1L)))
+  }
+
+  test("trimmed mean excludes the tails the winsorized mean clips") {
+    // 20 values: $1..$19 + a $1000 spike; cut = 1 each side → keep
+    // ranks 2..19 = values $2..$19 → mean 10.5 (winsorized gave 10.45)
+    val rows = ((1 to 19).map(i =>
+      (i.toLong, 1000L + i, 1L, "t", i.toDouble, "{}")) :+
+      (20L, 1020L, 1L, "t", 1000.0, "{}"))
+    val r = run("agg_trimmed_mean", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 18L)
+    assert(r.getDouble(2) === 10.5)
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>
