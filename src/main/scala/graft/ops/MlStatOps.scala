@@ -652,35 +652,42 @@ object MlStatOps {
   // ------------------------------------------------------------------
   // agg_winsorized_mean — the robust mean after clipping at the exact
   // discrete 5th/95th percentiles (the ⌈p·n⌉ rule the percentile-disc
-  // key pins): outliers saturate instead of dominating. Edges come
-  // from one type-keyed rank window over the grouped table; clipping
-  // and the mean are exact integer arithmetic with one final division.
+  // key pins): outliers saturate instead of dominating.
+  //
+  // Scale shape: every quantity here depends only on a row's VALUE, so
+  // the fact collapses map-side to the per-(type, v) count ledger —
+  // bounded by the 2-decimal value domain, not N. A value v covers
+  // ranks (cum−c, cum], so "v holds rank ⌈p·n⌉" is the pure-integer
+  // test cum·k ≥ p·n·k ∧ (cum−c)·k < p·n·k on the ledger, and the
+  // clipped sum Σ c·clamp(v) is an aggregate over the same ledger. No
+  // WindowExec ever sees a raw fact row (the old spelling ranked
+  // N/|types| rows through one task per type).
   // ------------------------------------------------------------------
 
   private val aggWinsorizedMean = Q(
     "agg_winsorized_mean",
     (s, d) => {
       import s.implicits._
-      val e = Tables.events(s, d)
-        .select($"event_type", $"event_id",
-          round($"value" * 100).cast("long").as("v"))
-      val w = Window.partitionBy($"event_type")
-        .orderBy($"v".asc, $"event_id".asc)
+      val cnt = Tables.events(s, d)
+        .select($"event_type", round($"value" * 100).cast("long").as("v"))
+        .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy($"event_type").orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = Window.partitionBy($"event_type")
-      val edges = e
-        .select($"event_type", $"v",
-          row_number().over(w).as("rn"), count(lit(1)).over(tot).as("n"))
-        .groupBy("event_type").agg(
-          max(when($"rn" * 20 >= $"n" && ($"rn" - 1) * 20 < $"n", $"v")).as("p5"),
-          max(when($"rn" * 20 >= $"n" * 19 && ($"rn" - 1) * 20 < $"n" * 19, $"v"))
-            .as("p95"))
-      e.join(broadcast(edges), "event_type")
+      val r = cnt.select($"event_type", $"v", $"c",
+        sum($"c").over(run).as("cum"), sum($"c").over(tot).as("n"))
+      val edges = r.groupBy("event_type").agg(
+        max(when($"cum" * 20 >= $"n" && ($"cum" - $"c") * 20 < $"n", $"v"))
+          .as("p5"),
+        max(when($"cum" * 20 >= $"n" * 19 && ($"cum" - $"c") * 20 < $"n" * 19,
+          $"v")).as("p95"))
+      cnt.join(broadcast(edges), "event_type")
         .withColumn("w", greatest(least($"v", $"p95"), $"p5"))
         .groupBy("event_type").agg(
-          count(lit(1)).as("n"),
+          sum($"c").as("n"),
           dround(max($"p5").cast("double") / 100.0, 2).as("p5_usd"),
           dround(max($"p95").cast("double") / 100.0, 2).as("p95_usd"),
-          dround(sum($"w").cast("double") / count(lit(1)) / 100.0, 6)
+          dround(sum($"w" * $"c").cast("double") / sum($"c") / 100.0, 6)
             .as("winsor_mean"))
         .orderBy("event_type")
     },
@@ -1033,33 +1040,41 @@ object MlStatOps {
   // quartiles per type, fences at Q1 - 3*IQR div 2 and Q3 + 3*IQR
   // div 2 (integer arithmetic - IQR >= 0 so the halving truncates
   // identically in both engines), per-type outlier ledger.
+  //
+  // Scale shape: quartiles and the fence counts depend only on VALUES,
+  // so the whole key runs over the bounded per-(type, v) count ledger
+  // (2-decimal domain): value v covers ranks (cum−c, cum], so the
+  // ⌈n/4⌉-rank test is pure integer arithmetic on (cum, c, n), and the
+  // below/above counts are Σc filters — no fact-row WindowExec keyed
+  // by the 5-value type column.
   // ------------------------------------------------------------------
 
   private lazy val anomalyTukeyFence = Q(
     "anomaly_tukey_fence",
     (s, d) => {
       import s.implicits._
-      val e = Tables.events(s, d)
-        .select($"event_type", $"event_id",
-          round($"value" * 100).cast("long").as("v"))
-      val w = Window.partitionBy($"event_type")
-        .orderBy($"v".asc, $"event_id".asc)
+      val cnt = Tables.events(s, d)
+        .select($"event_type", round($"value" * 100).cast("long").as("v"))
+        .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy($"event_type").orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = Window.partitionBy($"event_type")
-      val edges = e
-        .select($"event_type", $"v",
-          row_number().over(w).as("rn"), count(lit(1)).over(tot).as("n"))
+      val edges = cnt
+        .select($"event_type", $"v", $"c",
+          sum($"c").over(run).as("cum"), sum($"c").over(tot).as("n"))
         .groupBy("event_type").agg(
-          max(when($"rn" * 4 >= $"n" && ($"rn" - 1) * 4 < $"n", $"v")).as("q1"),
-          max(when($"rn" * 4 >= $"n" * 3 && ($"rn" - 1) * 4 < $"n" * 3, $"v"))
-            .as("q3"))
+          max(when($"cum" * 4 >= $"n" && ($"cum" - $"c") * 4 < $"n", $"v"))
+            .as("q1"),
+          max(when($"cum" * 4 >= $"n" * 3 && ($"cum" - $"c") * 4 < $"n" * 3,
+            $"v")).as("q3"))
         .withColumn("lo", expr("q1 - (3 * (q3 - q1)) div 2"))
         .withColumn("hi", expr("q3 + (3 * (q3 - q1)) div 2"))
-      e.join(broadcast(edges), "event_type")
+      cnt.join(broadcast(edges), "event_type")
         .groupBy("event_type").agg(
-          count(lit(1)).as("n"),
+          sum($"c").as("n"),
           max($"lo").as("fence_lo"), max($"hi").as("fence_hi"),
-          sum(($"v" < $"lo").cast("long")).as("n_below"),
-          sum(($"v" > $"hi").cast("long")).as("n_above"))
+          sum(when($"v" < $"lo", $"c").otherwise(lit(0L))).as("n_below"),
+          sum(when($"v" > $"hi", $"c").otherwise(lit(0L))).as("n_above"))
         .orderBy("event_type")
     },
     Some("WITH e AS (SELECT event_type, event_id, " +
@@ -1084,28 +1099,39 @@ object MlStatOps {
   // `agg_winsorized_mean` (which CLIPS the tails to the percentile
   // values) the trimmed estimator EXCLUDES them - rows ranked outside
   // (ceil(n/20), n - ceil(n/20)] leave before the exact integer mean.
-  // Same one keyed rank window; the two estimators bracket the robust
-  // center from opposite directions.
+  //
+  // Scale shape: trimming removes RANK ranges, and equal values hold
+  // contiguous ranks, so each entry of the bounded per-(type, v) count
+  // ledger keeps exactly overlap((cum−c, cum], (cut, n−cut]) =
+  // max(0, min(cum, n−cut) − max(cum−c, cut)) copies — pure integer
+  // arithmetic; the kept count and Σ kept·v aggregate the ledger. No
+  // fact-row WindowExec keyed by the 5-value type column (the old
+  // spelling ranked N/|types| rows through one task per type).
   // ------------------------------------------------------------------
 
   private lazy val aggTrimmedMean = Q(
     "agg_trimmed_mean",
     (s, d) => {
       import s.implicits._
-      val e = Tables.events(s, d)
-        .select($"event_type", $"event_id",
-          round($"value" * 100).cast("long").as("v"))
-      val w = Window.partitionBy($"event_type")
-        .orderBy($"v".asc, $"event_id".asc)
+      val cnt = Tables.events(s, d)
+        .select($"event_type", round($"value" * 100).cast("long").as("v"))
+        .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy($"event_type").orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = Window.partitionBy($"event_type")
-      e.select($"event_type", $"v",
-          row_number().over(w).as("rn"), count(lit(1)).over(tot).as("n"))
+      cnt.select($"event_type", $"v", $"c",
+          sum($"c").over(run).as("cum"), sum($"c").over(tot).as("n"))
         .withColumn("cut", expr("(n + 19) div 20"))
-        .filter($"rn" > $"cut" && $"rn" <= $"n" - $"cut")
+        .withColumn("kept", greatest(
+          least($"cum", $"n" - $"cut") - greatest($"cum" - $"c", $"cut"),
+          lit(0L)))
         .groupBy("event_type").agg(
-          count(lit(1)).as("n_kept"),
-          dround(sum($"v").cast("double") / count(lit(1)) / 100.0, 6)
+          sum($"kept").as("n_kept"),
+          dround(sum($"kept" * $"v").cast("double") / sum($"kept") / 100.0, 6)
             .as("trimmed_mean"))
+        // a group whose every rank is trimmed (tiny n) emits no row in
+        // the row-filter spelling — match it
+        .filter($"n_kept" > 0)
         .orderBy("event_type")
     },
     Some("WITH e AS (SELECT event_type, event_id, " +

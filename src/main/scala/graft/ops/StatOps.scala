@@ -18,11 +18,13 @@ import graft.core.{Det, OSql, Q, Tables}
   *    |event_types| rows of exact integer moment sums (partial+final
   *    agg); no row-level shuffle, and the skew/kurtosis formulas run on
   *    the tiny aggregate only.
-  *  - agg_weighted_median: one partitionBy(returnflag) hash shuffle;
-  *    the running and total weights are two frames over the SAME window
-  *    partition spec, so Catalyst plans one exchange + one sort.
-  *  - window_cume_dist: keyed window (per event_type) — never a global
-  *    WindowExec.
+  *  - agg_weighted_median: per-group two-phase — price-level weight
+  *    sums, a range shuffle, broadcast prefix offsets, and a running
+  *    window over ONLY the half-weight crossing cell; no WindowExec
+  *    keyed by the 3-value returnflag ever sees fact-scale input.
+  *  - window_cume_dist: the window runs over the bounded per-(type,
+  *    value) count ledger (2-decimal value domain), broadcast back to
+  *    the fact — never a fact-row WindowExec keyed by event_type.
   *  - graph_degree_stats: distinct + two partial+final aggs, each
   *    output orders of magnitude smaller than its input.
   *  - seq_first_touch: both per-user reductions (first event, purchase
@@ -117,27 +119,64 @@ object StatOps {
   // l_extendedprice weighted by l_quantity, per returnflag: the first
   // price (in the total (price, orderkey, linenumber) order) whose
   // running weight reaches half the group total. l_quantity is
-  // integral, so the running and total weights are exact longs and the
-  // 2·W ≥ T pick is pure integer comparison — no float boundary. The
-  // running and the group-total sums are two frames over the SAME
-  // partition spec: one exchange, one sort.
+  // integral, so all weights are exact longs and the 2·W ≥ T pick is
+  // pure integer comparison — no float boundary.
+  //
+  // Scale shape (the per-group two-phase spelling — no WindowExec over
+  // fact rows keyed by the 3-value returnflag, which would funnel N/3
+  // rows through one task): (1) collapse rows to per-(flag, price)
+  // weight sums — map-side combine, ties inside a price are
+  // interchangeable for the crossing rule; (2) range-shuffle that
+  // table on (flag, price) and take per-cell subtotals — a ≤P·G-row
+  // ledger; (3) broadcast exclusive prefix sums locate, per group, the
+  // ONE cell where the cumulative weight crosses half the total;
+  // (4) only that cell's rows flow into the running-sum window, whose
+  // partition key (cell, flag) bounds its input by the range-partition
+  // size — never by N/|groups|.
   // ------------------------------------------------------------------
 
   private val aggWeightedMedian = Q(
     "agg_weighted_median",
     (s, d) => {
       import s.implicits._
-      val li = Tables.t(s, d, "lineitem")
+      // (1) price-level weight sums: the crossing price depends only on
+      // cumulative weight by price, so row order inside a price is moot
+      val pt = Tables.t(s, d, "lineitem")
         .select($"l_returnflag", $"l_extendedprice",
-          $"l_quantity".cast("long").as("w"),
-          $"l_orderkey", $"l_linenumber")
-      val run = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice".asc, $"l_orderkey".asc,
-          $"l_linenumber".asc)
+          $"l_quantity".cast("long").as("w"))
+        .groupBy($"l_returnflag", $"l_extendedprice")
+        .agg(sum($"w").as("pw"))
+      // (2) range order by (flag, price); cell id from the monotonic id
+      val ids = pt
+        .repartitionByRange(32, $"l_returnflag".asc, $"l_extendedprice".asc)
+        .sortWithinPartitions($"l_returnflag".asc, $"l_extendedprice".asc)
+        .withColumn("pid", shiftright(monotonically_increasing_id(), 33))
+        .localCheckpoint(true)
+      val cells = ids.groupBy($"pid", $"l_returnflag")
+        .agg(sum($"pw").as("sw"))
+      // (3) per-group exclusive prefix over cells + group totals, both
+      // via broadcast theta-join on the tiny ledger (no window at all)
+      val base = cells.as("a")
+        .join(broadcast(cells.as("b")),
+          $"b.l_returnflag" === $"a.l_returnflag" && $"b.pid" < $"a.pid",
+          "left_outer")
+        .groupBy($"a.pid".as("pid"), $"a.l_returnflag".as("l_returnflag"),
+          $"a.sw".as("sw"))
+        .agg(coalesce(sum($"b.sw"), lit(0L)).as("base"))
+      val tw = cells.groupBy($"l_returnflag").agg(sum($"sw").as("tw"))
+      // the one cell per group where the running weight crosses tw/2
+      val target = base.join(tw, "l_returnflag")
+        .filter(lit(2) * ($"base" + $"sw") >= $"tw")
+        .groupBy($"l_returnflag")
+        .agg(min_by(struct($"pid", $"base", $"tw"), $"pid").as("t"))
+        .select($"l_returnflag", $"t.pid".as("pid"),
+          $"t.base".as("base"), $"t.tw".as("tw"))
+      // (4) running sum over the target cell only — bounded input
+      val wloc = Window.partitionBy($"pid", $"l_returnflag")
+        .orderBy($"l_extendedprice".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy($"l_returnflag")
-      li.select($"l_returnflag", $"l_extendedprice",
-          sum($"w").over(run).as("cw"), sum($"w").over(tot).as("tw"))
+      ids.join(broadcast(target), Seq("pid", "l_returnflag"))
+        .withColumn("cw", $"base" + sum($"pw").over(wloc))
         .groupBy("l_returnflag")
         .agg(min($"tw").as("total_weight"),
           min(when(lit(2) * $"cw" >= $"tw", $"l_extendedprice"))
@@ -160,16 +199,34 @@ object StatOps {
   // the keyed-percentile primitive a monitoring layer thresholds on.
   // Tied values share a cume_dist in both engines (the frame extends
   // through the last peer), so the output is total-order-stable.
+  //
+  // Scale shape: cume_dist depends only on a row's VALUE, so the fact
+  // first collapses map-side to the per-(type, value) count table —
+  // bounded by the 2-decimal value domain, not N — the running-count
+  // window runs over that bounded ledger, and the per-value cd
+  // broadcast-joins back onto the fact scan. No WindowExec ever sees a
+  // raw fact row: the old spelling sorted N/|types| rows through one
+  // task per type.
   // ------------------------------------------------------------------
 
   private val windowCumeDist = Q(
     "window_cume_dist",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type").orderBy($"value".asc)
-      Tables.events(s, d)
-        .select($"event_type", $"event_id", $"value",
-          dround(cume_dist().over(w), 6).as("cd"))
+      val e = Tables.events(s, d)
+        .select($"event_type", $"event_id", $"value")
+      val cnt = e.groupBy($"event_type", $"value")
+        .agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy($"event_type").orderBy($"value".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy($"event_type")
+      val cd = cnt.select($"event_type".as("t"), $"value".as("w"),
+        dround(sum($"c").over(run).cast("double") / sum($"c").over(tot), 6)
+          .as("cd"))
+      // null-safe equi-join: a NULL value row still carries a cume_dist
+      // (NULLs sort first in the window), so it must not drop here
+      e.join(broadcast(cd), $"event_type" <=> $"t" && $"value" <=> $"w")
+        .select($"event_type", $"event_id", $"value", $"cd")
         .orderBy("event_type", "event_id")
     },
     Some("SELECT event_type, event_id, value, " +
