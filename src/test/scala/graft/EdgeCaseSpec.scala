@@ -877,4 +877,25 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("fuzzy levenshtein candidates scale linearly on a length-disjoint doubled fixture") {
+    // The (brand, length-bucket ±1) blocking keys the |Δlen| ≤ 2 band
+    // into the join itself: doubling the corpus with a copy whose
+    // lengths sit ≥ 5 away from the originals must exactly DOUBLE the
+    // candidate ledger (the copy pairs only within itself) — the
+    // brand-only N²/25 shape would enumerate every cross pair first.
+    def parts(shift: Int, off: Long) =
+      Seq.tabulate(12) { i =>
+        (off + i, "Brand#11", "part name " + ("x" * ((i % 6) + shift)))
+      }.toDF("p_partkey", "p_brand", "p_name")
+    val base = stageTables("part" -> parts(0, 0L))
+    val doubled = stageTables("part" -> parts(0, 0L).union(parts(10, 100L)))
+    def cands(dir: String): Long =
+      run("dedup_fuzzy_levenshtein", dir).collect()
+        .map(_.getLong(1)).sum
+    val nBase = cands(base)
+    assert(nBase > 0, "the base fixture must produce band pairs")
+    assert(cands(doubled) === 2 * nBase,
+      "candidates must double with the corpus, not quadruple")
+  }
 }
