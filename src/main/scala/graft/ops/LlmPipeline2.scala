@@ -655,13 +655,32 @@ object LlmPipeline2 {
   private[graft] def ivfDerivedK(n: Long): Int =
     math.max(8L, (n + IvfTargetCell - 1) / IvfTargetCell).toInt
 
+  /** nProbe derived from the derived K — probe ~1/16 of the inverted
+    * lists (floored at the fixture nProbe=2): recall stays pinned to a
+    * constant FRACTION of the lists as K grows ∝N, instead of a fixed
+    * count whose coverage vanishes. With this rule the whole IVF
+    * family (topk, recall, ndcg, ivfpq, SemDeDup, persist) declares
+    * off ONE derived-K training per corpus — the quantizer trains once
+    * and every consumer shares the IndexCache artifact.
+    */
+  private[graft] def ivfDerivedProbe(k: Int): Int = math.max(2, (k + 15) / 16)
+
+  /** Scalar-subquery SQL spelling of [[ivfDerivedProbe]] ∘
+    * [[ivfDerivedK]] — the oracle derives the same probe count from
+    * the corpus alone, like the seeds CTE derives K.
+    */
+  private def derivedProbeSq: String =
+    s"(SELECT greatest(2, (greatest(8, (count(*) + ${IvfTargetCell - 1}) // " +
+      s"$IvfTargetCell) + 15) // 16) FROM embeddings)"
+
   /** The unrolled Lloyd CTE chain (DuckDB spelling of [[ivfIndex]]):
     * quantized components `iq` through the trained assignment `a2` and
     * final centroid table `c2`. Shared WITH-body fragment so every
     * oracle that consumes the trained index ([[ivfTopkSql]], the
     * SemDeDup key in CurateOps) replays the IDENTICAL training. The
-    * seeds CTE is pluggable so the cell count can be a literal
-    * ([[ivfCtes]]) or derived from the corpus ([[ivfCtesDerivedK]]).
+    * seeds CTE is pluggable; every declared consumer derives the cell
+    * count from the corpus ([[ivfCtesDerivedK]]) so the family replays
+    * ONE training.
     */
   private def ivfCtesWithSeeds(seedsSelect: String): String =
     "iq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
@@ -687,10 +706,7 @@ object LlmPipeline2 {
       "c2 AS (SELECT a2.cell, iq.pos, SUM(iq.q) AS sq, max(n2.n) AS n " +
       "FROM iq JOIN a2 USING (vec_id) JOIN n2 ON n2.cell = a2.cell GROUP BY 1, 2)"
 
-  private[ops] def ivfCtes(numCells: Int): String = ivfCtesWithSeeds(
-    s"SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT $numCells")
-
-  /** [[ivfCtes]] with the cell count computed FROM THE DATA by the
+  /** [[ivfCtesWithSeeds]] with the cell count computed FROM THE DATA by the
     * [[ivfDerivedK]] rule — max(8, ⌈N/64⌉) as pure integer arithmetic
     * over a window count, so DuckDB derives the same K Spark's
     * `count()` does without the SQL text knowing N.
@@ -700,15 +716,18 @@ object LlmPipeline2 {
       "row_number() OVER (ORDER BY vec_id) AS srn, count(*) OVER () AS nn " +
       s"FROM embeddings) WHERE srn <= greatest(8, (nn + ${IvfTargetCell - 1}) // $IvfTargetCell)")
 
-  /** DuckDB spelling of [[ivfTopK]] (the unrolled Lloyd CTEs),
-    * parameterized identically.
+  /** DuckDB spelling of [[ivfTopK]] (the unrolled Lloyd CTEs), over
+    * the DERIVED-K index with the DERIVED probe count — the one
+    * training every oracle of the family replays.
     */
-  private def ivfTopkSql(numCells: Int, nProbe: Int, k: Int, probeId: Long = 0L): String =
-    "WITH " + ivfCtes(numCells) + ", " +
+  private def ivfTopkSqlDerived(k: Int, probeId: Long = 0L): String =
+    "WITH " + ivfCtesDerivedK + ", " +
       s"pq AS (SELECT pos, q AS pqv FROM iq WHERE vec_id = $probeId), " +
       "sc AS (SELECT c2.cell, CAST(SUM(CAST(pqv AS HUGEINT) * c2.sq) AS DOUBLE) / max(c2.n) AS score " +
       "FROM c2 JOIN pq USING (pos) GROUP BY 1), " +
-      s"chosen AS (SELECT cell FROM sc ORDER BY score DESC, cell ASC LIMIT $nProbe), " +
+      "chosen AS (SELECT cell FROM (SELECT cell, row_number() OVER " +
+      "(ORDER BY score DESC, cell ASC) AS crn FROM sc) " +
+      s"WHERE crn <= $derivedProbeSq), " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
       "FROM embeddings), " +
       s"pv AS (SELECT v AS pvec FROM e WHERE vec_id = $probeId) " +
@@ -716,10 +735,21 @@ object LlmPipeline2 {
       "FROM e JOIN a2 USING (vec_id) JOIN chosen USING (cell), pv " +
       s"ORDER BY sim DESC, vec_id ASC LIMIT $k"
 
+  /** The (K, nProbe) pair of the shared derived index for a corpus —
+    * one distributed count, then pure arithmetic.
+    */
+  private[graft] def ivfDerivedParams(s: SparkSession, d: String): (Int, Int) = {
+    val k = ivfDerivedK(t(s, d, "embeddings").count())
+    (k, ivfDerivedProbe(k))
+  }
+
   private val simAnnIvf = Q(
     "sim_ann_ivf",
-    (s, d) => ivfTopK(s, d),
-    Some(ivfTopkSql(8, 2, 10)))
+    (s, d) => {
+      val (k, np) = ivfDerivedParams(s, d)
+      ivfTopK(s, d, numCells = k, nProbe = np)
+    },
+    Some(ivfTopkSqlDerived(10)))
 
   /** Durable-index lifecycle — the round trip a production ANN/dedup
     * deployment actually runs: TRAIN once (the shared deterministic
@@ -1055,20 +1085,22 @@ object LlmPipeline2 {
   }
 
   /** DuckDB spelling of [[ivfPqTopK]]: the shared Lloyd CTEs for the
-    * coarse quantizer verbatim ([[ivfCtes]]), the PQ chain restated
+    * coarse quantizer verbatim ([[ivfCtesDerivedK]]), the PQ chain restated
     * with p-prefixed CTE names (same arithmetic as [[pqTopkSql]], over
     * the SAME `iq` quantization), and the shortlist intersected with
     * the probed-cell membership before the exact re-rank.
     */
   private def ivfPqTopkSql(
-      numCells: Int, nProbe: Int, numSub: Int, pqCells: Int, k: Int,
+      numSub: Int, pqCells: Int, k: Int,
       probeId: Long = 0L, rerank: Int = 40): String = {
     val dims = 64 / numSub
-    "WITH " + ivfCtes(numCells) + ", " +
+    "WITH " + ivfCtesDerivedK + ", " +
       s"ipq AS (SELECT pos, q AS pqv FROM iq WHERE vec_id = $probeId), " +
       "isc AS (SELECT c2.cell, CAST(SUM(CAST(pqv AS HUGEINT) * c2.sq) AS DOUBLE) / max(c2.n) AS score " +
       "FROM c2 JOIN ipq USING (pos) GROUP BY 1), " +
-      s"chosen AS (SELECT cell FROM isc ORDER BY score DESC, cell ASC LIMIT $nProbe), " +
+      "chosen AS (SELECT cell FROM (SELECT cell, row_number() OVER " +
+      "(ORDER BY score DESC, cell ASC) AS crn FROM isc) " +
+      s"WHERE crn <= $derivedProbeSq), " +
       "mem AS (SELECT vec_id FROM a2 JOIN chosen USING (cell)), " +
       s"ps AS (SELECT vec_id, pos, (pos - 1) // $dims AS sub, q FROM iq), " +
       "pt AS (SELECT * FROM ps WHERE vec_id % 4 = 0), " +
@@ -1108,8 +1140,11 @@ object LlmPipeline2 {
 
   private val simAnnIvfPq = Q(
     "sim_ann_ivfpq",
-    (s, d) => ivfPqTopK(s, d),
-    Some(ivfPqTopkSql(8, 2, 8, 16, 10)))
+    (s, d) => {
+      val (k, np) = ivfDerivedParams(s, d)
+      ivfPqTopK(s, d, numCells = k, nProbe = np)
+    },
+    Some(ivfPqTopkSql(8, 16, 10)))
 
   /** ANN index QUALITY as a first-class verified number: recall@10 of
     * each approximate index (`sim_ann_lsh`'s banded SRP multi-probe,
@@ -1146,7 +1181,9 @@ object LlmPipeline2 {
         exactAll.join(approxAll, Seq("probe", "vec_id"))
           .agg(count(lit(1)).as("o"))
           .select(lit(name).as("method"), $"o")
-      overlap("ivf", ivfTopKMulti(s, d, probes = recallProbes))
+      val (ik, inp) = ivfDerivedParams(s, d)
+      overlap("ivf", ivfTopKMulti(s, d, numCells = ik, nProbe = inp,
+          probes = recallProbes))
         .unionByName(overlap("lsh", lshTopKMulti(s, d, probes = recallProbes)))
         .unionByName(overlap("pq", pqTopKMulti(s, d, probes = recallProbes)))
         .groupBy("method")
@@ -1161,7 +1198,7 @@ object LlmPipeline2 {
         Seq(
           s"x_$p AS (SELECT vec_id FROM (${LlmPipeline.exactTopkSql(10, p)}))",
           s"l_$p AS (SELECT vec_id FROM (${lshTopkSql(10, p)}))",
-          s"i_$p AS (SELECT vec_id FROM (${ivfTopkSql(8, 2, 10, p)}))",
+          s"i_$p AS (SELECT vec_id FROM (${ivfTopkSqlDerived(10, p)}))",
           s"q_$p AS (SELECT vec_id FROM (${pqTopkSql(8, 16, 10, p)}))")
       }.mkString(", ")
       val ovs = recallProbes.flatMap { p =>
@@ -1527,7 +1564,9 @@ object LlmPipeline2 {
       val ex = Mat(s, LlmPipeline.exactTopKMulti(s, d, 10, recallProbes),
           "ndcg-exact")
         .select($"probe", $"vec_id", $"rn".as("rex"))
-      val ap = ivfTopKMulti(s, d, probes = recallProbes)
+      val (ik, inp) = ivfDerivedParams(s, d)
+      val ap = ivfTopKMulti(s, d, numCells = ik, nProbe = inp,
+          probes = recallProbes)
         .select($"probe", $"vec_id", $"rn".as("rap"))
       val idcg = ex.withColumn("t",
           floor((lit(11) - $"rex").cast("double")
@@ -1553,7 +1592,7 @@ object LlmPipeline2 {
         s"(WITH x AS (SELECT vec_id, row_number() OVER " +
           s"(ORDER BY sim DESC, vec_id) AS rex FROM (${LlmPipeline.exactTopkSql(10, p)})), " +
           s"i AS (SELECT vec_id, row_number() OVER " +
-          s"(ORDER BY sim DESC, vec_id) AS rap FROM (${ivfTopkSql(8, 2, 10, p)})), " +
+          s"(ORDER BY sim DESC, vec_id) AS rap FROM (${ivfTopkSqlDerived(10, p)})), " +
           "dd AS (SELECT i.rap, COALESCE(11 - x.rex, 0) AS rel " +
           "FROM i LEFT JOIN x USING (vec_id)), " +
           "dn AS (SELECT CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) " +

@@ -209,7 +209,8 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows(0).getDouble(1) > 0.999)
     val sims = rows.map(_.getDouble(1)).toSeq
     assert(sims === sims.sorted.reverse, "sims must be non-increasing")
-    // the declared key IS the helper at its K=8/nProbe=2 defaults
+    // the declared key derives (K, nProbe) from the corpus; at fixture
+    // scale that collapses to the helper's K=8/nProbe=2 defaults
     val declared = run("sim_ann_ivf").collect().map(_.toSeq)
     val viaHelper = graft.ops.LlmPipeline2.ivfTopK(spark, sf).collect().map(_.toSeq)
     assert(declared.toSeq === viaHelper.toSeq)
