@@ -218,17 +218,19 @@ object LlmPipeline {
     * pair explosion is quadratic and whose pairs are near-worthless) are
     * dropped before the self-join, in both engines.
     * n_bands = how many of the 4 bands agree, a collision-strength score.
-    * The band table is materialized ([[graft.core.Mat]]) before the
-    * self-join — Catalyst has no cross-branch subtree sharing, so
-    * without it the shingle + hash work runs twice; at real scale the
-    * signature table is the thing you materialize once anyway, and
-    * unlike `persist()` nothing leaks into the caller's session cache.
+    * The band table is the corpus-keyed [[graft.core.IndexCache]]
+    * artifact the WHOLE near-dup family shares (cluster, components,
+    * jaccard, containment, threshold sweep): built once per corpus per
+    * JVM, materialized so the self-join never re-runs the shingle +
+    * hash pass, and unlike `persist()` nothing leaks into the caller's
+    * session cache.
     */
   private val dedupNearMinhash = Q(
     "dedup_near_minhash",
     (s, d) => {
       import s.implicits._
-      val guarded = guardBands(Mat(s, bandRows(s, d), "mh-bands"))
+      val guarded = guardBands(
+        graft.core.IndexCache(s, s"mh-bands|$d", bandRows(s, d)))
       val a = guarded.select($"doc_id".as("doc_a"), $"band")
       val b = guarded.select($"doc_id".as("doc_b"), $"band")
       a.join(b, a("band") === b("band") && $"doc_a" < $"doc_b")

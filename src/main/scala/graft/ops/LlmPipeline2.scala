@@ -142,31 +142,35 @@ object LlmPipeline2 {
 
   // ----------------------------------------------- exact Jaccard verify
 
-  /** Exact 6dp Jaccard for every LSH candidate pair (doc_a, doc_b, jac)
-    * — the dispose stage shared by the ≥0.5 dedup key and the
-    * threshold-sweep report. The gram relation is NOT materialized: it
-    * is cheaper to recompute the codegen'd tokenize pass than to
-    * round-trip ~corpus-sized string rows (measured); only the small
-    * band table is (Mat, not persist() — nothing leaks into the
-    * caller's session cache). The dedup_near_minhash hot-bucket guard
-    * bounds the pair blowup, and a broadcast semi-join prunes the gram
-    * table to candidate docs map-side BEFORE the distinct shuffle — the
-    * shuffled volume is |cand docs| × grams, not the corpus.
+  /** Candidate-pair gram overlap (doc_a, doc_b, i, na, nb) — the ONE
+    * propose+count stage behind the whole exact-overlap dedup family:
+    * jaccard (`jacPairs` → dedup_ngram_jaccard, dedup_threshold_sweep)
+    * and asymmetric containment (dedup_ngram_containment) are pure
+    * projections of these five columns. Both corpus-derived relations
+    * are per-JVM [[graft.core.IndexCache]] artifacts keyed by the
+    * corpus dir — the MinHash band table under the SAME `mh-bands` key
+    * `dedup_near_minhash`/`dedup_cluster` stage, and the
+    * candidate-pruned distinct gram table — so the family builds each
+    * once and every later consumer pays only its own joins. The
+    * hot-bucket guard bounds the pair blowup, and a broadcast
+    * semi-join prunes the gram table to candidate docs map-side BEFORE
+    * the distinct shuffle — the shuffled volume is |cand docs| ×
+    * grams, not the corpus.
     */
-  private def jacPairs(s: SparkSession, d: String): DataFrame = {
+  private def jacCore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g3 = LlmPipeline.gramRows(s, d, 3)
     val bd = LlmPipeline.guardBands(
-      Mat(s, LlmPipeline.bandRowsFrom(s, g3), "jac-bands"))
+      graft.core.IndexCache(s, s"mh-bands|$d", LlmPipeline.bandRows(s, d)))
     val cand = bd.select($"doc_id".as("doc_a"), $"band")
       .join(bd.select($"doc_id".as("doc_b"), $"band"), "band")
       .filter($"doc_a" < $"doc_b")
       .select("doc_a", "doc_b").distinct()
-    val candDocs = cand.select($"doc_a".as("doc_id"))
-      .union(cand.select($"doc_b".as("doc_id"))).distinct()
-    val gr = Mat(s,
-      g3.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct(),
-      "jac-grams")
+    val gr = graft.core.IndexCache(s, s"jac-grams|$d", {
+      val candDocs = cand.select($"doc_a".as("doc_id"))
+        .union(cand.select($"doc_b".as("doc_id"))).distinct()
+      LlmPipeline.gramRows(s, d, 3)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
+    })
     val sz = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(gr.select($"doc_id".as("doc_a"), $"x"), "doc_a")
@@ -176,8 +180,15 @@ object LlmPipeline2 {
     inter
       .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        Det.dround($"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jac"))
+  }
+
+  /** Exact 6dp Jaccard for every LSH candidate pair (doc_a, doc_b,
+    * jac) — [[jacCore]] under the symmetric-overlap projection.
+    */
+  private def jacPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    jacCore(s, d).select($"doc_a", $"doc_b",
+      Det.dround($"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jac"))
   }
 
   /** DuckDB CTE chain ending in `jp(doc_a, doc_b, jac)` — the oracle
@@ -1502,27 +1513,7 @@ object LlmPipeline2 {
     "dedup_ngram_containment",
     (s, d) => {
       import s.implicits._
-      val g3 = LlmPipeline.gramRows(s, d, 3)
-      val bd = LlmPipeline.guardBands(
-        Mat(s, LlmPipeline.bandRowsFrom(s, g3), "jac-bands"))
-      val cand = bd.select($"doc_id".as("doc_a"), $"band")
-        .join(bd.select($"doc_id".as("doc_b"), $"band"), "band")
-        .filter($"doc_a" < $"doc_b")
-        .select("doc_a", "doc_b").distinct()
-      val candDocs = cand.select($"doc_a".as("doc_id"))
-        .union(cand.select($"doc_b".as("doc_id"))).distinct()
-      val gr = Mat(s,
-        g3.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct(),
-        "cont-grams")
-      val sz = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(gr.select($"doc_id".as("doc_a"), $"x"), "doc_a")
-        .join(gr.select($"doc_id".as("doc_b"), $"x"), Seq("doc_b", "x"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      jacCore(s, d)
         .select($"doc_a", $"doc_b",
           dround($"i".cast("double") / $"na", 6).as("c_ab"),
           dround($"i".cast("double") / $"nb", 6).as("c_ba"))

@@ -59,7 +59,7 @@ object MlStatOps {
       import s.implicits._
       val v = Tables.events(s, d)
         .select($"event_type",
-          pmod($"user_id", lit(2)).as("g"),
+          ($"user_id" % 2).as("g"),
           round($"value" * 100).cast("long").as("v"))
       val m = v.groupBy("event_type").agg(
         sum(when($"g" === 0, lit(1L)).otherwise(lit(0L))).as("na"),
@@ -277,7 +277,7 @@ object MlStatOps {
     (s, d) => {
       import s.implicits._
       val cnt = Tables.events(s, d)
-        .select($"event_type", pmod($"user_id", lit(2)).as("g"),
+        .select($"event_type", ($"user_id" % 2).as("g"),
           round($"value" * 100).cast("long").as("c"))
         .groupBy("event_type", "c").agg(
           sum(when($"g" === 0, lit(1L)).otherwise(lit(0L))).as("ca"),
@@ -333,7 +333,7 @@ object MlStatOps {
     (s, d) => {
       import s.implicits._
       val cnt = Tables.events(s, d)
-        .select($"event_type", pmod($"user_id", lit(2)).as("g"),
+        .select($"event_type", ($"user_id" % 2).as("g"),
           round($"value" * 100).cast("long").as("c"))
         .groupBy("event_type", "c").agg(
           sum(when($"g" === 0, lit(1L)).otherwise(lit(0L))).as("ca"),
@@ -463,7 +463,7 @@ object MlStatOps {
       import s.implicits._
       val e = Tables.events(s, d)
         .select($"event_type", $"event_id",
-          pmod($"user_id", lit(2)).as("g"),
+          ($"user_id" % 2).as("g"),
           round($"value" * 100).cast("long").as("v"))
       val obs = e.groupBy("event_type").agg(
           sum(when($"g" === 0, $"v")).as("sa"),
@@ -808,8 +808,13 @@ object MlStatOps {
     "stat_fdr_bh",
     (s, d) => {
       import s.implicits._
-      val p = statPermutationTest.fn(s, d)
-        .select($"event_type", $"p_value")
+      // Mat the |types|-row p-value table ONCE: both m (the hypothesis
+      // count) and the ranked output read the materialization — the
+      // eager count would otherwise run the full 16-replicate
+      // permutation pipeline a second time when the output evaluates
+      val p = graft.core.Mat(s,
+        statPermutationTest.fn(s, d).select($"event_type", $"p_value"),
+        "fdr-pvalues")
       val m = p.count().toDouble
       val w = Window.orderBy($"p_value".asc, $"event_type".asc)
       val ranked = p.withColumn("k", row_number().over(w))

@@ -1026,15 +1026,18 @@ object ScaleOps {
             concat(lit("k"), (get_json_object($"props", "$.k").cast("long") % 10)
               .cast("string"))).as("tags"))
         .write.mode("overwrite").parquet(dir)
+      // tag is NULL when props.k is missing/non-numeric; the engines
+      // disagree on default NULL placement (Spark NULLS FIRST, DuckDB
+      // NULLS LAST), so both sides spell it explicitly
       s.read.parquet(dir)
         .select($"meta.detail.event_type".as("t"), explode($"tags").as("tag"))
         .groupBy("t", "tag").agg(count(lit(1)).as("n"))
-        .orderBy("t", "tag")
+        .orderBy($"t", $"tag".asc_nulls_first)
     },
     Some("SELECT event_type AS t, tag, count(*) AS n FROM " +
       "(SELECT event_type, unnest([event_type, " +
       "'k' || CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS VARCHAR)]) AS tag " +
-      "FROM events) GROUP BY 1, 2 ORDER BY 1, 2"))
+      "FROM events) GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST"))
 
   /** scan_parquet_zstd — the compression-codec cell of the format
     * matrix: the archive rewritten as ZSTD parquet (the modern

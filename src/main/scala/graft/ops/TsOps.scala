@@ -314,8 +314,9 @@ object TsOps {
     "window_drawdown",
     (s, d) => {
       import s.implicits._
-      // net flow: purchases add, errors subtract — gives the series
-      // genuine troughs (a sum of non-negatives never draws down)
+      // net flow: every third event_id subtracts, the rest add (a
+      // synthetic outflow rule — a sum of non-negatives never draws
+      // down, so the series needs genuine troughs)
       val hourly = Tables.events(s, d)
         .select($"event_type", expr("ms div 3600000").as("h"),
           when($"event_id" % 3 === 0, -round($"value" * 100).cast("long"))
