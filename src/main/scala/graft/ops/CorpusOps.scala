@@ -413,6 +413,85 @@ object CorpusOps {
       "ORDER BY cnt DESC, pair ASC LIMIT 20"))
 
   // ------------------------------------------------------------------
+  // tokenizer_bpe_apply — ENCODE with the mined merges: the pass every
+  // training-data pipeline actually runs once merges.txt exists. The
+  // top-8 adjacent-pair merges (the `tokenizer_bpe_pairs` mining,
+  // rank = (cnt desc, pair asc)) apply to every token in priority
+  // order — one left-to-right replace-all per merge, each merged pair
+  // collapsing to a single private-use symbol (chr(1)..chr(8);
+  // placeholders are control chars so later merges, mined from
+  // visible text, can never match across them). Reported per lang:
+  // token count, symbol totals pre/post, and the compression ratio —
+  // the number a tokenizer rollout is judged on.
+  //
+  // Scale shape: the merge list is BOUNDED (8 rows off a TakeOrdered),
+  // so encode is 8 chained 1-row broadcast joins + codegen'd string
+  // replaces over one corpus scan — no shuffle carries text, and the
+  // per-lang rollup collapses map-side. Merge ranks come from an 8×8
+  // broadcast theta-join (no window). A missing rank (tiny corpus with
+  // <8 distinct pairs) coalesces to a 2-control-char sentinel no mined
+  // pair can equal, making that step a no-op in both engines.
+  // ------------------------------------------------------------------
+
+  private val tokenizerBpeApply = Q(
+    "tokenizer_bpe_apply",
+    (s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("tok"))
+      val top = graft.core.Mat(s,
+        toks.filter(length($"tok") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"pair".asc)
+          .limit(8),
+        "bpe-merges")
+      val ranked = top.as("a").join(broadcast(top.as("b")),
+          $"b.cnt" > $"a.cnt" ||
+            ($"b.cnt" === $"a.cnt" && $"b.pair" < $"a.pair"), "left_outer")
+        .groupBy($"a.pair".as("pair"))
+        .agg((count($"b.pair") + 1).as("rn"))
+      var cur = toks.withColumn("t", $"tok")
+      for (i <- 1 to 8) {
+        val mi = broadcast(ranked.filter($"rn" === i).select($"pair".as(s"p$i")))
+        cur = cur.join(mi, lit(true), "left_outer")
+          .withColumn("t",
+            expr(s"replace(t, coalesce(p$i, chr(14) || chr(14)), chr($i))"))
+          .drop(s"p$i")
+      }
+      cur.groupBy("lang").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(length($"tok")).cast("long").as("symbols_pre"),
+          sum(length($"t")).cast("long").as("symbols_post"),
+          dround(sum(length($"tok")).cast("double") / sum(length($"t")), 6)
+            .as("compression"))
+        .orderBy("lang")
+    },
+    Some {
+      val steps = (1 to 8).map(i =>
+        s"t$i AS (SELECT lang, tok, replace(t, coalesce(" +
+          s"(SELECT pair FROM m WHERE rn = $i), chr(14) || chr(14)), " +
+          s"chr($i)) AS t FROM t${i - 1})").mkString(", ")
+      "WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "ix AS (SELECT tok, unnest(range(1, length(tok))) AS i " +
+        "FROM tok WHERE length(tok) >= 2), " +
+        "pc AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair, " +
+        "count(*) AS cnt FROM ix GROUP BY 1), " +
+        "m AS (SELECT pair, rn FROM (SELECT pair, row_number() OVER " +
+        "(ORDER BY cnt DESC, pair ASC) AS rn FROM pc) WHERE rn <= 8), " +
+        "t0 AS (SELECT lang, tok, tok AS t FROM tok), " +
+        steps + " " +
+        "SELECT lang, count(*) AS n_tokens, " +
+        "CAST(sum(length(tok)) AS BIGINT) AS symbols_pre, " +
+        "CAST(sum(length(t)) AS BIGINT) AS symbols_post, " +
+        OSql.sround("CAST(sum(length(tok)) AS DOUBLE) / sum(length(t))", 6) +
+        " AS compression FROM t8 GROUP BY 1 ORDER BY 1"
+    })
+
+  // ------------------------------------------------------------------
   // corpus_perplexity_filter — CCNet-style perplexity-band filtering:
   // per-doc unigram-LM average log-probability (the text_unigram_logprob
   // statistic, 4dp-rounded — the rounding both engines already
@@ -638,9 +717,67 @@ object CorpusOps {
       OSql.sround("CAST(SUM(wps_ppm) AS DOUBLE) / count(*) / 1e6", 4) +
       " AS avg_words_per_sentence FROM p2 GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // text_tokenize_cjk — the unspaced-script tokenization path: every
+  // other text key splits on ' ', which is degenerate for CJK (an
+  // unspaced zh document is ONE giant token, distorting wordcount,
+  // ngrams, and diversity for that slice). Here `zh` documents strip
+  // spaces and tokenize as OVERLAPPING CHARACTER BIGRAMS (the standard
+  // IR segmentation for unsegmented scripts — each of the length−1
+  // adjacent codepoint pairs is a token; shorter docs yield their
+  // single remnant); all other langs keep whitespace tokens. The
+  // per-lang ledger (docs, token types, token count, mean token
+  // length) makes the branch auditable next to the split-based keys.
+  //
+  // Scale shape: one corpus scan, explode → per-(lang, token) counts
+  // that collapse map-side (the type table is bounded by vocab /
+  // bigram domain, not N), then a |langs|-row rollup; the doc counts
+  // join is |langs| rows. No shuffle carries document text.
+  // ------------------------------------------------------------------
+
+  private val textTokenizeCjk = Q(
+    "text_tokenize_cjk",
+    (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .select($"lang", $"text", expr("replace(text, ' ', '')").as("sq"))
+      val toks = base.select($"lang",
+        explode(when($"lang" === "zh", expr(
+            "transform(sequence(1, greatest(length(sq) - 1, 1)), " +
+              "i -> substring(sq, i, 2))"))
+          .otherwise(split($"text", " "))).as("tok"))
+      val pl = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      val st = pl.groupBy("lang").agg(
+        count(lit(1)).as("n_types"),
+        sum($"c").cast("long").as("n_tokens"),
+        dround(sum(length($"tok") * $"c").cast("double") / sum($"c"), 6)
+          .as("avg_tok_len"))
+      t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .join(st, "lang")
+        .select($"lang", $"n_docs", $"n_types", $"n_tokens", $"avg_tok_len")
+        .orderBy("lang")
+    },
+    Some("WITH d AS (SELECT lang, text, replace(text, ' ', '') AS sq " +
+      "FROM documents), " +
+      "ztok AS (SELECT lang, substring(sq, CAST(i AS INT), 2) AS tok FROM " +
+      "(SELECT lang, sq, unnest(range(1, greatest(length(sq) - 1, 1) + 1)) " +
+      "AS i FROM d WHERE lang = 'zh')), " +
+      "wtok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok " +
+      "FROM d WHERE lang <> 'zh'), " +
+      "tok AS (SELECT * FROM ztok UNION ALL SELECT * FROM wtok), " +
+      "pl AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2), " +
+      "st AS (SELECT lang, count(*) AS n_types, " +
+      "CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      OSql.sround("CAST(sum(length(tok) * c) AS DOUBLE) / sum(c)", 6) +
+      " AS avg_tok_len FROM pl GROUP BY 1), " +
+      "nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1) " +
+      "SELECT lang, n_docs, n_types, n_tokens, avg_tok_len " +
+      "FROM nd JOIN st USING (lang) ORDER BY lang"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
-    textReadability)
+    textReadability, tokenizerBpeApply, textTokenizeCjk)
 }

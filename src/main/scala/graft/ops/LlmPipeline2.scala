@@ -812,6 +812,71 @@ object LlmPipeline2 {
       "SELECT cell, n_members, n_dims, sq_total " +
       "FROM mem JOIN cen USING (cell) ORDER BY cell"))
 
+  /** index_append — the INCREMENTAL half of the durable-index
+    * lifecycle (`index_persist` proves train-once/reopen; this proves
+    * GROW-without-retrain): a new vector batch is assigned to the
+    * persisted centroids by one E-step against the REOPENED centroid
+    * table — never a Lloyd iteration — and appended to the stored
+    * assignment table, exactly how a production ANN/dedup index
+    * absorbs a daily landing without a rebuild. The new batch is
+    * deterministic (each corpus vector's REVERSED twin, vec_id +
+    * 100000), so the oracle can replay the same assignment arithmetic:
+    * reversed components are the same quantized table with pos
+    * mirrored, the score is the identical exact-integer dot /
+    * member-count division, ties to the smallest cell. The report
+    * ledgers each cell's base vs appended population; conservation
+    * (appended total = corpus size) is implied by the hash.
+    *
+    * Scale shape: assignment is the standard broadcast E-step (K×64
+    * centroid table map-side joined to the new batch's components) +
+    * one argmax agg — cost ∝ |new batch|, zero touches of the base
+    * corpus; the append is a partition add to the store, not a
+    * rewrite.
+    */
+  private val indexAppend = Q(
+    "index_append",
+    (s, d) => {
+      import s.implicits._
+      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val (ap, cp) = ivfPersist(s, d)
+      val c2r = s.read.parquet(cp)
+      // the new batch: reversed-embedding twins, quantized components
+      // mirrored from the shared iq artifact (posexplode is 0-based)
+      val niq = quantizedComponents(s, d)
+        .select(($"vec_id" + 100000L).as("vec_id"),
+          (lit(63) - $"pos").as("pos"), $"q")
+      val assigned = niq.join(broadcast(c2r), "pos")
+        .groupBy($"vec_id", $"cell")
+        .agg((sum($"q".cast(Dec38) * $"sq").cast("double") / max($"n")).as("score"))
+        .groupBy($"vec_id")
+        .agg(max(struct($"score", (-$"cell").as("nc"))).as("m"))
+        .select($"vec_id", (-$"m.nc").as("cell"))
+      assigned.write.mode("append").parquet(ap)
+      // the grown index, read back from the store
+      s.read.parquet(ap)
+        .withColumn("is_new", ($"vec_id" >= 100000L).cast("long"))
+        .groupBy("cell")
+        .agg(sum(lit(1L) - $"is_new").as("n_base"),
+          sum($"is_new").as("n_appended"))
+        .orderBy("cell")
+    },
+    Some("WITH " + ivfCtesDerivedK + ", " +
+      "niq AS (SELECT vec_id + 100000 AS vec_id, 65 - pos AS pos, q " +
+      "FROM iq), " +
+      "ns AS (SELECT niq.vec_id, c2.cell, " +
+      "CAST(SUM(CAST(niq.q AS HUGEINT) * c2.sq) AS DOUBLE) / max(c2.n) " +
+      "AS score FROM niq JOIN c2 USING (pos) GROUP BY 1, 2), " +
+      "na AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, " +
+      "cell ASC) AS rn FROM ns) WHERE rn = 1), " +
+      "grown AS (SELECT vec_id, cell FROM a2 " +
+      "UNION ALL SELECT vec_id, cell FROM na) " +
+      "SELECT cell, " +
+      "CAST(SUM(CASE WHEN vec_id < 100000 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_base, " +
+      "CAST(SUM(CASE WHEN vec_id >= 100000 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_appended FROM grown GROUP BY 1 ORDER BY 1"))
+
   /** Product quantization (PQ) — the third ANN scale path, and the one
     * that changes the MEMORY economics: the 64-dim vector space is cut
     * into 8 subspaces of 8 dims; each subspace trains its own K=16
@@ -1628,5 +1693,5 @@ object LlmPipeline2 {
     indexPersist, simAnnPq, simAnnIvfPq, simAnnRecall, textLangId,
     textQualityScore, textTokenCount, docFingerprint, multimodalDecode,
     sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
-    dedupThresholdSweep)
+    dedupThresholdSweep, indexAppend)
 }

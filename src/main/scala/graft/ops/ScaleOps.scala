@@ -1068,10 +1068,73 @@ object ScaleOps {
       "(SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events) " +
       "WHERE c >= 1000 GROUP BY 1 ORDER BY 1"))
 
+  /** scan_kpl_deaggregate — PRODUCER-AGGREGATED record deaggregation,
+    * the last A2/A3 format-fidelity cell: real Kinesis archives
+    * frequently hold KPL-style aggregated records — MANY user messages
+    * packed into one stream record, each sub-message length-prefixed —
+    * yet every other scan treats one archived row as one message. The
+    * archive stages deterministically in that layout (batches of ≤8
+    * messages keyed by event_id div 8; record = "AGG" + 4-digit count
+    * + [8-digit length || message JSON]*, messages in event_id order),
+    * and the scan DEAGGREGATES with native higher-order functions: an
+    * `aggregate` fold walks the length prefixes into the offset table
+    * of each record, `transform` slices the sub-messages out, and one
+    * explode + from_json yields the message stream. The oracle states
+    * COUNT + CHECKSUM CONSERVATION: per-type message counts, event_id
+    * sums, and exact cent sums must equal the flat table's — packing
+    * and unpacking lost, duplicated, and corrupted nothing.
+    *
+    * Scale shape: deaggregation is per-ROW arithmetic (no shuffle
+    * before the final |types|-row rollup, which collapses map-side);
+    * the pack stage's aggregation state is bounded by the batch size
+    * (≤8 messages), never by N. Parallelism is file-split-granular
+    * exactly like the reference's one-reader-per-archive-file model.
+    */
+  private val scanKplDeaggregate = Q(
+    "scan_kpl_deaggregate",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val dir = TmpDirs.dir("events-kpl")
+      val sub = graft.core.Ndjson.fields.map(f => col(f.name))
+      ev.select(expr("event_id div 8").as("g"), $"event_id",
+          to_json(struct(sub: _*)).as("m"))
+        .groupBy("g")
+        .agg(concat(lit("AGG"),
+          lpad(count(lit(1)).cast("string"), 4, "0"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(event_id, m))), x -> concat(lpad(cast(length(x.m) " +
+            "as string), 8, '0'), x.m)), '')")).as("value"))
+        .select("value")
+        .write.mode("overwrite").text(dir)
+      val deagg = s.read.text(dir)
+        .withColumn("n", expr("cast(substring(value, 4, 4) as int)"))
+        // fold the length prefixes into each record's offset table:
+        // off(1) = 8 (after the 7-char header); off(i+1) = off(i) + 8
+        // + len(i). The fold carries one extra entry, sliced off.
+        .withColumn("offs", expr(
+          "slice(aggregate(sequence(1, n), array(8), (acc, i) -> " +
+            "acc || array(element_at(acc, -1) + 8 + " +
+            "cast(substring(value, element_at(acc, -1), 8) as int))), 1, n)"))
+        .select(explode(expr(
+          "transform(offs, o -> substring(value, o + 8, " +
+            "cast(substring(value, o, 8) as int)))")).as("msg"))
+        .select(from_json($"msg", graft.core.Ndjson.recordSchema).as("e"))
+      deagg.groupBy($"e.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum($"e.event_id").cast("long").as("id_checksum"),
+          sum(round($"e.value" * 100).cast("long")).as("cents_checksum"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, count(*) AS n_msgs, " +
+      "CAST(SUM(event_id) AS BIGINT) AS id_checksum, " +
+      "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+      "AS cents_checksum FROM events GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
     aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct,
-    scanParquetZstd)
+    scanParquetZstd, scanKplDeaggregate)
 }

@@ -410,7 +410,17 @@ object Replay {
       if (rawGlob || new java.io.File(path).isDirectory) (path, path)
       else (Tables.escapeGlob(path), Tables.srcGlob(path))
     val schema = s.read.parquet(batchPath).schema
-    val agg = build(s.readStream.schema(schema).parquet(streamPath))
+    runAggToTable(s, build(s.readStream.schema(schema).parquet(streamPath)),
+      ckpt, table)
+  }
+
+  /** Drain a streaming aggregation to a memory table (complete mode,
+    * one available-now pass) — the sink half of [[runStreamToTable]],
+    * shared with sources that are not parquet dirs (the evolving
+    * from_json text replay).
+    */
+  private def runAggToTable(
+      s: SparkSession, agg: DataFrame, ckpt: String, table: String): DataFrame = {
     // state shard count scoped to the stream (see Sessions.StreamStateShards)
     graft.core.Sessions.withShufflePartitions(s, graft.core.Sessions.StreamStateShards) {
       val q = agg.writeStream
@@ -734,8 +744,66 @@ object Replay {
     Some("SELECT event_type, count(*) AS cnt, " + OSql.msum("value") +
       " AS total_value FROM events GROUP BY 1 ORDER BY 1"))
 
+  /** Streaming SCHEMA EVOLUTION — the long-lived-deployment reality
+    * the batch side already models (`scan_schema_merge`): the producer
+    * added a field mid-archive, so early objects lack a column late
+    * objects carry. The archive stages as NDJSON in two eras — even
+    * event_ids serialized with the v1 record schema, odd event_ids
+    * appended LATER (younger files, so the file source replays them in
+    * later batches) with an extra `rev` field — and ONE `from_json`
+    * stream with the EVOLVED schema replays both halves: PERMISSIVE
+    * parsing surfaces the missing field as NULL for v1-era rows
+    * instead of failing the scan or forking the pipeline per era. The
+    * per-type ledger separates era populations and sums the new
+    * field; the oracle restates both eras from the source table, so
+    * the hash match proves the evolving replay neither lost rows nor
+    * misfiled them across schema generations.
+    */
+  private val replaySchemaEvolve = Q(
+    "replay_schema_evolve",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(String, Long, Long, Long, Long)]
+          .toDF("event_type", "cnt", "n_v1", "n_v2", "rev_sum")
+      else {
+        val ev = Tables.events(s, d)
+        val dir = TmpDirs.dir("events-evolve")
+        val v1cols = Ndjson.fields.map(f => col(f.name))
+        ev.filter($"event_id" % 2 === 0)
+          .select(to_json(struct(v1cols: _*)).as("value"))
+          .write.mode("overwrite").text(dir)
+        ev.filter($"event_id" % 2 =!= 0)
+          .withColumn("rev", round($"value" * 100).cast("long"))
+          .select(to_json(struct(v1cols :+ col("rev"): _*)).as("value"))
+          .write.mode("append").text(dir)
+        val evolved = StructType(Ndjson.fields :+ StructField("rev", LongType))
+        val in = s.readStream
+          .schema(StructType(Seq(StructField("value", StringType))))
+          .text(dir)
+          .select(from_json($"value", evolved).as("e"))
+          .select($"e.event_type", $"e.rev")
+        runAggToTable(s,
+          in.groupBy($"event_type").agg(
+            count(lit(1)).as("cnt"),
+            sum($"rev".isNull.cast("long")).as("n_v1"),
+            sum($"rev".isNotNull.cast("long")).as("n_v2"),
+            coalesce(sum($"rev"), lit(0L)).as("rev_sum")),
+          TmpDirs.dir("evolve-ckpt"),
+          "evolve_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+          .orderBy("event_type")
+      }
+    },
+    Some("SELECT event_type, count(*) AS cnt, " +
+      "CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1, " +
+      "CAST(SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2, " +
+      "CAST(COALESCE(SUM(CASE WHEN event_id % 2 <> 0 " +
+      "THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_sum " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] =
     Seq(replayStream, replayFiltered, replayTextArchive, replaySliding,
       streamDedupWatermark, replayTimeRange, replayBackfill,
-      replayRateLimited)
+      replayRateLimited, replaySchemaEvolve)
 }
