@@ -879,6 +879,75 @@ class EdgeCaseSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("BPE encode applies mined merges in priority order on a hand-checked corpus") {
+    // bigram mining over {ab, ab, abab, xy}: ab×4 (rank 1), ba×1
+    // (rank 2), xy×1 (rank 3). Encoding collapses each merged pair to
+    // one symbol: "abab" → 2 symbols, "xy" → 1 — both langs compress 2×.
+    val dir = stageTables("documents" -> Seq(
+      (0L, "ab ab abab", "en"),
+      (1L, "xy", "de")).toDF("doc_id", "text", "lang"))
+    val r = run("tokenizer_bpe_apply", dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))).toMap
+    assert(r("en") === ((3L, 8L, 4L, 2.0)), "ab→1 sym, abab→2 syms")
+    assert(r("de") === ((1L, 2L, 1L, 2.0)), "rank-3 merge xy still applies")
+  }
+
+  test("CJK tokenizer emits overlapping char bigrams for zh, words elsewhere") {
+    val dir = stageTables("documents" -> Seq(
+      (0L, "abcd efg", "zh"),
+      (1L, "hello world hello", "en")).toDF("doc_id", "text", "lang"))
+    val r = run("text_tokenize_cjk", dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))).toMap
+    // zh: spaces stripped → "abcdefg" → 6 overlapping bigrams, all distinct
+    assert(r("zh") === ((1L, 6L, 6L, 2.0)))
+    // en: whitespace tokens, "hello" twice → 2 types over 3 tokens
+    assert(r("en") === ((1L, 2L, 3L, 5.0)))
+  }
+
+  test("KPL deaggregation conserves counts and checksums across packed batches") {
+    val ns = (ms: Long) => ms * 1000000L
+    // 20 messages → 3 aggregated records (ids 0-7, 8-15, 16-19); props
+    // lengths vary so sub-record length prefixes genuinely differ
+    val rows = (0 until 20).map { i =>
+      (i.toLong, ns(1000L * i), i.toLong % 5,
+        if (i % 2 == 0) "a" else "b", i + 0.25,
+        if (i % 3 == 0) "{}" else s"""{"k": $i, "pad": "${"x" * i}"}""")
+    }
+    val dir = stageTables("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("scan_kpl_deaggregate", dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r("a") === ((10L, 90L, 9250L)), "even ids: Σid=90, Σcents=9250")
+    assert(r("b") === ((10L, 100L, 10250L)), "odd ids: Σid=100, Σcents=10250")
+  }
+
+  test("schema-evolving replay files v1 rows as NULL-rev, v2 rows with the new field") {
+    val ns = (ms: Long) => ms * 1000000L
+    val rows = Seq(
+      (0L, ns(1000L), 1L, "a", 1.50, "{}"),
+      (1L, ns(2000L), 2L, "a", 2.25, "{}"),
+      (2L, ns(3000L), 3L, "b", 3.00, "{}"),
+      (3L, ns(4000L), 4L, "b", 4.75, "{}"))
+    val dir = stageTables("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("replay_schema_evolve", dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(r("a") === ((2L, 1L, 1L, 225L)), "id 0 is v1 (NULL rev), id 1 carries 225")
+    assert(r("b") === ((2L, 1L, 1L, 475L)), "id 2 is v1, id 3 carries 475")
+  }
+
+  test("index append assigns every new vector without touching base assignments") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val rows = run("index_append").collect()
+    assert(rows.map(_.getLong(1)).sum === n, "base population = corpus size")
+    assert(rows.map(_.getLong(2)).sum === n, "every appended twin got a cell")
+    assert(rows.forall(_.getLong(1) >= 1L), "only trained (non-empty) cells exist")
+  }
+
   test("fuzzy levenshtein candidates scale linearly on a length-disjoint doubled fixture") {
     // The (brand, length-bucket ±1) blocking keys the |Δlen| ≤ 2 band
     // into the join itself: doubling the corpus with a copy whose
