@@ -18,9 +18,10 @@ import graft.core.{Det, OSql, Q, Tables}
   *    |event_types| rows of exact integer moment sums (partial+final
   *    agg); no row-level shuffle, and the skew/kurtosis formulas run on
   *    the tiny aggregate only.
-  *  - agg_weighted_median: per-group two-phase — price-level weight
-  *    sums, a range shuffle, broadcast prefix offsets, and a running
-  *    window over ONLY the half-weight crossing cell; no WindowExec
+  *  - agg_weighted_median: two-phase over deterministic price cells —
+  *    a map-side (flag, cell) weight ledger, broadcast prefix offsets,
+  *    and a running window over ONLY the half-weight crossing cell;
+  *    the fact is scanned twice and shuffled never, and no WindowExec
   *    keyed by the 3-value returnflag ever sees fact-scale input.
   *  - window_cume_dist: the window runs over the bounded per-(type,
   *    value) count ledger (2-decimal value domain), broadcast back to
@@ -122,45 +123,44 @@ object StatOps {
   // integral, so all weights are exact longs and the 2·W ≥ T pick is
   // pure integer comparison — no float boundary.
   //
-  // Scale shape (the per-group two-phase spelling — no WindowExec over
-  // fact rows keyed by the 3-value returnflag, which would funnel N/3
-  // rows through one task): (1) collapse rows to per-(flag, price)
-  // weight sums — map-side combine, ties inside a price are
-  // interchangeable for the crossing rule; (2) range-shuffle that
-  // table on (flag, price) and take per-cell subtotals — a ≤P·G-row
-  // ledger; (3) broadcast exclusive prefix sums locate, per group, the
-  // ONE cell where the cumulative weight crosses half the total;
-  // (4) only that cell's rows flow into the running-sum window, whose
-  // partition key (cell, flag) bounds its input by the range-partition
-  // size — never by N/|groups|.
+  // Scale shape (two-phase over DETERMINISTIC price cells — no
+  // WindowExec over fact rows keyed by the 3-value returnflag, which
+  // would funnel N/3 rows through one task, and no fact shuffle at
+  // all): (1) one scan collapses map-side to the per-(flag, cell)
+  // weight ledger, cells = exact integer cents div 100000 ($1000
+  // slabs over the bounded price domain — the cell width is the
+  // deployment knob, narrowed as N grows exactly like the IVF K);
+  // (2) broadcast exclusive prefix sums over the tiny ledger locate,
+  // per group, the ONE cell where the cumulative weight crosses half
+  // the total; (3) a second scan keeps only the crossing cell's rows
+  // (the broadcast join filters map-side), and the running-sum window
+  // sees ~N/|cells| rows per group — never N/|groups|. Shuffled bytes:
+  // two tiny ledgers; the fact is scanned twice, moved never —
+  // cheaper at 100 TB than any full range repartition. Deterministic
+  // cells also need no checkpoint: integer arithmetic, not sampled
+  // boundaries.
   // ------------------------------------------------------------------
 
   private val aggWeightedMedian = Q(
     "agg_weighted_median",
     (s, d) => {
       import s.implicits._
-      // (1) price-level weight sums: the crossing price depends only on
-      // cumulative weight by price, so row order inside a price is moot
-      val pt = Tables.t(s, d, "lineitem")
+      val li = Tables.t(s, d, "lineitem")
         .select($"l_returnflag", $"l_extendedprice",
-          $"l_quantity".cast("long").as("w"))
-        .groupBy($"l_returnflag", $"l_extendedprice")
-        .agg(sum($"w").as("pw"))
-      // (2) range order by (flag, price); cell id from the monotonic id
-      val ids = pt
-        .repartitionByRange(32, $"l_returnflag".asc, $"l_extendedprice".asc)
-        .sortWithinPartitions($"l_returnflag".asc, $"l_extendedprice".asc)
-        .withColumn("pid", shiftright(monotonically_increasing_id(), 33))
-        .localCheckpoint(true)
-      val cells = ids.groupBy($"pid", $"l_returnflag")
-        .agg(sum($"pw").as("sw"))
-      // (3) per-group exclusive prefix over cells + group totals, both
+          $"l_quantity".cast("long").as("w"),
+          $"l_orderkey", $"l_linenumber")
+        .withColumn("cell",
+          expr("cast(round(l_extendedprice * 100) as bigint) div 100000"))
+      // (1) per-(flag, cell) weight ledger — map-side combine
+      val cells = li.groupBy($"l_returnflag", $"cell")
+        .agg(sum($"w").as("sw"))
+      // (2) per-group exclusive prefix over cells + group totals, both
       // via broadcast theta-join on the tiny ledger (no window at all)
       val base = cells.as("a")
         .join(broadcast(cells.as("b")),
-          $"b.l_returnflag" === $"a.l_returnflag" && $"b.pid" < $"a.pid",
+          $"b.l_returnflag" === $"a.l_returnflag" && $"b.cell" < $"a.cell",
           "left_outer")
-        .groupBy($"a.pid".as("pid"), $"a.l_returnflag".as("l_returnflag"),
+        .groupBy($"a.cell".as("cell"), $"a.l_returnflag".as("l_returnflag"),
           $"a.sw".as("sw"))
         .agg(coalesce(sum($"b.sw"), lit(0L)).as("base"))
       val tw = cells.groupBy($"l_returnflag").agg(sum($"sw").as("tw"))
@@ -168,15 +168,16 @@ object StatOps {
       val target = base.join(tw, "l_returnflag")
         .filter(lit(2) * ($"base" + $"sw") >= $"tw")
         .groupBy($"l_returnflag")
-        .agg(min_by(struct($"pid", $"base", $"tw"), $"pid").as("t"))
-        .select($"l_returnflag", $"t.pid".as("pid"),
+        .agg(min_by(struct($"cell", $"base", $"tw"), $"cell").as("t"))
+        .select($"l_returnflag", $"t.cell".as("cell"),
           $"t.base".as("base"), $"t.tw".as("tw"))
-      // (4) running sum over the target cell only — bounded input
-      val wloc = Window.partitionBy($"pid", $"l_returnflag")
-        .orderBy($"l_extendedprice".asc)
+      // (3) running sum over the crossing cell's rows only
+      val wloc = Window.partitionBy($"cell", $"l_returnflag")
+        .orderBy($"l_extendedprice".asc, $"l_orderkey".asc,
+          $"l_linenumber".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ids.join(broadcast(target), Seq("pid", "l_returnflag"))
-        .withColumn("cw", $"base" + sum($"pw").over(wloc))
+      li.join(broadcast(target), Seq("cell", "l_returnflag"))
+        .withColumn("cw", $"base" + sum($"w").over(wloc))
         .groupBy("l_returnflag")
         .agg(min($"tw").as("total_weight"),
           min(when(lit(2) * $"cw" >= $"tw", $"l_extendedprice"))

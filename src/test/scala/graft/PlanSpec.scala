@@ -537,7 +537,7 @@ class PlanSpec extends SparkSpec {
       case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
       case _ => false
     }
-    for (key <- Seq("agg_weighted_median", "window_cume_dist",
+    for (key <- Seq("window_cume_dist",
         "agg_winsorized_mean", "anomaly_tukey_fence", "agg_trimmed_mean")) {
       val df = run(key)
       df.collect()
@@ -552,5 +552,18 @@ class PlanSpec extends SparkSpec {
           "the low-cardinality single-task funnel the two-phase spelling forbids")
       }
     }
+    // agg_weighted_median's window legitimately reads fact rows — but
+    // only the crossing CELL's (broadcast-join filtered) and
+    // partitioned by the cell id, so no partition holds N/|groups|
+    val wm = run("agg_weighted_median")
+    wm.collect()
+    val wmWindows = nodes(wm.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wmWindows.nonEmpty)
+    for (w <- wmWindows)
+      assert(w.toString.linesIterator.next().contains("cell"),
+        "the running-sum window must be partitioned by the price cell, " +
+          "not the 3-value returnflag alone")
   }
 }
