@@ -157,9 +157,8 @@ object CurateOps {
         .withColumn("pid", shiftright($"mid", 33))
         .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
         .localCheckpoint(true)
-      val offs = ids.groupBy("pid").agg(count(lit(1)).as("n"))
-        .withColumn("off", sum($"n").over(Window.orderBy($"pid")) - $"n")
-        .select($"pid", $"off")
+      val offs = Windows.prefixOffsets(
+        ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
       val tot = ids.agg(count(lit(1)).as("nn"))
       ids.join(broadcast(offs), "pid").crossJoin(broadcast(tot))
         .withColumn("rnk", $"lrn" + $"off")

@@ -816,8 +816,14 @@ object MlStatOps {
         statPermutationTest.fn(s, d).select($"event_type", $"p_value"),
         "fdr-pvalues")
       val m = p.count().toDouble
-      val w = Window.orderBy($"p_value".asc, $"event_type".asc)
-      val ranked = p.withColumn("k", row_number().over(w))
+      // BH ranks via a broadcast theta-join over the materialized
+      // |types|-row table — no WindowExec even on the tiny ledger
+      val ranked = p.as("a").join(broadcast(p.as("b")),
+          $"b.p_value" < $"a.p_value" ||
+            ($"b.p_value" === $"a.p_value" && $"b.event_type" < $"a.event_type"),
+          "left_outer")
+        .groupBy($"a.event_type".as("event_type"), $"a.p_value".as("p_value"))
+        .agg((count($"b.event_type") + 1).as("k"))
         .withColumn("pass",
           ($"p_value" <= $"k" * lit(0.10) / lit(m)).cast("long"))
       val kmax = ranked.agg(max(when($"pass" === 1, $"k")).as("kmax"))

@@ -66,12 +66,10 @@ object PackOps {
       val ids = packIdsPlan(s, d).localCheckpoint(true)
       val local = ids.withColumn("lcum",
         sum($"tok").over(Window.partitionBy($"pid").orderBy($"doc_id")) - $"tok")
-      // cumulative token offsets over the P partition subtotals — a
-      // P-row global window (the documented tiny-relation exception),
-      // then broadcast
-      val offs = ids.groupBy("pid").agg(sum($"tok").as("n"))
-        .withColumn("off", sum($"n").over(Window.orderBy($"pid")) - $"n")
-        .select("pid", "off")
+      // cumulative token offsets over the P partition subtotals — the
+      // broadcast prefix-sum theta-join (no WindowExec on the ledger)
+      val offs = Windows.prefixOffsets(
+        ids.groupBy("pid").agg(sum($"tok").as("n")), "pid")
       local.join(broadcast(offs), "pid")
         .withColumn("seq", expr(s"(lcum + off) div $PackBudget"))
         .groupBy("seq")

@@ -715,11 +715,10 @@ object ScaleOps {
     (s, d) => {
       import s.implicits._
       val ids = rankIdsPlan(s, d).localCheckpoint(true)
-      // cumulative offsets over the P partition counts — a P-row global
-      // window (the documented tiny-relation exception), then broadcast
-      val offs = ids.groupBy("pid").agg(count(lit(1)).as("n"))
-        .withColumn("off", sum($"n").over(Window.orderBy($"pid")) - $"n")
-        .select("pid", "off")
+      // cumulative offsets over the P partition counts — the broadcast
+      // prefix-sum theta-join (no WindowExec even on the P-row ledger)
+      val offs = Windows.prefixOffsets(
+        ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
       ids.join(broadcast(offs), "pid")
         .select($"o_orderkey", $"o_totalprice",
           ($"lrn" + $"off").cast("long").as("rnk"))

@@ -127,6 +127,10 @@ object TextRank {
             (tf * (lit(K1) + lit(1.0))) /
             (tf + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")))
       }
+      // the rerank window runs AFTER limit(20) — a bounded 20-row
+      // relation (the documented tiny-relation exception; a theta-join
+      // spelling would need a materialization that severs the
+      // one-corpus-scan plan PlanSpec pins)
       perDoc.crossJoin(broadcast(stats))
         .filter(QueryTerms.indices.map(i => col(s"tf$i") > 0L).reduce(_ || _))
         .select($"doc_id",

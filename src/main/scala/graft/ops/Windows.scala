@@ -256,12 +256,17 @@ object Windows {
     "window_moving_avg",
     (s, d) => {
       import s.implicits._
-      val daily = Tables.events(s, d)
+      // the ≤|days|-row rollup evaluates its trailing range frame as a
+      // broadcast theta self-join (exact DECIMAL sums are
+      // order-insensitive) — no WindowExec even on the bounded ledger
+      val daily = graft.core.Mat(s, Tables.events(s, d)
         .groupBy(expr("ms div 86400000").cast("long").as("day"))
-        .agg(sum($"value".cast(Dec)).as("v"), count(lit(1)).as("c"))
-      val w = Window.orderBy($"day").rangeBetween(-6, 0)
-      daily.select($"day",
-        dround(sum($"v").over(w).cast("double") / count(lit(1)).over(w), 4).as("mavg7"))
+        .agg(sum($"value".cast(Dec)).as("v"), count(lit(1)).as("c")),
+        "mavg-daily")
+      daily.as("a").join(broadcast(daily.as("b")),
+          $"b.day" >= $"a.day" - 6 && $"b.day" <= $"a.day")
+        .groupBy($"a.day".as("day"))
+        .agg(dround(sum($"b.v").cast("double") / count(lit(1)), 4).as("mavg7"))
         .orderBy("day")
     },
     Some("WITH dsum AS (SELECT epoch_ms(ts)//86400000 AS day, " +
@@ -283,11 +288,33 @@ object Windows {
     "window_percent_rank",
     (s, d) => {
       import s.implicits._
-      val w = Window.orderBy($"s_acctbal".desc, $"s_suppkey".asc)
-      t(s, d, "supplier")
+      // the two-phase global-rank spelling (rankIdsPlan shape): range
+      // shuffle + id arithmetic + broadcast prefix offsets give every
+      // row its unique rn; rank/peer-cume come off the per-value
+      // ledger; percent_rank/cume_dist are then pure arithmetic — no
+      // global WindowExec even on the dimension table
+      val ids = t(s, d, "supplier")
+        .select($"s_suppkey", $"s_acctbal")
+        .repartitionByRange(32, $"s_acctbal".desc, $"s_suppkey".asc)
+        .sortWithinPartitions($"s_acctbal".desc, $"s_suppkey".asc)
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("pid", shiftright($"mid", 33))
+        .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+        .localCheckpoint(true)
+      val offs = prefixOffsets(
+        ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
+      val tot = ids.agg(count(lit(1)).as("nn"))
+      val rn = ids.join(broadcast(offs), "pid")
+        .select($"s_suppkey", $"s_acctbal", ($"lrn" + $"off").as("rn"))
+      val vt = rn.groupBy($"s_acctbal".as("v"))
+        .agg(min($"rn").as("vmin"), max($"rn").as("vmax"))
+      rn.join(vt, $"s_acctbal" === $"v")
+        .crossJoin(broadcast(tot))
         .select($"s_suppkey", $"s_acctbal",
-          dround(percent_rank().over(w), 6).as("prank"),
-          dround(cume_dist().over(w), 6).as("cdist"))
+          dround(when($"nn" > 1,
+            ($"vmin" - 1).cast("double") / ($"nn" - 1)).otherwise(0.0), 6)
+            .as("prank"),
+          dround($"vmax".cast("double") / $"nn", 6).as("cdist"))
         .orderBy("s_suppkey")
     },
     Some("SELECT s_suppkey, s_acctbal, " +
