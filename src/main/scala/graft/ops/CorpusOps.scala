@@ -775,9 +775,64 @@ object CorpusOps {
       "SELECT lang, n_docs, n_types, n_tokens, avg_tok_len " +
       "FROM nd JOIN st USING (lang) ORDER BY lang"))
 
+  // ------------------------------------------------------------------
+  // quality_gopher_rules — the Gopher-style rule-based document
+  // filter (Rae et al. 2021, the public rule set behind most web-scale
+  // corpus cleaning): word count within [50, 100 000], mean word
+  // length within [3, 10], and ≥80% of words containing an alphabetic
+  // character. Complements the continuous scores (`text_quality_score`
+  // ratios, `corpus_perplexity_filter` LM bands) with the hard
+  // cut-offs a production pipeline applies FIRST. Per-lang ledger of
+  // per-rule failures + the all-rules keep count, so a threshold
+  // change is auditable per rule rather than only in aggregate.
+  //
+  // Scale shape: every rule is a per-row projection (size/filter HOFs
+  // over the token array — no explode, no shuffle carrying text), and
+  // the ledger collapses map-side to |langs| rows.
+  // ------------------------------------------------------------------
+
+  private val qualityGopherRules = Q(
+    "quality_gopher_rules",
+    (s, d) => {
+      import s.implicits._
+      val doc = t(s, d, "documents").select($"lang", $"text")
+        .withColumn("nw", size(split($"text", " ")))
+        .withColumn("nalpha", expr(
+          "size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]'))"))
+        .withColumn("mwl",
+          length(expr("replace(text, ' ', '')")).cast("double") / $"nw")
+        .withColumn("fw", ($"nw" < 50 || $"nw" > 100000).cast("long"))
+        .withColumn("fl", ($"mwl" < 3.0 || $"mwl" > 10.0).cast("long"))
+        .withColumn("fa", ($"nalpha".cast("double") < $"nw" * 0.8).cast("long"))
+      doc.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"fw").as("n_fail_words"),
+          sum($"fl").as("n_fail_wlen"),
+          sum($"fa").as("n_fail_alpha"),
+          sum((($"fw" + $"fl" + $"fa") === 0).cast("long")).as("n_keep"))
+        .orderBy("lang")
+    },
+    Some("WITH dd AS (SELECT lang, " +
+      "len(string_split(text, ' ')) AS nw, " +
+      "len(list_filter(string_split(text, ' '), " +
+      "w -> regexp_matches(w, '[a-zA-Z]'))) AS nalpha, " +
+      "CAST(length(replace(text, ' ', '')) AS DOUBLE) / " +
+      "len(string_split(text, ' ')) AS mwl FROM documents), " +
+      "f AS (SELECT lang, " +
+      "CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS fw, " +
+      "CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS fl, " +
+      "CASE WHEN CAST(nalpha AS DOUBLE) < nw * 0.8 THEN 1 ELSE 0 END AS fa " +
+      "FROM dd) " +
+      "SELECT lang, count(*) AS n_docs, " +
+      "CAST(SUM(fw) AS BIGINT) AS n_fail_words, " +
+      "CAST(SUM(fl) AS BIGINT) AS n_fail_wlen, " +
+      "CAST(SUM(fa) AS BIGINT) AS n_fail_alpha, " +
+      "CAST(SUM(CASE WHEN fw + fl + fa = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_keep FROM f GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
-    textReadability, tokenizerBpeApply, textTokenizeCjk)
+    textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules)
 }

@@ -166,6 +166,137 @@ object MlStatOps {
       "SUM(term) / 1e6 AS chi2_part FROM t GROUP BY 1 ORDER BY 1"))
 
   // ------------------------------------------------------------------
+  // eval_regression_metrics — the regression half of the evaluation
+  // family (the classifier report covers discrete labels): fit the
+  // one-feature OLS cents-on-k model from exact integer sufficient
+  // statistics (the agg_ols2 closed form — numerator and denominator
+  // stay exact DECIMAL until ONE double division each), then score it
+  // with the three numbers every regression rollout is judged on —
+  // MAE, RMSE, and R² — per event_type, against the global fit.
+  // Determinism: residuals are doubles of identical inputs in both
+  // engines, and each quantizes to an exact integer (|r|·10⁴, r²·10²,
+  // (y−ȳ)²·10²) BEFORE the sums, so the reductions are
+  // order-independent; one final division/sqrt per metric.
+  // Scale: one fact scan + a 1-row broadcast of the fitted model.
+  // ------------------------------------------------------------------
+
+  private lazy val evalRegressionMetrics = Q(
+    "eval_regression_metrics",
+    (s, d) => {
+      import s.implicits._
+      val Dec38 = DecimalType(38, 0)
+      val e = Tables.events(s, d)
+        .select($"event_type",
+          round($"value" * 100).cast("long").as("y"),
+          get_json_object($"props", "$.k").cast("long").as("x"))
+        .filter($"x".isNotNull)
+      val st = e.agg(count(lit(1)).as("n"),
+          sum($"x".cast(Dec38)).as("sx"), sum($"y".cast(Dec38)).as("sy"),
+          sum(($"x" * $"x").cast(Dec38)).as("sxx"),
+          sum(($"x" * $"y").cast(Dec38)).as("sxy"))
+        .withColumn("b", ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+        .withColumn("a", ($"sy".cast("double") - $"b" * $"sx".cast("double")) / $"n")
+        .withColumn("ybar", $"sy".cast("double") / $"n")
+        .select("b", "a", "ybar")
+      e.crossJoin(broadcast(st))
+        .withColumn("r", $"y".cast("double") - ($"a" + $"b" * $"x"))
+        .withColumn("qa", floor(abs($"r") * 1e4 + lit(0.5)).cast("long"))
+        .withColumn("q2", floor($"r" * $"r" * 1e2 + lit(0.5)).cast("long"))
+        .withColumn("qt", floor(($"y" - $"ybar") * ($"y" - $"ybar") * 1e2
+          + lit(0.5)).cast("long"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          dround(sum($"qa").cast("double") / count(lit(1)) / 1e4 / 100.0, 6)
+            .as("mae_usd"),
+          dround(sqrt(sum($"q2").cast("double") / count(lit(1)) / 1e2) / 100.0, 6)
+            .as("rmse_usd"),
+          dround(lit(1.0) - sum($"q2").cast("double") / sum($"qt"), 6)
+            .as("r2"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, " +
+      "CAST(round(value * 100) AS BIGINT) AS y, " +
+      "CAST(props->>'$.k' AS BIGINT) AS x FROM events " +
+      "WHERE props->>'$.k' IS NOT NULL), " +
+      "st AS (SELECT count(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, " +
+      "SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(x*x AS HUGEINT)) AS sxx, " +
+      "SUM(CAST(x*y AS HUGEINT)) AS sxy FROM e), " +
+      "ab AS (SELECT CAST(n*sxy - sx*sy AS DOUBLE) / " +
+      "CAST(n*sxx - sx*sx AS DOUBLE) AS b, n, sx, sy FROM st), " +
+      "m AS (SELECT b, (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n " +
+      "AS a, CAST(sy AS DOUBLE) / n AS ybar FROM ab), " +
+      "q AS (SELECT event_type, " +
+      "CAST(floor(abs(CAST(y AS DOUBLE) - (a + b * x)) * 1e4 + 0.5) " +
+      "AS BIGINT) AS qa, " +
+      "CAST(floor((CAST(y AS DOUBLE) - (a + b * x)) * " +
+      "(CAST(y AS DOUBLE) - (a + b * x)) * 1e2 + 0.5) AS BIGINT) AS q2, " +
+      "CAST(floor((y - ybar) * (y - ybar) * 1e2 + 0.5) AS BIGINT) AS qt " +
+      "FROM e, m) " +
+      "SELECT event_type, count(*) AS n, " +
+      OSql.sround("CAST(SUM(qa) AS DOUBLE) / count(*) / 1e4 / 100.0", 6) +
+      " AS mae_usd, " +
+      OSql.sround("sqrt(CAST(SUM(q2) AS DOUBLE) / count(*) / 1e2) / 100.0", 6) +
+      " AS rmse_usd, " +
+      OSql.sround("1.0 - CAST(SUM(q2) AS DOUBLE) / SUM(qt)", 6) + " AS r2 " +
+      "FROM q GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // stat_cramers_v — the EFFECT SIZE next to stat_chi2_independence's
+  // test statistic: χ² grows with n, so "is the association big"
+  // needs V = sqrt(χ² / (n · (min(r, c) − 1))) ∈ [0, 1] — the number
+  // an experiment review quotes. Contingency = event_type × user-id
+  // parity; cell terms quantize to exact 10⁶ integers (the chi2 key's
+  // rule) before the global sum; r, c, n come off the same tiny
+  // marginal tables, so the whole key is three |domain|-row aggregates
+  // and pure arithmetic.
+  // ------------------------------------------------------------------
+
+  private lazy val statCramersV = Q(
+    "stat_cramers_v",
+    (s, d) => {
+      import s.implicits._
+      val dd = Tables.events(s, d)
+        .select($"event_type".as("r"), ($"user_id" % 2).as("c"))
+      val cnt = dd.groupBy("r", "c").agg(count(lit(1)).as("o"))
+      val rt = dd.groupBy("r").agg(count(lit(1)).as("rt"))
+      val ct = dd.groupBy("c").agg(count(lit(1)).as("ct"))
+      val tots = rt.agg(count(lit(1)).as("nr"), sum($"rt").as("n"))
+        .crossJoin(ct.agg(count(lit(1)).as("nc")))
+      val cells = broadcast(rt).crossJoin(broadcast(ct))
+        .join(cnt, Seq("r", "c"), "left")
+        .crossJoin(broadcast(tots))
+        .withColumn("e", $"rt".cast("double") * $"ct" / $"n")
+        .withColumn("term", floor((coalesce($"o", lit(0L)) - $"e")
+          * (coalesce($"o", lit(0L)) - $"e") / $"e" * lit(1e6) + lit(0.5))
+          .cast("long"))
+      cells.groupBy("n", "nr", "nc")
+        .agg((sum($"term") / lit(1e6)).as("chi2"))
+        .select($"n", $"nr".cast("long").as("n_rows"),
+          $"nc".cast("long").as("n_cols"),
+          dround($"chi2", 4).as("chi2"),
+          dround(sqrt($"chi2" / ($"n" * (least($"nr", $"nc") - lit(1)))), 6)
+            .as("cramers_v"))
+    },
+    Some("WITH dd AS (SELECT event_type AS r, user_id % 2 AS c FROM events), " +
+      "cnt AS (SELECT r, c, count(*) AS o FROM dd GROUP BY 1, 2), " +
+      "rt AS (SELECT r, count(*) AS rt FROM dd GROUP BY 1), " +
+      "ct AS (SELECT c, count(*) AS ct FROM dd GROUP BY 1), " +
+      "tots AS (SELECT (SELECT count(*) FROM rt) AS nr, " +
+      "(SELECT CAST(sum(rt) AS BIGINT) FROM rt) AS n, " +
+      "(SELECT count(*) FROM ct) AS nc), " +
+      "cells AS (SELECT COALESCE(cnt.o, 0) AS o, " +
+      "CAST(rt.rt AS DOUBLE) * ct.ct / tots.n AS e, tots.n, tots.nr, tots.nc " +
+      "FROM rt CROSS JOIN ct CROSS JOIN tots " +
+      "LEFT JOIN cnt ON cnt.r = rt.r AND cnt.c = ct.c), " +
+      "x AS (SELECT n, nr, nc, SUM(CAST(floor((o - e) * (o - e) / e * 1e6 " +
+      "+ 0.5) AS BIGINT)) / 1e6 AS chi2 FROM cells GROUP BY 1, 2, 3) " +
+      "SELECT n, CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols, " +
+      OSql.sround("chi2", 4) + " AS chi2, " +
+      OSql.sround("sqrt(chi2 / (n * (least(nr, nc) - 1)))", 6) +
+      " AS cramers_v FROM x"))
+
+  // ------------------------------------------------------------------
   // feature_target_encode — LEAKAGE-SAFE (leave-one-out) mean target
   // encoding: each event's category bucket kb = props.k mod 10 is
   // replaced by the mean target (value, in cents) of the OTHER rows in
@@ -715,7 +846,7 @@ object MlStatOps {
     aggWinsorizedMean, assocItemset3, evalCalibration, statFdrBh,
     evalPrSweep, profileColumnStats, featureDecayScore,
     auditFkIntegrity, aggBenfordDigits, anomalyTukeyFence,
-    aggTrimmedMean)
+    aggTrimmedMean, evalRegressionMetrics, statCramersV)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

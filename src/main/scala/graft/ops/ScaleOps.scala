@@ -1089,36 +1089,52 @@ object ScaleOps {
     * (≤8 messages), never by N. Parallelism is file-split-granular
     * exactly like the reference's one-reader-per-archive-file model.
     */
+  /** Stage the events archive as KPL-style aggregated records (see
+    * `scan_kpl_deaggregate`) and return the text dir. Shared by the
+    * batch scan and the streaming replay of the same layout.
+    */
+  private[graft] def stageKplArchive(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = TmpDirs.dir("events-kpl")
+    val sub = graft.core.Ndjson.fields.map(f => col(f.name))
+    Tables.events(s, d)
+      .select(expr("event_id div 8").as("g"), $"event_id",
+        to_json(struct(sub: _*)).as("m"))
+      .groupBy("g")
+      .agg(concat(lit("AGG"),
+        lpad(count(lit(1)).cast("string"), 4, "0"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(event_id, m))), x -> concat(lpad(cast(length(x.m) " +
+          "as string), 8, '0'), x.m)), '')")).as("value"))
+      .select("value")
+      .write.mode("overwrite").text(dir)
+    dir
+  }
+
+  /** Deaggregate a `value`-column relation of KPL-style aggregated
+    * records into the parsed message struct column `e`. Pure per-row
+    * projections (HOF fold → slice → explode → from_json), so the SAME
+    * definition serves the batch scan and a streaming replay.
+    */
+  private[graft] def kplDeaggregate(df: DataFrame): DataFrame =
+    df.withColumn("n", expr("cast(substring(value, 4, 4) as int)"))
+      // fold the length prefixes into each record's offset table:
+      // off(1) = 8 (after the 7-char header); off(i+1) = off(i) + 8
+      // + len(i). The fold carries one extra entry, sliced off.
+      .withColumn("offs", expr(
+        "slice(aggregate(sequence(1, n), array(8), (acc, i) -> " +
+          "acc || array(element_at(acc, -1) + 8 + " +
+          "cast(substring(value, element_at(acc, -1), 8) as int))), 1, n)"))
+      .select(explode(expr(
+        "transform(offs, o -> substring(value, o + 8, " +
+          "cast(substring(value, o, 8) as int)))")).as("msg"))
+      .select(from_json(col("msg"), graft.core.Ndjson.recordSchema).as("e"))
+
   private val scanKplDeaggregate = Q(
     "scan_kpl_deaggregate",
     (s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d)
-      val dir = TmpDirs.dir("events-kpl")
-      val sub = graft.core.Ndjson.fields.map(f => col(f.name))
-      ev.select(expr("event_id div 8").as("g"), $"event_id",
-          to_json(struct(sub: _*)).as("m"))
-        .groupBy("g")
-        .agg(concat(lit("AGG"),
-          lpad(count(lit(1)).cast("string"), 4, "0"),
-          expr("array_join(transform(array_sort(collect_list(" +
-            "struct(event_id, m))), x -> concat(lpad(cast(length(x.m) " +
-            "as string), 8, '0'), x.m)), '')")).as("value"))
-        .select("value")
-        .write.mode("overwrite").text(dir)
-      val deagg = s.read.text(dir)
-        .withColumn("n", expr("cast(substring(value, 4, 4) as int)"))
-        // fold the length prefixes into each record's offset table:
-        // off(1) = 8 (after the 7-char header); off(i+1) = off(i) + 8
-        // + len(i). The fold carries one extra entry, sliced off.
-        .withColumn("offs", expr(
-          "slice(aggregate(sequence(1, n), array(8), (acc, i) -> " +
-            "acc || array(element_at(acc, -1) + 8 + " +
-            "cast(substring(value, element_at(acc, -1), 8) as int))), 1, n)"))
-        .select(explode(expr(
-          "transform(offs, o -> substring(value, o + 8, " +
-            "cast(substring(value, o, 8) as int)))")).as("msg"))
-        .select(from_json($"msg", graft.core.Ndjson.recordSchema).as("e"))
+      val deagg = kplDeaggregate(s.read.text(stageKplArchive(s, d)))
       deagg.groupBy($"e.event_type".as("event_type"))
         .agg(count(lit(1)).as("n_msgs"),
           sum($"e.event_id").cast("long").as("id_checksum"),

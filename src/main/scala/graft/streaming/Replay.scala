@@ -802,8 +802,50 @@ object Replay {
       "THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_sum " +
       "FROM events GROUP BY 1 ORDER BY 1"))
 
+  /** Streaming replay of a PRODUCER-AGGREGATED archive — the live
+    * sibling of `scan_kpl_deaggregate`, and the closest model of what
+    * a Kinesis replay actually reads: KPL-style aggregated records
+    * (many length-prefixed messages per stream record) deaggregated
+    * IN-STREAM by the same pure-projection fold the batch scan uses,
+    * then the standard watermarked hourly aggregation. The oracle is
+    * the SAME SQL as the flat `replay_stream` — the hash match proves
+    * pack → stream → deaggregate → window lost, duplicated, and
+    * corrupted nothing, independent of micro-batching.
+    */
+  private val replayKpl = Q(
+    "replay_kpl",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(Long, String, Long, Double)]
+          .toDF("hour_start", "event_type", "cnt", "total_value")
+      else {
+        val dir = graft.ops.ScaleOps.stageKplArchive(s, d)
+        val in = graft.ops.ScaleOps.kplDeaggregate(
+          s.readStream
+            .schema(StructType(Seq(StructField("value", StringType))))
+            .text(dir))
+        runAggToTable(s,
+          in.select($"e.event_type", $"e.value", $"e.ms")
+            .withColumn("ets", timestamp_millis($"ms"))
+            .withWatermark("ets", "1 hour")
+            .groupBy(window($"ets", "1 hour"), $"event_type")
+            .agg(count(lit(1)).as("cnt"), sum($"value".cast(Det.Dec)).as("tot")),
+          TmpDirs.dir("kpl-ckpt"),
+          "kpl_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+          .select(unix_timestamp($"window.start").as("hour_start"),
+            $"event_type", $"cnt",
+            Det.dround($"tot".cast("double"), 2).as("total_value"))
+          .orderBy("hour_start", "event_type")
+      }
+    },
+    Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
+      "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
+
   val qs: Seq[Q] =
     Seq(replayStream, replayFiltered, replayTextArchive, replaySliding,
       streamDedupWatermark, replayTimeRange, replayBackfill,
-      replayRateLimited, replaySchemaEvolve)
+      replayRateLimited, replaySchemaEvolve, replayKpl)
 }
