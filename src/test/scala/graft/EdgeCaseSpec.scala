@@ -948,6 +948,67 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 1L), "only trained (non-empty) cells exist")
   }
 
+  test("Gopher rules fail exactly the planted violations, one per rule") {
+    val ok = Seq.fill(60)("word").mkString(" ")
+    val short = "tiny doc here"
+    val longWords = Seq.fill(60)("extraordinarily-long-hyphenated-token").mkString(" ")
+    val numeric = (Seq.fill(50)("123") ++ Seq.fill(10)("abc")).mkString(" ")
+    val dir = stageTables("documents" -> Seq(
+      (0L, ok, "en"), (1L, short, "en"),
+      (2L, longWords, "en"), (3L, numeric, "en")).toDF("doc_id", "text", "lang"))
+    val r = run("quality_gopher_rules", dir).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5)) === ((4L, 1L, 1L, 1L, 1L)),
+      "word-count, word-length, and alpha violations each caught once; one doc survives")
+  }
+
+  test("regression metrics are exactly zero-error on a noiseless linear stream") {
+    val ns = (ms: Long) => ms * 1000000L
+    // y cents = 300 + 7k exactly → the OLS fit recovers (a, b) = (300, 7)
+    val rows = (0 until 10).map { i =>
+      (i.toLong, ns(1000L * i), i.toLong, if (i % 2 == 0) "a" else "b",
+        3.0 + 0.07 * i, s"""{"k": $i}""")
+    }
+    val dir = stageTables("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("eval_regression_metrics", dir).collect()
+    assert(r.length === 2)
+    r.foreach { x =>
+      assert(x.getDouble(2) === 0.0, s"MAE must vanish: $x")
+      assert(x.getDouble(3) === 0.0, s"RMSE must vanish: $x")
+      assert(x.getDouble(4) === 1.0, s"R² must be exactly 1: $x")
+    }
+  }
+
+  test("Cramér's V is exactly 1 when the label is determined by the split") {
+    val ns = (ms: Long) => ms * 1000000L
+    val rows = (0 until 8).map { i =>
+      (i.toLong, ns(1000L * i), i.toLong,
+        if (i % 2 == 0) "even" else "odd", 1.0, "{}")
+    }
+    val dir = stageTables("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_cramers_v", dir).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2)) === ((8L, 2L, 2L)))
+    assert(r(0).getDouble(4) === 1.0, "perfect association scores V = 1")
+  }
+
+  test("packed-archive replay equals the flat replay row for row") {
+    val ns = (ms: Long) => ms * 1000000L
+    val rows = (0 until 30).map { i =>
+      (i.toLong, ns(3600000L * (i % 3) + 1000L * i), i.toLong % 4,
+        if (i % 2 == 0) "a" else "b", i + 0.25, s"""{"k": $i}""")
+    }
+    val dir = stageTables("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val packed = run("replay_kpl", dir).collect().map(_.toSeq).toSeq
+    val flat = run("replay_stream", dir).collect().map(_.toSeq).toSeq
+    assert(packed === flat,
+      "aggregated-record replay must reproduce the flat replay exactly")
+  }
+
   test("fuzzy levenshtein candidates scale linearly on a length-disjoint doubled fixture") {
     // The (brand, length-bucket ±1) blocking keys the |Δlen| ≤ 2 band
     // into the join itself: doubling the corpus with a copy whose
