@@ -909,11 +909,20 @@ class EdgeCaseSpec extends SparkSpec {
   test("KPL deaggregation conserves counts and checksums across packed batches") {
     val ns = (ms: Long) => ms * 1000000L
     // 20 messages → 3 aggregated records (ids 0-7, 8-15, 16-19); props
-    // lengths vary so sub-record length prefixes genuinely differ
+    // lengths vary so sub-record length prefixes genuinely differ, and
+    // the payloads are adversarial: the record magic ("AGG"), 8-digit
+    // runs that mimic length prefixes, and multi-byte unicode — the
+    // offset walk must be driven by the prefixes alone, and character
+    // (not byte) counting must agree between pack and unpack
     val rows = (0 until 20).map { i =>
       (i.toLong, ns(1000L * i), i.toLong % 5,
         if (i % 2 == 0) "a" else "b", i + 0.25,
-        if (i % 3 == 0) "{}" else s"""{"k": $i, "pad": "${"x" * i}"}""")
+        i % 4 match {
+          case 0 => "{}"
+          case 1 => s"""{"k": $i, "pad": "AGG0001${"x" * i}"}"""
+          case 2 => s"""{"k": $i, "pad": "00000042héllo wörld ünïcode"}"""
+          case _ => s"""{"k": $i, "pad": "${"x" * i}"}"""
+        })
     }
     val dir = stageTables("events" ->
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
