@@ -102,9 +102,7 @@ object TextRank {
     * engines), so the float sum is bitwise order-independent — only
     * ln()'s documented 1-ulp libm risk remains under the 4dp grid.
     */
-  private val textBm25 = Q(
-    "text_bm25",
-    (s, d) => {
+  private[ops] def bm25Top(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
         sum(when($"w" === t, 1L).otherwise(0L)).as(s"tf$i")
@@ -140,8 +138,12 @@ object TextRank {
         .withColumn("rnk",
           row_number().over(Window.orderBy($"score".desc, $"doc_id".asc))
             .cast("long"))
-    },
-    Some {
+  }
+
+  /** The full BM25 leaderboard query as oracle SQL — shared verbatim
+    * by `text_bm25` and (as a nested subquery) `sim_rank_fusion`.
+    */
+  private[ops] val bm25OracleSql: String = {
       val tfs = QueryTerms.zipWithIndex.map { case (t, i) =>
         s"sum(CASE WHEN w = '$t' THEN 1 ELSE 0 END) AS tf$i"
       }.mkString(", ")
@@ -168,7 +170,53 @@ object TextRank {
         "SELECT doc_id, score, CAST(row_number() OVER " +
         "(ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk FROM top " +
         "ORDER BY rnk"
-    })
+  }
 
-  val qs: Seq[Q] = Seq(textTfidf, textBm25)
+  private val textBm25 = Q("text_bm25", (s, d) => bm25Top(s, d),
+    Some(bm25OracleSql))
+
+  // ------------------------------------------------------------------
+  // sim_rank_fusion — HYBRID retrieval by Reciprocal Rank Fusion
+  // (Cormack et al. 2009, the public fusion rule production hybrid
+  // search defaults to): the lexical BM25 leaderboard and the dense
+  // exact-cosine top-20 (probe vec 0; doc_id ≡ vec_id, the
+  // multimodal_join contract) merge by score Σ 1/(60 + rank) — spelled
+  // as the EXACT integer 10⁹ div (60 + rank) so the fused ordering is
+  // bit-identical in both engines. Docs found by only one modality
+  // keep their single term; the report flags which lists hit. One
+  // full-outer join of two ≤20-row lists — the fusion itself is free;
+  // each side keeps its own scale shape (BM25's one-scan agg, the
+  // cosine broadcast probe).
+  // ------------------------------------------------------------------
+
+  private val simRankFusion = Q(
+    "sim_rank_fusion",
+    (s, d) => {
+      import s.implicits._
+      val lex = bm25Top(s, d).select($"doc_id", $"rnk".as("rl"))
+      val den = LlmPipeline.exactTopKMulti(s, d, 20, Seq(0L))
+        .select($"vec_id".as("doc_id"), $"rn".cast("long").as("rd"))
+      lex.join(den, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          $"rl".isNotNull.cast("long").as("in_lexical"),
+          $"rd".isNotNull.cast("long").as("in_dense"),
+          (coalesce(expr("1000000000 div (60 + rl)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + rd)"), lit(0L))).as("rrf_q"))
+        .orderBy($"rrf_q".desc, $"doc_id".asc)
+        .limit(10)
+    },
+    Some("WITH lex AS (SELECT doc_id, rl FROM (SELECT doc_id, rnk AS rl " +
+      s"FROM ($bm25OracleSql))), " +
+      "den AS (SELECT vec_id AS doc_id, CAST(row_number() OVER " +
+      "(ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rd " +
+      s"FROM (${LlmPipeline.exactTopkSql(20)})) " +
+      "SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id, " +
+      "CAST(lex.doc_id IS NOT NULL AS BIGINT) AS in_lexical, " +
+      "CAST(den.doc_id IS NOT NULL AS BIGINT) AS in_dense, " +
+      "COALESCE(1000000000 // (60 + rl), 0) + " +
+      "COALESCE(1000000000 // (60 + rd), 0) AS rrf_q " +
+      "FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id " +
+      "ORDER BY rrf_q DESC, doc_id ASC LIMIT 10"))
+
+  val qs: Seq[Q] = Seq(textTfidf, textBm25, simRankFusion)
 }
