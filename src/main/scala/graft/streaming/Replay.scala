@@ -759,41 +759,47 @@ object Replay {
     * the hash match proves the evolving replay neither lost rows nor
     * misfiled them across schema generations.
     */
+  private[graft] def replaySchemaEvolveAgg(
+      s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ev = Tables.events(s, d)
+    val dir = TmpDirs.dir("events-evolve")
+    val v1cols = Ndjson.fields.map(f => col(f.name))
+    ev.filter($"event_id" % 2 === 0)
+      .select(to_json(struct(v1cols: _*)).as("value"))
+      .write.mode("overwrite").text(dir)
+    ev.filter($"event_id" % 2 =!= 0)
+      .withColumn("rev", round($"value" * 100).cast("long"))
+      .select(to_json(struct(v1cols :+ col("rev"): _*)).as("value"))
+      .write.mode("append").text(dir)
+    val evolved = StructType(Ndjson.fields :+ StructField("rev", LongType))
+    val rdr = s.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+    maxFilesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n))
+    val in = rdr.text(dir)
+      .select(from_json($"value", evolved).as("e"))
+      .select($"e.event_type", $"e.rev")
+    runAggToTable(s,
+      in.groupBy($"event_type").agg(
+        count(lit(1)).as("cnt"),
+        sum($"rev".isNull.cast("long")).as("n_v1"),
+        sum($"rev".isNotNull.cast("long")).as("n_v2"),
+        coalesce(sum($"rev"), lit(0L)).as("rev_sum")),
+      TmpDirs.dir("evolve-ckpt"),
+      "evolve_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("event_type")
+  }
+
   private val replaySchemaEvolve = Q(
     "replay_schema_evolve",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       if (Tables.events(s, d).isEmpty)
         Seq.empty[(String, Long, Long, Long, Long)]
           .toDF("event_type", "cnt", "n_v1", "n_v2", "rev_sum")
-      else {
-        val ev = Tables.events(s, d)
-        val dir = TmpDirs.dir("events-evolve")
-        val v1cols = Ndjson.fields.map(f => col(f.name))
-        ev.filter($"event_id" % 2 === 0)
-          .select(to_json(struct(v1cols: _*)).as("value"))
-          .write.mode("overwrite").text(dir)
-        ev.filter($"event_id" % 2 =!= 0)
-          .withColumn("rev", round($"value" * 100).cast("long"))
-          .select(to_json(struct(v1cols :+ col("rev"): _*)).as("value"))
-          .write.mode("append").text(dir)
-        val evolved = StructType(Ndjson.fields :+ StructField("rev", LongType))
-        val in = s.readStream
-          .schema(StructType(Seq(StructField("value", StringType))))
-          .text(dir)
-          .select(from_json($"value", evolved).as("e"))
-          .select($"e.event_type", $"e.rev")
-        runAggToTable(s,
-          in.groupBy($"event_type").agg(
-            count(lit(1)).as("cnt"),
-            sum($"rev".isNull.cast("long")).as("n_v1"),
-            sum($"rev".isNotNull.cast("long")).as("n_v2"),
-            coalesce(sum($"rev"), lit(0L)).as("rev_sum")),
-          TmpDirs.dir("evolve-ckpt"),
-          "evolve_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-          .orderBy("event_type")
-      }
+      else replaySchemaEvolveAgg(s, d)
     },
     Some("SELECT event_type, count(*) AS cnt, " +
       "CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1, " +
@@ -812,33 +818,38 @@ object Replay {
     * pack → stream → deaggregate → window lost, duplicated, and
     * corrupted nothing, independent of micro-batching.
     */
+  private[graft] def replayKplAgg(
+      s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = graft.ops.ScaleOps.stageKplArchive(s, d)
+    val rdr = s.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+    maxFilesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n))
+    val in = graft.ops.ScaleOps.kplDeaggregate(rdr.text(dir))
+    runAggToTable(s,
+      in.select($"e.event_type", $"e.value", $"e.ms")
+        .withColumn("ets", timestamp_millis($"ms"))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window($"ets", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), sum($"value".cast(Det.Dec)).as("tot")),
+      TmpDirs.dir("kpl-ckpt"),
+      "kpl_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .select(unix_timestamp($"window.start").as("hour_start"),
+        $"event_type", $"cnt",
+        Det.dround($"tot".cast("double"), 2).as("total_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
   private val replayKpl = Q(
     "replay_kpl",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.types.{StringType, StructField, StructType}
       if (Tables.events(s, d).isEmpty)
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
-      else {
-        val dir = graft.ops.ScaleOps.stageKplArchive(s, d)
-        val in = graft.ops.ScaleOps.kplDeaggregate(
-          s.readStream
-            .schema(StructType(Seq(StructField("value", StringType))))
-            .text(dir))
-        runAggToTable(s,
-          in.select($"e.event_type", $"e.value", $"e.ms")
-            .withColumn("ets", timestamp_millis($"ms"))
-            .withWatermark("ets", "1 hour")
-            .groupBy(window($"ets", "1 hour"), $"event_type")
-            .agg(count(lit(1)).as("cnt"), sum($"value".cast(Det.Dec)).as("tot")),
-          TmpDirs.dir("kpl-ckpt"),
-          "kpl_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-          .select(unix_timestamp($"window.start").as("hour_start"),
-            $"event_type", $"cnt",
-            Det.dround($"tot".cast("double"), 2).as("total_value"))
-          .orderBy("hour_start", "event_type")
-      }
+      else replayKplAgg(s, d)
     },
     Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +

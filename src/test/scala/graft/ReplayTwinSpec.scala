@@ -455,4 +455,27 @@ class ReplayTwinSpec extends SparkSpec {
     // the put-batch contract still holds after the replaced epoch
     assert(sunk.groupBy("shard", "put_seq").count().filter(col("count") > 500).isEmpty)
   }
+
+  test("throttled packed-archive replay (1 file/epoch) equals the unthrottled run") {
+    // aggregated records split across micro-batches: the in-stream
+    // deaggregation must be batch-boundary-invariant
+    val throttled = Replay.replayKplAgg(spark, sf, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq)
+    val single = run("replay_kpl").collect().map(_.toSeq)
+    assert(throttled.toSeq === single.toSeq)
+    val batch = run("stream_tumbling").collect().map(_.toSeq)
+    assert(throttled.toSeq === batch.toSeq,
+      "packed, throttled replay must still equal the batch twin")
+  }
+
+  test("throttled schema-evolving replay processes eras in separate epochs, same result") {
+    // era files land in different micro-batches under the 1-file
+    // throttle — the evolving from_json must file v1/v2 rows
+    // identically to the single-pass run
+    val throttled = Replay
+      .replaySchemaEvolveAgg(spark, sf, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq)
+    val single = run("replay_schema_evolve").collect().map(_.toSeq)
+    assert(throttled.toSeq === single.toSeq)
+  }
 }
