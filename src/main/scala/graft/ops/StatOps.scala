@@ -230,9 +230,13 @@ object StatOps {
         .select($"event_type", $"event_id", $"value", $"cd")
         .orderBy("event_type", "event_id")
     },
+    // NULLS FIRST spelled explicitly: the Spark ledger window sorts
+    // NULL values first (Spark's ASC default) while DuckDB's window
+    // default is NULLS LAST — the divergence the null-safe join-back
+    // exists to carry correctly
     Some("SELECT event_type, event_id, value, " +
       OSql.sround("cume_dist() OVER (PARTITION BY event_type " +
-        "ORDER BY value)", 6) + " AS cd " +
+        "ORDER BY value NULLS FIRST)", 6) + " AS cd " +
       "FROM events ORDER BY event_type, event_id"))
 
   // ------------------------------------------------------------------

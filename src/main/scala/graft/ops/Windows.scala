@@ -290,9 +290,12 @@ object Windows {
       import s.implicits._
       // the two-phase global-rank spelling (rankIdsPlan shape): range
       // shuffle + id arithmetic + broadcast prefix offsets give every
-      // row its unique rn; rank/peer-cume come off the per-value
-      // ledger; percent_rank/cume_dist are then pure arithmetic — no
-      // global WindowExec even on the dimension table
+      // row its unique rn. The window ORDER key (s_acctbal, s_suppkey)
+      // is a total order — NO peers — so percent_rank = (rn−1)/(n−1)
+      // and cume_dist = rn/n directly, with no per-value peer ledger
+      // (grouping peers by s_acctbal alone would diverge from the
+      // oracle's suppkey-tiebroken window on tied balances). No global
+      // WindowExec even on the dimension table.
       val ids = t(s, d, "supplier")
         .select($"s_suppkey", $"s_acctbal")
         .repartitionByRange(32, $"s_acctbal".desc, $"s_suppkey".asc)
@@ -304,17 +307,14 @@ object Windows {
       val offs = prefixOffsets(
         ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
       val tot = ids.agg(count(lit(1)).as("nn"))
-      val rn = ids.join(broadcast(offs), "pid")
-        .select($"s_suppkey", $"s_acctbal", ($"lrn" + $"off").as("rn"))
-      val vt = rn.groupBy($"s_acctbal".as("v"))
-        .agg(min($"rn").as("vmin"), max($"rn").as("vmax"))
-      rn.join(vt, $"s_acctbal" === $"v")
+      ids.join(broadcast(offs), "pid")
+        .withColumn("rn", $"lrn" + $"off")
         .crossJoin(broadcast(tot))
         .select($"s_suppkey", $"s_acctbal",
           dround(when($"nn" > 1,
-            ($"vmin" - 1).cast("double") / ($"nn" - 1)).otherwise(0.0), 6)
+            ($"rn" - 1).cast("double") / ($"nn" - 1)).otherwise(0.0), 6)
             .as("prank"),
-          dround($"vmax".cast("double") / $"nn", 6).as("cdist"))
+          dround($"rn".cast("double") / $"nn", 6).as("cdist"))
         .orderBy("s_suppkey")
     },
     Some("SELECT s_suppkey, s_acctbal, " +

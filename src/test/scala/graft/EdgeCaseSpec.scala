@@ -1018,6 +1018,34 @@ class EdgeCaseSpec extends SparkSpec {
       "aggregated-record replay must reproduce the flat replay exactly")
   }
 
+  test("percent_rank treats tied balances as distinct ranks — the suppkey tiebreak is part of the order") {
+    // the oracle windows on (s_acctbal DESC, s_suppkey ASC) — a TOTAL
+    // order with no peers — so tied balances must NOT share a rank
+    val dir = stageTables("supplier" -> Seq(
+      (1L, 100.0), (2L, 100.0), (3L, 50.0))
+      .toDF("s_suppkey", "s_acctbal"))
+    val r = run("window_percent_rank", dir).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((0.0, 0.333333)), "first of the tied pair ranks 1")
+    assert(r(2L) === ((0.5, 0.666667)), "second of the tied pair ranks 2 — not a shared peer rank")
+    assert(r(3L) === ((1.0, 1.0)))
+  }
+
+  test("cume_dist ranks NULL values first, matching the explicit oracle placement") {
+    val ns = (ms: Long) => ms * 1000000L
+    val rows = Seq(
+      (0L, ns(1000L), 1L, "t", Some(1.0), "{}"),
+      (1L, ns(2000L), 2L, "t", (None: Option[Double]), "{}"),
+      (2L, ns(3000L), 3L, "t", Some(2.0), "{}"))
+    val dir = stageTables("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val byId = run("window_cume_dist", dir).collect()
+      .map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(byId(1L) === 0.333333, "the NULL value sorts FIRST (cd = 1/3)")
+    assert(byId(0L) === 0.666667)
+    assert(byId(2L) === 1.0)
+  }
+
   test("fuzzy levenshtein candidates scale linearly on a length-disjoint doubled fixture") {
     // The (brand, length-bucket ±1) blocking keys the |Δlen| ≤ 2 band
     // into the join itself: doubling the corpus with a copy whose
