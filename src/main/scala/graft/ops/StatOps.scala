@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
@@ -18,11 +18,12 @@ import graft.core.{Det, OSql, Q, Tables}
   *    |event_types| rows of exact integer moment sums (partial+final
   *    agg); no row-level shuffle, and the skew/kurtosis formulas run on
   *    the tiny aggregate only.
-  *  - agg_weighted_median: two-phase over deterministic price cells —
-  *    a map-side (flag, cell) weight ledger, broadcast prefix offsets,
-  *    and a running window over ONLY the half-weight crossing cell;
-  *    the fact is scanned twice and shuffled never, and no WindowExec
-  *    keyed by the 3-value returnflag ever sees fact-scale input.
+  *  - agg_weighted_median: two-level bisection over deterministic
+  *    price cells — bounded map-side weight ledgers, broadcast prefix
+  *    theta-joins, and a running window over ONLY the final crossing
+  *    cell (~N/65536 of the rows); the fact is scanned, never
+  *    shuffled, and no WindowExec keyed by the 3-value returnflag
+  *    ever sees fact-scale input.
   *  - window_cume_dist: the window runs over the bounded per-(type,
   *    value) count ledger (2-decimal value domain), broadcast back to
   *    the fact — never a fact-row WindowExec keyed by event_type.
@@ -123,61 +124,98 @@ object StatOps {
   // integral, so all weights are exact longs and the 2·W ≥ T pick is
   // pure integer comparison — no float boundary.
   //
-  // Scale shape (two-phase over DETERMINISTIC price cells — no
-  // WindowExec over fact rows keyed by the 3-value returnflag, which
-  // would funnel N/3 rows through one task, and no fact shuffle at
-  // all): (1) one scan collapses map-side to the per-(flag, cell)
-  // weight ledger, cells = exact integer cents div 100000 ($1000
-  // slabs over the bounded price domain — the cell width is the
-  // deployment knob, narrowed as N grows exactly like the IVF K);
-  // (2) broadcast exclusive prefix sums over the tiny ledger locate,
-  // per group, the ONE cell where the cumulative weight crosses half
-  // the total; (3) a second scan keeps only the crossing cell's rows
-  // (the broadcast join filters map-side), and the running-sum window
-  // sees ~N/|cells| rows per group — never N/|groups|. Shuffled bytes:
-  // two tiny ledgers; the fact is scanned twice, moved never —
-  // cheaper at 100 TB than any full range repartition. Deterministic
-  // cells also need no checkpoint: integer arithmetic, not sampled
-  // boundaries.
+  // Scale shape — TWO-LEVEL BISECTION over deterministic price cells
+  // (no WindowExec keyed by the 3-value returnflag, no fact shuffle at
+  // all): each level buckets cents by a STATIC width (coarse $1000
+  // slabs over the bounded price domain; fine = coarse/256 — pure
+  // literals, so no sampling, no bounds scan, no checkpoint),
+  // collapses rows map-side to a bounded weight ledger, runs the
+  // exclusive prefix as a broadcast theta-join on that ledger, and
+  // descends into the single cell per group where the cumulative
+  // weight crosses half the total. After two levels the crossing fine
+  // cell holds ~N/65536 of the rows; only those feed the running-sum
+  // window (its partition key is the fine cell). The fact is scanned
+  // three times (coarse ledger, fine ledger, finish) and moved never —
+  // at 100 TB, pruned column scans beat a full range repartition by
+  // orders of magnitude of shuffled bytes. Deployment knobs: widths
+  // narrow with N, and each extra DEPTH level divides the final
+  // window's input by another 256. The tiny ledgers and 3-row
+  // crossing tables are Mat'd — each feeds several consumers, and
+  // left lazy every branch would re-run a fact scan.
   // ------------------------------------------------------------------
 
   private val aggWeightedMedian = Q(
     "agg_weighted_median",
     (s, d) => {
       import s.implicits._
-      val li = Tables.t(s, d, "lineitem")
+      // static cell widths — pure literals, so cell ids need no bounds
+      // scan, no crossJoin, and no checkpoint: coarse = $1000 cent
+      // slabs (domain-bounded ledger), fine = coarse/256. Deployment
+      // narrows both with N (the derived-parameter knob); depth adds
+      // another 256× division of the final window's input per level.
+      val W1 = 100000L
+      val W2 = (W1 + 255) / 256
+      def li0 = Tables.t(s, d, "lineitem")
         .select($"l_returnflag", $"l_extendedprice",
           $"l_quantity".cast("long").as("w"),
           $"l_orderkey", $"l_linenumber")
-        .withColumn("cell",
-          expr("cast(round(l_extendedprice * 100) as bigint) div 100000"))
-      // (1) per-(flag, cell) weight ledger — map-side combine
-      val cells = li.groupBy($"l_returnflag", $"cell")
-        .agg(sum($"w").as("sw"))
-      // (2) per-group exclusive prefix over cells + group totals, both
-      // via broadcast theta-join on the tiny ledger (no window at all)
-      val base = cells.as("a")
-        .join(broadcast(cells.as("b")),
-          $"b.l_returnflag" === $"a.l_returnflag" && $"b.cell" < $"a.cell",
-          "left_outer")
-        .groupBy($"a.cell".as("cell"), $"a.l_returnflag".as("l_returnflag"),
-          $"a.sw".as("sw"))
-        .agg(coalesce(sum($"b.sw"), lit(0L)).as("base"))
-      val tw = cells.groupBy($"l_returnflag").agg(sum($"sw").as("tw"))
-      // the one cell per group where the running weight crosses tw/2
-      val target = base.join(tw, "l_returnflag")
-        .filter(lit(2) * ($"base" + $"sw") >= $"tw")
-        .groupBy($"l_returnflag")
-        .agg(min_by(struct($"cell", $"base", $"tw"), $"cell").as("t"))
-        .select($"l_returnflag", $"t.cell".as("cell"),
-          $"t.base".as("base"), $"t.tw".as("tw"))
-      // (3) running sum over the crossing cell's rows only
-      val wloc = Window.partitionBy($"cell", $"l_returnflag")
+        .withColumn("c", expr("cast(round(l_extendedprice * 100) as bigint)"))
+      def withC1(df: DataFrame) = df.withColumn("c1", expr(s"c div $W1"))
+      // exclusive prefix + crossing pick over a bounded (grp, cell)
+      // ledger — broadcast theta-join, no window
+      def crossing(cells: DataFrame, cellCol: String, cum0: Column)
+          : DataFrame = {
+        val base = cells.as("a")
+          .join(broadcast(cells.as("b")),
+            $"b.l_returnflag" === $"a.l_returnflag" &&
+              col(s"b.$cellCol") < col(s"a.$cellCol"), "left_outer")
+          .groupBy(col(s"a.$cellCol").as(cellCol),
+            $"a.l_returnflag".as("l_returnflag"), $"a.sw".as("sw"),
+            $"a.tw".as("tw"), $"a.cum0".as("cum0"))
+          .agg(coalesce(sum($"b.sw"), lit(0L)).as("base"))
+        base
+          .filter(lit(2) * (cum0 + $"base" + $"sw") >= $"tw")
+          .groupBy($"l_returnflag")
+          .agg(min_by(struct(col(cellCol), $"base", $"tw", $"cum0"),
+            col(cellCol)).as("t"))
+          .select($"l_returnflag", $"t.$cellCol".as(cellCol),
+            ($"t.cum0" + $"t.base").as("cum0"), $"t.tw".as("tw"))
+      }
+      // level 1: coarse ledger → crossing coarse cell per group. The
+      // ≤256·G-row ledger is Mat'd: it feeds the group totals, both
+      // theta-join branches, and the crossing pick — left lazy, every
+      // consumer would re-run the fact scan (no cross-branch subtree
+      // sharing in Catalyst)
+      val cl1 = graft.core.Mat(s,
+        withC1(li0).groupBy($"l_returnflag", $"c1").agg(sum($"w").as("sw")),
+        "wmed-l1")
+      val tw = cl1.groupBy($"l_returnflag").agg(sum($"sw").as("tw"))
+      val l1 = cl1.join(broadcast(tw), "l_returnflag")
+        .withColumn("cum0", lit(0L))
+      // the 3-row crossing tables are Mat'd so the downstream queries
+      // broadcast a parquet read instead of re-running the pick subtree
+      val t1 = broadcast(graft.core.Mat(s,
+        crossing(l1, "c1", $"cum0"), "wmed-t1"))
+      // level 2: ≤256 fine cells WITHIN the crossing coarse cell
+      def withC2(df: DataFrame) = withC1(df)
+        .join(t1, Seq("l_returnflag", "c1"))
+        .withColumn("c2", expr(s"(c - c1 * $W1) div $W2"))
+      val l2 = graft.core.Mat(s,
+        withC2(li0).groupBy($"l_returnflag", $"c1", $"c2", $"cum0", $"tw")
+          .agg(sum($"w").as("sw")),
+        "wmed-l2")
+      val t2 = broadcast(graft.core.Mat(s,
+        crossing(l2.select($"l_returnflag", $"c2", $"sw", $"tw", $"cum0"),
+          "c2", $"cum0"),
+        "wmed-t2"))
+      // finish: running sum over ONLY the crossing fine cell's rows
+      val wloc = Window.partitionBy($"c1", $"c2", $"l_returnflag")
         .orderBy($"l_extendedprice".asc, $"l_orderkey".asc,
           $"l_linenumber".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      li.join(broadcast(target), Seq("cell", "l_returnflag"))
-        .withColumn("cw", $"base" + sum($"w").over(wloc))
+      withC2(li0).drop("cum0", "tw")
+        .join(t2, Seq("l_returnflag", "c2"))
+        .withColumn("cw", $"cum0" + sum($"w").over(wloc))
         .groupBy("l_returnflag")
         .agg(min($"tw").as("total_weight"),
           min(when(lit(2) * $"cw" >= $"tw", $"l_extendedprice"))

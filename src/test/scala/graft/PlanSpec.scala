@@ -561,9 +561,11 @@ class PlanSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(wmWindows.nonEmpty)
-    for (w <- wmWindows)
-      assert(w.toString.linesIterator.next().contains("cell"),
-        "the running-sum window must be partitioned by the price cell, " +
-          "not the 3-value returnflag alone")
+    for (w <- wmWindows) {
+      val head = w.toString.linesIterator.next()
+      assert(head.contains("c1") && head.contains("c2"),
+        "the running-sum window must be partitioned by the bisection " +
+          "cells, not the 3-value returnflag alone")
+    }
   }
 }
