@@ -1046,6 +1046,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(byId(2L) === 1.0)
   }
 
+  test("weighted-median bisection lands exactly on half-weight boundaries in and across cells") {
+    // flag A: all prices inside ONE coarse $1000 cell, crossing exactly
+    // at 2W = T on the first price; flag B: crossing mid-range in the
+    // second cell; flag C: 2W = T exactly on the FIRST cell's last unit
+    // — the descent must not skip past an exact-boundary cell
+    val rows = Seq(
+      ("A", 10.00, 3L), ("A", 12.00, 1L), ("A", 19.99, 2L),
+      ("B", 500.00, 5L), ("B", 1500.00, 5L), ("B", 2500.00, 2L),
+      ("C", 500.00, 6L), ("C", 1500.00, 4L), ("C", 2500.00, 2L))
+    val li = rows.zipWithIndex.map { case ((f, p, w), i) =>
+      (f, p, w, i.toLong, 1) }
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber")
+    val got = run("agg_weighted_median", stageTables("lineitem" -> li))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("A") === ((6L, 10.00)), "2W = T picks the first price")
+    assert(got("B") === ((12L, 1500.00)), "crossing lands in the second cell")
+    assert(got("C") === ((12L, 500.00)), "exact boundary stays in the first cell")
+  }
+
   test("fuzzy levenshtein candidates scale linearly on a length-disjoint doubled fixture") {
     // The (brand, length-bucket ±1) blocking keys the |Δlen| ≤ 2 band
     // into the join itself: doubling the corpus with a copy whose
