@@ -329,6 +329,16 @@ object Sessions {
   *     while DuckDB rounds the scaled binary value — they disagree near
   *     .5 boundaries. floor/mul/add are IEEE-deterministic and identical
   *     in both engines.
+  *
+  * Known bound on the DOUBLE → DECIMAL cast itself (the `Dec`-typed
+  * exact sums): Spark rounds the double's shortest decimal
+  * representation (BigDecimal HALF_UP) while DuckDB rounds the scaled
+  * binary value — inputs with ≥7 fractional decimal digits sitting at
+  * a scale-6 .5 boundary can yield decimal operands 1e-6 apart before
+  * any sum. The archive contract (SURVEY §1.3) pins value columns to
+  * 2 decimals, where the boundary cannot arise; a >6-decimal source
+  * would need to quantize to integers (round(x·10^k)) before casting,
+  * as the cent-ledger operators already do.
   */
 object Det {
   val Dec: DecimalType = DecimalType(20, 6)

@@ -50,13 +50,15 @@ object AnalyticsOps {
         last($"v", ignoreNulls = true).over(w).as("v_filled"))
         .orderBy("user_id", "ms", "event_id")
     },
+    // NULLS FIRST spelled on the ms keys: a NULL ts must order the
+    // same way as Spark's ASC default (DuckDB defaults NULLS LAST)
     Some("SELECT user_id, event_id, epoch_ms(ts) AS ms, v, " +
       "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id " +
-      "ORDER BY epoch_ms(ts), event_id " +
+      "ORDER BY epoch_ms(ts) NULLS FIRST, event_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
       "FROM (SELECT user_id, event_id, ts, " +
       "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v " +
-      "FROM events) ORDER BY user_id, ms, event_id"))
+      "FROM events) ORDER BY user_id, ms NULLS FIRST, event_id"))
 
   // ------------------------------------------------------------------
   // agg_median_mode — exact interpolated median plus a DETERMINISTIC
@@ -90,7 +92,7 @@ object AnalyticsOps {
       "count(*) AS cnt FROM events GROUP BY 1, 2), " +
       "md AS (SELECT event_type, b AS mode_bucket, cnt AS mode_cnt, " +
       "row_number() OVER (PARTITION BY event_type " +
-      "ORDER BY cnt DESC, b ASC) AS rn FROM bk) " +
+      "ORDER BY cnt DESC, b ASC NULLS FIRST) AS rn FROM bk) " +
       "SELECT m.event_type, m.n, m.median_v, md.mode_bucket, md.mode_cnt " +
       "FROM med m JOIN md ON m.event_type = md.event_type AND md.rn = 1 " +
       "ORDER BY 1"))
@@ -150,8 +152,14 @@ object AnalyticsOps {
     "window_gap_fill",
     (s, d) => {
       import s.implicits._
+      // epoch-day arithmetic, not to_date(timestamp_millis(...)): the
+      // latter reads the SESSION timezone, and an externally-built
+      // non-UTC session would shift events across day boundaries while
+      // the oracle's date_trunc over the naive ts stays UTC
       val ev = Tables.events(s, d)
-        .select($"event_type", to_date(timestamp_millis($"ms")).as("day"))
+        .select($"event_type",
+          expr("date_add(date'1970-01-01', cast(ms div 86400000 as int))")
+            .as("day"))
       val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
       val spine = ev.agg(min($"day").as("mn"), max($"day").as("mx"))
         .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))

@@ -82,7 +82,7 @@ object SeqOps {
       "f AS (SELECT user_id, event_id, ms, event_type, " +
       "CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type " +
       "THEN 1 ELSE 0 END AS is_new FROM e " +
-      "WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)), " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC NULLS FIRST, event_id ASC)), " +
       "i AS (SELECT user_id, ms, event_type, CAST(SUM(is_new) OVER (PARTITION BY user_id " +
       "ORDER BY ms ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "AS BIGINT) AS island FROM f) " +
@@ -119,7 +119,7 @@ object SeqOps {
     Some("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type " +
       "FROM events), " +
       "b AS (SELECT user_id, event_type AS next, lag(event_type) OVER " +
-      "(PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS prev FROM e), " +
+      "(PARTITION BY user_id ORDER BY ms ASC NULLS FIRST, event_id ASC) AS prev FROM e), " +
       "c AS (SELECT prev, next, count(*) AS cnt FROM b WHERE prev IS NOT NULL " +
       "GROUP BY 1, 2), " +
       "t AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1) " +
@@ -170,7 +170,7 @@ object SeqOps {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc FROM ep), " +
       "p AS (SELECT MAX(conc) AS peak FROM r) " +
       "SELECT p.peak, (SELECT MIN(t) FROM r WHERE r.conc = p.peak) AS first_peak_ms " +
-      "FROM p"))
+      "FROM p WHERE p.peak IS NOT NULL"))
 
   // ------------------------------------------------------------------
   // funnel_time_to_convert — latency distribution of the view →
@@ -333,9 +333,9 @@ object SeqOps {
       "FROM events), " +
       "g AS (SELECT *, CASE WHEN ms - lag(ms) OVER fr > 1800000 " +
       "OR lag(ms) OVER fr IS NULL THEN 1 ELSE 0 END AS gap FROM ev " +
-      "WINDOW fr AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+      "WINDOW fr AS (PARTITION BY user_id ORDER BY ms NULLS FIRST, event_id)), " +
       "sid AS (SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id " +
-      "ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "ORDER BY ms NULLS FIRST, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
       "CURRENT ROW) AS BIGINT) AS sid FROM g), " +
       "ps AS (SELECT user_id, sid, count(*) AS n_events, " +
       "max(ms) - min(ms) AS span_ms, " +
@@ -412,7 +412,7 @@ object SeqOps {
     },
     Some("WITH dl AS (SELECT event_type, " +
       "ms - lag(ms) OVER (PARTITION BY event_type, user_id " +
-      "ORDER BY ms, event_id) AS delta FROM " +
+      "ORDER BY ms NULLS FIRST, event_id) AS delta FROM " +
       "(SELECT event_type, user_id, event_id, epoch_ms(ts) AS ms " +
       "FROM events)) " +
       "SELECT event_type, count(*) AS n_gaps, " +

@@ -291,12 +291,15 @@ object TsOps {
           expr("win[((size(win) + 1) div 2) - 1]").as("med_c"))
         .orderBy("user_id", "ms", "event_id")
     },
+    // list_sort is pinned 'ASC NULLS FIRST' to match Spark's
+    // sort_array (DuckDB's default sorts NULLs LAST), and the window's
+    // ms key pins NULLS FIRST for the same reason
     Some("SELECT user_id, epoch_ms(ts) AS ms, event_id, c, " +
       "l[(len(l) + 1) // 2] AS med_c FROM " +
       "(SELECT user_id, ts, event_id, c, " +
       "list_sort(array_agg(c) OVER (PARTITION BY user_id " +
-      "ORDER BY epoch_ms(ts), event_id " +
-      "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l FROM " +
+      "ORDER BY epoch_ms(ts) NULLS FIRST, event_id " +
+      "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 'ASC', 'NULLS FIRST') AS l FROM " +
       "(SELECT user_id, ts, event_id, " +
       "CAST(round(value*100) AS BIGINT) AS c FROM events)) " +
       "ORDER BY user_id, ms, event_id"))
@@ -542,7 +545,7 @@ object TsOps {
     Some("WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS st, " +
       "epoch_ms(ts) + 600000 AS en FROM events), " +
       "sw AS (SELECT user_id, en, st, " +
-      "max(en) OVER (PARTITION BY user_id ORDER BY st, event_id " +
+      "max(en) OVER (PARTITION BY user_id ORDER BY st NULLS FIRST, event_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv) " +
       "SELECT user_id, count(*) AS n_windows, " +
       "CAST(SUM(greatest(0, en - greatest(st, COALESCE(pmax, st)))) " +
