@@ -45,6 +45,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    // The MICROS-generation schema reads as TIMESTAMP_NTZ and msExpr's
+    // NTZ→LTZ cast reads the SESSION timezone — an externally-built
+    // non-UTC session would shift every derived ms while the DuckDB
+    // oracle's epoch_ms over the naive ts stays UTC. Heal exactly like
+    // the nanos flag: pin UTC once, only when that generation is in
+    // play and the session differs (the engine's own sessions already
+    // pin UTC in Sessions.config).
+    if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType &&
+        spark.conf.get("spark.sql.session.timeZone") != "UTC") {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     raw.withColumn("ms", msExpr(raw.schema))
   }
 

@@ -149,13 +149,10 @@ object CurateOps {
     (s, d) => {
       import s.implicits._
       val k = 16
-      val ids = t(s, d, "documents")
-        .select($"doc_id", $"n_chars", md5($"doc_id".cast("string")).as("h"))
-        .repartitionByRange(32, $"h".asc, $"doc_id".asc)
-        .sortWithinPartitions($"h".asc, $"doc_id".asc)
-        .withColumn("mid", monotonically_increasing_id())
-        .withColumn("pid", shiftright($"mid", 33))
-        .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+      val ids = Windows.rankIds(
+        t(s, d, "documents")
+          .select($"doc_id", $"n_chars", md5($"doc_id".cast("string")).as("h")),
+        $"h".asc, $"doc_id".asc)
         .localCheckpoint(true)
       val offs = Windows.prefixOffsets(
         ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")

@@ -176,7 +176,11 @@ object EventTime {
     },
     Some("WITH e AS (SELECT epoch_ms(ts)//1000 AS t, event_type FROM events), " +
       "k AS (SELECT unnest([0,1,2,3]) AS k) " +
-      "SELECT CAST((t//900 - k) * 900 AS BIGINT) AS win_start, event_type, count(*) AS cnt " +
+      // FLOOR-aligned window starts (t − posmod(t, 900)), not the //
+      // truncation, which diverges from Spark's TimeWindow on
+      // pre-epoch (negative) event times
+      "SELECT CAST((t - ((t % 900) + 900) % 900) - k * 900 AS BIGINT) AS win_start, " +
+      "event_type, count(*) AS cnt " +
       "FROM e CROSS JOIN k GROUP BY 1, 2 ORDER BY 1, 2"))
 
   /** As-of (point-in-time) join: for every event, the most recent

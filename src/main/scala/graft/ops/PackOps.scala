@@ -31,12 +31,10 @@ object PackOps {
     */
   private[graft] def packIdsPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    t(s, d, "documents")
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("tok"))
-      .repartitionByRange(32, $"doc_id".asc)
-      .sortWithinPartitions($"doc_id".asc)
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftright($"mid", 33))
+    Windows.rankIds(
+      t(s, d, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("tok")),
+      $"doc_id".asc)
   }
 
   /** SEQUENCE PACKING — the LLM-pretraining transform that concatenates

@@ -701,13 +701,8 @@ object ScaleOps {
     */
   private[graft] def rankIdsPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    t(s, d, "orders")
-      .select($"o_orderkey", $"o_totalprice")
-      .repartitionByRange(32, $"o_totalprice".desc, $"o_orderkey".asc)
-      .sortWithinPartitions($"o_totalprice".desc, $"o_orderkey".asc)
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftright($"mid", 33))
-      .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+    Windows.rankIds(t(s, d, "orders").select($"o_orderkey", $"o_totalprice"),
+      $"o_totalprice".desc, $"o_orderkey".asc)
   }
 
   private val windowRankDistributed = Q(

@@ -259,13 +259,9 @@ object SeqOps {
     "agg_histogram_equidepth",
     (s, d) => {
       import s.implicits._
-      val ids = Tables.events(s, d)
-        .select($"event_id", $"value")
-        .repartitionByRange(32, $"value".asc, $"event_id".asc)
-        .sortWithinPartitions($"value".asc, $"event_id".asc)
-        .withColumn("mid", monotonically_increasing_id())
-        .withColumn("pid", shiftright($"mid", 33))
-        .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+      val ids = Windows.rankIds(
+        Tables.events(s, d).select($"event_id", $"value"),
+        $"value".asc, $"event_id".asc)
         .localCheckpoint(true)
       val offs = Windows.prefixOffsets(
         ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")

@@ -369,10 +369,12 @@ object StatOps {
         .select($"user_id", $"event_type",
           round($"value" * 100).cast("long").as("v"),
           ($"ms" * 1000000L + $"event_id").as("ord"), $"ms")
+      // integer-only cut points: a double division then cast would
+      // truncate in Spark but round half-to-even in DuckDB's CAST —
+      // the engines disagree exactly at fractional midpoints
       val cuts = ev.agg(
-        ((min($"ms") + max($"ms")) / 2).cast("long").as("t1"),
-        (min($"ms") + (max($"ms") - min($"ms")) * 3 / 4)
-          .cast("long").as("t2"))
+        expr("(min(ms) + max(ms)) div 2").as("t1"),
+        expr("min(ms) + ((max(ms) - min(ms)) * 3) div 4").as("t2"))
       // BOTH snapshot states come from ONE aggregate: the state is the
       // lexicographic max of (ord, event_type, v) structs — ord =
       // packed (ms, event_id) is a total order, so the carried type and
@@ -406,8 +408,8 @@ object StatOps {
       "CAST(round(value*100) AS BIGINT) AS v, " +
       "epoch_ms(ts)*1000000 + event_id AS ord, epoch_ms(ts) AS ms " +
       "FROM events), " +
-      "cuts AS (SELECT CAST((min(ms)+max(ms))/2 AS BIGINT) AS t1, " +
-      "CAST(min(ms) + (max(ms)-min(ms))*3/4 AS BIGINT) AS t2 FROM ev), " +
+      "cuts AS (SELECT (min(ms)+max(ms))//2 AS t1, " +
+      "min(ms) + ((max(ms)-min(ms))*3)//4 AS t2 FROM ev), " +
       "st AS (SELECT user_id, " +
       "max(ord) FILTER (WHERE ms <= t1) AS o1, max(ord) AS o2 " +
       "FROM ev, cuts WHERE ms <= t2 GROUP BY 1), " +
@@ -616,21 +618,37 @@ object StatOps {
   // (canonical, doc_id) only.
   // ------------------------------------------------------------------
 
+  /** The shared synthetic-URL grammar (doc_id % 4 variants: plain,
+    * uppercase-host + trailing slash, utm query, fragment) — ONE
+    * definition for both URL operators (`dedup_url_canonical`,
+    * `scalar_url`) in both engines, so a grammar change cannot
+    * silently break their cross-operator fixture claim.
+    */
+  private def syntheticUrl: Column = {
+    val base = expr("doc_id div 2").cast("string")
+    when(col("doc_id") % 4 === 0,
+      concat(lit("https://site"), base, lit(".com/p")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://SITE"), base, lit(".COM/p/")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), base, lit(".com/p?utm_source=feed")))
+      .otherwise(concat(lit("https://site"), base, lit(".com/p#frag")))
+  }
+
+  private val syntheticUrlSql: String =
+    "CASE doc_id % 4 " +
+      "WHEN 0 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p' " +
+      "WHEN 1 THEN 'http://SITE' || CAST(doc_id // 2 AS VARCHAR) || '.COM/p/' " +
+      "WHEN 2 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p?utm_source=feed' " +
+      "ELSE 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p#frag' " +
+      "END"
+
   private val dedupUrlCanonical = Q(
     "dedup_url_canonical",
     (s, d) => {
       import s.implicits._
-      val base = expr("doc_id div 2").cast("string")
       val docs = Tables.t(s, d, "documents")
-        .select($"doc_id", $"source",
-          when($"doc_id" % 4 === 0,
-            concat(lit("https://site"), base, lit(".com/p")))
-            .when($"doc_id" % 4 === 1,
-              concat(lit("http://SITE"), base, lit(".COM/p/")))
-            .when($"doc_id" % 4 === 2,
-              concat(lit("https://site"), base, lit(".com/p?utm_source=feed")))
-            .otherwise(concat(lit("https://site"), base, lit(".com/p#frag")))
-            .as("url"))
+        .select($"doc_id", $"source", syntheticUrl.as("url"))
       val canon = docs.withColumn("c",
         regexp_replace(regexp_replace(regexp_replace(
           lower($"url"), "^https?://", ""), "[?#].*$", ""), "/$", ""))
@@ -641,12 +659,8 @@ object StatOps {
           sum(($"doc_id" === $"keep_id").cast("long")).as("n_kept"))
         .orderBy("source")
     },
-    Some("WITH u AS (SELECT doc_id, source, CASE doc_id % 4 " +
-      "WHEN 0 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p' " +
-      "WHEN 1 THEN 'http://SITE' || CAST(doc_id // 2 AS VARCHAR) || '.COM/p/' " +
-      "WHEN 2 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p?utm_source=feed' " +
-      "ELSE 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p#frag' " +
-      "END AS url FROM documents), " +
+    Some("WITH u AS (SELECT doc_id, source, " + syntheticUrlSql +
+      " AS url FROM documents), " +
       "c AS (SELECT doc_id, source, regexp_replace(regexp_replace(" +
       "regexp_replace(lower(url), '^https?://', ''), '[?#].*$', ''), " +
       "'/$', '') AS c FROM u), " +
@@ -782,17 +796,8 @@ object StatOps {
     "scalar_url",
     (s, d) => {
       import s.implicits._
-      val base = expr("doc_id div 2").cast("string")
       val urls = Tables.t(s, d, "documents")
-        .select($"doc_id",
-          when($"doc_id" % 4 === 0,
-            concat(lit("https://site"), base, lit(".com/p")))
-            .when($"doc_id" % 4 === 1,
-              concat(lit("http://SITE"), base, lit(".COM/p/")))
-            .when($"doc_id" % 4 === 2,
-              concat(lit("https://site"), base, lit(".com/p?utm_source=feed")))
-            .otherwise(concat(lit("https://site"), base, lit(".com/p#frag")))
-            .as("url"))
+        .select($"doc_id", syntheticUrl.as("url"))
       urls.select(
           lower(expr("parse_url(url, 'HOST')")).as("host"),
           expr("parse_url(url, 'QUERY', 'utm_source')").as("utm"),
@@ -803,12 +808,8 @@ object StatOps {
           count($"frag").as("n_fragmented"))
         .orderBy("host")
     },
-    Some("WITH u AS (SELECT doc_id, CASE doc_id % 4 " +
-      "WHEN 0 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p' " +
-      "WHEN 1 THEN 'http://SITE' || CAST(doc_id // 2 AS VARCHAR) || '.COM/p/' " +
-      "WHEN 2 THEN 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p?utm_source=feed' " +
-      "ELSE 'https://site' || CAST(doc_id // 2 AS VARCHAR) || '.com/p#frag' " +
-      "END AS url FROM documents), " +
+    Some("WITH u AS (SELECT doc_id, " + syntheticUrlSql +
+      " AS url FROM documents), " +
       "p AS (SELECT lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) " +
       "AS host, " +
       "CASE WHEN url LIKE '%?%utm_source=%' THEN " +
@@ -883,11 +884,17 @@ object StatOps {
       import s.implicits._
       import org.apache.spark.sql.types.{LongType, StringType}
       val staged = graft.core.TmpDirs.dir("csv-bad")
+      // nullable fields coalesce to the EMPTY string before concat_ws
+      // (which silently DROPS null arguments — a null value would
+      // stage a 2-field line the reader flags corrupt, while the
+      // oracle's 1-in-7 rule still counts it parsed); the empty CSV
+      // field round-trips back to null under the default nullValue
       Tables.events(s, d)
         .select(concat_ws(",",
-          $"event_id", $"event_type",
+          $"event_id", coalesce($"event_type", lit("")),
           when($"event_id" % 7 === 0, lit("xx"))
-            .otherwise(round($"value" * 100).cast("long").cast("string")))
+            .otherwise(coalesce(
+              round($"value" * 100).cast("long").cast("string"), lit(""))))
           .as("value"))
         .write.mode("overwrite").text(staged)
       val parsed = s.read

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, OSql, Q, Tables}
@@ -40,6 +40,24 @@ object Windows {
         col(s"b.$pidCol") < col(s"a.$pidCol"), "left_outer")
       .groupBy(col(s"a.$pidCol").as(pidCol))
       .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+
+  /** Phase 1 of every two-phase global-rank spelling, shared by the
+    * whole family (distributed rank/dense/ntile/percent_rank, the
+    * equi-depth histogram, sequence packing, ntile sharding): range-
+    * repartition to global (sortCols) order, sort within partitions,
+    * and derive (pid, lrn) — the partition id and the 1-based local
+    * row number — from `monotonically_increasing_id`'s (partition ≪ 33
+    * | offset) layout, so the LOCAL rank is pure arithmetic with no
+    * window at all. Callers add [[prefixOffsets]] over the per-pid
+    * counts for the global offset, and checkpoint when both phases
+    * must observe ONE sampled range partitioning.
+    */
+  private[graft] def rankIds(df: DataFrame, sortCols: Column*): DataFrame =
+    df.repartitionByRange(32, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33))
+      .withColumn("lrn", col("mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
 
   /** Top-3 orders per market segment. The rank filter is written
     * declaratively (row_number ≤ 3 over a window) and Catalyst's
@@ -96,13 +114,9 @@ object Windows {
     (s, d) => {
       import s.implicits._
       // phase 1: range-shuffle to global order; (pid, lrn) from the id
-      val ids = t(s, d, "supplier")
-        .select($"s_suppkey", $"s_acctbal")
-        .repartitionByRange(32, $"s_acctbal".desc, $"s_suppkey".asc)
-        .sortWithinPartitions($"s_acctbal".desc, $"s_suppkey".asc)
-        .withColumn("mid", monotonically_increasing_id())
-        .withColumn("pid", shiftright($"mid", 33))
-        .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+      val ids = rankIds(
+        t(s, d, "supplier").select($"s_suppkey", $"s_acctbal"),
+        $"s_acctbal".desc, $"s_suppkey".asc)
         .localCheckpoint(true)
       // phase 2: P-row exclusive prefix sums → per-partition offsets
       // (broadcast theta-join, no WindowExec — see [[prefixOffsets]])
@@ -116,12 +130,8 @@ object Windows {
       val vt = rn.groupBy($"s_acctbal".as("v")).agg(min($"rn").as("vrnk"))
       // dense_rank = the VALUE's row_number in value order — the same
       // two-phase spelling over the ≤N-row value table
-      val vids = vt
-        .repartitionByRange(32, $"v".desc)
-        .sortWithinPartitions($"v".desc)
-        .withColumn("mid2", monotonically_increasing_id())
-        .withColumn("pid2", shiftright($"mid2", 33))
-        .withColumn("lv", $"mid2".bitwiseAND(lit((1L << 33) - 1)) + 1)
+      val vids = rankIds(vt, $"v".desc)
+        .withColumnRenamed("pid", "pid2").withColumnRenamed("lrn", "lv")
         .localCheckpoint(true)
       val offs2 = prefixOffsets(
         vids.groupBy("pid2").agg(count(lit(1)).as("n")), "pid2")
@@ -261,7 +271,7 @@ object Windows {
       // order-insensitive) — no WindowExec even on the bounded ledger
       val daily = graft.core.Mat(s, Tables.events(s, d)
         .groupBy(expr("ms div 86400000").cast("long").as("day"))
-        .agg(sum($"value".cast(Dec)).as("v"), count(lit(1)).as("c")),
+        .agg(sum($"value".cast(Dec)).as("v")),
         "mavg-daily")
       daily.as("a").join(broadcast(daily.as("b")),
           $"b.day" >= $"a.day" - 6 && $"b.day" <= $"a.day")
@@ -270,7 +280,7 @@ object Windows {
         .orderBy("day")
     },
     Some("WITH dsum AS (SELECT epoch_ms(ts)//86400000 AS day, " +
-      "SUM(CAST(value AS DECIMAL(20,6))) AS v, count(*) AS c FROM events GROUP BY 1) " +
+      "SUM(CAST(value AS DECIMAL(20,6))) AS v FROM events GROUP BY 1) " +
       "SELECT CAST(day AS BIGINT) AS day, " +
       OSql.sround("CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w", 4) +
       " AS mavg7 FROM dsum WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) " +
@@ -296,13 +306,9 @@ object Windows {
       // (grouping peers by s_acctbal alone would diverge from the
       // oracle's suppkey-tiebroken window on tied balances). No global
       // WindowExec even on the dimension table.
-      val ids = t(s, d, "supplier")
-        .select($"s_suppkey", $"s_acctbal")
-        .repartitionByRange(32, $"s_acctbal".desc, $"s_suppkey".asc)
-        .sortWithinPartitions($"s_acctbal".desc, $"s_suppkey".asc)
-        .withColumn("mid", monotonically_increasing_id())
-        .withColumn("pid", shiftright($"mid", 33))
-        .withColumn("lrn", $"mid".bitwiseAND(lit((1L << 33) - 1)) + 1)
+      val ids = rankIds(
+        t(s, d, "supplier").select($"s_suppkey", $"s_acctbal"),
+        $"s_acctbal".desc, $"s_suppkey".asc)
         .localCheckpoint(true)
       val offs = prefixOffsets(
         ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
@@ -384,7 +390,13 @@ object Windows {
       rev.select($"c_mktsegment",
           sum($"r").over(run).as("cum"), sum($"r").over(tot).as("t"),
           count(lit(1)).over(tot).as("n"))
-        .withColumn("reached", ($"cum" * 5 >= $"t" * 4).cast("long"))
+        // ×5/×4 in DECIMAL: at 100 TB a segment's total cents times 5
+        // can pass Long.Max — the oracle's window SUM already widens
+        // to HUGEINT, so the Spark side must not wrap first
+        .withColumn("reached",
+          ($"cum".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 5 >=
+            $"t".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 4)
+            .cast("long"))
         .groupBy("c_mktsegment").agg(
           max($"n").as("n_customers"),
           (max($"n") - sum($"reached") + 1).as("k80"))
