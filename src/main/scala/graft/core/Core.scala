@@ -24,8 +24,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureUtcConf(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Pin the session timezone to UTC — once, at every table front
+    * door. The archive contract defines all time semantics in UTC
+    * (SURVEY §1.3) and every DuckDB oracle reads the naive timestamps
+    * as such, but Spark's timestamp display functions (year, to_date,
+    * casts) read the SESSION timezone; an externally-built non-UTC
+    * session would silently shift rows across date/filter boundaries
+    * in every timestamp-touching twin. Same healing contract as the
+    * nanos flag: write only when the value differs, never repeatedly.
+    */
+  private[graft] def ensureUtcConf(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC") {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     * default (PARQUET_TYPE_ILLEGAL). We read it as a long of nanos
@@ -45,17 +61,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosConf(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // The MICROS-generation schema reads as TIMESTAMP_NTZ and msExpr's
-    // NTZ→LTZ cast reads the SESSION timezone — an externally-built
-    // non-UTC session would shift every derived ms while the DuckDB
-    // oracle's epoch_ms over the naive ts stays UTC. Heal exactly like
-    // the nanos flag: pin UTC once, only when that generation is in
-    // play and the session differs (the engine's own sessions already
-    // pin UTC in Sessions.config).
-    if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType &&
-        spark.conf.get("spark.sql.session.timeZone") != "UTC") {
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
-    }
+    // UTC heal runs in the shared parquet front door ([[ensureUtcConf]]
+    // via [[t]]); it covers msExpr's NTZ→LTZ cast on the
+    // MICROS-generation schema too.
     raw.withColumn("ms", msExpr(raw.schema))
   }
 
@@ -83,10 +91,14 @@ object Tables {
     * directly (Replay, StreamJoin, StatefulSessions) can heal an
     * externally-built session before their first raw read.
     */
-  private[graft] def ensureNanosConf(spark: SparkSession): Unit =
+  private[graft] def ensureNanosConf(spark: SparkSession): Unit = {
+    // every caller that needs the nanos heal is also a time consumer —
+    // heal the session timezone at the same door
+    ensureUtcConf(spark)
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
+  }
 
   /** FileStreamSource wants a directory or a glob; brace-globbing the
     * file name streams a single archive file with its parent as base.

@@ -154,7 +154,13 @@ object CorpusOps {
       import s.implicits._
       val g8 = LlmPipeline.gramRows(s, d, 8)
         .select($"doc_id", md5($"x").as("g"))
-      val benchGrams = g8.filter($"doc_id" % 97 === 0).select("g").distinct()
+      // the benchmark gram set is Mat'd: both join branches read g8,
+      // and left lazy the corpus-sized gram pass (the dominant cost at
+      // scale) would run once per branch — materializing the TINY
+      // distinct side halves the gram passes
+      val benchGrams = graft.core.Mat(s,
+        g8.filter($"doc_id" % 97 === 0).select("g").distinct(),
+        "decon-bench")
       val contaminated = g8.filter($"doc_id" % 97 =!= 0)
         .join(broadcast(benchGrams), Seq("g"), "left_semi")
         .select("doc_id").distinct()
@@ -184,7 +190,7 @@ object CorpusOps {
         OSql.sround("CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
           "AS DOUBLE) / count(*)", 4) + " AS rate " +
         "FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id " +
-        "WHERE d.doc_id % 97 <> 0 GROUP BY 1 ORDER BY 1"
+        "WHERE d.doc_id % 97 <> 0 GROUP BY 1 ORDER BY 1 NULLS FIRST"
     })
 
   /** Unigram log-probability scoring — the perplexity-proxy quality
@@ -338,7 +344,7 @@ object CorpusOps {
       "SELECT lang, count(*) AS n_incoming, " +
       "CAST(SUM(CASE WHEN ex.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
       "CAST(SUM(CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
-      "FROM inc LEFT JOIN ex ON inc.h = ex.h GROUP BY 1 ORDER BY 1"))
+      "FROM inc LEFT JOIN ex ON inc.h = ex.h GROUP BY 1 ORDER BY 1 NULLS FIRST"))
 
   /** text_lexical_diversity — per-doc type-token ratio and top-token
     * dominance, the two division-only diversity signals a curation
@@ -488,7 +494,7 @@ object CorpusOps {
         "CAST(sum(length(tok)) AS BIGINT) AS symbols_pre, " +
         "CAST(sum(length(t)) AS BIGINT) AS symbols_post, " +
         OSql.sround("CAST(sum(length(tok)) AS DOUBLE) / sum(length(t))", 6) +
-        " AS compression FROM t8 GROUP BY 1 ORDER BY 1"
+        " AS compression FROM t8 GROUP BY 1 ORDER BY 1 NULLS FIRST"
     })
 
   // ------------------------------------------------------------------
@@ -581,7 +587,7 @@ object CorpusOps {
       "p AS (SELECT lang, (n_in * 1000000) // n_tok AS ppm FROM probed) " +
       "SELECT lang, count(*) AS n_docs, " +
       OSql.sround("CAST(SUM(ppm) AS DOUBLE) / count(*) / 1e6", 6) +
-      " AS avg_coverage FROM p GROUP BY 1 ORDER BY 1"))
+      " AS avg_coverage FROM p GROUP BY 1 ORDER BY 1 NULLS FIRST"))
 
   // ------------------------------------------------------------------
   // text_bigram_logprob — add-one-smoothed bigram LM scoring, the
@@ -715,7 +721,7 @@ object CorpusOps {
       "SELECT lang, count(*) AS n_docs, " +
       "CAST(SUM(n_sent) AS BIGINT) AS n_sentences, " +
       OSql.sround("CAST(SUM(wps_ppm) AS DOUBLE) / count(*) / 1e6", 4) +
-      " AS avg_words_per_sentence FROM p2 GROUP BY 1 ORDER BY 1"))
+      " AS avg_words_per_sentence FROM p2 GROUP BY 1 ORDER BY 1 NULLS FIRST"))
 
   // ------------------------------------------------------------------
   // text_tokenize_cjk — the unspaced-script tokenization path: every
@@ -773,7 +779,7 @@ object CorpusOps {
       " AS avg_tok_len FROM pl GROUP BY 1), " +
       "nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1) " +
       "SELECT lang, n_docs, n_types, n_tokens, avg_tok_len " +
-      "FROM nd JOIN st USING (lang) ORDER BY lang"))
+      "FROM nd JOIN st USING (lang) ORDER BY lang NULLS FIRST"))
 
   // ------------------------------------------------------------------
   // quality_gopher_rules — the Gopher-style rule-based document
@@ -801,9 +807,16 @@ object CorpusOps {
           "size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]'))"))
         .withColumn("mwl",
           length(expr("replace(text, ' ', '')")).cast("double") / $"nw")
-        .withColumn("fw", ($"nw" < 50 || $"nw" > 100000).cast("long"))
-        .withColumn("fl", ($"mwl" < 3.0 || $"mwl" > 10.0).cast("long"))
-        .withColumn("fa", ($"nalpha".cast("double") < $"nw" * 0.8).cast("long"))
+        // a NULL text fails every rule explicitly — without the isNull
+        // arms Spark's NULL flags vanish from the sums while the
+        // oracle's CASE ... ELSE 0 would count the doc as a keep
+        .withColumn("fw",
+          ($"nw".isNull || $"nw" < 50 || $"nw" > 100000).cast("long"))
+        .withColumn("fl",
+          ($"mwl".isNull || $"mwl" < 3.0 || $"mwl" > 10.0).cast("long"))
+        .withColumn("fa",
+          ($"nalpha".isNull || $"nalpha".cast("double") < $"nw" * 0.8)
+            .cast("long"))
       doc.groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum($"fw").as("n_fail_words"),
@@ -819,16 +832,17 @@ object CorpusOps {
       "CAST(length(replace(text, ' ', '')) AS DOUBLE) / " +
       "len(string_split(text, ' ')) AS mwl FROM documents), " +
       "f AS (SELECT lang, " +
-      "CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS fw, " +
-      "CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS fl, " +
-      "CASE WHEN CAST(nalpha AS DOUBLE) < nw * 0.8 THEN 1 ELSE 0 END AS fa " +
+      "CASE WHEN nw IS NULL OR nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS fw, " +
+      "CASE WHEN mwl IS NULL OR mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS fl, " +
+      "CASE WHEN nalpha IS NULL OR CAST(nalpha AS DOUBLE) < nw * 0.8 " +
+      "THEN 1 ELSE 0 END AS fa " +
       "FROM dd) " +
       "SELECT lang, count(*) AS n_docs, " +
       "CAST(SUM(fw) AS BIGINT) AS n_fail_words, " +
       "CAST(SUM(fl) AS BIGINT) AS n_fail_wlen, " +
       "CAST(SUM(fa) AS BIGINT) AS n_fail_alpha, " +
       "CAST(SUM(CASE WHEN fw + fl + fa = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
-      "AS n_keep FROM f GROUP BY 1 ORDER BY 1"))
+      "AS n_keep FROM f GROUP BY 1 ORDER BY 1 NULLS FIRST"))
 
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,

@@ -527,12 +527,17 @@ object Relational {
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
       val exact = ev.agg(countDistinct($"user_id").as("n_exact"))
+      // empty input: the sketch aggregates yield NULL estimates, but
+      // the 5% bound holds vacuously — pin TRUE so the cells match the
+      // oracle's constants instead of going NULL
       exact.crossJoin(direct).crossJoin(merged)
         .select($"n_exact",
-          (abs($"est_direct" - $"n_exact").cast("double") <=
-            lit(0.05) * $"n_exact").as("direct_within_5pct"),
-          (abs($"est_union" - $"n_exact").cast("double") <=
-            lit(0.05) * $"n_exact").as("union_within_5pct"))
+          ($"n_exact" === 0 ||
+            abs($"est_direct" - $"n_exact").cast("double") <=
+              lit(0.05) * $"n_exact").as("direct_within_5pct"),
+          ($"n_exact" === 0 ||
+            abs($"est_union" - $"n_exact").cast("double") <=
+              lit(0.05) * $"n_exact").as("union_within_5pct"))
     },
     Some("SELECT count(DISTINCT user_id) AS n_exact, TRUE AS direct_within_5pct, " +
       "TRUE AS union_within_5pct FROM events"))
