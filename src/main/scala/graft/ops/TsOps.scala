@@ -36,6 +36,25 @@ import graft.core.{Det, OSql, Q, Tables}
 object TsOps {
   import Det._
 
+  /** The shared HOURLY CENTS series (event_type, h, v) — the grid six
+    * time-series operators run on, defined ONCE per engine: exact
+    * integer cent sums per (type, epoch-hour), collapsed map-side. A
+    * grid change (rounding, bucketing) lands here and stays in sync
+    * across every consumer and its oracle.
+    */
+  private def hourlyCents(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", expr("ms div 3600000").as("h"),
+        round($"value" * 100).cast("long").as("c"))
+      .groupBy("event_type", "h").agg(sum($"c").as("v"))
+  }
+
+  private val hourlyCtes: String =
+    "hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2)"
+
+
   private val HourMs = 3600000L
   private val DayMs = 86400000L
 
@@ -55,10 +74,7 @@ object TsOps {
     "ts_interpolate_linear",
     (s, d) => {
       import s.implicits._
-      val hourly = Tables.events(s, d)
-        .select($"event_type", expr("ms div 3600000").as("h"),
-          round($"value" * 100).cast("long").as("c"))
-        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val hourly = hourlyCents(s, d)
       val bounds = hourly.groupBy("event_type")
         .agg(min($"h").as("h0"), max($"h").as("h1"))
       val spine = bounds.select($"event_type",
@@ -83,8 +99,7 @@ object TsOps {
           dround(sum($"fill").cast("double") / 1e6 / 100.0, 4).as("filled_total"))
         .orderBy("event_type")
     },
-    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
-      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+    Some("WITH " + hourlyCtes + ", " +
       "bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 " +
       "FROM hourly GROUP BY 1), " +
       "spine AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h " +
@@ -367,10 +382,7 @@ object TsOps {
     "window_rolling_slope",
     (s, d) => {
       import s.implicits._
-      val hourly = Tables.events(s, d)
-        .select($"event_type", expr("ms div 3600000").as("h"),
-          round($"value" * 100).cast("long").as("c"))
-        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val hourly = hourlyCents(s, d)
       val f = Window.partitionBy($"event_type").orderBy($"h".asc)
         .rowsBetween(-4, Window.currentRow)
       hourly
@@ -386,8 +398,7 @@ object TsOps {
               / $"den" / 100.0, 6)).as("slope_usd_per_hour"))
         .orderBy("event_type", "h")
     },
-    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
-      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+    Some("WITH " + hourlyCtes + ", " +
       "s AS (SELECT event_type, h, " +
       "COUNT(*) OVER f AS n, SUM(h) OVER f AS sx, SUM(v) OVER f AS sy, " +
       "SUM(h * v) OVER f AS sxy, SUM(h * h) OVER f AS sxx FROM hourly " +
@@ -415,10 +426,7 @@ object TsOps {
     "stat_trend_mann_kendall",
     (s, d) => {
       import s.implicits._
-      val hourly = Tables.events(s, d)
-        .select($"event_type", expr("ms div 3600000").as("h"),
-          round($"value" * 100).cast("long").as("c"))
-        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val hourly = hourlyCents(s, d)
       val a = hourly.select($"event_type", $"h".as("hi"), $"v".as("vi"))
       val b = hourly.select($"event_type", $"h".as("hj"), $"v".as("vj"))
       val sStat = a.join(b, "event_type").filter($"hi" < $"hj")
@@ -440,8 +448,7 @@ object TsOps {
               .otherwise(lit(0.0)), 6)).as("z"))
         .orderBy("event_type")
     },
-    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
-      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+    Some("WITH " + hourlyCtes + ", " +
       "st AS (SELECT a.event_type, " +
       "CAST(SUM(CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s " +
       "FROM hourly a JOIN hourly b ON a.event_type = b.event_type " +
@@ -474,10 +481,7 @@ object TsOps {
     "window_cusum_change",
     (s, d) => {
       import s.implicits._
-      val hourly = Tables.events(s, d)
-        .select($"event_type", expr("ms div 3600000").as("h"),
-          round($"value" * 100).cast("long").as("c"))
-        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val hourly = hourlyCents(s, d)
       val run = Window.partitionBy($"event_type").orderBy($"h".asc)
       val tot = Window.partitionBy($"event_type")
       val dk = hourly.select($"event_type", $"h",
@@ -495,8 +499,7 @@ object TsOps {
           dround($"dabs".cast("double") / $"n" / 100.0, 4).as("cusum_usd"))
         .orderBy("event_type")
     },
-    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
-      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+    Some("WITH " + hourlyCtes + ", " +
       "dk AS (SELECT event_type, h, " +
       "abs(n * prefix - k * s) AS dabs, n FROM (" +
       "SELECT event_type, h, " +
@@ -567,10 +570,7 @@ object TsOps {
     "stat_runs_test",
     (s, d) => {
       import s.implicits._
-      val hourly = Tables.events(s, d)
-        .select($"event_type", expr("ms div 3600000").as("h"),
-          round($"value" * 100).cast("long").as("c"))
-        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val hourly = hourlyCents(s, d)
       val rankW = Window.partitionBy($"event_type").orderBy($"v".asc, $"h".asc)
       val tot = Window.partitionBy($"event_type")
       val med = hourly
@@ -599,8 +599,7 @@ object TsOps {
           when($"vr" > 0, dround(($"runs" - $"er") / sqrt($"vr"), 6)).as("z"))
         .orderBy("event_type")
     },
-    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
-      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+    Some("WITH " + hourlyCtes + ", " +
       "r AS (SELECT event_type, v, row_number() OVER " +
       "(PARTITION BY event_type ORDER BY v, h) AS rn, " +
       "COUNT(*) OVER (PARTITION BY event_type) AS n FROM hourly), " +
@@ -680,10 +679,7 @@ object TsOps {
     (s, d) => {
       import s.implicits._
       val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val hourly = Tables.events(s, d)
-        .select($"event_type", expr("ms div 3600000").as("h"),
-          round($"value" * 100).cast("long").as("c"))
-        .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      val hourly = hourlyCents(s, d)
       val w = Window.partitionBy($"event_type").orderBy($"h".asc)
       val pairs = hourly
         .withColumn("x", lag($"v", 1).over(w))
@@ -704,8 +700,7 @@ object TsOps {
               / sqrt($"dx" * $"dy"), 6)).as("acf1"))
         .orderBy("event_type")
     },
-    Some("WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, " +
-      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1,2), " +
+    Some("WITH " + hourlyCtes + ", " +
       "p AS (SELECT event_type, " +
       "lag(v) OVER (PARTITION BY event_type ORDER BY h) AS x, v AS y " +
       "FROM hourly), " +
