@@ -211,31 +211,43 @@ object CorpusOps {
     * could change one printed digit, never row membership. Never
     * observed across sf0.001-0.1.
     */
-  private val textUnigramLogprob = Q(
-    "text_unigram_logprob",
-    (s, d) => {
-      import s.implicits._
-      val tok = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("w"))
-      val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
-      val total = freq.agg(sum($"cnt").cast("double").as("n"))
-      tok.join(freq, "w")
-        .crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          dround(sum(log($"cnt".cast("double") / $"n")) / count(lit(1)), 4)
-            .as("avg_logp"))
-        .orderBy("doc_id")
-        .limit(1000)
-    },
-    Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+  /** Per-document unigram-LM statistics (doc_id, n_tok, avg_logp) —
+    * the 4dp-rounded log-probability BOTH `text_unigram_logprob` and
+    * `corpus_perplexity_filter` consume, defined once per engine: the
+    * perplexity bands bucket ON the rounded value, so the two
+    * operators must share one definition or the "band membership can
+    * only flip where the base key's hash gate already diverges"
+    * argument silently breaks.
+    */
+  private def perDocLogprob(s: SparkSession, d: String) = {
+    import s.implicits._
+    val tok = t(s, d, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum($"cnt").cast("double").as("n"))
+    tok.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        dround(sum(log($"cnt".cast("double") / $"n")) / count(lit(1)), 4)
+          .as("avg_logp"))
+  }
+
+  private val perDocLogprobCtes: String =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
       "FROM documents), " +
       "f AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1), " +
-      "tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f) " +
-      "SELECT doc_id, count(*) AS n_tok, " +
+      "tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f), " +
+      "pd AS (SELECT doc_id, count(*) AS n_tok, " +
       OSql.sround("SUM(ln(CAST(cnt AS DOUBLE) / n)) / count(*)", 4) +
-      " AS avg_logp FROM tok JOIN f USING (w), tt " +
-      "GROUP BY doc_id ORDER BY doc_id LIMIT 1000"))
+      " AS avg_logp FROM tok JOIN f USING (w), tt GROUP BY doc_id)"
+
+  private val textUnigramLogprob = Q(
+    "text_unigram_logprob",
+    (s, d) => perDocLogprob(s, d).orderBy("doc_id").limit(1000),
+    Some("WITH " + perDocLogprobCtes + " " +
+      "SELECT doc_id, n_tok, avg_logp FROM pd " +
+      "ORDER BY doc_id LIMIT 1000"))
 
   /** Repetition-based quality gate (the Gopher/C4 family of rules):
     * per document, the top-unigram mass ratio max_cnt/n_tokens and the
@@ -512,17 +524,7 @@ object CorpusOps {
     "corpus_perplexity_filter",
     (s, d) => {
       import s.implicits._
-      val tok = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("w"))
-      val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
-      val total = freq.agg(sum($"cnt").cast("double").as("n"))
-      val perDoc = tok.join(freq, "w")
-        .crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          dround(sum(log($"cnt".cast("double") / $"n")) / count(lit(1)), 4)
-            .as("avg_logp"))
-      perDoc
+      perDocLogprob(s, d)
         .withColumn("band", floor($"avg_logp" * 2).cast("long"))
         .withColumn("keep", ($"avg_logp" >= -8.0).cast("int"))
         .groupBy("band", "keep")
@@ -530,13 +532,7 @@ object CorpusOps {
           sum($"n_tok").cast("long").as("n_tokens"))
         .orderBy("band")
     },
-    Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
-      "FROM documents), " +
-      "f AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1), " +
-      "tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f), " +
-      "pd AS (SELECT doc_id, count(*) AS n_tok, " +
-      OSql.sround("SUM(ln(CAST(cnt AS DOUBLE) / n)) / count(*)", 4) +
-      " AS avg_logp FROM tok JOIN f USING (w), tt GROUP BY doc_id) " +
+    Some("WITH " + perDocLogprobCtes + " " +
       "SELECT CAST(floor(avg_logp * 2) AS BIGINT) AS band, " +
       "CAST(avg_logp >= -8.0 AS INT) AS keep, count(*) AS n_docs, " +
       "CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
