@@ -155,10 +155,15 @@ object AnalyticsOps {
       // epoch-day arithmetic, not to_date(timestamp_millis(...)): the
       // latter reads the SESSION timezone, and an externally-built
       // non-UTC session would shift events across day boundaries while
-      // the oracle's date_trunc over the naive ts stays UTC
+      // the oracle's date_trunc over the naive ts stays UTC.
+      // FLOOR-aligned, not `div`: Spark's div truncates toward zero, so
+      // a pre-epoch event (negative ms) would land on 1970-01-01 while
+      // the oracle's date_trunc floors it onto 1969-12-31. pmod is
+      // always non-negative, so (ms - pmod) div is exact floor division.
       val ev = Tables.events(s, d)
         .select($"event_type",
-          expr("date_add(date'1970-01-01', cast(ms div 86400000 as int))")
+          expr("date_add(date'1970-01-01', " +
+            "cast((ms - pmod(ms, 86400000)) div 86400000 as int))")
             .as("day"))
       val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
       val spine = ev.agg(min($"day").as("mn"), max($"day").as("mx"))

@@ -59,7 +59,7 @@ object CurateOps {
     (s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val k = LlmPipeline2.ivfDerivedK(emb.count())
+      val k = LlmPipeline2.ivfDerivedK(LlmPipeline2.corpusStats(s, d)._1)
       val (_, a2, _) = LlmPipeline2.ivfIndex(s, d, k)
       val m = emb.join(a2, "vec_id").select($"cell", $"vec_id", $"embedding")
       val pairs = m.select($"cell", $"vec_id".as("va"), $"embedding".as("ea"))

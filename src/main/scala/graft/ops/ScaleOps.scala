@@ -803,27 +803,53 @@ object ScaleOps {
     * bounded KLL-style sketch (state ∝ accuracy, here 1000, NOT ∝
     * #distinct values) through partial/final aggregation, so it is the
     * right choice when the domain grows with the data — prices, not
-    * quantities. Declared WITHOUT an oracle (rows-only check, same
-    * contract as `agg_approx_hll`): the sketch's outputs are
-    * implementation-defined, so DuckDB's approx_quantile would not
-    * hash-match; the rank-error guarantee is pinned by a tolerance test
-    * against the exact percentiles in EdgeCaseSpec instead.
+    * quantities. The sketch's raw outputs are implementation-defined
+    * (DuckDB's approx_quantile would never hash-match), so the key
+    * HASH-CHECKS the sketch's CONTRACT instead — the own-construction
+    * gating pattern of `agg_hll_union`/`sim_ann_recall`: a second scan
+    * joins the 3-row approx result back and measures each estimate's
+    * TRUE RANK interval [count(<v)+1, count(≤v)] (tie-robust — a run
+    * of equal values occupies a rank range, not a point); the emitted
+    * boolean pins that interval to within ±2% of the target rank p·n,
+    * far outside the sketch's own 1/accuracy = 0.1% guarantee, so a
+    * sketch regression flips a boolean and fails the hash while the
+    * oracle just states TRUE. Both scans are partial+final aggregates;
+    * the rank probe is a broadcast of 3 rows.
     */
   private val aggApproxQuantile = Q(
     "agg_approx_quantile",
     (s, d) => {
       import s.implicits._
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
+      val li = t(s, d, "lineitem").select($"l_returnflag", $"l_extendedprice")
+      val approx = li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"),
+          count($"l_extendedprice").as("nv"),
           expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)")
             .as("q"))
-        .select($"l_returnflag", $"cnt",
-          $"q".getItem(0).as("q25"), $"q".getItem(1).as("q50"),
-          $"q".getItem(2).as("q75"))
+      def rankOk(p: Double, lo: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column,
+          nv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        nv === 0 ||
+          ((lo + 1).cast("double") <= lit(p) * nv + lit(0.02) * nv &&
+            hi.cast("double") >= lit(p) * nv - lit(0.02) * nv)
+      val probed = li.join(broadcast(approx), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(max($"cnt").as("cnt"), max($"nv").as("nv"),
+          sum(($"l_extendedprice" < $"q".getItem(0)).cast("long")).as("lo25"),
+          sum(($"l_extendedprice" <= $"q".getItem(0)).cast("long")).as("hi25"),
+          sum(($"l_extendedprice" < $"q".getItem(1)).cast("long")).as("lo50"),
+          sum(($"l_extendedprice" <= $"q".getItem(1)).cast("long")).as("hi50"),
+          sum(($"l_extendedprice" < $"q".getItem(2)).cast("long")).as("lo75"),
+          sum(($"l_extendedprice" <= $"q".getItem(2)).cast("long")).as("hi75"))
+      probed.select($"l_returnflag", $"cnt",
+        rankOk(0.25, $"lo25", $"hi25", $"nv").as("q25_rank_ok"),
+        rankOk(0.50, $"lo50", $"hi50", $"nv").as("q50_rank_ok"),
+        rankOk(0.75, $"lo75", $"hi75", $"nv").as("q75_rank_ok"))
         .orderBy("l_returnflag")
     },
-    None)
+    Some("SELECT l_returnflag, count(*) AS cnt, TRUE AS q25_rank_ok, " +
+      "TRUE AS q50_rank_ok, TRUE AS q75_rank_ok " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"))
 
   /** Incremental aggregate maintenance — the materialized-view pattern
     * that makes 100 TB dashboards affordable: per-(day, event_type)

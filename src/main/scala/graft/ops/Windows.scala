@@ -273,8 +273,14 @@ object Windows {
         .groupBy(expr("ms div 86400000").cast("long").as("day"))
         .agg(sum($"value".cast(Dec)).as("v")),
         "mavg-daily")
+      // the NULL-day ledger row (NULL ts) must survive the rewrite: a
+      // bare theta predicate is NULL-valued for it and the inner join
+      // would drop it, while the oracle's RANGE window still emits the
+      // NULL peer group (all NULL days are peers of each other — which
+      // is exactly what the null-safe disjunct reproduces)
       daily.as("a").join(broadcast(daily.as("b")),
-          $"b.day" >= $"a.day" - 6 && $"b.day" <= $"a.day")
+          ($"b.day" >= $"a.day" - 6 && $"b.day" <= $"a.day") ||
+            ($"a.day".isNull && $"b.day".isNull))
         .groupBy($"a.day".as("day"))
         .agg(dround(sum($"b.v").cast("double") / count(lit(1)), 4).as("mavg7"))
         .orderBy("day")

