@@ -529,12 +529,21 @@ object LlmPipeline {
     // shingle+hash pass twice would mis-charge the second key for work
     // the first already materialized. First caller pays (visible in its
     // bench timing); bit-identical either way.
+    // the PAIR set is itself a derived index artifact one level above
+    // the band table: three keys consume this same graph
+    // (dedup_cluster, graph_components_star, graph_triangle_count),
+    // and the band self-join + distinct is the expensive stage — cache
+    // the canonical pairs, derive the symmetric view per caller
+    // band table first, OUTSIDE the pair thunk: IndexCache's map
+    // rejects re-entrant builds (ConcurrentHashMap recursive update),
+    // and the band artifact is shared wider than the pair set anyway
     val guarded = guardBands(
       graft.core.IndexCache(s, s"mh-bands|$d", bandRows(s, d)))
-    val cand = guarded.select($"doc_id".as("doc_a"), $"band")
-      .join(guarded.select($"doc_id".as("doc_b"), $"band"), "band")
-      .filter($"doc_a" < $"doc_b")
-      .select("doc_a", "doc_b").distinct()
+    val cand = graft.core.IndexCache(s, s"mh-cand|$d",
+      guarded.select($"doc_id".as("doc_a"), $"band")
+        .join(guarded.select($"doc_id".as("doc_b"), $"band"), "band")
+        .filter($"doc_a" < $"doc_b")
+        .select("doc_a", "doc_b").distinct())
     cand.select($"doc_a".as("v"), $"doc_b".as("u"))
       .union(cand.select($"doc_b".as("v"), $"doc_a".as("u")))
   }

@@ -98,27 +98,41 @@ object MiningOps {
   // fully tie-broken.
   // ------------------------------------------------------------------
 
+  /** The within-order co-purchase PAIR enumeration — THE shared index
+    * artifact of the lineitem graph family (`graph_adamic_adar`,
+    * `graph_kcore_peel`): one row per order-local canonical part pair
+    * (o, a < b) plus the order's basket degree `dg`. The enumeration
+    * (scan → distinct → within-basket self-join) is the expensive
+    * stage of both keys, and it is a pure deterministic function of
+    * the archive dir — the IndexCache economics of the ANN signature
+    * tables. Blow-up is Σ|basket|², bounded baskets ⇒ linear in
+    * orders, never a relation-level cross join.
+    */
+  private def coPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.core.IndexCache(s, s"co-pairs|$d", {
+      val li = Tables.t(s, d, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val deg = li.groupBy("o").agg(count(lit(1)).as("dg"))
+      li.select($"o", $"p".as("a"))
+        .join(li.select($"o", $"p".as("b")), "o")
+        .filter($"a" < $"b")
+        .join(deg, "o")
+        .select("o", "a", "b", "dg")
+    })
+  }
+
   private val graphAdamicAdar = Q(
     "graph_adamic_adar",
     (s, d) => {
       import s.implicits._
-      val li = Tables.t(s, d, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      // a 1-part order forms no pair and has ln(deg)=0 — drop it
-      // before the weight so the division is always well-defined
-      val deg = li.groupBy("o").agg(count(lit(1)).as("dg"))
-        .filter($"dg" >= 2)
-      // both sides of the pair join read the SAME weighted edge list —
-      // materialize it once (Catalyst has no cross-branch subtree
-      // sharing; without this the scan+distinct+join runs twice)
-      val withW = graft.core.Mat(s, li.join(deg, "o")
+      // pairs come pre-enumerated from the shared co-purchase artifact;
+      // a 1-part order forms no pair (a < b is empty), so every row's
+      // dg ≥ 2 and ln(dg) > 0 — the weight is always well-defined
+      coPairs(s, d)
         .withColumn("w",
-          floor(lit(1e9) / log($"dg".cast("double")) + lit(0.5)).cast("long")),
-        "aa-edges")
-      val a = withW.select($"o", $"p".as("pa"), $"w")
-      val b = withW.select($"o", $"p".as("pb"))
-      a.join(b, "o").filter($"pa" < $"pb")
-        .groupBy("pa", "pb").agg(
+          floor(lit(1e9) / log($"dg".cast("double")) + lit(0.5)).cast("long"))
+        .groupBy($"a".as("pa"), $"b".as("pb")).agg(
           count(lit(1)).as("n_common"),
           sum($"w").as("score_q"))
         .select($"pa", $"pb", $"n_common",
@@ -285,74 +299,90 @@ object MiningOps {
 
   // ------------------------------------------------------------------
   // graph_kcore_peel — k-core peeling (k = 2) over the part
-  // co-purchase graph: repeatedly drop nodes with degree < 2 and the
-  // edges they carry — the standard dense-subgraph extraction whose
-  // fixpoint is the 2-core. Three unrolled peel rounds (each is one
-  // degree aggregate + one semi-join filter per endpoint — the same
-  // co-partitioned superstep shape as the other iterative graph keys),
-  // reporting the per-round survivor ledger; a bounded peel is the
-  // honest spelling for a declared key (fixpoint looping belongs to
-  // the caller, as in dedup_cluster). Edges come from within-order
-  // pair enumeration — bounded baskets, never a cross join.
+  // co-purchase graph TO FIXPOINT: repeatedly drop nodes with degree
+  // < 2 and the edges they carry until the edge set stops changing —
+  // the standard dense-subgraph extraction; the stable set IS the
+  // 2-core. Each round is one degree aggregate + one semi-join filter
+  // per endpoint (the same co-partitioned superstep shape as the
+  // other iterative graph keys), on a Mat'd edge state (the
+  // loop-until-stable discipline of dedup_cluster's cap-then-contract
+  // fallback); peeling only removes edges, so an unchanged COUNT
+  // proves an unchanged SET and one cheap count() per round is the
+  // whole convergence test. Output is one row — (rounds to
+  // stability, 2-core nodes, 2-core edges); a graph still shrinking
+  // after the 64-round safety cap reports the sentinel (65, 0, 0),
+  // mirrored exactly by the oracle's capped recursion (a peel needs
+  // >64 rounds only on ~130-node-long induced paths — not a
+  // co-purchase shape). Edges come from the shared co-purchase pair
+  // artifact ([[coPairs]]) — bounded baskets, never a cross join.
+  //
+  // The oracle replays the loop as a RECURSIVE CTE whose working
+  // table is the surviving edge set (DuckDB permits the degree
+  // aggregate over the previous iteration inside the recursive term);
+  // the two appended zero rounds make "the set died at round r" and
+  // "the set stabilized nonempty" both detectable as the first
+  // equal-count consecutive pair.
   // ------------------------------------------------------------------
 
   private val graphKcorePeel = Q(
     "graph_kcore_peel",
     (s, d) => {
       import s.implicits._
-      val li = Tables.t(s, d, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
       // the materialized state is the CANONICAL (a < b) edge list —
       // half the rows of the symmetric form; degree reads both
       // endpoint columns, so nothing is lost
       var edges = graft.core.Mat(s,
-        li.select($"o", $"p".as("a"))
-          .join(li.select($"o", $"p".as("b")), "o")
-          .filter($"a" < $"b")
-          .select("a", "b").distinct(),
-        "kcore-e")
-      val ledger = collection.mutable.ArrayBuffer.empty[DataFrame]
-      for (r <- 1 to 3) {
+        coPairs(s, d).select("a", "b").distinct(), "kcore-e")
+      var edgeCnt = edges.count()
+      var stableAt = if (edgeCnt == 0) 0 else -1
+      var r = 0
+      while (stableAt < 0 && r < 64) {
         val deg = edges.select($"a".as("n"))
           .unionByName(edges.select($"b".as("n")))
           .groupBy("n").agg(count(lit(1)).as("dg"))
         val keep = deg.filter($"dg" >= 2).select("n")
-        val next = edges
+        val next = graft.core.Mat(s, edges
           .join(keep.select($"n".as("a")), Seq("a"), "left_semi")
           .join(keep.select($"n".as("b")), Seq("b"), "left_semi")
-          .select("a", "b")
-        // rounds 1-2 feed 5 consumers each (degree union ×2, two semi
-        // joins, ledger) and earn their Mat; the final round's edges
-        // are read ONCE by the ledger — materializing them would be a
-        // wasted parquet round trip
-        edges = if (r < 3) graft.core.Mat(s, next, s"kcore-r$r") else next
-        ledger += edges
-          .select(explode(array($"a", $"b")).as("n"))
-          .agg(countDistinct($"n").as("n_nodes"),
-            (count(lit(1)) / 2).cast("long").as("n_edges"))
-          .select(lit(r.toLong).as("round"), $"n_nodes", $"n_edges")
+          .select("a", "b"), s"kcore-r$r")
+        val c = next.count()
+        if (c == edgeCnt) stableAt = r
+        else { edges = next; edgeCnt = c; r += 1 }
       }
-      ledger.reduce(_ unionByName _).orderBy("round")
+      if (stableAt < 0)
+        Seq((65L, 0L, 0L)).toDF("n_rounds", "n_core_nodes", "n_core_edges")
+      else
+        edges.select(explode(array($"a", $"b")).as("n"))
+          .agg(coalesce(countDistinct($"n"), lit(0L)).as("n_core_nodes"),
+            count(lit(1)).as("n_core_edges"))
+          .select(lit(stableAt.toLong).as("n_rounds"),
+            $"n_core_nodes", ($"n_core_edges" / 2).cast("long").as("n_core_edges"))
     },
-    Some("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+    Some("WITH RECURSIVE " +
+      "li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
       "pr AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
       "JOIN li b ON a.o = b.o AND a.p < b.p), " +
-      "e0 AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr), " +
-      "k1 AS (SELECT a AS n FROM e0 GROUP BY a HAVING count(*) >= 2), " +
-      "e1 AS (SELECT e.a, e.b FROM e0 e " +
-      "JOIN k1 x ON x.n = e.a JOIN k1 y ON y.n = e.b), " +
-      "k2 AS (SELECT a AS n FROM e1 GROUP BY a HAVING count(*) >= 2), " +
-      "e2 AS (SELECT e.a, e.b FROM e1 e " +
-      "JOIN k2 x ON x.n = e.a JOIN k2 y ON y.n = e.b), " +
-      "k3 AS (SELECT a AS n FROM e2 GROUP BY a HAVING count(*) >= 2), " +
-      "e3 AS (SELECT e.a, e.b FROM e2 e " +
-      "JOIN k3 x ON x.n = e.a JOIN k3 y ON y.n = e.b) " +
-      "SELECT * FROM (" +
-      "SELECT 1 AS round, count(DISTINCT a) AS n_nodes, " +
-      "CAST(count(*) / 2 AS BIGINT) AS n_edges FROM e1 " +
-      "UNION ALL SELECT 2, count(DISTINCT a), CAST(count(*) / 2 AS BIGINT) FROM e2 " +
-      "UNION ALL SELECT 3, count(DISTINCT a), CAST(count(*) / 2 AS BIGINT) FROM e3" +
-      ") ORDER BY round"))
+      "sym AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr), " +
+      "peel(round, a, b) AS (" +
+      "SELECT 0, a, b FROM sym " +
+      "UNION ALL " +
+      "SELECT p.round + 1, p.a, p.b FROM peel p " +
+      "JOIN (SELECT a AS n FROM peel GROUP BY 1 HAVING count(*) >= 2) ka " +
+      "ON ka.n = p.a " +
+      "JOIN (SELECT a AS n FROM peel GROUP BY 1 HAVING count(*) >= 2) kb " +
+      "ON kb.n = p.b " +
+      "WHERE p.round < 64), " +
+      "led AS (SELECT round, count(DISTINCT a) AS nodes, count(*) // 2 AS edges " +
+      "FROM peel GROUP BY 1), " +
+      "led2 AS (SELECT round, nodes, edges FROM led " +
+      "UNION ALL SELECT coalesce(max(round) + 1, 0), 0, 0 FROM led " +
+      "UNION ALL SELECT coalesce(max(round) + 2, 1), 0, 0 FROM led), " +
+      "stab AS (SELECT min(l1.round) AS r FROM led2 l1 " +
+      "JOIN led2 l2 ON l2.round = l1.round + 1 AND l2.edges = l1.edges) " +
+      "SELECT CAST(stab.r AS BIGINT) AS n_rounds, " +
+      "CAST(coalesce(led2.nodes, 0) AS BIGINT) AS n_core_nodes, " +
+      "CAST(coalesce(led2.edges, 0) AS BIGINT) AS n_core_edges " +
+      "FROM stab LEFT JOIN led2 ON led2.round = stab.r"))
 
   // ------------------------------------------------------------------
   // dedup_fuzzy_levenshtein — EDIT-DISTANCE fuzzy matching with

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -83,6 +83,12 @@ object Replay {
     */
   @volatile private[graft] var lastSinkPacingMs: Long = 0L
 
+  /** Records that failed their first simulated PutRecords attempt and
+    * landed via the per-record retry wave in the last [[runReplay]]
+    * run (A9 ledger; −1 = retry injection was off).
+    */
+  @volatile private[graft] var lastRetriedRecords: Long = -1L
+
   /** Malformed-line count of the last [[replayTextGz]] run (A9 "failed
     * records"): lines the NDJSON parse rejected and the sink dropped
     * (dead-letter semantics — a corrupt record must never become a
@@ -128,7 +134,8 @@ object Replay {
       resumeDirs: Option[(String, String)] = None,
       maxBytesPerTrigger: Long = 0L,
       putRecordsPerShardSec: Int = 0,
-      sinkFault: (DataFrame, Long) => Unit = null): String = {
+      sinkFault: (DataFrame, Long) => Unit = null,
+      failFirstAttempt: Column = null): String = {
     // heal first: the archive may be the TIMESTAMP(NANOS) events parquet
     // and this is a public front door an external session can call
     Tables.ensureNanosConf(s)
@@ -148,7 +155,7 @@ object Replay {
     // eligible filters into the streaming scan.
     runReplay(s,
       stage(reader.parquet(srcGlob).withColumn("ms", Tables.msExpr(schema))),
-      nShards, resumeDirs, putRecordsPerShardSec, sinkFault)
+      nShards, resumeDirs, putRecordsPerShardSec, sinkFault, failFirstAttempt)
   }
 
   /** The reference's NATIVE-format front door: the archive is gzip
@@ -196,8 +203,10 @@ object Replay {
       s: SparkSession, source: DataFrame, nShards: Int,
       resumeDirs: Option[(String, String)] = None,
       putRecordsPerShardSec: Int = 0,
-      sinkFault: (DataFrame, Long) => Unit = null): String = {
+      sinkFault: (DataFrame, Long) => Unit = null,
+      failFirstAttempt: Column = null): String = {
     lastSinkPacingMs = 0L
+    lastRetriedRecords = if (failFirstAttempt == null) -1L else 0L
     val (out, ckpt) = resumeDirs.getOrElse(
       (TmpDirs.dir("replay-out"), TmpDirs.dir("replay-ckpt")))
     val stream = source
@@ -248,7 +257,8 @@ object Replay {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(
-        writePutBatches(out, nShards, putRecordsPerShardSec, sinkFault) _)
+        writePutBatches(out, nShards, putRecordsPerShardSec, sinkFault,
+          failFirstAttempt) _)
       .start()
     expectedRun.set(q.runId)
     // On failure (e.g. an injected sink fault) the listener must still
@@ -302,21 +312,45 @@ object Replay {
     */
   private def writePutBatches(out: String, nShards: Int,
       putRecordsPerShardSec: Int = 0,
-      sinkFault: (DataFrame, Long) => Unit = null)(
+      sinkFault: (DataFrame, Long) => Unit = null,
+      failFirstAttempt: Column = null)(
       batch: DataFrame, epochId: Long): Unit = {
     if (sinkFault != null) sinkFault(batch, epochId)
     val t0 = System.nanoTime()
     val byShard = Window.partitionBy(col("shard"))
       .orderBy(col("ms"), col("event_id"))
-    batch.repartition(nShards, col("shard"))
+    // put_seq is assigned over the WHOLE epoch before any retry split,
+    // so a record's batch number is identical whether or not its first
+    // put attempt failed — the retry re-sends the same put, it does
+    // not renumber the stream
+    val seq = batch.repartition(nShards, col("shard"))
       .withColumn("put_seq",
         (lit(epochId * 1000000000000L) + (row_number().over(byShard) - 1) / 500).cast("long"))
       .withColumn("epoch", lit(epochId))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard", "epoch")
-      .parquet(out)
+    def land(df: DataFrame, attempt: Int): Unit =
+      df.withColumn("attempt", lit(attempt))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard", "epoch", "attempt")
+        .parquet(out)
+    if (failFirstAttempt == null) land(seq, 1)
+    else {
+      // Per-record PutRecords partial failure (the reference's retry
+      // unit): the service rejects the failure set on attempt 1, the
+      // producer re-sends ONLY those records on attempt 2 — two sink
+      // waves, not a whole-epoch redo. Both waves are deterministic
+      // dynamic overwrites of their own (shard, epoch, attempt)
+      // partitions: a crash-retry of the epoch recomputes the SAME
+      // split (the failure set is a hash of event_id), so each wave
+      // replaces exactly its own prior files and the epoch stays
+      // exactly-once — append-mode retries would duplicate under
+      // crash-retry, which is why the attempt lands as a partition.
+      land(seq.filter(!failFirstAttempt), 1)
+      val failed = seq.filter(failFirstAttempt)
+      land(failed, 2)
+      lastRetriedRecords += failed.count()
+    }
     // A7 drain-rate cap: each Kinesis shard absorbs putRecordsPerShardSec
     // records/second — past it the producer sees
     // ProvisionedThroughputExceeded and backs off, so a replayed epoch
@@ -507,7 +541,23 @@ object Replay {
     * accounting. ReplayTwinSpec drives the cap hard (low rate, multi-
     * epoch) and asserts the attained pacing approaches the theoretical
     * floor.
+    *
+    * This key ALSO runs the sink's per-record retry path live: a
+    * deterministic ~1/8 of records (md5 of event_id) fail their first
+    * simulated PutRecords attempt and land via the retry wave
+    * ([[writePutBatches]]) — the reference retries individual failed
+    * records within a batch, not the whole batch. The unchanged oracle
+    * is the proof: a retry that lost, duplicated, or renumbered a
+    * record would break the hash.
     */
+  /** The declared deterministic first-attempt failure set: md5 of the
+    * (null-safe) event id, ~12.5% of records. coalesce twice — a NULL
+    * event_id must still hash, and the predicate must never be NULL
+    * (a NULL would drop the record from BOTH sink waves).
+    */
+  private[graft] val putFailureSet: Column = expr(
+    "coalesce(conv(substring(md5(cast(coalesce(event_id, -1) as string)), 1, 4), 16, 10) % 8 = 0, false)")
+
   private val replayRateLimited = Q(
     "replay_rate_limited",
     (s, d) => {
@@ -517,7 +567,8 @@ object Replay {
           .toDF("hour_start", "event_type", "cnt", "total_value")
       else aggregateReplayed(s, replayArchive(s, s"$d/events.parquet",
         maxBytesPerTrigger = 16L * 1024 * 1024,
-        putRecordsPerShardSec = 50000))
+        putRecordsPerShardSec = 50000,
+        failFirstAttempt = putFailureSet))
     },
     Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +

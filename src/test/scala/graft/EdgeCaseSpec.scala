@@ -861,12 +861,11 @@ class EdgeCaseSpec extends SparkSpec {
       try {
         val n = fn(spark, dir).count()
         // ≤1 allows grand-total rows; sim_ann_recall reports one
-        // (zero-overlap) row per index even on an empty corpus,
-        // graph_kcore_peel's output IS the 3-round ledger (all-zero
-        // rounds on an empty graph), and eval_pr_sweep's IS the 9
-        // fixed thresholds (zero counts each)
+        // (zero-overlap) row per index even on an empty corpus, and
+        // eval_pr_sweep's output IS the 9 fixed thresholds (zero
+        // counts each)
         val cap = key match {
-          case "sim_ann_recall" | "graph_kcore_peel" => 3
+          case "sim_ann_recall" => 3
           case "eval_pr_sweep" => 9
           case _ => 1
         }

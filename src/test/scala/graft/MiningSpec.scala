@@ -116,14 +116,27 @@ class MiningSpec extends SparkSpec {
   test("2-core peeling drops the pendant and keeps the triangle") {
     // parts 1-2-3 form a triangle (each pair co-ordered); part 4 hangs
     // off part 1 with degree 1 → round 1 peels it, the triangle is the
-    // stable 2-core
+    // stable 2-core after exactly one effective round
     val li = Seq(
       (1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 3L),
       (4L, 1L), (4L, 4L))
       .toDF("l_orderkey", "l_partkey")
     val got = run("graph_kcore_peel", stageTables("lineitem" -> li)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq === Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L)))
+    assert(got.toSeq === Seq((1L, 3L, 3L)))
+  }
+
+  test("2-core peeling loops past three rounds: a 10-node path needs five") {
+    // a pure path p0-p1-…-p9 (each order = one edge) peels two pendant
+    // vertices per round: 9 → 7 → 5 → 3 → 1 → 0 edges, so the empty
+    // 2-core is only reached at round 5 — a bounded 3-round peel would
+    // misreport a nonempty core; this pins the loop-until-stable
+    val li = (0L until 9L).flatMap(i =>
+      Seq((100L + i, i), (100L + i, i + 1)))
+      .toDF("l_orderkey", "l_partkey")
+    val got = run("graph_kcore_peel", stageTables("lineitem" -> li)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((5L, 0L, 0L)))
   }
 
   // --------------------------------------------------- fuzzy Levenshtein

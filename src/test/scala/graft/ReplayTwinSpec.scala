@@ -329,7 +329,7 @@ class ReplayTwinSpec extends SparkSpec {
     val total = replayed.count()
     val ep0 = replayed.filter(col("epoch") === 0).localCheckpoint(true)
     ep0.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard", "epoch").parquet(out)
+      .partitionBy("shard", "epoch", "attempt").parquet(out)
     assert(spark.read.parquet(out).count() === total)
   }
 
@@ -432,7 +432,8 @@ class ReplayTwinSpec extends SparkSpec {
         batch.filter(col("event_id") % 2 === 0)
           .withColumn("put_seq", lit(epoch * 1000000000000L))
           .withColumn("epoch", lit(epoch))
-          .write.mode("append").partitionBy("shard", "epoch").parquet(out)
+          .withColumn("attempt", lit(1))
+          .write.mode("append").partitionBy("shard", "epoch", "attempt").parquet(out)
         throw new RuntimeException("injected mid-epoch sink crash")
       }
     val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
@@ -454,6 +455,65 @@ class ReplayTwinSpec extends SparkSpec {
       "no record may survive twice across the partial write + retry")
     // the put-batch contract still holds after the replaced epoch
     assert(sunk.groupBy("shard", "put_seq").count().filter(col("count") > 500).isEmpty)
+  }
+
+  test("ReplayCli maps the reference flag surface onto the replay chain; sink equals replay_stream's") {
+    import org.apache.spark.sql.functions._
+    val sink = graft.core.TmpDirs.dir("cli-sink")
+    val cfg = ReplayCli.parseArgs(Seq(
+      "--source", s"$sf/events.parquet", "--sink", sink,
+      "--shards", "4", "--records-per-sec", "100000"))
+    val out = ReplayCli.run(spark, cfg)
+    assert(out === sink, "the CLI must honor --sink")
+    val cli = spark.read.parquet(out)
+    val ref = spark.read.parquet(
+      Replay.replayArchive(spark, s"$sf/events.parquet", nShards = 4))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "shard", "epoch", "put_seq")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(cli) === canon(ref),
+      "a flag-driven CLI replay must land the identical sink content")
+    // --from/--to scope the replay to the event-time range, like the
+    // replay_time_range key
+    val src = spark.read.parquet(s"$sf/events.parquet")
+    val ms = src.withColumn("ms", graft.core.Tables.msExpr(src.schema)).select("ms")
+    val (lo, hi) = {
+      val b = ms.agg(min("ms"), max("ms")).head
+      (b.getLong(0), b.getLong(1))
+    }
+    val mid = lo + (hi - lo) / 2
+    val scoped = ReplayCli.run(spark, ReplayCli.parseArgs(Seq(
+      "--source", s"$sf/events.parquet", "--from", lo.toString, "--to", mid.toString)))
+    val expected = ms.filter(col("ms") >= lo && col("ms") < mid).count()
+    assert(spark.read.parquet(scoped).count() === expected)
+    // flag parsing: ISO dates read as UTC; unknown flags refuse loudly
+    assert(ReplayCli.parseTs("1970-01-02") === 86400000L)
+    assert(ReplayCli.parseTs("1970-01-01T01:00:00") === 3600000L)
+    assert(ReplayCli.parseTs("12345") === 12345L)
+    intercept[IllegalArgumentException] {
+      ReplayCli.parseArgs(Seq("--source", "x", "--bogus", "1"))
+    }
+  }
+
+  test("per-record put retry: injected first-attempt failures land exactly-once, output unchanged") {
+    import org.apache.spark.sql.functions._
+    // leg 1: clean run — no injection, everything lands on attempt 1
+    val outPlain = Replay.replayArchive(spark, s"$sf/events.parquet", nShards = 4)
+    val plain = spark.read.parquet(outPlain)
+    assert(Replay.lastRetriedRecords === -1L, "injection off must report the sentinel")
+    // leg 2: ~1/8 of records fail their first simulated PutRecords
+    // attempt and must land via the retry wave
+    val outInj = Replay.replayArchive(spark, s"$sf/events.parquet", nShards = 4,
+      failFirstAttempt = Replay.putFailureSet)
+    val injected = spark.read.parquet(outInj)
+    assert(Replay.lastRetriedRecords > 0, "the failure set must be non-empty at sf0.001")
+    assert(injected.filter(col("attempt") === 2).count() === Replay.lastRetriedRecords)
+    // the law: retrying ONLY the failed records changes nothing the
+    // consumer can see — same records, same shards, same put batches
+    val cols = Seq("event_id", "shard", "epoch", "put_seq", "ms").map(col)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols: _*).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(injected) === canon(plain))
   }
 
   test("throttled packed-archive replay (1 file/epoch) equals the unthrottled run") {
