@@ -1093,16 +1093,21 @@ object ScaleOps {
     * frequently hold KPL-style aggregated records — MANY user messages
     * packed into one stream record, each sub-message length-prefixed —
     * yet every other scan treats one archived row as one message. The
-    * archive stages deterministically in that layout (batches of ≤8
-    * messages keyed by event_id div 8; record = "AGG" + 4-digit count
-    * + [8-digit length || message JSON]*, messages in event_id order),
-    * and the scan DEAGGREGATES with native higher-order functions: an
-    * `aggregate` fold walks the length prefixes into the offset table
-    * of each record, `transform` slices the sub-messages out, and one
-    * explode + from_json yields the message stream. The oracle states
-    * COUNT + CHECKSUM CONSERVATION: per-type message counts, event_id
-    * sums, and exact cent sums must equal the flat table's — packing
-    * and unpacking lost, duplicated, and corrupted nothing.
+    * archive stages deterministically in the real KPL frame shape
+    * (batches of ≤8 messages keyed by event_id div 8; frame = the
+    * 0xF3899AC2 magic + [varint length ‖ message JSON]* + an
+    * md5-of-body trailer, messages in event_id order, binary structure
+    * text-encoded as hex), plus two planted MALFORMED frames, and the
+    * scan DEAGGREGATES with native higher-order functions: frames
+    * failing the magic or the md5 integrity check are counted into the
+    * dead-letter ledger and dropped (never thrown); an `aggregate`
+    * fold walks the varint prefixes into each good frame's offset
+    * table, `transform` slices the sub-messages out, and one explode +
+    * from_json yields the message stream. The oracle states COUNT +
+    * CHECKSUM CONSERVATION plus the pinned dead-letter count: per-type
+    * message counts, event_id sums, and exact cent sums must equal the
+    * flat table's — packing and unpacking lost, duplicated, and
+    * corrupted nothing, and exactly the two planted frames died.
     *
     * Scale shape: deaggregation is per-ROW arithmetic (no shuffle
     * before the final |types|-row rollup, which collapses map-side);
@@ -1110,62 +1115,125 @@ object ScaleOps {
     * (≤8 messages), never by N. Parallelism is file-split-granular
     * exactly like the reference's one-reader-per-archive-file model.
     */
+  /** The KPL frame magic, as hex text — the real KPL aggregation magic
+    * bytes 0xF3899AC2, in this engine's deterministic text encoding
+    * (binary structure carried as hex; message payloads as raw JSON).
+    */
+  private[graft] val KplMagic = "F3899AC2"
+
   /** Stage the events archive as KPL-style aggregated records (see
-    * `scan_kpl_deaggregate`) and return the text dir. Shared by the
-    * batch scan and the streaming replay of the same layout.
+    * `scan_kpl_deaggregate`) and return the text dir: per record,
+    * magic + [varint length ‖ message JSON]* + md5-of-body trailer,
+    * messages in event_id order, ≤8 per record. Two deterministic
+    * MALFORMED frames (bad magic; bad trailer) ride along whenever the
+    * archive is nonempty — the dead-letter fixture every consumer must
+    * count and drop, never throw on. Shared by the batch scan and the
+    * streaming replay of the same layout.
     */
   private[graft] def stageKplArchive(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = TmpDirs.dir("events-kpl")
     val sub = graft.core.Ndjson.fields.map(f => col(f.name))
-    Tables.events(s, d)
+    val body = Tables.events(s, d)
       .select(expr("event_id div 8").as("g"), $"event_id",
         to_json(struct(sub: _*)).as("m"))
       .groupBy("g")
-      .agg(concat(lit("AGG"),
-        lpad(count(lit(1)).cast("string"), 4, "0"),
-        expr("array_join(transform(array_sort(collect_list(" +
-          "struct(event_id, m))), x -> concat(lpad(cast(length(x.m) " +
-          "as string), 8, '0'), x.m)), '')")).as("value"))
-      .select("value")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(event_id, m))), x -> concat(" +
+        "case when length(x.m) < 128 then lpad(hex(length(x.m)), 2, '0') " +
+        "else concat(lpad(hex(128 + length(x.m) % 128), 2, '0'), " +
+        "lpad(hex(length(x.m) div 128), 2, '0')) end, x.m)), '')").as("body"))
+    val frames = body
+      .select($"g", concat(lit(KplMagic), $"body", md5($"body")).as("value"))
+    // the two dead-letter fixtures, derived from the first good frame:
+    // a frame with alien magic and a frame whose md5 trailer lies
+    val bad = frames.orderBy("g").limit(1).select(explode(array(
+      concat(lit("DEADBEEF"), expr("substring(value, 9)")),
+      concat(expr("substring(value, 1, length(value) - 32)"),
+        lit("0" * 32)))).as("value"))
+    frames.select("value").unionByName(bad)
       .write.mode("overwrite").text(dir)
     dir
   }
 
   /** Deaggregate a `value`-column relation of KPL-style aggregated
-    * records into the parsed message struct column `e`. Pure per-row
-    * projections (HOF fold → slice → explode → from_json), so the SAME
-    * definition serves the batch scan and a streaming replay.
+    * records into the parsed message struct column `e`, silently
+    * DROPPING malformed frames (wrong magic or failed md5 integrity
+    * check — the dead-letter rule; [[kplFrameLedger]] counts them).
+    * Pure per-row projections (varint-walking HOF fold → slice →
+    * explode → from_json), so the SAME definition serves the batch
+    * scan and a streaming replay. The fold walks at most 8 varint
+    * prefixes (the staging batch cap) and stops at the body end, so a
+    * record with fewer messages parses exactly.
     */
   private[graft] def kplDeaggregate(df: DataFrame): DataFrame =
-    df.withColumn("n", expr("cast(substring(value, 4, 4) as int)"))
-      // fold the length prefixes into each record's offset table:
-      // off(1) = 8 (after the 7-char header); off(i+1) = off(i) + 8
-      // + len(i). The fold carries one extra entry, sliced off.
+    kplFrames(df).filter(col("good"))
+      // walk the varint length prefixes into the offset table: start
+      // at 1; next = o + header(2 or 4 hex chars) + message length;
+      // stop appending once past the body end (the final entry is the
+      // end marker, filtered out below)
       .withColumn("offs", expr(
-        "slice(aggregate(sequence(1, n), array(8), (acc, i) -> " +
-          "acc || array(element_at(acc, -1) + 8 + " +
-          "cast(substring(value, element_at(acc, -1), 8) as int))), 1, n)"))
+        "filter(aggregate(sequence(1, 8), array(1), (acc, i) -> " +
+          "case when element_at(acc, -1) > length(body) then acc " +
+          "else acc || array(element_at(acc, -1) + " +
+          "case when cast(conv(substring(body, element_at(acc, -1), 2), 16, 10) as int) >= 128 " +
+          "then 4 + (cast(conv(substring(body, element_at(acc, -1), 2), 16, 10) as int) - 128) " +
+          "+ 128 * cast(conv(substring(body, element_at(acc, -1) + 2, 2), 16, 10) as int) " +
+          "else 2 + cast(conv(substring(body, element_at(acc, -1), 2), 16, 10) as int) end) end), " +
+          "o -> o <= length(body))"))
       .select(explode(expr(
-        "transform(offs, o -> substring(value, o + 8, " +
-          "cast(substring(value, o, 8) as int)))")).as("msg"))
+        "transform(offs, o -> " +
+          "case when cast(conv(substring(body, o, 2), 16, 10) as int) >= 128 " +
+          "then substring(body, o + 4, " +
+          "(cast(conv(substring(body, o, 2), 16, 10) as int) - 128) " +
+          "+ 128 * cast(conv(substring(body, o + 2, 2), 16, 10) as int)) " +
+          "else substring(body, o + 2, " +
+          "cast(conv(substring(body, o, 2), 16, 10) as int)) end)")).as("msg"))
       .select(from_json(col("msg"), graft.core.Ndjson.recordSchema).as("e"))
+
+  /** Frame-validity projection shared by the parser and the ledger:
+    * magic match + md5(body) == trailer.
+    */
+  private def kplFrames(df: DataFrame): DataFrame =
+    df.withColumn("body",
+        expr("substring(value, 9, greatest(length(value) - 40, 0))"))
+      .withColumn("good",
+        expr(s"substring(value, 1, 8) = '$KplMagic' AND length(value) >= 40") &&
+          md5(col("body")) === expr("substring(value, length(value) - 31, 32)"))
+
+  /** The dead-letter ledger: (n_frames, n_dead) over a staged KPL
+    * archive — counted, never thrown.
+    */
+  private[graft] def kplFrameLedger(df: DataFrame): DataFrame =
+    kplFrames(df).agg(
+      count(lit(1)).as("n_frames"),
+      sum((!col("good")).cast("long")).as("n_dead_frames"))
 
   private val scanKplDeaggregate = Q(
     "scan_kpl_deaggregate",
     (s, d) => {
       import s.implicits._
-      val deagg = kplDeaggregate(s.read.text(stageKplArchive(s, d)))
-      deagg.groupBy($"e.event_type".as("event_type"))
+      val raw = s.read.text(stageKplArchive(s, d))
+      // the dead-letter ledger rides on every group row: the staging
+      // plants exactly two malformed frames (bad magic, bad trailer)
+      // whenever the archive is nonempty, and the scan must COUNT and
+      // DROP them — a thrown parse or a silently swallowed frame both
+      // break the hash (the oracle pins the constant 2 and the
+      // conservation sums the good frames must still satisfy)
+      val dead = kplFrameLedger(raw).select($"n_dead_frames")
+      kplDeaggregate(raw)
+        .groupBy($"e.event_type".as("event_type"))
         .agg(count(lit(1)).as("n_msgs"),
           sum($"e.event_id").cast("long").as("id_checksum"),
           sum(round($"e.value" * 100).cast("long")).as("cents_checksum"))
+        .crossJoin(broadcast(dead))
         .orderBy("event_type")
     },
     Some("SELECT event_type, count(*) AS n_msgs, " +
       "CAST(SUM(event_id) AS BIGINT) AS id_checksum, " +
       "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
-      "AS cents_checksum FROM events GROUP BY 1 ORDER BY 1"))
+      "AS cents_checksum, CAST(2 AS BIGINT) AS n_dead_frames " +
+      "FROM events GROUP BY 1 ORDER BY 1"))
 
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,

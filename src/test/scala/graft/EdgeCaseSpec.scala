@@ -917,16 +917,23 @@ class EdgeCaseSpec extends SparkSpec {
           case 0 => "{}"
           case 1 => s"""{"k": $i, "pad": "AGG0001${"x" * i}"}"""
           case 2 => s"""{"k": $i, "pad": "00000042héllo wörld ünïcode"}"""
-          case _ => s"""{"k": $i, "pad": "${"x" * i}"}"""
+          // id 3 mimics the frame magic inside a payload; id 7+ pads
+          // past 128 chars so its varint length prefix takes TWO bytes
+          // — the offset walk must branch on the continuation bit
+          case _ => s"""{"k": $i, "pad": "F3899AC2${"x" * (if (i > 4) 180 else i)}"}"""
         })
     }
     val dir = stageTables("events" ->
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
-    val r = run("scan_kpl_deaggregate", dir).collect()
+    val out = run("scan_kpl_deaggregate", dir).collect()
+    val r = out
       .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
       .toMap
     assert(r("a") === ((10L, 90L, 9250L)), "even ids: Σid=90, Σcents=9250")
     assert(r("b") === ((10L, 100L, 10250L)), "odd ids: Σid=100, Σcents=10250")
+    // the two planted malformed frames (alien magic, lying trailer)
+    // are dead-lettered — counted on every row, never thrown
+    assert(out.forall(_.getLong(4) === 2L), "exactly the 2 planted frames die")
   }
 
   test("schema-evolving replay files v1 rows as NULL-rev, v2 rows with the new field") {
