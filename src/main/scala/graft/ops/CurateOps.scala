@@ -111,16 +111,41 @@ object CurateOps {
     "corpus_token_budget",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"lang")
-        .orderBy($"n_chars".desc, $"doc_id".asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "documents")
+      // Two-level bisection (the agg_weighted_median discipline), not
+      // a lang-keyed running sum over raw documents: the greedy budget
+      // is a PREFIX in (n_chars desc, doc_id) order, so per-(lang,
+      // n_chars) cells with their token sums locate the one cell the
+      // 5000-token boundary crosses; cells wholly inside the budget
+      // contribute straight off the ledger and the only raw-row window
+      // ranks the crossing cell's documents — never N/|langs| rows
+      // through one task.
+      val docs = t(s, d, "documents")
         .select($"lang", $"doc_id", $"n_chars",
           size(split($"text", " ")).cast("long").as("tok"))
-        .withColumn("cum", sum($"tok").over(w))
-        .filter($"cum" - $"tok" < 5000L)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tok_total"))
+      val wc = Window.partitionBy($"lang").orderBy($"n_chars".desc)
+      val cum = graft.core.Mat(s,
+        docs.groupBy($"lang", $"n_chars")
+          .agg(count(lit(1)).as("c"), sum($"tok").as("tk"))
+          .withColumn("hiTok", sum($"tk").over(wc)),
+        "budget-cells")
+      val full = cum.filter($"hiTok" <= 5000L)
+        .groupBy("lang").agg(sum($"c").as("nf"), sum($"tk").as("tkf"))
+      val crossing = cum.filter($"hiTok" > 5000L && $"hiTok" - $"tk" < 5000L)
+        .select($"lang", $"n_chars".as("nc_key"), ($"hiTok" - $"tk").as("loTok"))
+      val wCell = Window.partitionBy($"lang", $"nc_key").orderBy($"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val crossKeep = docs
+        .join(broadcast(crossing),
+          docs("lang") <=> crossing("lang") && docs("n_chars") <=> crossing("nc_key"))
+        .select(docs("lang"), $"doc_id", $"tok", $"loTok", $"nc_key")
+        .withColumn("cumIn", sum($"tok").over(wCell))
+        .filter($"loTok" + $"cumIn" - $"tok" < 5000L)
+        .groupBy("lang").agg(count(lit(1)).as("ncnt"), sum($"tok").as("tkc"))
+      full.join(crossKeep, Seq("lang"), "full_outer")
+        .select($"lang",
+          (coalesce($"nf", lit(0L)) + coalesce($"ncnt", lit(0L))).as("n_docs"),
+          (coalesce($"tkf", lit(0L)) + coalesce($"tkc", lit(0L)))
+            .cast("long").as("tok_total"))
         .orderBy("lang")
     },
     Some("WITH tk AS (SELECT lang, doc_id, n_chars, " +
@@ -198,16 +223,40 @@ object CurateOps {
     "corpus_domain_cap",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"source")
-        .orderBy($"n_chars".desc, $"doc_id".asc)
-      t(s, d, "documents")
+      // Same two-level bisection as corpus_token_budget, with a ROW
+      // budget (top-30 per source) instead of a token budget: the
+      // (source, n_chars) count ledger locates the cell rank 30
+      // crosses; full cells contribute off the ledger, the crossing
+      // cell ranks only its own documents.
+      val docs = t(s, d, "documents")
         .select($"source", $"doc_id", $"n_chars",
           size(split($"text", " ")).cast("long").as("tok"))
-        .withColumn("rn", row_number().over(w))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_total"),
-          sum(when($"rn" <= 30, 1L).otherwise(0L)).as("n_kept"),
-          sum(when($"rn" <= 30, $"tok").otherwise(0L)).as("tok_kept"))
+      val wc = Window.partitionBy($"source").orderBy($"n_chars".desc)
+      val cum = graft.core.Mat(s,
+        docs.groupBy($"source", $"n_chars")
+          .agg(count(lit(1)).as("c"), sum($"tok").as("tk"))
+          .withColumn("hi", sum($"c").over(wc)),
+        "cap-cells")
+      val total = cum.groupBy("source").agg(sum($"c").as("n_total"))
+      val full = cum.filter($"hi" <= 30L)
+        .groupBy("source").agg(sum($"c").as("nf"), sum($"tk").as("tkf"))
+      val crossing = cum.filter($"hi" > 30L && $"hi" - $"c" < 30L)
+        .select($"source", $"n_chars".as("nc_key"), (lit(30L) - ($"hi" - $"c")).as("take"))
+      val wCell = Window.partitionBy($"source", $"nc_key").orderBy($"doc_id".asc)
+      val crossKeep = docs
+        .join(broadcast(crossing),
+          docs("source") <=> crossing("source") && docs("n_chars") <=> crossing("nc_key"))
+        .select(docs("source"), $"doc_id", $"tok", $"take", $"nc_key")
+        .withColumn("rn", row_number().over(wCell))
+        .filter($"rn" <= $"take")
+        .groupBy("source").agg(count(lit(1)).as("ncnt"), sum($"tok").as("tkc"))
+      total
+        .join(full, Seq("source"), "left_outer")
+        .join(crossKeep, Seq("source"), "left_outer")
+        .select($"source", $"n_total",
+          (coalesce($"nf", lit(0L)) + coalesce($"ncnt", lit(0L))).as("n_kept"),
+          (coalesce($"tkf", lit(0L)) + coalesce($"tkc", lit(0L)))
+            .cast("long").as("tok_kept"))
         .orderBy("source")
     },
     Some("WITH r AS (SELECT source, n_chars, " +

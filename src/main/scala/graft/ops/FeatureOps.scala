@@ -334,11 +334,16 @@ object FeatureOps {
   // LEARNED on the training era (even event_ids) and APPLIED unchanged
   // to the serving era (odd event_ids) — recomputing edges on serving
   // data would leak distribution shift into the features. Edges are
-  // exact discrete quartiles (the value at ⌈p·n⌉ in (value, event_id)
-  // order — the agg_percentile_disc rule) per event_type, found with
-  // ONE type-keyed window over the training era and collapsed to a
-  // |types|-row broadcast; the serving era classifies in a codegen'd
-  // CASE projection. Output: the serving-era bin ledger.
+  // exact discrete quartiles (the value at rank ⌈p·n⌉ — the
+  // agg_percentile_disc rule) per event_type, read off a PER-VALUE
+  // COUNT LEDGER: value v's rank interval is (cum(v) − c(v), cum(v)],
+  // and the edge is the value whose interval covers the target rank —
+  // identical pick, but the only WindowExec runs over the bounded
+  // (type, cents) ledger instead of funneling the training era's N/|types|
+  // raw rows through one task per type (the round-8 discipline; the
+  // cents domain is bounded by the value scale, not by N). The edges
+  // collapse to a |types|-row broadcast; the serving era classifies
+  // in a codegen'd CASE projection. Output: the serving-era bin ledger.
   // ------------------------------------------------------------------
 
   private val featureBinningTransfer = Q(
@@ -349,17 +354,17 @@ object FeatureOps {
         .select($"event_type", ($"event_id" % 2).as("era"), $"event_id",
           round($"value" * 100).cast("long").as("v"))
       val train = e.filter($"era" === 0)
-      val w = Window.partitionBy($"event_type")
-        .orderBy($"v".asc, $"event_id".asc)
-      val tot = Window.partitionBy($"event_type")
-      val edges = train
-        .select($"event_type", $"v",
-          row_number().over(w).as("rn"), count(lit(1)).over(tot).as("n"))
+      val counts = train.groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"event_type").orderBy($"v".asc)
+      val cum = counts.withColumn("hi", sum($"c").over(w))
+      val n = counts.groupBy("event_type").agg(sum($"c").as("n"))
+      def edge(num: Int, den: Int) = {
+        val target = ceil(lit(num) * $"n" / lit(den))
+        max(when($"hi" - $"c" < target && target <= $"hi", $"v"))
+      }
+      val edges = cum.join(broadcast(n), "event_type")
         .groupBy("event_type").agg(
-          max(when($"rn" * 4 >= $"n" && ($"rn" - 1) * 4 < $"n", $"v")).as("q1"),
-          max(when($"rn" * 2 >= $"n" && ($"rn" - 1) * 2 < $"n", $"v")).as("q2"),
-          max(when($"rn" * 4 >= $"n" * 3 && ($"rn" - 1) * 4 < $"n" * 3, $"v"))
-            .as("q3"))
+          edge(1, 4).as("q1"), edge(1, 2).as("q2"), edge(3, 4).as("q3"))
       e.filter($"era" === 1)
         .join(broadcast(edges), "event_type")
         .withColumn("bin",

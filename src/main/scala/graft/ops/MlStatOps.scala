@@ -748,9 +748,18 @@ object MlStatOps {
   // every event_type is cut to the MINORITY class size, keepers picked
   // by md5(event_id) order — deterministic under re-runs and
   // repartitioning, no RNG. The minority size is a broadcast scalar
-  // (|types|-row aggregate), the pick a type-keyed row_number; the
-  // ledger carries an exact id checksum so the selection itself is
-  // hash-verified, not just its size.
+  // (|types|-row aggregate); the ledger carries an exact id checksum
+  // so the selection itself is hash-verified, not just its size.
+  //
+  // Two-level bisection (the agg_weighted_median discipline), not a
+  // type-keyed row_number over the fact: rows bucket by their md5's
+  // first 4 hex chars (65 536 cells — the numeric prefix orders
+  // exactly like the hex string, so cell order + in-cell (h, id)
+  // order IS the global keeper order), the per-(type, cell) count
+  // ledger locates each type's threshold cell, cells wholly below the
+  // cut contribute sums straight off the ledger, and the only
+  // raw-row window ranks the ONE crossing cell's rows — ~N/65 536 of
+  // a type, vs the old N/|types| single-task funnel.
   // ------------------------------------------------------------------
 
   private val sampleClassBalance = Q(
@@ -758,16 +767,33 @@ object MlStatOps {
     (s, d) => {
       import s.implicits._
       val e = Tables.events(s, d).select($"event_type", $"event_id")
+        .withColumn("h", md5($"event_id".cast("string")))
+        .withColumn("cell", expr("cast(conv(substring(h, 1, 4), 16, 10) as long)"))
       val minN = e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .agg(min($"cnt").as("min_n"))
-      val w = Window.partitionBy($"event_type")
-        .orderBy(md5($"event_id".cast("string")).asc, $"event_id".asc)
-      e.withColumn("rn", row_number().over(w))
-        .crossJoin(broadcast(minN))
-        .filter($"rn" <= $"min_n")
-        .groupBy("event_type").agg(
-          count(lit(1)).as("n_kept"),
-          sum($"event_id").as("id_checksum"))
+      val wc = Window.partitionBy($"event_type").orderBy($"cell".asc)
+      // (type, cell) ledger with cumulative counts — Mat'd: the full
+      // and crossing branches both read it
+      val cum = graft.core.Mat(s,
+        e.groupBy($"event_type", $"cell")
+          .agg(count(lit(1)).as("c"), sum($"event_id").as("ids"))
+          .withColumn("hi", sum($"c").over(wc)),
+        "cbal-cells").crossJoin(broadcast(minN))
+      val full = cum.filter($"hi" <= $"min_n")
+        .groupBy("event_type").agg(sum($"c").as("nf"), sum($"ids").as("idsf"))
+      val crossing = cum.filter($"hi" - $"c" < $"min_n" && $"min_n" < $"hi")
+        .select($"event_type", $"cell", ($"min_n" - ($"hi" - $"c")).as("take"))
+      val wCell = Window.partitionBy($"event_type", $"cell")
+        .orderBy($"h".asc, $"event_id".asc)
+      val crossKeep = e.join(broadcast(crossing), Seq("event_type", "cell"))
+        .withColumn("rn", row_number().over(wCell))
+        .filter($"rn" <= $"take")
+        .groupBy("event_type").agg(count(lit(1)).as("nc"), sum($"event_id").as("idsc"))
+      full.join(crossKeep, Seq("event_type"), "full_outer")
+        .select($"event_type",
+          (coalesce($"nf", lit(0L)) + coalesce($"nc", lit(0L))).as("n_kept"),
+          (coalesce($"idsf", lit(0L)) + coalesce($"idsc", lit(0L)))
+            .cast("long").as("id_checksum"))
         .orderBy("event_type")
     },
     Some("WITH e AS (SELECT event_type, event_id FROM events), " +

@@ -638,10 +638,17 @@ object Relational {
     * `percentile_approx` with accuracy high enough is NOT the same
     * operator; the exact spelling is `percentile` with... Spark has no
     * percentile_disc, so the discrete pick is spelled explicitly:
-    * rank-1 selection at ⌈p·n⌉ in value order — pure integer
-    * arithmetic on the global per-group rank, restating exactly
-    * DuckDB's quantile_disc definition. Values are integer-valued
-    * quantities, so no rounding shim is needed anywhere.
+    * the ⌈p·n⌉-th smallest value read off a PER-VALUE COUNT LEDGER —
+    * the rank interval of value v is (cum(v) − c(v), cum(v)], and the
+    * picked value is the one whose interval covers ⌈p·n⌉. Pure integer
+    * arithmetic restating exactly DuckDB's quantile_disc definition.
+    *
+    * Two-phase on purpose (the round-8 discipline): the quantity
+    * domain is bounded (integer quantities), so the shuffle is a
+    * partial+final (flag, value) count and the only WindowExec runs
+    * over the ≤|flags|·|values| LEDGER — never a raw-fact window
+    * keyed by the 3-value flag, which would funnel N/3 rows through
+    * one task at 100 TB.
     */
   private val aggPercentileDisc = Q(
     "agg_percentile_disc",
@@ -649,14 +656,18 @@ object Relational {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"l_returnflag").orderBy($"l_quantity".asc)
-      val ranked = t(s, d, "lineitem")
-        .select($"l_returnflag", $"l_quantity")
-        .withColumn("rn", row_number().over(w))
-      val n = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      ranked.join(broadcast(n), "l_returnflag")
+      val counts = t(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("hi", sum($"c").over(w))
+      val n = counts.groupBy("l_returnflag").agg(sum($"c").as("n"))
+      def pick(p: Double) = {
+        val target = ceil(lit(p) * $"n")
+        max(when($"hi" - $"c" < target && target <= $"hi", $"l_quantity"))
+      }
+      cum.join(broadcast(n), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(max(when($"rn" === ceil(lit(0.5) * $"n"), $"l_quantity")).as("p50_disc"),
-          max(when($"rn" === ceil(lit(0.9) * $"n"), $"l_quantity")).as("p90_disc"))
+        .agg(pick(0.5).as("p50_disc"), pick(0.9).as("p90_disc"))
         .orderBy("l_returnflag")
     },
     Some("SELECT l_returnflag, " +

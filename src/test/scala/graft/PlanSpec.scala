@@ -538,7 +538,8 @@ class PlanSpec extends SparkSpec {
       case _ => false
     }
     for (key <- Seq("window_cume_dist",
-        "agg_winsorized_mean", "anomaly_tukey_fence", "agg_trimmed_mean")) {
+        "agg_winsorized_mean", "anomaly_tukey_fence", "agg_trimmed_mean",
+        "agg_percentile_disc", "feature_binning_transfer")) {
       val df = run(key)
       df.collect()
       val windows = nodes(df.queryExecution.executedPlan).collect {
@@ -566,6 +567,34 @@ class PlanSpec extends SparkSpec {
       assert(head.contains("c1") && head.contains("c2"),
         "the running-sum window must be partitioned by the bisection " +
           "cells, not the 3-value returnflag alone")
+    }
+    // The round-10 wave: sample_class_balance / corpus_token_budget /
+    // corpus_domain_cap run the same two-level bisection — their only
+    // raw-row window may rank the broadcast-located CROSSING CELL,
+    // partitioned by (group, cell), never by the low-cardinality group
+    // alone.
+    for (key <- Seq("sample_class_balance", "corpus_token_budget",
+        "corpus_domain_cap")) {
+      val df = run(key)
+      df.collect()
+      val windows = nodes(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      for (w <- windows) {
+        val below = nodes(w).drop(1)
+        val rawScan =
+          below.exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) &&
+            !below.exists(isAgg)
+        if (rawScan) {
+          assert(below.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+            s"$key: a raw-row window must be scoped by the broadcast " +
+              "crossing-cell filter")
+          assert(w.partitionSpec.size >= 2,
+            s"$key: the crossing-cell window must partition by (group, cell), " +
+              s"not the group alone: ${w.partitionSpec}")
+        }
+      }
     }
   }
 }
