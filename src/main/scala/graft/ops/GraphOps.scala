@@ -188,5 +188,76 @@ object GraphOps {
       OSql.sround("3.0 * (SELECT n FROM tri) / sum((dg * (dg - 1)) // 2)", 6) +
       " END FROM deg) AS clustering_coeff"))
 
-  val qs: Seq[Q] = Seq(graphPagerank, graphComponentsStar, graphTriangleCount)
+  /** Synchronous LABEL PROPAGATION over the user ↔ event-type
+    * bipartite graph — the community/semi-supervised primitive the
+    * family was missing next to ranking (pagerank), reachability
+    * (bfs), and clustering (components): users seed with
+    * pmod(user_id, 3), then one full synchronized round — every TYPE
+    * takes the majority label of its users, every USER the majority
+    * label of its types — with the deterministic tie rule (highest
+    * count, then smallest label). The ledger reports each final
+    * label's population with an exact user-id checksum (the hash
+    * verifies the ASSIGNMENT, not just sizes) and how many types
+    * carry the label.
+    *
+    * Scale shape: a superstep is one equi-join + one partial+final
+    * majority aggregate (max over (count, −label) structs — no window
+    * over raw rows; the per-(vertex, label) count relation is the
+    * shuffle, bounded by edges). The type side collapses to a
+    * ≤|types|-row broadcast between half-rounds — the same bounded
+    * co-partitioned superstep economics as the other iterative graph
+    * keys; more rounds repeat the same two shapes.
+    */
+  private val graphLabelPropagation = Q(
+    "graph_label_propagation",
+    (s, d) => {
+      import s.implicits._
+      val p = graft.core.Mat(s,
+        Tables.events(s, d).select($"user_id", $"event_type").distinct(),
+        "lp-pairs")
+      val seed = p.select($"user_id").distinct()
+        .withColumn("lu", pmod($"user_id", lit(3L)))
+      // half-round 1: types adopt the majority label of their users
+      val tl = p.join(seed, "user_id")
+        .groupBy($"event_type", $"lu").agg(count(lit(1)).as("c"))
+        .groupBy($"event_type")
+        .agg(max(struct($"c", (-$"lu").as("nl"))).as("m"))
+        .select($"event_type", (-$"m.nl").as("lt"))
+      // half-round 2: users adopt the majority label of their types
+      val ul = p.join(broadcast(tl), "event_type")
+        .groupBy($"user_id", $"lt").agg(count(lit(1)).as("c"))
+        .groupBy($"user_id")
+        .agg(max(struct($"c", (-$"lt").as("nl"))).as("m"))
+        .select($"user_id", (-$"m.nl").as("lab"))
+      val tt = tl.groupBy($"lt".as("lab")).agg(count(lit(1)).as("nt"))
+      ul.groupBy("lab")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"user_id").cast("long").as("uid_checksum"))
+        .join(broadcast(tt), Seq("lab"), "left_outer")
+        .select($"lab".as("label"), $"n_users", $"uid_checksum",
+          coalesce($"nt", lit(0L)).as("n_types"))
+        .orderBy("label")
+    },
+    Some("WITH p AS (SELECT DISTINCT user_id, event_type FROM events), " +
+      // ((x % 3) + 3) % 3 restates Spark's pmod for negative ids
+      "seed AS (SELECT user_id, ((user_id % 3) + 3) % 3 AS lu " +
+      "FROM (SELECT DISTINCT user_id FROM p)), " +
+      "tc AS (SELECT event_type, lu, count(*) AS c FROM p " +
+      "JOIN seed USING (user_id) GROUP BY 1, 2), " +
+      "tl AS (SELECT event_type, lu AS lt FROM (SELECT event_type, lu, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY c DESC, lu ASC) AS rn " +
+      "FROM tc) WHERE rn = 1), " +
+      "uc AS (SELECT user_id, lt, count(*) AS c FROM p " +
+      "JOIN tl USING (event_type) GROUP BY 1, 2), " +
+      "ul AS (SELECT user_id, lt AS lab FROM (SELECT user_id, lt, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY c DESC, lt ASC) AS rn " +
+      "FROM uc) WHERE rn = 1), " +
+      "tt AS (SELECT lt AS lab, count(*) AS nt FROM tl GROUP BY 1) " +
+      "SELECT ul.lab AS label, count(*) AS n_users, " +
+      "CAST(SUM(user_id) AS BIGINT) AS uid_checksum, " +
+      "CAST(COALESCE(max(tt.nt), 0) AS BIGINT) AS n_types " +
+      "FROM ul LEFT JOIN tt ON tt.lab = ul.lab GROUP BY 1 ORDER BY 1"))
+
+  val qs: Seq[Q] = Seq(graphPagerank, graphComponentsStar, graphTriangleCount,
+    graphLabelPropagation)
 }

@@ -841,6 +841,78 @@ object LlmPipeline2 {
     },
     Some(ivfTopkSqlDerived(10)))
 
+  /** RANGE (radius) similarity search — the other half of the ANN
+    * query surface: instead of the k best neighbors, EVERY corpus
+    * vector within a similarity radius (cos ≥ 0.2 here) of each probe,
+    * reported as a per-probe ledger (hit count, exact id checksum,
+    * quantized similarity mass — the checksum hash-verifies the hit
+    * SET, not just its size). Radius search shares everything with the
+    * top-k path: the SAME derived-K trained index, the same derived
+    * probe count, the same broadcast cell choice; only the final
+    * selection differs (a codegen'd sim filter + partial+final agg
+    * instead of a global top-k), so the scan still touches only the
+    * chosen inverted lists. Dedup pipelines are radius consumers
+    * (\"everything above τ\"), retrieval is a top-k consumer — both now
+    * first-class over one index.
+    */
+  private val rangeProbes = Seq(0L, 1L, 2L)
+  private val RangeTau = 0.2
+
+  private val simAnnRange = Q(
+    "sim_ann_range",
+    (s, d) => {
+      import s.implicits._
+      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val emb = t(s, d, "embeddings")
+      val (k, np) = ivfDerivedParams(s, d)
+      val (iq, a2, c2) = ivfIndex(s, d, k)
+      val probeQ = iq.filter($"vec_id".isin(rangeProbes: _*))
+        .select($"vec_id".as("probe"), $"pos", $"q".as("pq"))
+      val wCell = Window.partitionBy($"probe").orderBy($"score".desc, $"cell".asc)
+      val chosen = c2.join(broadcast(probeQ), "pos")
+        .groupBy($"probe", $"cell")
+        .agg((sum($"pq".cast(Dec38) * $"sq").cast("double") / max($"n")).as("score"))
+        .withColumn("rn", row_number().over(wCell))
+        .filter($"rn" <= np)
+        .select("probe", "cell")
+      val probeVecs = emb.filter($"vec_id".isin(rangeProbes: _*))
+        .select($"vec_id".as("probe"), $"embedding".as("pv"))
+      emb.join(a2, "vec_id").join(broadcast(chosen), "cell")
+        .join(broadcast(probeVecs), "probe")
+        .select($"probe", $"vec_id",
+          dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+            .as("sim"))
+        .filter($"sim" >= RangeTau)
+        .groupBy("probe")
+        .agg(count(lit(1)).as("n_hits"),
+          sum($"vec_id").cast("long").as("id_checksum"),
+          sum(floor($"sim" * lit(1e6) + lit(0.5)).cast("long")).as("sim_q_sum"))
+        .orderBy("probe")
+    },
+    Some {
+      val ctes = rangeProbes.map { p =>
+        s"pq_$p AS (SELECT pos, q AS pqv FROM iq WHERE vec_id = $p), " +
+          s"sc_$p AS (SELECT c2.cell, CAST(SUM(CAST(pqv AS HUGEINT) * c2.sq) AS DOUBLE) " +
+          s"/ max(c2.n) AS score FROM c2 JOIN pq_$p USING (pos) GROUP BY 1), " +
+          s"ch_$p AS (SELECT cell FROM (SELECT cell, row_number() OVER " +
+          s"(ORDER BY score DESC, cell ASC) AS crn FROM sc_$p) WHERE crn <= $derivedProbeSq), " +
+          s"pv_$p AS (SELECT v AS pvec FROM e WHERE vec_id = $p), " +
+          s"h_$p AS (SELECT e.vec_id, " +
+          OSql.sround("list_dot_product(e.v, pvec)", 6) + " AS sim " +
+          s"FROM e JOIN a2 USING (vec_id) JOIN ch_$p USING (cell), pv_$p)"
+      }.mkString(", ")
+      val legs = rangeProbes.map { p =>
+        s"SELECT $p AS probe, count(*) AS n_hits, " +
+          s"CAST(SUM(vec_id) AS BIGINT) AS id_checksum, " +
+          s"CAST(SUM(CAST(floor(sim * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sim_q_sum " +
+          s"FROM h_$p WHERE sim >= $RangeTau"
+      }.mkString(" UNION ALL ")
+      "WITH " + ivfCtesDerivedK + ", " +
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " + ctes +
+        s" SELECT * FROM ($legs) WHERE n_hits > 0 ORDER BY probe"
+    })
+
   /** Durable-index lifecycle — the round trip a production ANN/dedup
     * deployment actually runs: TRAIN once (the shared deterministic
     * Lloyd build, K derived from the corpus by [[ivfDerivedK]]),
@@ -1772,5 +1844,5 @@ object LlmPipeline2 {
     indexPersist, simAnnPq, simAnnIvfPq, simAnnRecall, textLangId,
     textQualityScore, textTokenCount, docFingerprint, multimodalDecode,
     sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
-    dedupThresholdSweep, indexAppend)
+    dedupThresholdSweep, indexAppend, simAnnRange)
 }

@@ -718,9 +718,78 @@ object TsOps {
       OSql.sround("(n * sxy - sx * sy) / sqrt(dx * dy)", 6) +
       " END AS acf1 FROM f ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // ts_seasonal_decompose — classical seasonal decomposition over the
+  // shared hourly-cents grid: the hour-of-day (0–23) seasonal profile
+  // per event_type, and how much of the series' variance it explains
+  // (seasonal strength = seasonal SS / total SS — the number that says
+  // whether a forecaster should bother with a daily cycle; the snaive
+  // forecast key ASSUMES seasonality, this one MEASURES it).
+  //
+  // Determinism: everything is integer-exact until one final division.
+  // Sums of squares accumulate in DECIMAL(38,0)/HUGEINT; every
+  // mean-square term S²/n is ONE double division of identical exact
+  // integers (both engines cast the same exact product to double, so
+  // the quotient is bit-identical), quantized to BIGINT via
+  // floor(x + 0.5) BEFORE any cross-term summation — so the 24-term
+  // seasonal sum is an integer sum, never an order-dependent float
+  // fold. Scale shape: two partial+final aggregates over the hourly
+  // grid (itself map-side collapsed), a ≤24·|types|-row intermediate,
+  // no windows, no shuffle of raw events beyond the shared grid.
+  // ------------------------------------------------------------------
+
+  private val tsSeasonalDecompose = Q(
+    "ts_seasonal_decompose",
+    (s, d) => {
+      import s.implicits._
+      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hod = hourlyCents(s, d)
+        .withColumn("hod", pmod($"h", lit(24L)))
+      val bySeason = hod.groupBy($"event_type", $"hod")
+        .agg(sum($"v".cast(Dec38)).as("sh"), count(lit(1)).as("nh"))
+      val perType = bySeason.groupBy("event_type")
+        .agg(sum($"sh").as("s"), sum($"nh").as("n"),
+          sum(floor(($"sh" * $"sh").cast("double") / $"nh" + lit(0.5))
+            .cast("long")).as("seas_q"))
+      val sq = hod.groupBy("event_type")
+        .agg(sum($"v".cast(Dec38) * $"v").as("vv"))
+      perType.join(sq, "event_type")
+        .withColumn("grand_q",
+          floor(($"s" * $"s").cast("double") / $"n" + lit(0.5)).cast("long"))
+        .withColumn("ss_total_q", $"vv".cast("long") - $"grand_q")
+        .withColumn("ss_seasonal_q", $"seas_q" - $"grand_q")
+        .select($"event_type", $"n".as("n_cells"),
+          dround($"s".cast("double") / $"n", 4).as("mean_cents"),
+          $"ss_total_q", $"ss_seasonal_q",
+          when($"ss_total_q" > 0,
+            dround($"ss_seasonal_q".cast("double") / $"ss_total_q", 6))
+            .as("seasonal_strength"))
+        .orderBy("event_type")
+    },
+    Some("WITH " + hourlyCtes + ", " +
+      // ((h % 24) + 24) % 24 restates Spark's pmod for pre-epoch hours
+      "hd AS (SELECT event_type, ((h % 24) + 24) % 24 AS hod, v FROM hourly), " +
+      "bs AS (SELECT event_type, hod, SUM(CAST(v AS HUGEINT)) AS sh, " +
+      "count(*) AS nh FROM hd GROUP BY 1, 2), " +
+      "pt AS (SELECT event_type, SUM(sh) AS s, SUM(nh) AS n, " +
+      "SUM(CAST(floor(CAST(sh * sh AS DOUBLE) / nh + 0.5) AS BIGINT)) AS seas_q " +
+      "FROM bs GROUP BY 1), " +
+      "sq AS (SELECT event_type, SUM(CAST(v AS HUGEINT) * v) AS vv " +
+      "FROM hd GROUP BY 1), " +
+      "f AS (SELECT pt.event_type, n, s, seas_q, vv, " +
+      "CAST(floor(CAST(s * s AS DOUBLE) / n + 0.5) AS BIGINT) AS grand_q " +
+      "FROM pt JOIN sq ON sq.event_type = pt.event_type) " +
+      "SELECT event_type, CAST(n AS BIGINT) AS n_cells, " +
+      OSql.sround("CAST(s AS DOUBLE) / n", 4) + " AS mean_cents, " +
+      "CAST(CAST(vv AS BIGINT) - grand_q AS BIGINT) AS ss_total_q, " +
+      "CAST(seas_q - grand_q AS BIGINT) AS ss_seasonal_q, " +
+      "CASE WHEN CAST(vv AS BIGINT) - grand_q > 0 THEN " +
+      OSql.sround("CAST(seas_q - grand_q AS DOUBLE) / (CAST(vv AS BIGINT) - grand_q)", 6) +
+      " END AS seasonal_strength FROM f ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
-    statRunsTest, windowMomGrowth, aggAutocorrLag1)
+    statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose)
 }

@@ -139,6 +139,31 @@ class MiningSpec extends SparkSpec {
     assert(got.toSeq === Seq((5L, 0L, 0L)))
   }
 
+  test("label propagation: communities keep their labels, ties go to the smallest") {
+    val ns = (ms: Long) => ms * 1000000L
+    // users 0,3 (seed label 0) touch only type "a"; users 1,4 (label 1)
+    // touch only "b" → a→0, b→1 and both communities survive intact.
+    // type "c" sees one label-0 user (6) and one label-1 user (7):
+    // tied majority → smallest label (0); user 7 touches ONLY c, so the
+    // tie rule reassigns it from 1 to 0 — the deterministic crossover
+    // the oracle must reproduce exactly.
+    val rows = Seq(
+      (1L, 0L, "a"), (2L, 3L, "a"), (3L, 0L, "a"),
+      (4L, 1L, "b"), (5L, 4L, "b"),
+      (6L, 6L, "c"), (7L, 7L, "c"))
+      .zipWithIndex.map { case ((eid, uid, et), i) =>
+        (eid, ns(1000L * i), uid, et, 1.0, "{}")
+      }
+    val dir = stageTables("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("graph_label_propagation", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // label 0: users 0, 3, 6 (their own community) + 7 (tie-flipped via c)
+    assert(got(0L) === ((4L, 16L, 2L)), "0+3+6+7 = checksum 16; types a and c")
+    assert(got(1L) === ((2L, 5L, 1L)), "users 1, 4 keep label 1 via type b")
+    assert(!got.contains(2L), "no user ends on label 2 in this fixture")
+  }
+
   // --------------------------------------------------- fuzzy Levenshtein
 
   test("fuzzy dedup pairs within-brand near-identical names; length band prunes") {
