@@ -519,6 +519,47 @@ object LlmPipeline2 {
       .repartition(s.sparkContext.defaultParallelism, $"vec_id"))
   }
 
+  /** Centroid ARRAY table for an E-step: (cell, n, sqa) with sqa the
+    * pos-ordered Σq vector. K rows — always broadcast.
+    */
+  private def ivfCentArr(cent: DataFrame): DataFrame =
+    cent.groupBy(col("cell"), col("n"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sq))), c -> c.sq)")
+        .as("sqa"))
+
+  /** Quantized integer vector per row, straight off the source array
+    * (same floor(x·10⁶ + 0.5) quantization as [[quantizedComponents]],
+    * without the 64× explode).
+    */
+  private def ivfQrows(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint))")
+        .as("qa"))
+
+  /** E-step: assign every vector to the argmax-score centroid. The
+    * score is the EXACT integer dot q·Σq — a BIGINT fold (identical
+    * value to the old exploded join-on-pos DECIMAL spelling wherever
+    * it fits 63 bits: per-term |q·Σq| ≤ 1e12·|cell| and the 64-term
+    * sum ≤ 6.4e13·|cell|, so a single cell would need ~10¹⁴ members
+    * to overflow — not a reachable shape under the derived-K rule
+    * that pins mean cell size to B̄=64) followed by one double
+    * division; the argmax is a max(struct(score, -cell)) aggregate
+    * (ties → smallest cell). Shape: |pts| × K rows through ONE
+    * aggregate — the exploded spelling pushed |pts|·64·K joined rows
+    * through TWO aggregates, a 64× heavier shuffle for the same
+    * arithmetic. Shared by the Lloyd training, the final full-corpus
+    * assignment, and the retrain-free `index_append` E-step.
+    */
+  private def ivfAssign(pts: DataFrame, cent: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(ivfCentArr(cent)))
+      .select(col("vec_id"), col("cell"),
+        (expr("aggregate(zip_with(qa, sqa, (a, b) -> a * b), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").cast("double") / col("n"))
+          .as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+
   /** The trained IVF index artifacts for (corpus, K): quantized
     * components `iq`, trained assignment `a2` (vector → inverted list)
     * and the final centroid table `c2` — all IndexCache'd, so the
@@ -572,39 +613,6 @@ object LlmPipeline2 {
       val c0 = iqT.join(broadcast(seeds), $"vec_id" === $"cell")
         .select($"cell", $"pos", $"q".as("sq"), lit(1L).as("n"))
       // Centroid ARRAY table for the E-step: (cell, n, sqa) with sqa
-      // the pos-ordered Σq vector. K rows — always broadcast.
-      def centArr(cent: DataFrame): DataFrame =
-        cent.groupBy($"cell", $"n")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, sq))), c -> c.sq)")
-            .as("sqa"))
-      // Quantized integer vector per row, straight off the source array
-      // (same floor(x·10⁶ + 0.5) quantization as [[quantizedComponents]],
-      // without the 64× explode).
-      def qrows(df: DataFrame): DataFrame =
-        df.select($"vec_id",
-          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint))")
-            .as("qa"))
-      // E-step: assign every vector to the argmax-score centroid. The
-      // score is the EXACT integer dot q·Σq — a BIGINT fold (identical
-      // value to the old exploded join-on-pos DECIMAL spelling wherever
-      // it fits 63 bits: per-term |q·Σq| ≤ 1e12·|cell| and the 64-term
-      // sum ≤ 6.4e13·|cell|, so a single cell would need ~10¹⁴ members
-      // to overflow — not a reachable shape under the derived-K rule
-      // that pins mean cell size to B̄=64) followed by one double
-      // division; the argmax is a max(struct(score, -cell)) aggregate
-      // (ties → smallest cell). Shape: |pts| × K rows through ONE
-      // aggregate — the exploded spelling pushed |pts|·64·K joined rows
-      // through TWO aggregates, a 64× heavier shuffle for the same
-      // arithmetic.
-      def assign(pts: DataFrame, cent: DataFrame): DataFrame =
-        pts.crossJoin(broadcast(centArr(cent)))
-          .select($"vec_id", $"cell",
-            (expr("aggregate(zip_with(qa, sqa, (a, b) -> a * b), " +
-              "cast(0 as bigint), (acc, x) -> acc + x)").cast("double") / $"n")
-              .as("score"))
-          .groupBy($"vec_id")
-          .agg(max(struct($"score", (-$"cell").as("nc"))).as("m"))
-          .select($"vec_id", (-$"m.nc").as("cell"))
       // M-step: recompute (Σq, n) per surviving cell over `pts`
       // components. The assignment table is one row per VECTOR (the
       // components are 64×) — broadcast it to keep the M-step map-side;
@@ -632,8 +640,9 @@ object LlmPipeline2 {
       // eager checkpoint outside the thunk would re-run an E-step on
       // every later caller that hits the cache.
       val a2 = graft.core.IndexCache(s, s"ivf-a2|K=$numCells|$d", {
-        val a1 = assign(qrows(emb.filter(trainFilter)), c0).localCheckpoint(true)
-        assign(qrows(emb), centroids(iqT, a1))
+        val a1 = ivfAssign(ivfQrows(emb.filter(trainFilter)), c0)
+          .localCheckpoint(true)
+        ivfAssign(ivfQrows(emb), centroids(iqT, a1))
       })
       // the final centroid table is K×64 rows and probe-independent —
       // cache it so each extra probe pays only its own scoring + scan.
@@ -988,20 +997,17 @@ object LlmPipeline2 {
     "index_append",
     (s, d) => {
       import s.implicits._
-      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val (ap, cp) = ivfPersist(s, d)
       val c2r = s.read.parquet(cp)
-      // the new batch: reversed-embedding twins, quantized components
-      // mirrored from the shared iq artifact (posexplode is 0-based)
-      val niq = quantizedComponents(s, d)
-        .select(($"vec_id" + 100000L).as("vec_id"),
-          (lit(63) - $"pos").as("pos"), $"q")
-      val assigned = niq.join(broadcast(c2r), "pos")
-        .groupBy($"vec_id", $"cell")
-        .agg((sum($"q".cast(Dec38) * $"sq").cast("double") / max($"n")).as("score"))
-        .groupBy($"vec_id")
-        .agg(max(struct($"score", (-$"cell").as("nc"))).as("m"))
-        .select($"vec_id", (-$"m.nc").as("cell"))
+      // the new batch: reversed-embedding twins — reversing the ARRAY
+      // is the same vector the old mirrored-pos component spelling
+      // built (position p reads embedding[63−p]), fed through the
+      // shared array-fold E-step against the REOPENED centroid table
+      val assigned = ivfAssign(
+        ivfQrows(t(s, d, "embeddings")
+          .select(($"vec_id" + 100000L).as("vec_id"),
+            reverse($"embedding").as("embedding"))),
+        c2r)
       assigned.write.mode("append").parquet(ap)
       // the grown index, read back from the store
       s.read.parquet(ap)
