@@ -840,9 +840,78 @@ object CorpusOps {
       "CAST(SUM(CASE WHEN fw + fl + fa = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS n_keep FROM f GROUP BY 1 ORDER BY 1 NULLS FIRST"))
 
+  // ------------------------------------------------------------------
+  // text_zipf_fit — Zipf's-law fit over the corpus unigram distribution:
+  // the log-log OLS slope of count vs frequency rank for the top-100
+  // tokens. Natural text sits near slope −1; a corpus whose slope
+  // drifts (template spam flattens it, aggressive dedup steepens it)
+  // fails distribution QA — the corpus-level health check next to the
+  // per-document quality scores. Global token counts collapse map-side
+  // (partial+final agg); the top-100 cut is a TakeOrdered on the total
+  // (cnt desc, token) order, so the regression's only window runs over
+  // a ≤100-row LEDGER, never the token stream. Regression inputs
+  // ln(rank), ln(cnt) are integer-quantized at 10⁶ per row before the
+  // exact sums (ln on identical integer inputs is correctly-rounded
+  // libm in both engines — the `graph_adamic_adar` precedent); the
+  // slope/intercept are then single double formulas with identical
+  // text. A degenerate ledger (n < 2 or zero x-variance) yields NULL
+  // fits, not a division error.
+  // ------------------------------------------------------------------
+
+  private val textZipfFit = Q(
+    "text_zipf_fit",
+    (s, d) => {
+      import s.implicits._
+      val top = t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token".asc).limit(100)
+      val w = Window.orderBy($"cnt".desc, $"token".asc)
+      val q = top
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(
+          floor(log($"rank".cast("double")) * 1e6 + 0.5).cast("long").as("xq"),
+          floor(log($"cnt".cast("double")) * 1e6 + 0.5).cast("long").as("yq"))
+      val m = q.agg(
+        count(lit(1)).as("n"),
+        sum($"xq").cast("double").as("sx"),
+        sum($"yq").cast("double").as("sy"),
+        sum($"xq" * $"yq").cast("double").as("sxy"),
+        sum($"xq" * $"xq").cast("double").as("sxx"))
+      m.withColumn("den", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("sl",
+          when($"n" > 1 && $"den" > 0,
+            ($"n" * $"sxy" - $"sx" * $"sy") / $"den"))
+        .select($"n",
+          dround($"sl", 6).as("zipf_slope"),
+          dround(($"sy" / 1e6 - $"sl" * ($"sx" / 1e6)) / $"n", 6)
+            .as("zipf_intercept"))
+    },
+    Some("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token " +
+      "FROM documents), " +
+      "c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok " +
+      "GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 100), " +
+      "r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) " +
+      "AS BIGINT) AS rank, cnt FROM c), " +
+      "q AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) " +
+      "AS BIGINT) AS xq, " +
+      "CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS yq " +
+      "FROM r), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(xq) AS DOUBLE) AS sx, CAST(SUM(yq) AS DOUBLE) AS sy, " +
+      "CAST(SUM(xq*yq) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(xq*xq) AS DOUBLE) AS sxx FROM q), " +
+      "c2 AS (SELECT n, sx, sy, sxy, n*sxx - sx*sx AS den FROM m), " +
+      "c3 AS (SELECT n, sx, sy, CASE WHEN n > 1 AND den > 0 THEN " +
+      "(n*sxy - sx*sy) / den END AS sl FROM c2) " +
+      "SELECT n, " + OSql.sround("sl", 6) + " AS zipf_slope, " +
+      OSql.sround("(sy/1e6 - sl*(sx/1e6)) / n", 6) + " AS zipf_intercept " +
+      "FROM c3"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
-    textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules)
+    textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
+    textZipfFit)
 }

@@ -1845,10 +1845,127 @@ object LlmPipeline2 {
       "SELECT CAST(floor(jac * 10) AS BIGINT) AS bucket, " +
       "count(*) AS n_pairs FROM jp GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // dedup_minhash_estimate — the sketch-accuracy gate for the MinHash
+  // family (the `sim_ann_recall` pattern applied to dedup): for every
+  // LSH candidate pair, the signature-estimated Jaccard (the fraction
+  // of the 8 min-hash slices that agree — recovered from the shared
+  // band artifact, whose bands are two adjacent 8-hex slices plus a
+  // '#Bk' suffix) is calibrated against the EXACT 3-gram Jaccard the
+  // dispose stage computes. Output is the per-estimate ledger
+  // (matches 0..8 → pair count, mean exact Jaccard, mean |est − jac|),
+  // so the hash verifies the sketch's whole calibration curve — a
+  // change that silently degrades the estimator shifts the ledger and
+  // fails the gate. Everything reads off the two IndexCache artifacts
+  // (`mh-bands`, via [[jacPairs]]' propose+count stage); per-pair
+  // errors are exact 10⁶ integers before the per-bucket sums, so the
+  // reduction is order-independent. Cost: |candidates| × ≤4 band rows
+  // — linear in the candidate set, never N².
+  // ------------------------------------------------------------------
+
+  private val dedupMinhashEstimate = Q(
+    "dedup_minhash_estimate",
+    (s, d) => {
+      import s.implicits._
+      val bd = LlmPipeline.guardBands(
+        graft.core.IndexCache(s, s"mh-bands|$d", LlmPipeline.bandRows(s, d)))
+      val sl = bd.select($"doc_id", substring($"band", 19, 1).as("k"),
+        substring($"band", 1, 8).as("s1"), substring($"band", 9, 8).as("s2"))
+      val a = sl.select($"doc_id".as("doc_a"), $"k",
+        $"s1".as("a1"), $"s2".as("a2"))
+      val b = sl.select($"doc_id".as("doc_b"), $"k",
+        $"s1".as("b1"), $"s2".as("b2"))
+      val pairs = jacPairs(s, d)
+      val per = pairs.select($"doc_a", $"doc_b")
+        .join(a, "doc_a").join(b, Seq("doc_b", "k"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(sum(($"a1" === $"b1").cast("long")
+          + ($"a2" === $"b2").cast("long")).as("matches"))
+      pairs.join(per, Seq("doc_a", "doc_b"))
+        .select($"matches",
+          floor($"jac" * 1e6 + 0.5).cast("long").as("jq"))
+        .groupBy("matches")
+        .agg(count(lit(1)).as("n_pairs"),
+          dround(sum($"jq").cast("double") / 1e6 / count(lit(1)), 6)
+            .as("avg_jac"),
+          dround(sum(abs($"matches" * 125000L - $"jq")).cast("double")
+            / 1e6 / count(lit(1)), 6).as("avg_abs_err"))
+        .orderBy("matches")
+    },
+    Some("WITH " + jacPairsCtes + ", " +
+      "sl AS (SELECT doc_id, substring(band, 19, 1) AS k, " +
+      "substring(band, 1, 8) AS s1, substring(band, 9, 8) AS s2 FROM g), " +
+      "per AS (SELECT p.doc_a, p.doc_b, " +
+      "CAST(SUM((CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END)) AS BIGINT) AS matches " +
+      "FROM jp p JOIN sl a ON a.doc_id = p.doc_a " +
+      "JOIN sl b ON b.doc_id = p.doc_b AND b.k = a.k GROUP BY 1, 2), " +
+      "e AS (SELECT per.matches, " +
+      "CAST(floor(jp.jac * 1e6 + 0.5) AS BIGINT) AS jq " +
+      "FROM jp JOIN per ON per.doc_a = jp.doc_a AND per.doc_b = jp.doc_b) " +
+      "SELECT matches, CAST(count(*) AS BIGINT) AS n_pairs, " +
+      OSql.sround("CAST(SUM(jq) AS DOUBLE) / 1e6 / count(*)", 6) +
+      " AS avg_jac, " +
+      OSql.sround("CAST(SUM(abs(matches * 125000 - jq)) AS DOUBLE) " +
+        "/ 1e6 / count(*)", 6) + " AS avg_abs_err " +
+      "FROM e GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // sim_knn_classify — k-nearest-neighbor classification, the simplest
+  // DOWNSTREAM CONSUMER of the similarity machinery (retrieval feeds a
+  // decision, not a ranked list): each of 5 probe vectors is labeled by
+  // majority vote over its 10 exact nearest neighbors (self excluded),
+  // with label = vec_id mod 3 (the same deterministic class assignment
+  // `eval_confusion_multiclass` uses). ONE corpus scan serves all
+  // probes (the batched exactTopKMulti shape — broadcast probe table,
+  // codegen'd DotProductF folds, per-probe WindowGroupLimit), the
+  // self-exclusion re-rank and the vote run over ≤11-row-per-probe
+  // ledgers, and the winning label is a max-over-(votes, −label)
+  // aggregate — ties break toward the smaller label in both engines.
+  // ------------------------------------------------------------------
+
+  private val simKnnClassify = Q(
+    "sim_knn_classify",
+    (s, d) => {
+      import s.implicits._
+      val probes = Seq(0L, 1L, 2L, 3L, 4L)
+      val nn = LlmPipeline.exactTopKMulti(s, d, 11, probes)
+        .filter($"vec_id" =!= $"probe")
+      val w = Window.partitionBy($"probe").orderBy($"rn".asc)
+      val top = nn.withColumn("r2", row_number().over(w))
+        .filter($"r2" <= 10)
+      top.select($"probe", ($"vec_id" % 3).as("lbl"))
+        .groupBy($"probe", $"lbl").agg(count(lit(1)).as("votes"))
+        .groupBy($"probe")
+        .agg(max(struct($"votes", (-$"lbl").as("nl"))).as("m"))
+        .select($"probe", (-$"m.nl").as("pred_label"),
+          $"m.votes".as("pred_votes"))
+        .orderBy("probe")
+    },
+    Some {
+      val ps = Seq(0L, 1L, 2L, 3L, 4L)
+      val legs = ps.map { p =>
+        s"n_$p AS (SELECT vec_id FROM (SELECT vec_id, " +
+          "row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS r2 " +
+          s"FROM (${LlmPipeline.exactTopkSql(11, p)}) " +
+          s"WHERE vec_id <> $p) WHERE r2 <= 10)"
+      }.mkString(", ")
+      val votes = ps.map { p =>
+        s"SELECT CAST($p AS BIGINT) AS probe, vec_id % 3 AS lbl, " +
+          s"CAST(count(*) AS BIGINT) AS votes FROM n_$p GROUP BY 1, 2"
+      }.mkString(" UNION ALL ")
+      s"WITH $legs, u AS ($votes), " +
+        "r AS (SELECT probe, lbl, votes, row_number() OVER " +
+        "(PARTITION BY probe ORDER BY votes DESC, lbl ASC) AS rk FROM u) " +
+        "SELECT probe, lbl AS pred_label, votes AS pred_votes " +
+        "FROM r WHERE rk = 1 ORDER BY probe"
+    })
+
   val qs: Seq[Q] = Seq(
     dedupSimhash, dedupNgramJaccard, dedupEmbeddingCosine, simAnnLsh, simAnnIvf,
     indexPersist, simAnnPq, simAnnIvfPq, simAnnRecall, textLangId,
     textQualityScore, textTokenCount, docFingerprint, multimodalDecode,
     sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
-    dedupThresholdSweep, indexAppend, simAnnRange)
+    dedupThresholdSweep, indexAppend, simAnnRange, dedupMinhashEstimate,
+    simKnnClassify)
 }

@@ -154,6 +154,51 @@ object MiningOps {
       "FROM pairs ORDER BY aa_score DESC, pa, pb LIMIT 20"))
 
   // ------------------------------------------------------------------
+  // graph_jaccard_neighbors — neighborhood-Jaccard link prediction over
+  // the same part ↔ order bipartite graph: score(a, b) =
+  // |N(a) ∩ N(b)| / |N(a) ∪ N(b)| with N(p) = the distinct orders
+  // containing part p. The third classic common-neighbor score next to
+  // raw counts (co-pairs) and Adamic-Adar downweighting — Jaccard
+  // NORMALIZES by both degrees, so a pair of niche parts that always
+  // co-occur outranks two bestsellers that overlap incidentally. The
+  // intersection count reads off the shared within-order pair artifact
+  // ([[coPairs]] — candidate pairs are only ever enumerated within a
+  // basket, Σ|basket|², never all parts²); degrees are one extra
+  // distinct-scan + count agg, linear. The union size is computed as
+  // da + db − i from three exact longs — no second pair pass. Top-20
+  // on (jaccard desc, pa, pb) — fully tie-broken.
+  // ------------------------------------------------------------------
+
+  private val graphJaccardNeighbors = Q(
+    "graph_jaccard_neighbors",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.t(s, d, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val deg = li.groupBy($"p").agg(count(lit(1)).as("dp"))
+      coPairs(s, d)
+        .groupBy($"a".as("pa"), $"b".as("pb"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(deg.select($"p".as("pa"), $"dp".as("da")), "pa")
+        .join(deg.select($"p".as("pb"), $"dp".as("db")), "pb")
+        .select($"pa", $"pb", $"n_common",
+          dround($"n_common".cast("double") / ($"da" + $"db" - $"n_common"), 6)
+            .as("nbr_jaccard"))
+        .orderBy($"nbr_jaccard".desc, $"pa".asc, $"pb".asc)
+        .limit(20)
+    },
+    Some("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+      "FROM lineitem), " +
+      "deg AS (SELECT p, count(*) AS dp FROM li GROUP BY 1), " +
+      "pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_common " +
+      "FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2) " +
+      "SELECT pa, pb, n_common, " +
+      OSql.sround("CAST(n_common AS DOUBLE) / (da.dp + db.dp - n_common)", 6) +
+      " AS nbr_jaccard FROM pairs " +
+      "JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb " +
+      "ORDER BY nbr_jaccard DESC, pa, pb LIMIT 20"))
+
+  // ------------------------------------------------------------------
   // seq_pattern_regex — MATCH_RECOGNIZE-style behavior detection: each
   // user's event stream, time-ordered, becomes a string of type
   // initials (c/e/p/s/v) and the funnel pattern s[cv]*p (signup, any
@@ -445,6 +490,6 @@ object MiningOps {
       "FROM cand GROUP BY 1 ORDER BY 1"))
 
   val qs: Seq[Q] = Seq(
-    graphBfsDepth, graphAdamicAdar, seqPatternRegex, sampleNegative,
-    simMaxsimLabels, graphKcorePeel, dedupFuzzyLevenshtein)
+    graphBfsDepth, graphAdamicAdar, graphJaccardNeighbors, seqPatternRegex,
+    sampleNegative, simMaxsimLabels, graphKcorePeel, dedupFuzzyLevenshtein)
 }

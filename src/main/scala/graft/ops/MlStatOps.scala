@@ -116,6 +116,69 @@ object MlStatOps {
       "FROM c ORDER BY 1"))
 
   // ------------------------------------------------------------------
+  // stat_anova_oneway — one-way ANOVA: does mean event value differ
+  // across the k event types? The k-sample generalization of
+  // `stat_welch_ttest`'s two arms, reported as the classic F ratio
+  // SSB/(k−1) over SSW/(n−k). Same exactness discipline as welch/χ²:
+  // the fact table collapses MAP-SIDE to k rows of exact integer
+  // moments (n_g, Σv, Σv² in DECIMAL(38,0)/HUGEINT over exact cents),
+  // each group's squared-sum term S_g²/n_g — the one unavoidable
+  // division — is integer-quantized at 10⁶ BEFORE the cross-group
+  // reduction (the χ² per-term trick), so every multi-row sum the
+  // engines perform is an order-independent integer sum; the F
+  // statistic is then pure scalar double arithmetic with IDENTICAL
+  // formula text in both engines. Zero-variance and degenerate
+  // (n ≤ k) inputs yield NULL, never an ANSI division error.
+  // ------------------------------------------------------------------
+
+  private val statAnovaOneway = Q(
+    "stat_anova_oneway",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .select($"event_type", round($"value" * 100).cast("long").as("v"))
+      val g = v.groupBy("event_type").agg(
+        count(lit(1)).as("ng"),
+        sum($"v".cast(Dec380)).as("sg"),
+        sum($"v".cast(Dec380) * $"v").as("qg"))
+        .withColumn("sgd", $"sg".cast("double"))
+        .withColumn("tq",
+          floor($"sgd" * $"sgd" / $"ng" * 1e6 + 0.5).cast(Dec380))
+      val m = g.agg(
+        count(lit(1)).as("k"), sum($"ng").as("n"),
+        sum($"sg").cast("double").as("sd"),
+        sum($"qg").cast("double").as("qd"),
+        (sum($"tq").cast("double") / 1e6).as("td"))
+      m.withColumn("ssb", $"td" - $"sd" * $"sd" / $"n")
+        .withColumn("ssw", $"qd" - $"td")
+        .select($"k", $"n",
+          dround($"ssb" / 1e4, 6).as("ss_between"),
+          dround($"ssw" / 1e4, 6).as("ss_within"),
+          when($"k" > 1 && $"n" > $"k" && $"ssw" > 0,
+            dround(($"ssb" / ($"k" - 1)) / ($"ssw" / ($"n" - $"k")), 6))
+            .as("f_stat"))
+    },
+    Some("WITH b AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng, " +
+      "SUM(CAST(v AS HUGEINT)) AS sg, " +
+      "SUM(CAST(v AS HUGEINT)*v) AS qg FROM b GROUP BY 1), " +
+      "g2 AS (SELECT ng, sg, qg, " +
+      "CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng * 1e6 + 0.5) " +
+      "AS HUGEINT) AS tq FROM g), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS DOUBLE) AS sd, " +
+      "CAST(SUM(qg) AS DOUBLE) AS qd, " +
+      "CAST(SUM(tq) AS DOUBLE) / 1e6 AS td FROM g2), " +
+      "c AS (SELECT k, n, td - sd*sd/n AS ssb, qd - td AS ssw FROM m) " +
+      "SELECT k, n, " +
+      OSql.sround("ssb / 1e4", 6) + " AS ss_between, " +
+      OSql.sround("ssw / 1e4", 6) + " AS ss_within, " +
+      "CASE WHEN k > 1 AND n > k AND ssw > 0 THEN " +
+      OSql.sround("(ssb / (k-1)) / (ssw / (n-k))", 6) +
+      " END AS f_stat FROM c"))
+
+  // ------------------------------------------------------------------
   // stat_chi2_independence — Pearson χ² test of lang ⊥ source over the
   // documents contingency table, reported as per-lang contribution rows
   // (their sum is the global statistic; per-lang rows localize WHICH
@@ -865,6 +928,94 @@ object MlStatOps {
       "FROM e JOIN edges ON edges.event_type = e.event_type " +
       "GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // eval_confusion_multiclass — the k-class generalization of
+  // `eval_binary_classifier`'s report: true class = user_id mod 3 (the
+  // deterministic hash-assignment `sample_hash_split` models), predicted
+  // class = the value tercile rule (v < $25 → 0, < $50 → 1, else 2).
+  // One map-side collapse to the 3×3 confusion grid; the per-class
+  // margins (n_true, n_pred, tp) and precision/recall/F1 are single
+  // divisions of exact longs off that grid. Classes with zero support
+  // still get a row (fixed 3-row class spine, left joins) with NULL
+  // rates — absent classes are a report row, not a missing row. The
+  // macro-F1 column is the mean of per-class F1s, each F1 integer-
+  // quantized at 10⁶ BEFORE the cross-class sum (the χ²/ANOVA
+  // order-independence trick); rows with NULL value or user_id are
+  // excluded up front in both engines (a NULL CASE arm would silently
+  // land in class 2 — filtered, not misfiled).
+  // ------------------------------------------------------------------
+
+  private val evalConfusionMulticlass = Q(
+    "eval_confusion_multiclass",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"user_id".isNotNull)
+        .select(($"user_id" % 3).as("y"),
+          round($"value" * 100).cast("long").as("v"))
+        .select($"y",
+          when($"v" < 2500, 0L).when($"v" < 5000, 1L).otherwise(2L).as("p"))
+      val a = e.groupBy($"y", $"p").agg(count(lit(1)).as("c"))
+      val classes = Seq(0L, 1L, 2L).toDF("class")
+      val nt = a.groupBy($"y".as("class")).agg(sum($"c").as("n_true"))
+      val np = a.groupBy($"p".as("class")).agg(sum($"c").as("n_pred"))
+      val tp = a.filter($"y" === $"p").select($"y".as("class"), $"c".as("tp"))
+      val j = classes
+        .join(nt, Seq("class"), "left_outer")
+        .join(np, Seq("class"), "left_outer")
+        .join(tp, Seq("class"), "left_outer")
+        .select($"class",
+          coalesce($"n_true", lit(0L)).as("n_true"),
+          coalesce($"n_pred", lit(0L)).as("n_pred"),
+          coalesce($"tp", lit(0L)).as("tp"))
+        .withColumn("f1q",
+          when($"n_true" + $"n_pred" > 0,
+            floor(lit(2e6) * $"tp" / ($"n_true" + $"n_pred") + 0.5)
+              .cast("long"))
+            .otherwise(lit(0L)))
+      val macroRow = j.agg((sum($"f1q").cast("double") / 3 / 1e6).as("mf"))
+      j.crossJoin(macroRow)
+        .select($"class", $"n_true", $"n_pred", $"tp",
+          when($"n_pred" > 0,
+            dround($"tp".cast("double") / $"n_pred", 6)).as("prec"),
+          when($"n_true" > 0,
+            dround($"tp".cast("double") / $"n_true", 6)).as("recall"),
+          when($"n_true" + $"n_pred" > 0,
+            dround(lit(2.0) * $"tp" / ($"n_true" + $"n_pred"), 6)).as("f1"),
+          dround($"mf", 6).as("macro_f1"))
+        .orderBy("class")
+    },
+    Some("WITH e AS (SELECT user_id % 3 AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events " +
+      "WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+      "e2 AS (SELECT y, CAST(CASE WHEN v < 2500 THEN 0 " +
+      "WHEN v < 5000 THEN 1 ELSE 2 END AS BIGINT) AS p FROM e), " +
+      "a AS (SELECT y, p, CAST(count(*) AS BIGINT) AS c FROM e2 GROUP BY 1, 2), " +
+      "cls AS (SELECT CAST(x AS BIGINT) AS class " +
+      "FROM (VALUES (0), (1), (2)) t(x)), " +
+      "nt AS (SELECT y AS class, CAST(SUM(c) AS BIGINT) AS n_true " +
+      "FROM a GROUP BY 1), " +
+      "np AS (SELECT p AS class, CAST(SUM(c) AS BIGINT) AS n_pred " +
+      "FROM a GROUP BY 1), " +
+      "tp AS (SELECT y AS class, c AS tp FROM a WHERE y = p), " +
+      "j AS (SELECT class, coalesce(n_true, 0) AS n_true, " +
+      "coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp " +
+      "FROM cls LEFT JOIN nt USING (class) LEFT JOIN np USING (class) " +
+      "LEFT JOIN tp USING (class)), " +
+      "j2 AS (SELECT j.*, CASE WHEN n_true + n_pred > 0 THEN " +
+      "CAST(floor(2e6 * tp / (n_true + n_pred) + 0.5) AS BIGINT) " +
+      "ELSE 0 END AS f1q FROM j), " +
+      "m AS (SELECT CAST(SUM(f1q) AS DOUBLE) / 3 / 1e6 AS mf FROM j2) " +
+      "SELECT class, n_true, n_pred, tp, " +
+      "CASE WHEN n_pred > 0 THEN " +
+      OSql.sround("CAST(tp AS DOUBLE) / n_pred", 6) + " END AS prec, " +
+      "CASE WHEN n_true > 0 THEN " +
+      OSql.sround("CAST(tp AS DOUBLE) / n_true", 6) + " END AS recall, " +
+      "CASE WHEN n_true + n_pred > 0 THEN " +
+      OSql.sround("2.0 * tp / (n_true + n_pred)", 6) + " END AS f1, " +
+      OSql.sround("mf", 6) + " AS macro_f1 " +
+      "FROM j2 CROSS JOIN m ORDER BY class"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -872,7 +1023,8 @@ object MlStatOps {
     aggWinsorizedMean, assocItemset3, evalCalibration, statFdrBh,
     evalPrSweep, profileColumnStats, featureDecayScore,
     auditFkIntegrity, aggBenfordDigits, anomalyTukeyFence,
-    aggTrimmedMean, evalRegressionMetrics, statCramersV)
+    aggTrimmedMean, evalRegressionMetrics, statCramersV,
+    statAnovaOneway, evalConfusionMulticlass)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -108,6 +108,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((200L, 201L))) // 120-doc boilerplate bucket dropped
   }
 
+  test("minhash estimate: identical docs land on the matches=8 row with exact jac 1") {
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"x$i").mkString(" ")
+    val dir = stageTables("documents" -> Seq(
+      (1L, long1), (2L, long1), (4L, other)).toDF("doc_id", "text"))
+    val rows = run("dedup_minhash_estimate", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    // only (1,2) is a candidate; all 8 slices agree; |est − jac| = 0
+    assert(rows.toMap === Map(8L -> ((1L, 1.0, 0.0))))
+  }
+
+  test("knn classify: majority vote over the 10 nearest, ties to the smaller label") {
+    // 11 identical vectors: each probe's top-11 is everything (vec_id
+    // tie order), self drops out, and the vote counts are closed-form
+    val dir = stageTables("embeddings" ->
+      (0L to 10L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = run("sim_knn_classify", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 4L)), 1L -> ((0L, 4L)),
+      2L -> ((0L, 4L)), // labels 0 and 1 tie at 4 votes → smaller label
+      3L -> ((1L, 4L)), 4L -> ((0L, 4L))))
+  }
+
   test("bigrams: single-token docs contribute nothing") {
     val dir = stageTables("documents" -> Seq(
       (1L, "a b c"), (2L, "solo")).toDF("doc_id", "text"))
@@ -867,6 +891,7 @@ class EdgeCaseSpec extends SparkSpec {
         val cap = key match {
           case "sim_ann_recall" => 3
           case "eval_pr_sweep" => 9
+          case "eval_confusion_multiclass" => 3 // fixed 3-row class spine
           case _ => 1
         }
         if (n <= cap) None else Some(s"$key: unexpected $n rows")

@@ -55,6 +55,21 @@ class MiningSpec extends SparkSpec {
     assert(got((102L, 103L)) === ((1L, 0.910239)))
   }
 
+  test("neighborhood Jaccard normalizes by both degrees, counting singleton orders") {
+    val li = Seq(
+      (1L, 101L), (1L, 102L),  // o1: {101,102}
+      (2L, 101L), (2L, 102L),  // o2: {101,102}
+      (3L, 101L), (3L, 103L),  // o3: {101,103}
+      (4L, 103L))              // o4: singleton — counts toward 103's degree only
+      .toDF("l_orderkey", "l_partkey")
+    val got = run("graph_jaccard_neighbors", stageTables("lineitem" -> li)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // N(101)={1,2,3}, N(102)={1,2}, N(103)={3,4}
+    assert(got((101L, 102L)) === ((2L, 0.666667))) // 2/(3+2-2)
+    assert(got((101L, 103L)) === ((1L, 0.25)))     // 1/(3+2-1): singleton in the union
+    assert(got.size === 2) // 102,103 never co-occur: no candidate pair
+  }
+
   test("single-part orders contribute nothing to Adamic-Adar") {
     val li = Seq((1L, 101L), (2L, 101L), (2L, 102L))
       .toDF("l_orderkey", "l_partkey")

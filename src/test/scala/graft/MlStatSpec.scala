@@ -29,6 +29,76 @@ class MlStatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - 2.941176) < 1e-5)
   }
 
+  test("one-way ANOVA: known two-group case matches the closed form") {
+    // group a = {1,2,3}, group b = {2,3,4}: SSB = 1.5, SSW = 4.0,
+    // F = (1.5/1)/(4.0/4) = 1.5 (value² units)
+    val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1000L + i, 0L, "a", v, "{}") } ++
+      Seq(2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, 2000L + i, 1L, "b", v, "{}") }
+    val r = run("stat_anova_oneway", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getDouble(2) === 1.5 && r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 1.5)
+  }
+
+  test("one-way ANOVA: zero within-group variance yields NULL F, not a division error") {
+    val rows = Seq(
+      (1L, 1000L, 0L, "a", 1.0, "{}"), (2L, 1001L, 0L, "a", 1.0, "{}"),
+      (3L, 2000L, 1L, "b", 2.0, "{}"), (4L, 2001L, 1L, "b", 2.0, "{}"),
+      (5L, 2002L, 1L, "b", 2.0, "{}"))
+    val r = run("stat_anova_oneway", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getDouble(2) > 0) // between-group SS is real
+    assert(r.getDouble(3) === 0.0 && r.isNullAt(4))
+  }
+
+  test("multiclass confusion: closed-form grid, rates, and macro-F1") {
+    // y = user_id % 3, pred = value tercile (<$25 → 0, <$50 → 1, else 2)
+    val rows = Seq(
+      (1L, 1000L, 0L, "t", 10.0, "{}"),  // y0 p0 tp
+      (2L, 2000L, 3L, "t", 30.0, "{}"),  // y0 p1 miss
+      (3L, 3000L, 1L, "t", 10.0, "{}"),  // y1 p0 miss
+      (4L, 4000L, 2L, "t", 60.0, "{}"))  // y2 p2 tp
+    val got = run("eval_confusion_multiclass", stageTables("events" -> ev(rows)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got(0L) === ((2L, 2L, 1L, 0.5, 0.5, 0.5, 0.5)))
+    assert(got(1L) === ((1L, 1L, 0L, 0.0, 0.0, 0.0, 0.5)))
+    assert(got(2L) === ((1L, 1L, 1L, 1.0, 1.0, 1.0, 0.5)))
+  }
+
+  test("multiclass confusion: zero-support classes keep their row with NULL rates") {
+    val rows = Seq(
+      (1L, 1000L, 0L, "t", 10.0, "{}"),
+      (2L, 2000L, 3L, "t", 10.0, "{}")) // only class 0, only pred 0
+    val got = run("eval_confusion_multiclass", stageTables("events" -> ev(rows)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(0L, 1L, 2L)) // fixed 3-row spine
+    assert(got(0L).getDouble(6) === 1.0) // perfect class-0 F1
+    assert(got(1L).isNullAt(4) && got(1L).isNullAt(5) && got(1L).isNullAt(6))
+    assert(math.abs(got(2L).getDouble(7) - 0.333333) < 1e-6) // macro = 1.0/3
+  }
+
+  test("zipf fit: an exact 1/r frequency law fits slope -1") {
+    // counts 12, 6, 4, 3 = 12/r for ranks 1..4 → slope −1, intercept ln 12
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val r = run("text_zipf_fit",
+      stageTables("documents" -> Seq((1L, text)).toDF("doc_id", "text")))
+      .collect()(0)
+    assert(r.getLong(0) === 4L)
+    assert(math.abs(r.getDouble(1) - -1.0) < 1e-4)
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-4)
+  }
+
+  test("zipf fit: a single-token ledger yields NULL fits, not a division error") {
+    val r = run("text_zipf_fit",
+      stageTables("documents" -> Seq((1L, "a a a")).toDF("doc_id", "text")))
+      .collect()(0)
+    assert(r.getLong(0) === 1L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("welch t-test: two zero-variance arms yield NULL t and df, not inf") {
     val rows = Seq.tabulate(4)(i =>
       (i.toLong, 1000L + i, i.toLong % 2, "t", if (i % 2 == 0) 1.0 else 2.0, "{}"))
