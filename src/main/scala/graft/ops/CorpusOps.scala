@@ -908,10 +908,78 @@ object CorpusOps {
       OSql.sround("(sy/1e6 - sl*(sx/1e6)) / n", 6) + " AS zipf_intercept " +
       "FROM c3"))
 
+  // ------------------------------------------------------------------
+  // text_collocations_pmi — pointwise mutual information over adjacent
+  // word pairs: the collocation miner (which bigrams co-occur far more
+  // than their unigram frequencies predict — "new york", not "of the")
+  // that feeds tokenizer merge candidates and phrase-aware dedup
+  // shingles. Bigrams are the `text_bigram_logprob` per-doc lead
+  // window (keyed by doc_id, never global); unigram/bigram counts
+  // collapse map-side; candidates need count ≥ 5 so every ln argument
+  // is a positive exact integer (correctly-rounded libm on identical
+  // inputs — the adamic-adar/zipf precedent), and PMI = (ln c_ab +
+  // 2·ln N₁) − (ln N₂ + ln c_a + ln c_b) is one fixed-text double
+  // expression (ln of exact ints summed, never ln of a ratio — no
+  // overflowing integer products at scale). Top-20 ordered by the
+  // 10⁶-quantized PMI with (w1, w2) tiebreak — fully deterministic.
+  // ------------------------------------------------------------------
+
+  private val textCollocationsPmi = Q(
+    "text_collocations_pmi",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      val wNext = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+      val big = tok
+        .withColumn("w2", lead($"w", 1).over(wNext))
+        .filter($"w2".isNotNull)
+        .select($"w".as("w1"), $"w2")
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cu = tok.groupBy($"w").agg(count(lit(1)).as("c1"))
+      val tot = cu.agg(sum($"c1").as("n1")).crossJoin(
+        cb.agg(sum($"c12").as("n2")))
+      val scored = cb.filter($"c12" >= 5)
+        .join(cu.select($"w".as("w1"), $"c1".as("ca")), "w1")
+        .join(cu.select($"w".as("w2"), $"c1".as("cb")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi",
+          log($"c12".cast("double")) + log($"n1".cast("double"))
+            + log($"n1".cast("double"))
+            - (log($"n2".cast("double")) + log($"ca".cast("double"))
+              + log($"cb".cast("double"))))
+        .withColumn("pq", floor($"pmi" * 1e6 + 0.5).cast("long"))
+      scored.orderBy($"pq".desc, $"w1".asc, $"w2".asc).limit(20)
+        .select($"w1", $"w2", $"c12".as("n_pair"),
+          ($"pq".cast("double") / 1e6).as("pmi"))
+    },
+    Some("WITH tok AS (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS w, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS pos " +
+      "FROM documents), " +
+      "big AS (SELECT w AS w1, " +
+      "lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok), " +
+      "b2 AS (SELECT w1, w2 FROM big WHERE w2 IS NOT NULL), " +
+      "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 " +
+      "FROM b2 GROUP BY 1, 2), " +
+      "cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1), " +
+      "tot AS (SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM cu) AS n1, " +
+      "(SELECT CAST(SUM(c12) AS BIGINT) FROM cb) AS n2), " +
+      "sc AS (SELECT w1, w2, c12, " +
+      "ln(CAST(c12 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) " +
+      "+ ln(CAST(n1 AS DOUBLE)) - (ln(CAST(n2 AS DOUBLE)) " +
+      "+ ln(CAST(ca.c1 AS DOUBLE)) + ln(CAST(cbb.c1 AS DOUBLE))) AS pmi " +
+      "FROM cb JOIN cu ca ON ca.w = cb.w1 JOIN cu cbb ON cbb.w = cb.w2 " +
+      "CROSS JOIN tot WHERE c12 >= 5), " +
+      "sq AS (SELECT w1, w2, c12, " +
+      "CAST(floor(pmi * 1e6 + 0.5) AS BIGINT) AS pq FROM sc) " +
+      "SELECT w1, w2, c12 AS n_pair, CAST(pq AS DOUBLE) / 1e6 AS pmi " +
+      "FROM sq ORDER BY pq DESC, w1, w2 LIMIT 20"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
     textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
-    textZipfFit)
+    textZipfFit, textCollocationsPmi)
 }

@@ -425,8 +425,79 @@ object FeatureOps {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ms " +
       "FROM events) ORDER BY user_id, ms, event_id"))
 
+  // ------------------------------------------------------------------
+  // feature_woe_iv — Weight of Evidence / Information Value: the
+  // credit-scoring-style screen for how well a categorical feature
+  // (here the value quartile bucket) separates a binary target (the
+  // `eval_binary_classifier` purchase label). WoE_g = ln(good_g/G) −
+  // ln(bad_g/B) per bucket; IV = Σ_g (good_g/G − bad_g/B)·WoE_g ranks
+  // the feature (< 0.02 useless, > 0.3 strong). Exactness: counts
+  // collapse MAP-SIDE to ≤4 bucket rows; WoE is spelled (ln good_g +
+  // ln B) − (ln bad_g + ln G) — each ln on a positive exact integer
+  // (correctly-rounded libm both engines), never a ratio and never an
+  // overflowing product; each bucket's IV term is quantized at 10⁹
+  // BEFORE the cross-bucket sum. A bucket with a zero cell emits NULL
+  // WoE and contributes zero to IV (the standard guard against ±inf),
+  // visible in the output rather than silently smoothed. NULL values
+  // are excluded up front in both engines (a NULL would otherwise land
+  // in the top bucket via the CASE fallthrough).
+  // ------------------------------------------------------------------
+
+  private val featureWoeIv = Q(
+    "feature_woe_iv",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+        .select($"y",
+          when($"v" < 2500, 0L).when($"v" < 5000, 1L)
+            .when($"v" < 7500, 2L).otherwise(3L).as("bucket"))
+      val g = e.groupBy("bucket").agg(
+        sum($"y").as("n_good"), sum(lit(1L) - $"y").as("n_bad"))
+      val tot = g.agg(sum($"n_good").as("gg"), sum($"n_bad").as("bb"))
+      val w = g.crossJoin(broadcast(tot))
+        .withColumn("woe",
+          when($"n_good" > 0 && $"n_bad" > 0 && $"gg" > 0 && $"bb" > 0,
+            log($"n_good".cast("double")) + log($"bb".cast("double"))
+              - (log($"n_bad".cast("double")) + log($"gg".cast("double")))))
+        .withColumn("ivq",
+          when($"woe".isNotNull,
+            floor(($"n_good".cast("double") / $"gg"
+              - $"n_bad".cast("double") / $"bb") * $"woe" * 1e9 + 0.5)
+              .cast("long"))
+            .otherwise(lit(0L)))
+      val iv = w.agg((sum($"ivq").cast("double") / 1e9).as("iv"))
+      w.crossJoin(broadcast(iv))
+        .select($"bucket", $"n_good", $"n_bad",
+          dround($"woe", 6).as("woe"), dround($"iv", 6).as("iv"))
+        .orderBy("bucket")
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events " +
+      "WHERE value IS NOT NULL), " +
+      "e2 AS (SELECT y, CAST(CASE WHEN v < 2500 THEN 0 WHEN v < 5000 THEN 1 " +
+      "WHEN v < 7500 THEN 2 ELSE 3 END AS BIGINT) AS bucket FROM e), " +
+      "g AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS n_good, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS n_bad FROM e2 GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS gg, " +
+      "CAST(SUM(n_bad) AS BIGINT) AS bb FROM g), " +
+      "w AS (SELECT bucket, n_good, n_bad, " +
+      "CASE WHEN n_good > 0 AND n_bad > 0 AND gg > 0 AND bb > 0 THEN " +
+      "ln(CAST(n_good AS DOUBLE)) + ln(CAST(bb AS DOUBLE)) " +
+      "- (ln(CAST(n_bad AS DOUBLE)) + ln(CAST(gg AS DOUBLE))) END AS woe, " +
+      "gg, bb FROM g CROSS JOIN tot), " +
+      "w2 AS (SELECT w.*, CASE WHEN woe IS NOT NULL THEN " +
+      "CAST(floor((CAST(n_good AS DOUBLE) / gg " +
+      "- CAST(n_bad AS DOUBLE) / bb) * woe * 1e9 + 0.5) AS BIGINT) " +
+      "ELSE 0 END AS ivq FROM w), " +
+      "iv AS (SELECT CAST(SUM(ivq) AS DOUBLE) / 1e9 AS iv FROM w2) " +
+      "SELECT bucket, n_good, n_bad, " + OSql.sround("woe", 6) + " AS woe, " +
+      OSql.sround("iv", 6) + " AS iv FROM w2 CROSS JOIN iv ORDER BY bucket"))
+
   val qs: Seq[Q] = Seq(
     aggOls2, featureMinmaxScale, textHashingTrick, seqTrigramPaths,
     aggBitmapDistinct, seqAttributionLinear, aggHistogramLog2,
-    featureBinningTransfer, featureRecency)
+    featureBinningTransfer, featureRecency, featureWoeIv)
 }

@@ -489,7 +489,80 @@ object MiningOps {
       "AS n_exact_pairs " +
       "FROM cand GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // graph_modularity — Newman modularity Q of the brand partition over
+  // the co-purchase graph: do parts of the same brand form cohesive
+  // communities, or do baskets mix brands freely? The partition-QUALITY
+  // number next to the family's link scores (jaccard/adamic-adar) and
+  // community assignments (components, label propagation): Q =
+  // Σ_c [e_c/m − (d_c/2m)²] over brands c, where e_c counts within-
+  // brand edges, d_c sums member degrees, on the SIMPLE (distinct)
+  // within-order pair graph. Edges read off the shared [[coPairs]]
+  // artifact (never all parts²); degrees are one endpoint-union agg;
+  // every count is an exact long, the per-brand term is ONE double
+  // expression quantized at 10⁹ before the ≤|brands|-row sum (order-
+  // independent), and the brand table (25 rows) broadcasts. Parts with
+  // no co-purchase edge have degree 0 and contribute nothing — brands
+  // appear with their edge-incident member count.
+  // ------------------------------------------------------------------
+
+  private val graphModularity = Q(
+    "graph_modularity",
+    (s, d) => {
+      import s.implicits._
+      val e = coPairs(s, d).select($"a", $"b").distinct()
+      val br = Tables.t(s, d, "part")
+        .select($"p_partkey".as("p"), $"p_brand".as("brand"))
+      val deg = e.select($"a".as("p"))
+        .unionAll(e.select($"b".as("p")))
+        .groupBy("p").agg(count(lit(1)).as("dg"))
+      val bd = deg.join(broadcast(br), "p")
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_parts"), sum($"dg").as("dc"))
+      val ew = e
+        .join(broadcast(br.select($"p".as("a"), $"brand".as("ba"))), "a")
+        .join(broadcast(br.select($"p".as("b"), $"brand".as("bb"))), "b")
+        .filter($"ba" === $"bb")
+        .groupBy($"ba".as("brand")).agg(count(lit(1)).as("ec"))
+      val grand = e.agg(count(lit(1)).cast("double").as("m"))
+      val terms = bd.join(ew, Seq("brand"), "left_outer")
+        .select($"brand", $"n_parts", $"dc",
+          coalesce($"ec", lit(0L)).as("e_within"))
+        .crossJoin(broadcast(grand))
+        .withColumn("tq",
+          floor((lit(4.0) * $"m" * $"e_within"
+            - $"dc".cast("double") * $"dc")
+            / (lit(4.0) * $"m" * $"m") * 1e9 + 0.5).cast("long"))
+      val q = terms.agg((sum($"tq").cast("double") / 1e9).as("qmod"))
+      terms.crossJoin(broadcast(q))
+        .select($"brand", $"n_parts", $"dc".cast("long").as("degree_sum"),
+          $"e_within", dround($"qmod", 6).as("modularity"))
+        .orderBy("brand")
+    },
+    Some("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+      "FROM lineitem), " +
+      "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
+      "JOIN li b ON a.o = b.o AND a.p < b.p), " +
+      "br AS (SELECT p_partkey AS p, p_brand AS brand FROM part), " +
+      "deg AS (SELECT p, CAST(count(*) AS BIGINT) AS dg FROM " +
+      "(SELECT a AS p FROM e UNION ALL SELECT b AS p FROM e) GROUP BY 1), " +
+      "bd AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_parts, " +
+      "CAST(SUM(dg) AS BIGINT) AS dc FROM deg JOIN br USING (p) GROUP BY 1), " +
+      "ew AS (SELECT ba.brand AS brand, CAST(count(*) AS BIGINT) AS ec " +
+      "FROM e JOIN br ba ON ba.p = e.a JOIN br bb ON bb.p = e.b " +
+      "WHERE ba.brand = bb.brand GROUP BY 1), " +
+      "g AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e), " +
+      "terms AS (SELECT brand, n_parts, dc, COALESCE(ec, 0) AS e_within, " +
+      "CAST(floor((4.0 * m * COALESCE(ec, 0) - CAST(dc AS DOUBLE) * dc) " +
+      "/ (4.0 * m * m) * 1e9 + 0.5) AS BIGINT) AS tq " +
+      "FROM bd LEFT JOIN ew USING (brand) CROSS JOIN g), " +
+      "q AS (SELECT CAST(SUM(tq) AS DOUBLE) / 1e9 AS qmod FROM terms) " +
+      "SELECT brand, n_parts, dc AS degree_sum, e_within, " +
+      OSql.sround("qmod", 6) + " AS modularity " +
+      "FROM terms CROSS JOIN q ORDER BY brand"))
+
   val qs: Seq[Q] = Seq(
     graphBfsDepth, graphAdamicAdar, graphJaccardNeighbors, seqPatternRegex,
-    sampleNegative, simMaxsimLabels, graphKcorePeel, dedupFuzzyLevenshtein)
+    sampleNegative, simMaxsimLabels, graphKcorePeel, dedupFuzzyLevenshtein,
+    graphModularity)
 }

@@ -1016,6 +1016,144 @@ object MlStatOps {
       OSql.sround("mf", 6) + " AS macro_f1 " +
       "FROM j2 CROSS JOIN m ORDER BY class"))
 
+  // ------------------------------------------------------------------
+  // stat_levene — Levene's test of variance homogeneity across the k
+  // event types: the PRECONDITION check for `stat_anova_oneway` (ANOVA
+  // assumes equal within-group variance; Levene is ANOVA applied to
+  // the absolute deviations z_ij = |v_ij − mean_j|). Exactness: the
+  // per-row deviation is kept as the exact integer u_ij =
+  // |v_ij·n_j − S_j| (numerator of z·n_j — DECIMAL/HUGEINT products,
+  // never a per-row division), so the only divisions are per-GROUP:
+  // Σz = Σu/n, Σz² = Σu²/n², n·z̄² = (Σu)²/n³ — each quantized at 10⁶
+  // BEFORE the cross-group reduction (the χ²/ANOVA per-term trick),
+  // making every multi-row sum an order-independent integer sum. W and
+  // its dfs are then single double formulas with identical text in
+  // both engines; degenerate inputs (k ≤ 1, n ≤ k, zero denominator)
+  // emit NULL, never a division error.
+  //
+  // 100 TB shape: two fact scans (moments, then deviations against the
+  // BROADCAST ≤k-row moment table), both collapsing map-side — no
+  // row-level shuffle, no window.
+  // ------------------------------------------------------------------
+
+  private val statLevene = Q(
+    "stat_levene",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .select($"event_type", round($"value" * 100).cast("long").as("v"))
+      val mom = v.groupBy("event_type").agg(
+        count(lit(1)).as("ng"), sum($"v".cast(Dec380)).as("sg"))
+      val u = v.join(broadcast(mom), "event_type")
+        .select($"event_type", $"ng",
+          abs($"v".cast(Dec380) * $"ng" - $"sg").as("u"))
+      val g = u.groupBy($"event_type", $"ng").agg(
+        sum($"u").as("a"), sum($"u" * $"u").as("b"))
+        .select($"ng",
+          floor($"a".cast("double") / $"ng" * 1e6 + 0.5).cast(Dec380)
+            .as("zsq"),
+          floor($"b".cast("double") / $"ng" / $"ng" * 1e6 + 0.5).cast(Dec380)
+            .as("q2q"),
+          floor($"a".cast("double") * $"a" / $"ng" / $"ng" / $"ng" * 1e6
+            + 0.5).cast(Dec380).as("tq"))
+      val m = g.agg(
+        count(lit(1)).as("k"), sum($"ng").as("n"),
+        (sum($"zsq").cast("double") / 1e6).as("zs"),
+        (sum($"q2q").cast("double") / 1e6).as("q2"),
+        (sum($"tq").cast("double") / 1e6).as("t"))
+      m.withColumn("ssb", $"t" - $"zs" * $"zs" / $"n")
+        .withColumn("ssw", $"q2" - $"t")
+        .select($"k", $"n",
+          when($"k" > 1 && $"n" > $"k" && $"ssw" > 0,
+            dround(($"ssb" / ($"k" - 1)) / ($"ssw" / ($"n" - $"k")), 6))
+            .as("w_stat"),
+          ($"k" - 1).as("df1"), ($"n" - $"k").as("df2"))
+    },
+    Some("WITH v AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng, " +
+      "SUM(CAST(v AS HUGEINT)) AS sg FROM v GROUP BY 1), " +
+      "u AS (SELECT v.event_type, ng, " +
+      "abs(CAST(v.v AS HUGEINT) * ng - sg) AS u " +
+      "FROM v JOIN mom USING (event_type)), " +
+      "g AS (SELECT event_type, ng, SUM(u) AS a, SUM(u*u) AS b " +
+      "FROM u GROUP BY 1, 2), " +
+      "g2 AS (SELECT ng, " +
+      "CAST(floor(CAST(a AS DOUBLE) / ng * 1e6 + 0.5) AS HUGEINT) AS zsq, " +
+      "CAST(floor(CAST(b AS DOUBLE) / ng / ng * 1e6 + 0.5) AS HUGEINT) AS q2q, " +
+      "CAST(floor(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / ng / ng / ng * 1e6 " +
+      "+ 0.5) AS HUGEINT) AS tq FROM g), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(SUM(ng) AS BIGINT) AS n, " +
+      "CAST(SUM(zsq) AS DOUBLE) / 1e6 AS zs, " +
+      "CAST(SUM(q2q) AS DOUBLE) / 1e6 AS q2, " +
+      "CAST(SUM(tq) AS DOUBLE) / 1e6 AS t FROM g2), " +
+      "c AS (SELECT k, n, t - zs*zs/n AS ssb, q2 - t AS ssw FROM m) " +
+      "SELECT k, n, " +
+      "CASE WHEN k > 1 AND n > k AND ssw > 0 THEN " +
+      OSql.sround("(ssb / (k-1)) / (ssw / (n-k))", 6) +
+      " END AS w_stat, k - 1 AS df1, n - k AS df2 FROM c"))
+
+  // ------------------------------------------------------------------
+  // eval_cohen_kappa — chance-corrected agreement between the true
+  // class (user_id mod 3) and the tercile-rule prediction — the SAME
+  // 3×3 grid as `eval_confusion_multiclass`, collapsed to the one
+  // number a labeling-QA pipeline alerts on (raw accuracy flatters a
+  // skewed class mix; κ subtracts the agreement two independent
+  // marginals would produce by chance). Everything up to the final
+  // formula is exact longs off the map-side-collapsed grid: observed
+  // agreement pₒ = Σtp/n, expected pₑ = Σ(n_trueᵢ·n_predᵢ)/n²; κ =
+  // (pₒ − pₑ)/(1 − pₑ) is one double expression with identical text in
+  // both engines, NULL when pₑ = 1 (a single-class degenerate grid).
+  // ------------------------------------------------------------------
+
+  private val evalCohenKappa = Q(
+    "eval_cohen_kappa",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"user_id".isNotNull)
+        .select(($"user_id" % 3).as("y"),
+          round($"value" * 100).cast("long").as("v"))
+        .select($"y",
+          when($"v" < 2500, 0L).when($"v" < 5000, 1L).otherwise(2L).as("p"))
+      val a = e.groupBy($"y", $"p").agg(count(lit(1)).as("c"))
+      val nt = a.groupBy($"y".as("cl")).agg(sum($"c").as("n_true"))
+      val np = a.groupBy($"p".as("cl")).agg(sum($"c").as("n_pred"))
+      val m = nt.join(np, "cl")
+        .agg(sum($"n_true").as("n"),
+          sum($"n_true" * $"n_pred").as("pe_num"))
+      val ag = a.filter($"y" === $"p").agg(sum($"c").as("agree"))
+      m.crossJoin(ag)
+        .select($"n", coalesce($"agree", lit(0L)).as("agree"), $"pe_num")
+        .select($"n", $"agree",
+          ($"agree".cast("double") / $"n").as("po"),
+          ($"pe_num".cast("double") / $"n" / $"n").as("pe"))
+        .select($"n", $"agree", dround($"po", 6).as("po"),
+          dround($"pe", 6).as("pe"),
+          when($"pe" < 1.0,
+            dround(($"po" - $"pe") / (lit(1.0) - $"pe"), 6)).as("kappa"))
+    },
+    Some("WITH e AS (SELECT user_id % 3 AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events " +
+      "WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+      "e2 AS (SELECT y, CAST(CASE WHEN v < 2500 THEN 0 " +
+      "WHEN v < 5000 THEN 1 ELSE 2 END AS BIGINT) AS p FROM e), " +
+      "a AS (SELECT y, p, CAST(count(*) AS BIGINT) AS c FROM e2 GROUP BY 1, 2), " +
+      "nt AS (SELECT y AS cl, CAST(SUM(c) AS BIGINT) AS n_true FROM a GROUP BY 1), " +
+      "np AS (SELECT p AS cl, CAST(SUM(c) AS BIGINT) AS n_pred FROM a GROUP BY 1), " +
+      "m AS (SELECT CAST(SUM(n_true) AS BIGINT) AS n, " +
+      "CAST(SUM(n_true * n_pred) AS BIGINT) AS pe_num " +
+      "FROM nt JOIN np USING (cl)), " +
+      "ag AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS agree " +
+      "FROM a WHERE y = p), " +
+      "r AS (SELECT n, agree, CAST(agree AS DOUBLE) / n AS po, " +
+      "CAST(pe_num AS DOUBLE) / n / n AS pe FROM m CROSS JOIN ag) " +
+      "SELECT n, agree, " + OSql.sround("po", 6) + " AS po, " +
+      OSql.sround("pe", 6) + " AS pe, " +
+      "CASE WHEN pe < 1.0 THEN " +
+      OSql.sround("(po - pe) / (1.0 - pe)", 6) + " END AS kappa FROM r"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -1024,7 +1162,7 @@ object MlStatOps {
     evalPrSweep, profileColumnStats, featureDecayScore,
     auditFkIntegrity, aggBenfordDigits, anomalyTukeyFence,
     aggTrimmedMean, evalRegressionMetrics, statCramersV,
-    statAnovaOneway, evalConfusionMulticlass)
+    statAnovaOneway, evalConfusionMulticlass, statLevene, evalCohenKappa)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

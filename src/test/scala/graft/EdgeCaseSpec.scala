@@ -132,6 +132,16 @@ class EdgeCaseSpec extends SparkSpec {
       3L -> ((1L, 4L)), 4L -> ((0L, 4L))))
   }
 
+  test("PMI collocations: a dominant adjacent pair scores the ln of its lift") {
+    val dir = stageTables("documents" -> Seq(
+      (1L, "a b a b a b a b a b")).toDF("doc_id", "text"))
+    val rows = run("text_collocations_pmi", dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // unigrams a×5 b×5 (N1=10); bigrams ab×5 ba×4 (N2=9); only ab ≥ 5
+    // pmi = ln(5·10²/(9·5·5)) = ln(20/9) = 0.798508
+    assert(rows.toSeq === Seq(("a", "b", 5L, 0.798508)))
+  }
+
   test("bigrams: single-token docs contribute nothing") {
     val dir = stageTables("documents" -> Seq(
       (1L, "a b c"), (2L, "solo")).toDF("doc_id", "text"))

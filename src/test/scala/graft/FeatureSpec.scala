@@ -10,6 +10,38 @@ class FeatureSpec extends SparkSpec {
 
   private val ns = (ms: Long) => ms * 1000000L
 
+  test("WoE/IV separates purchase-heavy buckets; totals match the closed form") {
+    // bucket0 (<$25): 2 purchases + 1 other; bucket1: 1 + 1. G=3, B=2.
+    // woe0 = ln(2·2/(1·3)) = 0.287682; woe1 = ln(1·2/(1·3)) = −0.405465;
+    // IV = (2/3−1/2)·woe0 + (1/3−1/2)·woe1 = 0.115525
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 10.0), (2L, 1001L, 1L, "purchase", 20.0),
+      (3L, 1002L, 1L, "view", 15.0),
+      (4L, 1003L, 1L, "purchase", 30.0), (5L, 1004L, 1L, "view", 40.0))
+      .map { case (id, ms, u, t, v) => (id, ns(ms), u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = run("feature_woe_iv", stageTables("events" -> rows)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) === ((2L, 1L, 0.287682, 0.115525)))
+    assert(got(1L) === ((1L, 1L, -0.405465, 0.115525)))
+  }
+
+  test("WoE/IV: a zero-cell bucket emits NULL WoE and adds nothing to IV") {
+    // bucket0 is purchase-only → NULL woe, 0 IV term; bucket1 carries
+    // the whole IV: (1/2 − 1/1)·ln(1·1/(1·2)) = 0.5·ln2 = 0.346574
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 10.0),
+      (2L, 1001L, 1L, "purchase", 30.0), (3L, 1002L, 1L, "view", 40.0))
+      .map { case (id, ms, u, t, v) => (id, ns(ms), u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = run("feature_woe_iv", stageTables("events" -> rows)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).isNullAt(3))
+    assert(got(0L).getDouble(4) === 0.346574)
+    assert(got(1L).getDouble(3) === -0.693147)
+  }
+
   test("binning transfer learns quartiles on era 0 and applies them to era 1") {
     // train (even ids): 10,20,30,40 dollars -> edges 1000/2000/3000 cents;
     // serve (odd ids): 5,15,25,35 land one per bin

@@ -181,6 +181,24 @@ class MiningSpec extends SparkSpec {
 
   // --------------------------------------------------- fuzzy Levenshtein
 
+  test("modularity credits within-brand co-purchase edges against degree chance") {
+    val li = Seq(
+      (1L, 1L), (1L, 2L),   // o1: within brand A
+      (2L, 3L), (2L, 4L),   // o2: within brand B
+      (3L, 2L), (3L, 3L))   // o3: crosses brands
+      .toDF("l_orderkey", "l_partkey")
+    val pt = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("p_partkey", "p_brand")
+    val got = run("graph_modularity",
+      stageTables("lineitem" -> li, "part" -> pt)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // m = 3 edges; each brand: e_c = 1, d_c = 3 → term = (12−9)/36 = 1/12;
+    // Q = 2/12 = 0.166667 — positive: brands beat the degree-chance mix
+    assert(got("A") === ((2L, 3L, 1L, 0.166667)))
+    assert(got("B") === ((2L, 3L, 1L, 0.166667)))
+  }
+
   test("fuzzy dedup pairs within-brand near-identical names; length band prunes") {
     val part = Seq(
       (1L, "red bolt", "X"), (2L, "red colt", "X"),    // distance 1

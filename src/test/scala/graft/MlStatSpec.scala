@@ -80,6 +80,44 @@ class MlStatSpec extends SparkSpec {
     assert(math.abs(got(2L).getDouble(7) - 0.333333) < 1e-6) // macro = 1.0/3
   }
 
+  test("Levene W: known two-group case matches the closed form") {
+    // a = {1,2,3}, b = {2,4,6} dollars: mean deviations (cents)
+    // z_a = {100,0,100}, z_b = {200,0,200} → ANOVA on z:
+    // SSB = 20000/3, SSW = 100000/3, W = (SSB/1)/(SSW/4) = 0.8
+    val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1000L + i, 0L, "a", v, "{}") } ++
+      Seq(2.0, 4.0, 6.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, 2000L + i, 1L, "b", v, "{}") }
+    val r = run("stat_levene", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getDouble(2) === 0.8)
+    assert(r.getLong(3) === 1L && r.getLong(4) === 4L)
+  }
+
+  test("Levene W: zero within-group deviation yields NULL, not a division error") {
+    val rows = Seq(
+      (1L, 1000L, 0L, "a", 1.0, "{}"), (2L, 1001L, 0L, "a", 1.0, "{}"),
+      (3L, 2000L, 1L, "b", 2.0, "{}"), (4L, 2001L, 1L, "b", 2.0, "{}"),
+      (5L, 2002L, 1L, "b", 2.0, "{}"))
+    val r = run("stat_levene", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 5L)
+    assert(r.isNullAt(2)) // all |v − mean| are 0 → SSW = 0 → NULL W
+  }
+
+  test("Cohen's kappa: closed-form grid subtracts chance agreement") {
+    // grid: y0p0 tp, y1p0 miss, y2p2 tp, y0p1 miss → po = 2/4,
+    // marginals nt = (2,1,1), np = (2,1,1) → pe = 6/16, κ = 0.125/0.625
+    val rows = Seq(
+      (1L, 1000L, 0L, "t", 10.0, "{}"),
+      (2L, 2000L, 1L, "t", 10.0, "{}"),
+      (3L, 3000L, 2L, "t", 60.0, "{}"),
+      (4L, 4000L, 3L, "t", 30.0, "{}"))
+    val r = run("eval_cohen_kappa", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5 && r.getDouble(3) === 0.375)
+    assert(r.getDouble(4) === 0.2)
+  }
+
   test("zipf fit: an exact 1/r frequency law fits slope -1") {
     // counts 12, 6, 4, 3 = 12/r for ranks 1..4 → slope −1, intercept ln 12
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
