@@ -597,4 +597,30 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("Levene deviations join the broadcast moment table — the fact never shuffles") {
+    val plan = executedPlan("stat_levene")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ≤k-row per-group moment table must broadcast back over the fact scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "no fact-sized shuffle join in the deviation pass")
+    assert(!plan.contains("Window "), "Levene needs no window at all")
+  }
+
+  test("modularity broadcasts the brand dim onto the shared edge artifact") {
+    val plan = executedPlan("graph_modularity")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 25-row brand table must broadcast to both edge endpoints")
+    assert(!plan.contains("CartesianProduct"),
+      "the only cross joins are 1-row grand totals (broadcast nested loop)")
+  }
+
+  test("PMI collocations window only within documents — never a global token order") {
+    val plan = executedPlan("text_collocations_pmi")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[doc_id")),
+      s"the bigram lead window must partition by doc_id: $windowLines")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-20 cut must be a size-k heap per partition, not a global sort")
+  }
 }
