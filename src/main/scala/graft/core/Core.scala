@@ -82,8 +82,13 @@ object Tables {
     */
   def msExpr(schema: org.apache.spark.sql.types.StructType): Column =
     schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => expr("unix_micros(cast(ts as timestamp_ltz)) div 1000")
+      // FLOOR division (pmod spelling), matching DuckDB's epoch_ms —
+      // which floors — for pre-epoch timestamps; a bare `div` would
+      // truncate a negative nanos/micros value one ms too high.
+      case org.apache.spark.sql.types.LongType =>
+        expr(Det.fdivExpr("ts", "1000000"))
+      case _ =>
+        expr(Det.fdivExpr("unix_micros(cast(ts as timestamp_ltz))", "1000"))
     }
 
   /** Heal the nanos-timestamp read conf (see [[events]]). Public within
@@ -395,6 +400,16 @@ object Det {
   /** Order-independent average (exact decimal sum / count), 4 decimals. */
   def moneyAvg(c: Column): Column =
     dround(sum(c.cast(Dec)).cast("double") / count(c), 4)
+
+  /** FLOOR integer division as a SQL-expression string. Spark's `div`
+    * truncates toward zero while the DuckDB oracles use `//` (floor),
+    * so a negative dividend — e.g. a pre-epoch ms — lands one bucket
+    * apart under a bare `div`. `x - pmod(x, k)` is always an exact
+    * multiple of k, so the final `div` is exact floor division for
+    * any sign of x (and of a column divisor k).
+    */
+  def fdivExpr(e: String, k: String): String =
+    s"(($e) - pmod(($e), ($k))) div ($k)"
 }
 
 /** DuckDB-side spellings of the Det helpers, for oracle SQL strings. */

@@ -203,7 +203,7 @@ object AnalyticsOps {
       // hash partitioning the distinct already produced — one scan, and
       // the distinct's exchange is reused.
       val ud = Tables.events(s, d)
-        .select($"user_id", expr("ms div 86400000").as("day"))
+        .select($"user_id", expr(Det.fdivExpr("ms", "86400000")).as("day"))
         .distinct()
       ud.withColumn("cohort_day",
         min($"day").over(Window.partitionBy($"user_id")))

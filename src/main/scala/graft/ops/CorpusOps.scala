@@ -976,10 +976,75 @@ object CorpusOps {
       "SELECT w1, w2, c12 AS n_pair, CAST(pq AS DOUBLE) / 1e6 AS pmi " +
       "FROM sq ORDER BY pq DESC, w1, w2 LIMIT 20"))
 
+  // ------------------------------------------------------------------
+  // corpus_js_divergence — Jensen–Shannon divergence of each source's
+  // language mix from the corpus-wide mix: the bounded, symmetric
+  // drift score (PSI diverges on zero cells; JSD ≤ ln 2) a mixture
+  // curator reads to spot the source that skews the blend before
+  // `corpus_mix_epochs` locks weights. The cell domain is the CROSS
+  // JOIN of the source and lang ledgers (a source's MISSING lang still
+  // contributes its q·ln 2 / 2 mass — dropping zero cells understates
+  // drift, the same zero-cell bug `stat_chi2_independence` pins);
+  // p, q, m and both ln terms evaluate in double from exact longs with
+  // identical formula text, each term integer-quantized at 10⁶ before
+  // the ≤|langs|-row per-source sum (order-independent; the
+  // ln-determinism precedent of `text_zipf_fit`). Counts collapse
+  // map-side; the spine is |sources|×|langs| — bounded by the dims,
+  // never the corpus.
+  // ------------------------------------------------------------------
+
+  private val corpusJsDivergence = Q(
+    "corpus_js_divergence",
+    (s, d) => {
+      import s.implicits._
+      val dc = t(s, d, "documents").select($"source", $"lang")
+      val sl = dc.groupBy("source", "lang").agg(count(lit(1)).as("c_sl"))
+      val sTot = dc.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val lTot = dc.groupBy("lang").agg(count(lit(1)).as("c_l"))
+      val nTot = dc.agg(count(lit(1)).as("n_t"))
+      val cells = sTot.crossJoin(broadcast(lTot))
+        .crossJoin(broadcast(nTot))
+        .join(sl, Seq("source", "lang"), "left_outer")
+        .withColumn("c", coalesce($"c_sl", lit(0L)))
+        .withColumn("p", $"c".cast("double") / $"n_s")
+        .withColumn("q", $"c_l".cast("double") / $"n_t")
+        .withColumn("m", ($"p" + $"q") / 2)
+        .withColumn("t1", when($"c" > 0,
+          floor($"p" * log($"p" / $"m") * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("t2",
+          floor($"q" * log($"q" / $"m") * 1e6 + 0.5).cast("long"))
+      cells.groupBy("source").agg(
+          max($"n_s").as("n_docs"),
+          dround((sum($"t1") + sum($"t2")).cast("double") / 2e6, 6)
+            .as("jsd_nats"))
+        .orderBy("source")
+    },
+    Some("WITH sl AS (SELECT source, lang, count(*) AS c_sl " +
+      "FROM documents GROUP BY 1, 2), " +
+      "st AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1), " +
+      "lt AS (SELECT lang, count(*) AS c_l FROM documents GROUP BY 1), " +
+      "nt AS (SELECT count(*) AS n_t FROM documents), " +
+      "cells AS (SELECT st.source, st.n_s, lt.c_l, nt.n_t, " +
+      "COALESCE(sl.c_sl, 0) AS c " +
+      "FROM st CROSS JOIN lt CROSS JOIN nt " +
+      "LEFT JOIN sl ON sl.source = st.source AND sl.lang = lt.lang), " +
+      "terms AS (SELECT source, n_s, " +
+      "CAST(c AS DOUBLE) / n_s AS p, CAST(c_l AS DOUBLE) / n_t AS q, " +
+      "(CAST(c AS DOUBLE) / n_s + CAST(c_l AS DOUBLE) / n_t) / 2 AS m, c " +
+      "FROM cells), " +
+      "tq AS (SELECT source, n_s, " +
+      "CASE WHEN c > 0 THEN CAST(floor(p * ln(p / m) * 1e6 + 0.5) AS BIGINT) " +
+      "ELSE 0 END AS t1, " +
+      "CAST(floor(q * ln(q / m) * 1e6 + 0.5) AS BIGINT) AS t2 FROM terms) " +
+      "SELECT source, max(n_s) AS n_docs, " +
+      OSql.sround("CAST(SUM(t1) + SUM(t2) AS DOUBLE) / 2e6", 6) +
+      " AS jsd_nats FROM tq GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
     textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
-    textZipfFit, textCollocationsPmi)
+    textZipfFit, textCollocationsPmi, corpusJsDivergence)
 }

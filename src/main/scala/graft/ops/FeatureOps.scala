@@ -221,7 +221,7 @@ object FeatureOps {
       Tables.events(s, d)
         .select($"user_id",
           expr("shiftleft(cast(1 as bigint), " +
-            "cast(ms div 3600000 % 24 as int))").as("b"))
+            s"cast((${Det.fdivExpr("ms", "3600000")}) % 24 as int))").as("b"))
         .groupBy("user_id")
         .agg(bit_or($"b").as("mask"))
         .select($"user_id", $"mask", bit_count($"mask").cast("long")

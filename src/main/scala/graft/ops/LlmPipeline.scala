@@ -589,7 +589,44 @@ object LlmPipeline {
     },
     Some(clusterOracleSql))
 
+  /** dedup_rate_by_source — the per-source DUPLICATION AUDIT over the
+    * exact-hash groups `dedup_exact` keeps: how much of each source is
+    * copied at all, and how much is copied FROM ANOTHER SOURCE (the
+    * mirror-site signal that decides whether a source earns its mixture
+    * weight or is a rehash of one already ingested). Text hashes once
+    * (md5 over coalesce'd text so a NULL document still lands in a
+    * group instead of vanishing from its source's ledger); corpus-wide
+    * group stats (count, distinct sources) collapse map-side and join
+    * back on the HASH — every shuffle carries (hash, source), never
+    * document text — then the per-source ledger is one bounded agg.
+    */
+  private val dedupRateBySource = Q(
+    "dedup_rate_by_source",
+    (s, d) => {
+      import s.implicits._
+      val h = t(s, d, "documents")
+        .select($"source", md5(coalesce($"text", lit(""))).as("h"))
+      val stats = h.groupBy("h").agg(
+        count(lit(1)).as("cnt"), countDistinct($"source").as("nsrc"))
+      h.join(stats, "h")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(($"cnt" > 1).cast("long")).as("n_dup"),
+          sum(($"nsrc" > 1).cast("long")).as("n_cross_source_dup"))
+        .orderBy("source")
+    },
+    Some("WITH h AS (SELECT source, md5(coalesce(text, '')) AS h " +
+      "FROM documents), " +
+      "st AS (SELECT h, count(*) AS cnt, count(DISTINCT source) AS nsrc " +
+      "FROM h GROUP BY 1) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+      "CAST(SUM(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_cross_source_dup " +
+      "FROM h JOIN st USING (h) GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     dedupExact, tokenizeWordcount, textStats, simCosineTopk, multimodalJoin,
-    dedupNearMinhash, textNgram, simPairwiseLabel, dedupCluster)
+    dedupNearMinhash, textNgram, simPairwiseLabel, dedupCluster,
+    dedupRateBySource)
 }

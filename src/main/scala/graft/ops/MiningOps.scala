@@ -561,8 +561,76 @@ object MiningOps {
       OSql.sround("qmod", 6) + " AS modularity " +
       "FROM terms CROSS JOIN q ORDER BY brand"))
 
+  // ------------------------------------------------------------------
+  // graph_assortativity — Newman's degree assortativity coefficient r
+  // over the simple co-purchase graph: the Pearson correlation of
+  // endpoint degrees across edges (do hubs link to hubs, r > 0, or to
+  // leaves, r < 0?) — the one-number mixing diagnostic next to
+  // `graph_modularity`'s partition quality and `graph_degree_stats`'
+  // marginals. Edges are the DISTINCT canonical pairs off the shared
+  // co-pairs artifact; degrees are one endpoint-union agg (node degree
+  // in the simple graph), broadcast back onto the directed edge list
+  // (each edge counted in both orientations, the standard spelling
+  // that makes x and y exchangeable: Σx = Σy, Σx² = Σy²). All five
+  // moments are exact BIGINT sums of bounded products (deg ≤ |parts|);
+  // r = (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²) is ONE double formula with
+  // identical text, each factor cast to double BEFORE multiplying
+  // (n·Σxy overflows i64 at archive scale); a zero denominator — a
+  // regular graph — emits NULL, never 0/0. At 100 TB the degree table
+  // outgrows a broadcast: both sides bucket by node instead (the
+  // join_bucketed co-location pattern); nothing else changes.
+  // ------------------------------------------------------------------
+
+  private val graphAssortativity = Q(
+    "graph_assortativity",
+    (s, d) => {
+      import s.implicits._
+      val edges = coPairs(s, d).select("a", "b").distinct()
+      val deg = edges.select($"a".as("n")).unionByName(
+          edges.select($"b".as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val directed = edges.select($"a".as("x"), $"b".as("y"))
+        .unionByName(edges.select($"b".as("x"), $"a".as("y")))
+      val m = directed
+        .join(broadcast(deg.select($"n".as("x"), $"dg".as("dx"))), "x")
+        .join(broadcast(deg.select($"n".as("y"), $"dg".as("dy"))), "y")
+        .agg(count(lit(1)).as("n"),
+          sum($"dx").as("sx"),
+          sum($"dx" * $"dx").as("sxx"),
+          sum($"dx" * $"dy").as("sxy"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+      nodes.crossJoin(m)
+        .select($"n_nodes",
+          ($"n" / 2).cast("long").as("n_edges"),
+          when($"n".cast("double") * $"sxx" -
+              $"sx".cast("double") * $"sx" =!= 0.0,
+            dround(($"n".cast("double") * $"sxy"
+              - $"sx".cast("double") * $"sx")
+              / ($"n".cast("double") * $"sxx"
+                - $"sx".cast("double") * $"sx"), 6)).as("assortativity"))
+    },
+    Some("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+      "FROM lineitem), " +
+      "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
+      "JOIN li b ON a.o = b.o AND a.p < b.p), " +
+      "dir AS (SELECT a AS x, b AS y FROM e " +
+      "UNION ALL SELECT b AS x, a AS y FROM e), " +
+      "deg AS (SELECT x AS n, count(*) AS dg FROM dir GROUP BY 1), " +
+      "j AS (SELECT dx.dg AS dx, dy.dg AS dy FROM dir " +
+      "JOIN deg dx ON dx.n = dir.x JOIN deg dy ON dy.n = dir.y), " +
+      "mo AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(dx) AS BIGINT) AS sx, " +
+      "CAST(SUM(dx * dx) AS BIGINT) AS sxx, " +
+      "CAST(SUM(dx * dy) AS BIGINT) AS sxy FROM j), " +
+      "nn AS (SELECT count(*) AS n_nodes FROM deg) " +
+      "SELECT n_nodes, CAST(n / 2 AS BIGINT) AS n_edges, " +
+      "CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0 THEN " +
+      OSql.sround("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) / " +
+        "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)", 6) +
+      " END AS assortativity FROM nn CROSS JOIN mo"))
+
   val qs: Seq[Q] = Seq(
     graphBfsDepth, graphAdamicAdar, graphJaccardNeighbors, seqPatternRegex,
     sampleNegative, simMaxsimLabels, graphKcorePeel, dedupFuzzyLevenshtein,
-    graphModularity)
+    graphModularity, graphAssortativity)
 }

@@ -1154,6 +1154,393 @@ object MlStatOps {
       "CASE WHEN pe < 1.0 THEN " +
       OSql.sround("(po - pe) / (1.0 - pe)", 6) + " END AS kappa FROM r"))
 
+  // ------------------------------------------------------------------
+  // stat_cohens_d — the EFFECT-SIZE companion to `stat_welch_ttest`'s
+  // significance: how many pooled standard deviations separate the two
+  // parity arms per event type (a tiny p-value on a huge archive can
+  // mask a negligible effect; d is what a ship/no-ship call reads).
+  // Same conditional exact-moment collapse as welch (one map-side pass
+  // to |types| rows of DECIMAL/HUGEINT sums); d = (x̄_a − x̄_b)/s_pooled
+  // with s²_pooled = ((n_a−1)s²_a + (n_b−1)s²_b)/(n_a+n_b−2) — all
+  // single double formulas with identical text; arms of <2 rows or a
+  // zero pooled SD emit NULL, never ±inf.
+  // ------------------------------------------------------------------
+
+  private val statCohensD = Q(
+    "stat_cohens_d",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .select($"event_type",
+          ($"user_id" % 2).as("g"),
+          round($"value" * 100).cast("long").as("v"))
+      val m = v.groupBy("event_type").agg(
+        sum(when($"g" === 0, lit(1L)).otherwise(lit(0L))).as("na"),
+        sum(when($"g" === 1, lit(1L)).otherwise(lit(0L))).as("nb"),
+        sum(when($"g" === 0, $"v").cast(Dec380)).cast("double").as("s1a"),
+        sum(when($"g" === 0, $"v" * $"v").cast(Dec380)).cast("double").as("s2a"),
+        sum(when($"g" === 1, $"v").cast(Dec380)).cast("double").as("s1b"),
+        sum(when($"g" === 1, $"v" * $"v").cast(Dec380)).cast("double").as("s2b"))
+      m.withColumn("va", when($"na" > 1,
+          ($"s2a" - $"s1a" * $"s1a" / $"na") / ($"na" - 1)))
+        .withColumn("vb", when($"nb" > 1,
+          ($"s2b" - $"s1b" * $"s1b" / $"nb") / ($"nb" - 1)))
+        .withColumn("sp", when($"na" > 1 && $"nb" > 1,
+          sqrt((($"na" - 1) * $"va" + ($"nb" - 1) * $"vb")
+            / ($"na" + $"nb" - 2))))
+        .select($"event_type", $"na", $"nb",
+          dround($"sp" / 100.0, 6).as("pooled_sd"),
+          when($"sp" > 0,
+            dround(($"s1a" / $"na" - $"s1b" / $"nb") / $"sp", 6))
+            .as("cohens_d"))
+        .orderBy("event_type")
+    },
+    Some("WITH v AS (SELECT event_type, user_id % 2 AS g, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "m AS (SELECT event_type, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) END) AS DOUBLE) AS s1a, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) * v END) AS DOUBLE) AS s2a, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) END) AS DOUBLE) AS s1b, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) * v END) AS DOUBLE) AS s2b " +
+      "FROM v GROUP BY 1), " +
+      "c AS (SELECT event_type, na, nb, " +
+      "CASE WHEN na > 1 THEN (s2a - s1a*s1a/na) / (na - 1) END AS va, " +
+      "CASE WHEN nb > 1 THEN (s2b - s1b*s1b/nb) / (nb - 1) END AS vb, " +
+      "s1a, s1b FROM m), " +
+      "c2 AS (SELECT event_type, na, nb, s1a, s1b, " +
+      "CASE WHEN na > 1 AND nb > 1 THEN " +
+      "sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) END AS sp " +
+      "FROM c) " +
+      "SELECT event_type, na, nb, " +
+      OSql.sround("sp / 100.0", 6) + " AS pooled_sd, " +
+      "CASE WHEN sp > 0 THEN " +
+      OSql.sround("(s1a / na - s1b / nb) / sp", 6) +
+      " END AS cohens_d FROM c2 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // eval_mcc — Matthews correlation coefficient over the
+  // `eval_binary_classifier` grid: the single-number binary metric
+  // that stays honest under class imbalance (accuracy and even F1
+  // reward the majority class; MCC is the Pearson correlation of the
+  // 2×2 table and needs all four cells to be good). Counts collapse
+  // map-side to one exact-long row; MCC = (tp·tn − fp·fn)/
+  // √((tp+fp)(tp+fn)(tn+fp)(tn+fn)) with every factor cast to double
+  // BEFORE multiplying (the product of four marginals overflows i64 at
+  // archive scale); a zero marginal emits NULL, never 0/0.
+  // ------------------------------------------------------------------
+
+  private val evalMcc = Q(
+    "eval_mcc",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+        .withColumn("p", ($"v" >= 5000).cast("long"))
+      val conf = e.agg(
+        sum($"y" * $"p").as("tp"),
+        sum((lit(1) - $"y") * $"p").as("fp"),
+        sum($"y" * (lit(1) - $"p")).as("fn"),
+        sum((lit(1) - $"y") * (lit(1) - $"p")).as("tn"))
+      conf
+        .select($"tp", $"fp", $"fn", $"tn",
+          when(($"tp" + $"fp") > 0 && ($"tp" + $"fn") > 0
+            && ($"tn" + $"fp") > 0 && ($"tn" + $"fn") > 0,
+            dround(($"tp".cast("double") * $"tn"
+              - $"fp".cast("double") * $"fn")
+              / sqrt(($"tp".cast("double") + $"fp")
+                * ($"tp".cast("double") + $"fn")
+                * ($"tn".cast("double") + $"fp")
+                * ($"tn".cast("double") + $"fn")), 6)).as("mcc"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(CAST(round(value*100) AS BIGINT) >= 5000 AS BIGINT) AS p " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "c AS (SELECT CAST(SUM(y * p) AS BIGINT) AS tp, " +
+      "CAST(SUM((1 - y) * p) AS BIGINT) AS fp, " +
+      "CAST(SUM(y * (1 - p)) AS BIGINT) AS fn, " +
+      "CAST(SUM((1 - y) * (1 - p)) AS BIGINT) AS tn FROM e) " +
+      "SELECT tp, fp, fn, tn, " +
+      "CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0 " +
+      "AND (tn + fp) > 0 AND (tn + fn) > 0 THEN " +
+      OSql.sround("(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) " +
+        "/ sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn) " +
+        "* (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn))", 6) +
+      " END AS mcc FROM c"))
+
+  // ------------------------------------------------------------------
+  // sample_neyman_alloc — Neyman optimal allocation of a fixed sample
+  // budget across strata: the survey-sampling rule (n_h ∝ N_h·S_h) that
+  // beats proportional allocation whenever stratum variances differ —
+  // the planner a stratified QA-labeling pass runs BEFORE drawing the
+  // `sample_stratified` sample. Per-stratum exact moments collapse
+  // map-side; each stratum's weight N_h·S_h (the one sqrt) is quantized
+  // at 10⁶ BEFORE the cross-stratum total (order-independent integer
+  // sum); allocations are floor(budget·w_h/Σw + 0.5) of exact longs.
+  // Zero-variance strata get weight 0 (one certain row suffices — the
+  // textbook degenerate case), surfaced as n_alloc = 0, not dropped.
+  // ------------------------------------------------------------------
+
+  private val sampleNeymanAlloc = Q(
+    "sample_neyman_alloc",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select($"event_type", round($"value" * 100).cast("long").as("v"))
+      val g = v.groupBy("event_type").agg(
+        count(lit(1)).as("nh"),
+        sum($"v".cast(Dec380)).cast("double").as("s1"),
+        sum(($"v".cast(Dec380) * $"v")).cast("double").as("s2"))
+      val w = g.withColumn("sh",
+          when($"nh" > 1, sqrt(($"s2" - $"s1" * $"s1" / $"nh") / ($"nh" - 1))))
+        .withColumn("wq",
+          when($"sh".isNotNull,
+            floor($"nh" * $"sh" * 1e6 + 0.5).cast(Dec380))
+            .otherwise(lit(0L).cast(Dec380)))
+      val tot = w.agg(sum($"wq").as("wt"))
+      w.crossJoin(broadcast(tot))
+        .select($"event_type", $"nh",
+          dround($"sh" / 100.0, 6).as("stratum_sd"),
+          when($"wt" > 0,
+            floor(lit(1000.0) * $"wq".cast("double") / $"wt".cast("double")
+              + 0.5).cast("long")).otherwise(lit(0L)).as("n_alloc"))
+        .orderBy("event_type")
+    },
+    Some("WITH v AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events " +
+      "WHERE value IS NOT NULL), " +
+      "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh, " +
+      "CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS s1, " +
+      "CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2 " +
+      "FROM v GROUP BY 1), " +
+      "w AS (SELECT event_type, nh, " +
+      "CASE WHEN nh > 1 THEN sqrt((s2 - s1*s1/nh) / (nh - 1)) END AS sh " +
+      "FROM g), " +
+      "w2 AS (SELECT event_type, nh, sh, " +
+      "CASE WHEN sh IS NOT NULL THEN " +
+      "CAST(floor(nh * sh * 1e6 + 0.5) AS HUGEINT) " +
+      "ELSE CAST(0 AS HUGEINT) END AS wq FROM w), " +
+      "t AS (SELECT SUM(wq) AS wt FROM w2) " +
+      "SELECT event_type, nh, " +
+      OSql.sround("sh / 100.0", 6) + " AS stratum_sd, " +
+      "CASE WHEN wt > 0 THEN " +
+      "CAST(floor(1000.0 * CAST(wq AS DOUBLE) / CAST(wt AS DOUBLE) + 0.5) " +
+      "AS BIGINT) ELSE 0 END AS n_alloc " +
+      "FROM w2 CROSS JOIN t ORDER BY event_type"))
+
+  // ------------------------------------------------------------------
+  // eval_brier_score — mean squared error of a probabilistic binary
+  // forecast (the PROPER scoring rule next to `eval_mcc`'s thresholded
+  // verdict: Brier punishes miscalibrated confidence, not just wrong
+  // calls). Score p = value cents / 10⁴ capped at 1, label y =
+  // (event_type = 'purchase'); per-row residual stays the exact
+  // integer (p_b − y·10⁴) in basis-10⁴, its square ≤ 10⁸ sums in
+  // BIGINT (10⁸·N overflows only past ~9·10¹⁰ rows — and the sum can
+  // ride DECIMAL if a corpus ever gets there), so the reduction is an
+  // order-independent integer sum; the single final division is the
+  // only double. One map-side collapse to ONE row.
+  // ------------------------------------------------------------------
+
+  private val evalBrierScore = Q(
+    "eval_brier_score",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"event_type".isNotNull)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          least(round($"value" * 100).cast("long"), lit(10000L)).as("pb"))
+        .select($"y", ($"pb" - $"y" * 10000L).as("r"))
+      e.agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+          sum(($"r" * $"r").cast(Dec380)).as("sq"))
+        .select($"n", $"n_pos",
+          when($"n" > 0,
+            dround($"sq".cast("double") / $"n" / 1e8, 6)).as("brier"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "least(CAST(round(value*100) AS BIGINT), 10000) AS pb " +
+      "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+      "r AS (SELECT y, pb - y * 10000 AS r FROM e) " +
+      "SELECT count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos, " +
+      "CASE WHEN count(*) > 0 THEN " +
+      OSql.sround("CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE) " +
+        "/ count(*) / 1e8", 6) +
+      " END AS brier FROM r"))
+
+  // ------------------------------------------------------------------
+  // eval_log_loss — binary cross-entropy of the same forecast (the
+  // metric training actually optimizes; Brier is bounded, log loss
+  // diverges on confident misses, so the pair separates "wrong" from
+  // "confidently wrong"). p clamps to [0.01, 0.99] in basis-10⁴
+  // BEFORE the logs (the standard eps-clamp — ln(0) must be
+  // unreachable); each row's −(y·ln p + (1−y)·ln(1−p)) evaluates in
+  // double from the exact integer pc with IDENTICAL formula text in
+  // both engines and is integer-quantized at 10⁶ per row, so the
+  // cross-row reduction is an exact BIGINT sum (order-independent on
+  // any cluster; the ln-on-identical-inputs determinism precedent of
+  // `graph_adamic_adar`/`text_zipf_fit`). One map-side collapse.
+  // ------------------------------------------------------------------
+
+  private val evalLogLoss = Q(
+    "eval_log_loss",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"event_type".isNotNull)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          greatest(least(round($"value" * 100).cast("long"), lit(9900L)),
+            lit(100L)).as("pc"))
+        .select($"y",
+          floor((-($"y" * log($"pc" / 1e4) +
+            (lit(1L) - $"y") * log(lit(1.0) - $"pc" / 1e4))) * 1e6 + 0.5)
+            .cast("long").as("tq"))
+      e.agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+          sum($"tq".cast(Dec380)).as("st"))
+        .select($"n", $"n_pos",
+          when($"n" > 0,
+            dround($"st".cast("double") / 1e6 / $"n", 6)).as("log_loss"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "greatest(least(CAST(round(value*100) AS BIGINT), 9900), 100) AS pc " +
+      "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+      "t AS (SELECT y, CAST(floor((-(y * ln(pc / 1e4) + " +
+      "(1 - y) * ln(1.0 - pc / 1e4))) * 1e6 + 0.5) AS BIGINT) AS tq FROM e) " +
+      "SELECT count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos, " +
+      "CASE WHEN count(*) > 0 THEN " +
+      OSql.sround("CAST(SUM(CAST(tq AS HUGEINT)) AS DOUBLE) / 1e6 / count(*)", 6) +
+      " END AS log_loss FROM t"))
+
+  // ------------------------------------------------------------------
+  // eval_auc — exact tie-aware ROC AUC of the purchase forecast: the
+  // threshold-free ranking metric `eval_pr_sweep` samples pointwise
+  // (AUC = P(score⁺ > score⁻) + ½P(tie) — the Mann-Whitney identity).
+  // NEVER ranks fact rows: scores land on the bounded cent-value
+  // LEDGER (≤10⁴ distinct values — the two-phase discipline of
+  // `agg_percentile_disc`), the one cumulative window runs over that
+  // ledger, and each value's contribution n⁺·(2·cumn⁻ + n⁻) stays an
+  // exact integer in basis ×2 (DECIMAL/HUGEINT sum, order-independent)
+  // — ONE final double division. A single-class input emits NULL.
+  // ------------------------------------------------------------------
+
+  private val evalAuc = Q(
+    "eval_auc",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"event_type".isNotNull)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("pc"))
+      val led = e.groupBy("pc").agg(
+        sum($"y").as("np"), sum(lit(1L) - $"y").as("nn"))
+      val w = Window.orderBy($"pc".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = led
+        .withColumn("cumnn", coalesce(sum($"nn").over(w), lit(0L)))
+        .select($"np", $"nn",
+          ($"np" * (lit(2L) * $"cumnn" + $"nn")).cast(Dec380).as("c2"))
+      c.agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+          sum($"c2").as("s2"))
+        .select($"n_pos", $"n_neg",
+          when($"n_pos" > 0 && $"n_neg" > 0,
+            dround($"s2".cast("double") / 2.0 / $"n_pos" / $"n_neg", 6))
+            .as("auc"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS pc FROM events " +
+      "WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+      "l AS (SELECT pc, CAST(SUM(y) AS BIGINT) AS np, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS nn FROM e GROUP BY 1), " +
+      "c AS (SELECT np, nn, COALESCE(CAST(SUM(nn) OVER " +
+      "(ORDER BY pc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+      "AS BIGINT), 0) AS cumnn FROM l), " +
+      "t AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos, " +
+      "CAST(SUM(nn) AS BIGINT) AS n_neg, " +
+      "SUM(CAST(np AS HUGEINT) * (2 * cumnn + nn)) AS s2 FROM c) " +
+      "SELECT n_pos, n_neg, " +
+      "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+      OSql.sround("CAST(s2 AS DOUBLE) / 2.0 / n_pos / n_neg", 6) +
+      " END AS auc FROM t"))
+
+  // ------------------------------------------------------------------
+  // stat_spearman_rho — Spearman rank correlation between each type's
+  // daily event count and daily total value ("do busy days carry
+  // proportionally more money?"): the monotone-association number
+  // that ignores the value scale `agg_corr`'s Pearson is chained to.
+  // Tie-aware AVERAGE ranks in exact ×2 basis — r₂ = 2·rank + peers − 1
+  // (rank() + a peer count, both off the same bounded window) — then
+  // Pearson over the integer rank pairs: five exact BIGINT moments,
+  // ρ one double formula with factors cast to double BEFORE the
+  // products. Windows partition by TYPE over the calendar-bounded
+  // daily rollup, never fact rows; <2-day types or zero rank variance
+  // emit NULL.
+  // ------------------------------------------------------------------
+
+  private val statSpearmanRho = Q(
+    "stat_spearman_rho",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type",
+          expr(Det.fdivExpr("ms", "86400000")).as("day"))
+        // coalesce: an all-NULL-value day must rank as 0, not ride a
+        // NULL through the rank windows (Spark sorts NULLS FIRST,
+        // DuckDB windows sort NULLS LAST — the one divergent default)
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(round($"value" * 100).cast("long")), lit(0L))
+            .as("vsum"))
+      def r2(v: String) = {
+        val wr = Window.partitionBy($"event_type").orderBy(col(v).asc)
+        val wp = Window.partitionBy($"event_type", col(v))
+        lit(2L) * rank().over(wr) + count(lit(1)).over(wp) - lit(1L)
+      }
+      val ranked = daily
+        .withColumn("rx", r2("cnt"))
+        .withColumn("ry", r2("vsum"))
+      val m = ranked.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"rx").as("sx"), sum($"ry").as("sy"),
+        sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"),
+        sum($"rx" * $"ry").as("sxy"))
+      m.select($"event_type", $"n",
+          when($"n" > 1 &&
+            ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx") *
+              ($"n".cast("double") * $"syy" - $"sy".cast("double") * $"sy")
+              > 0.0,
+            dround(($"n".cast("double") * $"sxy"
+              - $"sx".cast("double") * $"sy")
+              / sqrt(($"n".cast("double") * $"sxx"
+                - $"sx".cast("double") * $"sx")
+                * ($"n".cast("double") * $"syy"
+                  - $"sy".cast("double") * $"sy")), 6)).as("rho"))
+        .orderBy("event_type")
+    },
+    Some("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+      "CAST(count(*) AS BIGINT) AS cnt, " +
+      "COALESCE(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT), 0) " +
+      "AS vsum FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT event_type, " +
+      "2 * rank() OVER (PARTITION BY event_type ORDER BY cnt) " +
+      "+ count(*) OVER (PARTITION BY event_type, cnt) - 1 AS rx, " +
+      "2 * rank() OVER (PARTITION BY event_type ORDER BY vsum) " +
+      "+ count(*) OVER (PARTITION BY event_type, vsum) - 1 AS ry " +
+      "FROM daily), " +
+      "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy, " +
+      "CAST(SUM(rx * rx) AS BIGINT) AS sxx, " +
+      "CAST(SUM(ry * ry) AS BIGINT) AS syy, " +
+      "CAST(SUM(rx * ry) AS BIGINT) AS sxy FROM r GROUP BY 1) " +
+      "SELECT event_type, n, " +
+      "CASE WHEN n > 1 AND " +
+      "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+      "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0 THEN " +
+      OSql.sround("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+        "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))", 6) +
+      " END AS rho FROM m ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -1162,7 +1549,9 @@ object MlStatOps {
     evalPrSweep, profileColumnStats, featureDecayScore,
     auditFkIntegrity, aggBenfordDigits, anomalyTukeyFence,
     aggTrimmedMean, evalRegressionMetrics, statCramersV,
-    statAnovaOneway, evalConfusionMulticlass, statLevene, evalCohenKappa)
+    statAnovaOneway, evalConfusionMulticlass, statLevene, evalCohenKappa,
+    statCohensD, evalMcc, sampleNeymanAlloc, evalBrierScore, evalLogLoss,
+    evalAuc, statSpearmanRho)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -149,7 +149,7 @@ object Relational {
       val bounds = ev.agg(min($"ms").as("mn"), max($"ms").as("mx"))
       ev.crossJoin(broadcast(bounds))
         .withColumn("era",
-          when($"ms" < expr("(mn + mx) div 2"), 0L).otherwise(1L))
+          when($"ms" < expr(Det.fdivExpr("mn + mx", "2")), 0L).otherwise(1L))
         .withColumn("shard",
           (($"user_id" * lit(2654435761L)) % lit(2147483648L)) %
             when($"era" === 0L, 8L).otherwise(16L))

@@ -363,7 +363,8 @@ object SeqOps {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"day".asc)
       val days = Tables.events(s, d)
-        .select($"user_id", expr("ms div 86400000").as("day")).distinct()
+        .select($"user_id", expr(Det.fdivExpr("ms", "86400000")).as("day"))
+        .distinct()
       val streaks = days
         .withColumn("grp", $"day" - row_number().over(w))
         .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))

@@ -292,7 +292,7 @@ object StatOps {
     (s, d) => {
       import s.implicits._
       Tables.events(s, d)
-        .select($"user_id", expr("ms div 86400000").as("day"))
+        .select($"user_id", expr(Det.fdivExpr("ms", "86400000")).as("day"))
         .distinct()
         .groupBy("user_id").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_users"))
@@ -373,7 +373,7 @@ object StatOps {
       // truncate in Spark but round half-to-even in DuckDB's CAST —
       // the engines disagree exactly at fractional midpoints
       val cuts = ev.agg(
-        expr("(min(ms) + max(ms)) div 2").as("t1"),
+        expr(Det.fdivExpr("min(ms) + max(ms)", "2")).as("t1"),
         expr("min(ms) + ((max(ms) - min(ms)) * 3) div 4").as("t2"))
       // BOTH snapshot states come from ONE aggregate: the state is the
       // lexicographic max of (ord, event_type, v) structs — ord =
@@ -714,7 +714,7 @@ object StatOps {
     (s, d) => {
       import s.implicits._
       val counts = Tables.events(s, d)
-        .select(expr("ms div 3600000").as("hr"), $"event_type")
+        .select(expr(Det.fdivExpr("ms", "3600000")).as("hr"), $"event_type")
         .groupBy("hr", "event_type").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy($"hr")
         .orderBy($"cnt".desc, $"event_type".asc)

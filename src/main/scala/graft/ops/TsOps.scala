@@ -45,7 +45,7 @@ object TsOps {
   private def hourlyCents(s: SparkSession, d: String) = {
     import s.implicits._
     Tables.events(s, d)
-      .select($"event_type", expr("ms div 3600000").as("h"),
+      .select($"event_type", expr(Det.fdivExpr("ms", "3600000")).as("h"),
         round($"value" * 100).cast("long").as("c"))
       .groupBy("event_type", "h").agg(sum($"c").as("v"))
   }
@@ -143,15 +143,16 @@ object TsOps {
     (s, d) => {
       import s.implicits._
       val grid = Tables.events(s, d)
-        .select($"event_type", expr("ms div 86400000").as("day"),
-          expr("(ms div 3600000) % 24").as("hod"),
+        .select($"event_type",
+          expr(Det.fdivExpr("ms", "86400000")).as("day"),
+          expr(s"(${Det.fdivExpr("ms", "3600000")}) % 24").as("hod"),
           round($"value" * 100).cast("long").as("c"))
         .groupBy("event_type", "day", "hod").agg(sum($"c").as("v"))
       val maxd = grid.groupBy("event_type").agg(max($"day").as("maxd"))
       val g = grid.join(broadcast(maxd), "event_type")
       val hist = g.filter($"day" < $"maxd")
         .groupBy("event_type", "hod")
-        .agg(expr("(sum(v) * 1000000) div count(v)").as("fc"))
+        .agg(expr(Det.fdivExpr("sum(v) * 1000000", "count(v)")).as("fc"))
       val lastDay = g.filter($"day" === $"maxd")
         .select($"event_type", $"hod", $"v".as("actual"))
       lastDay.join(hist, Seq("event_type", "hod"))
@@ -261,7 +262,8 @@ object TsOps {
     (s, d) => {
       import s.implicits._
       val buckets = Tables.events(s, d)
-        .select($"event_type", expr("(ms div 3600000) % 24").as("hod"))
+        .select($"event_type",
+          expr(s"(${Det.fdivExpr("ms", "3600000")}) % 24").as("hod"))
         .groupBy("event_type", "hod").agg(count(lit(1)).as("c"))
         .withColumn("term",
           floor($"c" * log2($"c") * lit(1e6) + lit(0.5)).cast("long"))
@@ -336,7 +338,7 @@ object TsOps {
       // synthetic outflow rule — a sum of non-negatives never draws
       // down, so the series needs genuine troughs)
       val hourly = Tables.events(s, d)
-        .select($"event_type", expr("ms div 3600000").as("h"),
+        .select($"event_type", expr(Det.fdivExpr("ms", "3600000")).as("h"),
           when($"event_id" % 3 === 0, -round($"value" * 100).cast("long"))
             .otherwise(round($"value" * 100).cast("long")).as("c"))
         .groupBy("event_type", "h").agg(sum($"c").as("v"))
@@ -641,7 +643,7 @@ object TsOps {
     (s, d) => {
       import s.implicits._
       val period = Tables.events(s, d)
-        .select($"event_type", expr("ms div 2592000000").as("p"),
+        .select($"event_type", expr(Det.fdivExpr("ms", "2592000000")).as("p"),
           round($"value" * 100).cast("long").as("c"))
         .groupBy("event_type", "p").agg(sum($"c").as("v"))
       val w = Window.partitionBy($"event_type").orderBy($"p".asc)
@@ -787,9 +789,66 @@ object TsOps {
       OSql.sround("CAST(seas_q - grand_q AS DOUBLE) / (CAST(vv AS BIGINT) - grand_q)", 6) +
       " END AS seasonal_strength FROM f ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // ts_hampel_outliers — the Hampel identifier over each type's hourly
+  // series: a point is an outlier when it sits more than 3 rolling
+  // MADs from its ±2-hour rolling median. The WINDOWED sibling of
+  // `anomaly_mad`'s global fence (a level shift moves the global
+  // median and masks local spikes; the rolling identifier follows the
+  // level) and the repair rule `window_median_rolling` reports the
+  // center for. Both the median and the MAD come off ONE collected
+  // ≤5-element window array per point — sort, middle, transform to
+  // |x−med|, sort, middle — all exact cents integers; the per-type
+  // ledger (points, outliers, worst deviation) collapses map-side.
+  // Scale: the window partitions by type over the ≤|types|×|hours|
+  // HOURLY rollup (bounded by the calendar), never over fact rows —
+  // the same pre-aggregate discipline as every ts_* key.
+  // ------------------------------------------------------------------
+
+  private val tsHampelOutliers = Q(
+    "ts_hampel_outliers",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+        .rowsBetween(-2, 2)
+      val pts = hourlyCents(s, d)
+        .withColumn("win", sort_array(collect_list($"v").over(w)))
+        .withColumn("med", expr("win[((size(win) + 1) div 2) - 1]"))
+        .withColumn("dv",
+          expr("array_sort(transform(win, x -> abs(x - med)))"))
+        .withColumn("mad", expr("dv[((size(dv) + 1) div 2) - 1]"))
+        .withColumn("out",
+          (abs($"v" - $"med") > $"mad" * 3).cast("long"))
+      pts.groupBy("event_type").agg(
+          count(lit(1)).as("n_points"),
+          sum($"out").as("n_outliers"),
+          max(when($"out" === 1L, abs($"v" - $"med"))).as("max_dev_cents"))
+        .orderBy("event_type")
+    },
+    Some("WITH " + hourlyCtes + ", " +
+      "w1 AS (SELECT event_type, h, v, " +
+      "list_sort(array_agg(v) OVER (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 'ASC', 'NULLS FIRST') " +
+      "AS win FROM hourly), " +
+      "w2 AS (SELECT event_type, h, v, win, " +
+      "win[(len(win) + 1) // 2] AS med FROM w1), " +
+      "w3 AS (SELECT event_type, v, med, " +
+      "list_sort(list_transform(win, x -> abs(x - med)), 'ASC', 'NULLS FIRST') " +
+      "AS dv FROM w2), " +
+      "w4 AS (SELECT event_type, v, med, dv[(len(dv) + 1) // 2] AS mad " +
+      "FROM w3), " +
+      "f AS (SELECT event_type, v, med, " +
+      "CASE WHEN abs(v - med) > mad * 3 THEN 1 ELSE 0 END AS o FROM w4) " +
+      "SELECT event_type, count(*) AS n_points, " +
+      "CAST(SUM(o) AS BIGINT) AS n_outliers, " +
+      "CAST(MAX(CASE WHEN o = 1 THEN abs(v - med) END) AS BIGINT) " +
+      "AS max_dev_cents " +
+      "FROM f GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
-    statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose)
+    statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
+    tsHampelOutliers)
 }

@@ -269,8 +269,12 @@ object Windows {
       // the ≤|days|-row rollup evaluates its trailing range frame as a
       // broadcast theta self-join (exact DECIMAL sums are
       // order-insensitive) — no WindowExec even on the bounded ledger
+      // FLOOR-aligned day (pmod spelling), matching the oracle's `//`
+      // floor division — a bare `div` truncates toward zero and would
+      // shift pre-epoch (negative-ms) events onto the wrong day
       val daily = graft.core.Mat(s, Tables.events(s, d)
-        .groupBy(expr("ms div 86400000").cast("long").as("day"))
+        .groupBy(expr("(ms - pmod(ms, 86400000)) div 86400000")
+          .cast("long").as("day"))
         .agg(sum($"value".cast(Dec)).as("v")),
         "mavg-daily")
       // the NULL-day ledger row (NULL ts) must survive the rewrite: a
@@ -353,7 +357,8 @@ object Windows {
     (s, d) => {
       import s.implicits._
       val daily = Tables.events(s, d)
-        .groupBy($"event_type", expr("ms div 86400000").cast("long").as("day"))
+        .groupBy($"event_type",
+          expr(Det.fdivExpr("ms", "86400000")).cast("long").as("day"))
         .agg(sum($"value".cast(Dec)).as("vsum"))
       val w = Window.partitionBy($"event_type").orderBy($"day").rangeBetween(-2, 0)
       daily.select($"event_type", $"day",

@@ -110,7 +110,7 @@ object StreamJoin {
           // integer `div`, not `/`: double division of epoch-ms values
           // then a truncating cast can land one hour off at bucket
           // boundaries; div is exact in both engines (// in DuckDB)
-          .groupBy((expr("c_ms div 3600000") * 3600L).as("hour_start"))
+          .groupBy((expr(Det.fdivExpr("c_ms", "3600000")) * 3600L).as("hour_start"))
           .agg(count(lit(1)).as("cnt"),
             Det.dround(sum($"p_ms" - $"c_ms").cast("double") / count(lit(1)), 4)
               .as("avg_delay_ms"))
@@ -154,7 +154,7 @@ object StreamJoin {
         Seq.empty[(Long, Long, Long)].toDF("hour_start", "n_pairs", "n_unmatched")
       else
         run(s, s"$d/events.parquet", "left_outer")
-          .groupBy((expr("c_ms div 3600000") * 3600L).as("hour_start"))
+          .groupBy((expr(Det.fdivExpr("c_ms", "3600000")) * 3600L).as("hour_start"))
           .agg(count($"p_ms").as("n_pairs"),
             sum(when($"p_ms".isNull, 1L).otherwise(0L)).cast("long")
               .as("n_unmatched"))

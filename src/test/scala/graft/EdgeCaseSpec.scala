@@ -1010,6 +1010,43 @@ class EdgeCaseSpec extends SparkSpec {
       "word-count, word-length, and alpha violations each caught once; one doc survives")
   }
 
+  test("JS divergence: a matching mix scores 0, a single-lang source the closed form") {
+    // corpus mix = {en ½, fr ½}; srcA all-en and srcB all-fr are each
+    // JSD(1|0 vs ½|½) = 0.215762 nats (½·ln(4/3) + ¼·ln(2/3) + ¼·ln 2)
+    val skew = stageTables("documents" -> Seq(
+      (0L, "a", "en", "srcA"), (1L, "b", "en", "srcA"),
+      (2L, "c", "fr", "srcB"), (3L, "d", "fr", "srcB"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val r = run("corpus_js_divergence", skew).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(math.abs(r("srcA") - 0.215762) < 1e-5)
+    assert(math.abs(r("srcB") - 0.215762) < 1e-5)
+    // every source mirroring the corpus mix → all terms ln 1 → exactly 0
+    val even = stageTables("documents" -> Seq(
+      (0L, "a", "en", "srcA"), (1L, "b", "fr", "srcA"),
+      (2L, "c", "en", "srcB"), (3L, "d", "fr", "srcB"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val r2 = run("corpus_js_divergence", even).collect()
+    assert(r2.forall(_.getDouble(2) === 0.0))
+  }
+
+  test("dedup rate by source separates within-source copies from cross-source mirrors") {
+    val dir = stageTables("documents" -> Seq(
+      (0L, "unique one", "en", "srcA"),
+      (1L, "copied text", "en", "srcA"),
+      (2L, "copied text", "en", "srcA"),   // within-source dup
+      (3L, "mirrored text", "en", "srcA"),
+      (4L, "mirrored text", "en", "srcB"), // cross-source dup
+      (5L, "unique two", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val r = run("dedup_rate_by_source", dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r("srcA") === ((4L, 3L, 1L)),
+      "two copies + one mirror are dups; only the mirror is cross-source")
+    assert(r("srcB") === ((2L, 1L, 1L)))
+  }
+
   test("regression metrics are exactly zero-error on a noiseless linear stream") {
     val ns = (ms: Long) => ms * 1000000L
     // y cents = 300 + 7k exactly → the OLS fit recovers (a, b) = (300, 7)

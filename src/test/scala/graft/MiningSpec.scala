@@ -70,6 +70,24 @@ class MiningSpec extends SparkSpec {
     assert(got.size === 2) // 102,103 never co-occur: no candidate pair
   }
 
+  test("assortativity: a star is exactly -1, a regular triangle is NULL") {
+    // star S3 via three 2-part baskets sharing hub 100: every edge
+    // links deg 3 to deg 1 → r = -1 exactly
+    val star = Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 102L),
+      (3L, 100L), (3L, 103L)).toDF("l_orderkey", "l_partkey")
+    val r = run("graph_assortativity", stageTables("lineitem" -> star))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 3L)))
+    assert(r.getDouble(2) === -1.0)
+    // triangle: all degrees equal → zero degree variance → NULL, not 0/0
+    val tri = Seq((1L, 101L), (1L, 102L), (1L, 103L))
+      .toDF("l_orderkey", "l_partkey")
+    val r2 = run("graph_assortativity", stageTables("lineitem" -> tri))
+      .collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) === ((3L, 3L)))
+    assert(r2.isNullAt(2))
+  }
+
   test("single-part orders contribute nothing to Adamic-Adar") {
     val li = Seq((1L, 101L), (2L, 101L), (2L, 102L))
       .toDF("l_orderkey", "l_partkey")

@@ -573,6 +573,130 @@ class MlStatSpec extends SparkSpec {
     assert(r.getDouble(2) === 10.5)
   }
 
+  test("Cohen's d: known two-sample case matches the closed form") {
+    // arm A (even user) = {1,2,3} (mean 2, var 1), arm B (odd user) =
+    // {2,4,6} (mean 4, var 4): s²_pooled = (2·1 + 2·4)/4 = 2.5,
+    // d = (2−4)/√2.5 = −1.264911…
+    val rows = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1000L + i, 0L, "t", v, "{}") } ++
+      Seq(2.0, 4.0, 6.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, 2000L + i, 1L, "t", v, "{}") }
+    val r = run("stat_cohens_d", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(math.abs(r.getDouble(3) - 1.581139) < 1e-6)
+    assert(math.abs(r.getDouble(4) - -1.264911) < 1e-6)
+  }
+
+  test("Cohen's d: a zero-variance pair of arms yields NULL d, not ±inf") {
+    val rows = Seq(
+      (1L, 1000L, 0L, "t", 1.0, "{}"), (2L, 1001L, 2L, "t", 1.0, "{}"),
+      (3L, 2000L, 1L, "t", 2.0, "{}"), (4L, 2001L, 3L, "t", 2.0, "{}"))
+    val r = run("stat_cohens_d", stageTables("events" -> ev(rows))).collect()(0)
+    assert(r.getDouble(3) === 0.0 && r.isNullAt(4))
+  }
+
+  test("MCC: closed-form 2×2 and the zero-marginal NULL guard") {
+    // tp=2 (purchase ≥ $50), fp=1, fn=1, tn=2 →
+    // MCC = (2·2 − 1·1)/√(3·3·3·3) = 3/9 = 0.333333
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 60.0, "{}"),
+      (2L, 1001L, 2L, "purchase", 70.0, "{}"),
+      (3L, 1002L, 3L, "purchase", 10.0, "{}"),
+      (4L, 1003L, 4L, "view", 80.0, "{}"),
+      (5L, 1004L, 5L, "view", 20.0, "{}"),
+      (6L, 1005L, 6L, "view", 30.0, "{}"))
+    val r = run("eval_mcc", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 1L, 2L)))
+    assert(math.abs(r.getDouble(4) - 0.333333) < 1e-6)
+    // all-negative predictions: tp+fp = 0 → NULL, never 0/0
+    val r2 = run("eval_mcc", stageTables("events" -> ev(Seq(
+      (1L, 1000L, 1L, "purchase", 10.0, "{}"),
+      (2L, 1001L, 2L, "view", 20.0, "{}"))))).collect()(0)
+    assert(r2.isNullAt(4))
+  }
+
+  test("Brier score: closed-form residuals in exact basis-10⁴ integers") {
+    // purchase @ $80 → p 0.8, r² 0.04; view @ $10 → p 0.1, r² 0.01
+    // → brier = 0.025 exactly
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 80.0, "{}"),
+      (2L, 1001L, 2L, "view", 10.0, "{}"))
+    val r = run("eval_brier_score", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 1L)))
+    assert(r.getDouble(2) === 0.025)
+  }
+
+  test("log loss: symmetric confident-correct pair, and the eps clamp") {
+    // purchase @ $99 (p .99) and view @ $1 (p .01): both terms are
+    // −ln(0.99) → mean 0.01005 after per-row 10⁶ quantization
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 99.0, "{}"),
+      (2L, 1001L, 2L, "view", 1.0, "{}"))
+    val r = run("eval_log_loss", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 1L)))
+    assert(math.abs(r.getDouble(2) - 0.01005) < 1e-6)
+    // a sub-cent score clamps to p = 0.01, not ln(0): −ln(0.01) = 4.60517
+    val r2 = run("eval_log_loss", stageTables("events" -> ev(Seq(
+      (1L, 1000L, 1L, "purchase", 0.01, "{}"))))).collect()(0)
+    assert(math.abs(r2.getDouble(2) - 4.60517) < 1e-6)
+  }
+
+  test("AUC: perfect separation scores 1, an all-tie score 0.5, one class NULL") {
+    val sep = Seq(
+      (1L, 1000L, 1L, "purchase", 80.0, "{}"),
+      (2L, 1001L, 2L, "purchase", 90.0, "{}"),
+      (3L, 1002L, 3L, "view", 10.0, "{}"),
+      (4L, 1003L, 4L, "view", 20.0, "{}"))
+    val r = run("eval_auc", stageTables("events" -> ev(sep))).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(2) === 1.0)
+    val tie = Seq(
+      (1L, 1000L, 1L, "purchase", 50.0, "{}"),
+      (2L, 1001L, 2L, "view", 50.0, "{}"))
+    val r2 = run("eval_auc", stageTables("events" -> ev(tie))).collect()(0)
+    assert(r2.getDouble(2) === 0.5)
+    val mono = Seq((1L, 1000L, 1L, "purchase", 50.0, "{}"))
+    val r3 = run("eval_auc", stageTables("events" -> ev(mono))).collect()(0)
+    assert(r3.isNullAt(2))
+  }
+
+  test("Spearman: monotone days score +1, anti-monotone −1") {
+    val D = 86400000L
+    // type "up": busier days carry more value (cnt 1,2,3 / vsum
+    // 100,200,300); type "dn": busier days carry LESS (vsum 300,200,100)
+    def day(t: String, d: Long, n: Int, v: Double, base: Long) =
+      (0 until n).map(i => (base + d * 10 + i, d * D + i * 1000L,
+        base + i, t, v, "{}"))
+    val rows =
+      day("up", 0, 1, 1.0, 100L) ++ day("up", 1, 2, 1.0, 200L) ++
+        day("up", 2, 3, 1.0, 300L) ++
+        day("dn", 0, 1, 3.0, 400L) ++ day("dn", 1, 2, 1.0, 500L) ++
+        day("dn", 2, 3, 1.0 / 3, 600L)
+    val r = run("stat_spearman_rho", stageTables("events" -> ev(rows)))
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("up") === 1.0)
+    assert(r("dn") === -1.0)
+  }
+
+  test("Neyman allocation: budget follows N_h·S_h; certain strata get zero") {
+    // stratum a = {1,1} (sd 0 → weight 0), stratum b = {1,3} (sd √2),
+    // singleton c (sd NULL → weight 0): the whole 1000-sample budget
+    // lands on b
+    val rows = Seq(
+      (1L, 1000L, 1L, "a", 1.0, "{}"), (2L, 1001L, 2L, "a", 1.0, "{}"),
+      (3L, 2000L, 3L, "b", 1.0, "{}"), (4L, 2001L, 4L, "b", 3.0, "{}"),
+      (5L, 3000L, 5L, "c", 9.0, "{}"))
+    val out = run("sample_neyman_alloc", stageTables("events" -> ev(rows)))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(out === Seq(
+      ("a", 2L, 0.0, 0L),
+      ("b", 2L, 1.414214, 1000L),
+      ("c", 1L, null, 0L)))
+  }
+
   test("basket lift: duplicate events do not inflate the basket") {
     // u1 fires A five times — the basket still holds one A
     val rows = Seq.tabulate(5)(i =>

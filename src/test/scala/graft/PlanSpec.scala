@@ -539,7 +539,8 @@ class PlanSpec extends SparkSpec {
     }
     for (key <- Seq("window_cume_dist",
         "agg_winsorized_mean", "anomaly_tukey_fence", "agg_trimmed_mean",
-        "agg_percentile_disc", "feature_binning_transfer")) {
+        "agg_percentile_disc", "feature_binning_transfer",
+        "eval_auc", "stat_spearman_rho")) {
       val df = run(key)
       df.collect()
       val windows = nodes(df.queryExecution.executedPlan).collect {
@@ -613,6 +614,33 @@ class PlanSpec extends SparkSpec {
       "the 25-row brand table must broadcast to both edge endpoints")
     assert(!plan.contains("CartesianProduct"),
       "the only cross joins are 1-row grand totals (broadcast nested loop)")
+  }
+
+  test("assortativity broadcasts the degree table to both edge endpoints") {
+    val plan = executedPlan("graph_assortativity")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bounded degree table must broadcast onto the directed edge list")
+    assert(!plan.contains("CartesianProduct"),
+      "only 1-row moment/total combinations may cross (broadcast nested loop)")
+  }
+
+  test("hampel windows run over the hourly rollup, never raw fact rows") {
+    val plan = executedPlan("ts_hampel_outliers")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[event_type")),
+      s"the rolling median window must partition by event_type: $windowLines")
+    // the window's input is the calendar-bounded (type, hour) aggregate —
+    // a HashAggregate must sit below the window, proving the fact table
+    // collapsed BEFORE any sort
+    assert(plan.contains("HashAggregate"),
+      "hourly pre-aggregation must collapse the fact before the window")
+  }
+
+  test("dedup_rate_by_source shuffles hashes, never document text") {
+    val plan = executedPlan("dedup_rate_by_source")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")),
+      s"no exchange may carry the text column: $exchanges")
   }
 
   test("PMI collocations window only within documents — never a global token order") {

@@ -222,4 +222,23 @@ class TsSpec extends SparkSpec {
     assert(got("one") === ((1L, 2L, 0.0)))
     assert(got("two") === ((2L, 4L, 1.0)))
   }
+
+  // ----------------------------------------------------------- hampel
+
+  test("Hampel flags exactly the planted spike; a flat series flags nothing") {
+    // hours 0..6 at $1, hour 3 spikes to $100: the ±2h window around
+    // the spike has median 100¢ / MAD 0, so only hour 3 trips the
+    // 3·MAD fence (9900¢ > 0); its flat neighbors sit at dev 0
+    val rows = (0 until 7).map(i =>
+      (i.toLong, i * H, 1L, "t", if (i == 3) 100.0 else 1.0, "{}"))
+    val r = run("ts_hampel_outliers", stageTables("events" -> ev(rows)))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((7L, 1L, 9900L)))
+    // constant series: every deviation 0 → no outliers, NULL worst-dev
+    val flat = (0 until 5).map(i => (i.toLong, i * H, 1L, "t", 2.0, "{}"))
+    val r2 = run("ts_hampel_outliers", stageTables("events" -> ev(flat)))
+      .collect()(0)
+    assert((r2.getLong(1), r2.getLong(2)) === ((5L, 0L)))
+    assert(r2.isNullAt(3))
+  }
 }
