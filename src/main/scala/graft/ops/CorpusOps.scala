@@ -1041,10 +1041,72 @@ object CorpusOps {
       OSql.sround("CAST(SUM(t1) + SUM(t2) AS DOUBLE) / 2e6", 6) +
       " AS jsd_nats FROM tq GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // corpus_ngram_novelty — held-out trigram novelty: split the corpus
+  // into train (¾) and test (¼) by the deterministic doc_id % 4 rule
+  // (the `hash_split` shape) and measure what fraction of each lang's
+  // TEST trigram occurrences never appear in train — the
+  // generalization check that separates "the held-out set is new
+  // text" from "the split leaked near-copies" (high novelty ⇒ honest
+  // split; near-zero ⇒ the dedup pass missed templates). Grams hash to
+  // md5 BEFORE any shuffle (the `corpus_decontaminate` discipline);
+  // the train side collapses to a DISTINCT gram set and the test side
+  // anti-joins it on the HASH — at 100 TB that set outgrows a
+  // broadcast, and the hash-partitioned anti-join stays linear with
+  // no skew (md5 keys are uniform by construction).
+  // ------------------------------------------------------------------
+
+  private val corpusNgramNovelty = Q(
+    "corpus_ngram_novelty",
+    (s, d) => {
+      import s.implicits._
+      val g3 = LlmPipeline.gramRows(s, d, 3)
+        .select($"doc_id", md5($"x").as("g"))
+      val trainGrams = g3.filter($"doc_id" % 4 =!= 0).select("g").distinct()
+      val test = g3.filter($"doc_id" % 4 === 0)
+      val novel = test.join(trainGrams, Seq("g"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("nov"))
+      val perDoc = test.groupBy("doc_id").agg(count(lit(1)).as("tot"))
+        .join(novel, Seq("doc_id"), "left_outer")
+        .withColumn("nov", coalesce($"nov", lit(0L)))
+      t(s, d, "documents").filter($"doc_id" % 4 === 0)
+        .select($"doc_id", $"lang")
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_test_docs"),
+          coalesce(sum($"tot"), lit(0L)).as("n_test_grams"),
+          coalesce(sum($"nov"), lit(0L)).as("n_novel"),
+          when(sum($"tot") > 0,
+            dround(sum($"nov").cast("double") / sum($"tot"), 6))
+            .as("novelty_rate"))
+        .orderBy("lang")
+    },
+    Some {
+      val g3 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        s"g AS (SELECT doc_id, md5($g3) AS g FROM " +
+        "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i " +
+        "FROM tok WHERE len(t) >= 3)), " +
+        "tg AS (SELECT DISTINCT g FROM g WHERE doc_id % 4 <> 0), " +
+        "te AS (SELECT doc_id, g FROM g WHERE doc_id % 4 = 0), " +
+        "pd AS (SELECT doc_id, count(*) AS tot, " +
+        "SUM(CASE WHEN tg.g IS NULL THEN 1 ELSE 0 END) AS nov " +
+        "FROM te LEFT JOIN tg ON tg.g = te.g GROUP BY 1) " +
+        "SELECT d.lang, count(*) AS n_test_docs, " +
+        "COALESCE(CAST(SUM(pd.tot) AS BIGINT), 0) AS n_test_grams, " +
+        "COALESCE(CAST(SUM(pd.nov) AS BIGINT), 0) AS n_novel, " +
+        "CASE WHEN SUM(pd.tot) > 0 THEN " +
+        OSql.sround("CAST(SUM(pd.nov) AS DOUBLE) / SUM(pd.tot)", 6) +
+        " END AS novelty_rate " +
+        "FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id " +
+        "WHERE d.doc_id % 4 = 0 GROUP BY 1 ORDER BY 1 NULLS FIRST"
+    })
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
     textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
-    textZipfFit, textCollocationsPmi, corpusJsDivergence)
+    textZipfFit, textCollocationsPmi, corpusJsDivergence,
+    corpusNgramNovelty)
 }

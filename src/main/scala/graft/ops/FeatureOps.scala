@@ -300,6 +300,71 @@ object FeatureOps {
       "FROM pair GROUP BY 1 ORDER BY 1"))
 
   // ------------------------------------------------------------------
+  // seq_attribution_time_decay — exponentially time-decayed multi-touch
+  // attribution: the RECENCY-weighted member of the attribution family
+  // (first_touch = winner-takes-all, linear = equal split; this one
+  // halves a touch's claim per day of age, the industry-standard decay
+  // rule). Weights are DYADIC — w = 2^(30−min(age_days, 30)) as an
+  // exact integer via shiftleft, so the per-purchase weight total is
+  // an exact BIGINT and the credit share vc·w/Σw is integer-exact up
+  // to the ONE final division, 6dp-rounded BEFORE the cross-pair
+  // DECIMAL sum (the seq_attribution_linear normalization trick —
+  // order-independent on any cluster). Pair enumeration and the
+  // per-purchase weight rollup are both user/purchase-keyed — bounded
+  // baskets, never a cross-user product.
+  // ------------------------------------------------------------------
+
+  private val seqAttributionTimeDecay = Q(
+    "seq_attribution_time_decay",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val touches = ev.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"event_type".as("channel"),
+          $"ms".as("tms"), $"event_id".as("tid"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ms".as("pms"), $"event_id".as("pid"),
+          round($"value" * 100).cast("long").as("vc"))
+      val pairs = touches.join(purchases, Seq("user_id"))
+        .filter($"tms" < $"pms" || ($"tms" === $"pms" && $"tid" < $"pid"))
+        // integer div, not `/`: the double quotient truncates the same
+        // way only while it stays exact; div is exact at any magnitude
+        // (tms ≤ pms here, so trunc = floor)
+        .withColumn("age",
+          least(expr("(pms - tms) div 86400000"), lit(30L)).cast("long"))
+        .withColumn("wq", expr("shiftleft(cast(1 as bigint), cast(30 - age as int))"))
+      val totals = pairs.groupBy($"user_id", $"pid")
+        .agg(sum($"wq").as("wt"))
+      pairs.join(totals, Seq("user_id", "pid"))
+        .select($"channel",
+          dround($"vc".cast("double") * $"wq" / $"wt" / 100.0, 6).cast(Dec)
+            .as("credit"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_pairs"),
+          dround(sum($"credit").cast("double"), 4).as("credit"))
+        .orderBy("channel")
+    },
+    Some("WITH ev AS (SELECT user_id, event_id, event_type, " +
+      "epoch_ms(ts) AS ms, CAST(round(value*100) AS BIGINT) AS vc " +
+      "FROM events), " +
+      "t AS (SELECT user_id, event_type AS channel, ms AS tms, " +
+      "event_id AS tid FROM ev WHERE event_type <> 'purchase'), " +
+      "p AS (SELECT user_id, ms AS pms, event_id AS pid, vc FROM ev " +
+      "WHERE event_type = 'purchase'), " +
+      "pair AS (SELECT channel, user_id, pid, vc, " +
+      "(CAST(1 AS BIGINT) << CAST(30 - least((pms - tms) // 86400000, 30) " +
+      "AS INT)) AS wq FROM t JOIN p USING (user_id) " +
+      "WHERE tms < pms OR (tms = pms AND tid < pid)), " +
+      "tot AS (SELECT user_id, pid, CAST(SUM(wq) AS BIGINT) AS wt " +
+      "FROM pair GROUP BY 1, 2), " +
+      "cr AS (SELECT channel, CAST(" +
+      OSql.sround("CAST(vc AS DOUBLE) * wq / wt / 100.0", 6) +
+      " AS DECIMAL(20,6)) AS credit FROM pair JOIN tot USING (user_id, pid)) " +
+      "SELECT channel, count(*) AS n_pairs, " +
+      OSql.sround("CAST(sum(credit) AS DOUBLE)", 4) + " AS credit " +
+      "FROM cr GROUP BY 1 ORDER BY 1"))
+
+  // ------------------------------------------------------------------
   // agg_histogram_log2 — logarithmic (powers-of-two) value histogram
   // per event_type for long-tailed distributions, with the log2
   // bucket computed as length(bin(v)) — PURE INTEGER (a float
@@ -499,5 +564,6 @@ object FeatureOps {
   val qs: Seq[Q] = Seq(
     aggOls2, featureMinmaxScale, textHashingTrick, seqTrigramPaths,
     aggBitmapDistinct, seqAttributionLinear, aggHistogramLog2,
-    featureBinningTransfer, featureRecency, featureWoeIv)
+    featureBinningTransfer, featureRecency, featureWoeIv,
+    seqAttributionTimeDecay)
 }

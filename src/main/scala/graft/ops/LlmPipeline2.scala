@@ -1461,40 +1461,134 @@ object LlmPipeline2 {
 
   private val langOrder = Seq("en", "de", "es", "fr")
 
+  /** Per-doc (doc_id, pred_lang, s_*) — the shared scoring + argmax
+    * stage of `text_lang_id` and `eval_langid_confusion` (a doc with
+    * NULL text has no tokens, so it carries no prediction — both
+    * engines drop it identically).
+    */
+  private def langIdPred(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scores = langOrder.map(l =>
+      sum(when($"w".isin(markers(l): _*), 1).otherwise(0)).cast("long").as(s"s_$l"))
+    val scored = t(s, d, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy("doc_id")
+      .agg(scores.head, scores.tail: _*)
+    val pred = langOrder.init.foldRight(lit(langOrder.last)) { (l, rest) =>
+      val ge = langOrder.dropWhile(_ != l).tail
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scored.select(($"doc_id" +: pred.as("pred_lang") +:
+      langOrder.map(l => col(s"s_$l"))): _*)
+  }
+
+  /** DuckDB CTE chain ending in `p(doc_id, pred_lang, s_*)` — the
+    * oracle-side restatement of [[langIdPred]].
+    */
+  private def langIdSqlCtes: String = {
+    val scores = langOrder.map { l =>
+      val set = markers(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(SUM(CASE WHEN w IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    val pred = langOrder.init.foldRight(s"'${langOrder.last}'") { (l, rest) =>
+      val ge = langOrder.dropWhile(_ != l).tail.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"CASE WHEN $ge THEN '$l' ELSE $rest END"
+    }
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+      s"sc AS (SELECT doc_id, $scores FROM tok GROUP BY 1), " +
+      s"p AS (SELECT doc_id, $pred AS pred_lang, s_en, s_de, s_es, s_fr FROM sc)"
+  }
+
   private val textLangId = Q(
     "text_lang_id",
+    (s, d) => langIdPred(s, d).orderBy("doc_id").limit(1000),
+    Some(s"WITH $langIdSqlCtes " +
+      "SELECT doc_id, pred_lang, s_en, s_de, s_es, s_fr FROM p " +
+      "ORDER BY doc_id LIMIT 1000"))
+
+  /** eval_langid_confusion — the labeled-vs-predicted confusion grid of
+    * the stopword language classifier: the pipeline EVALUATING ITS OWN
+    * heuristic against the corpus's lang labels (the QA step that
+    * decides whether `text_lang_id`'s routing is trustworthy before
+    * `sample_stratified` splits on it). The cell domain is the CROSS
+    * JOIN of the observed label ledger and the classifier's FIXED
+    * 4-lang prediction domain — zero cells keep their row (the
+    * `stat_chi2_independence` completion; a lang the classifier never
+    * predicts must show as a zero column, not vanish); counts collapse
+    * map-side off the shared [[langIdPred]] stage, the grid is
+    * |langs|×4 — bounded by the dims, never the corpus.
+    */
+  private val evalLangidConfusion = Q(
+    "eval_langid_confusion",
     (s, d) => {
       import s.implicits._
-      val scores = langOrder.map(l =>
-        sum(when($"w".isin(markers(l): _*), 1).otherwise(0)).cast("long").as(s"s_$l"))
-      val scored = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("w"))
-        .groupBy("doc_id")
-        .agg(scores.head, scores.tail: _*)
-      val pred = langOrder.init.foldRight(lit(langOrder.last)) { (l, rest) =>
-        val ge = langOrder.dropWhile(_ != l).tail
-          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
-        when(ge, lit(l)).otherwise(rest)
-      }
-      scored.select(($"doc_id" +: pred.as("pred_lang") +:
-        langOrder.map(l => col(s"s_$l"))): _*)
-        .orderBy("doc_id")
-        .limit(1000)
+      val p = langIdPred(s, d).select($"doc_id", $"pred_lang")
+      val lab = t(s, d, "documents").select($"doc_id", $"lang")
+      val grid = lab.join(p, "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val spine = lab.select($"lang").distinct()
+        .crossJoin(langOrder.toDF("pred_lang"))
+      spine.join(grid, Seq("lang", "pred_lang"), "left_outer")
+        .select($"lang", $"pred_lang", coalesce($"n", lit(0L)).as("n"))
+        .orderBy("lang", "pred_lang")
     },
-    Some {
-      val scores = langOrder.map { l =>
-        val set = markers(l).map(w => s"'$w'").mkString(", ")
-        s"CAST(SUM(CASE WHEN w IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS s_$l"
-      }.mkString(", ")
-      val pred = langOrder.init.foldRight(s"'${langOrder.last}'") { (l, rest) =>
-        val ge = langOrder.dropWhile(_ != l).tail.map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"CASE WHEN $ge THEN '$l' ELSE $rest END"
-      }
-      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
-        s"sc AS (SELECT doc_id, $scores FROM tok GROUP BY 1) " +
-        s"SELECT doc_id, $pred AS pred_lang, s_en, s_de, s_es, s_fr FROM sc " +
-        "ORDER BY doc_id LIMIT 1000"
-    })
+    Some(s"WITH $langIdSqlCtes, " +
+      "j AS (SELECT d.lang, p.pred_lang FROM documents d " +
+      "JOIN p ON p.doc_id = d.doc_id), " +
+      "g AS (SELECT lang, pred_lang, count(*) AS n FROM j GROUP BY 1, 2), " +
+      "sp AS (SELECT DISTINCT lang FROM documents), " +
+      "pd AS (SELECT unnest(['" + langOrder.mkString("', '") +
+      "']) AS pred_lang) " +
+      "SELECT sp.lang, pd.pred_lang, CAST(COALESCE(g.n, 0) AS BIGINT) AS n " +
+      "FROM sp CROSS JOIN pd " +
+      "LEFT JOIN g ON g.lang = sp.lang AND g.pred_lang = pd.pred_lang " +
+      "ORDER BY 1 NULLS FIRST, 2"))
+
+  /** audit_embedding_coverage — referential + shape integrity of the
+    * embedding corpus against the document corpus (the `documents ⋈
+    * embeddings` sibling of `audit_fk_integrity`): matched pairs, docs
+    * with no vector, orphan vectors, and vectors whose dimension is
+    * not the contract's 64 (a NULL embedding counts as bad shape —
+    * silently passing it forward would poison every downstream fold).
+    * ONE full-outer hash join on the id + one map-side collapse to a
+    * single row; the shuffle carries (id, dim) only, never arrays.
+    */
+  private val auditEmbeddingCoverage = Q(
+    "audit_embedding_coverage",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id")
+        .withColumn("hd", lit(1L))
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id".as("doc_id"), size($"embedding").as("dim"))
+        .withColumn("he", lit(1L))
+      docs.join(emb, Seq("doc_id"), "full_outer").agg(
+        sum(coalesce($"hd", lit(0L))).as("n_docs"),
+        sum(coalesce($"he", lit(0L))).as("n_vecs"),
+        sum(when($"hd".isNotNull && $"he".isNotNull, 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when($"hd".isNotNull && $"he".isNull, 1L).otherwise(0L))
+          .as("n_docs_unembedded"),
+        sum(when($"hd".isNull && $"he".isNotNull, 1L).otherwise(0L))
+          .as("n_vecs_orphan"),
+        sum(when($"he".isNotNull && ($"dim".isNull || $"dim" =!= 64),
+          1L).otherwise(0L)).as("n_bad_dim"))
+    },
+    Some("WITH de AS (SELECT doc_id, 1 AS hd FROM documents), " +
+      "em AS (SELECT vec_id AS doc_id, len(embedding) AS dim, 1 AS he " +
+      "FROM embeddings), " +
+      "j AS (SELECT * FROM de FULL JOIN em USING (doc_id)) " +
+      "SELECT CAST(SUM(COALESCE(hd, 0)) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(COALESCE(he, 0)) AS BIGINT) AS n_vecs, " +
+      "CAST(SUM(CASE WHEN hd IS NOT NULL AND he IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_matched, " +
+      "CAST(SUM(CASE WHEN hd IS NOT NULL AND he IS NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_docs_unembedded, " +
+      "CAST(SUM(CASE WHEN hd IS NULL AND he IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_vecs_orphan, " +
+      "CAST(SUM(CASE WHEN he IS NOT NULL AND (dim IS NULL OR dim <> 64) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim FROM j"))
 
   /** Per-doc quality heuristics from pure scalars (no explode): token
     * count, average token length, punctuation density, and a bounded
@@ -1659,6 +1753,52 @@ object LlmPipeline2 {
       s"CAST(${hexValSql("substring(digest, 3 + frame, 1)")} AS BIGINT) AS feature " +
       "FROM (SELECT *, unnest(generate_series(1, n_frames)) AS frame FROM dec) " +
       "ORDER BY doc_id, frame LIMIT 2000"))
+
+  /** multimodal_frame_sample — uniform-N frame sampling over the
+    * binary-lake assets: the video-ingest primitive that cuts a
+    * variable-length frame sequence to a fixed budget of 8
+    * representative frames (position i picks frame (i·nf) div 8 — the
+    * standard uniform rule; a short clip repeats positions, which
+    * COLLAPSE, so the sample is ≤ min(nf, 8) distinct frames and a
+    * 3-frame clip honestly yields 3). The frame count extends the
+    * shared fake-decode header to a 1..256 range (two more digest
+    * nibbles where a real decoder reads the container's frame count),
+    * so both regimes — clips shorter and longer than the budget —
+    * exist in the verified output. Everything is a pure array projection — transform →
+    * sort+distinct → join to text — NO explode and no shuffle: the
+    * per-asset sample plan costs one codegen'd pass at any corpus
+    * size, the real economics of frame sampling (the decoder, not the
+    * plan, is the 100 TB cost).
+    */
+  private val multimodalFrameSample = Q(
+    "multimodal_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      fakeDecoded(s, d)
+        .withColumn("nf",
+          (lit(1) + hexVal(substring($"digest", 3, 1)) * 16 +
+            hexVal(substring($"digest", 4, 1))).cast("long"))
+        .withColumn("sample",
+          expr("array_sort(array_distinct(" +
+            "transform(sequence(0, 7), i -> (i * nf) div 8 + 1)))"))
+        .select($"doc_id", $"nf".as("n_frames"),
+          size($"sample").cast("long").as("n_sampled"),
+          concat_ws(",", expr("transform(sample, x -> cast(x as string))"))
+            .as("frames"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+    Some(s"WITH $decodeCtes, " +
+      "f AS (SELECT doc_id, CAST(1 + " +
+      s"(${hexValSql("substring(digest, 3, 1)")}) * 16 + " +
+      s"(${hexValSql("substring(digest, 4, 1)")}) AS BIGINT) AS nf FROM dec), " +
+      "sm AS (SELECT doc_id, nf, list_sort(list_distinct(" +
+      "list_transform(generate_series(0, 7), i -> (i * nf) // 8 + 1))) AS sample " +
+      "FROM f) " +
+      "SELECT doc_id, nf AS n_frames, " +
+      "CAST(len(sample) AS BIGINT) AS n_sampled, " +
+      "array_to_string(sample, ',') AS frames " +
+      "FROM sm ORDER BY doc_id LIMIT 1000"))
 
   // ------------------------------------------------------ corpus tooling
 
@@ -1967,5 +2107,6 @@ object LlmPipeline2 {
     textQualityScore, textTokenCount, docFingerprint, multimodalDecode,
     sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
     dedupThresholdSweep, indexAppend, simAnnRange, dedupMinhashEstimate,
-    simKnnClassify)
+    simKnnClassify, evalLangidConfusion, auditEmbeddingCoverage,
+    multimodalFrameSample)
 }

@@ -122,6 +122,15 @@ object MiningOps {
     })
   }
 
+  /** The DISTINCT canonical simple-edge set (a < b) of the co-purchase
+    * graph — the second shared artifact above [[coPairs]]: k-core,
+    * modularity, and assortativity all start from it, and each was
+    * paying its own distinct pass over the multi-edge enumeration.
+    */
+  private[ops] def coEdges(s: SparkSession, d: String): DataFrame =
+    graft.core.IndexCache(s, s"co-edges|$d",
+      coPairs(s, d).select("a", "b").distinct())
+
   private val graphAdamicAdar = Q(
     "graph_adamic_adar",
     (s, d) => {
@@ -376,8 +385,7 @@ object MiningOps {
       // the materialized state is the CANONICAL (a < b) edge list —
       // half the rows of the symmetric form; degree reads both
       // endpoint columns, so nothing is lost
-      var edges = graft.core.Mat(s,
-        coPairs(s, d).select("a", "b").distinct(), "kcore-e")
+      var edges = coEdges(s, d)
       var edgeCnt = edges.count()
       var stableAt = if (edgeCnt == 0) 0 else -1
       var r = 0
@@ -510,7 +518,7 @@ object MiningOps {
     "graph_modularity",
     (s, d) => {
       import s.implicits._
-      val e = coPairs(s, d).select($"a", $"b").distinct()
+      val e = coEdges(s, d)
       val br = Tables.t(s, d, "part")
         .select($"p_partkey".as("p"), $"p_brand".as("brand"))
       val deg = e.select($"a".as("p"))
@@ -585,7 +593,7 @@ object MiningOps {
     "graph_assortativity",
     (s, d) => {
       import s.implicits._
-      val edges = coPairs(s, d).select("a", "b").distinct()
+      val edges = coEdges(s, d)
       val deg = edges.select($"a".as("n")).unionByName(
           edges.select($"b".as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))

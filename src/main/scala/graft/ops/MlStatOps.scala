@@ -1541,6 +1541,127 @@ object MlStatOps {
         "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))", 6) +
       " END AS rho FROM m ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // stat_power_twoprop — two-proportion sample-size calculator: the
+  // experiment PLANNER next to the verdicts (`stat_welch_ttest` tells
+  // you whether the archive's lift is significant; this tells you how
+  // many users per arm the NEXT experiment needs to detect the same
+  // lift at α = .05 two-sided / 80% power). Conversion = cents ≥ 5000
+  // (the `eval_mcc` rule), arms by user parity; n/arm =
+  // (z_{.975}·√(2p̄q̄) + z_{.80}·√(p₁q₁+p₂q₂))² / (p₁−p₂)² with the two
+  // z constants as fixed literals and every input an exact long — one
+  // double formula with identical text; a zero observed lift emits
+  // NULL (no finite n detects it), reported as a 4dp double rather
+  // than a ceil'd integer so no engine ever rounds across a boundary.
+  // ------------------------------------------------------------------
+
+  private val statPowerTwoprop = Q(
+    "stat_power_twoprop",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"user_id".isNotNull)
+        .select($"event_type", pmod($"user_id", lit(2L)).as("g"),
+          (round($"value" * 100).cast("long") >= 5000L).cast("long").as("y"))
+      val m = e.groupBy("event_type").agg(
+        sum(when($"g" === 0, 1L).otherwise(0L)).as("na"),
+        sum(when($"g" === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when($"g" === 0, $"y").otherwise(0L)).as("ca"),
+        sum(when($"g" === 1, $"y").otherwise(0L)).as("cb"))
+      m.withColumn("p1", $"ca".cast("double") / $"na")
+        .withColumn("p2", $"cb".cast("double") / $"nb")
+        .withColumn("pbar",
+          ($"ca" + $"cb").cast("double") / ($"na" + $"nb"))
+        .select($"event_type", $"na", $"nb",
+          dround($"p1", 6).as("p1"), dround($"p2", 6).as("p2"),
+          when($"na" > 0 && $"nb" > 0 && $"p1" =!= $"p2",
+            dround(pow(lit(1.959964) * sqrt(lit(2.0) * $"pbar" * (lit(1.0) - $"pbar"))
+              + lit(0.841621) * sqrt($"p1" * (lit(1.0) - $"p1")
+                + $"p2" * (lit(1.0) - $"p2")), 2.0)
+              / (($"p1" - $"p2") * ($"p1" - $"p2")), 4))
+            .as("n_per_arm"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, abs(user_id % 2) AS g, " +
+      "CAST(CAST(round(value*100) AS BIGINT) >= 5000 AS BIGINT) AS y " +
+      "FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+      "m AS (SELECT event_type, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS cb " +
+      "FROM e GROUP BY 1), " +
+      "r AS (SELECT event_type, na, nb, " +
+      "CAST(ca AS DOUBLE) / na AS p1, CAST(cb AS DOUBLE) / nb AS p2, " +
+      "CAST(ca + cb AS DOUBLE) / (na + nb) AS pbar FROM m) " +
+      "SELECT event_type, na, nb, " +
+      OSql.sround("p1", 6) + " AS p1, " + OSql.sround("p2", 6) + " AS p2, " +
+      "CASE WHEN na > 0 AND nb > 0 AND p1 <> p2 THEN " +
+      OSql.sround("pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar)) " +
+        "+ 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0) " +
+        "/ ((p1 - p2) * (p1 - p2))", 4) +
+      " END AS n_per_arm FROM r ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // eval_lift_deciles — the decile lift table of the purchase
+  // forecast: rank the population by score, cut it into tenths, and
+  // report each tenth's response rate against the base rate — the
+  // targeting report a campaign owner reads (AUC says the ranking is
+  // good; the lift table says WHERE to cut it). Same bounded
+  // cent-value LEDGER as `eval_auc` (never a fact-row rank): the
+  // cumulative-count window assigns every ledger value its decile by
+  // position ((cum_before·10) div N — ties stay in one decile,
+  // deterministic in both engines), the per-decile rollup is exact
+  // longs, and lift = rate/base computes as one integer-ratio double
+  // n⁺·N / (n·N⁺). Zero positives overall emit NULL lifts.
+  // ------------------------------------------------------------------
+
+  private val evalLiftDeciles = Q(
+    "eval_lift_deciles",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"event_type".isNotNull)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("pc"))
+      val led = e.groupBy("pc").agg(
+        count(lit(1)).as("n"), sum($"y").as("np"))
+      val w = Window.orderBy($"pc".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = led.agg(sum($"n").as("nt"), sum($"np").as("npt"))
+      led
+        .withColumn("cumb", coalesce(sum($"n").over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(cumb * 10) div nt").cast("long") + 1L)
+        .groupBy("decile").agg(
+          sum($"n").as("n"), sum($"np").as("n_pos"),
+          max($"nt").as("nt"), max($"npt").as("npt"))
+        .select($"decile", $"n", $"n_pos",
+          dround($"n_pos".cast("double") / $"n", 6).as("rate"),
+          when($"npt" > 0,
+            dround($"n_pos".cast("double") * $"nt" / ($"n" * $"npt"), 6))
+            .as("lift"))
+        .orderBy("decile")
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS pc FROM events " +
+      "WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+      "l AS (SELECT pc, count(*) AS n, CAST(SUM(y) AS BIGINT) AS np " +
+      "FROM e GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, " +
+      "CAST(SUM(np) AS BIGINT) AS npt FROM l), " +
+      "c AS (SELECT pc, n, np, COALESCE(CAST(SUM(n) OVER " +
+      "(ORDER BY pc DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+      "AS BIGINT), 0) AS cumb FROM l), " +
+      "dec AS (SELECT (cumb * 10) // nt + 1 AS decile, n, np, nt, npt " +
+      "FROM c CROSS JOIN t) " +
+      "SELECT CAST(decile AS BIGINT) AS decile, " +
+      "CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos, " +
+      OSql.sround("CAST(SUM(np) AS DOUBLE) / SUM(n)", 6) + " AS rate, " +
+      "CASE WHEN MAX(npt) > 0 THEN " +
+      OSql.sround("CAST(SUM(np) AS DOUBLE) * MAX(nt) / (SUM(n) * MAX(npt))", 6) +
+      " END AS lift FROM dec GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -1551,7 +1672,7 @@ object MlStatOps {
     aggTrimmedMean, evalRegressionMetrics, statCramersV,
     statAnovaOneway, evalConfusionMulticlass, statLevene, evalCohenKappa,
     statCohensD, evalMcc, sampleNeymanAlloc, evalBrierScore, evalLogLoss,
-    evalAuc, statSpearmanRho)
+    evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

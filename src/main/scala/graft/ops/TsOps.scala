@@ -845,10 +845,74 @@ object TsOps {
       "AS max_dev_cents " +
       "FROM f GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // ts_changepoint_cusum — CUSUM-argmax changepoint LOCATION over each
+  // type's hourly series: `window_cusum_change` FLAGS that the level
+  // drifted; this locates the break at the k maximizing the CUSUM
+  // excursion |S₁(k) − k·S/n| — the classic single-changepoint
+  // estimator, spelled over the prefix sums with the fraction CLEARED:
+  // score(k) = |n·S₁(k) − k·S| is a pure integer (DECIMAL(38,0)/
+  // HUGEINT products of exact cents — no division, no float until the
+  // reported means), prefix sums ride one bounded-ledger window, and
+  // the argmax is a max(struct(score, −k)) aggregate (ties → earliest
+  // split). A <2-point series has no interior split and drops out.
+  // The window runs over the calendar-bounded hourly rollup, never
+  // fact rows.
+  // ------------------------------------------------------------------
+
+  private val tsChangepointCusum = Q(
+    "ts_changepoint_cusum",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = hourlyCents(s, d)
+        .withColumn("i", count(lit(1)).over(w))
+        .withColumn("s1", sum($"v").over(w))
+      val tot = hourlyCents(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("st"))
+      val cand = pts.join(tot, "event_type")
+        .filter($"i" < $"n")
+        .withColumn("score", abs(
+          expr("cast(n as decimal(38,0)) * s1") -
+            expr("cast(i as decimal(38,0)) * st")))
+      cand.groupBy("event_type").agg(
+          max(struct($"score", (-$"i").as("ni"))).as("m"))
+        .join(cand, Seq("event_type"))
+        .filter($"i" === -$"m.ni")
+        .select($"event_type", $"n",
+          $"h".as("split_after_hour"),
+          $"i".as("n_before"), ($"n" - $"i").as("n_after"),
+          dround($"s1".cast("double") / $"i" / 100.0, 4).as("mean_before"),
+          dround(($"st" - $"s1").cast("double") / ($"n" - $"i") / 100.0, 4)
+            .as("mean_after"))
+        .orderBy("event_type")
+    },
+    Some("WITH " + hourlyCtes + ", " +
+      "p AS (SELECT event_type, h, v, " +
+      "count(*) OVER w AS i, SUM(v) OVER w AS s1 " +
+      "FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(v) AS HUGEINT) AS st FROM hourly GROUP BY 1), " +
+      "c AS (SELECT p.event_type, p.h, p.i, CAST(p.s1 AS HUGEINT) AS s1, " +
+      "t.n, t.st, " +
+      "abs(CAST(t.n AS HUGEINT) * p.s1 - CAST(p.i AS HUGEINT) * t.st) AS score " +
+      "FROM p JOIN t USING (event_type) WHERE p.i < t.n), " +
+      "best AS (SELECT event_type, first(i ORDER BY score DESC, i ASC) AS bi " +
+      "FROM c GROUP BY 1) " +
+      "SELECT c.event_type, c.n, c.h AS split_after_hour, " +
+      "CAST(c.i AS BIGINT) AS n_before, CAST(c.n - c.i AS BIGINT) AS n_after, " +
+      OSql.sround("CAST(c.s1 AS DOUBLE) / c.i / 100.0", 4) + " AS mean_before, " +
+      OSql.sround("CAST(c.st - c.s1 AS DOUBLE) / (c.n - c.i) / 100.0", 4) +
+      " AS mean_after " +
+      "FROM c JOIN best ON best.event_type = c.event_type AND best.bi = c.i " +
+      "ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
-    tsHampelOutliers)
+    tsHampelOutliers, tsChangepointCusum)
 }

@@ -1010,6 +1010,67 @@ class EdgeCaseSpec extends SparkSpec {
       "word-count, word-length, and alpha violations each caught once; one doc survives")
   }
 
+  test("lang-id confusion grid completes zero cells and conserves the doc count") {
+    // labels en/zh; the en doc scores on en markers, the zh doc has no
+    // markers so the tie falls to 'en' — both land in the pred=en column
+    val dir = stageTables("documents" -> Seq(
+      (0L, "the cat and the dog", "en", "srcA"),
+      (1L, "mao gou yu", "zh", "srcA"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val r = run("eval_langid_confusion", dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r.size === 8, "2 labels × the fixed 4-lang pred domain")
+    assert(r(("en", "en")) === 1L && r(("zh", "en")) === 1L)
+    assert(r.values.sum === 2L, "grid conserves every predicted doc")
+    assert(r(("en", "fr")) === 0L, "zero cells keep their row")
+  }
+
+  test("embedding coverage audit separates matched, missing, orphan, and bad-dim") {
+    val dir = stageTables(
+      "documents" -> Seq(
+        (0L, "a", "en", "s"), (1L, "b", "en", "s"), (2L, "c", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"),
+      "embeddings" -> Seq(
+        (0L, Seq(0.1f, 0.2f)),          // matched but wrong dimension
+        (1L, Seq.fill(64)(0.5f)),       // matched, contract shape
+        (9L, Seq.fill(64)(0.1f)))       // orphan vector
+        .toDF("vec_id", "embedding"))
+    val r = run("audit_embedding_coverage", dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 2L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((1L, 1L, 1L)),
+      "doc 2 unembedded; vec 9 orphaned; vec 0 flagged bad-dim")
+  }
+
+  test("frame sampling is uniform: min(nf, 8) distinct, in-range, increasing") {
+    val rows = run("multimodal_frame_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getLong(1)
+      val n = r.getLong(2)
+      val fr = r.getString(3).split(",").map(_.toLong)
+      assert(n === math.min(nf, 8L), s"budget law broke at nf=$nf")
+      assert(fr.length.toLong === n)
+      assert(fr.head >= 1L && fr.last <= nf, "sampled frame out of clip range")
+      assert(fr.zip(fr.tail).forall(p => p._1 < p._2), "sample must ascend")
+    }
+  }
+
+  test("ngram novelty: copied test docs score 0, unseen text 1, short docs NULL") {
+    // doc_id % 4 == 0 is the test split: doc 0 copies train doc 1
+    // verbatim (novelty 0), doc 4 is unseen (novelty 1), doc 8 is too
+    // short to form a trigram (counted, rate NULL)
+    val dir = stageTables("documents" -> Seq(
+      (0L, "a b c d", "en", "s"), (1L, "a b c d", "en", "s"),
+      (4L, "x y z w", "fr", "s"), (8L, "q r", "zh", "s"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val r = run("corpus_ngram_novelty", dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) null else x.getDouble(4)))).toMap
+    assert(r("en") === ((1L, 2L, 0L, 0.0)))
+    assert(r("fr") === ((1L, 2L, 2L, 1.0)))
+    assert(r("zh") === ((1L, 0L, 0L, null)))
+  }
+
   test("JS divergence: a matching mix scores 0, a single-lang source the closed form") {
     // corpus mix = {en ½, fr ½}; srcA all-en and srcB all-fr are each
     // JSD(1|0 vs ½|½) = 0.215762 nats (½·ln(4/3) + ¼·ln(2/3) + ¼·ln 2)

@@ -161,6 +161,24 @@ class FeatureSpec extends SparkSpec {
       "click" -> ((1L, 5.0))))
   }
 
+  test("time-decay attribution halves a touch's claim per day of age") {
+    val D = 86400000L
+    val ev = Seq(
+      // user 1: view 1 day before purchase (w=2^29), click same-day
+      // (w=2^30) → shares 1/3 and 2/3 of $1.00
+      (1L, ns(0), 1L, "view", 0.0, "{}"),
+      (2L, ns(D), 1L, "click", 0.0, "{}"),
+      (3L, ns(D + 1000), 1L, "purchase", 1.0, "{}"),
+      // user 2: single fresh touch takes full credit
+      (4L, ns(1000), 2L, "view", 0.0, "{}"),
+      (5L, ns(2000), 2L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = run("seq_attribution_time_decay", stageTables("events" -> ev))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("click") === ((1L, 0.6667)))
+    assert(got("view") === ((2L, 2.3333))) // 1/3 of $1 + all of $2
+  }
+
   test("chunk-stitch round trip is lossless and counts ceil(n/64) chunks") {
     val long = (1 to 130).map(i => s"w$i").mkString(" ") // 130 tokens → 3 chunks
     val docs = Seq((1L, long, "en", "s", 1L), (2L, "solo", "en", "s", 1L))

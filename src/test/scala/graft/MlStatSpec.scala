@@ -679,6 +679,42 @@ class MlStatSpec extends SparkSpec {
     assert(r("dn") === -1.0)
   }
 
+  test("two-proportion power: textbook 10% vs 15% needs ~686 per arm") {
+    // arm A converts 10/100, arm B 15/100 (conversion = value ≥ $50):
+    // n = (1.959964·√(2·.125·.875) + 0.841621·√(.09+.1275))²/.05²
+    //   ≈ 685.6 — the standard two-proportion calculator answer
+    val rows = (0 until 100).flatMap { i =>
+      Seq((i.toLong * 2, 1000L + i, i.toLong * 2, "t",
+        if (i < 10) 60.0 else 10.0, "{}"),
+        (i.toLong * 2 + 1, 2000L + i, i.toLong * 2 + 1, "t",
+          if (i < 15) 60.0 else 10.0, "{}"))
+    }
+    val r = run("stat_power_twoprop", stageTables("events" -> ev(rows))).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((100L, 100L)))
+    assert((r.getDouble(3), r.getDouble(4)) === ((0.1, 0.15)))
+    assert(math.abs(r.getDouble(5) - 685.63) < 0.5)
+    // equal arms: no finite n detects a zero lift
+    val same = (0 until 4).map(i =>
+      (i.toLong, 1000L + i, i.toLong, "t", 60.0, "{}"))
+    val r2 = run("stat_power_twoprop", stageTables("events" -> ev(same))).collect()(0)
+    assert(r2.isNullAt(5))
+  }
+
+  test("lift deciles: a perfect ranking concentrates all response up top") {
+    // 10 positives at the 10 highest scores over 100 rows → decile 1
+    // holds every positive: rate 1.0, lift 10; deciles 2-10 lift 0
+    val rows = (0 until 100).map { i =>
+      (i.toLong, 1000L + i, i.toLong,
+        if (i < 10) "purchase" else "view", 100.0 - i, "{}")
+    }
+    val out = run("eval_lift_deciles", stageTables("events" -> ev(rows)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.size === 10)
+    assert(out(1L) === ((10L, 10L, 1.0, 10.0)))
+    (2L to 10L).foreach(d => assert(out(d)._2 === 0L && out(d)._4 === 0.0))
+  }
+
   test("Neyman allocation: budget follows N_h·S_h; certain strata get zero") {
     // stratum a = {1,1} (sd 0 → weight 0), stratum b = {1,3} (sd √2),
     // singleton c (sd NULL → weight 0): the whole 1000-sample budget

@@ -223,6 +223,18 @@ class TsSpec extends SparkSpec {
     assert(got("two") === ((2L, 4L, 1.0)))
   }
 
+  test("CUSUM changepoint lands exactly on a planted level shift") {
+    // $1/hour for hours 0-5, $5/hour for 6-11 → the excursion
+    // |n·S1 − k·S| peaks at k = 6, i.e. split after hour 5
+    val rows = (0 until 12).map(i =>
+      (i.toLong, i * H, 1L, "t", if (i < 6) 1.0 else 5.0, "{}"))
+    val r = run("ts_changepoint_cusum", stageTables("events" -> ev(rows)))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((12L, 5L)))
+    assert((r.getLong(3), r.getLong(4)) === ((6L, 6L)))
+    assert((r.getDouble(5), r.getDouble(6)) === ((1.0, 5.0)))
+  }
+
   // ----------------------------------------------------------- hampel
 
   test("Hampel flags exactly the planted spike; a flat series flags nothing") {
