@@ -1102,11 +1102,87 @@ object CorpusOps {
         "WHERE d.doc_id % 4 = 0 GROUP BY 1 ORDER BY 1 NULLS FIRST"
     })
 
+  // ------------------------------------------------------------------
+  // text_bigram_kneser_ney — interpolated Kneser-Ney bigram
+  // probabilities, the SMOOTHING STEP above `text_bigram_logprob`'s
+  // raw counts (add-k flattens everything; KN backs off to CONTINUATION
+  // counts — "how many contexts does w2 follow?" — the public
+  // state-of-the-art for count-based LMs): P(w2|w1) = max(c12−D, 0)/c1
+  // + D·N1+(w1,·)/c1 · N1+(·,w2)/B with the textbook D = 0.75. With
+  // D = 3/4 the whole formula is ONE exact rational —
+  // (max(4c12−3,0)·B + 3·N1f·N1c) / (4·c1·B) — whose numerator
+  // evaluates in DECIMAL(38,0)/HUGEINT and whose single division is
+  // the only double. Bigrams ride the per-doc lead window (keyed by
+  // doc_id — never a global token order), all count ledgers collapse
+  // map-side, and the per-lang top-10 ranks by EXACT (c12, w1, w2) —
+  // no float in any ordering key.
+  // ------------------------------------------------------------------
+
+  private val textBigramKneserNey = Q(
+    "text_bigram_kneser_ney",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"lang", $"doc_id",
+          posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      val wNext = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+      val big = tok.withColumn("w2", lead($"w", 1).over(wNext))
+        .filter($"w2".isNotNull)
+        .select($"lang", $"w".as("w1"), $"w2")
+      val cb = big.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+      val ctx = cb.groupBy("lang", "w1")
+        .agg(sum($"c12").as("c1"), count(lit(1)).as("nf"))
+      val cont = cb.groupBy("lang", "w2").agg(count(lit(1)).as("nc"))
+      val bt = cb.groupBy("lang").agg(count(lit(1)).as("bt"))
+      val scored = cb
+        .join(ctx, Seq("lang", "w1"))
+        .join(cont, Seq("lang", "w2"))
+        .join(broadcast(bt), Seq("lang"))
+        .withColumn("num",
+          expr("cast(greatest(4 * c12 - 3, 0) as decimal(38,0)) * bt" +
+            " + cast(3 as decimal(38,0)) * nf * nc"))
+        .withColumn("p_kn",
+          dround($"num".cast("double") / (lit(4.0) * $"c1" * $"bt"), 6))
+      val wTop = Window.partitionBy($"lang")
+        .orderBy($"c12".desc, $"w1".asc, $"w2".asc)
+      scored.withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 10)
+        .select($"lang", $"rn".cast("long").as("rn"),
+          $"w1", $"w2", $"c12", $"p_kn")
+        .orderBy("lang", "rn")
+    },
+    Some("WITH tok AS (SELECT lang, doc_id, " +
+      "unnest(string_split(text, ' ')) AS w, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS pos " +
+      "FROM documents), " +
+      "big AS (SELECT lang, w AS w1, " +
+      "lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok), " +
+      "cb AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12 " +
+      "FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2, 3), " +
+      "ctx AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS nf FROM cb GROUP BY 1, 2), " +
+      "cont AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS nc " +
+      "FROM cb GROUP BY 1, 2), " +
+      "bt AS (SELECT lang, CAST(count(*) AS BIGINT) AS bt FROM cb GROUP BY 1), " +
+      "sc AS (SELECT cb.lang, cb.w1, cb.w2, cb.c12, " +
+      "CAST(greatest(4 * cb.c12 - 3, 0) AS HUGEINT) * bt.bt " +
+      "+ CAST(3 AS HUGEINT) * ctx.nf * cont.nc AS num, " +
+      "ctx.c1, bt.bt FROM cb " +
+      "JOIN ctx ON ctx.lang = cb.lang AND ctx.w1 = cb.w1 " +
+      "JOIN cont ON cont.lang = cb.lang AND cont.w2 = cb.w2 " +
+      "JOIN bt ON bt.lang = cb.lang), " +
+      "p AS (SELECT lang, w1, w2, c12, " +
+      OSql.sround("CAST(num AS DOUBLE) / (4.0 * c1 * bt)", 6) + " AS p_kn, " +
+      "row_number() OVER (PARTITION BY lang " +
+      "ORDER BY c12 DESC, w1, w2) AS rn FROM sc) " +
+      "SELECT lang, CAST(rn AS BIGINT) AS rn, w1, w2, c12, p_kn FROM p " +
+      "WHERE rn <= 10 ORDER BY lang NULLS FIRST, rn"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
     textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
     textZipfFit, textCollocationsPmi, corpusJsDivergence,
-    corpusNgramNovelty)
+    corpusNgramNovelty, textBigramKneserNey)
 }

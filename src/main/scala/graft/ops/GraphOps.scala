@@ -84,6 +84,68 @@ object GraphOps {
       "r2 AS (SELECT dst AS node, CAST(1500000000 + (85 * s) // 100 AS BIGINT) AS rank FROM c2) " +
       "SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 20"))
 
+  /** graph_ppr_seeded — PERSONALIZED PageRank from a single seed node
+    * (the 't:purchase' type vertex of the same user↔type bipartite
+    * graph): teleport mass lands ONLY on the seed, so after two power
+    * iterations the rank reads "proximity to purchasing" — the
+    * recommender primitive global PageRank can't express (its ranks
+    * are query-independent). Same integer-arithmetic determinism as
+    * [[pagerankRanks]] — ranks scale at 1e10, contributions are
+    * truncating divisions on non-negatives, damping is (85·s) div 100,
+    * the seed bonus a CASE arm — bit-identical BIGINT ranks in any
+    * summation order. Nodes unreachable in two hops simply never enter
+    * the rank table (a zero row and an absent row rank identically;
+    * the oracle replays the same construction). Same per-iteration
+    * plan shape as pagerank: one equi-join + one partial+final agg.
+    */
+  private[graft] def pprRanks(s: SparkSession, d: String, seed: String)
+      : DataFrame = {
+    import s.implicits._
+    val pairs = Tables.events(s, d)
+      .select(concat(lit("u:"), $"user_id".cast("string")).as("src"),
+        concat(lit("t:"), $"event_type").as("dst"))
+      .distinct()
+    val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, "src")
+    var ranks = deg.select($"src".as("node"),
+      when($"src" === seed, lit(Scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to 2) {
+      ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
+        .select($"dst", expr("rank div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum($"c").as("s"))
+        .select($"dst".as("node"),
+          (when($"dst" === seed, lit(Teleport)).otherwise(lit(0L))
+            + expr("(85 * s) div 100")).as("rank"))
+    }
+    ranks
+  }
+
+  private val graphPprSeeded = Q(
+    "graph_ppr_seeded",
+    (s, d) => {
+      import s.implicits._
+      pprRanks(s, d, "t:purchase")
+        .filter($"rank" > 0)
+        .orderBy($"rank".desc, $"node").limit(20)
+    },
+    Some("WITH pairs AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src, " +
+      "'t:' || event_type AS dst FROM events), " +
+      "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs), " +
+      "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1), " +
+      "r0 AS (SELECT src AS node, CAST(CASE WHEN src = 't:purchase' " +
+      "THEN 10000000000 ELSE 0 END AS BIGINT) AS rank FROM deg), " +
+      "c1 AS (SELECT e.dst, sum(r.rank // d.deg) AS s " +
+      "FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node GROUP BY 1), " +
+      "r1 AS (SELECT dst AS node, CAST(CASE WHEN dst = 't:purchase' " +
+      "THEN 1500000000 ELSE 0 END + (85 * s) // 100 AS BIGINT) AS rank FROM c1), " +
+      "c2 AS (SELECT e.dst, sum(r.rank // d.deg) AS s " +
+      "FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node GROUP BY 1), " +
+      "r2 AS (SELECT dst AS node, CAST(CASE WHEN dst = 't:purchase' " +
+      "THEN 1500000000 ELSE 0 END + (85 * s) // 100 AS BIGINT) AS rank FROM c2) " +
+      "SELECT node, rank FROM r2 WHERE rank > 0 ORDER BY rank DESC, node LIMIT 20"))
+
   /** Connected components via LARGE-STAR/SMALL-STAR contraction as a
     * DECLARED key — not just `dedup_cluster`'s past-the-diameter-cap
     * fallback. The two keys cluster the SAME banded-MinHash candidate
@@ -259,5 +321,5 @@ object GraphOps {
       "FROM ul LEFT JOIN tt ON tt.lab = ul.lab GROUP BY 1 ORDER BY 1"))
 
   val qs: Seq[Q] = Seq(graphPagerank, graphComponentsStar, graphTriangleCount,
-    graphLabelPropagation)
+    graphLabelPropagation, graphPprSeeded)
 }

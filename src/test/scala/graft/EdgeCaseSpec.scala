@@ -387,6 +387,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ranks("t:a") > ranks("u:3"), "a hub outranks a leaf")
   }
 
+  test("seeded PPR ranks the seed's own customers above bystanders") {
+    // users 1,2 purchase; user 3 only views. Personalized teleport on
+    // t:purchase keeps all rank mass in the purchase neighborhood.
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(1), 1L, "purchase"), (2L, ns(2), 2L, "purchase"),
+      (3L, ns(3), 3L, "view"), (4L, ns(4), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type"))
+    val ranks = run("graph_ppr_seeded", dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.contains("t:purchase") && ranks.contains("u:1")
+      && ranks.contains("u:2"))
+    assert(ranks("t:purchase") > ranks("u:1"), "the seed holds the most mass")
+    assert(ranks("u:1") > ranks.getOrElse("u:3", 0L),
+      "a purchaser outranks a viewer-only user")
+    assert(ranks("u:2") > 0L)
+  }
+
+  test("Kneser-Ney: continuation mass separates ties that raw counts can't") {
+    // bigram types: (a,b)×2, (b,c), (c,b), (b,a), (a,d) → B = 5.
+    // contexts: c(a)=3, N1+(a,·)=2; c(c)=1. continuations: N1+(·,b)=2
+    // {a,c}, N1+(·,d)=1.
+    // P(b|a) = (max(8−3,0)·5 + 3·2·2)/(4·3·5) = 37/60 = 0.616667
+    // P(d|a) = (1·5 + 3·2·1)/60 = 11/60 = 0.183333
+    // P(b|c) = (1·5 + 3·1·2)/(4·1·5) = 11/20 = 0.55
+    val dir = stageTables("documents" -> Seq(
+      (0L, "a b c b", "en", "s"), (1L, "a b a d", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val rows = run("text_bigram_kneser_ney", dir).collect()
+      .map(r => (r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows(("a", "b")) === ((2L, 0.616667)))
+    assert(rows(("a", "d"))._2 === 0.183333)
+    assert(rows(("c", "b"))._2 === 0.55)
+  }
+
   test("replay_backfill serves history-only when the archive ends before the cutover") {
     val ns = (ms: Long) => ms * 1000000L
     val dir = stageTables("events" -> Seq(
