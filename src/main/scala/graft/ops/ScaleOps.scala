@@ -1135,7 +1135,8 @@ object ScaleOps {
     val dir = TmpDirs.dir("events-kpl")
     val sub = graft.core.Ndjson.fields.map(f => col(f.name))
     val body = Tables.events(s, d)
-      .select(expr("event_id div 8").as("g"), $"event_id",
+      // FLOOR grouping (matches the oracle's `//` for any id sign)
+      .select(expr(Det.fdivExpr("event_id", "8")).as("g"), $"event_id",
         to_json(struct(sub: _*)).as("m"))
       .groupBy("g")
       .agg(expr("array_join(transform(array_sort(collect_list(" +
@@ -1194,7 +1195,7 @@ object ScaleOps {
   /** Frame-validity projection shared by the parser and the ledger:
     * magic match + md5(body) == trailer.
     */
-  private def kplFrames(df: DataFrame): DataFrame =
+  private[graft] def kplFrames(df: DataFrame): DataFrame =
     df.withColumn("body",
         expr("substring(value, 9, greatest(length(value) - 40, 0))"))
       .withColumn("good",
@@ -1235,10 +1236,63 @@ object ScaleOps {
       "AS cents_checksum, CAST(2 AS BIGINT) AS n_dead_frames " +
       "FROM events GROUP BY 1 ORDER BY 1"))
 
+  /** replay_dlq_redrive — the operations step AFTER dead-lettering:
+    * take the frames the scan dropped (alien magic; lying md5
+    * trailer), REPAIR them by re-framing the intact body under the
+    * true magic and a recomputed trailer, re-validate, and
+    * deaggregate only the recovered messages — the DLQ redrive every
+    * production replay deployment runs once the producer bug is
+    * fixed. Both planted dead letters derive from the FIRST good
+    * frame (the floor event_id-div-8 group of the smallest id), so
+    * the oracle restates the recovery exactly: 2 frames repaired, 2×
+    * that group's messages and checksums recovered. Repair is a pure
+    * projection (concat magic ‖ body ‖ md5(body)); the re-validation
+    * reuses the scan's own frame predicate, so "repaired" is the same
+    * contract the normal path enforces, not a parallel spelling.
+    */
+  private val replayDlqRedrive = Q(
+    "replay_dlq_redrive",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(Long, Long, Long, Long, Long)].toDF(
+          "n_dead_frames", "n_repaired", "n_recovered_msgs",
+          "recovered_id_checksum", "recovered_cents")
+      else {
+        val raw = s.read.text(stageKplArchive(s, d))
+        val repaired = kplFrames(raw).filter(!$"good")
+          .select(concat(lit(KplMagic), $"body", md5($"body")).as("value"))
+        val ledger = kplFrames(raw).agg(
+          sum((!$"good").cast("long")).as("n_dead_frames"))
+          .crossJoin(kplFrames(repaired).agg(
+            sum($"good".cast("long")).as("n_repaired")))
+        val recovered = kplDeaggregate(repaired).agg(
+          count(lit(1)).as("n_recovered_msgs"),
+          sum($"e.event_id").cast("long").as("recovered_id_checksum"),
+          sum(round($"e.value" * 100).cast("long")).as("recovered_cents"))
+        ledger.crossJoin(recovered)
+      }
+    },
+    Some("WITH g0 AS (SELECT event_id // 8 AS g, event_id, " +
+      "CAST(round(value*100) AS BIGINT) AS vc FROM events), " +
+      "mn AS (SELECT min(g) AS g FROM g0), " +
+      "grp AS (SELECT g0.event_id, g0.vc FROM g0 JOIN mn ON g0.g = mn.g) " +
+      // GROUP BY the events-count scalar: an empty archive filters the
+      // row out BEFORE grouping, so the oracle yields ZERO rows exactly
+      // like the Spark side's empty-guard (a bare aggregate would
+      // still emit one zero row)
+      "SELECT CAST(2 AS BIGINT) AS n_dead_frames, " +
+      "CAST(2 AS BIGINT) AS n_repaired, " +
+      "CAST(2 * count(*) AS BIGINT) AS n_recovered_msgs, " +
+      "CAST(2 * SUM(event_id) AS BIGINT) AS recovered_id_checksum, " +
+      "CAST(2 * SUM(vc) AS BIGINT) AS recovered_cents " +
+      "FROM grp, (SELECT count(*) AS ne FROM events) t " +
+      "WHERE t.ne > 0 GROUP BY t.ne"))
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
     aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct,
-    scanParquetZstd, scanKplDeaggregate)
+    scanParquetZstd, scanKplDeaggregate, replayDlqRedrive)
 }

@@ -1077,6 +1077,19 @@ class EdgeCaseSpec extends SparkSpec {
       "doc 2 unembedded; vec 9 orphaned; vec 0 flagged bad-dim")
   }
 
+  test("pre-epoch events land on the floor day, not the truncated one") {
+    // ms = −1 is 1969-12-31T23:59:59.999: floor division buckets it on
+    // 1969-12-31; a truncating `div` would collapse it onto 1970-01-01
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(-1L), 1L, "t", 1.0, "{}"),
+      (2L, ns(1000L), 1L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("window_gap_fill", dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map("1969-12-31" -> 1L, "1970-01-01" -> 1L))
+  }
+
   test("frame sampling is uniform: min(nf, 8) distinct, in-range, increasing") {
     val rows = run("multimodal_frame_sample").collect()
     assert(rows.nonEmpty)

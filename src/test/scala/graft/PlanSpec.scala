@@ -643,6 +643,32 @@ class PlanSpec extends SparkSpec {
       s"no exchange may carry the text column: $exchanges")
   }
 
+  test("ngram novelty anti-joins on the gram hash — no product, text never shuffles") {
+    val plan = executedPlan("corpus_ngram_novelty")
+    assert(!plan.contains("CartesianProduct"),
+      "train-gram membership must be a keyed anti-join, never a product")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")),
+      s"no exchange may carry the text column: $exchanges")
+  }
+
+  test("Kneser-Ney bigram windows partition by doc_id — never a global token order") {
+    val plan = executedPlan("text_bigram_kneser_ney")
+    val leadWindows = plan.linesIterator
+      .filter(l => l.contains("Window ") && l.contains("lead(")).toSeq
+    assert(leadWindows.nonEmpty && leadWindows.forall(_.contains("[doc_id")),
+      s"the bigram lead window must partition by doc_id: $leadWindows")
+  }
+
+  test("seeded PPR iterates via equi-joins and partial+final aggs — no product") {
+    val plan = executedPlan("graph_ppr_seeded")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "each power iteration must stay an equi-join")
+    assert(plan.contains("HashAggregate"),
+      "contribution sums must be partial+final aggregates")
+  }
+
   test("PMI collocations window only within documents — never a global token order") {
     val plan = executedPlan("text_collocations_pmi")
     val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq

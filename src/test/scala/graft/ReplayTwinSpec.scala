@@ -36,6 +36,25 @@ class ReplayTwinSpec extends SparkSpec {
     assert(sunk.filter(col("user_id").isNull).isEmpty)
   }
 
+  test("DLQ redrive recovers exactly the first frame's messages, twice") {
+    import spark.implicits._
+    // ids 0..9: frame g=0 holds ids 0..7 (Σid 28), g=1 holds 8,9. Both
+    // planted dead letters derive from frame 0, so repair recovers
+    // 2×8 messages with checksums 2×28 and 2×(8×$1 in cents).
+    val ns = (ms: Long) => ms * 1000000L
+    val dir = stageTables("events" -> (0 until 10).map(i =>
+      (i.toLong, ns(1000L + i), i.toLong, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("replay_dlq_redrive", dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((16L, 56L, 1600L)))
+    // empty archive: no staged frames, no dead letters — zero rows
+    val empty = stageTables("events" ->
+      Seq.empty[(Long, Long, Long, String, Double, String)]
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(run("replay_dlq_redrive", empty).isEmpty)
+  }
+
   test("stateful-session stream (flatMapGroupsWithState) equals its batch twin") {
     val streaming = run("stream_session_state").collect().map(_.toSeq)
     val batch = run("stream_session").collect().map(_.toSeq)
