@@ -444,7 +444,7 @@ object LlmPipeline2 {
           .as("sim"))
       .withColumn("rn", row_number().over(wK))
       .filter($"rn" <= k)
-      .select("probe", "vec_id")
+      .select("probe", "vec_id", "rn")
   }
 
   /** DuckDB spelling of [[lshTopK]], parameterized by k so the recall
@@ -1205,7 +1205,7 @@ object LlmPipeline2 {
           .as("sim"))
       .withColumn("rn", row_number().over(wK))
       .filter($"rn" <= k)
-      .select("probe", "vec_id")
+      .select("probe", "vec_id", "rn")
   }
 
   /** DuckDB spelling of [[pqTopK]] (unrolled per-subspace Lloyd CTEs),
@@ -1960,6 +1960,71 @@ object LlmPipeline2 {
       parts.mkString(" UNION ALL ") + " ORDER BY probe"
     })
 
+  /** sim_ann_mrr — mean reciprocal rank of the first RELEVANT neighbor
+    * per method, completing the retrieval-metric triad (recall@10 =
+    * coverage, NDCG = full-list grade, MRR = "how fast does the list
+    * get to something true?" — the metric a RAG consumer that reads
+    * only the head actually experiences). Relevance = membership in
+    * the exact top-10 EXCLUDING the probe itself (self at rank 1 would
+    * pin every MRR to 1); ranks are each method's own returned rn.
+    * Per-probe reciprocal ranks quantize at 10⁶ (exact for 1/k,
+    * k ≤ 10) before the integer mean; a probe with no relevant hit
+    * contributes 0. Same batched one-pass probe pipelines and cached
+    * index artifacts as the recall gate — quality gated by hash, so a
+    * scaling change that tanks the head of the list fails the gate.
+    */
+  private val simAnnMrr = Q(
+    "sim_ann_mrr",
+    (s, d) => {
+      import s.implicits._
+      val ex = Mat(s, LlmPipeline.exactTopKMulti(s, d, 10, recallProbes),
+        "mrr-exact")
+      def rrOf(name: String, ap: DataFrame): DataFrame =
+        ap.select($"probe".as("p"), $"vec_id", $"rn")
+          .filter($"vec_id" =!= $"p")
+          .join(ex.select($"probe".as("p"), $"vec_id", lit(1).as("hit")),
+            Seq("p", "vec_id"), "left")
+          .groupBy($"p").agg(min(when($"hit" === 1, $"rn")).as("fh"))
+          .select(lit(name).as("method"),
+            coalesce(floor(lit(1e6) / $"fh" + 0.5).cast("long"), lit(0L))
+              .as("rrq"))
+      val (ik, inp) = ivfDerivedParams(s, d)
+      rrOf("ivf", ivfTopKMulti(s, d, numCells = ik, nProbe = inp,
+          probes = recallProbes))
+        .unionByName(rrOf("lsh", lshTopKMulti(s, d, probes = recallProbes)))
+        .unionByName(rrOf("pq", pqTopKMulti(s, d, probes = recallProbes)))
+        .groupBy("method").agg(
+          sum(($"rrq" > 0).cast("long")).as("n_probes_hit"),
+          dround(sum($"rrq").cast("double") / 1e6 / recallProbes.size, 6)
+            .as("mrr"))
+        .orderBy("method")
+    },
+    Some {
+      val ctes = recallProbes.flatMap { p =>
+        Seq(
+          s"mx_$p AS (SELECT vec_id FROM (${LlmPipeline.exactTopkSql(10, p)}))",
+          s"ml_$p AS (SELECT vec_id, row_number() OVER " +
+            s"(ORDER BY sim DESC, vec_id) AS rn FROM (${lshTopkSql(10, p)}))",
+          s"mi_$p AS (SELECT vec_id, row_number() OVER " +
+            s"(ORDER BY sim DESC, vec_id) AS rn FROM (${ivfTopkSqlDerived(10, p)}))",
+          s"mq_$p AS (SELECT vec_id, row_number() OVER " +
+            s"(ORDER BY sim DESC, vec_id) AS rn FROM (${pqTopkSql(8, 16, 10, p)}))")
+      }.mkString(", ")
+      def leg(m: String, pfx: String, p: Long): String =
+        s"SELECT '$m' AS method, COALESCE(CAST(floor(1e6 / " +
+          s"(SELECT min(a.rn) FROM ${pfx}_$p a JOIN mx_$p USING (vec_id) " +
+          s"WHERE a.vec_id <> $p) + 0.5) AS BIGINT), 0) AS rrq"
+      val legs = recallProbes.flatMap(p =>
+        Seq(leg("ivf", "mi", p), leg("lsh", "ml", p), leg("pq", "mq", p)))
+        .mkString(" UNION ALL ")
+      s"WITH $ctes, rr AS ($legs) " +
+        "SELECT method, " +
+        "CAST(SUM(CASE WHEN rrq > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_probes_hit, " +
+        OSql.sround(s"CAST(SUM(rrq) AS DOUBLE) / 1e6 / ${recallProbes.size}", 6) +
+        " AS mrr FROM rr GROUP BY 1 ORDER BY 1"
+    })
+
   // ------------------------------------------- dedup threshold tuning
 
   /** dedup_threshold_sweep — the TUNING REPORT behind every dedup
@@ -2108,5 +2173,5 @@ object LlmPipeline2 {
     sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
     dedupThresholdSweep, indexAppend, simAnnRange, dedupMinhashEstimate,
     simKnnClassify, evalLangidConfusion, auditEmbeddingCoverage,
-    multimodalFrameSample)
+    multimodalFrameSample, simAnnMrr)
 }

@@ -417,6 +417,18 @@ class MlStatSpec extends SparkSpec {
     }
   }
 
+  test("MRR over the fixture probes is a valid self-excluded head score") {
+    val got = run("sim_ann_mrr").collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 3L)
+      // self is excluded from relevance, so when each method ranks the
+      // probe itself first the reciprocal rank is at most 1/2 — and a
+      // hit exists for every probe on this corpus
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   // -------------------------------------------------------- balance/winsor
 
   test("class balancing cuts every class to the minority size") {
