@@ -1662,6 +1662,83 @@ object MlStatOps {
       OSql.sround("CAST(SUM(np) AS DOUBLE) * MAX(nt) / (SUM(n) * MAX(npt))", 6) +
       " END AS lift FROM dec GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // stat_tost_equivalence — two one-sided tests (TOST): the mirror
+  // image of `stat_welch_ttest`'s question. Welch asks "is there a
+  // difference?"; TOST asks "can we PROVE there is practically NONE?"
+  // — the A/B methodology for no-regression launches (failing to
+  // reject a difference is not evidence of equivalence). Margin δ =
+  // 10% of the pooled mean; both one-sided statistics t⁻ = (d+δ)/se
+  // and t⁺ = (δ−d)/se use the same Welch standard error off the same
+  // conditional exact-moment collapse; equivalent ⇔ min(t⁻, t⁺) >
+  // 1.644854 (the large-df z approximation, stated as such).
+  // Degenerate arms emit NULLs and a NULL verdict, never ±inf.
+  // ------------------------------------------------------------------
+
+  private val statTostEquivalence = Q(
+    "stat_tost_equivalence",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .filter($"value".isNotNull && $"user_id".isNotNull)
+        .select($"event_type", pmod($"user_id", lit(2L)).as("g"),
+          round($"value" * 100).cast("long").as("v"))
+      val m = v.groupBy("event_type").agg(
+        sum(when($"g" === 0, 1L).otherwise(0L)).as("na"),
+        sum(when($"g" === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when($"g" === 0, $"v").cast(Dec380)).cast("double").as("s1a"),
+        sum(when($"g" === 0, $"v" * $"v").cast(Dec380)).cast("double").as("s2a"),
+        sum(when($"g" === 1, $"v").cast(Dec380)).cast("double").as("s1b"),
+        sum(when($"g" === 1, $"v" * $"v").cast(Dec380)).cast("double").as("s2b"))
+      m.withColumn("va", when($"na" > 1,
+          ($"s2a" - $"s1a" * $"s1a" / $"na") / ($"na" - 1)))
+        .withColumn("vb", when($"nb" > 1,
+          ($"s2b" - $"s1b" * $"s1b" / $"nb") / ($"nb" - 1)))
+        .withColumn("se", when($"va".isNotNull && $"vb".isNotNull,
+          sqrt($"va" / $"na" + $"vb" / $"nb")))
+        .withColumn("dm", $"s1a" / $"na" - $"s1b" / $"nb")
+        .withColumn("delta",
+          ($"s1a" + $"s1b") / ($"na" + $"nb") * 0.1)
+        .select($"event_type", $"na", $"nb",
+          dround($"dm" / 100.0, 6).as("diff"),
+          dround($"delta" / 100.0, 6).as("margin"),
+          when($"se" > 0, dround(($"dm" + $"delta") / $"se", 6)).as("t_lower"),
+          when($"se" > 0, dround(($"delta" - $"dm") / $"se", 6)).as("t_upper"),
+          when($"se" > 0,
+            ($"dm" + $"delta") / $"se" > 1.644854 &&
+              ($"delta" - $"dm") / $"se" > 1.644854).as("equivalent"))
+        .orderBy("event_type")
+    },
+    Some("WITH v AS (SELECT event_type, abs(user_id % 2) AS g, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events " +
+      "WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+      "m AS (SELECT event_type, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) END) AS DOUBLE) AS s1a, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) * v END) AS DOUBLE) AS s2a, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) END) AS DOUBLE) AS s1b, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) * v END) AS DOUBLE) AS s2b " +
+      "FROM v GROUP BY 1), " +
+      "c AS (SELECT event_type, na, nb, s1a, s1b, " +
+      "CASE WHEN na > 1 THEN (s2a - s1a*s1a/na) / (na - 1) END AS va, " +
+      "CASE WHEN nb > 1 THEN (s2b - s1b*s1b/nb) / (nb - 1) END AS vb FROM m), " +
+      "c2 AS (SELECT event_type, na, nb, " +
+      "s1a / na - s1b / nb AS dm, " +
+      "(s1a + s1b) / (na + nb) * 0.1 AS delta, " +
+      "CASE WHEN va IS NOT NULL AND vb IS NOT NULL THEN " +
+      "sqrt(va / na + vb / nb) END AS se FROM c) " +
+      "SELECT event_type, na, nb, " +
+      OSql.sround("dm / 100.0", 6) + " AS diff, " +
+      OSql.sround("delta / 100.0", 6) + " AS margin, " +
+      "CASE WHEN se > 0 THEN " + OSql.sround("(dm + delta) / se", 6) +
+      " END AS t_lower, " +
+      "CASE WHEN se > 0 THEN " + OSql.sround("(delta - dm) / se", 6) +
+      " END AS t_upper, " +
+      "CASE WHEN se > 0 THEN " +
+      "(dm + delta) / se > 1.644854 AND (delta - dm) / se > 1.644854 " +
+      "END AS equivalent FROM c2 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -1672,7 +1749,8 @@ object MlStatOps {
     aggTrimmedMean, evalRegressionMetrics, statCramersV,
     statAnovaOneway, evalConfusionMulticlass, statLevene, evalCohenKappa,
     statCohensD, evalMcc, sampleNeymanAlloc, evalBrierScore, evalLogLoss,
-    evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles)
+    evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles,
+    statTostEquivalence)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

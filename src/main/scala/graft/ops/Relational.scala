@@ -813,6 +813,41 @@ object Relational {
     Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
       "ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 200"))
 
+  /** sort_keyset_pagination — deep pagination by KEYSET, the serving
+    * read pattern that stays O(page) at any depth: page 3 of the
+    * (o_orderdate, o_orderkey) total order is fetched as WHERE
+    * (date, key) > boundary ORDER BY ... LIMIT 100, with the boundary
+    * (page 2's last key) coming from a tiny TakeOrdered + max(struct)
+    * — never an OFFSET that scans-and-discards every earlier row (at
+    * 100 TB, page 10⁶ under OFFSET reads 10⁸ rows to serve 100; under
+    * keyset it reads 100). The oracle IS the OFFSET spelling, so the
+    * hash match proves keyset ≡ offset on the same total order — the
+    * correctness worry that keeps teams on OFFSET. Short tables (< 2
+    * full pages) yield an empty page 3 in both engines; a NULL
+    * boundary (empty table) filters everything in both.
+    */
+  private val sortKeysetPagination = Q(
+    "sort_keyset_pagination",
+    (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "orders")
+        .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      val boundary = base
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .limit(200)
+        .agg(max(struct($"o_orderdate", $"o_orderkey")).as("b"))
+      base.crossJoin(broadcast(boundary))
+        .filter(struct($"o_orderdate", $"o_orderkey") > $"b")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .limit(100)
+        .select($"o_orderkey",
+          unix_timestamp($"o_orderdate").as("od_epoch"),
+          $"o_totalprice")
+    },
+    Some("SELECT o_orderkey, " +
+      "CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_epoch, o_totalprice " +
+      "FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100 OFFSET 200"))
+
   /** Global top-k: sort+limit compiles to TakeOrderedAndProject — each
     * task keeps a 50-row heap, the driver merges; no global sort even at
     * 100 TB.
@@ -1010,6 +1045,6 @@ object Relational {
     aggHllUnion,
     aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggArgmax,
     aggStringAgg, aggBool, aggPercentileDisc, aggPivot, unpivotStack,
-    sortMultiKey, topkGlobal,
+    sortMultiKey, topkGlobal, sortKeysetPagination,
     setUnionAll, setUnionByName, setUnionDistinct, setIntersect, setExcept)
 }

@@ -1077,6 +1077,23 @@ class EdgeCaseSpec extends SparkSpec {
       "doc 2 unembedded; vec 9 orphaned; vec 0 flagged bad-dim")
   }
 
+  test("keyset pagination fetches exactly offset-page 3; short tables page empty") {
+    import org.apache.spark.sql.functions.{from_unixtime, to_timestamp, col}
+    def orders(n: Int) = (1 to n).map(i => (i.toLong, i.toLong * 86400L, i * 1.5))
+      .toDF("o_orderkey", "ep", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(from_unixtime(col("ep"))))
+      .drop("ep")
+    val full = stageTables("orders" -> orders(250))
+    val page3 = run("sort_keyset_pagination", full).collect()
+    assert(page3.length === 50)
+    assert(page3.map(_.getLong(0)).toSeq === (201L to 250L))
+    assert(page3.head.getLong(1) === 201L * 86400L)
+    // fewer than two full pages → the boundary is the table's last key
+    // and page 3 must be EMPTY, not wrap or throw
+    val short = stageTables("orders" -> orders(150))
+    assert(run("sort_keyset_pagination", short).isEmpty)
+  }
+
   test("pre-epoch events land on the floor day, not the truncated one") {
     // ms = −1 is 1969-12-31T23:59:59.999: floor division buckets it on
     // 1969-12-31; a truncating `div` would collapse it onto 1970-01-01

@@ -727,6 +727,22 @@ class MlStatSpec extends SparkSpec {
     (2L to 10L).foreach(d => assert(out(d)._2 === 0L && out(d)._4 === 0.0))
   }
 
+  test("TOST: tight equal arms prove equivalence; a real gap fails it") {
+    // "eq": both arms mean $10 with ±10¢ spread → |t| ≫ 1.645 both
+    // sides → equivalent. "ne": means $10 vs $30 → t_lower < 0 → not.
+    def arm(t: String, base: Double, users: Range, idBase: Long) =
+      users.map(u => (idBase + u, 1000L + u, u.toLong, t,
+        base + (if ((u / 2) % 2 == 0) -0.1 else 0.1), "{}"))
+    val rows = arm("eq", 10.0, 0 until 100, 0L) ++
+      arm("ne", 10.0, 0 until 100 by 2, 1000L) ++   // even users only
+      arm("ne", 30.0, 1 until 100 by 2, 2000L)      // odd users only
+    val r = run("stat_tost_equivalence", stageTables("events" -> ev(rows)))
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(3), x.getBoolean(7)))).toMap
+    assert(r("eq")._1 === 0.0 && r("eq")._2 === true)
+    assert(r("ne")._2 === false)
+  }
+
   test("Neyman allocation: budget follows N_h·S_h; certain strata get zero") {
     // stratum a = {1,1} (sd 0 → weight 0), stratum b = {1,3} (sd √2),
     // singleton c (sd NULL → weight 0): the whole 1000-sample budget
