@@ -675,6 +675,55 @@ object Relational {
       "quantile_disc(l_quantity, 0.9) AS p90_disc " +
       "FROM lineitem GROUP BY 1 ORDER BY 1"))
 
+  /** agg_percentile_cont — INTERPOLATED percentiles over the same
+    * two-phase value ledger as `agg_percentile_disc` (disc picks a
+    * member; cont lerps between the two straddling members — the SQL
+    * PERCENTILE_CONT / NumPy-default rule (n−1)·p): the target index
+    * and its fractional part are EXACT integers ((n−1)·k div/% 100 for
+    * p = k/100), the straddling values come off the same cumulative
+    * ledger window as disc, and the lerp (v_lo·(100−rem) + v_hi·rem)
+    * /100 is one double division of exact products — so the spelling
+    * must agree with DuckDB's native quantile_cont, which is exactly
+    * what the oracle declares. The ledger is bounded by the value
+    * domain, never the fact table; same scale plan as disc.
+    */
+  private val aggPercentileCont = Q(
+    "agg_percentile_cont",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"l_quantity".asc)
+      val counts = t(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("hi", sum($"c").over(w))
+      val n = counts.groupBy("l_returnflag").agg(sum($"c").as("n"))
+      val j = cum.join(broadcast(n), "l_returnflag")
+        .withColumn("ilo50", expr("((n - 1) * 50) div 100"))
+        .withColumn("rem50", expr("((n - 1) * 50) % 100"))
+        .withColumn("ilo90", expr("((n - 1) * 90) div 100"))
+        .withColumn("rem90", expr("((n - 1) * 90) % 100"))
+      def vAt(i: org.apache.spark.sql.Column) =
+        max(when($"hi" - $"c" <= i && i < $"hi", $"l_quantity"))
+      def lerp(vlo: org.apache.spark.sql.Column,
+               vhi: org.apache.spark.sql.Column,
+               rem: org.apache.spark.sql.Column) =
+        dround((vlo * (lit(100) - rem) + coalesce(vhi, vlo) * rem) / 100.0, 6)
+      j.groupBy("l_returnflag")
+        .agg(vAt($"ilo50").as("vlo50"), vAt($"ilo50" + 1).as("vhi50"),
+          max($"rem50").as("r50"),
+          vAt($"ilo90").as("vlo90"), vAt($"ilo90" + 1).as("vhi90"),
+          max($"rem90").as("r90"))
+        .select($"l_returnflag",
+          lerp($"vlo50", $"vhi50", $"r50").as("p50_cont"),
+          lerp($"vlo90", $"vhi90", $"r90").as("p90_cont"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, " +
+      OSql.sround("quantile_cont(l_quantity, 0.5)", 6) + " AS p50_cont, " +
+      OSql.sround("quantile_cont(l_quantity, 0.9)", 6) + " AS p90_cont " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"))
+
   /** Ordered string aggregation (SQL LISTAGG/string_agg) — the
     * report-building concatenation, made deterministic: collect_set's
     * order is partition-dependent, so the list is SORTED before the
@@ -1044,7 +1093,8 @@ object Relational {
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
     aggHllUnion,
     aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggArgmax,
-    aggStringAgg, aggBool, aggPercentileDisc, aggPivot, unpivotStack,
+    aggStringAgg, aggBool, aggPercentileDisc, aggPercentileCont, aggPivot,
+    unpivotStack,
     sortMultiKey, topkGlobal, sortKeysetPagination,
     setUnionAll, setUnionByName, setUnionDistinct, setIntersect, setExcept)
 }

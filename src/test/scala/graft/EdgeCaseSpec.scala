@@ -1077,6 +1077,17 @@ class EdgeCaseSpec extends SparkSpec {
       "doc 2 unembedded; vec 9 orphaned; vec 0 flagged bad-dim")
   }
 
+  test("percentile_cont lerps between straddling members; disc picks one") {
+    // quantities {1,2,3,4}: (n−1)·0.5 = 1.5 → 2 + 0.5·(3−2) = 2.5;
+    // (n−1)·0.9 = 2.7 → 3 + 0.7·(4−3) = 3.7
+    val li = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0), (4L, "A", 4.0))
+      .toDF("l_orderkey", "l_returnflag", "l_quantity")
+    val dir = stageTables("lineitem" -> li)
+    val r = run("agg_percentile_cont", dir).collect()(0)
+    assert(r.getDouble(1) === 2.5)
+    assert(math.abs(r.getDouble(2) - 3.7) < 1e-9)
+  }
+
   test("keyset pagination fetches exactly offset-page 3; short tables page empty") {
     import org.apache.spark.sql.functions.{from_unixtime, to_timestamp, col}
     def orders(n: Int) = (1 to n).map(i => (i.toLong, i.toLong * 86400L, i * 1.5))

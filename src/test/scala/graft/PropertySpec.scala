@@ -38,6 +38,20 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq === xs.map(dmirror(_, 4)))
   }
 
+  test("fdivExpr is exact FLOOR division for any sign (engine-evaluated)") {
+    // the determinism contract behind every day/hour bucket: the pmod
+    // spelling must equal Math.floorDiv — not Spark `div`'s
+    // truncate-toward-zero — including for negative (pre-epoch) values
+    val pairs = Gen.listOfN(300, Gen.zip(
+      Gen.chooseNum(-4102444800000L, 4102444800000L),
+      Gen.oneOf(1000L, 3600000L, 86400000L, 8L))).sample.get
+    val got = pairs.toDF("x", "k")
+      .select(org.apache.spark.sql.functions
+        .expr(graft.core.Det.fdivExpr("x", "k")).as("r"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === pairs.map { case (x, k) => Math.floorDiv(x, k) })
+  }
+
   test("cosine of an L2-normalized vector with itself is 1 ± 1e-6 (engine-evaluated)") {
     val vecGen = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))
       .suchThat(v => v.exists(x => math.abs(x) > 0.01f))
