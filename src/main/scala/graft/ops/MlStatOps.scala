@@ -1739,6 +1739,78 @@ object MlStatOps {
       "(dm + delta) / se > 1.644854 AND (delta - dm) / se > 1.644854 " +
       "END AS equivalent FROM c2 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // eval_youden_threshold — the OPERATING POINT the sweep keys stop
+  // short of: the cut maximizing Youden's J = TPR − FPR (`eval_auc`
+  // grades the whole ranking; a deployed filter needs ONE threshold).
+  // Over the same bounded cent-value ledger: cumulative tp/fp counts
+  // at each candidate cut "predict positive ⇔ pc ≥ t", J's argmax
+  // taken on the EXACT integer cross-product tp·N⁻ − fp·N⁺ (clearing
+  // both denominators — no float in the ordering), ties → the higher
+  // (stricter) threshold via max(struct(jq, pc)). One ledger window +
+  // one argmax agg; single-class inputs emit a NULL row of rates.
+  // ------------------------------------------------------------------
+
+  private val evalYoudenThreshold = Q(
+    "eval_youden_threshold",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"event_type".isNotNull)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("pc"))
+      val led = e.groupBy("pc").agg(
+        sum($"y").as("np"), sum(lit(1L) - $"y").as("nn"))
+      // tp(t) = positives with pc ≥ t: a cumulative sum DOWN the ledger
+      val w = Window.orderBy($"pc".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = led.agg(sum($"np").as("tpos"), sum($"nn").as("tneg"))
+      val cand = led
+        .withColumn("tp", sum($"np").over(w))
+        .withColumn("fp", sum($"nn").over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("jq", $"tp" * $"tneg" - $"fp" * $"tpos")
+      cand.agg(max(struct($"jq", $"pc")).as("m"),
+          max($"tpos").as("tpos"), max($"tneg").as("tneg"))
+        .join(cand.select($"pc", $"tp", $"fp", $"jq"), $"pc" === $"m.pc")
+        .select(
+          when($"tpos" > 0 && $"tneg" > 0, $"pc").as("threshold_cents"),
+          $"tpos", $"tneg",
+          when($"tpos" > 0, dround($"tp".cast("double") / $"tpos", 6))
+            .as("tpr"),
+          when($"tneg" > 0, dround($"fp".cast("double") / $"tneg", 6))
+            .as("fpr"),
+          when($"tpos" > 0 && $"tneg" > 0,
+            dround($"jq".cast("double") / ($"tpos".cast("double") * $"tneg"), 6))
+            .as("youden_j"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS pc FROM events " +
+      "WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+      "l AS (SELECT pc, CAST(SUM(y) AS BIGINT) AS np, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS nn FROM e GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(np) AS BIGINT) AS tpos, " +
+      "CAST(SUM(nn) AS BIGINT) AS tneg FROM l), " +
+      "c AS (SELECT pc, " +
+      "CAST(SUM(np) OVER (ORDER BY pc DESC ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND CURRENT ROW) AS BIGINT) AS tp, " +
+      "CAST(SUM(nn) OVER (ORDER BY pc DESC ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND CURRENT ROW) AS BIGINT) AS fp, tpos, tneg " +
+      "FROM l CROSS JOIN t), " +
+      "j AS (SELECT pc, tp, fp, tpos, tneg, " +
+      "tp * tneg - fp * tpos AS jq FROM c), " +
+      "best AS (SELECT first(pc ORDER BY jq DESC, pc DESC) AS bpc FROM j) " +
+      "SELECT CASE WHEN tpos > 0 AND tneg > 0 THEN pc END AS threshold_cents, " +
+      "tpos, tneg, " +
+      "CASE WHEN tpos > 0 THEN " + OSql.sround("CAST(tp AS DOUBLE) / tpos", 6) +
+      " END AS tpr, " +
+      "CASE WHEN tneg > 0 THEN " + OSql.sround("CAST(fp AS DOUBLE) / tneg", 6) +
+      " END AS fpr, " +
+      "CASE WHEN tpos > 0 AND tneg > 0 THEN " +
+      OSql.sround("CAST(jq AS DOUBLE) / (CAST(tpos AS DOUBLE) * tneg)", 6) +
+      " END AS youden_j " +
+      "FROM j JOIN best ON best.bpc = j.pc"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -1750,7 +1822,7 @@ object MlStatOps {
     statAnovaOneway, evalConfusionMulticlass, statLevene, evalCohenKappa,
     statCohensD, evalMcc, sampleNeymanAlloc, evalBrierScore, evalLogLoss,
     evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles,
-    statTostEquivalence)
+    statTostEquivalence, evalYoudenThreshold)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -675,6 +675,42 @@ object Relational {
       "quantile_disc(l_quantity, 0.9) AS p90_disc " +
       "FROM lineitem GROUP BY 1 ORDER BY 1"))
 
+  /** agg_pareto_frontier — the 2-D SKYLINE of (quantity, best price):
+    * a (q, p) pair is on the frontier when nothing offers more
+    * quantity for a lower-or-equal price — the dominance query behind
+    * "best value at every size" reports, and a genuinely different
+    * algorithmic shape from top-k (the frontier is mutually
+    * non-dominated, not a prefix of one order). Two-phase: the fact
+    * collapses map-side to the bounded (quantity → min price-cents)
+    * ledger, then ONE cumulative-min window down the quantity order
+    * keeps exactly the rows that strictly improve on every larger
+    * quantity — O(ledger), never a pairwise dominance join.
+    */
+  private val aggParetoFrontier = Q(
+    "agg_pareto_frontier",
+    (s, d) => {
+      import s.implicits._
+      val led = t(s, d, "lineitem")
+        .groupBy($"l_quantity")
+        .agg(min(round($"l_extendedprice" * 100).cast("long")).as("mp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"l_quantity".desc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      led.withColumn("pm", min($"mp").over(w))
+        .filter($"pm".isNull || $"mp" < $"pm")
+        .select($"l_quantity", $"mp".as("best_price_cents"))
+        .orderBy($"l_quantity".desc)
+    },
+    Some("WITH led AS (SELECT l_quantity, " +
+      "MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mp " +
+      "FROM lineitem GROUP BY 1), " +
+      "c AS (SELECT l_quantity, mp, " +
+      "MIN(mp) OVER (ORDER BY l_quantity DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM led) " +
+      "SELECT l_quantity, mp AS best_price_cents FROM c " +
+      "WHERE pm IS NULL OR mp < pm ORDER BY l_quantity DESC"))
+
   /** agg_percentile_cont — INTERPOLATED percentiles over the same
     * two-phase value ledger as `agg_percentile_disc` (disc picks a
     * member; cont lerps between the two straddling members — the SQL
@@ -1093,8 +1129,8 @@ object Relational {
     pricingSummary, aggCountDistinct, aggMultiDistinct, aggApproxHll,
     aggHllUnion,
     aggRollup, aggCube, aggGroupingSets, aggStats, aggHistogram, aggArgmax,
-    aggStringAgg, aggBool, aggPercentileDisc, aggPercentileCont, aggPivot,
-    unpivotStack,
+    aggStringAgg, aggBool, aggPercentileDisc, aggPercentileCont,
+    aggParetoFrontier, aggPivot, unpivotStack,
     sortMultiKey, topkGlobal, sortKeysetPagination,
     setUnionAll, setUnionByName, setUnionDistinct, setIntersect, setExcept)
 }

@@ -721,6 +721,73 @@ object TsOps {
       " END AS acf1 FROM f ORDER BY 1"))
 
   // ------------------------------------------------------------------
+  // ts_acf_lags — the CORRELOGRAM above `agg_autocorr_lag1`'s single
+  // point: Pearson autocorrelation of the hourly series at lags
+  // {2, 3, 6, 12, 24} (lag 1 is the existing key), the panel a
+  // forecaster reads to pick the seasonal period (a daily cycle shows
+  // as the lag-24 spike `ts_forecast_snaive` assumes and
+  // `ts_seasonal_decompose` measures). Same positional-lag convention
+  // and exact DECIMAL/HUGEINT moment spelling as the lag-1 key; the
+  // five lag columns come off ONE window pass over the
+  // calendar-bounded hourly rollup and stack into (lag, x, y) rows —
+  // never five scans, never fact rows.
+  // ------------------------------------------------------------------
+
+  private val tsAcfLags = Q(
+    "ts_acf_lags",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val lags = Seq(2, 3, 6, 12, 24)
+      val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+      val withLags = hourlyCents(s, d).select(
+        ($"event_type" +: $"v" +:
+          lags.map(k => lag($"v", k).over(w).as(s"x$k"))): _*)
+      val pairs = withLags.select($"event_type", $"v".as("y"),
+          expr("stack(5, " +
+            lags.map(k => s"${k}L, x$k").mkString(", ") + ") as (lg, x)"))
+        .filter($"x".isNotNull)
+      pairs.groupBy("event_type", "lg").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x".cast(Dec380)).cast("double").as("sx"),
+          sum($"y".cast(Dec380)).cast("double").as("sy"),
+          sum(($"x".cast(Dec380) * $"y")).cast("double").as("sxy"),
+          sum(($"x".cast(Dec380) * $"x")).cast("double").as("sxx"),
+          sum(($"y".cast(Dec380) * $"y")).cast("double").as("syy"))
+        .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
+        .select($"event_type", $"lg".as("lag"),
+          $"n".cast("long").as("n_pairs"),
+          when($"dx" > 0 && $"dy" > 0,
+            dround(($"n" * $"sxy" - $"sx" * $"sy")
+              / sqrt($"dx" * $"dy"), 6)).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+    Some {
+      val legs = Seq(2, 3, 6, 12, 24).map { k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lg, " +
+          s"lag(v, $k) OVER (PARTITION BY event_type ORDER BY h) AS x, " +
+          "v AS y FROM hourly"
+      }.mkString(" UNION ALL ")
+      "WITH " + hourlyCtes + ", " +
+        s"p AS ($legs), " +
+        "p2 AS (SELECT event_type, lg, x, y FROM p WHERE x IS NOT NULL), " +
+        "m AS (SELECT event_type, lg, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy " +
+        "FROM p2 GROUP BY 1, 2), " +
+        "f AS (SELECT event_type, lg, n, sx, sy, sxy, " +
+        "n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM m) " +
+        "SELECT event_type, lg AS lag, CAST(n AS BIGINT) AS n_pairs, " +
+        "CASE WHEN dx > 0 AND dy > 0 THEN " +
+        OSql.sround("(n * sxy - sx * sy) / sqrt(dx * dy)", 6) +
+        " END AS acf FROM f ORDER BY 1, 2"
+    })
+
+  // ------------------------------------------------------------------
   // ts_seasonal_decompose — classical seasonal decomposition over the
   // shared hourly-cents grid: the hour-of-day (0–23) seasonal profile
   // per event_type, and how much of the series' variance it explains
@@ -914,5 +981,5 @@ object TsOps {
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
-    tsHampelOutliers, tsChangepointCusum)
+    tsHampelOutliers, tsChangepointCusum, tsAcfLags)
 }

@@ -1077,6 +1077,17 @@ class EdgeCaseSpec extends SparkSpec {
       "doc 2 unembedded; vec 9 orphaned; vec 0 flagged bad-dim")
   }
 
+  test("pareto frontier keeps exactly the non-dominated (quantity, price) pairs") {
+    // q=20 @ $8 is dominated by q=30 @ $7 (more quantity, cheaper);
+    // the other three are mutually non-dominated
+    val li = Seq((1L, 10.0, 5.0), (2L, 20.0, 8.0), (3L, 30.0, 7.0),
+      (4L, 40.0, 10.0))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    val r = run("agg_pareto_frontier", stageTables("lineitem" -> li))
+      .collect().map(x => (x.getDouble(0), x.getLong(1))).toSeq
+    assert(r === Seq((40.0, 1000L), (30.0, 700L), (10.0, 500L)))
+  }
+
   test("percentile_cont lerps between straddling members; disc picks one") {
     // quantities {1,2,3,4}: (n−1)·0.5 = 1.5 → 2 + 0.5·(3−2) = 2.5;
     // (n−1)·0.9 = 2.7 → 3 + 0.7·(4−3) = 3.7

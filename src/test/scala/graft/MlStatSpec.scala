@@ -743,6 +743,19 @@ class MlStatSpec extends SparkSpec {
     assert(r("ne")._2 === false)
   }
 
+  test("Youden threshold: perfect separation cuts at the lowest positive") {
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 80.0, "{}"),
+      (2L, 1001L, 2L, "purchase", 90.0, "{}"),
+      (3L, 1002L, 3L, "view", 10.0, "{}"),
+      (4L, 1003L, 4L, "view", 20.0, "{}"))
+    val r = run("eval_youden_threshold", stageTables("events" -> ev(rows)))
+      .collect()(0)
+    assert(r.getLong(0) === 8000L, "cut at the lowest positive score")
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) ===
+      ((1.0, 0.0, 1.0)))
+  }
+
   test("Neyman allocation: budget follows N_h·S_h; certain strata get zero") {
     // stratum a = {1,1} (sd 0 → weight 0), stratum b = {1,3} (sd √2),
     // singleton c (sd NULL → weight 0): the whole 1000-sample budget

@@ -235,6 +235,16 @@ class TsSpec extends SparkSpec {
     assert((r.getDouble(5), r.getDouble(6)) === ((1.0, 5.0)))
   }
 
+  test("ACF correlogram: a period-2 alternation scores +1 on even lags, -1 on odd") {
+    val rows = (0 until 30).map(i =>
+      (i.toLong, i * H, 1L, "t", if (i % 2 == 0) 1.0 else 3.0, "{}"))
+    val got = run("ts_acf_lags", stageTables("events" -> ev(rows)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got(2L) === 1.0 && got(6L) === 1.0 && got(12L) === 1.0
+      && got(24L) === 1.0)
+    assert(got(3L) === -1.0)
+  }
+
   // ----------------------------------------------------------- hampel
 
   test("Hampel flags exactly the planted spike; a flat series flags nothing") {
