@@ -1811,6 +1811,76 @@ object MlStatOps {
       " END AS youden_j " +
       "FROM j JOIN best ON best.bpc = j.pc"))
 
+  // ------------------------------------------------------------------
+  // stat_kendall_tau — Kendall's τ-b between order quantity and
+  // discount per returnflag, the CONCORDANCE sibling of
+  // `stat_spearman_rho` (Spearman correlates ranks; τ counts pair
+  // agreements, and τ-b's tie correction is what makes it honest on
+  // heavily-tied business domains like a 50×11 quantity×discount
+  // grid). NEVER a row-pair join: the fact collapses map-side to the
+  // DOMAIN-BOUNDED (flag, quantity, discount) cell grid (≤550 cells
+  // per flag), C−D is the broadcast cell-pair join Σ c₁·c₂·sign(Δy)
+  // over x-strict pairs, and the tie terms Σt(t−1) come off the two
+  // marginals — every sum lifted to DECIMAL(38,0)/HUGEINT (c₁·c₂ and
+  // t² pass 2⁶³ at archive row counts), τ-b = 2·(C−D)/√(A·B) with
+  // A = n(n−1)−Σtₓ(tₓ−1), B likewise for y, each factor cast to
+  // double BEFORE the product (the eval_mcc overflow discipline).
+  // ------------------------------------------------------------------
+
+  private val statKendallTau = Q(
+    "stat_kendall_tau",
+    (s, d) => {
+      import s.implicits._
+      val cells = Tables.t(s, d, "lineitem")
+        .groupBy($"l_returnflag".as("g"),
+          round($"l_quantity" * 100).cast("long").as("x"),
+          round($"l_discount" * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val cmd = cells.as("a").join(broadcast(cells.as("b")),
+          $"a.g" === $"b.g" && $"a.x" < $"b.x")
+        .groupBy($"a.g".as("g"))
+        .agg(sum($"a.c".cast(Dec380) * $"b.c" *
+          when($"b.y" > $"a.y", 1L).when($"b.y" < $"a.y", -1L)
+            .otherwise(0L)).as("cmd"))
+      val xm = cells.groupBy($"g", $"x").agg(sum($"c").as("t"))
+        .groupBy("g").agg(sum($"t".cast(Dec380) * ($"t" - 1L)).as("tx"),
+          sum($"t").cast("long").as("n"))
+      val ym = cells.groupBy($"g", $"y").agg(sum($"c").as("t"))
+        .groupBy("g").agg(sum($"t".cast(Dec380) * ($"t" - 1L)).as("ty"))
+      xm.join(ym, "g").join(cmd, Seq("g"), "left")
+        .withColumn("a2", $"n".cast(Dec380) * ($"n" - 1L) - $"tx")
+        .withColumn("b2", $"n".cast(Dec380) * ($"n" - 1L) - $"ty")
+        .select($"g".as("l_returnflag"), $"n",
+          when($"a2" > 0 && $"b2" > 0,
+            dround(lit(2.0) * coalesce($"cmd", lit(0L)).cast("double")
+              / sqrt($"a2".cast("double") * $"b2".cast("double")), 6))
+            .as("tau_b"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH li AS (SELECT l_returnflag AS g, " +
+      "CAST(round(l_quantity*100) AS BIGINT) AS x, " +
+      "CAST(round(l_discount*100) AS BIGINT) AS y FROM lineitem), " +
+      "cells AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c " +
+      "FROM li GROUP BY 1, 2, 3), " +
+      "cd AS (SELECT a.g, SUM(CAST(a.c AS HUGEINT) * b.c * " +
+      "(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)) " +
+      "AS cmd FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x " +
+      "GROUP BY 1), " +
+      "xm AS (SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1)) AS tx, " +
+      "CAST(SUM(t) AS BIGINT) AS n FROM " +
+      "(SELECT g, x, SUM(c) AS t FROM cells GROUP BY 1, 2) GROUP BY 1), " +
+      "ym AS (SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1)) AS ty FROM " +
+      "(SELECT g, y, SUM(c) AS t FROM cells GROUP BY 1, 2) GROUP BY 1), " +
+      "f AS (SELECT xm.g, xm.n, cd.cmd, " +
+      "CAST(xm.n AS HUGEINT) * (xm.n - 1) - xm.tx AS a2, " +
+      "CAST(xm.n AS HUGEINT) * (xm.n - 1) - ym.ty AS b2 " +
+      "FROM xm JOIN ym ON xm.g = ym.g LEFT JOIN cd ON cd.g = xm.g) " +
+      "SELECT g AS l_returnflag, n, " +
+      "CASE WHEN a2 > 0 AND b2 > 0 THEN " +
+      OSql.sround("2.0 * CAST(COALESCE(cmd, 0) AS DOUBLE) " +
+        "/ sqrt(CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE))", 6) +
+      " END AS tau_b FROM f ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -1822,7 +1892,7 @@ object MlStatOps {
     statAnovaOneway, evalConfusionMulticlass, statLevene, evalCohenKappa,
     statCohensD, evalMcc, sampleNeymanAlloc, evalBrierScore, evalLogLoss,
     evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles,
-    statTostEquivalence, evalYoudenThreshold)
+    statTostEquivalence, evalYoudenThreshold, statKendallTau)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -788,6 +788,89 @@ object TsOps {
     })
 
   // ------------------------------------------------------------------
+  // ts_theil_sen — Theil–Sen ROBUST trend slope per type over the
+  // daily cents ledger (the estimator `window_rolling_slope`'s OLS
+  // sibling breaks on: one corrupted day drags a least-squares fit
+  // arbitrarily far, while the median of pairwise slopes shrugs off up
+  // to ~29% outliers). Pairwise slopes are exact floor divisions
+  // (Δv·10⁶) fdiv Δd — numerator lifted to DECIMAL(38,0)/HUGEINT so
+  // the ×10⁶ never overflows at archive-scale daily sums, Δd > 0 by
+  // construction — and the LOWER median comes off the bounded
+  // (slope → count) ledger with one keyed cumulative window, the
+  // `agg_percentile_disc` two-phase discipline. The pair join is
+  // O(D²) with D = ARCHIVE DAYS (calendar-bounded, not data-bounded:
+  // a 10-year archive is ~6.7M pairs per type, each a 3-column row)
+  // and is keyed per type, so it distributes across types.
+  // ------------------------------------------------------------------
+
+  private val tsTheilSen = Q(
+    "ts_theil_sen",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .groupBy($"event_type",
+          expr(Det.fdivExpr("ms", "86400000")).as("day"))
+        .agg(sum(round($"value" * 100).cast("long")).as("v"))
+        .filter($"day".isNotNull)
+      val pairs = daily.as("a").join(daily.as("b"),
+          $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+        .select($"a.event_type".as("event_type"),
+          ((col("b.v").cast(Dec380) - col("a.v")) * lit(1000000L)).as("num"),
+          (col("b.day") - col("a.day")).as("den"))
+        .select($"event_type",
+          expr(Det.fdivExpr("num", "den")).cast("long").as("sq"))
+      val led = pairs.groupBy($"event_type", $"sq").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy($"event_type").orderBy($"sq".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = led.groupBy("event_type").agg(sum($"c").as("np"))
+      val med = led.withColumn("cum", sum($"c").over(wcum))
+        .join(broadcast(tot), "event_type")
+        .filter($"cum" - $"c" < expr("(np + 1) div 2") &&
+          expr("(np + 1) div 2") <= $"cum")
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      nd.join(med.select($"event_type", $"np".as("n_pairs"), $"sq"),
+          Seq("event_type"), "left")
+        .select($"event_type", $"n_days",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          dround($"sq".cast("double") / 1e6, 6).as("slope_cents_per_day"))
+        .orderBy("event_type")
+    },
+    Some("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+      "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v " +
+      "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+      "d2 AS (SELECT * FROM daily WHERE day IS NOT NULL), " +
+      "p AS (SELECT a.event_type, " +
+      "(CAST(b.v AS HUGEINT) - a.v) * 1000000 AS num, " +
+      "b.day - a.day AS den FROM d2 a JOIN d2 b " +
+      "ON a.event_type = b.event_type AND a.day < b.day), " +
+      // NOT `num // den`: DuckDB's integer `//` truncates toward zero
+      // (floor only on floats), and slope numerators are genuinely
+      // signed — unlike the ms buckets, where non-negative data makes
+      // the two spellings agree. The pmod spelling floors exactly.
+      "sl AS (SELECT event_type, " +
+      "CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS sq " +
+      "FROM p), " +
+      "led AS (SELECT event_type, sq, CAST(count(*) AS BIGINT) AS c " +
+      "FROM sl GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS np " +
+      "FROM led GROUP BY 1), " +
+      "cum AS (SELECT event_type, sq, c, " +
+      "CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY sq " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm " +
+      "FROM led), " +
+      "med AS (SELECT cum.event_type, t.np, cum.sq FROM cum " +
+      "JOIN t ON t.event_type = cum.event_type " +
+      "WHERE cum.cm - cum.c < (t.np + 1) // 2 AND (t.np + 1) // 2 <= cum.cm), " +
+      "nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days " +
+      "FROM d2 GROUP BY 1) " +
+      "SELECT nd.event_type, n_days, " +
+      "CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs, " +
+      OSql.sround("CAST(sq AS DOUBLE) / 1e6", 6) + " AS slope_cents_per_day " +
+      "FROM nd LEFT JOIN med ON med.event_type = nd.event_type ORDER BY 1"))
+
+  // ------------------------------------------------------------------
   // ts_seasonal_decompose — classical seasonal decomposition over the
   // shared hourly-cents grid: the hour-of-day (0–23) seasonal profile
   // per event_type, and how much of the series' variance it explains
@@ -981,5 +1064,5 @@ object TsOps {
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
-    tsHampelOutliers, tsChangepointCusum, tsAcfLags)
+    tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen)
 }

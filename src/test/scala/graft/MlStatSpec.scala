@@ -756,6 +756,24 @@ class MlStatSpec extends SparkSpec {
       ((1.0, 0.0, 1.0)))
   }
 
+  test("Kendall tau-b: monotone ±1, tie-corrected grid, all-x-tie NULL") {
+    // A: perfectly concordant → +1; B: reversed → −1; C: x never
+    // varies → A-factor 0 → NULL; D: one y-tie pair → C−D = 2 of
+    // n0 = 3, tie-corrected τ-b = 2·2/√(6·4) = 0.816497
+    val li = Seq(
+      ("A", 1.0, 0.00), ("A", 2.0, 0.01), ("A", 3.0, 0.02),
+      ("B", 1.0, 0.02), ("B", 2.0, 0.01), ("B", 3.0, 0.00),
+      ("C", 5.0, 0.00), ("C", 5.0, 0.05),
+      ("D", 1.0, 0.00), ("D", 2.0, 0.00), ("D", 3.0, 0.01))
+      .toDF("l_returnflag", "l_quantity", "l_discount")
+    val r = run("stat_kendall_tau", stageTables("lineitem" -> li))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(r("A") === Some(1.0) && r("B") === Some(-1.0))
+    assert(r("C") === None)
+    assert(r("D") === Some(0.816497))
+  }
+
   test("Neyman allocation: budget follows N_h·S_h; certain strata get zero") {
     // stratum a = {1,1} (sd 0 → weight 0), stratum b = {1,3} (sd √2),
     // singleton c (sd NULL → weight 0): the whole 1000-sample budget

@@ -245,6 +245,20 @@ class TsSpec extends SparkSpec {
     assert(got(3L) === -1.0)
   }
 
+  test("Theil-Sen slope shrugs off a planted outlier day") {
+    val D = 86400000L
+    // days 0..8 on the exact line 100 + 7·day cents; day 9 is a wild
+    // outlier: 36 of the 45 pairwise slopes are exactly 7 cents/day,
+    // so the lower median (23rd of 45) stays on the line
+    val rows = (0 until 9).map(i =>
+      (i.toLong, i * D, 1L, "t", 1.00 + 0.07 * i, "{}")) :+
+      (9L, 9 * D, 1L, "t", 10000.0, "{}")
+    val r = run("ts_theil_sen", stageTables("events" -> ev(rows)))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((10L, 45L)))
+    assert(r.getDouble(3) === 7.0)
+  }
+
   // ----------------------------------------------------------- hampel
 
   test("Hampel flags exactly the planted spike; a flat series flags nothing") {
