@@ -637,8 +637,90 @@ object MiningOps {
         "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)", 6) +
       " END AS assortativity FROM nn CROSS JOIN mo"))
 
+  // ------------------------------------------------------------------
+  // graph_local_clustering — the LOCAL clustering-coefficient ledger
+  // of the co-purchase graph: `graph_triangle_count` reports global
+  // TRANSITIVITY (3·Δ/wedges, one number a few hub stars dominate);
+  // the average LOCAL coefficient weights every node equally and is
+  // the standard small-world statistic next to it. Triangles are
+  // enumerated ONCE at the orientation-minimum vertex (the
+  // Suri–Vassilvitskii discipline: out-degree bounded by arboricity,
+  // wedge volume Σd_out², never the raw Σd² hub blow-up), then each
+  // triangle credits its THREE vertices via one explode +
+  // partial+final count. Per-node coefficients quantize to BIGINT
+  // (2·Δ_v·10⁶ div dg(dg−1) — all non-negative, trunc = floor) BEFORE
+  // the global sum, so the reduction is order-independent; degree-1
+  // nodes are excluded (coefficient undefined), triangle-free nodes
+  // count as exact zeros. Edges come from the shared [[coEdges]]
+  // artifact — the family's one enumeration pass.
+  // ------------------------------------------------------------------
+
+  private val graphLocalClustering = Q(
+    "graph_local_clustering",
+    (s, d) => {
+      import s.implicits._
+      val e = coEdges(s, d) // canonical a < b, distinct
+      val sym = e.select($"a".as("n"), $"b".as("m"))
+        .unionByName(e.select($"b".as("n"), $"a".as("m")))
+      val deg = sym.groupBy($"n").agg(count(lit(1)).as("dg"))
+      val withDeg = e
+        .join(deg.select($"n".as("a"), $"dg".as("da")), "a")
+        .join(deg.select($"n".as("b"), $"dg".as("db")), "b")
+      val oriented = graft.core.Mat(s, withDeg.select(
+          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+            struct($"a".as("s"), $"b".as("t")))
+            .otherwise(struct($"b".as("s"), $"a".as("t"))).as("e"))
+        .select($"e.s".as("s"), $"e.t".as("t")), "lcc-oriented")
+      val wedges = oriented.select($"s", $"t".as("t1"))
+        .join(oriented.select($"s", $"t".as("t2")), Seq("s"))
+        .filter($"t1" < $"t2")
+      // INNER join (not semi): the closed wedge IS the triangle row,
+      // and all three vertex ids ride it to the per-node credit
+      val tri = wedges.join(e,
+        wedges("t1") === e("a") && wedges("t2") === e("b"))
+        .select($"s", $"t1", $"t2")
+      val tv = tri.select(explode(array($"s", $"t1", $"t2")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("t"))
+      val cc = deg.filter($"dg" >= 2)
+        .join(tv, deg("n") === tv("v"), "left")
+        .select($"n",
+          expr("(2 * coalesce(t, 0) * 1000000) div (dg * (dg - 1))")
+            .cast("long").as("q"))
+      cc.agg(count(lit(1)).as("n_nodes"),
+          sum(($"q" === 1000000L).cast("long")).as("n_perfect"),
+          dround(sum($"q").cast("double") /
+            (count(lit(1)).cast("double") * 1e6), 6).as("avg_local_cc"))
+    },
+    Some("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+      "FROM lineitem), " +
+      "pr AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
+      "JOIN li b ON a.o = b.o AND a.p < b.p), " +
+      "sym AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr), " +
+      "deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS dg " +
+      "FROM sym GROUP BY 1), " +
+      "ori AS (SELECT CASE WHEN da < db OR (da = db AND a < b) " +
+      "THEN a ELSE b END AS s, " +
+      "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS t " +
+      "FROM (SELECT pr.a, pr.b, d1.dg AS da, d2.dg AS db FROM pr " +
+      "JOIN deg d1 ON d1.n = pr.a JOIN deg d2 ON d2.n = pr.b)), " +
+      "w AS (SELECT e1.s, e1.t AS t1, e2.t AS t2 FROM ori e1 " +
+      "JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t), " +
+      "tri AS (SELECT w.s, w.t1, w.t2 FROM w " +
+      "JOIN pr ON pr.a = w.t1 AND pr.b = w.t2), " +
+      "tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM " +
+      "(SELECT s AS v FROM tri UNION ALL SELECT t1 FROM tri " +
+      "UNION ALL SELECT t2 FROM tri) GROUP BY 1), " +
+      "cc AS (SELECT deg.n, " +
+      "(2 * COALESCE(tv.t, 0) * 1000000) // (deg.dg * (deg.dg - 1)) AS q " +
+      "FROM deg LEFT JOIN tv ON tv.v = deg.n WHERE deg.dg >= 2) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_nodes, " +
+      "CAST(SUM(CASE WHEN q = 1000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_perfect, " +
+      OSql.sround("CAST(SUM(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)",
+        6) + " AS avg_local_cc FROM cc"))
+
   val qs: Seq[Q] = Seq(
     graphBfsDepth, graphAdamicAdar, graphJaccardNeighbors, seqPatternRegex,
     sampleNegative, simMaxsimLabels, graphKcorePeel, dedupFuzzyLevenshtein,
-    graphModularity, graphAssortativity)
+    graphModularity, graphAssortativity, graphLocalClustering)
 }

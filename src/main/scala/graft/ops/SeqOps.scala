@@ -463,9 +463,82 @@ object SeqOps {
       "WHERE dv.adev > 3.0 * 1.4826 * md.mad " +
       "GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // seq_markov_stationary — the STATIONARY distribution of the
+  // event-type transition chain (`markov_transitions` reports the
+  // one-step matrix; the stationary vector is where the chain
+  // SETTLES — the long-run share of attention each state captures,
+  // the quantity behind PageRank-style steady-state reasoning).
+  // Power iteration in FIXED-POINT integers: the mass vector lives in
+  // parts-per-10¹² BIGINTs, each step moves floor(m·cnt/tot) along
+  // every transition edge (numerator lifted to DECIMAL(38,0)/HUGEINT;
+  // all operands non-negative, so trunc = floor in both engines), and
+  // 12 synchronized iterations from the uniform start are unrolled
+  // IDENTICALLY on both sides — Spark as a fold of broadcast joins
+  // over the Mat'd transition table, the oracle as 12 chained CTEs.
+  // Integer flooring leaks ≤|states| parts per step — deterministic,
+  // never a float fold. The per-step shuffle is |types|² rows; the
+  // expensive stage (bigram counting) is ONE keyed lag window + a
+  // partial+final agg, shared spelling with markov_transitions.
+  // ------------------------------------------------------------------
+
+  private val seqMarkovStationary = Q(
+    "seq_markov_stationary",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+      val pairs = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ms", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+      val cnt = pairs.groupBy($"prev", $"event_type".as("next"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("prev").agg(sum($"cnt").cast("long").as("tot"))
+      val trans = graft.core.Mat(s, cnt.join(tot, "prev"), "markov-trans")
+      val states = trans.select($"prev".as("state")).distinct()
+      var p = states
+        .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
+        .select($"state", expr("1000000000000 div ns").cast("long").as("m"))
+      for (_ <- 1 to 12) {
+        p = trans.join(broadcast(p), $"prev" === $"state")
+          .groupBy($"next")
+          .agg(sum(expr("(cast(m as decimal(38,0)) * cnt) div tot"))
+            .cast("long").as("m2"))
+          .select($"next".as("state"), $"m2".as("m"))
+      }
+      p.select($"state", $"m".as("mass_ppt"),
+          dround($"m".cast("double") / 1e12, 6).as("p_stationary"))
+        .orderBy("state")
+    },
+    Some {
+      val steps = (1 to 12).map { i =>
+        s"p$i AS (SELECT tr.next AS state, " +
+          "CAST(SUM((CAST(p.m AS HUGEINT) * tr.cnt) // tr.tot) AS BIGINT) " +
+          s"AS m FROM tr JOIN p${i - 1} p ON p.state = tr.prev GROUP BY 1)"
+      }.mkString(", ")
+      "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, " +
+        "event_type FROM events), " +
+        "b AS (SELECT event_type AS next, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ms ASC NULLS FIRST, event_id ASC) " +
+        "AS prev FROM e), " +
+        "cnt AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM b WHERE prev IS NOT NULL GROUP BY 1, 2), " +
+        "tot AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot " +
+        "FROM cnt GROUP BY 1), " +
+        "tr AS (SELECT cnt.prev, cnt.next, cnt.cnt, tot.tot " +
+        "FROM cnt JOIN tot USING (prev)), " +
+        "st AS (SELECT DISTINCT prev AS state FROM tr), " +
+        "p0 AS (SELECT state, CAST(1000000000000 // " +
+        "(SELECT count(*) FROM st) AS BIGINT) AS m FROM st), " +
+        steps + " " +
+        "SELECT state, m AS mass_ppt, " +
+        OSql.sround("CAST(m AS DOUBLE) / 1e12", 6) +
+        " AS p_stationary FROM p12 ORDER BY 1"
+    })
+
   val qs: Seq[Q] = Seq(
     seqGapIslands, markovTransitions, intervalConcurrency,
     funnelTimeToConvert, anomalyZscore, aggHistogramEquidepth,
     funnelAbandonment, seqStreakLongest, seqInterarrivalStats,
-    anomalyMad)
+    anomalyMad, seqMarkovStationary)
 }

@@ -144,6 +144,18 @@ class MiningSpec extends SparkSpec {
     assert(got((1, 2)) === ((1L, 0.8)))
   }
 
+  test("local clustering: triangle nodes hit 1, the hub averages in its pendant") {
+    // triangle {1,2,3} + pendant 4 on node 1: nodes 2,3 are perfectly
+    // clustered (cc 1), hub 1 has one closed pair of three (cc 1/3),
+    // degree-1 node 4 is excluded → avg = (1/3 + 1 + 1)/3 = 0.777778
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = run("graph_local_clustering", stageTables("lineitem" -> li))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 0.777778)
+  }
+
   // ------------------------------------------------------------ k-core
 
   test("2-core peeling drops the pendant and keeps the triangle") {

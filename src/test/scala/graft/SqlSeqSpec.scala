@@ -256,4 +256,17 @@ class SqlSeqSpec extends SparkSpec {
     assert(r(0).getLong(1) === 1L) // only the 100.00 spike
     assert(r(0).getLong(2) === 9L)
   }
+  test("markov stationary: a two-state alternating chain settles at half/half") {
+    // a,b,a,b,a,b: transitions a→b ×3 (p 1), b→a ×2 (p 1) — the
+    // stationary vector is exactly (½, ½) and the fixed-point masses
+    // never leak (every floor division is exact)
+    val rows = (0 until 6).map(i =>
+      (i.toLong, i.toLong * 1000, 1L, if (i % 2 == 0) "a" else "b", 0.0))
+    val got = run("seq_markov_stationary",
+      stageTables("events" -> eventsDf(rows)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("a") === ((500000000000L, 0.5)))
+    assert(got("b") === ((500000000000L, 0.5)))
+  }
 }
