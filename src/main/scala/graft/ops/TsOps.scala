@@ -871,6 +871,81 @@ object TsOps {
       "FROM nd LEFT JOIN med ON med.event_type = nd.event_type ORDER BY 1"))
 
   // ------------------------------------------------------------------
+  // ts_holt_forecast — Holt's LINEAR-TREND double exponential
+  // smoothing (α = β = ½) per type over the daily cents series: the
+  // level-plus-trend forecaster between `ts_forecast_snaive` (pure
+  // seasonality) and `ts_theil_sen` (pure robust trend). The
+  // recursion l' = (y + l + b)/2, b' = ((l' − l) + b)/2 is
+  // INHERENTLY SEQUENTIAL — no window or agg expresses it — so it
+  // runs as an ORDERED FOLD over the bounded per-type day array:
+  // array_sort(collect_list(struct(day, v))) makes the order
+  // deterministic regardless of arrival, and aggregate() folds an
+  // exact milli-cent BIGINT state (l, b) with every halving spelled
+  // as the pmod floor division (trend goes negative; DuckDB's
+  // integer `//` truncates, so BOTH sides spell floor explicitly —
+  // the ts_theil_sen engine law). The oracle replays the same fold
+  // as a row_number-indexed RECURSIVE CTE. No float touches the
+  // state: output is the exact integer (level, trend, one-step
+  // forecast) ledger. The array is ARCHIVE DAYS long
+  // (calendar-bounded, ~3.6k at 10 years) per type — a bounded
+  // driver-free fold, not a fact-row collect; types with a single
+  // observed day have no defined trend and are excluded (both
+  // engines: the init needs days 1 and 2).
+  // ------------------------------------------------------------------
+
+  private val tsHoltForecast = Q(
+    "ts_holt_forecast",
+    (s, d) => {
+      import s.implicits._
+      def f2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) div 2)"
+      val daily = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .groupBy($"event_type",
+          expr(Det.fdivExpr("ms", "86400000")).as("day"))
+        .agg(sum(round($"value" * 100).cast("long")).as("v"))
+        .filter($"day".isNotNull)
+      daily.groupBy($"event_type")
+        .agg(expr("array_sort(collect_list(struct(day, v)))").as("a"))
+        .filter(size($"a") >= 2)
+        .withColumn("st", expr(
+          "aggregate(slice(a, 3, greatest(size(a) - 2, 0)), " +
+            "named_struct('l', a[0].v * 1000, 'b', (a[1].v - a[0].v) * 1000), " +
+            "(s, x) -> named_struct(" +
+            s"'l', ${f2("x.v * 1000 + s.l + s.b")}, " +
+            s"'b', ${f2(f2("x.v * 1000 + s.l + s.b") + " - s.l + s.b")}))"))
+        .select($"event_type", size($"a").cast("long").as("n_days"),
+          $"st.l".as("level_mc"), $"st.b".as("trend_mc"),
+          ($"st.l" + $"st.b").as("forecast_next_mc"))
+        .orderBy("event_type")
+    },
+    Some {
+      def f2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+      "WITH RECURSIVE daily AS (SELECT event_type, " +
+        "epoch_ms(ts) // 86400000 AS day, " +
+        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "h AS (SELECT event_type, day, v, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY day) AS i " +
+        "FROM daily WHERE day IS NOT NULL), " +
+        "n AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n_days " +
+        "FROM h GROUP BY 1), " +
+        "rec(event_type, i, l, b) AS (" +
+        "SELECT h1.event_type, CAST(2 AS BIGINT), h1.v * 1000, " +
+        "(h2.v - h1.v) * 1000 FROM h h1 JOIN h h2 " +
+        "ON h2.event_type = h1.event_type AND h1.i = 1 AND h2.i = 2 " +
+        "UNION ALL " +
+        "SELECT r.event_type, r.i + 1, " +
+        f2("h.v * 1000 + r.l + r.b") + ", " +
+        f2(f2("h.v * 1000 + r.l + r.b") + " - r.l + r.b") + " " +
+        "FROM rec r JOIN h ON h.event_type = r.event_type " +
+        "AND h.i = r.i + 1) " +
+        "SELECT rec.event_type, n.n_days, rec.l AS level_mc, " +
+        "rec.b AS trend_mc, rec.l + rec.b AS forecast_next_mc " +
+        "FROM rec JOIN n ON n.event_type = rec.event_type " +
+        "AND rec.i = n.n_days ORDER BY 1"
+    })
+
+  // ------------------------------------------------------------------
   // ts_seasonal_decompose — classical seasonal decomposition over the
   // shared hourly-cents grid: the hour-of-day (0–23) seasonal profile
   // per event_type, and how much of the series' variance it explains
@@ -1064,5 +1139,6 @@ object TsOps {
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
-    tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen)
+    tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
+    tsHoltForecast)
 }

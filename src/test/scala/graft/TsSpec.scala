@@ -259,6 +259,21 @@ class TsSpec extends SparkSpec {
     assert(r.getDouble(3) === 7.0)
   }
 
+  test("Holt fold: a clean linear ramp tracks level and trend exactly") {
+    val D = 86400000L
+    // y = 10.00, 12.00, 14.00 dollars on days 0,1,2: init l=1,000,000
+    // b=200,000 milli-cents; the one fold step gives l=1,300,000,
+    // b=250,000, forecast l+b=1,550,000 — all exact integers
+    val rows = Seq((0L, 0L, 1L, "t", 10.0, "{}"),
+      (1L, D, 1L, "t", 12.0, "{}"), (2L, 2 * D, 1L, "t", 14.0, "{}"),
+      (3L, 0L, 1L, "solo", 5.0, "{}")) // single-day type: excluded
+    val r = run("ts_holt_forecast", stageTables("events" -> ev(rows)))
+      .collect()
+    assert(r.length === 1 && r(0).getString(0) === "t")
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) === ((3L, 1300000L, 250000L, 1550000L)))
+  }
+
   // ----------------------------------------------------------- hampel
 
   test("Hampel flags exactly the planted spike; a flat series flags nothing") {
