@@ -677,4 +677,45 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "the top-20 cut must be a size-k heap per partition, not a global sort")
   }
+  test("kendall cells pair via broadcast equi-join — the fact never products") {
+    val plan = executedPlan("stat_kendall_tau")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bounded cell grid must broadcast onto itself")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no relation-level product in: cell-pair join")
+  }
+
+  test("Holt fold runs with NO WindowExec — the recursion lives in aggregate()") {
+    val plan = executedPlan("ts_holt_forecast")
+    assert(!plan.linesIterator.exists(_.contains("Window ")),
+      "the sequential state machine must be the array fold, not a window")
+  }
+
+  test("Theil-Sen pairs join equi on type — never a nested-loop product") {
+    val plan = executedPlan("ts_theil_sen")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the O(D^2) pair join must still be a type-keyed equi-join")
+  }
+
+  test("markov stationary iterates via broadcast joins over the Mat'd transitions") {
+    val plan = executedPlan("seq_markov_stationary")
+    assert(plan.contains("BroadcastHashJoin"),
+      "each power-iteration step must broadcast the tiny mass vector")
+    assert(!plan.contains("CartesianProduct"),
+      "no step may degrade to a product")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("user_id")),
+      s"the bigram lag window must partition by user_id: $windowLines")
+  }
+
+  test("local clustering closes wedges by equi-join — no product, one explode credit") {
+    val plan = executedPlan("graph_local_clustering")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "triangle closure must be the (t1, t2) equi-join")
+    assert(plan.contains("Generate explode"),
+      "per-vertex credit must be the 3-way explode, not three scans")
+  }
 }
