@@ -1881,6 +1881,154 @@ object MlStatOps {
         "/ sqrt(CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE))", 6) +
       " END AS tau_b FROM f ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // stat_proportions_ztest — the two-proportion z VERDICT the planner
+  // `stat_power_twoprop` sizes for, on the SAME arms and conversion
+  // rule (user-parity split, convert ⇔ cents ≥ 5000): pooled
+  // z = (p₁−p₂)/√(p̄q̄(1/n₁+1/n₂)), two-sided at α=.05 (|z| > 1.959964).
+  // Counts collapse map-side to one exact-long row per type; the
+  // z and the verdict are one fixed-text double formula. Degenerate
+  // pools (p̄ ∈ {0, 1}) and empty arms emit NULL, never a 0/0.
+  // ------------------------------------------------------------------
+
+  private val statProportionsZtest = Q(
+    "stat_proportions_ztest",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull && $"user_id".isNotNull)
+        .select($"event_type", pmod($"user_id", lit(2L)).as("g"),
+          (round($"value" * 100).cast("long") >= 5000L).cast("long").as("y"))
+      val m = e.groupBy("event_type").agg(
+        sum(when($"g" === 0, 1L).otherwise(0L)).as("na"),
+        sum(when($"g" === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when($"g" === 0, $"y").otherwise(0L)).as("ca"),
+        sum(when($"g" === 1, $"y").otherwise(0L)).as("cb"))
+      m.withColumn("p1", $"ca".cast("double") / $"na")
+        .withColumn("p2", $"cb".cast("double") / $"nb")
+        .withColumn("pbar", ($"ca" + $"cb").cast("double") / ($"na" + $"nb"))
+        .withColumn("z",
+          when($"na" > 0 && $"nb" > 0 && $"pbar" > 0.0 && $"pbar" < 1.0,
+            ($"p1" - $"p2") / sqrt($"pbar" * (lit(1.0) - $"pbar")
+              * (lit(1.0) / $"na" + lit(1.0) / $"nb"))))
+        .select($"event_type", $"na", $"nb", $"ca", $"cb",
+          dround($"z", 6).as("z"),
+          when($"z".isNotNull, abs($"z") > 1.959964).as("significant"))
+        .orderBy("event_type")
+    },
+    Some("WITH e AS (SELECT event_type, abs(user_id % 2) AS g, " +
+      "CAST(CAST(round(value*100) AS BIGINT) >= 5000 AS BIGINT) AS y " +
+      "FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+      "m AS (SELECT event_type, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+      "CAST(SUM(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(SUM(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS cb " +
+      "FROM e GROUP BY 1), " +
+      "r AS (SELECT event_type, na, nb, ca, cb, " +
+      "CAST(ca AS DOUBLE) / na AS p1, CAST(cb AS DOUBLE) / nb AS p2, " +
+      "CAST(ca + cb AS DOUBLE) / (na + nb) AS pbar FROM m), " +
+      "zz AS (SELECT event_type, na, nb, ca, cb, " +
+      "CASE WHEN na > 0 AND nb > 0 AND pbar > 0.0 AND pbar < 1.0 THEN " +
+      "(p1 - p2) / sqrt(pbar * (1.0 - pbar) * (1.0 / na + 1.0 / nb)) " +
+      "END AS z FROM r) " +
+      "SELECT event_type, na, nb, ca, cb, " +
+      OSql.sround("z", 6) + " AS z, " +
+      "CASE WHEN z IS NOT NULL THEN abs(z) > 1.959964 END AS significant " +
+      "FROM zz ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // stat_wilcoxon_signed_rank — the PAIRED nonparametric test next to
+  // `stat_mann_whitney`'s unpaired one: arms pair NATURALLY by day
+  // (arm-A daily cents vs arm-B daily cents per type — same parity
+  // split as the z-test family), the day-blocked design that cancels
+  // day-level seasonality a two-sample test would absorb as noise.
+  // Zero diffs drop (the standard Wilcoxon discard), |d| ranks in the
+  // exact ×2 average-rank basis (r₂ = 2·rank + peers − 1, the
+  // spearman trick), W₂ = Σ r₂ over positive diffs, and the
+  // normal approximation carries the FULL tie correction:
+  // z = (W₂ − n(n+1)/2) / √((2n(n+1)(2n+1) − Σ(t³−t)) / 12).
+  // Every statistic is an exact BIGINT off the calendar-bounded daily
+  // ledger; the rank windows partition by type, never fact rows.
+  // ------------------------------------------------------------------
+
+  private val statWilcoxonSignedRank = Q(
+    "stat_wilcoxon_signed_rank",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .filter($"value".isNotNull && $"user_id".isNotNull)
+        .groupBy($"event_type",
+          expr(Det.fdivExpr("ms", "86400000")).as("day"))
+        .agg(
+          sum(when(pmod($"user_id", lit(2L)) === 0,
+            round($"value" * 100).cast("long")).otherwise(0L)).as("sa"),
+          sum(when(pmod($"user_id", lit(2L)) === 1,
+            round($"value" * 100).cast("long")).otherwise(0L)).as("sb"),
+          sum(when(pmod($"user_id", lit(2L)) === 0, 1L).otherwise(0L))
+            .as("ka"),
+          sum(when(pmod($"user_id", lit(2L)) === 1, 1L).otherwise(0L))
+            .as("kb"))
+        .filter($"ka" > 0 && $"kb" > 0)
+      val diffs = daily.select($"event_type", ($"sa" - $"sb").as("dd"))
+        .filter($"dd" =!= 0L)
+        .withColumn("ad", abs($"dd"))
+      val wr = Window.partitionBy($"event_type").orderBy($"ad".asc)
+      val wp = Window.partitionBy($"event_type", $"ad")
+      val m = diffs
+        .withColumn("r2",
+          lit(2L) * rank().over(wr) + count(lit(1)).over(wp) - lit(1L))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(when($"dd" > 0, $"r2").otherwise(0L)).as("w2"))
+      val ties = diffs.groupBy($"event_type", $"ad")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum($"t" * $"t" * $"t" - $"t").cast("long").as("tt"))
+      m.join(ties, "event_type")
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("var12",
+          lit(2.0) * $"nd" * ($"nd" + 1.0) * (lit(2.0) * $"nd" + 1.0)
+            - $"tt".cast("double"))
+        .select($"event_type", $"n".as("n_pairs"), $"w2".as("w_plus_x2"),
+          when($"var12" > 0.0,
+            dround(($"w2".cast("double") - $"nd" * ($"nd" + 1.0) / 2.0)
+              / sqrt($"var12" / 12.0), 6)).as("z"))
+        .orderBy("event_type")
+    },
+    Some("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+      "CAST(SUM(CASE WHEN abs(user_id % 2) = 0 THEN " +
+      "CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa, " +
+      "CAST(SUM(CASE WHEN abs(user_id % 2) = 1 THEN " +
+      "CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb, " +
+      "CAST(SUM(CASE WHEN abs(user_id % 2) = 0 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS ka, " +
+      "CAST(SUM(CASE WHEN abs(user_id % 2) = 1 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS kb " +
+      "FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL " +
+      "GROUP BY 1, 2), " +
+      "dd AS (SELECT event_type, sa - sb AS dd, abs(sa - sb) AS ad " +
+      "FROM daily WHERE ka > 0 AND kb > 0 AND sa - sb <> 0), " +
+      "r AS (SELECT event_type, dd, " +
+      "2 * rank() OVER (PARTITION BY event_type ORDER BY ad) " +
+      "+ count(*) OVER (PARTITION BY event_type, ad) - 1 AS r2 FROM dd), " +
+      "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2 " +
+      "FROM r GROUP BY 1), " +
+      "ties AS (SELECT event_type, " +
+      "CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM " +
+      "(SELECT event_type, ad, CAST(count(*) AS BIGINT) AS t " +
+      "FROM dd GROUP BY 1, 2) GROUP BY 1), " +
+      "f AS (SELECT m.event_type, m.n, m.w2, ties.tt, " +
+      "CAST(m.n AS DOUBLE) AS nd, " +
+      "2.0 * CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) + 1.0) " +
+      "* (2.0 * CAST(m.n AS DOUBLE) + 1.0) - CAST(ties.tt AS DOUBLE) " +
+      "AS var12 FROM m JOIN ties ON ties.event_type = m.event_type) " +
+      "SELECT event_type, n AS n_pairs, w2 AS w_plus_x2, " +
+      "CASE WHEN var12 > 0.0 THEN " +
+      OSql.sround("(CAST(w2 AS DOUBLE) - nd * (nd + 1.0) / 2.0) " +
+        "/ sqrt(var12 / 12.0)", 6) +
+      " END AS z FROM f ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -1892,7 +2040,8 @@ object MlStatOps {
     statAnovaOneway, evalConfusionMulticlass, statLevene, evalCohenKappa,
     statCohensD, evalMcc, sampleNeymanAlloc, evalBrierScore, evalLogLoss,
     evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles,
-    statTostEquivalence, evalYoudenThreshold, statKendallTau)
+    statTostEquivalence, evalYoudenThreshold, statKendallTau,
+    statProportionsZtest, statWilcoxonSignedRank)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -774,6 +774,34 @@ class MlStatSpec extends SparkSpec {
     assert(r("D") === Some(0.816497))
   }
 
+  test("proportions z-test: clean separation at n=2 per arm gives z = 2") {
+    // arm A (even users) converts 2/2, arm B 0/2: pooled p̄ = ½,
+    // z = 1/√(¼·(½+½)) = 2.0, just past the 1.959964 cut
+    val rows = Seq(
+      (1L, 0L, 2L, "t", 60.0, "{}"), (2L, 1L, 4L, "t", 70.0, "{}"),
+      (3L, 2L, 1L, "t", 10.0, "{}"), (4L, 3L, 3L, "t", 20.0, "{}"))
+    val r = run("stat_proportions_ztest", stageTables("events" -> ev(rows)))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((2L, 2L, 2L, 0L)))
+    assert(r.getDouble(5) === 2.0 && r.getBoolean(6) === true)
+  }
+
+  test("Wilcoxon signed-rank: three positive day-diffs match the closed form") {
+    // day diffs +1000, +2000, +3000 cents: ×2 ranks {2,4,6} all
+    // positive → W₂ = 12, E = 6, var·12 = 2·3·4·7 = 168 (no ties),
+    // z = 6/√14 = 1.603567
+    val D = 86400000L
+    val rows = Seq(
+      (1L, 0L, 2L, "t", 20.0, "{}"), (2L, 1L, 1L, "t", 10.0, "{}"),
+      (3L, D, 2L, "t", 30.0, "{}"), (4L, D + 1, 1L, "t", 10.0, "{}"),
+      (5L, 2 * D, 2L, "t", 40.0, "{}"), (6L, 2 * D + 1, 1L, "t", 10.0, "{}"))
+    val r = run("stat_wilcoxon_signed_rank", stageTables("events" -> ev(rows)))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 12L)))
+    assert(r.getDouble(3) === 1.603567)
+  }
+
   test("Neyman allocation: budget follows N_h·S_h; certain strata get zero") {
     // stratum a = {1,1} (sd 0 → weight 0), stratum b = {1,3} (sd √2),
     // singleton c (sd NULL → weight 0): the whole 1000-sample budget
