@@ -2166,6 +2166,73 @@ object LlmPipeline2 {
         "FROM r WHERE rk = 1 ORDER BY probe"
     })
 
+  // ------------------------------------------------------------------
+  // sim_ann_sq8 — SCALAR (int8) quantization ANN, the third
+  // compression regime of the quantization family: PQ compresses by
+  // SUBSPACE codebooks (needs training), SQ8 by a per-DIMENSION
+  // affine map onto 0..255 (needs only min/max — the layout FAISS
+  // calls SQ8 and most vector stores ship as the no-training
+  // default). The 64-row (pos → min, max) stats table broadcasts;
+  // codes are exact integers ((q−mn)·255) div (mx−mn) (non-negative ⇒
+  // trunc = floor both engines); the probe scores ASYMMETRICALLY —
+  // its exact quantized components against each row's integer
+  // dequantization mn + (code·(mx−mn)) div 255, summed in
+  // DECIMAL(38,0)/HUGEINT so both engines rank the shortlist
+  // bit-identically — then the usual exact re-rank of the R=40
+  // shortlist. One corpus encode pass, two broadcast joins, no
+  // training stage at all: the scale story is a single scan plus a
+  // top-R heap.
+  // ------------------------------------------------------------------
+
+  private val simAnnSq8 = Q(
+    "sim_ann_sq8",
+    (s, d) => {
+      import s.implicits._
+      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val iq = quantizedComponents(s, d)
+      val stats = iq.groupBy($"pos").agg(min($"q").as("mn"), max($"q").as("mx"))
+      val probe = iq.filter($"vec_id" === 0L).select($"pos", $"q".as("pq"))
+      val short = iq.join(broadcast(stats), "pos")
+        .select($"vec_id", $"pos", $"mn", $"mx",
+          when($"mx" > $"mn", expr("((q - mn) * 255) div (mx - mn)"))
+            .otherwise(lit(0L)).as("code"))
+        .join(broadcast(probe), "pos")
+        .select($"vec_id", ($"pq".cast(Dec38) *
+          ($"mn" + when($"mx" > $"mn", expr("(code * (mx - mn)) div 255"))
+            .otherwise(lit(0L)))).as("contrib"))
+        .groupBy($"vec_id").agg(sum($"contrib").as("a"))
+        .orderBy($"a".desc, $"vec_id".asc).limit(40).select("vec_id")
+      val emb = t(s, d, "embeddings")
+      val probeVec = emb.filter($"vec_id" === 0L)
+        .select($"embedding".as("probe"))
+      emb.join(broadcast(short), "vec_id")
+        .crossJoin(broadcast(probeVec))
+        .select($"vec_id",
+          dround(graft.functions.VectorExpressions.dotF(s, $"embedding",
+            $"probe"), 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id".asc).limit(10)
+    },
+    Some("WITH iq0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
+      "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q " +
+      "FROM embeddings), " +
+      "st AS (SELECT pos, CAST(min(q) AS BIGINT) AS mn, " +
+      "CAST(max(q) AS BIGINT) AS mx FROM iq0 GROUP BY 1), " +
+      "cd AS (SELECT vec_id, iq0.pos, iq0.q, st.mn, st.mx, " +
+      "CASE WHEN st.mx > st.mn THEN ((iq0.q - st.mn) * 255) // (st.mx - st.mn) " +
+      "ELSE 0 END AS code FROM iq0 JOIN st ON st.pos = iq0.pos), " +
+      "pq AS (SELECT pos, q AS pq FROM iq0 WHERE vec_id = 0), " +
+      "sc AS (SELECT vec_id, SUM(CAST(pq.pq AS HUGEINT) * " +
+      "(cd.mn + CASE WHEN cd.mx > cd.mn THEN " +
+      "(cd.code * (cd.mx - cd.mn)) // 255 ELSE 0 END)) AS a " +
+      "FROM cd JOIN pq ON pq.pos = cd.pos GROUP BY 1), " +
+      "short AS (SELECT vec_id FROM sc ORDER BY a DESC, vec_id ASC LIMIT 40), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) " +
+      "AS v FROM embeddings), " +
+      "pv AS (SELECT v AS pvec FROM e WHERE vec_id = 0) " +
+      "SELECT e.vec_id, " + OSql.sround("list_dot_product(e.v, pv.pvec)", 6) +
+      " AS sim FROM short JOIN e USING (vec_id), pv " +
+      "ORDER BY sim DESC, vec_id ASC LIMIT 10"))
+
   val qs: Seq[Q] = Seq(
     dedupSimhash, dedupNgramJaccard, dedupEmbeddingCosine, simAnnLsh, simAnnIvf,
     indexPersist, simAnnPq, simAnnIvfPq, simAnnRecall, textLangId,
@@ -2173,5 +2240,5 @@ object LlmPipeline2 {
     sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
     dedupThresholdSweep, indexAppend, simAnnRange, dedupMinhashEstimate,
     simKnnClassify, evalLangidConfusion, auditEmbeddingCoverage,
-    multimodalFrameSample, simAnnMrr)
+    multimodalFrameSample, simAnnMrr, simAnnSq8)
 }

@@ -250,6 +250,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(declared.toSeq === viaHelper.toSeq)
   }
 
+  test("SQ8 scalar quantization: the probe tops its own shortlist, sims sorted") {
+    val rows = run("sim_ann_sq8").collect()
+    assert(rows.length === 10)
+    // the probe's own codes maximize the asymmetric integer score, so
+    // the exact re-rank always sees it — and ranks it first
+    assert(rows(0).getLong(0) === 0L)
+    assert(rows(0).getDouble(1) > 0.999)
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims === sims.sorted.reverse, "sims must be non-increasing")
+  }
+
   test("PQ index re-parameterizes: 16 subspaces / K=8 still returns a sane top-10") {
     val rows = graft.ops.LlmPipeline2.pqTopK(spark, sf, numSub = 16, numCells = 8)
       .collect()
