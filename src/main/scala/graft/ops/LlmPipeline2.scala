@@ -1419,6 +1419,7 @@ object LlmPipeline2 {
           probes = recallProbes))
         .unionByName(overlap("lsh", lshTopKMulti(s, d, probes = recallProbes)))
         .unionByName(overlap("pq", pqTopKMulti(s, d, probes = recallProbes)))
+        .unionByName(overlap("sq8", sq8TopKMulti(s, d, probes = recallProbes)))
         .groupBy("method")
         .agg(sum($"o").cast("long").as("n_overlap"))
         .select($"method", $"n_overlap",
@@ -1432,12 +1433,14 @@ object LlmPipeline2 {
           s"x_$p AS (SELECT vec_id FROM (${LlmPipeline.exactTopkSql(10, p)}))",
           s"l_$p AS (SELECT vec_id FROM (${lshTopkSql(10, p)}))",
           s"i_$p AS (SELECT vec_id FROM (${ivfTopkSqlDerived(10, p)}))",
-          s"q_$p AS (SELECT vec_id FROM (${pqTopkSql(8, 16, 10, p)}))")
+          s"q_$p AS (SELECT vec_id FROM (${pqTopkSql(8, 16, 10, p)}))",
+          s"s_$p AS (SELECT vec_id FROM (${sq8TopkSql(10, p)}))")
       }.mkString(", ")
       val ovs = recallProbes.flatMap { p =>
         Seq(s"SELECT 'ivf' AS method, count(*) AS o FROM x_$p JOIN i_$p USING (vec_id)",
           s"SELECT 'lsh', count(*) FROM x_$p JOIN l_$p USING (vec_id)",
-          s"SELECT 'pq', count(*) FROM x_$p JOIN q_$p USING (vec_id)")
+          s"SELECT 'pq', count(*) FROM x_$p JOIN q_$p USING (vec_id)",
+          s"SELECT 'sq8', count(*) FROM x_$p JOIN s_$p USING (vec_id)")
       }.mkString(" UNION ALL ")
       s"WITH $ctes, ov AS ($ovs) " +
         "SELECT method, CAST(SUM(o) AS BIGINT) AS n_overlap, " +
@@ -1993,6 +1996,7 @@ object LlmPipeline2 {
           probes = recallProbes))
         .unionByName(rrOf("lsh", lshTopKMulti(s, d, probes = recallProbes)))
         .unionByName(rrOf("pq", pqTopKMulti(s, d, probes = recallProbes)))
+        .unionByName(rrOf("sq8", sq8TopKMulti(s, d, probes = recallProbes)))
         .groupBy("method").agg(
           sum(($"rrq" > 0).cast("long")).as("n_probes_hit"),
           dround(sum($"rrq").cast("double") / 1e6 / recallProbes.size, 6)
@@ -2008,14 +2012,17 @@ object LlmPipeline2 {
           s"mi_$p AS (SELECT vec_id, row_number() OVER " +
             s"(ORDER BY sim DESC, vec_id) AS rn FROM (${ivfTopkSqlDerived(10, p)}))",
           s"mq_$p AS (SELECT vec_id, row_number() OVER " +
-            s"(ORDER BY sim DESC, vec_id) AS rn FROM (${pqTopkSql(8, 16, 10, p)}))")
+            s"(ORDER BY sim DESC, vec_id) AS rn FROM (${pqTopkSql(8, 16, 10, p)}))",
+          s"ms_$p AS (SELECT vec_id, row_number() OVER " +
+            s"(ORDER BY sim DESC, vec_id) AS rn FROM (${sq8TopkSql(10, p)}))")
       }.mkString(", ")
       def leg(m: String, pfx: String, p: Long): String =
         s"SELECT '$m' AS method, COALESCE(CAST(floor(1e6 / " +
           s"(SELECT min(a.rn) FROM ${pfx}_$p a JOIN mx_$p USING (vec_id) " +
           s"WHERE a.vec_id <> $p) + 0.5) AS BIGINT), 0) AS rrq"
       val legs = recallProbes.flatMap(p =>
-        Seq(leg("ivf", "mi", p), leg("lsh", "ml", p), leg("pq", "mq", p)))
+        Seq(leg("ivf", "mi", p), leg("lsh", "ml", p), leg("pq", "mq", p),
+          leg("sq8", "ms", p)))
         .mkString(" UNION ALL ")
       s"WITH $ctes, rr AS ($legs) " +
         "SELECT method, " +
@@ -2212,7 +2219,52 @@ object LlmPipeline2 {
             $"probe"), 6).as("sim"))
         .orderBy($"sim".desc, $"vec_id".asc).limit(10)
     },
-    Some("WITH iq0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
+    Some(sq8TopkSql(10, 0L)))
+
+  /** Batched multi-probe SQ8 pipeline — the recall/MRR-gate sibling of
+    * [[pqTopKMulti]]: identical arithmetic to the single-probe key,
+    * probe-partitioned windows instead of global limits. Returns
+    * (probe, vec_id, rn).
+    */
+  private[ops] def sq8TopKMulti(
+      s: SparkSession, d: String, k: Int = 10, probes: Seq[Long] = Seq(0L),
+      rerank: Int = 40): DataFrame = {
+    import s.implicits._
+    val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val iq = quantizedComponents(s, d)
+    val stats = iq.groupBy($"pos").agg(min($"q").as("mn"), max($"q").as("mx"))
+    val probeQ = iq.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"pos", $"q".as("pq"))
+    val wShort = Window.partitionBy($"probe").orderBy($"a".desc, $"vec_id".asc)
+    val short = iq.join(broadcast(stats), "pos")
+      .select($"vec_id", $"pos", $"mn", $"mx",
+        when($"mx" > $"mn", expr("((q - mn) * 255) div (mx - mn)"))
+          .otherwise(lit(0L)).as("code"))
+      .join(broadcast(probeQ), "pos")
+      .select($"probe", $"vec_id", ($"pq".cast(Dec38) *
+        ($"mn" + when($"mx" > $"mn", expr("(code * (mx - mn)) div 255"))
+          .otherwise(lit(0L)))).as("contrib"))
+      .groupBy($"probe", $"vec_id").agg(sum($"contrib").as("a"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter($"rn" <= rerank)
+      .select("probe", "vec_id")
+    val emb = t(s, d, "embeddings")
+    val probeVecs = emb.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"embedding".as("pv"))
+    val wK = Window.partitionBy($"probe").orderBy($"sim".desc, $"vec_id".asc)
+    emb.join(broadcast(short), "vec_id")
+      .join(broadcast(probeVecs), "probe")
+      .select($"probe", $"vec_id",
+        dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"),
+          6).as("sim"))
+      .withColumn("rn", row_number().over(wK))
+      .filter($"rn" <= k)
+      .select("probe", "vec_id", "rn")
+  }
+
+  /** DuckDB spelling of the SQ8 probe, parameterized like [[pqTopkSql]]. */
+  private def sq8TopkSql(k: Int, probeId: Long, rerank: Int = 40): String =
+    "WITH iq0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
       "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q " +
       "FROM embeddings), " +
       "st AS (SELECT pos, CAST(min(q) AS BIGINT) AS mn, " +
@@ -2220,18 +2272,18 @@ object LlmPipeline2 {
       "cd AS (SELECT vec_id, iq0.pos, iq0.q, st.mn, st.mx, " +
       "CASE WHEN st.mx > st.mn THEN ((iq0.q - st.mn) * 255) // (st.mx - st.mn) " +
       "ELSE 0 END AS code FROM iq0 JOIN st ON st.pos = iq0.pos), " +
-      "pq AS (SELECT pos, q AS pq FROM iq0 WHERE vec_id = 0), " +
+      s"pq AS (SELECT pos, q AS pq FROM iq0 WHERE vec_id = $probeId), " +
       "sc AS (SELECT vec_id, SUM(CAST(pq.pq AS HUGEINT) * " +
       "(cd.mn + CASE WHEN cd.mx > cd.mn THEN " +
       "(cd.code * (cd.mx - cd.mn)) // 255 ELSE 0 END)) AS a " +
       "FROM cd JOIN pq ON pq.pos = cd.pos GROUP BY 1), " +
-      "short AS (SELECT vec_id FROM sc ORDER BY a DESC, vec_id ASC LIMIT 40), " +
+      s"short AS (SELECT vec_id FROM sc ORDER BY a DESC, vec_id ASC LIMIT $rerank), " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) " +
       "AS v FROM embeddings), " +
-      "pv AS (SELECT v AS pvec FROM e WHERE vec_id = 0) " +
+      s"pv AS (SELECT v AS pvec FROM e WHERE vec_id = $probeId) " +
       "SELECT e.vec_id, " + OSql.sround("list_dot_product(e.v, pv.pvec)", 6) +
       " AS sim FROM short JOIN e USING (vec_id), pv " +
-      "ORDER BY sim DESC, vec_id ASC LIMIT 10"))
+      s"ORDER BY sim DESC, vec_id ASC LIMIT $k"
 
   val qs: Seq[Q] = Seq(
     dedupSimhash, dedupNgramJaccard, dedupEmbeddingCosine, simAnnLsh, simAnnIvf,
