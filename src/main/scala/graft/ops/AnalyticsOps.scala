@@ -218,7 +218,71 @@ object AnalyticsOps {
       "count(*) AS n_users FROM ud JOIN c USING (user_id) " +
       "GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // window_sliding_distinct — trailing-7-day DISTINCT active users per
+  // observed day: the rolling-reach metric (DAU→WAU) that plain window
+  // aggregation cannot express, because COUNT(DISTINCT) over a sliding
+  // frame is not decomposable. The naive plan replicates every fact
+  // row 7× (one copy per window it falls into) and pays a count-
+  // distinct shuffle per day; this spelling is linear:
+  //   1. distinct (user, day) ledger — one hash shuffle, map-side
+  //      collapse, ≤ |users|·|days| rows;
+  //   2. per-user COVERAGE ISLANDS via ONE keyed window: active days
+  //      with gaps ≤ 6 merge into [min, max+6] covered intervals —
+  //      consecutive islands are >6 apart, so a user's intervals are
+  //      DISJOINT and "islands covering day d" = "users covering d";
+  //   3. interval endpoints become +1/−1 deltas, aggregated per day
+  //      map-side to a ≤ 2·|days| ledger — calendar-bounded, it grows
+  //      with time, never with data volume;
+  //   4. the running coverage at each observed day resolves as a
+  //      broadcast theta prefix join over the two bounded ledgers
+  //      (the moving_avg discipline — no raw-fact window anywhere).
+  // The oracle is the naive spine × ledger range join with a real
+  // COUNT(DISTINCT); the hash match proves island-sweep ≡ naive.
+  // ------------------------------------------------------------------
+
+  private val windowSlidingDistinct = Q(
+    "window_sliding_distinct",
+    (s, d) => {
+      import s.implicits._
+      val ud = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ms".isNotNull)
+        .select($"user_id", expr(Det.fdivExpr("ms", "86400000")).as("day"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+      val run = Window.partitionBy($"user_id").orderBy($"day".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val islands = ud
+        .withColumn("is_new",
+          when(lag($"day", 1).over(w).isNull ||
+            $"day" - lag($"day", 1).over(w) > 6, 1L).otherwise(0L))
+        .withColumn("island", sum($"is_new").over(run))
+        .groupBy($"user_id", $"island")
+        .agg(min($"day").as("s"), (max($"day") + 7L).as("e"))
+      // endpoint deltas collapse map-side onto the day domain; both
+      // endpoints explode out of ONE island row (a unionAll of two
+      // selects would evaluate the window subtree twice — Catalyst
+      // shares no subtrees across union legs)
+      val deltas = islands
+        .select(explode(array(
+          struct($"s".as("day"), lit(1L).as("delta")),
+          struct($"e".as("day"), lit(-1L).as("delta")))).as("x"))
+        .groupBy($"x.day".as("day")).agg(sum($"x.delta").as("delta"))
+      val spine = ud.select($"day").distinct()
+      spine.as("sp").join(broadcast(deltas.as("dl")),
+          $"dl.day" <= $"sp.day")
+        .groupBy($"sp.day".as("day"))
+        .agg(sum($"dl.delta").cast("long").as("u7"))
+        .orderBy("day")
+    },
+    Some("WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day " +
+      "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "sp AS (SELECT DISTINCT day FROM ud) " +
+      "SELECT sp.day, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS u7 " +
+      "FROM sp JOIN ud ON ud.day BETWEEN sp.day - 6 AND sp.day " +
+      "GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] =
     Seq(windowFillForward, aggMedianMode, eventTimeWeighted, cohortRetention,
-      windowGapFill)
+      windowGapFill, windowSlidingDistinct)
 }

@@ -393,7 +393,157 @@ object CurateOps {
       OSql.sround("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)", 6) +
       " AS slope_qty_price FROM dd ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // embedding_centroid_drift — per-source embedding-distribution drift
+  // against the corpus: cosine(centroid_source, centroid_global), the
+  // monitoring statistic that catches a source whose embedding
+  // distribution silently shifted (new scraper, model change, domain
+  // rot). Cosine is scale-invariant, so centroids stay as RAW
+  // per-position Σq sums (no mean division): over the shared 10⁶-
+  // quantized component table, the (source, pos) sums collapse
+  // MAP-SIDE to a |sources|·64 ledger after the one id-join shuffle —
+  // the global centroid, dot products, and norms are all plain
+  // arithmetic on that bounded ledger (global = Σ of the per-source
+  // ledger, never a second corpus pass). Every sum is an exact
+  // DECIMAL(38,0); the only floats are two correctly-rounded sqrts
+  // and one division at the very end, spelled identically in both
+  // engines.
+  // ------------------------------------------------------------------
+
+  private val embeddingCentroidDrift = Q(
+    "embedding_centroid_drift",
+    (s, d) => {
+      import s.implicits._
+      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val iq = LlmPipeline2.quantizedComponents(s, d)
+      val src = t(s, d, "documents").select($"doc_id".as("vec_id"), $"source")
+      // the ONLY corpus pass: everything downstream (global centroid,
+      // norms, dot products, vector counts) reads this Mat'd
+      // |sources|·64 ledger, never the components again
+      val cs = graft.core.Mat(s, iq.join(src, "vec_id")
+        .groupBy($"source", $"pos")
+        .agg(sum($"q".cast(Dec38)).as("sq"), count(lit(1)).as("cnt")),
+        "centroid-led")
+      val cg = cs.groupBy($"pos").agg(sum($"sq").as("gq"))
+      val nn = cs.groupBy($"source").agg(max($"cnt").as("n_vecs"))
+      val g2 = cg.agg(sum($"gq" * $"gq").as("ng2"))
+      cs.join(broadcast(cg), "pos")
+        .groupBy($"source")
+        .agg(sum($"sq" * $"gq").as("dot"), sum($"sq" * $"sq").as("ns2"))
+        .join(broadcast(nn), "source")
+        .crossJoin(broadcast(g2))
+        .select($"source", $"n_vecs",
+          dround($"dot".cast("double") /
+            (sqrt($"ns2".cast("double")) * sqrt($"ng2".cast("double"))), 6)
+            .as("drift_cos"))
+        .orderBy("source")
+    },
+    Some("WITH iq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
+      "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q " +
+      "FROM embeddings), " +
+      "m AS (SELECT doc.source, iq.pos, iq.q FROM iq " +
+      "JOIN documents doc ON doc.doc_id = iq.vec_id), " +
+      "cs AS (SELECT source, pos, CAST(SUM(q) AS HUGEINT) AS sq, " +
+      "count(*) AS cnt FROM m GROUP BY 1, 2), " +
+      "cg AS (SELECT pos, CAST(SUM(sq) AS HUGEINT) AS gq FROM cs GROUP BY 1), " +
+      "nn AS (SELECT source, CAST(MAX(cnt) AS BIGINT) AS n_vecs " +
+      "FROM cs GROUP BY 1), " +
+      "dt AS (SELECT cs.source, SUM(cs.sq * cg.gq) AS dot, " +
+      "SUM(cs.sq * cs.sq) AS ns2 FROM cs JOIN cg USING (pos) GROUP BY 1), " +
+      "g2 AS (SELECT SUM(gq * gq) AS ng2 FROM cg) " +
+      "SELECT dt.source, nn.n_vecs, " +
+      OSql.sround("CAST(dot AS DOUBLE) / " +
+        "(sqrt(CAST(ns2 AS DOUBLE)) * sqrt(CAST(ng2 AS DOUBLE)))", 6) +
+      " AS drift_cos FROM dt JOIN nn USING (source), g2 ORDER BY source"))
+
+  // ------------------------------------------------------------------
+  // sample_kcenter_coreset — greedy k-center (farthest-point) coreset
+  // selection over the embedding corpus: the DIVERSITY-maximizing
+  // subset selector next to the distribution-preserving samplers
+  // (stratified/importance/temperature keep proportions; k-center
+  // picks the 4 points that best SPREAD over embedding space — the
+  // classic 2-approximation to the k-center cover, the shape facility-
+  // location / Gonzalez coreset pipelines use). Seed = smallest
+  // vec_id; each of the 3 unrolled rounds broadcasts the ≤k·64-row
+  // center components, computes every point's min squared L2 distance
+  // to the center set IN EXACT INTEGERS over the shared 10⁶-quantized
+  // component table (|Δq| ≤ ~4·10⁶ ⇒ Σ over 64 dims ≤ ~10¹⁵, exact in
+  // BIGINT — no float folds anywhere), and picks argmax with ties to
+  // the smallest vec_id via one max(struct(d2, −vec_id)) aggregate —
+  // per round: ONE broadcast join + two partial+final aggs, corpus
+  // never shuffled on anything but map-side collapse. Centers
+  // accumulate through Mat so round r+1's plan reads a 4-row parquet,
+  // not round r's whole lineage. Already-selected centers (d² = 0)
+  // are anti-joined out of candidacy; round 3's d² IS the covering
+  // radius of the first three centers.
+  // ------------------------------------------------------------------
+
+  private val sampleKcenterCoreset = Q(
+    "sample_kcenter_coreset",
+    (s, d) => {
+      import s.implicits._
+      val iq = LlmPipeline2.quantizedComponents(s, d)
+      var centers = graft.core.Mat(s,
+        iq.agg(min($"vec_id").as("cid"))
+          .select($"cid", lit(0L).as("sel_round"),
+            lit(null).cast("long").as("d2")),
+        "kcen-0")
+      for (r <- 1 to 3) {
+        val cc = iq.join(broadcast(centers.select($"cid")),
+            $"vec_id" === $"cid")
+          .select($"cid", $"pos", $"q".as("cq"))
+        val dmin = iq.join(broadcast(cc), Seq("pos"))
+          .withColumn("dd", ($"q" - $"cq") * ($"q" - $"cq"))
+          .groupBy($"vec_id", $"cid").agg(sum($"dd").as("dc"))
+          .groupBy($"vec_id").agg(min($"dc").as("dmin"))
+          .join(broadcast(centers.select($"cid".as("vec_id"))),
+            Seq("vec_id"), "left_anti")
+        val nxt = dmin
+          .agg(max(struct($"dmin".as("a"), (-$"vec_id").as("b"))).as("m"))
+          .select((-$"m.b").as("cid"), lit(r.toLong).as("sel_round"),
+            $"m.a".as("d2"))
+        centers = graft.core.Mat(s, centers.unionByName(nxt), s"kcen-$r")
+      }
+      centers.select($"sel_round", $"cid".as("vec_id"), $"d2")
+        .orderBy("sel_round")
+    },
+    Some("WITH iq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
+      "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q " +
+      "FROM embeddings), " +
+      "c0 AS (SELECT MIN(vec_id) AS cid FROM iq), " +
+      // round 1: distance to the seed only
+      "dm1 AS (SELECT iq.vec_id, CAST(SUM((iq.q - c.q)*(iq.q - c.q)) AS BIGINT) " +
+      "AS dmin FROM iq JOIN iq c ON c.pos = iq.pos " +
+      "AND c.vec_id = (SELECT cid FROM c0) " +
+      "WHERE iq.vec_id <> (SELECT cid FROM c0) GROUP BY 1), " +
+      "n1 AS (SELECT vec_id AS cid, dmin AS d2 FROM dm1 " +
+      "ORDER BY dmin DESC, vec_id ASC LIMIT 1), " +
+      "cs1 AS (SELECT cid FROM c0 UNION ALL SELECT cid FROM n1), " +
+      // round 2: min distance to {seed, n1}
+      "dm2 AS (SELECT iq.vec_id, CAST(MIN(dc) AS BIGINT) AS dmin FROM (" +
+      "SELECT iq.vec_id, c.vec_id AS cid, SUM((iq.q - c.q)*(iq.q - c.q)) AS dc " +
+      "FROM iq JOIN iq c ON c.pos = iq.pos AND c.vec_id IN (SELECT cid FROM cs1) " +
+      "GROUP BY 1, 2) iq GROUP BY 1), " +
+      "dm2f AS (SELECT * FROM dm2 WHERE vec_id NOT IN (SELECT cid FROM cs1)), " +
+      "n2 AS (SELECT vec_id AS cid, dmin AS d2 FROM dm2f " +
+      "ORDER BY dmin DESC, vec_id ASC LIMIT 1), " +
+      "cs2 AS (SELECT cid FROM cs1 UNION ALL SELECT cid FROM n2), " +
+      // round 3: min distance to the three selected centers
+      "dm3 AS (SELECT iq.vec_id, CAST(MIN(dc) AS BIGINT) AS dmin FROM (" +
+      "SELECT iq.vec_id, c.vec_id AS cid, SUM((iq.q - c.q)*(iq.q - c.q)) AS dc " +
+      "FROM iq JOIN iq c ON c.pos = iq.pos AND c.vec_id IN (SELECT cid FROM cs2) " +
+      "GROUP BY 1, 2) iq GROUP BY 1), " +
+      "dm3f AS (SELECT * FROM dm3 WHERE vec_id NOT IN (SELECT cid FROM cs2)), " +
+      "n3 AS (SELECT vec_id AS cid, dmin AS d2 FROM dm3f " +
+      "ORDER BY dmin DESC, vec_id ASC LIMIT 1) " +
+      "SELECT 0 AS sel_round, cid AS vec_id, CAST(NULL AS BIGINT) AS d2 FROM c0 " +
+      "UNION ALL SELECT 1, cid, d2 FROM n1 " +
+      "UNION ALL SELECT 2, cid, d2 FROM n2 " +
+      "UNION ALL SELECT 3, cid, d2 FROM n3 " +
+      "ORDER BY sel_round"))
+
   val qs: Seq[Q] = Seq(
     dedupSemantic, corpusTokenBudget, windowNtileShard, sampleImportance,
-    aggCorr, corpusDomainCap, sampleHashSplit)
+    aggCorr, corpusDomainCap, sampleHashSplit, embeddingCentroidDrift,
+    sampleKcenterCoreset)
 }

@@ -320,6 +320,85 @@ object GraphOps {
       "CAST(COALESCE(max(tt.nt), 0) AS BIGINT) AS n_types " +
       "FROM ul LEFT JOIN tt ON tt.lab = ul.lab GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // graph_hits — Kleinberg's HITS (hubs & authorities) on the DIRECTED
+  // user→type interaction graph, the mutually-recursive sibling of
+  // [[graphPagerank]]'s single score: auth(t) = Σ hub(u) over in-edges
+  // and hub(u) = Σ auth(t) over out-edges, 2 unrolled iterations. On
+  // this bipartite derivation the split is meaningful — hubs are the
+  // broad-activity users, authorities the event types that broad users
+  // touch — and the two scores do NOT reduce to degree after the
+  // renormalized second pass. Determinism is the pagerank discipline
+  // taken one step further: scores are parts-per-1e10 BIGINTs, each
+  // half-step renormalizes by the step's maximum via one truncating
+  // division (sa·1e10) div max(sa) — numerators in DECIMAL(38,0)/
+  // HUGEINT so N up to 10⁹ nodes can't overflow, non-negative so
+  // trunc = floor in both engines — and the normalizer arrives as a
+  // broadcast 1-row aggregate. Per half-step the plan is ONE equi-join
+  // (edges ⋈ scores, both hashed on the join side) + one partial+final
+  // agg by the other side — the Pregel superstep shape, no windows,
+  // no products beyond the 1-row normalizer.
+  // ------------------------------------------------------------------
+
+  private val graphHits = Q(
+    "graph_hits",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select(concat(lit("u:"), $"user_id".cast("string")).as("u"),
+          concat(lit("t:"), $"event_type").as("t"))
+        .distinct()
+      var hubs = edges.select($"u").distinct()
+        .select($"u", lit(Scale).as("h"))
+      var auths: DataFrame = null
+      for (_ <- 1 to 2) {
+        val araw = edges.join(hubs, "u").groupBy("t")
+          .agg(sum($"h".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sa"))
+        auths = araw.crossJoin(broadcast(araw.agg(max($"sa").as("ma"))))
+          .select($"t",
+            expr(s"((sa * $Scale) div ma)").cast("long").as("a"))
+        val hraw = edges.join(auths, "t").groupBy("u")
+          .agg(sum($"a".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sh"))
+        hubs = hraw.crossJoin(broadcast(hraw.agg(max($"sh").as("mh"))))
+          .select($"u",
+            expr(s"((sh * $Scale) div mh)").cast("long").as("h"))
+      }
+      auths.orderBy($"a".desc, $"t".asc).limit(10)
+        .select(lit("auth").as("side"), $"t".as("node"), $"a".as("score"))
+        .unionByName(hubs.orderBy($"h".desc, $"u".asc).limit(10)
+          .select(lit("hub").as("side"), $"u".as("node"), $"h".as("score")))
+        .orderBy($"side".asc, $"score".desc, $"node".asc)
+    },
+    Some("WITH ed AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u, " +
+      "'t:' || event_type AS t FROM events WHERE user_id IS NOT NULL), " +
+      "h0 AS (SELECT DISTINCT u, CAST(10000000000 AS BIGINT) AS h FROM ed), " +
+      "a1r AS (SELECT t, SUM(CAST(h0.h AS HUGEINT)) AS sa " +
+      "FROM ed JOIN h0 USING (u) GROUP BY 1), " +
+      "a1 AS (SELECT t, CAST((sa * 10000000000) // " +
+      "(SELECT MAX(sa) FROM a1r) AS BIGINT) AS a FROM a1r), " +
+      "h1r AS (SELECT u, SUM(CAST(a1.a AS HUGEINT)) AS sh " +
+      "FROM ed JOIN a1 USING (t) GROUP BY 1), " +
+      "h1 AS (SELECT u, CAST((sh * 10000000000) // " +
+      "(SELECT MAX(sh) FROM h1r) AS BIGINT) AS h FROM h1r), " +
+      "a2r AS (SELECT t, SUM(CAST(h1.h AS HUGEINT)) AS sa " +
+      "FROM ed JOIN h1 USING (u) GROUP BY 1), " +
+      "a2 AS (SELECT t, CAST((sa * 10000000000) // " +
+      "(SELECT MAX(sa) FROM a2r) AS BIGINT) AS a FROM a2r), " +
+      "h2r AS (SELECT u, SUM(CAST(a2.a AS HUGEINT)) AS sh " +
+      "FROM ed JOIN a2 USING (t) GROUP BY 1), " +
+      "h2 AS (SELECT u, CAST((sh * 10000000000) // " +
+      "(SELECT MAX(sh) FROM h2r) AS BIGINT) AS h FROM h2r) " +
+      "SELECT * FROM (" +
+      "(SELECT 'auth' AS side, t AS node, a AS score FROM a2 " +
+      "ORDER BY a DESC, t ASC LIMIT 10) " +
+      "UNION ALL " +
+      "(SELECT 'hub' AS side, u AS node, h AS score FROM h2 " +
+      "ORDER BY h DESC, u ASC LIMIT 10)) " +
+      "ORDER BY side ASC, score DESC, node ASC"))
+
   val qs: Seq[Q] = Seq(graphPagerank, graphComponentsStar, graphTriangleCount,
-    graphLabelPropagation, graphPprSeeded)
+    graphLabelPropagation, graphPprSeeded, graphHits)
 }

@@ -510,7 +510,7 @@ object LlmPipeline2 {
     * exploded components are 64× the corpus row count, the one relation
     * in the family that must never be read serially.
     */
-  private def quantizedComponents(s: SparkSession, d: String): DataFrame = {
+  private[ops] def quantizedComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.core.IndexCache(s, s"ivf-iq|$d", t(s, d, "embeddings")
       .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
@@ -2285,6 +2285,86 @@ object LlmPipeline2 {
       " AS sim FROM short JOIN e USING (vec_id), pv " +
       s"ORDER BY sim DESC, vec_id ASC LIMIT $k"
 
+  // ------------------------------------------------------------------
+  // multimodal_dedup_phash — perceptual-hash near-dup detection over
+  // the binary lake, the IMAGE sibling of dedup_simhash (text) and
+  // dedup_embedding_cosine (vectors): a 64-bit dHash — the classic
+  // difference hash, bit (r,c) = pixel(r,c) > pixel(r,c+1) over an
+  // 8×9 grayscale grid — banded into 4×16-bit chunks for candidate
+  // proposal, exact Hamming ≤ 3 dispose. The grid here reads the
+  // shared fake-decode digest nibbles where a real deployment's
+  // decoder UDF would emit the downscaled grayscale grid (this
+  // container ships no codecs); every stage around the fake — the
+  // signature fold, chunk banding, hot-chunk guard, band equi-join,
+  // bit_count dispose — is the real 100 TB plumbing: candidates are
+  // same-chunk pairs only (never all-pairs), ≤3 flipped bits leave ≥1
+  // of 4 chunks intact so banding is COMPLETE for the declared
+  // threshold, and the shuffle carries (doc_id, 64-bit hash), never
+  // pixels. Exact-duplicate assets collide on all four chunks and
+  // surface at distance 0.
+  // ------------------------------------------------------------------
+
+  private def phashSig(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bits = (1 to 64).map { j =>
+      val r = (j - 1) / 8; val c = (j - 1) % 8
+      val i1 = (r * 9 + c) % 32 + 1
+      val i2 = (r * 9 + c + 1) % 32 + 1
+      // j=64 is the sign bit; ascending fold accumulates positives
+      // first so the one negative addend cannot overflow under ANSI
+      val v = if (j == 64) lit(Long.MinValue) else lit(1L << (j - 1))
+      when(hexVal(substring($"digest", i1, 1)) >
+        hexVal(substring($"digest", i2, 1)), v).otherwise(lit(0L))
+    }
+    fakeDecoded(s, d).select($"doc_id", $"digest")
+      .select($"doc_id", bits.reduce(_ + _).as("phash"))
+  }
+
+  private val multimodalDedupPhash = Q(
+    "multimodal_dedup_phash",
+    (s, d) => {
+      import s.implicits._
+      val sig = Mat(s, phashSig(s, d), "phash-sig")
+      val chunks = sig.select($"doc_id", $"phash",
+        explode(array((0 to 3).map(k => struct(lit(k).as("k"),
+          shiftright($"phash", 16 * k).bitwiseAND(lit(65535L)).as("c"))): _*))
+          .as("kc"))
+        .select($"doc_id", $"phash", $"kc.k".as("k"), $"kc.c".as("c"))
+      val hot = chunks.groupBy("k", "c").agg(count(lit(1)).as("bn"))
+        .filter($"bn" > 100).select("k", "c")
+      val g = chunks.join(broadcast(hot), Seq("k", "c"), "left_anti")
+      g.select($"doc_id".as("doc_a"), $"phash".as("pa"), $"k", $"c")
+        .join(g.select($"doc_id".as("doc_b"), $"phash".as("pb"), $"k", $"c"),
+          Seq("k", "c"))
+        .filter($"doc_a" < $"doc_b")
+        .select("doc_a", "doc_b", "pa", "pb").distinct()
+        .select($"doc_a", $"doc_b",
+          bit_count($"pa".bitwiseXOR($"pb")).cast("long").as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val bits = (1 to 64).map { j =>
+        val r = (j - 1) / 8; val c = (j - 1) % 8
+        val i1 = (r * 9 + c) % 32 + 1
+        val i2 = (r * 9 + c + 1) % 32 + 1
+        val v = if (j == 64) "-9223372036854775807 - 1" else (1L << (j - 1)).toString
+        s"(CASE WHEN (${hexValSql(s"substring(digest, $i1, 1)")}) > " +
+          s"(${hexValSql(s"substring(digest, $i2, 1)")}) THEN $v ELSE 0 END)"
+      }.mkString(" + ")
+      "WITH p AS (SELECT doc_id, md5(text) AS digest FROM documents), " +
+        s"sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM p), " +
+        "ch AS (SELECT doc_id, phash, k, (phash >> (16 * k)) & 65535 AS c " +
+        "FROM sig, (SELECT unnest([0, 1, 2, 3]) AS k) ks), " +
+        "phot AS (SELECT k, c FROM ch GROUP BY 1, 2 HAVING count(*) > 100), " +
+        "pg AS (SELECT * FROM ch ANTI JOIN phot USING (k, c)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.phash AS pa, b.phash AS pb FROM pg a " +
+        "JOIN pg b ON a.k = b.k AND a.c = b.c AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming " +
+        "FROM cand WHERE bit_count(xor(pa, pb)) <= 3 ORDER BY 1, 2"
+    })
+
   val qs: Seq[Q] = Seq(
     dedupSimhash, dedupNgramJaccard, dedupEmbeddingCosine, simAnnLsh, simAnnIvf,
     indexPersist, simAnnPq, simAnnIvfPq, simAnnRecall, textLangId,
@@ -2292,5 +2372,5 @@ object LlmPipeline2 {
     sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
     dedupThresholdSweep, indexAppend, simAnnRange, dedupMinhashEstimate,
     simKnnClassify, evalLangidConfusion, auditEmbeddingCoverage,
-    multimodalFrameSample, simAnnMrr, simAnnSq8)
+    multimodalFrameSample, simAnnMrr, simAnnSq8, multimodalDedupPhash)
 }

@@ -2029,6 +2029,256 @@ object MlStatOps {
         "/ sqrt(var12 / 12.0)", 6) +
       " END AS z FROM f ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // stat_kruskal_wallis — Kruskal–Wallis H across the k event types:
+  // the rank-based (nonparametric) sibling of `stat_anova_oneway` —
+  // the test a curator reaches for when value distributions are too
+  // skewed for F. Tie-averaged GLOBAL ranks stay exact with the
+  // `stat_mann_whitney` doubling trick (2·rank is an integer), but
+  // here the rank is over the WHOLE sample, so the prefix count runs
+  // two-phase over the BOUNDED distinct-cents ledger: a keyed window
+  // inside coarse $10 buckets plus the broadcast prefixOffsets merge —
+  // no single-partition WindowExec anywhere, even over the ledger.
+  // Per-group 2·rank sums R2_g are exact DECIMAL(38,0); each group's
+  // R_g²/n_g term is integer-quantized at 10⁶ BEFORE the ≤k-row
+  // reduction (the ANOVA trick). Tie correction is exact: ΣT(m³−m)
+  // over the ledger, H_c = H·(N³−N)/(N³−N−ΣT) — the denominator
+  // computed in exact integers, the cube cast to double only at the
+  // final scalar formula, spelled identically in both engines. An
+  // all-tied sample (correction denominator 0) yields NULL, never a
+  // division error. Effect size ε² = H_c/(N−1).
+  // ------------------------------------------------------------------
+
+  private val statKruskalWallis = Q(
+    "stat_kruskal_wallis",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .select($"event_type".as("g"), round($"value" * 100).cast("long").as("c"))
+      val cnt = v.groupBy("c", "g").agg(count(lit(1)).as("mg"))
+      val led = cnt.groupBy("c").agg(sum($"mg").as("m"))
+        .withColumn("b", expr(Det.fdivExpr("c", "1000")))
+      // two-phase global prefix: keyed window within $10 buckets +
+      // broadcast bucket offsets (the interval_concurrency discipline)
+      val local = Window.partitionBy($"b").orderBy($"c".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"m").as("n")), "b")
+      val ranked = led
+        .withColumn("lprev", coalesce(sum($"m").over(local), lit(0L)))
+        .join(broadcast(offs), "b")
+        .select($"c", $"m", ($"lprev" + $"off").as("cprev"))
+      val grp = cnt.join(broadcast(ranked), "c")
+        .groupBy("g").agg(
+          sum($"mg").as("ng"),
+          sum($"mg".cast(Dec380) * (lit(2) * $"cprev" + $"m" + 1)).as("r2g"))
+        .withColumn("r2d", $"r2g".cast("double"))
+        .withColumn("tq",
+          floor($"r2d" * $"r2d" / (lit(4.0) * $"ng") * lit(1e6) + lit(0.5))
+            .cast(Dec380))
+      val ties = led.agg(
+        sum($"m".cast(Dec380) * $"m" * $"m" - $"m").as("ts3"))
+      grp.agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+          (sum($"tq").cast("double") / lit(1e6)).as("td"))
+        .crossJoin(ties)
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("h",
+          lit(12.0) * $"td" / ($"nd" * ($"nd" + 1)) - lit(3.0) * ($"nd" + 1))
+        .withColumn("tcd",
+          ($"n".cast(Dec380) * $"n" * $"n" - $"n" - $"ts3").cast("double"))
+        // ANSI raises DIVIDE_BY_ZERO even on doubles: the correction
+        // division only evaluates under the tcd > 0 guard
+        .withColumn("hc",
+          when($"tcd" > 0, $"h" * ($"nd" * $"nd" * $"nd" - $"nd") / $"tcd"))
+        .select($"k", $"n",
+          when($"k" > 1 && $"n" > 1 && $"tcd" > 0,
+            dround($"hc", 6)).as("h_stat"),
+          when($"k" > 1 && $"n" > 1 && $"tcd" > 0,
+            dround($"hc" / ($"nd" - 1), 6)).as("eps_sq"))
+    },
+    Some("WITH v AS (SELECT event_type AS g, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+      "cnt AS (SELECT c, g, CAST(count(*) AS BIGINT) AS mg " +
+      "FROM v GROUP BY 1, 2), " +
+      "led AS (SELECT c, CAST(SUM(mg) AS BIGINT) AS m FROM cnt GROUP BY 1), " +
+      "r AS (SELECT c, m, COALESCE(SUM(m) OVER (ORDER BY c ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev " +
+      "FROM led), " +
+      "grp AS (SELECT g, CAST(SUM(mg) AS BIGINT) AS ng, " +
+      "SUM(CAST(mg AS HUGEINT) * (2*cprev + m + 1)) AS r2g " +
+      "FROM cnt JOIN r USING (c) GROUP BY 1), " +
+      "g2 AS (SELECT ng, CAST(floor(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) " +
+      "/ (4.0 * ng) * 1e6 + 0.5) AS HUGEINT) AS tq FROM grp), " +
+      "ties AS (SELECT SUM(CAST(m AS HUGEINT)*m*m - m) AS ts3 FROM led), " +
+      "mm AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(tq) AS DOUBLE) / 1e6 AS td " +
+      "FROM g2), " +
+      "x AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, " +
+      "12.0 * td / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) " +
+      "- 3.0 * (CAST(n AS DOUBLE) + 1) AS h, " +
+      "CAST(CAST(n AS HUGEINT)*n*n - n - ts3 AS DOUBLE) AS tcd " +
+      "FROM mm, ties), " +
+      "y AS (SELECT k, n, nd, tcd, CASE WHEN tcd > 0 THEN " +
+      "h * (nd*nd*nd - nd) / tcd END AS hc FROM x) " +
+      "SELECT k, n, " +
+      "CASE WHEN k > 1 AND n > 1 AND tcd > 0 THEN " +
+      OSql.sround("hc", 6) + " END AS h_stat, " +
+      "CASE WHEN k > 1 AND n > 1 AND tcd > 0 THEN " +
+      OSql.sround("hc / (nd - 1)", 6) + " END AS eps_sq FROM y"))
+
+  // ------------------------------------------------------------------
+  // eval_mcnemar — McNemar's paired test comparing TWO classifiers on
+  // the SAME examples, the missing member of the eval family (the
+  // two-proportion z test compares independent arms; model A vs model
+  // B on one eval set is PAIRED, and only the discordant pairs carry
+  // information). Classifier A is the family's value-as-score rule
+  // (v ≥ $50); classifier B is a user-level prior — "this user's
+  // overall mean event value is ≥ $50" — spelled as the exact integer
+  // cross-multiplication Σv ≥ 5000·n (no float mean). The per-user
+  // profile is ONE fact-keyed shuffle join (both sides hash on
+  // user_id; at 100 TB the profile outgrows a broadcast, the
+  // co-keyed join is the honest linear plan); NULL-user rows keep
+  // classifier A and default B to "no" via the left join + coalesce.
+  // The 2×2 agreement table collapses MAP-SIDE to one row; the
+  // continuity-corrected statistic (|b−c|−1)²/(b+c) guards b=c=0 with
+  // NULL and floors |b−c|−1 at 0 so an exactly-tied table scores 0,
+  // not a spurious 1/(b+c).
+  // ------------------------------------------------------------------
+
+  private val evalMcnemar = Q(
+    "eval_mcnemar",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"user_id",
+          ($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+      val prof = e.filter($"user_id".isNotNull)
+        .groupBy("user_id").agg(
+          sum($"v".cast(Dec380)).as("sv"), count(lit(1)).as("nu"))
+      val j = e.join(prof, Seq("user_id"), "left_outer")
+        .withColumn("pa", ($"v" >= 5000).cast("long"))
+        .withColumn("pb",
+          coalesce(($"sv" >= $"nu".cast(Dec380) * 5000).cast("long"), lit(0L)))
+        .withColumn("ca", ($"pa" === $"y").cast("long"))
+        .withColumn("cb", ($"pb" === $"y").cast("long"))
+      j.agg(
+          count(lit(1)).as("n"),
+          sum($"ca" * $"cb").as("n11"),
+          sum($"ca" * (lit(1) - $"cb")).as("n10"),
+          sum((lit(1) - $"ca") * $"cb").as("n01"),
+          sum((lit(1) - $"ca") * (lit(1) - $"cb")).as("n00"))
+        .select($"n", $"n11", $"n10", $"n01", $"n00",
+          dround(($"n11" + $"n10").cast("double") / $"n", 6).as("acc_a"),
+          dround(($"n11" + $"n01").cast("double") / $"n", 6).as("acc_b"),
+          when($"n10" + $"n01" > 0,
+            dround(greatest(abs($"n10" - $"n01") - 1, lit(0L)).cast("double")
+              * greatest(abs($"n10" - $"n01") - 1, lit(0L))
+              / ($"n10" + $"n01"), 6)).as("chi2_cc"))
+    },
+    Some("WITH e AS (SELECT user_id, " +
+      "CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "prof AS (SELECT user_id, SUM(CAST(v AS HUGEINT)) AS sv, " +
+      "CAST(count(*) AS BIGINT) AS nu FROM e " +
+      "WHERE user_id IS NOT NULL GROUP BY 1), " +
+      "jj AS (SELECT e.y, CAST(e.v >= 5000 AS BIGINT) AS pa, " +
+      "COALESCE(CAST(prof.sv >= CAST(prof.nu AS HUGEINT) * 5000 AS BIGINT), 0) " +
+      "AS pb FROM e LEFT JOIN prof ON e.user_id = prof.user_id), " +
+      "cc AS (SELECT CAST(pa = y AS BIGINT) AS ca, " +
+      "CAST(pb = y AS BIGINT) AS cb FROM jj), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(ca * cb) AS BIGINT) AS n11, " +
+      "CAST(SUM(ca * (1 - cb)) AS BIGINT) AS n10, " +
+      "CAST(SUM((1 - ca) * cb) AS BIGINT) AS n01, " +
+      "CAST(SUM((1 - ca) * (1 - cb)) AS BIGINT) AS n00 FROM cc) " +
+      "SELECT n, n11, n10, n01, n00, " +
+      OSql.sround("CAST(n11 + n10 AS DOUBLE) / n", 6) + " AS acc_a, " +
+      OSql.sround("CAST(n11 + n01 AS DOUBLE) / n", 6) + " AS acc_b, " +
+      "CASE WHEN n10 + n01 > 0 THEN " +
+      OSql.sround("CAST(GREATEST(abs(n10 - n01) - 1, 0) AS DOUBLE) " +
+        "* GREATEST(abs(n10 - n01) - 1, 0) / (n10 + n01)", 6) +
+      " END AS chi2_cc FROM t"))
+
+  // ------------------------------------------------------------------
+  // stat_jarque_bera — Jarque–Bera normality test per event type: the
+  // moment-based gate (JB = n/6·(g1² + g2²/4), g1 = skewness, g2 =
+  // excess kurtosis) a curator runs before reaching for z-scores or
+  // t-tests that ASSUME normality — heavy-tailed value distributions
+  // (g2 ≫ 0) send you to the rank-based siblings (mann_whitney,
+  // kruskal_wallis) instead. One map-side pass collapses the fact to
+  // exact DECIMAL(38,0)/HUGEINT power sums S1..S4 per type; the
+  // variance numerator m2n = n·S2 − S1² stays an exact integer (≤
+  // ~10³⁴ even at 10¹² rows/group — it survives 100 TB and drives
+  // the constant-series guard), while the m3/m4 numerators (n²·S3
+  // and n³·S4 would overflow both DECIMAL(38) and int128 long before
+  // that) are ONE double formula each over the casted exact integers,
+  // spelled identically in both engines (IEEE mult/add make that
+  // bit-reproducible). The 1.5-power is m2·sqrt(m2) — sqrt is
+  // correctly rounded everywhere; libm pow is not. A constant series
+  // (m2n = 0) yields NULL stats under the guard, never a division
+  // error.
+  // ------------------------------------------------------------------
+
+  private val statJarqueBera = Q(
+    "stat_jarque_bera",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      val m = v.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"c".cast(Dec380)).as("s1"),
+        sum($"c".cast(Dec380) * $"c").as("s2"),
+        sum($"c".cast(Dec380) * $"c" * $"c").as("s3"),
+        sum($"c".cast(Dec380) * $"c" * $"c" * $"c").as("s4"))
+      val nd = $"n".cast("double")
+      val s1d = $"s1".cast("double"); val s2d = $"s2".cast("double")
+      val s3d = $"s3".cast("double"); val s4d = $"s4".cast("double")
+      val withM = m
+        .withColumn("m2n", ($"n".cast(Dec380) * $"s2" - $"s1" * $"s1"))
+        .withColumn("m2d", $"m2n".cast("double"))
+        .withColumn("m3d",
+          nd * nd * s3d - lit(3.0) * nd * s1d * s2d +
+            lit(2.0) * s1d * s1d * s1d)
+        .withColumn("m4d",
+          nd * nd * nd * s4d - lit(4.0) * nd * nd * s1d * s3d +
+            lit(6.0) * nd * s1d * s1d * s2d - lit(3.0) * s1d * s1d * s1d * s1d)
+        .withColumn("g1",
+          when($"m2n" > 0, $"m3d" / ($"m2d" * sqrt($"m2d"))))
+        .withColumn("g2",
+          when($"m2n" > 0, $"m4d" / ($"m2d" * $"m2d") - lit(3.0)))
+      withM.select($"event_type", $"n",
+          dround($"g1", 6).as("skewness"),
+          dround($"g2", 6).as("kurtosis_excess"),
+          dround(nd / lit(6.0) * ($"g1" * $"g1" + $"g2" * $"g2" / lit(4.0)), 6)
+            .as("jb_stat"))
+        .orderBy("event_type")
+    },
+    Some("WITH v AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+      "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "SUM(CAST(c AS HUGEINT)) AS s1, SUM(CAST(c AS HUGEINT)*c) AS s2, " +
+      "SUM(CAST(c AS HUGEINT)*c*c) AS s3, " +
+      "SUM(CAST(c AS HUGEINT)*c*c*c) AS s4 FROM v GROUP BY 1), " +
+      "x AS (SELECT event_type, n, " +
+      "CAST(n AS HUGEINT)*s2 - s1*s1 AS m2n, " +
+      "CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d, " +
+      "CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d, " +
+      "CAST(s4 AS DOUBLE) AS s4d FROM m), " +
+      "y AS (SELECT event_type, n, nd, m2n, CAST(m2n AS DOUBLE) AS m2d, " +
+      "nd*nd*s3d - 3.0*nd*s1d*s2d + 2.0*s1d*s1d*s1d AS m3d, " +
+      "nd*nd*nd*s4d - 4.0*nd*nd*s1d*s3d + 6.0*nd*s1d*s1d*s2d " +
+      "- 3.0*s1d*s1d*s1d*s1d AS m4d FROM x), " +
+      "z AS (SELECT event_type, n, nd, " +
+      "CASE WHEN m2n > 0 THEN m3d / (m2d * sqrt(m2d)) END AS g1, " +
+      "CASE WHEN m2n > 0 THEN m4d / (m2d * m2d) - 3.0 END AS g2 FROM y) " +
+      "SELECT event_type, n, " +
+      OSql.sround("g1", 6) + " AS skewness, " +
+      OSql.sround("g2", 6) + " AS kurtosis_excess, " +
+      OSql.sround("nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)", 6) +
+      " AS jb_stat FROM z ORDER BY event_type"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2041,7 +2291,8 @@ object MlStatOps {
     statCohensD, evalMcc, sampleNeymanAlloc, evalBrierScore, evalLogLoss,
     evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles,
     statTostEquivalence, evalYoudenThreshold, statKendallTau,
-    statProportionsZtest, statWilcoxonSignedRank)
+    statProportionsZtest, statWilcoxonSignedRank, statKruskalWallis,
+    evalMcnemar, statJarqueBera)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

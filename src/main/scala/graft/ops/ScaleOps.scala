@@ -1289,10 +1289,163 @@ object ScaleOps {
       "FROM grp, (SELECT count(*) AS ne FROM events) t " +
       "WHERE t.ne > 0 GROUP BY t.ne"))
 
+  // ------------------------------------------------------------------
+  // agg_cms_estimate — COUNT-MIN SKETCH point estimates for the top-10
+  // users, completing the sketch triad (HLL = cardinality, Misra-Gries
+  // = membership above threshold, CMS = per-key frequency): a 4×256
+  // counter grid, each row hashed into one bucket per depth with a
+  // deterministic md5-derived hash (two hex digits → 0..255, the
+  // stat_bootstrap_ci digit trick — no RNG state, identical in both
+  // engines). The sketch build is the scale point: the 4× depth
+  // explode collapses MAP-SIDE to ≤4·256 cells per partition, so the
+  // exchange carries a ≤1024-row ledger REGARDLESS of corpus size —
+  // the per-user exact groupBy (needed here only as the comparison
+  // baseline) shuffles the whole user universe; the sketch never does.
+  // Probes re-derive their 4 buckets and take min over depths against
+  // the broadcast ledger. CMS guarantees est ≥ exact structurally
+  // (every occurrence lands in all 4 probed cells); the overcount
+  // column makes the collision error visible and hash-pinned.
+  // ------------------------------------------------------------------
+
+  private def cmsHashExpr(dep: String, id: String): String =
+    s"(instr('0123456789abcdef', substring(md5(concat(cast($dep as string), " +
+      s"':', cast($id as string))), 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substring(md5(concat(cast($dep as string), " +
+      s"':', cast($id as string))), 2, 1)) - 1"
+
+  private val aggCmsEstimate = Q(
+    "agg_cms_estimate",
+    (s, d) => {
+      import s.implicits._
+      val u = Tables.events(s, d)
+        .filter($"user_id".isNotNull).select($"user_id")
+      val cells = u
+        .withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .withColumn("h", expr(cmsHashExpr("dep", "user_id")))
+        .groupBy("dep", "h").agg(count(lit(1)).as("cnt"))
+      val top = u.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"user_id".asc).limit(10)
+      top.withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .withColumn("h", expr(cmsHashExpr("dep", "user_id")))
+        .join(broadcast(cells), Seq("dep", "h"))
+        .groupBy("user_id", "exact_cnt").agg(min($"cnt").as("cms_est"))
+        .select($"user_id", $"exact_cnt", $"cms_est",
+          ($"cms_est" - $"exact_cnt").as("overcount"))
+        .orderBy($"exact_cnt".desc, $"user_id".asc)
+    },
+    Some {
+      def h(dep: String, id: String): String =
+        s"(strpos('0123456789abcdef', substring(md5(CAST($dep AS VARCHAR) " +
+          s"|| ':' || CAST($id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substring(md5(CAST($dep AS VARCHAR) " +
+          s"|| ':' || CAST($id AS VARCHAR)), 2, 1)) - 1"
+      "WITH u AS (SELECT user_id FROM events WHERE user_id IS NOT NULL), " +
+        "dd AS (SELECT unnest(generate_series(0, 3)) AS dep), " +
+        "cells AS (SELECT dep, " + h("dep", "user_id") + " AS h, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM u CROSS JOIN dd GROUP BY 1, 2), " +
+        "ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt " +
+        "FROM u GROUP BY 1), " +
+        "top AS (SELECT * FROM ex ORDER BY exact_cnt DESC, user_id ASC " +
+        "LIMIT 10), " +
+        "pr AS (SELECT top.user_id, top.exact_cnt, dd.dep, " +
+        h("dd.dep", "top.user_id") + " AS h FROM top CROSS JOIN dd), " +
+        "pe AS (SELECT pr.user_id, pr.exact_cnt, " +
+        "CAST(MIN(cells.cnt) AS BIGINT) AS cms_est FROM pr " +
+        "JOIN cells ON cells.dep = pr.dep AND cells.h = pr.h GROUP BY 1, 2) " +
+        "SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount " +
+        "FROM pe ORDER BY exact_cnt DESC, user_id ASC"
+    })
+
+  // ------------------------------------------------------------------
+  // agg_bloom_membership — BLOOM FILTER membership over the user
+  // universe, the fourth member of the sketch family (HLL =
+  // cardinality, Misra-Gries = heavy membership, CMS = frequency,
+  // Bloom = set membership with one-sided error): m = 4096 bits,
+  // k = 4 hashes, each hash three md5 hex digits (the CMS digit
+  // trick — deterministic, zero RNG state, identical in both
+  // engines). The filter build is the scale point: set bits collapse
+  // to a DISTINCT ≤4096-row ledger — map-side, so the exchange
+  // carries ≤m cells per partition regardless of corpus size — and
+  // probes join that ledger by BROADCAST. The probe set is the
+  // present universe plus 100 synthesized absent ids (max_id+1..+100):
+  // zero false negatives is the Bloom guarantee and is hash-pinned
+  // (n_false_neg must be 0); false positives on the absent probes
+  // make the filter's one-sided error visible and hash-checked.
+  // ------------------------------------------------------------------
+
+  private def bloomHashExpr(dep: String, id: String): String = {
+    val m = s"md5(concat(cast($dep as string), ':', cast($id as string)))"
+    s"((instr('0123456789abcdef', substring($m, 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substring($m, 2, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substring($m, 3, 1)) - 1"
+  }
+
+  private val aggBloomMembership = Q(
+    "agg_bloom_membership",
+    (s, d) => {
+      import s.implicits._
+      val u = Tables.events(s, d)
+        .filter($"user_id".isNotNull).select($"user_id").distinct()
+      val bits = u.withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .select(expr(bloomHashExpr("dep", "user_id")).as("bit")).distinct()
+      val absent = u.agg(max($"user_id").as("mx"))
+        .select(explode(sequence($"mx" + 1, $"mx" + 100)).as("probe_id"))
+      val probes = u.select($"user_id".as("probe_id"), lit(1L).as("present"))
+        .unionByName(absent.select($"probe_id", lit(0L).as("present")))
+      val checked = probes
+        .withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .withColumn("bit", expr(bloomHashExpr("dep", "probe_id")))
+        .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"),
+          "left_outer")
+        .groupBy($"probe_id", $"present")
+        .agg(sum(coalesce($"hit", lit(0L))).as("nhits"))
+        .withColumn("bpos", ($"nhits" === 4).cast("long"))
+      checked.agg(
+          sum($"present").as("n_present"),
+          sum(lit(1) - $"present").as("n_absent"),
+          sum($"present" * $"bpos").as("bloom_pos_present"),
+          sum($"present" * (lit(1) - $"bpos")).as("n_false_neg"),
+          sum((lit(1) - $"present") * $"bpos").as("n_false_pos"))
+        .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+        .select($"n_present", $"n_absent", $"n_bits_set",
+          $"bloom_pos_present", $"n_false_neg", $"n_false_pos")
+    },
+    Some {
+      def h(dep: String, id: String): String = {
+        val m = s"md5(CAST($dep AS VARCHAR) || ':' || CAST($id AS VARCHAR))"
+        s"((strpos('0123456789abcdef', substring($m, 1, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substring($m, 2, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substring($m, 3, 1)) - 1"
+      }
+      "WITH u AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE user_id IS NOT NULL), " +
+        "dd AS (SELECT unnest(generate_series(0, 3)) AS dep), " +
+        "bits AS (SELECT DISTINCT " + h("dep", "user_id") + " AS bit " +
+        "FROM u CROSS JOIN dd), " +
+        "ab AS (SELECT unnest(generate_series(mx + 1, mx + 100)) AS probe_id " +
+        "FROM (SELECT MAX(user_id) AS mx FROM u)), " +
+        "pr AS (SELECT user_id AS probe_id, 1 AS present FROM u " +
+        "UNION ALL SELECT probe_id, 0 AS present FROM ab), " +
+        "ck AS (SELECT pr.probe_id, pr.present, " +
+        "CAST(SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS nhits FROM pr CROSS JOIN dd " +
+        "LEFT JOIN bits ON bits.bit = " + h("dd.dep", "pr.probe_id") + " " +
+        "GROUP BY 1, 2), " +
+        "cf AS (SELECT probe_id, present, " +
+        "CASE WHEN nhits = 4 THEN 1 ELSE 0 END AS bpos FROM ck) " +
+        "SELECT CAST(SUM(present) AS BIGINT) AS n_present, " +
+        "CAST(SUM(1 - present) AS BIGINT) AS n_absent, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set, " +
+        "CAST(SUM(present * bpos) AS BIGINT) AS bloom_pos_present, " +
+        "CAST(SUM(present * (1 - bpos)) AS BIGINT) AS n_false_neg, " +
+        "CAST(SUM((1 - present) * bpos) AS BIGINT) AS n_false_pos FROM cf"
+    })
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
     aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct,
-    scanParquetZstd, scanKplDeaggregate, replayDlqRedrive)
+    scanParquetZstd, scanKplDeaggregate, replayDlqRedrive, aggCmsEstimate,
+    aggBloomMembership)
 }

@@ -536,9 +536,85 @@ object SeqOps {
         " AS p_stationary FROM p12 ORDER BY 1"
     })
 
+  // ------------------------------------------------------------------
+  // join_interval_overlap — INTERVAL-OVERLAP JOIN ("which user
+  // sessions did each incident touch"): 30-minute-gap user sessions
+  // [first_ms, last_ms+1) joined against 2-hour incident windows (one
+  // per hour containing an error event) on the HALF-OPEN overlap
+  // predicate s.s < i.e AND i.s < s.e. A theta join is a cross
+  // product; the scale plan is the GRID trick:
+  //   - both interval sets explode into the 1-hour bins they cover
+  //     (an incident covers exactly 2; a session Σduration/1h + 1);
+  //   - the join becomes a hash EQUI-join on the bin — candidates are
+  //     same-bin pairs only, and the incident-bin side is calendar-
+  //     bounded so it BROADCASTS: the session side never shuffles;
+  //   - each overlapping pair is counted EXACTLY ONCE without any
+  //     distinct: the overlap start max(s.s, i.s) lies inside both
+  //     intervals, so only the bin containing it owns the pair.
+  // Sessionization runs over DISTINCT (user, ms) so window ties
+  // cannot split a session nondeterministically. The oracle is the
+  // naive theta join; the hash match proves grid ≡ theta.
+  // ------------------------------------------------------------------
+
+  private val joinIntervalOverlap = Q(
+    "join_interval_overlap",
+    (s, d) => {
+      import s.implicits._
+      val H = 3600000L
+      val um = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ms".isNotNull)
+        .select($"user_id", $"ms").distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc)
+      val run = Window.partitionBy($"user_id").orderBy($"ms".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = um
+        .withColumn("is_new",
+          when(lag($"ms", 1).over(w).isNull ||
+            $"ms" - lag($"ms", 1).over(w) > 1800000L, 1L).otherwise(0L))
+        .withColumn("sid", sum($"is_new").over(run))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"ms").as("ss"), (max($"ms") + 1L).as("se"))
+      val inc = Tables.events(s, d)
+        .filter($"event_type" === "error" && $"ms".isNotNull)
+        .select(expr(Det.fdivExpr("ms", "3600000")).as("hr")).distinct()
+        .select($"hr", ($"hr" * H).as("is_"), (($"hr" + 2L) * H).as("ie"))
+      // incident [hr·H, (hr+2)·H) covers exactly bins hr and hr+1
+      val incBins = inc.select($"hr", $"is_", $"ie",
+        explode(array($"hr", $"hr" + 1L)).as("bin"))
+      val sessBins = sess.select($"ss", $"se",
+        explode(sequence(expr(Det.fdivExpr("ss", "3600000")),
+          expr(Det.fdivExpr("se - 1", "3600000")))).as("bin"))
+      sessBins.join(broadcast(incBins), Seq("bin"))
+        .filter($"ss" < $"ie" && $"is_" < $"se" &&
+          $"bin" === expr(Det.fdivExpr("greatest(ss, is_)", "3600000")))
+        .groupBy($"hr".as("incident_hr"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(least($"se", $"ie") - greatest($"ss", $"is_"))
+            .cast("long").as("overlap_ms"))
+        .orderBy("incident_hr")
+    },
+    Some("WITH um AS (SELECT DISTINCT user_id, epoch_ms(ts) AS ms FROM events " +
+      "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "f AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER w IS NULL " +
+      "OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new " +
+      "FROM um WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC)), " +
+      "g AS (SELECT user_id, ms, SUM(is_new) OVER (PARTITION BY user_id " +
+      "ORDER BY ms ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
+      "FROM f), " +
+      "sess AS (SELECT user_id, sid, MIN(ms) AS ss, MAX(ms) + 1 AS se " +
+      "FROM g GROUP BY 1, 2), " +
+      "inc AS (SELECT DISTINCT epoch_ms(ts) // 3600000 AS hr FROM events " +
+      "WHERE event_type = 'error' AND ts IS NOT NULL), " +
+      "iv AS (SELECT hr, hr * 3600000 AS is_, (hr + 2) * 3600000 AS ie FROM inc) " +
+      "SELECT iv.hr AS incident_hr, count(*) AS n_sessions, " +
+      "CAST(SUM(LEAST(sess.se, iv.ie) - GREATEST(sess.ss, iv.is_)) AS BIGINT) " +
+      "AS overlap_ms " +
+      "FROM iv JOIN sess ON sess.ss < iv.ie AND iv.is_ < sess.se " +
+      "GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     seqGapIslands, markovTransitions, intervalConcurrency,
     funnelTimeToConvert, anomalyZscore, aggHistogramEquidepth,
     funnelAbandonment, seqStreakLongest, seqInterarrivalStats,
-    anomalyMad, seqMarkovStationary)
+    anomalyMad, seqMarkovStationary, joinIntervalOverlap)
 }

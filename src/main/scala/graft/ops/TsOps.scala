@@ -1134,11 +1134,76 @@ object TsOps {
       "FROM c JOIN best ON best.event_type = c.event_type AND best.bi = c.i " +
       "ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // ts_seasonal_anomaly — SEASONALITY-ADJUSTED anomaly detection over
+  // the shared hourly grid: subtract each type's hour-of-day seasonal
+  // mean, then flag hours whose residual sits more than 3σ from the
+  // residual mean. The missing member of the anomaly family: zscore /
+  // MAD / Tukey fence all compare against the RAW level, so the 3 am
+  // lull reads as an anomaly every single day; Hampel follows the
+  // local level but a one-off spike INSIDE a normal-looking hour of a
+  // high-variance daypart escapes it. Determinism: the seasonal mean
+  // is the truncated integer sh div nh (≤1-cent quantization, floor =
+  // trunc on these non-negatives... sums can be negative — both
+  // engines truncate identically on the same exact integers), so the
+  // residual rq is an exact integer; the 3σ test is the fully
+  // cross-multiplied (n·rq − S)² > 9·(n·Q − S²) — ZERO divisions, no
+  // σ materialized, immune to ANSI divide-by-zero on constant series.
+  // Scale: the profile is a ≤24·|types| broadcast, the residual and
+  // moment passes run over the calendar-bounded hourly grid, and the
+  // one fact-scale stage is the shared map-side hourly collapse.
+  // ------------------------------------------------------------------
+
+  private val tsSeasonalAnomaly = Q(
+    "ts_seasonal_anomaly",
+    (s, d) => {
+      import s.implicits._
+      val Dec38i = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hd = hourlyCents(s, d).withColumn("hod", pmod($"h", lit(24L)))
+      val prof = hd.groupBy("event_type", "hod")
+        .agg(sum($"v".cast(Dec38i)).as("sh"), count(lit(1)).as("nh"))
+      val r = hd.join(broadcast(prof), Seq("event_type", "hod"))
+        .select($"event_type", $"h",
+          ($"v".cast(Dec38i) - expr(Det.fdivExpr("sh", "nh"))).as("rq"))
+      val mom = r.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum($"rq").as("ss"),
+        sum($"rq" * $"rq").as("qq"))
+      r.join(broadcast(mom), "event_type")
+        .withColumn("dev", $"n" * $"rq" - $"ss")
+        .withColumn("is_out",
+          ($"dev" * $"dev" > lit(9) * ($"n" * $"qq" - $"ss" * $"ss"))
+            .cast("long"))
+        .groupBy("event_type").agg(
+          max($"n").as("n_hours"),
+          sum($"is_out").as("n_outliers"),
+          dround(max(abs($"dev")).cast("double") / max($"n"), 4)
+            .as("worst_dev_cents"))
+        .orderBy("event_type")
+    },
+    Some("WITH " + hourlyCtes + ", " +
+      "hd AS (SELECT event_type, h, ((h % 24) + 24) % 24 AS hod, v " +
+      "FROM hourly), " +
+      "bs AS (SELECT event_type, hod, SUM(CAST(v AS HUGEINT)) AS sh, " +
+      "count(*) AS nh FROM hd GROUP BY 1, 2), " +
+      "r AS (SELECT hd.event_type, hd.h, " +
+      "CAST(hd.v AS HUGEINT) - (bs.sh // bs.nh) AS rq FROM hd " +
+      "JOIN bs ON bs.event_type = hd.event_type AND bs.hod = hd.hod), " +
+      "mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "SUM(rq) AS ss, SUM(rq * rq) AS qq FROM r GROUP BY 1), " +
+      "x AS (SELECT r.event_type, mom.n, mom.n * r.rq - mom.ss AS dev, " +
+      "mom.n * mom.qq - mom.ss * mom.ss AS varn " +
+      "FROM r JOIN mom USING (event_type)) " +
+      "SELECT event_type, MAX(n) AS n_hours, " +
+      "CAST(SUM(CASE WHEN dev*dev > 9*varn THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_outliers, " +
+      OSql.sround("CAST(MAX(abs(dev)) AS DOUBLE) / MAX(n)", 4) +
+      " AS worst_dev_cents FROM x GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
-    tsHoltForecast)
+    tsHoltForecast, tsSeasonalAnomaly)
 }

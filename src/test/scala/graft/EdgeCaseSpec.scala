@@ -1322,4 +1322,193 @@ class EdgeCaseSpec extends SparkSpec {
     assert(cands(doubled) === 2 * nBase,
       "candidates must double with the corpus, not quadruple")
   }
+
+  test("sliding distinct merges ≤6-day gaps and splits 7-day gaps into disjoint cover") {
+    val dns = (day: Long) => day * 86400000L * 1000000L
+    // A: days {0, 6} — gap 6 merges into one island covering 0..12;
+    // B: day {0} only; C: day {20}; D: days {30, 37} — gap 7 SPLITS:
+    // if the two islands wrongly overlapped, day 37 would count D twice
+    val rows = Seq(
+      (1L, dns(0), 10L, "t", 1.0, "{}"), (2L, dns(6), 10L, "t", 1.0, "{}"),
+      (3L, dns(0), 20L, "t", 1.0, "{}"), (4L, dns(20), 30L, "t", 1.0, "{}"),
+      (5L, dns(30), 40L, "t", 1.0, "{}"), (6L, dns(37), 40L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // a NULL-user row is invisible to the distinct count on both sides
+    val nullUser = Seq((7L, dns(6), "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "event_type", "value", "props")
+      .withColumn("user_id", org.apache.spark.sql.functions.lit(null)
+        .cast("long"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> rows.union(nullUser))
+    val got = run("window_sliding_distinct", dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 6L -> 2L, 20L -> 1L, 30L -> 1L, 37L -> 1L))
+  }
+
+  test("interval overlap counts half-open session×incident pairs exactly once") {
+    val ns = (ms: Long) => ms * 1000000L
+    // error at ms 0 → incident hour 0 = [0, 7_200_000).
+    // u10: events at 0 and 1_800_000 (gap exactly 30 min merges) →
+    //   one session [0, 1_800_001), overlap 1_800_001 ms;
+    // u20: events at 0 and 1_800_001 (gap 30 min + 1 splits) → two
+    //   1 ms sessions, both inside the incident;
+    // u30: event at −1 → session [−1, 0) ends AT the incident start:
+    //   half-open means NO overlap — a closed spelling would count it.
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(0L), 10L, "error", 1.0, "{}"),
+      (2L, ns(1800000L), 10L, "t", 1.0, "{}"),
+      (3L, ns(0L), 20L, "t", 1.0, "{}"),
+      (4L, ns(1800001L), 20L, "t", 1.0, "{}"),
+      (5L, ns(-1L), 30L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("join_interval_overlap", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(0L -> ((3L, 1800003L))))
+  }
+
+  test("centroid drift is 1 for the global-direction source; orphans stay out") {
+    // a ∥ [1,0], b ∥ [0,1], c ∥ [1,1] = the global direction ⇒ c
+    // drifts not at all (cos 1.0) while a and b sit at 45° (1/√2).
+    // Vec 99 has no document and doc 4 has no vector: neither may
+    // leak into the global centroid or the output.
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "source")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f)), (99L, Seq(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = stageTables("documents" -> docs, "embeddings" -> embs)
+    val got = run("embedding_centroid_drift", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      "a" -> ((1L, 0.707107)), "b" -> ((1L, 0.707107)), "c" -> ((1L, 1.0))))
+  }
+
+  test("kruskal-wallis matches the textbook closed form and NULLs on all ties") {
+    // groups a={1¢,2¢}, b={3¢,4¢}: ranks a={1,2}, b={3,4}, no ties ⇒
+    // S = (3² + 7²)/2 = 29, H = 12/(4·5)·29 − 3·5 = 2.4, ε² = H/3 = 0.8
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "a", 0.01, "{}"), (2L, 0L, 1L, "a", 0.02, "{}"),
+      (3L, 0L, 1L, "b", 0.03, "{}"), (4L, 0L, 1L, "b", 0.04, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_kruskal_wallis", dir).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 2.4 && r.getDouble(3) === 0.8)
+    // every value identical ⇒ tie correction denominator N³−N−ΣT = 0:
+    // the statistic is undefined and must surface NULL, not an error
+    val tied = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "a", 0.05, "{}"), (2L, 0L, 1L, "b", 0.05, "{}"),
+      (3L, 0L, 1L, "b", 0.05, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val t = run("stat_kruskal_wallis", tied).collect().head
+    assert(t.isNullAt(2) && t.isNullAt(3))
+  }
+
+  test("mcnemar pairs per row, defaults NULL users to B=no, floors the correction") {
+    // A = (v ≥ $50); B = (user mean ≥ $50).
+    // u1 ($60 purchase, $10 view): mean $35 ⇒ B=no ⇒ rows → n10, n11;
+    // u2 ($40 purchase): B=no ⇒ n00; u3 ($70 view): B=yes ⇒ n00;
+    // u4 ($30 purchase + $80 view): mean $55 ⇒ B=yes ⇒ n01, n00;
+    // NULL user ($20 view): B defaults no, A no, y=0 ⇒ n11.
+    val rows = Seq(
+      (1L, 0L, 1L, "purchase", 60.0, "{}"), (2L, 0L, 1L, "view", 10.0, "{}"),
+      (3L, 0L, 2L, "purchase", 40.0, "{}"), (4L, 0L, 3L, "view", 70.0, "{}"),
+      (5L, 0L, 4L, "purchase", 30.0, "{}"), (6L, 0L, 4L, "view", 80.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nullUser = Seq((7L, 0L, "view", 20.0, "{}"))
+      .toDF("event_id", "ts", "event_type", "value", "props")
+      .withColumn("user_id",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> rows.union(nullUser))
+    val r = run("eval_mcnemar", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((7L, 2L, 1L, 1L, 3L)))
+    assert(r.getDouble(5) === 0.428571 && r.getDouble(6) === 0.428571)
+    // n10 = n01 = 1: |b−c|−1 floors at 0 ⇒ χ² = 0, never 1/(b+c)
+    assert(r.getDouble(7) === 0.0)
+  }
+
+  test("hits crowns the star centers: broad user tops hubs, shared type tops authorities") {
+    // u1 touches every type (the hub); every user touches a (the
+    // authority). After each renormalized half-step the max-scoring
+    // node carries exactly Scale = 1e10; symmetric spokes must tie.
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "a", 1.0, "{}"), (2L, 0L, 1L, "b", 1.0, "{}"),
+      (3L, 0L, 1L, "c", 1.0, "{}"), (4L, 0L, 2L, "a", 1.0, "{}"),
+      (5L, 0L, 3L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("graph_hits", dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length === 6)
+    val auths = got.filter(_._1 == "auth")
+    val hubs = got.filter(_._1 == "hub")
+    assert(auths.head === (("auth", "t:a", 10000000000L)),
+      "the type every user touches must top the authority side at Scale")
+    assert(hubs.head === (("hub", "u:1", 10000000000L)),
+      "the user touching every type must top the hub side at Scale")
+    val Seq(b, c) = auths.tail.map(_._3).toSeq
+    assert(b === c && b < 10000000000L, "symmetric spoke types must tie below")
+    val Seq(u2, u3) = hubs.tail.map(_._3).toSeq
+    assert(u2 === u3 && u2 < 10000000000L, "symmetric spoke users must tie below")
+  }
+
+  test("phash surfaces exact dupes at distance 0 and the hot-chunk guard mutes mega-clusters") {
+    // three byte-identical payloads share the md5 digest, hence the
+    // dHash: all three pairs surface at Hamming 0; the two singleton
+    // docs sit ~32 bits from everything and propose nothing
+    val docs = Seq(
+      (1L, "en", "dup dup dup"), (2L, "en", "dup dup dup"),
+      (3L, "en", "dup dup dup"), (4L, "en", "alpha unique payload"),
+      (5L, "en", "beta other payload"))
+      .toDF("doc_id", "lang", "text")
+    val got = run("multimodal_dedup_phash", stageTables("documents" -> docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
+    // 150 identical assets heat every chunk past the 100-member guard:
+    // the banding stage must suppress the quadratic cluster, not emit
+    // 150·149/2 pairs
+    val mega = (1L to 150L).map(i => (i, "en", "same same same"))
+      .toDF("doc_id", "lang", "text")
+    assert(run("multimodal_dedup_phash", stageTables("documents" -> mega))
+      .count() === 0L)
+  }
+
+  test("seasonal anomaly ignores the daily cycle, flags the planted spike, survives constants") {
+    val hns = (h: Long) => h * 3600000L * 1000000L
+    // "s": a strong 12h-on/12h-off daily cycle repeated 4 days — raw
+    // z-scores alarm every lull; the seasonal residuals are all zero.
+    // "x": flat $1 except one $1000 spike — exactly that hour flags
+    // (with 4 days the diluted same-hod residuals stay inside 3σ).
+    // "c": constant series — varn = 0 must yield zero outliers, not a
+    // division error.
+    val rows =
+      (0L until 96L).map(h => (1000L + h, hns(h), 1L, "s",
+        if (h % 24 < 12) 5.0 else 1.0, "{}")) ++
+      (0L until 96L).map(h => (2000L + h, hns(h), 1L, "x",
+        if (h == 30L) 1000.0 else 1.0, "{}")) ++
+      (0L until 10L).map(h => (3000L + h, hns(h), 1L, "c", 2.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("ts_seasonal_anomaly", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("s" -> ((96L, 0L)), "x" -> ((96L, 1L)),
+      "c" -> ((10L, 0L))))
+  }
+
+  test("cms estimates dominate exact counts and rank the true top-10") {
+    // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
+    // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,
+    // so every estimate is exact here — and ≥ exact structurally
+    val rows = (1L to 20L).flatMap(k => (1L to k).map(i =>
+      (k * 100 + i, 0L, k, "t", 1.0, "{}")))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("agg_cms_estimate", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === (20L to 11L by -1L).toSeq)
+    assert(got.forall { case (u, ex, est, over) =>
+      ex === u && est >= ex && over === est - ex })
+    assert(got.forall { case (_, ex, est, _) => est === ex })
+  }
 }

@@ -419,7 +419,8 @@ class MlStatSpec extends SparkSpec {
 
   test("MRR over the fixture probes is a valid self-excluded head score") {
     val got = run("sim_ann_mrr").collect()
-    assert(got.length === 3)
+    // ivf, lsh, pq, and (since round 10) sq8
+    assert(got.length === 4)
     got.foreach { r =>
       assert(r.getLong(1) >= 0L && r.getLong(1) <= 3L)
       // self is excluded from relevance, so when each method ranks the

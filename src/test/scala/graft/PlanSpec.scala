@@ -718,4 +718,113 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate explode"),
       "per-vertex credit must be the 3-way explode, not three scans")
   }
+
+  test("sliding distinct runs ONE keyed island window — never a 7× fact replication") {
+    val plan = executedPlan("window_sliding_distinct")
+    // the only windows are the island lag + running sum, both keyed by
+    // user_id; a global (empty-partition) window over the fact would be
+    // the decomposability trap this key exists to avoid
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("user_id")),
+      s"island windows must partition by user_id: $windowLines")
+    // both interval endpoints explode from one island row: the window
+    // subtree must appear once — 2 Window nodes, printed ≤2× by AQE
+    // (final + initial plan), never the 4 real nodes of a per-union-leg
+    // re-evaluation (which AQE would print as 8 lines)
+    assert(windowLines.size <= 4,
+      s"island subtree must be shared, not re-evaluated per endpoint: $windowLines")
+    assert(plan.contains("Generate explode"),
+      "endpoint deltas must explode from one pass over the islands")
+  }
+
+  test("interval overlap joins hash-equi on the grid bin — never a nested-loop theta") {
+    val plan = executedPlan("join_interval_overlap")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bin must be an equi key with the bounded incident side broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the overlap predicate must prune via the grid, not a product")
+  }
+
+  test("centroid drift reads the Mat'd source ledger — one corpus pass only") {
+    val plan = executedPlan("embedding_centroid_drift")
+    // Mat materializes the (source, pos) ledger to scratch parquet when
+    // the query is built; the final plan's leaves are ledger scans —
+    // the corpus (components + documents) is never read again for the
+    // global centroid, the norms, or the vector counts
+    assert(plan.contains("centroid-led"),
+      "every leaf must scan the Mat'd ledger")
+    assert(!plan.contains("documents.parquet") &&
+      !plan.contains("embeddings.parquet") && !plan.contains("posexplode"),
+      "the corpus pass must happen once, inside the ledger build")
+  }
+
+  test("kruskal-wallis ranks two-phase: every window keyed by the coarse bucket") {
+    val plan = executedPlan("stat_kruskal_wallis")
+    // the global tie-averaged rank must never funnel through an
+    // empty-partition WindowExec — the prefix runs inside $10 buckets
+    // (partition key b) with broadcast offsets merging across them
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[b#")),
+      s"ledger windows must partition by the bucket: $windowLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets and the ranked ledger must arrive by broadcast")
+  }
+
+  test("mcnemar never windows and collapses the 2×2 table map-side") {
+    val plan = executedPlan("eval_mcnemar")
+    assert(!plan.contains("Window "),
+      "the paired test is joins + aggregates only — no window anywhere")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the profile join must stay an equi-join on user_id")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "the agreement counts must pre-aggregate map-side")
+  }
+
+  test("hits half-steps are windowless joins with broadcast normalizers") {
+    val plan = executedPlan("graph_hits")
+    assert(!plan.contains("Window "),
+      "each half-step is one equi-join + one agg — no window anywhere")
+    assert(plan.contains("BroadcastExchange"),
+      "the 1-row step maxima must arrive by broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "only the bounded 1-row normalizer may nest-loop; never a product")
+  }
+
+  test("phash bands equi-join on the chunk — never an all-pairs product") {
+    val plan = executedPlan("multimodal_dedup_phash")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must be same-chunk pairs via a hash equi-join")
+    assert(plan.contains("bit_count"),
+      "the dispose must be the native bit_count over the XOR")
+  }
+
+  test("seasonal anomaly broadcasts the bounded profile and moments") {
+    val plan = executedPlan("ts_seasonal_anomaly")
+    assert(!plan.contains("Window "),
+      "the cross-multiplied 3-sigma test needs no window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 24x|types| profile and the per-type moments must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "every join is keyed by (event_type[, hod])")
+  }
+
+  test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
+    val plan = executedPlan("agg_cms_estimate")
+    // the corpus-side 4× depth explode must collapse map-side: the
+    // DEEPEST Generate (the probe side has its own small one above)
+    // sits below the first exchange, so the wire carries ≤4·256 cells
+    // per partition
+    val firstExchange = plan.indexOf("Exchange")
+    val generate = plan.lastIndexOf("Generate")
+    assert(generate > firstExchange && firstExchange >= 0,
+      "the sketch explode must feed a partial agg before any exchange")
+    assert(plan.contains("BroadcastHashJoin"),
+      "probes must join the 1024-cell ledger by broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 selection must be TakeOrdered, never a global sort")
+  }
 }
