@@ -510,7 +510,7 @@ object LlmPipeline2 {
     * exploded components are 64× the corpus row count, the one relation
     * in the family that must never be read serially.
     */
-  private[ops] def quantizedComponents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quantizedComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.core.IndexCache(s, s"ivf-iq|$d", t(s, d, "embeddings")
       .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))

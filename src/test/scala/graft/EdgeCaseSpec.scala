@@ -1496,6 +1496,57 @@ class EdgeCaseSpec extends SparkSpec {
       "c" -> ((10L, 0L))))
   }
 
+  test("jarque-bera hits the two-point closed form and NULLs on constants") {
+    // a symmetric two-point sample {$1, $3}: skewness 0, excess
+    // kurtosis exactly -2 (the two-point minimum), JB = n/6·(0 + 4/4)
+    // = 1/3; a constant series has m2n = 0 and must yield NULL stats
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "a", 1.0, "{}"), (2L, 0L, 1L, "a", 3.0, "{}"),
+      (3L, 0L, 1L, "b", 2.0, "{}"), (4L, 0L, 1L, "b", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("stat_jarque_bera", dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) === 2L && a.getDouble(2) === 0.0 &&
+      a.getDouble(3) === -2.0 && a.getDouble(4) === 0.333333)
+    val b = got("b")
+    assert(b.getLong(1) === 2L && b.isNullAt(2) && b.isNullAt(3) &&
+      b.isNullAt(4))
+  }
+
+  test("bloom filter never misses a member and the fixture's fp count is pinned") {
+    // users 1..50 → 195 distinct bits of 4096 set (5 collisions);
+    // probes = the 50 members + synthesized 51..150: the Bloom
+    // guarantee (no false negatives) is structural, and with fill
+    // ratio 195/4096 the 100 absent probes yield 0 false positives
+    // ((195/4096)⁴ ≈ 5e-6 each) — all md5-deterministic, hash-stable
+    val rows = (1L to 50L).map(u => (u, 0L, u, "t", 1.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("agg_bloom_membership", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((50L, 100L, 195L, 50L, 0L, 0L)))
+  }
+
+  test("k-center picks the farthest-point sequence on a planted geometry") {
+    // seed = min id = 1 at the origin; the greedy sequence must be
+    // 2 (d²=100), then 4 (min-dist 50 beats 3's 36), then 3 (whose
+    // min-dist to {1,2,4} is 26, via the (5,5) center) — the near-
+    // duplicate point 5 never wins a round
+    val embs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)),
+      (3L, Seq(0.0f, 6.0f)), (4L, Seq(5.0f, 5.0f)),
+      (5L, Seq(0.25f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = run("sample_kcenter_coreset", stageTables("embeddings" -> embs))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val M = 1000000L * 1000000L // (10⁶ quantization)² per squared unit
+    assert(got.toSeq === Seq(
+      (0L, 1L, -1L), (1L, 2L, 100L * M), (2L, 4L, 50L * M),
+      (3L, 3L, 26L * M)))
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

@@ -812,6 +812,46 @@ class PlanSpec extends SparkSpec {
       "every join is keyed by (event_type[, hod])")
   }
 
+  test("jarque-bera is one windowless map-side moment pass") {
+    val plan = executedPlan("stat_jarque_bera")
+    assert(!plan.contains("Window "),
+      "the moment formulas need no window anywhere")
+    assert(plan.contains("partial"),
+      "power sums must pre-aggregate map-side before the exchange")
+    assert(!plan.contains("Join"), "one pass over the fact — no join at all")
+  }
+
+  test("bloom probes join the bit ledger by broadcast — never a product") {
+    val plan = executedPlan("agg_bloom_membership")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ≤4096-bit ledger must broadcast to the probe side")
+    assert(!plan.contains("CartesianProduct"),
+      "membership checks are equi-joins on the bit")
+  }
+
+  test("k-center's final plan reads the Mat'd 4-row center table only") {
+    val plan = executedPlan("sample_kcenter_coreset")
+    // the three greedy rounds execute while Mat stages kcen-1..3; the
+    // returned plan must be a scan of the final center parquet — the
+    // corpus is never re-read and no round's lineage is re-executed
+    assert(plan.contains("kcen-3"),
+      "the result must scan the round-3 Mat output")
+    assert(!plan.contains("embeddings.parquet") && !plan.contains("Join"),
+      "no corpus re-read, no join in the final plan")
+    // the round bodies themselves: pin the distance fan-out shape on
+    // the logical plan of one round's candidate relation
+    val s = spark; import s.implicits._
+    val iq = graft.ops.LlmPipeline2.quantizedComponents(spark, sf)
+    val cc = iq.limit(64).select($"vec_id".as("cid"), $"pos", $"q".as("cq"))
+    val round = iq.join(org.apache.spark.sql.functions.broadcast(cc), Seq("pos"))
+      .groupBy($"vec_id", $"cid")
+      .agg(org.apache.spark.sql.functions.sum(($"q" - $"cq") * ($"q" - $"cq"))
+        .as("dc"))
+    val rp = round.queryExecution.executedPlan.toString
+    assert(rp.contains("BroadcastHashJoin") && !rp.contains("CartesianProduct"),
+      "center components must arrive by broadcast equi-join on pos")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
