@@ -1178,11 +1178,56 @@ object CorpusOps {
       "SELECT lang, CAST(rn AS BIGINT) AS rn, w1, w2, c12, p_kn FROM p " +
       "WHERE rn <= 10 ORDER BY lang NULLS FIRST, rn"))
 
+  // ------------------------------------------------------------------
+  // text_hapax_ratio — hapax legomena share of each language's
+  // vocabulary: the corpus-level Zipf-TAIL health check next to
+  // `text_zipf_fit`'s head slope (natural text keeps roughly 40-60%
+  // of its vocabulary as one-occurrence words; boilerplate/template
+  // corpora crater the ratio, OCR junk and bad tokenization inflate
+  // it — and over-aggressive dedup shows up here before it shows up
+  // in the slope). One explode pass collapses MAP-SIDE to the
+  // (lang, token) count ledger — the only shuffle, keyed by the open
+  // vocabulary, carrying counts never text bodies — then a second
+  // map-side collapse to the ≤|langs| row report: vocabulary size,
+  // token mass, hapax (c = 1) and dis legomena (c = 2) counts, one
+  // final division for the ratio.
+  // ------------------------------------------------------------------
+
+  private val textHapaxRatio = Q(
+    "text_hapax_ratio",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+      val cnt = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      cnt.groupBy("lang").agg(
+          count(lit(1)).as("vocab"),
+          sum($"c").as("n_tokens"),
+          sum(($"c" === 1).cast("long")).as("n_hapax"),
+          sum(($"c" === 2).cast("long")).as("n_dis"))
+        .select($"lang", $"vocab", $"n_tokens", $"n_hapax", $"n_dis",
+          dround($"n_hapax".cast("double") / $"vocab", 6).as("hapax_ratio"))
+        .orderBy("lang")
+    },
+    Some("WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents), " +
+      "tk AS (SELECT lang, w FROM tok WHERE len(w) > 0), " +
+      "cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c " +
+      "FROM tk GROUP BY 1, 2) " +
+      "SELECT lang, CAST(count(*) AS BIGINT) AS vocab, " +
+      "CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+      "CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis, " +
+      OSql.sround("CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ count(*)", 6) + " AS hapax_ratio " +
+      "FROM cnt GROUP BY lang ORDER BY lang"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
     textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
     textZipfFit, textCollocationsPmi, corpusJsDivergence,
-    corpusNgramNovelty, textBigramKneserNey)
+    corpusNgramNovelty, textBigramKneserNey, textHapaxRatio)
 }

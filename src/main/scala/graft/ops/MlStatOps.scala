@@ -2279,6 +2279,102 @@ object MlStatOps {
       OSql.sround("nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)", 6) +
       " AS jb_stat FROM z ORDER BY event_type"))
 
+  // ------------------------------------------------------------------
+  // eval_calibration_ece — Expected / Maximum Calibration Error, the
+  // scalar verdict on top of `eval_calibration`'s reliability table
+  // (the table shows WHERE the value-as-probability rule miscalibrates;
+  // ECE answers "by how much overall", MCE "how bad is the worst
+  // bin"). Probability = clamp(cents, 0, 10000)/10000, ten fixed 0.1
+  // bins. The whole ECE stays ONE exact integer until a single final
+  // division: per bin |acc_b − conf_b|·n_b/N = |10000·A_b − C_b| /
+  // (10000·N) with A_b = Σy and C_b = Σ clamped cents both exact
+  // BIGINTs, so ECE = Σ_b|10000·A_b − C_b| / (10000·N) — the
+  // numerator sums order-independently, no per-bin float ever enters
+  // a cross-bin reduction. MCE is a max (order-independent) over
+  // per-bin single divisions spelled identically in both engines.
+  // Bins collapse map-side to ≤10 rows; one row out.
+  // ------------------------------------------------------------------
+
+  private val evalCalibrationEce = Q(
+    "eval_calibration_ece",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          greatest(least(round($"value" * 100).cast("long"), lit(10000L)),
+            lit(0L)).as("pc"))
+        .withColumn("bin", least(expr("pc div 1000"), lit(9L)))
+      val bins = e.groupBy("bin").agg(
+        count(lit(1)).as("nb"),
+        sum($"y").as("ab"),
+        sum($"pc").as("cb"))
+        .withColumn("gap", abs(lit(10000L) * $"ab" - $"cb"))
+      bins.agg(
+          sum($"nb").as("n"),
+          count(lit(1)).as("n_bins"),
+          sum($"gap".cast(Dec380)).as("gsum"),
+          max($"gap".cast("double") / (lit(10000.0) * $"nb")).as("mce"))
+        .select($"n", $"n_bins",
+          dround($"gsum".cast("double") / (lit(10000.0) * $"n"), 6).as("ece"),
+          dround($"mce", 6).as("mce"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "GREATEST(LEAST(CAST(round(value*100) AS BIGINT), 10000), 0) AS pc " +
+      "FROM events), " +
+      "b AS (SELECT LEAST(pc // 1000, 9) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS nb, CAST(SUM(y) AS BIGINT) AS ab, " +
+      "CAST(SUM(pc) AS BIGINT) AS cb FROM e GROUP BY 1), " +
+      "g AS (SELECT bin, nb, abs(10000 * ab - cb) AS gap FROM b) " +
+      "SELECT CAST(SUM(nb) AS BIGINT) AS n, " +
+      "CAST(count(*) AS BIGINT) AS n_bins, " +
+      OSql.sround("CAST(SUM(CAST(gap AS HUGEINT)) AS DOUBLE) " +
+        "/ (10000.0 * SUM(nb))", 6) + " AS ece, " +
+      OSql.sround("MAX(CAST(gap AS DOUBLE) / (10000.0 * nb))", 6) +
+      " AS mce FROM g"))
+
+  // ------------------------------------------------------------------
+  // eval_demographic_parity — positive-rate parity audit of the
+  // value-as-score classifier across user cohorts (pmod(user_id, 5) —
+  // the stand-in for any protected segment column): the fairness
+  // pre-screen a training pipeline runs before a labeling rule ships.
+  // Per cohort the positive rate is an exact floor-quantized integer
+  // rq = (10⁶·pos) div n (non-negative, so floor = trunc in both
+  // engines); the parity gap max(rq) − min(rq) is then EXACT integer
+  // arithmetic over the ≤5-row cohort ledger — no float ever crosses
+  // rows. The fact collapses map-side to the cohort ledger; the gap
+  // arrives back by a broadcast 1-row cross join.
+  // ------------------------------------------------------------------
+
+  private val evalDemographicParity = Q(
+    "eval_demographic_parity",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select(pmod($"user_id", lit(5L)).as("cohort"),
+          (round($"value" * 100).cast("long") >= 5000L).cast("long").as("pos"))
+      val led = e.groupBy("cohort").agg(
+          count(lit(1)).as("n"), sum($"pos").as("n_pos"))
+        .withColumn("rq", expr("(1000000 * n_pos) div n"))
+      val gap = led.agg(((max($"rq") - min($"rq")).cast("double") / 1e6)
+        .as("g"))
+      led.crossJoin(broadcast(gap))
+        .select($"cohort", $"n", $"n_pos",
+          dround($"rq".cast("double") / 1e6, 6).as("pos_rate"),
+          dround($"g", 6).as("parity_gap"))
+        .orderBy("cohort")
+    },
+    Some("WITH e AS (SELECT user_id % 5 AS cohort, " +
+      "CAST(CAST(round(value*100) AS BIGINT) >= 5000 AS BIGINT) AS pos " +
+      "FROM events WHERE user_id IS NOT NULL), " +
+      "led AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(pos) AS BIGINT) AS n_pos FROM e GROUP BY 1), " +
+      "lq AS (SELECT *, (1000000 * n_pos) // n AS rq FROM led), " +
+      "g AS (SELECT CAST(MAX(rq) - MIN(rq) AS DOUBLE) / 1e6 AS g FROM lq) " +
+      "SELECT cohort, n, n_pos, " +
+      OSql.sround("CAST(rq AS DOUBLE) / 1e6", 6) + " AS pos_rate, " +
+      OSql.sround("g", 6) + " AS parity_gap FROM lq, g ORDER BY cohort"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2292,7 +2388,7 @@ object MlStatOps {
     evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles,
     statTostEquivalence, evalYoudenThreshold, statKendallTau,
     statProportionsZtest, statWilcoxonSignedRank, statKruskalWallis,
-    evalMcnemar, statJarqueBera)
+    evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

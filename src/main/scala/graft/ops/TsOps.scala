@@ -1199,11 +1199,90 @@ object TsOps {
       OSql.sround("CAST(MAX(abs(dev)) AS DOUBLE) / MAX(n)", 4) +
       " AS worst_dev_cents FROM x GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // ts_dominant_period — dominant-period detection per type: the lag
+  // ℓ ∈ 1..36 maximizing the autocorrelation of the hourly series —
+  // the step ABOVE `ts_acf_lags`' correlogram (the correlogram shows
+  // the shape; this answers "what cycle does this series actually
+  // have", the question snaive's hard-coded 24 assumes away). Row-
+  // based lag semantics match the ACF key (gaps in the observed grid
+  // compress), spelled as a LEDGER SELF-JOIN: row_number per type on
+  // the calendar-bounded hourly rollup, explode the 36-lag spine,
+  // equi-join on (type, rn−ℓ) — never a window per lag, never a
+  // fact-scale anything. Per (type, ℓ) Pearson r comes from exact
+  // DECIMAL(38,0)/HUGEINT sums, is integer-quantized at 10⁶
+  // (round-half-up, identical on negatives in both engines), and the
+  // argmax is one max(struct(rq, −ℓ)) with ties to the smallest lag;
+  // degenerate lags (zero variance on either side) drop before the
+  // argmax in both engines.
+  // ------------------------------------------------------------------
+
+  private val tsDominantPeriod = Q(
+    "ts_dominant_period",
+    (s, d) => {
+      import s.implicits._
+      val Dec38i = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+      val hr = hourlyCents(s, d)
+        .select($"event_type", $"v", row_number().over(w).as("rn"))
+      val ex = hr.select($"event_type", $"v".as("y"), $"rn",
+          explode(expr("sequence(1, 36)")).as("lg"))
+        .withColumn("rnx", $"rn" - $"lg")
+      val pairs = ex.join(
+        hr.select($"event_type", $"rn".as("rnx"), $"v".as("x")),
+        Seq("event_type", "rnx"))
+      val m = pairs.groupBy("event_type", "lg").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x".cast(Dec38i)).cast("double").as("sx"),
+          sum($"y".cast(Dec38i)).cast("double").as("sy"),
+          sum($"x".cast(Dec38i) * $"y").cast("double").as("sxy"),
+          sum($"x".cast(Dec38i) * $"x").cast("double").as("sxx"),
+          sum($"y".cast(Dec38i) * $"y").cast("double").as("syy"))
+        .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
+        .filter($"dx" > 0 && $"dy" > 0)
+        .withColumn("rq",
+          floor(($"n" * $"sxy" - $"sx" * $"sy") / sqrt($"dx" * $"dy")
+            * lit(1e6) + lit(0.5)).cast("long"))
+      m.groupBy("event_type")
+        .agg(max(struct($"rq".as("a"), (-$"lg").as("b"),
+          $"n".cast("long").as("c"))).as("mm"))
+        .select($"event_type", (-$"mm.b").cast("long").as("best_lag"),
+          $"mm.c".as("n_pairs"),
+          ($"mm.a".cast("double") / 1e6).as("acf"))
+        .orderBy("event_type")
+    },
+    Some("WITH " + hourlyCtes + ", " +
+      "hr AS (SELECT event_type, v, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY h ASC) AS rn FROM hourly), " +
+      "lgs AS (SELECT unnest(generate_series(1, 36)) AS lg), " +
+      "p AS (SELECT y.event_type, lgs.lg, x.v AS x, y.v AS y " +
+      "FROM hr y CROSS JOIN lgs " +
+      "JOIN hr x ON x.event_type = y.event_type AND x.rn = y.rn - lgs.lg), " +
+      "m AS (SELECT event_type, lg, CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, " +
+      "CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, " +
+      "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+      "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy " +
+      "FROM p GROUP BY 1, 2), " +
+      "f AS (SELECT event_type, lg, CAST(n AS BIGINT) AS nb, " +
+      "n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy, " +
+      "n * sxy - sx * sy AS cv FROM m), " +
+      "q AS (SELECT event_type, lg, nb, " +
+      "CAST(floor(cv / sqrt(dx * dy) * 1e6 + 0.5) AS BIGINT) AS rq " +
+      "FROM f WHERE dx > 0 AND dy > 0), " +
+      "best AS (SELECT event_type, lg, nb, rq, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY rq DESC, lg ASC) AS k FROM q) " +
+      "SELECT event_type, CAST(lg AS BIGINT) AS best_lag, nb AS n_pairs, " +
+      "CAST(rq AS DOUBLE) / 1e6 AS acf FROM best WHERE k = 1 " +
+      "ORDER BY event_type"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
-    tsHoltForecast, tsSeasonalAnomaly)
+    tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod)
 }

@@ -1547,6 +1547,71 @@ class EdgeCaseSpec extends SparkSpec {
       (3L, 3L, 26L * M)))
   }
 
+  test("ece and mce are exact on a hand-built two-bin table") {
+    // ($0.50 purchase): bin 0, |10000·1 − 50| = 9950;
+    // ($95 view): bin 9, |0 − 9500| = 9500.
+    // ECE = 19450/20000 = 0.9725; MCE = 9950/10000 = 0.995
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "purchase", 0.5, "{}"), (2L, 0L, 1L, "view", 95.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("eval_calibration_ece", dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(2) === 0.9725 && r.getDouble(3) === 0.995)
+  }
+
+  test("parity gap spans the extreme cohorts and $50 sits on the positive side") {
+    // cohorts = user_id % 5: u0 → 1.0, u1 → 0.0, u2 ($50 exactly, the
+    // boundary) → 1.0, u3 ($49.99) → 0.0, u4 (one of two) → 0.5;
+    // gap = 1.0 on every row; the NULL user contributes nowhere
+    val rows = Seq(
+      (1L, 0L, 0L, "t", 60.0, "{}"), (2L, 0L, 1L, "t", 10.0, "{}"),
+      (3L, 0L, 2L, "t", 50.0, "{}"), (4L, 0L, 3L, "t", 49.99, "{}"),
+      (5L, 0L, 4L, "t", 60.0, "{}"), (6L, 0L, 4L, "t", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nullUser = Seq((7L, 0L, "t", 99.0, "{}"))
+      .toDF("event_id", "ts", "event_type", "value", "props")
+      .withColumn("user_id",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageTables("events" -> rows.union(nullUser))
+    val got = run("eval_demographic_parity", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 1L, 1.0, 1.0)), 1L -> ((1L, 0L, 0.0, 1.0)),
+      2L -> ((1L, 1L, 1.0, 1.0)), 3L -> ((1L, 0L, 0.0, 1.0)),
+      4L -> ((2L, 1L, 0.5, 1.0))))
+  }
+
+  test("dominant period finds the planted 6-hour cycle; constants emit nothing") {
+    val hns = (h: Long) => h * 3600000L * 1000000L
+    // a perfect period-6 sawtooth: ACF is exactly 1 at lags 6, 12, 18,
+    // 24, 30, 36 — the tie must break to the SMALLEST lag, 6. A
+    // constant series has zero variance at every lag and must vanish
+    // from the output rather than emit a NULL-scored row.
+    val rows =
+      (0L until 72L).map(h => (1000L + h, hns(h), 1L, "p",
+        if (h % 6 == 0) 10.0 else 1.0, "{}")) ++
+      (0L until 48L).map(h => (2000L + h, hns(h), 1L, "c", 3.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("ts_dominant_period", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got === Map("p" -> ((6L, 1.0))))
+  }
+
+  test("hapax ratio counts one-occurrence vocabulary per language") {
+    val docs = Seq(
+      (1L, "aa", "a a b c c c d"), (2L, "bb", "x x"))
+      .toDF("doc_id", "lang", "text")
+    val got = run("text_hapax_ratio", stageTables("documents" -> docs))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // aa: vocab {a,b,c,d}, 7 tokens, hapax {b,d}, dis {a} → ratio 0.5
+    assert(got === Map(
+      "aa" -> ((4L, 7L, 2L, 1L, 0.5)), "bb" -> ((1L, 2L, 0L, 1L, 0.0))))
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

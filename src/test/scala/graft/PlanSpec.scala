@@ -852,6 +852,33 @@ class PlanSpec extends SparkSpec {
       "center components must arrive by broadcast equi-join on pos")
   }
 
+  test("ece folds to a ten-row bin ledger with no join and no window") {
+    val plan = executedPlan("eval_calibration_ece")
+    assert(!plan.contains("Window ") && !plan.contains("Join"),
+      "two nested aggregates over one scan — nothing else")
+    assert(plan.contains("partial"),
+      "bin counts must pre-aggregate map-side")
+  }
+
+  test("dominant period self-joins the ranked hourly ledger — windows stay keyed") {
+    val plan = executedPlan("ts_dominant_period")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("event_type")),
+      s"the row_number ranking must partition by type: $windowLines")
+    assert(!plan.contains("CartesianProduct"),
+      "lagged pairs come from the (type, rn-lag) equi-join, not a product")
+    assert(plan.contains("Generate"),
+      "the 36-lag spine explodes from the ledger rows")
+  }
+
+  test("hapax ratio is two map-side collapses over one scan") {
+    val plan = executedPlan("text_hapax_ratio")
+    assert(!plan.contains("Window ") && !plan.contains("Join"),
+      "vocabulary ledger then language report — no join, no window")
+    assert(plan.contains("partial"),
+      "token counts must pre-aggregate map-side before the vocab shuffle")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
