@@ -1223,11 +1223,67 @@ object CorpusOps {
         "/ count(*)", 6) + " AS hapax_ratio " +
       "FROM cnt GROUP BY lang ORDER BY lang"))
 
+  // ------------------------------------------------------------------
+  // corpus_vocab_overlap — pairwise vocabulary Jaccard between
+  // sources: the corpus-comparison matrix a mixture curator reads
+  // next to `corpus_js_divergence` (JSD compares LANGUAGE mixes; this
+  // compares the actual token inventories — two scrapes of the same
+  // site show near-1 overlap before any document-level dedup fires).
+  // Scale shape: the (source, token) vocabulary ledger collapses
+  // map-side (one open-vocab shuffle carrying tokens + source ids,
+  // never text bodies); intersections come from the per-token
+  // source-set SELF-JOIN — fan-out per token is bounded by
+  // |sources|²/2 pairs, NOT corpus size — and union sizes are
+  // |A|+|B|−|A∩B| with the ≤|sources|-row size ledger broadcast to
+  // both sides. Jaccard is floor-quantized at 10⁶ (exact integer,
+  // non-negative) so the report is integer-deterministic; pairs with
+  // empty intersection drop (the join can't see them) — spelled
+  // identically in the oracle.
+  // ------------------------------------------------------------------
+
+  private val corpusVocabOverlap = Q(
+    "corpus_vocab_overlap",
+    (s, d) => {
+      import s.implicits._
+      val voc = t(s, d, "documents")
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0).distinct()
+      val sizes = voc.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = voc.select($"source".as("sa"), $"w")
+        .join(voc.select($"source".as("sb"), $"w"), Seq("w"))
+        .filter($"sa" < $"sb")
+        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select($"source".as("sa"), $"sz".as("za"))),
+          Seq("sa"))
+        .join(broadcast(sizes.select($"source".as("sb"), $"sz".as("zb"))),
+          Seq("sb"))
+        .withColumn("uni", $"za" + $"zb" - $"inter")
+        .select($"sa", $"sb", $"inter", $"uni",
+          (expr("(1000000 * inter) div uni").cast("double") / 1e6)
+            .as("jaccard"))
+        .orderBy("sa", "sb")
+    },
+    Some("WITH tok AS (SELECT DISTINCT source, w FROM (SELECT source, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0), " +
+      "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz " +
+      "FROM tok GROUP BY 1), " +
+      "iv AS (SELECT a.source AS sa, b.source AS sb, " +
+      "CAST(count(*) AS BIGINT) AS inter FROM tok a " +
+      "JOIN tok b ON b.w = a.w AND a.source < b.source GROUP BY 1, 2), " +
+      "f AS (SELECT iv.sa, iv.sb, iv.inter, " +
+      "za.sz + zb.sz - iv.inter AS uni FROM iv " +
+      "JOIN sz za ON za.source = iv.sa JOIN sz zb ON zb.source = iv.sb) " +
+      "SELECT sa, sb, inter, CAST(uni AS BIGINT) AS uni, " +
+      "CAST((1000000 * inter) // uni AS DOUBLE) / 1e6 AS jaccard " +
+      "FROM f ORDER BY sa, sb"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
     tokenizerVocabCoverage, textBigramLogprob, textCharEntropy,
     textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
     textZipfFit, textCollocationsPmi, corpusJsDivergence,
-    corpusNgramNovelty, textBigramKneserNey, textHapaxRatio)
+    corpusNgramNovelty, textBigramKneserNey, textHapaxRatio,
+    corpusVocabOverlap)
 }

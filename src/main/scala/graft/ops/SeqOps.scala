@@ -612,9 +612,73 @@ object SeqOps {
       "FROM iv JOIN sess ON sess.ss < iv.ie AND iv.is_ < sess.se " +
       "GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // seq_session_stats — the corpus-level session profile over the same
+  // 30-minute-gap sessionizer `join_interval_overlap` uses (DISTINCT
+  // (user, ms) first, so window ties cannot split a session): total
+  // sessions, bounce share (single-event sessions), events per
+  // session, and duration statistics — the product-analytics rollup
+  // that sits above the per-session keys (gap_islands slices one
+  // user; this is the whole-archive report). Scale shape: ONE
+  // user-keyed window pass for the session ids, one keyed collapse to
+  // per-session rows (n_events, duration), then a map-side fold to a
+  // single row; means are exact floor-quantized integer divisions
+  // ((10⁶·num) div den, non-negative) so nothing float crosses the
+  // reduction.
+  // ------------------------------------------------------------------
+
+  private val seqSessionStats = Q(
+    "seq_session_stats",
+    (s, d) => {
+      import s.implicits._
+      val um = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ms".isNotNull)
+        .select($"user_id", $"ms").distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc)
+      val run = Window.partitionBy($"user_id").orderBy($"ms".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = um
+        .withColumn("is_new",
+          when(lag($"ms", 1).over(w).isNull ||
+            $"ms" - lag($"ms", 1).over(w) > 1800000L, 1L).otherwise(0L))
+        .withColumn("sid", sum($"is_new").over(run))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("ne"), (max($"ms") - min($"ms")).as("dur"))
+      sess.agg(
+          count(lit(1)).as("n_sessions"),
+          sum(($"ne" === 1).cast("long")).as("n_bounce"),
+          sum($"ne").as("n_events"),
+          sum($"dur").as("sum_dur_ms"),
+          max($"dur").as("max_dur_ms"))
+        .select($"n_sessions", $"n_bounce", $"n_events",
+          (expr("(1000000 * n_events) div n_sessions").cast("double") / 1e6)
+            .as("events_per_session"),
+          expr("sum_dur_ms div n_sessions").as("mean_dur_ms"),
+          $"max_dur_ms")
+    },
+    Some("WITH um AS (SELECT DISTINCT user_id, epoch_ms(ts) AS ms FROM events " +
+      "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "f AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER w IS NULL " +
+      "OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new " +
+      "FROM um WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC)), " +
+      "g AS (SELECT user_id, ms, SUM(is_new) OVER (PARTITION BY user_id " +
+      "ORDER BY ms ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS sid FROM f), " +
+      "sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS ne, " +
+      "MAX(ms) - MIN(ms) AS dur FROM g GROUP BY 1, 2), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions, " +
+      "CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, " +
+      "CAST(SUM(ne) AS BIGINT) AS n_events, " +
+      "CAST(SUM(dur) AS BIGINT) AS sum_dur_ms, " +
+      "CAST(MAX(dur) AS BIGINT) AS max_dur_ms FROM sess) " +
+      "SELECT n_sessions, n_bounce, n_events, " +
+      "CAST((1000000 * n_events) // n_sessions AS DOUBLE) / 1e6 " +
+      "AS events_per_session, " +
+      "sum_dur_ms // n_sessions AS mean_dur_ms, max_dur_ms FROM t"))
+
   val qs: Seq[Q] = Seq(
     seqGapIslands, markovTransitions, intervalConcurrency,
     funnelTimeToConvert, anomalyZscore, aggHistogramEquidepth,
     funnelAbandonment, seqStreakLongest, seqInterarrivalStats,
-    anomalyMad, seqMarkovStationary, joinIntervalOverlap)
+    anomalyMad, seqMarkovStationary, joinIntervalOverlap, seqSessionStats)
 }

@@ -1278,11 +1278,63 @@ object TsOps {
       "CAST(rq AS DOUBLE) / 1e6 AS acf FROM best WHERE k = 1 " +
       "ORDER BY event_type"))
 
+  // ------------------------------------------------------------------
+  // stat_durbin_watson — Durbin–Watson serial-correlation diagnostic
+  // per type over the hourly series: DW = Σ(v_t − v_{t−1})² / Σ(v−v̄)²
+  // — the standard 0..4 autocorrelation gauge (≈2 none, →0 positive
+  // persistence, →4 alternation) that complements `stat_runs_test`'s
+  // sign-based verdict with a magnitude-weighted one. Everything is
+  // exact until one division: the successive-difference sum Σd² is an
+  // exact integer off ONE keyed lag over the calendar-bounded hourly
+  // ledger, the denominator arrives as the exact variance numerator
+  // m2n = n·Σv² − S² (the jarque_bera identity), and DW =
+  // (n·Σd²)/m2n is a single division of exact DECIMAL(38,0)/HUGEINT
+  // integers spelled identically in both engines. Constant series
+  // (m2n = 0) emit NULL, never a division error.
+  // ------------------------------------------------------------------
+
+  private val statDurbinWatson = Q(
+    "stat_durbin_watson",
+    (s, d) => {
+      import s.implicits._
+      val Dec38i = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+      val hd = hourlyCents(s, d)
+        .withColumn("pv", lag($"v", 1).over(w))
+      val m = hd.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"v".cast(Dec38i)).as("sv"),
+        sum($"v".cast(Dec38i) * $"v").as("svv"),
+        sum(when($"pv".isNotNull,
+          ($"v".cast(Dec38i) - $"pv") * ($"v" - $"pv")).otherwise(lit(0)))
+          .as("sd2"))
+      m.withColumn("m2n", $"n".cast(Dec38i) * $"svv" - $"sv" * $"sv")
+        .select($"event_type", $"n",
+          when($"m2n" > 0,
+            dround(($"n".cast(Dec38i) * $"sd2").cast("double")
+              / $"m2n".cast("double"), 6)).as("dw"))
+        .orderBy("event_type")
+    },
+    Some("WITH " + hourlyCtes + ", " +
+      "hd AS (SELECT event_type, v, lag(v) OVER (PARTITION BY event_type " +
+      "ORDER BY h ASC) AS pv FROM hourly), " +
+      "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "SUM(CAST(v AS HUGEINT)) AS sv, SUM(CAST(v AS HUGEINT) * v) AS svv, " +
+      "SUM(CASE WHEN pv IS NOT NULL THEN " +
+      "(CAST(v AS HUGEINT) - pv) * (v - pv) ELSE 0 END) AS sd2 " +
+      "FROM hd GROUP BY 1), " +
+      "x AS (SELECT event_type, n, sd2, " +
+      "CAST(n AS HUGEINT) * svv - sv * sv AS m2n FROM m) " +
+      "SELECT event_type, n, CASE WHEN m2n > 0 THEN " +
+      OSql.sround("CAST(CAST(n AS HUGEINT) * sd2 AS DOUBLE) " +
+        "/ CAST(m2n AS DOUBLE)", 6) +
+      " END AS dw FROM x ORDER BY event_type"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
-    tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod)
+    tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson)
 }

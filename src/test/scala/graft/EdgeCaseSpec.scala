@@ -1612,6 +1612,57 @@ class EdgeCaseSpec extends SparkSpec {
       "aa" -> ((4L, 7L, 2L, 1L, 0.5)), "bb" -> ((1L, 2L, 0L, 1L, 0.0))))
   }
 
+  test("durbin-watson nears 4 on alternation and NULLs on constants") {
+    val hns = (h: Long) => h * 3600000L * 1000000L
+    // 48 hourly points alternating 0/200 cents: Σd² = 47·40000,
+    // m2n = 48·960000 − 4800² = 23040000, DW = 48·1880000/23040000
+    // = 47/12 = 3.91666̄ → 3.916667; the constant series must emit
+    // NULL, not divide
+    val rows =
+      (0L until 48L).map(h => (1000L + h, hns(h), 1L, "alt",
+        if (h % 2 == 0) 0.0 else 2.0, "{}")) ++
+      (0L until 10L).map(h => (2000L + h, hns(h), 1L, "c", 3.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("stat_durbin_watson", dir).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got("alt") === 3.916667)
+    assert(got("c").isNaN)
+  }
+
+  test("vocab overlap scores shared-token pairs and drops disjoint ones") {
+    val docs = Seq(
+      (1L, "en", "srcA", "a b c"), (2L, "en", "srcB", "b c d"),
+      (3L, "en", "srcC", "x"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = run("corpus_vocab_overlap", stageTables("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // A∩B = {b, c}, |A∪B| = 4 → 0.5; srcC shares nothing and appears
+    // in no pair — the join cannot see an empty intersection
+    assert(got === Map(("srcA", "srcB") -> ((2L, 4L, 0.5))))
+  }
+
+  test("session stats merge the exact-30-min gap and split one ms beyond") {
+    val ns = (ms: Long) => ms * 1000000L
+    // u1: gap exactly 30 min merges → one 2-event session of 1800000
+    // ms; u2: one event (bounce, plus a duplicate (user, ms) row that
+    // must collapse); u3: gap 30 min + 1 ms splits → two bounces
+    val dir = stageTables("events" -> Seq(
+      (1L, ns(0L), 1L, "t", 1.0, "{}"),
+      (2L, ns(1800000L), 1L, "t", 1.0, "{}"),
+      (3L, ns(5L), 2L, "t", 1.0, "{}"),
+      (4L, ns(5L), 2L, "t", 2.0, "{}"),
+      (5L, ns(0L), 3L, "t", 1.0, "{}"),
+      (6L, ns(1800001L), 3L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("seq_session_stats", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 5L)))
+    assert(r.getDouble(3) === 1.25)
+    assert(r.getLong(4) === 450000L && r.getLong(5) === 1800000L)
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

@@ -879,6 +879,31 @@ class PlanSpec extends SparkSpec {
       "token counts must pre-aggregate map-side before the vocab shuffle")
   }
 
+  test("durbin-watson windows only the typed hourly ledger") {
+    val plan = executedPlan("stat_durbin_watson")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("event_type")),
+      s"the lag must partition by type: $windowLines")
+    assert(!plan.contains("Join"), "one ledger pass + one collapse — no join")
+  }
+
+  test("vocab overlap self-joins on the token and broadcasts the size ledger") {
+    val plan = executedPlan("corpus_vocab_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pairs come from the per-token equi-join, never a product")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-source size ledger must broadcast to the pair table")
+  }
+
+  test("session stats windows stay keyed by user and fold map-side") {
+    val plan = executedPlan("seq_session_stats")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("user_id")),
+      s"sessionization must partition by user: $windowLines")
+    assert(!plan.contains("Join"), "no join anywhere in the rollup")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
