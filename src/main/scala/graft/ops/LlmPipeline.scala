@@ -625,8 +625,58 @@ object LlmPipeline {
       "AS n_cross_source_dup " +
       "FROM h JOIN st USING (h) GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // dedup_survivorship_report — the POLICY audit above `dedup_exact`
+  // (that key finds the duplicate groups; this answers "who survives
+  // the keep-first rule and which sources lose documents to other
+  // sources" — the report a curator signs off before a destructive
+  // dedup pass ships): winner per md5 group = min(doc_id); per source
+  // we report total docs, kept, dropped, and the cross-source losses
+  // (dropped docs whose winner lives in ANOTHER source — the case
+  // that changes a source's token share and needs human eyes).
+  // Scale shape: one hash collapse to the winner table (the shuffle
+  // carries (md5, doc_id) only), winners rejoin the doc list on the
+  // SAME md5 hash partitioning carrying (md5, winner_id, winner_src),
+  // and the report collapses map-side to ≤|sources| rows — text never
+  // moves after the first projection.
+  // ------------------------------------------------------------------
+
+  private val dedupSurvivorshipReport = Q(
+    "dedup_survivorship_report",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source", md5($"text").as("h"))
+      val win = docs.groupBy("h")
+        .agg(min($"doc_id").as("win_id"))
+        .join(docs.select($"doc_id".as("win_id"), $"source".as("win_src")),
+          Seq("win_id"))
+      docs.join(win, Seq("h"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(($"doc_id" === $"win_id").cast("long")).as("n_kept"),
+          sum(($"doc_id" =!= $"win_id").cast("long")).as("n_dropped"),
+          sum(($"doc_id" =!= $"win_id" && $"source" =!= $"win_src")
+            .cast("long")).as("n_lost_cross_source"))
+        .orderBy("source")
+    },
+    Some("WITH docs AS (SELECT doc_id, source, md5(text) AS h " +
+      "FROM documents), " +
+      "w AS (SELECT h, MIN(doc_id) AS win_id FROM docs GROUP BY 1), " +
+      "ws AS (SELECT w.h, w.win_id, d.source AS win_src FROM w " +
+      "JOIN docs d ON d.doc_id = w.win_id) " +
+      "SELECT docs.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CASE WHEN docs.doc_id = ws.win_id THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_kept, " +
+      "CAST(SUM(CASE WHEN docs.doc_id <> ws.win_id THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_dropped, " +
+      "CAST(SUM(CASE WHEN docs.doc_id <> ws.win_id " +
+      "AND docs.source <> ws.win_src THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_lost_cross_source " +
+      "FROM docs JOIN ws ON ws.h = docs.h GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     dedupExact, tokenizeWordcount, textStats, simCosineTopk, multimodalJoin,
     dedupNearMinhash, textNgram, simPairwiseLabel, dedupCluster,
-    dedupRateBySource)
+    dedupRateBySource, dedupSurvivorshipReport)
 }

@@ -2375,6 +2375,151 @@ object MlStatOps {
       OSql.sround("CAST(rq AS DOUBLE) / 1e6", 6) + " AS pos_rate, " +
       OSql.sround("g", 6) + " AS parity_gap FROM lq, g ORDER BY cohort"))
 
+  // ------------------------------------------------------------------
+  // eval_average_precision — Average Precision (the step-interpolated
+  // area under the precision-recall curve) of the value-as-score rule:
+  // the THRESHOLD-FREE ranking verdict above `eval_pr_sweep`'s 9
+  // sampled points (AP is what retrieval and imbalanced-class evals
+  // actually report — it weights precision AT each positive, so it is
+  // the PR-curve analogue of `eval_auc`). Standard ties-grouped
+  // definition over the DESCENDING score ledger: AP = (1/npos)·Σ_v
+  // c1_v·P_v with P_v = TP_v/NPRED_v at the tie group's inclusive
+  // prefix. The prefix runs TWO-PHASE over the bounded distinct-cents
+  // ledger ($10-bucket keyed window + broadcast offsets — the
+  // kruskal_wallis discipline, descending spelled as ascending on the
+  // NEGATED key so both phases share one direction); each ledger
+  // term c1·TP/NPRED is one double division floor-quantized at 10⁹
+  // BEFORE the cross-ledger sum, so the reduction is an
+  // order-independent exact integer.
+  // ------------------------------------------------------------------
+
+  private val evalAveragePrecision = Q(
+    "eval_average_precision",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+      // descending prefix = ascending prefix over nv = -v
+      val led = e.groupBy("v").agg(
+          sum($"y").as("c1"), count(lit(1)).as("m"))
+        .withColumn("nv", -$"v")
+        .withColumn("b", expr(Det.fdivExpr("nv", "1000")))
+      val local = Window.partitionBy($"b").orderBy($"nv".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"m").as("n")), "b")
+      val offs1 = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"c1").as("n")), "b")
+        .withColumnRenamed("off", "off1")
+      val ranked = led
+        .withColumn("lm", sum($"m").over(local))
+        .withColumn("lc", sum($"c1").over(local))
+        .join(broadcast(offs), "b").join(broadcast(offs1), "b")
+        .select($"c1", ($"lm" + $"off").as("npred"),
+          ($"lc" + $"off1").as("tp"))
+      val terms = ranked.filter($"c1" > 0)
+        .select(floor($"c1".cast("double") * $"tp" / $"npred" * lit(1e9)
+          + lit(0.5)).cast(Dec380).as("tq"))
+      val tot = e.agg(sum($"y").as("npos"), count(lit(1)).as("n"))
+      terms.agg(sum($"tq").as("tsum")).crossJoin(broadcast(tot))
+        .select($"n", $"npos",
+          when($"npos" > 0,
+            dround($"tsum".cast("double") / (lit(1e9) * $"npos"), 6))
+            .as("avg_precision"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "led AS (SELECT v, CAST(SUM(y) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS m FROM e GROUP BY 1), " +
+      "r AS (SELECT c1, SUM(m) OVER (ORDER BY v DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS npred, " +
+      "SUM(c1) OVER (ORDER BY v DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp FROM led), " +
+      "t AS (SELECT CAST(floor(CAST(c1 AS DOUBLE) * tp / npred * 1e9 + 0.5) " +
+      "AS HUGEINT) AS tq FROM r WHERE c1 > 0), " +
+      "tot AS (SELECT CAST(SUM(y) AS BIGINT) AS npos, " +
+      "CAST(count(*) AS BIGINT) AS n FROM e) " +
+      "SELECT n, npos, CASE WHEN npos > 0 THEN " +
+      OSql.sround("CAST((SELECT SUM(tq) FROM t) AS DOUBLE) / (1e9 * npos)", 6) +
+      " END AS avg_precision FROM tot"))
+
+  // ------------------------------------------------------------------
+  // stat_cochran_q — Cochran's Q across THREE paired classifiers on
+  // the same rows, the k-classifier generalization of `eval_mcnemar`
+  // (two models → discordant pairs; three or more → Q, which reduces
+  // to McNemar at k = 2): A = the value-as-score rule (v ≥ $50), B =
+  // the user-mean prior (the mcnemar profile join, exact Σv ≥ 5000·n
+  // cross-multiplication), C = the event-parity coin flip — the
+  // null-ish baseline that keeps the test honest. Q = (k−1)·(k·ΣG² −
+  // (ΣG)²) / (k·ΣL − ΣL²) with G_j the per-classifier correct totals
+  // and L_i the per-row correct counts: ΣL and ΣL² collapse MAP-SIDE
+  // (L ≤ 3 per row), the three G_j are one conditional aggregate, and
+  // Q is a single guarded division of exact DECIMAL(38,0)/HUGEINT
+  // integers. All-rows-identical agreement (denominator 0) yields
+  // NULL, never an error.
+  // ------------------------------------------------------------------
+
+  private val statCochranQ = Q(
+    "stat_cochran_q",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          ($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+      val prof = e.filter($"user_id".isNotNull)
+        .groupBy("user_id").agg(
+          sum($"v".cast(Dec380)).as("sv"), count(lit(1)).as("nu"))
+      val j = e.join(prof, Seq("user_id"), "left_outer")
+        .withColumn("ca", (($"v" >= 5000) === ($"y" === 1)).cast("long"))
+        .withColumn("cb",
+          (coalesce($"sv" >= $"nu".cast(Dec380) * 5000, lit(false))
+            === ($"y" === 1)).cast("long"))
+        .withColumn("cc",
+          ((pmod($"event_id", lit(2L)) === 0) === ($"y" === 1)).cast("long"))
+        .withColumn("l", $"ca" + $"cb" + $"cc")
+      val m = j.agg(
+        count(lit(1)).as("n"),
+        sum($"ca").as("ga"), sum($"cb").as("gb"), sum($"cc").as("gc"),
+        sum($"l".cast(Dec380)).as("sl"),
+        sum($"l".cast(Dec380) * $"l").as("sl2"))
+      m.withColumn("num",
+          lit(2) * (lit(3) * ($"ga".cast(Dec380) * $"ga"
+            + $"gb".cast(Dec380) * $"gb" + $"gc".cast(Dec380) * $"gc")
+            - ($"ga" + $"gb" + $"gc").cast(Dec380)
+              * ($"ga" + $"gb" + $"gc")))
+        .withColumn("den", lit(3) * $"sl" - $"sl2")
+        .select($"n", $"ga", $"gb", $"gc",
+          when($"den" > 0,
+            dround($"num".cast("double") / $"den".cast("double"), 6))
+            .as("q_stat"))
+    },
+    Some("WITH e AS (SELECT user_id, event_id, " +
+      "CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "prof AS (SELECT user_id, SUM(CAST(v AS HUGEINT)) AS sv, " +
+      "CAST(count(*) AS BIGINT) AS nu FROM e " +
+      "WHERE user_id IS NOT NULL GROUP BY 1), " +
+      "jj AS (SELECT CAST((e.v >= 5000) = (e.y = 1) AS BIGINT) AS ca, " +
+      "CAST(COALESCE(prof.sv >= CAST(prof.nu AS HUGEINT) * 5000, FALSE) " +
+      "= (e.y = 1) AS BIGINT) AS cb, " +
+      "CAST((((e.event_id % 2) + 2) % 2 = 0) = (e.y = 1) AS BIGINT) AS cc " +
+      "FROM e LEFT JOIN prof ON e.user_id = prof.user_id), " +
+      "l AS (SELECT ca, cb, cc, ca + cb + cc AS l FROM jj), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(ca) AS BIGINT) AS ga, CAST(SUM(cb) AS BIGINT) AS gb, " +
+      "CAST(SUM(cc) AS BIGINT) AS gc, SUM(CAST(l AS HUGEINT)) AS sl, " +
+      "SUM(CAST(l AS HUGEINT) * l) AS sl2 FROM l), " +
+      "x AS (SELECT n, ga, gb, gc, " +
+      "2 * (3 * (CAST(ga AS HUGEINT)*ga + CAST(gb AS HUGEINT)*gb " +
+      "+ CAST(gc AS HUGEINT)*gc) " +
+      "- CAST(ga + gb + gc AS HUGEINT) * (ga + gb + gc)) AS num, " +
+      "3 * sl - sl2 AS den FROM m) " +
+      "SELECT n, ga, gb, gc, CASE WHEN den > 0 THEN " +
+      OSql.sround("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6) +
+      " END AS q_stat FROM x"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2388,7 +2533,8 @@ object MlStatOps {
     evalAuc, statSpearmanRho, statPowerTwoprop, evalLiftDeciles,
     statTostEquivalence, evalYoudenThreshold, statKendallTau,
     statProportionsZtest, statWilcoxonSignedRank, statKruskalWallis,
-    evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity)
+    evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
+    evalAveragePrecision, statCochranQ, statBenjaminiYekutieli)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:
@@ -2511,6 +2657,59 @@ object MlStatOps {
       "(ORDER BY p_value, event_type) AS k FROM pv), " +
       "km AS (SELECT max(CASE WHEN p_value <= k * 0.10 / " +
       "(SELECT m FROM mm) THEN k END) AS kmax FROM r) " +
+      "SELECT event_type, CAST(k AS BIGINT) AS k, p_value, " +
+      "CAST(k <= COALESCE((SELECT kmax FROM km), 0) AS BIGINT) AS rejected " +
+      "FROM r ORDER BY k"))
+
+  // ------------------------------------------------------------------
+  // stat_benjamini_yekutieli — the Benjamini–Yekutieli FDR step-up,
+  // the arbitrary-dependence-safe sibling of `stat_fdr_bh` (BH
+  // controls FDR under independence/PRDS; BY divides the threshold by
+  // the harmonic number c(m) = Σ1/i and holds under ANY dependence —
+  // the conservative default when the per-type hypotheses share the
+  // same archive). Same permutation p-values, same Mat'd |types|-row
+  // ledger and broadcast theta-rank — but the threshold test is FULLY
+  // INTEGER: with the harmonic quantized as Hq = Σ_{i≤m}(10⁹ div i)
+  // (an exact integer both engines reproduce term by term), p ≤
+  // k·q/(m·c) becomes p6·m·Hq ≤ k·10¹⁴ over the exact 6dp p-value
+  // integer p6 — no float comparison anywhere near the cut.
+  // ------------------------------------------------------------------
+
+  private lazy val statBenjaminiYekutieli = Q(
+    "stat_benjamini_yekutieli",
+    (s, d) => {
+      import s.implicits._
+      val p = graft.core.Mat(s,
+        statPermutationTest.fn(s, d).select($"event_type", $"p_value"),
+        "by-pvalues")
+      val m = p.count()
+      val hq = (1L to m).map(1000000000L / _).sum
+      val ranked = p.as("a").join(broadcast(p.as("b")),
+          $"b.p_value" < $"a.p_value" ||
+            ($"b.p_value" === $"a.p_value" && $"b.event_type" < $"a.event_type"),
+          "left_outer")
+        .groupBy($"a.event_type".as("event_type"), $"a.p_value".as("p_value"))
+        .agg((count($"b.event_type") + 1).as("k"))
+        .withColumn("p6", round($"p_value" * 1e6).cast("long"))
+        .withColumn("pass",
+          ($"p6".cast(Dec380) * m * hq <=
+            $"k".cast(Dec380) * lit(100000000000000L)).cast("long"))
+      val kmax = ranked.agg(max(when($"pass" === 1, $"k")).as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .select($"event_type", $"k", $"p_value",
+          ($"k" <= coalesce($"kmax", lit(0L))).cast("long").as("rejected"))
+        .orderBy("k")
+    },
+    Some("WITH pv AS (" + permOracleSql + "), " +
+      "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv), " +
+      "hh AS (SELECT CAST(SUM(1000000000 // i) AS BIGINT) AS hq FROM " +
+      "(SELECT unnest(generate_series(1, (SELECT m FROM mm))) AS i)), " +
+      "r AS (SELECT event_type, p_value, row_number() OVER " +
+      "(ORDER BY p_value, event_type) AS k, " +
+      "CAST(round(p_value * 1e6) AS BIGINT) AS p6 FROM pv), " +
+      "km AS (SELECT max(CASE WHEN CAST(p6 AS HUGEINT) * " +
+      "(SELECT m FROM mm) * (SELECT hq FROM hh) <= " +
+      "CAST(k AS HUGEINT) * 100000000000000 THEN k END) AS kmax FROM r) " +
       "SELECT event_type, CAST(k AS BIGINT) AS k, p_value, " +
       "CAST(k <= COALESCE((SELECT kmax FROM km), 0) AS BIGINT) AS rejected " +
       "FROM r ORDER BY k"))

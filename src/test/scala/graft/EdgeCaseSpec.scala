@@ -1663,6 +1663,78 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getLong(4) === 450000L && r.getLong(5) === 1800000L)
   }
 
+  test("average precision hits the hand ranking and NULLs with no positives") {
+    // descending scores: $3 (pos) → P=1/1; $2 (neg) skipped; $1 (pos)
+    // → P=2/3. AP = (1 + 2/3)/2 = 5/6 = 0.833333
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "purchase", 3.0, "{}"), (2L, 0L, 1L, "view", 2.0, "{}"),
+      (3L, 0L, 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("eval_average_precision", dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 0.833333)
+    val neg = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(run("eval_average_precision", neg).collect().head.isNullAt(2))
+  }
+
+  test("cochran q matches the hand table and NULLs on unanimous agreement") {
+    // per-row correctness (A=v≥$50, B=user-mean≥$50, C=even-id):
+    // r1 (u1, id2, purchase $60) → (1,1,1); r2 (u2, id3, view $30) →
+    // (1,1,1); r3 (u3, id5, purchase $10) → (0,0,0); r4 (NULL user,
+    // id4, view $20) → (1,1,0). G=(3,3,2), L=(3,3,0,2) ⇒
+    // Q = 2·(3·22 − 64)/(3·8 − 22) = 4/2 = 2
+    val rows = Seq(
+      (2L, 0L, 1L, "purchase", 60.0, "{}"), (3L, 0L, 2L, "view", 30.0, "{}"),
+      (5L, 0L, 3L, "purchase", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nullUser = Seq((4L, 0L, "view", 20.0, "{}"))
+      .toDF("event_id", "ts", "event_type", "value", "props")
+      .withColumn("user_id",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = run("stat_cochran_q", stageTables("events" ->
+      rows.union(nullUser))).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 3L, 3L, 2L)))
+    assert(r.getDouble(4) === 2.0)
+    // every classifier right on every row → denominator 0 → NULL
+    val agree = stageTables("events" -> Seq(
+      (2L, 0L, 1L, "purchase", 60.0, "{}"), (4L, 0L, 2L, "purchase", 70.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(run("stat_cochran_q", agree).collect().head.isNullAt(4))
+  }
+
+  test("benjamini-yekutieli is a prefix cut no looser than benjamini-hochberg") {
+    val bh = run("stat_fdr_bh").collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val by = run("stat_benjamini_yekutieli").collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    // step-up: the rejected set is a prefix of the k-ranking
+    val rej = by.filter(_._2 === 1L).map(_._1)
+    assert(rej.sorted === (1L to rej.length).toSeq,
+      "BY rejections must form a k-prefix")
+    // the harmonic divisor only shrinks the threshold: BY ⊆ BH
+    assert(by.forall { case (k, r) => r <= bh(k) },
+      "BY must never reject a hypothesis BH keeps")
+  }
+
+  test("survivorship keeps min-id winners and charges cross-source losses") {
+    // "dup" lives in A (docs 1, 2) and B (doc 3): winner = doc 1 (A);
+    // doc 4 is unique in B. A keeps 1 of 2 (same-source loss); B keeps
+    // 1 of 2 and its loss crosses to A.
+    val docs = Seq(
+      (1L, "en", "srcA", "dup"), (2L, "en", "srcA", "dup"),
+      (3L, "en", "srcB", "dup"), (4L, "en", "srcB", "uniq"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = run("dedup_survivorship_report", stageTables("documents" -> docs))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "srcA" -> ((2L, 1L, 1L, 0L)), "srcB" -> ((2L, 1L, 1L, 1L))))
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

@@ -904,6 +904,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "no join anywhere in the rollup")
   }
 
+  test("average precision prefixes two-phase over the value ledger") {
+    val plan = executedPlan("eval_average_precision")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[b#")),
+      s"ledger prefixes must partition by the coarse bucket: $windowLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets must merge by broadcast")
+  }
+
+  test("cochran q is a keyed profile join plus one map-side fold") {
+    val plan = executedPlan("stat_cochran_q")
+    assert(!plan.contains("Window "), "no window in the paired test")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the profile join must stay equi on user_id")
+    assert(plan.contains("partial"),
+      "G and L moments must pre-aggregate map-side")
+  }
+
+  test("survivorship joins stay keyed on the content hash") {
+    val plan = executedPlan("dedup_survivorship_report")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "winner rejoin must be an equi-join on the md5 / winner id")
+    assert(!plan.contains("Window "), "no window anywhere")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
