@@ -1278,6 +1278,92 @@ object CorpusOps {
       "CAST((1000000 * inter) // uni AS DOUBLE) / 1e6 AS jaccard " +
       "FROM f ORDER BY sa, sb"))
 
+  // ------------------------------------------------------------------
+  // corpus_heaps_law — Heaps'-law vocabulary-growth fit V(N) = K·N^β
+  // over the corpus in doc_id ingest order: the third corpus-health
+  // distribution law beside the Zipf head slope and the hapax tail
+  // (natural text grows vocabulary at β ≈ 0.4–0.6; template spam
+  // flattens β toward 0, shuffled-in junk pushes it toward 1). The
+  // running totals are NOT a sequential scan: each token's FIRST
+  // doc (min doc_id — one open-vocab collapse) turns "cumulative
+  // distinct vocabulary" into a per-doc new-word count, and both
+  // cumulative series ride the two-phase prefix over the per-doc
+  // ledger (64Ki-doc buckets + broadcast offsets — bucket ledger
+  // ≤ ~15k rows even at 10⁹ docs). The log-log OLS quantizes
+  // ln(cumN)/ln(cumV) at 10⁶ per ledger row (ln-on-identical-
+  // integers precedent) so the regression sums are exact integers;
+  // slope/intercept are single double formulas.
+  // ------------------------------------------------------------------
+
+  private val corpusHeapsLaw = Q(
+    "corpus_heaps_law",
+    (s, d) => {
+      import s.implicits._
+      val Dec38c = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tok = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+      val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("toks"))
+      val firstDoc = tok.groupBy("w").agg(min($"doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("newv"))
+      val led = perDoc.join(firstDoc, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"toks", coalesce($"newv", lit(0L)).as("newv"))
+        .withColumn("b", expr(Det.fdivExpr("doc_id", "65536")))
+      val local = Window.partitionBy($"b").orderBy($"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsN = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"toks").as("n")), "b")
+      val offsV = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"newv").as("n")), "b")
+        .withColumnRenamed("off", "offv")
+      val pts = led
+        .withColumn("ln_", sum($"toks").over(local))
+        .withColumn("lv", sum($"newv").over(local))
+        .join(broadcast(offsN), "b").join(broadcast(offsV), "b")
+        .select(($"ln_" + $"off").as("cn"), ($"lv" + $"offv").as("cv"))
+        .filter($"cn" > 0 && $"cv" > 0)
+        .select(
+          floor(log($"cn") * lit(1e6) + lit(0.5)).cast(Dec38c).as("x"),
+          floor(log($"cv") * lit(1e6) + lit(0.5)).cast(Dec38c).as("y"))
+      val m = pts.agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      m.withColumn("dn", ($"n".cast(Dec38c) * $"sxx" - $"sx" * $"sx")
+          .cast("double"))
+        .withColumn("beta",
+          when($"n" > 1 && $"dn" > 0,
+            ($"n".cast(Dec38c) * $"sxy" - $"sx" * $"sy").cast("double")
+              / $"dn"))
+        .select($"n".as("n_points"),
+          dround($"beta", 6).as("beta"),
+          dround(($"sy".cast("double") - $"beta" * $"sx".cast("double"))
+            / ($"n".cast("double") * lit(1e6)), 6).as("ln_k"))
+    },
+    Some("WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0), " +
+      "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks " +
+      "FROM tok GROUP BY 1), " +
+      "fd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS newv FROM " +
+      "(SELECT w, MIN(doc_id) AS doc_id FROM tok GROUP BY 1) GROUP BY 1), " +
+      "led AS (SELECT pd.doc_id, pd.toks, COALESCE(fd.newv, 0) AS newv " +
+      "FROM pd LEFT JOIN fd USING (doc_id)), " +
+      "r AS (SELECT SUM(toks) OVER win AS cn, SUM(newv) OVER win AS cv " +
+      "FROM led WINDOW win AS (ORDER BY doc_id ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "pts AS (SELECT CAST(floor(ln(cn) * 1e6 + 0.5) AS HUGEINT) AS x, " +
+      "CAST(floor(ln(cv) * 1e6 + 0.5) AS HUGEINT) AS y FROM r " +
+      "WHERE cn > 0 AND cv > 0), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx, " +
+      "SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts), " +
+      "f AS (SELECT n, sx, sy, " +
+      "CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS dn, " +
+      "CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS nu FROM m), " +
+      "g AS (SELECT n, sx, sy, CASE WHEN n > 1 AND dn > 0 THEN nu / dn END " +
+      "AS beta FROM f) " +
+      "SELECT n AS n_points, " + OSql.sround("beta", 6) + " AS beta, " +
+      OSql.sround("(CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) " +
+        "/ (CAST(n AS DOUBLE) * 1e6)", 6) + " AS ln_k FROM g"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
@@ -1285,5 +1371,5 @@ object CorpusOps {
     textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
     textZipfFit, textCollocationsPmi, corpusJsDivergence,
     corpusNgramNovelty, textBigramKneserNey, textHapaxRatio,
-    corpusVocabOverlap)
+    corpusVocabOverlap, corpusHeapsLaw)
 }

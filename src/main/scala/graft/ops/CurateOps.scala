@@ -542,8 +542,54 @@ object CurateOps {
       "UNION ALL SELECT 3, cid, d2 FROM n3 " +
       "ORDER BY sel_round"))
 
+  // ------------------------------------------------------------------
+  // sample_systematic — every-k-th systematic sampling (k = 7) by
+  // global event_id order: the classic frame-based design the sampler
+  // family lacked (stratified/importance/temperature re-weight;
+  // hash_split is pseudo-random per row; SYSTEMATIC guarantees exact
+  // 1/k coverage of every contiguous archive segment — the property
+  // auditors ask for). The global rank is the two-phase
+  // (pid, lrn) + broadcast prefix-offsets idiom shared with
+  // `window_rank_distributed` — NO single-partition WindowExec at any
+  // size — and the report collapses map-side to one row whose exact
+  // selected-value checksum makes the rank assignment itself
+  // hash-visible (an off-by-one in the rank function moves the
+  // checksum).
+  // ------------------------------------------------------------------
+
+  private val sampleSystematic = Q(
+    "sample_systematic",
+    (s, d) => {
+      import s.implicits._
+      val Dec38s = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Tables.events(s, d)
+        .select($"event_id", round($"value" * 100).cast("long").as("c"))
+      val ids = Windows.rankIds(e, $"event_id".asc).localCheckpoint(true)
+      val offs = Windows.prefixOffsets(
+        ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
+      val ranked = ids.join(broadcast(offs), "pid")
+        .select($"event_id", $"c", ($"lrn" + $"off").as("rn"))
+      ranked.agg(
+          count(lit(1)).as("n_total"),
+          sum(($"rn" % 7 === 1).cast("long")).as("n_selected"),
+          sum(when($"rn" % 7 === 1, $"c".cast(Dec38s)).otherwise(lit(0)))
+            .cast("long").as("sel_cents"),
+          max(when($"rn" % 7 === 1, $"rn")).as("last_sel_rn"))
+    },
+    Some("WITH e AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS c " +
+      "FROM events), " +
+      "r AS (SELECT event_id, c, row_number() OVER (ORDER BY event_id ASC) " +
+      "AS rn FROM e) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_total, " +
+      "CAST(SUM(CASE WHEN rn % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_selected, " +
+      "CAST(SUM(CASE WHEN rn % 7 = 1 THEN CAST(c AS HUGEINT) ELSE 0 END) " +
+      "AS BIGINT) AS sel_cents, " +
+      "CAST(MAX(CASE WHEN rn % 7 = 1 THEN rn END) AS BIGINT) AS last_sel_rn " +
+      "FROM r"))
+
   val qs: Seq[Q] = Seq(
     dedupSemantic, corpusTokenBudget, windowNtileShard, sampleImportance,
     aggCorr, corpusDomainCap, sampleHashSplit, embeddingCentroidDrift,
-    sampleKcenterCoreset)
+    sampleKcenterCoreset, sampleSystematic)
 }

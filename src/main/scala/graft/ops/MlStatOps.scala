@@ -2520,6 +2520,74 @@ object MlStatOps {
       OSql.sround("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6) +
       " END AS q_stat FROM x"))
 
+  // ------------------------------------------------------------------
+  // stat_ttest_paired — paired t-test over the archive's two eras
+  // (event_id parity, the era convention `profile_drift_psi` set):
+  // per-user spend in era 1 minus era 0, PAIRED on the user — the
+  // within-subject design `stat_welch_ttest` (independent arms)
+  // cannot express; only users measured in BOTH eras pair. The
+  // per-user difference d = Σ₁ − Σ₀ is an exact cents integer off ONE
+  // user-keyed conditional aggregate; t = Σd·√(n−1) / √(n·Σd² −
+  // (Σd)²) is a single double formula over exact DECIMAL(38,0)/
+  // HUGEINT sums (the jarque_bera m2n identity on the differences),
+  // spelled identically in both engines. n < 2 or zero variance →
+  // NULL. The fact collapses map-side per user; the pair table then
+  // folds to one row.
+  // ------------------------------------------------------------------
+
+  private val statTtestPaired = Q(
+    "stat_ttest_paired",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", pmod($"event_id", lit(2L)).as("era"),
+          round($"value" * 100).cast("long").as("v"))
+      val pairs = e.groupBy("user_id").agg(
+          sum(when($"era" === 1, $"v".cast(Dec380)).otherwise(lit(0)))
+            .as("s1"),
+          sum(when($"era" === 0, $"v".cast(Dec380)).otherwise(lit(0)))
+            .as("s0"),
+          max(($"era" === 1).cast("long")).as("h1"),
+          max(($"era" === 0).cast("long")).as("h0"))
+        .filter($"h1" === 1 && $"h0" === 1)
+        .select(($"s1" - $"s0").as("dd"))
+      val m = pairs.agg(
+        count(lit(1)).as("n"),
+        sum($"dd").as("sd"),
+        sum($"dd" * $"dd").as("sd2"))
+      m.withColumn("m2n", $"n".cast(Dec380) * $"sd2" - $"sd" * $"sd")
+        .select($"n",
+          // trunc-toward-zero division in BOTH engines (Spark div and
+          // DuckDB // agree on truncation; sd can be negative)
+          when($"n" > 0, expr("cast(sd as bigint) div n").cast("long"))
+            .as("mean_diff_cents"),
+          when($"n" > 1 && $"m2n" > 0,
+            dround($"sd".cast("double")
+              * sqrt(($"n" - 1).cast("double"))
+              / sqrt($"m2n".cast("double")), 6)).as("t_stat"))
+    },
+    Some("WITH e AS (SELECT user_id, ((event_id % 2) + 2) % 2 AS era, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events " +
+      "WHERE user_id IS NOT NULL), " +
+      "p AS (SELECT user_id, " +
+      "SUM(CASE WHEN era = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1, " +
+      "SUM(CASE WHEN era = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s0, " +
+      "MAX(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS h1, " +
+      "MAX(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS h0 " +
+      "FROM e GROUP BY 1), " +
+      "dd AS (SELECT s1 - s0 AS dd FROM p WHERE h1 = 1 AND h0 = 1), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(dd) AS sd, " +
+      "SUM(dd * dd) AS sd2 FROM dd), " +
+      "x AS (SELECT n, sd, CAST(n AS HUGEINT) * sd2 - sd * sd AS m2n " +
+      "FROM m) " +
+      "SELECT n, CASE WHEN n > 0 THEN CAST(CAST(sd AS BIGINT) // n AS BIGINT) " +
+      "END AS mean_diff_cents, " +
+      "CASE WHEN n > 1 AND m2n > 0 THEN " +
+      OSql.sround("CAST(sd AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE)) " +
+        "/ sqrt(CAST(m2n AS DOUBLE))", 6) +
+      " END AS t_stat FROM x"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2534,7 +2602,8 @@ object MlStatOps {
     statTostEquivalence, evalYoudenThreshold, statKendallTau,
     statProportionsZtest, statWilcoxonSignedRank, statKruskalWallis,
     evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
-    evalAveragePrecision, statCochranQ, statBenjaminiYekutieli)
+    evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
+    statTtestPaired)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -1330,11 +1330,75 @@ object TsOps {
         "/ CAST(m2n AS DOUBLE)", 6) +
       " END AS dw FROM x ORDER BY event_type"))
 
+  // ------------------------------------------------------------------
+  // window_rolling_corr — trailing-24-hour rolling correlation between
+  // the purchase and view hourly series: the CO-MOVEMENT monitor
+  // (demand tracking engagement is healthy; the correlation breaking
+  // toward 0 flags a funnel rupture long before revenue does) — the
+  // bivariate member of the rolling family (moving_avg/median/slope
+  // are univariate). The joint (h, x, y) ledger is calendar-bounded;
+  // the trailing RANGE frame is the broadcast theta self-join
+  // (the moving_avg discipline — no single-partition WindowExec even
+  // over the ledger), accumulating exact DECIMAL(38,0)/HUGEINT moment
+  // sums per anchor hour; Pearson r is one guarded double formula
+  // (degenerate windows — either side constant — emit NULL). The
+  // oracle is the naive RANGE window; the hash match proves
+  // theta-join ≡ RANGE frame.
+  // ------------------------------------------------------------------
+
+  private val windowRollingCorr = Q(
+    "window_rolling_corr",
+    (s, d) => {
+      import s.implicits._
+      val Dec38i = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hc = hourlyCents(s, d)
+      val j = hc.filter($"event_type" === "purchase").select($"h", $"v".as("x"))
+        .join(hc.filter($"event_type" === "view").select($"h", $"v".as("y")),
+          Seq("h"))
+      val m = j.as("a").join(broadcast(j.as("b")),
+          $"b.h" >= $"a.h" - 23 && $"b.h" <= $"a.h")
+        .groupBy($"a.h".as("h")).agg(
+          count(lit(1)).as("n"),
+          sum($"b.x".cast(Dec38i)).as("sx"),
+          sum($"b.y".cast(Dec38i)).as("sy"),
+          sum($"b.x".cast(Dec38i) * $"b.y").as("sxy"),
+          sum($"b.x".cast(Dec38i) * $"b.x").as("sxx"),
+          sum($"b.y".cast(Dec38i) * $"b.y").as("syy"))
+      m.withColumn("dx", ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+        .withColumn("dy", ($"n" * $"syy" - $"sy" * $"sy").cast("double"))
+        .select($"h", $"n",
+          when($"dx" > 0 && $"dy" > 0,
+            dround(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+              / sqrt($"dx" * $"dy"), 6)).as("corr"))
+        .orderBy("h")
+    },
+    Some("WITH " + hourlyCtes + ", " +
+      "j AS (SELECT p.h, p.v AS x, w.v AS y FROM " +
+      "(SELECT h, v FROM hourly WHERE event_type = 'purchase') p " +
+      "JOIN (SELECT h, v FROM hourly WHERE event_type = 'view') w " +
+      "USING (h)), " +
+      "m AS (SELECT h, " +
+      "CAST(count(*) OVER win AS BIGINT) AS n, " +
+      "SUM(CAST(x AS HUGEINT)) OVER win AS sx, " +
+      "SUM(CAST(y AS HUGEINT)) OVER win AS sy, " +
+      "SUM(CAST(x AS HUGEINT) * y) OVER win AS sxy, " +
+      "SUM(CAST(x AS HUGEINT) * x) OVER win AS sxx, " +
+      "SUM(CAST(y AS HUGEINT) * y) OVER win AS syy " +
+      "FROM j WINDOW win AS (ORDER BY h ASC " +
+      "RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)), " +
+      "f AS (SELECT h, n, sxy, sx, sy, " +
+      "CAST(n * sxx - sx * sx AS DOUBLE) AS dx, " +
+      "CAST(n * syy - sy * sy AS DOUBLE) AS dy FROM m) " +
+      "SELECT h, n, CASE WHEN dx > 0 AND dy > 0 THEN " +
+      OSql.sround("CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(dx * dy)", 6) +
+      " END AS corr FROM f ORDER BY h"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
     statTrendMannKendall, windowCusumChange, intervalUnionLength,
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
-    tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson)
+    tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson,
+    windowRollingCorr)
 }

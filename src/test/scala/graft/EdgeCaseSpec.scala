@@ -1735,6 +1735,62 @@ class EdgeCaseSpec extends SparkSpec {
       "srcA" -> ((2L, 1L, 1L, 0L)), "srcB" -> ((2L, 1L, 1L, 1L))))
   }
 
+  test("systematic sampling takes ranks 1, 8, 15 and checksums them exactly") {
+    val rows = (1L to 15L).map(i => (i, 0L, 1L, "t", i.toDouble, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("sample_systematic", dir).collect().head
+    // ranks 1, 8, 15 → values $1 + $8 + $15 = 2400 cents
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((15L, 3L, 2400L, 15L)))
+  }
+
+  test("paired t matches the two-user closed form and drops unpaired users") {
+    // u1: era1 $10 vs era0 $4 → d = 600; u2: $8 vs $6 → d = 200;
+    // u3 appears only in era 1 and must not pair.
+    // t = 800·√1/√(2·400000 − 640000) = 800/400 = 2
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "t", 10.0, "{}"), (2L, 0L, 1L, "t", 4.0, "{}"),
+      (3L, 0L, 2L, "t", 8.0, "{}"), (4L, 0L, 2L, "t", 6.0, "{}"),
+      (5L, 0L, 3L, "t", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_ttest_paired", dir).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 400L)
+    assert(r.getDouble(2) === 2.0)
+  }
+
+  test("rolling corr is 1 on proportional series and NULL on the 1-point window") {
+    val hns = (h: Long) => h * 3600000L * 1000000L
+    // view = 2 × purchase at every common hour ⇒ every window with
+    // n ≥ 2 scores exactly 1; the first hour's window has one point
+    // (zero variance) and must emit NULL
+    val rows = (0L until 26L).flatMap(h => Seq(
+      (1000L + h, hns(h), 1L, "purchase", (h + 1).toDouble, "{}"),
+      (2000L + h, hns(h), 1L, "view", 2.0 * (h + 1), "{}")))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("window_rolling_corr", dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got(0L).isNaN)
+    assert((1L until 26L).forall(h => got(h) === 1.0))
+  }
+
+  test("heaps fit recovers the planted doubling-growth exponent 1/2") {
+    // cumulative (tokens, vocab) checkpoints: (2,2), (4,3), (8,4) —
+    // x = ln2·{1,2,3}, y = {ln2, ln3, ln4} ⇒ OLS slope = ln2/(2·ln2)
+    // = 0.5 exactly; intercept = ln(3)/3
+    val docs = Seq(
+      (0L, "en", "s", "a b"), (1L, "en", "s", "a c"),
+      (2L, "en", "s", "a b c d"))
+      .toDF("doc_id", "lang", "source", "text")
+    val r = run("corpus_heaps_law", stageTables("documents" -> docs))
+      .collect().head
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-4, s"beta = ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(3.0) / 3) < 1e-4)
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

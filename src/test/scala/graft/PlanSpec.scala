@@ -931,6 +931,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window "), "no window anywhere")
   }
 
+  test("systematic sampling ranks without any WindowExec") {
+    val plan = executedPlan("sample_systematic")
+    assert(!plan.contains("Window "),
+      "the global rank is (pid, lrn) + broadcast offsets — no window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "partition offsets must arrive by broadcast")
+  }
+
+  test("paired t is one keyed collapse and one fold — no join, no window") {
+    val plan = executedPlan("stat_ttest_paired")
+    assert(!plan.contains("Window ") && !plan.contains("Join"),
+      "era sums are a conditional aggregate, not a self-join")
+    assert(plan.contains("partial"),
+      "per-user era sums must pre-aggregate map-side")
+  }
+
+  test("rolling corr windows via the broadcast theta self-join, not a global frame") {
+    val plan = executedPlan("window_rolling_corr")
+    assert(!plan.contains("Window "),
+      "the trailing frame is the theta join — no single-partition window")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the calendar-bounded ledger must broadcast to itself")
+    assert(!plan.contains("CartesianProduct"),
+      "the range predicate must ride the broadcast, never a product")
+  }
+
+  test("heaps prefixes run two-phase over the doc ledger") {
+    val plan = executedPlan("corpus_heaps_law")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[b#")),
+      s"cumulative sums must partition by the doc bucket: $windowLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets must merge by broadcast")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
