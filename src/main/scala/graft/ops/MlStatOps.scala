@@ -2588,6 +2588,68 @@ object MlStatOps {
         "/ sqrt(CAST(m2n AS DOUBLE))", 6) +
       " END AS t_stat FROM x"))
 
+  // ------------------------------------------------------------------
+  // stat_sign_test — the SIGN test over the same per-user era pairs as
+  // `stat_ttest_paired`, completing the paired family's robustness
+  // ladder (t assumes normal differences; Wilcoxon assumes symmetric;
+  // the sign test assumes NOTHING but exchangeability — the verdict
+  // that survives any spend distribution): count strictly positive vs
+  // strictly negative differences (exact-zero pairs drop, the
+  // textbook rule), z = (¦pos − neg¦ − 1)/√(pos + neg) with the
+  // continuity correction FLOORED at 0 (the mcnemar discipline — a
+  // tied table scores 0, never a spurious 1/√n). Everything is one
+  // user-keyed conditional aggregate plus a one-row fold; the only
+  // float is the final guarded z.
+  // ------------------------------------------------------------------
+
+  private val statSignTest = Q(
+    "stat_sign_test",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", pmod($"event_id", lit(2L)).as("era"),
+          round($"value" * 100).cast("long").as("v"))
+      val pairs = e.groupBy("user_id").agg(
+          sum(when($"era" === 1, $"v".cast(Dec380)).otherwise(lit(0)))
+            .as("s1"),
+          sum(when($"era" === 0, $"v".cast(Dec380)).otherwise(lit(0)))
+            .as("s0"),
+          max(($"era" === 1).cast("long")).as("h1"),
+          max(($"era" === 0).cast("long")).as("h0"))
+        .filter($"h1" === 1 && $"h0" === 1)
+        .select(($"s1" - $"s0").as("dd"))
+      pairs.agg(
+          sum(($"dd" > 0).cast("long")).as("n_pos"),
+          sum(($"dd" < 0).cast("long")).as("n_neg"),
+          sum(($"dd" === 0).cast("long")).as("n_zero"))
+        .select($"n_pos", $"n_neg", $"n_zero",
+          when($"n_pos" + $"n_neg" > 0,
+            dround(greatest(abs($"n_pos" - $"n_neg") - 1, lit(0L))
+              .cast("double")
+              / sqrt(($"n_pos" + $"n_neg").cast("double")), 6)).as("z"))
+    },
+    Some("WITH e AS (SELECT user_id, ((event_id % 2) + 2) % 2 AS era, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events " +
+      "WHERE user_id IS NOT NULL), " +
+      "p AS (SELECT user_id, " +
+      "SUM(CASE WHEN era = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1, " +
+      "SUM(CASE WHEN era = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s0, " +
+      "MAX(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS h1, " +
+      "MAX(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS h0 " +
+      "FROM e GROUP BY 1), " +
+      "dd AS (SELECT s1 - s0 AS dd FROM p WHERE h1 = 1 AND h0 = 1), " +
+      "t AS (SELECT CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_pos, " +
+      "CAST(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg, " +
+      "CAST(SUM(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero " +
+      "FROM dd) " +
+      "SELECT n_pos, n_neg, n_zero, " +
+      "CASE WHEN n_pos + n_neg > 0 THEN " +
+      OSql.sround("CAST(GREATEST(abs(n_pos - n_neg) - 1, 0) AS DOUBLE) " +
+        "/ sqrt(CAST(n_pos + n_neg AS DOUBLE))", 6) +
+      " END AS z FROM t"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2603,7 +2665,7 @@ object MlStatOps {
     statProportionsZtest, statWilcoxonSignedRank, statKruskalWallis,
     evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
-    statTtestPaired)
+    statTtestPaired, statSignTest)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

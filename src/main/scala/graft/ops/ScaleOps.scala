@@ -1441,11 +1441,125 @@ object ScaleOps {
         "CAST(SUM((1 - present) * bpos) AS BIGINT) AS n_false_pos FROM cf"
     })
 
+  // ------------------------------------------------------------------
+  // audit_sequence_gaps — the "did the replay drop records" audit: a
+  // dense sequence-keyed stream is checked for missing id ranges. The
+  // archive's event_id domain is dense, so the audited stream PLANTS
+  // deterministic drops (event_id ≡ 13 mod 97 withheld — the
+  // scan_json_badrecords staging precedent) and the oracle restates
+  // the same rule: the hash match proves the DETECTOR reconstructs
+  // exactly the planted loss. Machinery is the gap/islands idiom at
+  // archive scale: distinct ids → global rank via the two-phase
+  // (pid, lrn) + broadcast-offsets idiom (no single-partition
+  // WindowExec) → island key id − rn (constant per contiguous run) →
+  // a keyed collapse to the island ledger, whose size is the GAP
+  // count, not the corpus; totals (missing = span − present,
+  // gaps = islands − 1) are scalars off that ledger, and the largest
+  // gap is a second two-phase rank + shifted self-join over the
+  // ledger only.
+  // ------------------------------------------------------------------
+
+  private val auditSequenceGaps = Q(
+    "audit_sequence_gaps",
+    (s, d) => {
+      import s.implicits._
+      val ids = Tables.events(s, d)
+        .filter(pmod($"event_id", lit(97L)) =!= 13L)
+        .select($"event_id".as("id")).distinct()
+      val ranked = {
+        val r = Windows.rankIds(ids, $"id".asc).localCheckpoint(true)
+        val offs = Windows.prefixOffsets(
+          r.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
+        r.join(broadcast(offs), "pid")
+          .select($"id", ($"lrn" + $"off").as("rn"))
+      }
+      val islands = ranked.withColumn("k", $"id" - $"rn")
+        .groupBy("k").agg(min($"id").as("st"), max($"id").as("en"))
+      val iRanked = {
+        val r = Windows.rankIds(islands, $"st".asc).localCheckpoint(true)
+        val offs = Windows.prefixOffsets(
+          r.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
+        r.join(broadcast(offs), "pid")
+          .select($"st", $"en", ($"lrn" + $"off").as("irn"))
+      }
+      val gaps = iRanked.as("a").join(iRanked.as("b"),
+          $"b.irn" === $"a.irn" + 1)
+        .select(($"b.st" - $"a.en" - 1).as("gap"))
+      val base = ids.agg(min($"id").as("mn"), max($"id").as("mx"),
+        count(lit(1)).as("n_present"))
+      val gagg = gaps.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_gaps"),
+        coalesce(sum($"gap"), lit(0L)).cast("long").as("n_missing_g"),
+        coalesce(max($"gap"), lit(0L)).as("largest_gap"))
+      base.crossJoin(broadcast(gagg))
+        .select($"mn", $"mx", $"n_present",
+          ($"mx" - $"mn" + 1 - $"n_present").as("n_missing"),
+          $"n_gaps", $"n_missing_g", $"largest_gap")
+    },
+    Some("WITH ids AS (SELECT DISTINCT event_id AS id FROM events " +
+      "WHERE ((event_id % 97) + 97) % 97 <> 13), " +
+      "r AS (SELECT id, row_number() OVER (ORDER BY id ASC) AS rn FROM ids), " +
+      "isl AS (SELECT id - rn AS k, MIN(id) AS st, MAX(id) AS en " +
+      "FROM r GROUP BY 1), " +
+      "ir AS (SELECT st, en, row_number() OVER (ORDER BY st ASC) AS irn " +
+      "FROM isl), " +
+      "g AS (SELECT b.st - a.en - 1 AS gap FROM ir a " +
+      "JOIN ir b ON b.irn = a.irn + 1), " +
+      "ga AS (SELECT COALESCE(CAST(count(*) AS BIGINT), 0) AS n_gaps, " +
+      "COALESCE(CAST(SUM(gap) AS BIGINT), 0) AS n_missing_g, " +
+      "COALESCE(CAST(MAX(gap) AS BIGINT), 0) AS largest_gap FROM g), " +
+      "b AS (SELECT MIN(id) AS mn, MAX(id) AS mx, " +
+      "CAST(count(*) AS BIGINT) AS n_present FROM ids) " +
+      "SELECT b.mn, b.mx, b.n_present, " +
+      "b.mx - b.mn + 1 - b.n_present AS n_missing, " +
+      "ga.n_gaps, ga.n_missing_g, ga.largest_gap FROM b, ga"))
+
+  // ------------------------------------------------------------------
+  // audit_duplicate_events — the at-least-once delivery audit, the
+  // other half of the replay-integrity pair (`audit_sequence_gaps` =
+  // did we DROP records; this = did we DELIVER TWICE): the audited
+  // stream plants deterministic duplicates (rows with event_id ≡ 7
+  // mod 101 appended a second time) and the detector reports ids seen
+  // more than once, extra-row mass, the worst multiplicity, and an
+  // exact id checksum of the duplicated set — one map-side count
+  // collapse (the shuffle carries (id, count)), then a one-row fold.
+  // The oracle restates the planted rule; the hash proves detection ≡
+  // ground truth.
+  // ------------------------------------------------------------------
+
+  private val auditDuplicateEvents = Q(
+    "audit_duplicate_events",
+    (s, d) => {
+      import s.implicits._
+      val Dec38a = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Tables.events(s, d).select($"event_id")
+      val stream = e.unionAll(e.filter(pmod($"event_id", lit(101L)) === 7L))
+      val cnt = stream.groupBy("event_id").agg(count(lit(1)).as("c"))
+      cnt.agg(
+        count(lit(1)).as("n_ids"),
+        sum(($"c" > 1).cast("long")).as("n_dup_ids"),
+        sum($"c" - 1).cast("long").as("n_extra_rows"),
+        max($"c").as("max_multiplicity"),
+        sum(when($"c" > 1, $"event_id".cast(Dec38a)).otherwise(lit(0)))
+          .cast("long").as("dup_id_checksum"))
+    },
+    Some("WITH e AS (SELECT event_id FROM events), " +
+      "st AS (SELECT event_id FROM e UNION ALL " +
+      "SELECT event_id FROM e WHERE ((event_id % 101) + 101) % 101 = 7), " +
+      "c AS (SELECT event_id, CAST(count(*) AS BIGINT) AS c FROM st " +
+      "GROUP BY 1) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_ids, " +
+      "CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ids, " +
+      "CAST(SUM(c - 1) AS BIGINT) AS n_extra_rows, " +
+      "CAST(MAX(c) AS BIGINT) AS max_multiplicity, " +
+      "CAST(SUM(CASE WHEN c > 1 THEN CAST(event_id AS HUGEINT) ELSE 0 END) " +
+      "AS BIGINT) AS dup_id_checksum FROM c"))
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
     aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct,
     scanParquetZstd, scanKplDeaggregate, replayDlqRedrive, aggCmsEstimate,
-    aggBloomMembership)
+    aggBloomMembership, auditSequenceGaps, auditDuplicateEvents)
 }

@@ -1791,6 +1791,49 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - math.log(3.0) / 3) < 1e-4)
   }
 
+  test("sequence-gap audit reconstructs islands, totals, and the widest gap") {
+    // observed ids {1,2,3, 120,121, 300} (none ≡ 13 mod 97, so the
+    // planted-drop staging filter passes all of them): islands
+    // [1..3][120..121][300] ⇒ 2 gaps of 116 and 178, 294 missing —
+    // and the island-sum must reconcile with the span arithmetic
+    val rows = Seq(1L, 2L, 3L, 120L, 121L, 300L)
+      .map(i => (i, 0L, 1L, "t", 1.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("audit_sequence_gaps", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((1L, 300L, 6L, 294L, 2L, 294L, 178L)))
+  }
+
+  test("duplicate audit finds exactly the planted at-least-once ids") {
+    // ids 1..10; the staging plants a second copy of ids ≡ 7 mod 101
+    // → only id 7 duplicates: 1 dup id, 1 extra row, multiplicity 2
+    val rows = (1L to 10L).map(i => (i, 0L, 1L, "t", 1.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("audit_duplicate_events", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((10L, 1L, 1L, 2L, 7L)))
+  }
+
+  test("sign test drops zero diffs and floors the continuity correction") {
+    // era = event_id parity; u1..u3 spend more in era 1 (+), u4 less
+    // (−), u5 exactly ties (dropped), u6 is unpaired (excluded):
+    // z = (|3 − 1| − 1)/√4 = 0.5
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "t", 5.0, "{}"), (2L, 0L, 1L, "t", 1.0, "{}"),
+      (3L, 0L, 2L, "t", 6.0, "{}"), (4L, 0L, 2L, "t", 2.0, "{}"),
+      (5L, 0L, 3L, "t", 7.0, "{}"), (6L, 0L, 3L, "t", 3.0, "{}"),
+      (7L, 0L, 4L, "t", 1.0, "{}"), (8L, 0L, 4L, "t", 9.0, "{}"),
+      (9L, 0L, 5L, "t", 4.0, "{}"), (10L, 0L, 5L, "t", 4.0, "{}"),
+      (12L, 0L, 6L, "t", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_sign_test", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 1L, 1L)))
+    assert(r.getDouble(3) === 0.5)
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

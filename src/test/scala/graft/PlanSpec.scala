@@ -967,6 +967,22 @@ class PlanSpec extends SparkSpec {
       "bucket offsets must merge by broadcast")
   }
 
+  test("sequence-gap audit ranks both ledgers without any WindowExec") {
+    val plan = executedPlan("audit_sequence_gaps")
+    assert(!plan.contains("Window "),
+      "both global ranks ride (pid, lrn) + broadcast offsets")
+    assert(!plan.contains("CartesianProduct"),
+      "the shifted island join is equi on the island rank")
+  }
+
+  test("duplicate audit is one count collapse and one fold") {
+    val plan = executedPlan("audit_duplicate_events")
+    assert(!plan.contains("Window ") && !plan.contains("Join"),
+      "union, count, fold — nothing else")
+    assert(plan.contains("partial"),
+      "per-id counts must pre-aggregate map-side")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
