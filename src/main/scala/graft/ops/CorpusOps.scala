@@ -1364,6 +1364,123 @@ object CorpusOps {
       OSql.sround("(CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) " +
         "/ (CAST(n AS DOUBLE) * 1e6)", 6) + " AS ln_k FROM g"))
 
+  // ------------------------------------------------------------------
+  // corpus_length_histogram — document-length (token-count)
+  // distribution per language in powers-of-two bins: the curation
+  // staple read before setting min/max-length filters (the Gopher
+  // rules assume you know where the mass sits; truncation artifacts
+  // show as a cliff at a context-length bin). The log2 bucket is
+  // length(bin(n)) — PURE INTEGER, the agg_histogram_log2 spelling
+  // that dissolves the float-on-the-bucket-edge hazard; one explode
+  // pass collapses map-side to per-doc counts, then to the
+  // ≤|langs|·~12-row grid with doc counts and exact token mass.
+  // ------------------------------------------------------------------
+
+  private val corpusLengthHistogram = Q(
+    "corpus_length_histogram",
+    (s, d) => {
+      import s.implicits._
+      val perDoc = t(s, d, "documents")
+        .select($"lang", $"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy("lang", "doc_id").agg(count(lit(1)).as("n"))
+      perDoc.withColumn("bucket", length(bin($"n")).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+        .orderBy("lang", "bucket")
+    },
+    Some("WITH tok AS (SELECT lang, doc_id, w FROM (SELECT lang, doc_id, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0), " +
+      "pd AS (SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n " +
+      "FROM tok GROUP BY 1, 2) " +
+      "SELECT lang, CAST(length(bin(n)) AS BIGINT) AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(n) AS BIGINT) AS n_tokens " +
+      "FROM pd GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  // ------------------------------------------------------------------
+  // corpus_unigram_drift — Jensen–Shannon divergence between the TWO
+  // ERAS' unigram distributions (doc_id parity split): the
+  // token-level drift monitor above `corpus_js_divergence`'s
+  // language-mix score (a source can keep its language mix while its
+  // vocabulary rots — scraper template changes show HERE first). The
+  // determinism trick: with p = ca/Na, q = cb/Nb, m = (p+q)/2, the
+  // ratio p/m = 2·ca·Nb/(ca·Nb + cb·Na) is a ratio of EXACT INTEGERS,
+  // so both ln's take exact-integer arguments (the
+  // ln-on-identical-integers precedent) quantized at 10⁶; each
+  // token's contribution is then one double formula floor-quantized
+  // at 10⁹ before the cross-vocab sum — an order-independent integer
+  // reduction over the open vocabulary. Zero cells contribute only
+  // their present side (the absent side's p·ln term is 0 by the
+  // limit), and JSD/ln2 ≤ 1 ships as the normalized score.
+  // ------------------------------------------------------------------
+
+  private val corpusUnigramDrift = Q(
+    "corpus_unigram_drift",
+    (s, d) => {
+      import s.implicits._
+      val Dec38u = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tok = t(s, d, "documents")
+        .select(pmod($"doc_id", lit(2L)).as("era"),
+          explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+      val cells = tok.groupBy("w").agg(
+        sum(($"era" === 0).cast("long")).as("ca"),
+        sum(($"era" === 1).cast("long")).as("cb"))
+      val tot = cells.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val terms = cells.crossJoin(broadcast(tot))
+        .withColumn("xa", $"ca".cast(Dec38u) * $"nb")
+        .withColumn("xb", $"cb".cast(Dec38u) * $"na")
+        .withColumn("lnpm", when($"ca" > 0,
+          floor(log(lit(2.0) * $"xa".cast("double")) * 1e6 + 0.5) -
+            floor(log(($"xa" + $"xb").cast("double")) * 1e6 + 0.5)))
+        .withColumn("lnqm", when($"cb" > 0,
+          floor(log(lit(2.0) * $"xb".cast("double")) * 1e6 + 0.5) -
+            floor(log(($"xa" + $"xb").cast("double")) * 1e6 + 0.5)))
+        .select(
+          coalesce(floor($"ca".cast("double") * $"lnpm"
+            / (lit(2e6) * $"na") * lit(1e9) + lit(0.5)), lit(0.0))
+            .cast(Dec38u).as("ta"),
+          coalesce(floor($"cb".cast("double") * $"lnqm"
+            / (lit(2e6) * $"nb") * lit(1e9) + lit(0.5)), lit(0.0))
+            .cast(Dec38u).as("tb"))
+      terms.agg(sum($"ta" + $"tb").as("jq"))
+        .crossJoin(broadcast(cells.agg(count(lit(1)).as("n_vocab"))))
+        .crossJoin(broadcast(tot))
+        .select($"n_vocab", $"na", $"nb",
+          dround($"jq".cast("double") / 1e9, 6).as("jsd"),
+          dround($"jq".cast("double") / 1e9 / lit(math.log(2.0)), 6)
+            .as("jsd_norm"))
+    },
+    Some("WITH tok AS (SELECT ((doc_id % 2) + 2) % 2 AS era, w FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "WHERE len(w) > 0), " +
+      "cells AS (SELECT w, " +
+      "CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+      "FROM tok GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, " +
+      "CAST(SUM(cb) AS BIGINT) AS nb FROM cells), " +
+      "x AS (SELECT ca, cb, na, nb, " +
+      "CAST(ca AS HUGEINT) * nb AS xa, CAST(cb AS HUGEINT) * na AS xb " +
+      "FROM cells, tot), " +
+      "ln_ AS (SELECT ca, cb, na, nb, " +
+      "CASE WHEN ca > 0 THEN floor(ln(2.0 * CAST(xa AS DOUBLE)) * 1e6 + 0.5) " +
+      "- floor(ln(CAST(xa + xb AS DOUBLE)) * 1e6 + 0.5) END AS lnpm, " +
+      "CASE WHEN cb > 0 THEN floor(ln(2.0 * CAST(xb AS DOUBLE)) * 1e6 + 0.5) " +
+      "- floor(ln(CAST(xa + xb AS DOUBLE)) * 1e6 + 0.5) END AS lnqm FROM x), " +
+      "t AS (SELECT " +
+      "CAST(COALESCE(floor(CAST(ca AS DOUBLE) * lnpm / (2e6 * na) * 1e9 " +
+      "+ 0.5), 0) AS HUGEINT) AS ta, " +
+      "CAST(COALESCE(floor(CAST(cb AS DOUBLE) * lnqm / (2e6 * nb) * 1e9 " +
+      "+ 0.5), 0) AS HUGEINT) AS tb FROM ln_), " +
+      "s AS (SELECT CAST(SUM(ta + tb) AS HUGEINT) AS jq FROM t), " +
+      "v AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM cells) " +
+      "SELECT v.n_vocab, tot.na, tot.nb, " +
+      OSql.sround("CAST(jq AS DOUBLE) / 1e9", 6) + " AS jsd, " +
+      OSql.sround("CAST(jq AS DOUBLE) / 1e9 / ln(2.0)", 6) + " AS jsd_norm " +
+      "FROM s, v, tot"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
@@ -1371,5 +1488,6 @@ object CorpusOps {
     textReadability, tokenizerBpeApply, textTokenizeCjk, qualityGopherRules,
     textZipfFit, textCollocationsPmi, corpusJsDivergence,
     corpusNgramNovelty, textBigramKneserNey, textHapaxRatio,
-    corpusVocabOverlap, corpusHeapsLaw)
+    corpusVocabOverlap, corpusHeapsLaw, corpusLengthHistogram,
+    corpusUnigramDrift)
 }

@@ -588,8 +588,58 @@ object CurateOps {
       "CAST(MAX(CASE WHEN rn % 7 = 1 THEN rn END) AS BIGINT) AS last_sel_rn " +
       "FROM r"))
 
+  // ------------------------------------------------------------------
+  // audit_embedding_norms — per-source embedding-norm profile, the
+  // magnitude sibling of `audit_embedding_coverage` (coverage checks
+  // ids and shapes; this checks SCALE — a source whose vectors aren't
+  // unit-norm silently dominates every dot-product ranking, the
+  // classic mixed-model-version bug): per-vector ‖v‖² as an exact
+  // integer Σq² over the shared 10⁶-quantized component table (units
+  // of 10⁻¹²), per-source min/max and exact floor-quantized mean, and
+  // the count of vectors OFF the unit contract (‖v‖² outside
+  // [0.98, 1.02]·10¹²) — the column that turns the audit into a gate.
+  // One component pass collapses map-side to per-vector norms, one
+  // id-join to sources, one ≤|sources|-row report.
+  // ------------------------------------------------------------------
+
+  private val auditEmbeddingNorms = Q(
+    "audit_embedding_norms",
+    (s, d) => {
+      import s.implicits._
+      val Dec38n = org.apache.spark.sql.types.DecimalType(38, 0)
+      val nq = LlmPipeline2.quantizedComponents(s, d)
+        .groupBy("vec_id").agg(sum($"q" * $"q").as("n2"))
+      val src = t(s, d, "documents").select($"doc_id".as("vec_id"), $"source")
+      nq.join(src, "vec_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_vecs"),
+          min($"n2").as("min_n2"),
+          max($"n2").as("max_n2"),
+          sum($"n2".cast(Dec38n)).as("s2"),
+          sum(($"n2" < 980000000000L || $"n2" > 1020000000000L)
+            .cast("long")).as("n_off_unit"))
+        .select($"source", $"n_vecs", $"min_n2", $"max_n2",
+          expr("cast(s2 as decimal(38,0)) div n_vecs").cast("long")
+            .as("mean_n2"),
+          $"n_off_unit")
+        .orderBy("source")
+    },
+    Some("WITH iq AS (SELECT vec_id, " +
+      "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) " +
+      "AS q FROM embeddings), " +
+      "nq AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 " +
+      "FROM iq GROUP BY 1), " +
+      "j AS (SELECT d.source, nq.n2 FROM nq " +
+      "JOIN documents d ON d.doc_id = nq.vec_id) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      "CAST(MIN(n2) AS BIGINT) AS min_n2, CAST(MAX(n2) AS BIGINT) AS max_n2, " +
+      "CAST(SUM(CAST(n2 AS HUGEINT)) // count(*) AS BIGINT) AS mean_n2, " +
+      "CAST(SUM(CASE WHEN n2 < 980000000000 OR n2 > 1020000000000 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_off_unit " +
+      "FROM j GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(
     dedupSemantic, corpusTokenBudget, windowNtileShard, sampleImportance,
     aggCorr, corpusDomainCap, sampleHashSplit, embeddingCentroidDrift,
-    sampleKcenterCoreset, sampleSystematic)
+    sampleKcenterCoreset, sampleSystematic, auditEmbeddingNorms)
 }

@@ -1834,6 +1834,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.5)
   }
 
+  test("length histogram bins docs on integer log2 edges") {
+    // 1, 3, 5 tokens → bin(n) lengths 1, 2, 3 — the power-of-two edge
+    // (n = 1 vs 2) never touches a float
+    val docs = Seq(
+      (1L, "aa", "s", "a"), (2L, "aa", "s", "a b c"),
+      (3L, "aa", "s", "a b c d e"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = run("corpus_length_histogram", stageTables("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("aa", 1L, 1L, 1L), ("aa", 2L, 1L, 3L), ("aa", 3L, 1L, 5L)))
+  }
+
+  test("unigram drift is 0 on identical eras and ln2-normalized-1 on disjoint") {
+    val same = Seq((0L, "en", "s", "a b"), (1L, "en", "s", "a b"))
+      .toDF("doc_id", "lang", "source", "text")
+    val r0 = run("corpus_unigram_drift", stageTables("documents" -> same))
+      .collect().head
+    assert(r0.getDouble(3) === 0.0 && r0.getDouble(4) === 0.0)
+    // disjoint vocabularies sit at the JSD maximum ln 2; the
+    // quantized spelling lands at 0.693148 / 1.000001 exactly
+    val disj = Seq((0L, "en", "s", "a a"), (1L, "en", "s", "b b"))
+      .toDF("doc_id", "lang", "source", "text")
+    val r1 = run("corpus_unigram_drift", stageTables("documents" -> disj))
+      .collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((2L, 2L, 2L)))
+    assert(r1.getDouble(3) === 0.693148 && r1.getDouble(4) === 1.000001)
+  }
+
+  test("norm audit flags the off-unit vector and floors the exact mean") {
+    val docs = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("doc_id", "source")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // ‖v‖² = 1e12 — on contract
+      (2L, Seq(0.5f, 0.5f)),   // 5e11 — off contract
+      (3L, Seq(0.6f, 0.8f)))   // 1e12 — on contract
+      .toDF("vec_id", "embedding")
+    val r = run("audit_embedding_norms",
+      stageTables("documents" -> docs, "embeddings" -> embs)).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) ===
+      ((3L, 500000000000L, 1000000000000L, 833333333333L, 1L)))
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

@@ -983,6 +983,21 @@ class PlanSpec extends SparkSpec {
       "per-id counts must pre-aggregate map-side")
   }
 
+  test("unigram drift folds the vocabulary once with broadcast totals") {
+    val plan = executedPlan("corpus_unigram_drift")
+    assert(!plan.contains("Window "), "no window over the vocabulary")
+    assert(plan.contains("partial"),
+      "era cell counts must pre-aggregate map-side")
+    assert(!plan.contains("CartesianProduct"),
+      "only the 1-row totals may nest-loop by broadcast")
+  }
+
+  test("norm audit joins ids equi and never windows") {
+    val plan = executedPlan("audit_embedding_norms")
+    assert(!plan.contains("Window ") && !plan.contains("CartesianProduct"),
+      "per-vector norms collapse then join sources on the id")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
