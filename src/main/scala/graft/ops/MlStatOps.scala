@@ -2650,6 +2650,69 @@ object MlStatOps {
         "/ sqrt(CAST(n_pos + n_neg AS DOUBLE))", 6) +
       " END AS z FROM t"))
 
+  // ------------------------------------------------------------------
+  // stat_f_test_variance — the two-sample F test for EQUALITY OF
+  // VARIANCES between the archive's eras (event_id parity): the
+  // two-arm member of the variance-homogeneity family (`stat_levene`
+  // is the robust k-group version; F is the classical two-sample
+  // form, and the precondition check for pooled-variance t).
+  // Variance numerators are the exact m2n = n·Σv² − S² integers per
+  // era off ONE conditional map-side aggregate; F = (m2na/(na(na−1)))
+  // / (m2nb/(nb(nb−1))) is a single double formula over the casted
+  // exact integers (the exact cross-product would overflow 38
+  // digits), spelled identically in both engines; degenerate arms
+  // (n ≤ 1 or zero variance in the denominator) yield NULL.
+  // ------------------------------------------------------------------
+
+  private val statFTestVariance = Q(
+    "stat_f_test_variance",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(pmod($"event_id", lit(2L)).as("era"),
+          round($"value" * 100).cast("long").as("v"))
+      val m = e.agg(
+        sum(($"era" === 0).cast("long")).as("na"),
+        sum(($"era" === 1).cast("long")).as("nb"),
+        sum(when($"era" === 0, $"v".cast(Dec380)).otherwise(lit(0)))
+          .as("sa"),
+        sum(when($"era" === 1, $"v".cast(Dec380)).otherwise(lit(0)))
+          .as("sb"),
+        sum(when($"era" === 0, $"v".cast(Dec380) * $"v").otherwise(lit(0)))
+          .as("qa"),
+        sum(when($"era" === 1, $"v".cast(Dec380) * $"v").otherwise(lit(0)))
+          .as("qb"))
+      m.withColumn("m2a", $"na".cast(Dec380) * $"qa" - $"sa" * $"sa")
+        .withColumn("m2b", $"nb".cast(Dec380) * $"qb" - $"sb" * $"sb")
+        .select($"na", $"nb",
+          ($"na" - 1).as("df1"), ($"nb" - 1).as("df2"),
+          when($"na" > 1 && $"nb" > 1 && $"m2b" > 0,
+            dround(($"m2a".cast("double")
+              / ($"na".cast("double") * ($"na" - 1).cast("double")))
+              / ($"m2b".cast("double")
+                / ($"nb".cast("double") * ($"nb" - 1).cast("double"))), 6))
+            .as("f_stat"))
+    },
+    Some("WITH e AS (SELECT ((event_id % 2) + 2) % 2 AS era, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "m AS (SELECT " +
+      "CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+      "SUM(CASE WHEN era = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa, " +
+      "SUM(CASE WHEN era = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb, " +
+      "SUM(CASE WHEN era = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa, " +
+      "SUM(CASE WHEN era = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qb " +
+      "FROM e), " +
+      "x AS (SELECT na, nb, " +
+      "CAST(na AS HUGEINT) * qa - sa * sa AS m2a, " +
+      "CAST(nb AS HUGEINT) * qb - sb * sb AS m2b FROM m) " +
+      "SELECT na, nb, na - 1 AS df1, nb - 1 AS df2, " +
+      "CASE WHEN na > 1 AND nb > 1 AND m2b > 0 THEN " +
+      OSql.sround("(CAST(m2a AS DOUBLE) / (CAST(na AS DOUBLE) " +
+        "* CAST(na - 1 AS DOUBLE))) / (CAST(m2b AS DOUBLE) " +
+        "/ (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))", 6) +
+      " END AS f_stat FROM x"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2665,7 +2728,7 @@ object MlStatOps {
     statProportionsZtest, statWilcoxonSignedRank, statKruskalWallis,
     evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
-    statTtestPaired, statSignTest)
+    statTtestPaired, statSignTest, statFTestVariance)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

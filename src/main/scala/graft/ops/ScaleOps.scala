@@ -1555,11 +1555,61 @@ object ScaleOps {
       "CAST(SUM(CASE WHEN c > 1 THEN CAST(event_id AS HUGEINT) ELSE 0 END) " +
       "AS BIGINT) AS dup_id_checksum FROM c"))
 
+  // ------------------------------------------------------------------
+  // scan_manifest_snapshot — the TRANSACTION-LOG table format in
+  // miniature (the lakehouse pattern Delta/Iceberg/Hudi share, and
+  // the layer a 100 TB archive actually lives behind): immutable data
+  // files + an append-only manifest of add/remove actions; a snapshot
+  // read resolves the LOG, not the directory listing. The archive is
+  // staged as four immutable parquet files; the manifest adds all
+  // four then REMOVES one (a compaction/delete) — the reader must
+  // reconstruct the live set (last action per file wins, one tiny
+  // ledger aggregate), plan exactly those paths (the driver-side file
+  // list is how every real table format plans — bounded by manifest
+  // size, never data size), and the tombstoned file must never be
+  // scanned (plan-pinned). The oracle restates the snapshot rule over
+  // the flat table: the hash proves log-resolution changed the IO,
+  // not the answer.
+  // ------------------------------------------------------------------
+
+  private val scanManifestSnapshot = Q(
+    "scan_manifest_snapshot",
+    (s, d) => {
+      import s.implicits._
+      val base = TmpDirs.dir("lake")
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("c"))
+      (0 to 3).foreach { i =>
+        ev.filter(pmod($"event_id", lit(4L)) === i.toLong)
+          .write.mode("overwrite").parquet(s"$base/f$i")
+      }
+      val log = Seq((1L, "add", "f0"), (1L, "add", "f1"), (1L, "add", "f2"),
+        (1L, "add", "f3"), (2L, "remove", "f3"))
+        .toDF("seq", "action", "file")
+      val live = log.groupBy("file")
+        .agg(max(struct($"seq", $"action")).as("m"))
+        .filter($"m.action" === "add")
+        .select($"file")
+      // the driver-side live-file list IS the table-format contract:
+      // bounded by the manifest, never by data volume
+      val paths = live.collect().map(r => s"$base/${r.getString(0)}").sorted
+      s.read.parquet(paths: _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum($"c").cast("long").as("sum_cents"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, " +
+      "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "FROM events WHERE ((event_id % 4) + 4) % 4 <> 3 " +
+      "GROUP BY 1 ORDER BY 1"))
+
   val qs: Seq[Q] = Seq(joinSkewSalted, joinBucketed, cdcUpsert, cdcScd2, scanCsv,
     aggHeavyHitters, joinRangeBinned, zorderCluster, aggQuantiles,
     scanTimePartitioned, scanDppJoin, windowRankDistributed, scanSchemaMerge,
     scanOrc, joinRuntimeFilter, joinSkewAqe, aggIncremental, sinkCompact,
     aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct,
     scanParquetZstd, scanKplDeaggregate, replayDlqRedrive, aggCmsEstimate,
-    aggBloomMembership, auditSequenceGaps, auditDuplicateEvents)
+    aggBloomMembership, auditSequenceGaps, auditDuplicateEvents,
+    scanManifestSnapshot)
 }

@@ -1393,6 +1393,75 @@ object TsOps {
       OSql.sround("CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(dx * dy)", 6) +
       " END AS corr FROM f ORDER BY h"))
 
+  // ------------------------------------------------------------------
+  // ts_weekday_profile — day-of-week revenue profile per type with the
+  // weekend contrast: the WEEKLY-cycle sibling of the hour-of-day
+  // keys (snaive/seasonal_decompose/seasonal_anomaly read the daily
+  // cycle; business series carry a second, weekly one — the profile a
+  // capacity planner and the seasonal-adjust step both read). Day =
+  // FLOOR epoch-day (pmod spelling, pre-epoch safe), dow = pmod(day +
+  // 3, 7) so Monday = 0 (1970-01-01 was a Thursday), weekend = dow ≥
+  // 5. The fact collapses map-side to the (type, day) daily ledger,
+  // then to the ≤7·|types| grid: day counts, exact cents mass, and
+  // the exact floor-quantized mean per active day. One row per (type,
+  // dow), plus the weekend/weekday mean ratio repeated per type from
+  // a broadcast ≤|types|-row contrast ledger (exact quantized
+  // integers, one final division).
+  // ------------------------------------------------------------------
+
+  private val tsWeekdayProfile = Q(
+    "ts_weekday_profile",
+    (s, d) => {
+      import s.implicits._
+      val Dec38w = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = Tables.events(s, d)
+        .select($"event_type", expr(Det.fdivExpr("ms", "86400000")).as("day"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("event_type", "day").agg(sum($"c").as("v"))
+        .withColumn("dow", pmod($"day" + 3, lit(7L)))
+      val grid = daily.groupBy("event_type", "dow").agg(
+        count(lit(1)).as("n_days"),
+        sum($"v".cast(Dec38w)).as("sv"))
+      val contrast = grid.groupBy("event_type").agg(
+          sum(when($"dow" >= 5, $"sv").otherwise(lit(0))).as("we_s"),
+          sum(when($"dow" >= 5, $"n_days").otherwise(lit(0L))).as("we_n"),
+          sum(when($"dow" < 5, $"sv").otherwise(lit(0))).as("wd_s"),
+          sum(when($"dow" < 5, $"n_days").otherwise(lit(0L))).as("wd_n"))
+        .select($"event_type",
+          when($"we_n" > 0 && $"wd_n" > 0 && $"wd_s" > 0,
+            dround(($"we_s".cast("double") / $"we_n")
+              / ($"wd_s".cast("double") / $"wd_n"), 6)).as("weekend_lift"))
+      grid.join(broadcast(contrast), "event_type")
+        .select($"event_type", $"dow", $"n_days",
+          $"sv".cast("long").as("sum_cents"),
+          expr("cast(sv as decimal(38,0)) div n_days").cast("long")
+            .as("mean_cents_per_day"),
+          $"weekend_lift")
+        .orderBy("event_type", "dow")
+    },
+    Some("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1, 2), " +
+      "dd AS (SELECT event_type, ((day + 3) % 7 + 7) % 7 AS dow, v " +
+      "FROM daily), " +
+      "grid AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days, " +
+      "SUM(CAST(v AS HUGEINT)) AS sv FROM dd GROUP BY 1, 2), " +
+      "ct AS (SELECT event_type, " +
+      "SUM(CASE WHEN dow >= 5 THEN sv ELSE 0 END) AS we_s, " +
+      "SUM(CASE WHEN dow >= 5 THEN n_days ELSE 0 END) AS we_n, " +
+      "SUM(CASE WHEN dow < 5 THEN sv ELSE 0 END) AS wd_s, " +
+      "SUM(CASE WHEN dow < 5 THEN n_days ELSE 0 END) AS wd_n " +
+      "FROM grid GROUP BY 1), " +
+      "cl AS (SELECT event_type, CASE WHEN we_n > 0 AND wd_n > 0 " +
+      "AND wd_s > 0 THEN " +
+      OSql.sround("(CAST(we_s AS DOUBLE) / we_n) / " +
+        "(CAST(wd_s AS DOUBLE) / wd_n)", 6) +
+      " END AS weekend_lift FROM ct) " +
+      "SELECT grid.event_type, grid.dow, grid.n_days, " +
+      "CAST(grid.sv AS BIGINT) AS sum_cents, " +
+      "CAST(grid.sv // grid.n_days AS BIGINT) AS mean_cents_per_day, " +
+      "cl.weekend_lift " +
+      "FROM grid JOIN cl USING (event_type) ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
@@ -1400,5 +1469,5 @@ object TsOps {
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
     tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson,
-    windowRollingCorr)
+    windowRollingCorr, tsWeekdayProfile)
 }

@@ -1878,6 +1878,52 @@ class EdgeCaseSpec extends SparkSpec {
       ((3L, 500000000000L, 1000000000000L, 833333333333L, 1L)))
   }
 
+  test("manifest snapshot excludes exactly the tombstoned file's rows") {
+    // ids 0..7, value = id dollars; the manifest removes file f3
+    // (ids ≡ 3 mod 4 → 3 and 7): 6 rows survive, Σ = $18
+    val rows = (0L to 7L).map(i => (i, 0L, 1L, "t", i.toDouble, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("scan_manifest_snapshot", dir).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) ===
+      (("t", 6L, 1800L)))
+  }
+
+  test("variance F test matches the hand ratio and NULLs on a constant arm") {
+    // era 0 (even ids) = {$1, $3} → s² = 20000; era 1 (odd) = {$1, $2}
+    // → s² = 5000 ⇒ F = 4
+    val dir = stageTables("events" -> Seq(
+      (2L, 0L, 1L, "t", 1.0, "{}"), (4L, 0L, 1L, "t", 3.0, "{}"),
+      (1L, 0L, 1L, "t", 1.0, "{}"), (3L, 0L, 1L, "t", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_f_test_variance", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 1L, 1L)))
+    assert(r.getDouble(4) === 4.0)
+    // constant denominator arm → NULL, not a division error
+    val const = stageTables("events" -> Seq(
+      (2L, 0L, 1L, "t", 1.0, "{}"), (4L, 0L, 1L, "t", 3.0, "{}"),
+      (1L, 0L, 1L, "t", 5.0, "{}"), (3L, 0L, 1L, "t", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(run("stat_f_test_variance", const).collect().head.isNullAt(4))
+  }
+
+  test("weekday profile maps epoch days to Monday-0 and lifts the weekend") {
+    val dns = (day: Long) => day * 86400000L * 1000000L
+    // day 4 = 1970-01-05, a Monday (dow 0); days 9/10 = Sat/Sun.
+    // $1 weekdays, $3 weekend days ⇒ lift = 3
+    val rows = Seq(
+      (1L, dns(4L), 1L, "t", 1.0, "{}"), (2L, dns(5L), 1L, "t", 1.0, "{}"),
+      (3L, dns(9L), 1L, "t", 3.0, "{}"), (4L, dns(10L), 1L, "t", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = run("ts_weekday_profile", stageTables("events" -> rows))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 100L, 100L, 3.0)), 1L -> ((1L, 100L, 100L, 3.0)),
+      5L -> ((1L, 300L, 300L, 3.0)), 6L -> ((1L, 300L, 300L, 3.0))))
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

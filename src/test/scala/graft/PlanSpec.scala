@@ -998,6 +998,30 @@ class PlanSpec extends SparkSpec {
       "per-vector norms collapse then join sources on the id")
   }
 
+  test("manifest snapshot never scans the tombstoned file") {
+    val df = run("scan_manifest_snapshot")
+    df.collect()
+    val roots = scansOf(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty && roots.exists(_.contains("/f0")),
+      s"live files must be scanned: $roots")
+    assert(!roots.exists(_.contains("/f3")),
+      s"the removed file must never enter the plan: $roots")
+  }
+
+  test("variance F test is a single conditional fold") {
+    val plan = executedPlan("stat_f_test_variance")
+    assert(!plan.contains("Window ") && !plan.contains("Join"),
+      "both arms come from one conditional aggregate over one scan")
+  }
+
+  test("weekday profile folds to the 7x|types| grid with a broadcast contrast") {
+    val plan = executedPlan("ts_weekday_profile")
+    assert(!plan.contains("Window "), "grid and contrast are aggregates only")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-type contrast ledger must broadcast back to the grid")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
