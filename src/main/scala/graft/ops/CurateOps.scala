@@ -504,7 +504,11 @@ object CurateOps {
             $"m.a".as("d2"))
         centers = graft.core.Mat(s, centers.unionByName(nxt), s"kcen-$r")
       }
-      centers.select($"sel_round", $"cid".as("vec_id"), $"d2")
+      // a corpus with fewer than r+1 distinct points yields NULL
+      // argmax rows — drop them so an empty/tiny corpus reports only
+      // the centers that actually exist (mirrored in the oracle)
+      centers.filter($"cid".isNotNull)
+        .select($"sel_round", $"cid".as("vec_id"), $"d2")
         .orderBy("sel_round")
     },
     Some("WITH iq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
@@ -536,11 +540,12 @@ object CurateOps {
       "dm3f AS (SELECT * FROM dm3 WHERE vec_id NOT IN (SELECT cid FROM cs2)), " +
       "n3 AS (SELECT vec_id AS cid, dmin AS d2 FROM dm3f " +
       "ORDER BY dmin DESC, vec_id ASC LIMIT 1) " +
+      "SELECT * FROM (" +
       "SELECT 0 AS sel_round, cid AS vec_id, CAST(NULL AS BIGINT) AS d2 FROM c0 " +
       "UNION ALL SELECT 1, cid, d2 FROM n1 " +
       "UNION ALL SELECT 2, cid, d2 FROM n2 " +
-      "UNION ALL SELECT 3, cid, d2 FROM n3 " +
-      "ORDER BY sel_round"))
+      "UNION ALL SELECT 3, cid, d2 FROM n3) " +
+      "WHERE vec_id IS NOT NULL ORDER BY sel_round"))
 
   // ------------------------------------------------------------------
   // sample_systematic — every-k-th systematic sampling (k = 7) by
