@@ -2817,17 +2817,27 @@ object MlStatOps {
   // arithmetic text, so the cut is bit-stable.
   // ------------------------------------------------------------------
 
+  /** The per-corpus permutation p-value ledger, shared by the BH and
+    * BY step-ups through IndexCache so the 16-replicate permutation
+    * pipeline runs ONCE per corpus, not once per FDR key (cold-build
+    * cost lands in the `index_staging` bench metric, not in whichever
+    * key runs first).
+    */
+  private def permPvalues(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.core.IndexCache(s, s"perm-pvalues|$d",
+      statPermutationTest.fn(s, d).select($"event_type", $"p_value"))
+  }
+
   private lazy val statFdrBh = Q(
     "stat_fdr_bh",
     (s, d) => {
       import s.implicits._
-      // Mat the |types|-row p-value table ONCE: both m (the hypothesis
-      // count) and the ranked output read the materialization — the
-      // eager count would otherwise run the full 16-replicate
-      // permutation pipeline a second time when the output evaluates
-      val p = graft.core.Mat(s,
-        statPermutationTest.fn(s, d).select($"event_type", $"p_value"),
-        "fdr-pvalues")
+      // IndexCache the |types|-row p-value table ONCE per corpus: the
+      // count, the ranked output, AND the BY sibling all read the same
+      // materialization — without it each consumer re-runs the full
+      // 16-replicate permutation pipeline
+      val p = permPvalues(s, d)
       val m = p.count().toDouble
       // BH ranks via a broadcast theta-join over the materialized
       // |types|-row table — no WindowExec even on the tiny ledger
@@ -2873,9 +2883,7 @@ object MlStatOps {
     "stat_benjamini_yekutieli",
     (s, d) => {
       import s.implicits._
-      val p = graft.core.Mat(s,
-        statPermutationTest.fn(s, d).select($"event_type", $"p_value"),
-        "by-pvalues")
+      val p = permPvalues(s, d)
       val m = p.count()
       val hq = (1L to m).map(1000000000L / _).sum
       val ranked = p.as("a").join(broadcast(p.as("b")),
