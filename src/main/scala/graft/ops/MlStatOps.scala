@@ -2713,6 +2713,43 @@ object MlStatOps {
         "/ (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))", 6) +
       " END AS f_stat FROM x"))
 
+  // ------------------------------------------------------------------
+  // stat_chi2_goodness — one-way χ² goodness-of-fit of the event-type
+  // mix against the uniform null: the 1-D sibling of
+  // `stat_chi2_independence` (that key tests two categoricals against
+  // each other; this tests ONE against a declared expectation — "is
+  // traffic actually balanced across types", the mix-regression alarm
+  // for a replay pipeline). Against uniform e = n/k the whole
+  // statistic collapses algebraically to χ² = (k·Σo² − n²)/n — exact
+  // DECIMAL(38,0)/HUGEINT integers to ONE final division, no per-cell
+  // float, no zero-cell hazard (absent types simply lower k, spelled
+  // identically in both engines). df = k − 1.
+  // ------------------------------------------------------------------
+
+  private val statChi2Goodness = Q(
+    "stat_chi2_goodness",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("o"))
+      o.agg(count(lit(1)).as("k"), sum($"o").as("n"),
+          sum($"o".cast(Dec380) * $"o").as("so2"))
+        .select($"k", $"n", ($"k" - 1).as("df"),
+          when($"n" > 0,
+            dround(($"k".cast(Dec380) * $"so2"
+              - $"n".cast(Dec380) * $"n").cast("double")
+              / $"n".cast("double"), 6)).as("chi2"))
+    },
+    Some("WITH o AS (SELECT event_type, CAST(count(*) AS BIGINT) AS o " +
+      "FROM events GROUP BY 1), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(SUM(o) AS BIGINT) AS n, SUM(CAST(o AS HUGEINT) * o) AS so2 " +
+      "FROM o) " +
+      "SELECT k, n, k - 1 AS df, CASE WHEN n > 0 THEN " +
+      OSql.sround("CAST(CAST(k AS HUGEINT) * so2 " +
+        "- CAST(n AS HUGEINT) * n AS DOUBLE) / CAST(n AS DOUBLE)", 6) +
+      " END AS chi2 FROM m"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2728,7 +2765,7 @@ object MlStatOps {
     statProportionsZtest, statWilcoxonSignedRank, statKruskalWallis,
     evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
-    statTtestPaired, statSignTest, statFTestVariance)
+    statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

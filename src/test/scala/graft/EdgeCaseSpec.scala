@@ -1924,6 +1924,34 @@ class EdgeCaseSpec extends SparkSpec {
       5L -> ((1L, 300L, 300L, 3.0)), 6L -> ((1L, 300L, 300L, 3.0))))
   }
 
+  test("tukey fence flags exactly the planted spike via integer quartiles") {
+    // $1..$11 plus one $100 spike: Q1 = $3, Q3 = $9 (disc picks, n=12)
+    // ⇒ fences [−$6, $18] — only the spike sits above, nothing below
+    val rows = (1L to 11L).map(i => (i, 0L, 1L, "t", i.toDouble, "{}")) :+
+      (12L, 0L, 1L, "t", 100.0, "{}")
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("anomaly_tukey_fence", dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((12L, -600L, 1800L, 0L, 1L)))
+  }
+
+  test("chi2 goodness is 0 on a uniform mix and exact on a skewed one") {
+    val uni = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "a", 1.0, "{}"), (2L, 0L, 1L, "a", 1.0, "{}"),
+      (3L, 0L, 1L, "b", 1.0, "{}"), (4L, 0L, 1L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r0 = run("stat_chi2_goodness", uni).collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) === ((2L, 4L, 1L)))
+    assert(r0.getDouble(3) === 0.0)
+    // {3, 1} vs uniform 2/2: χ² = (2·10 − 16)/4 = 1
+    val skew = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "a", 1.0, "{}"), (2L, 0L, 1L, "a", 1.0, "{}"),
+      (3L, 0L, 1L, "a", 1.0, "{}"), (4L, 0L, 1L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(run("stat_chi2_goodness", skew).collect().head.getDouble(3) === 1.0)
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

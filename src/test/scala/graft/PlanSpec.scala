@@ -1022,6 +1022,22 @@ class PlanSpec extends SparkSpec {
       "the per-type contrast ledger must broadcast back to the grid")
   }
 
+  test("tukey quartiles window the typed value ledger, fences broadcast back") {
+    val plan = executedPlan("anomaly_tukey_fence")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("event_type")),
+      s"the cumulative pick must partition by type: $windowLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the fence table must broadcast over the second fact pass")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("chi2 goodness folds to the type ledger and one scalar row") {
+    val plan = executedPlan("stat_chi2_goodness")
+    assert(!plan.contains("Window ") && !plan.contains("Join"),
+      "two nested aggregates over one scan — nothing else")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
