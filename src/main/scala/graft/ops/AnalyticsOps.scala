@@ -282,7 +282,55 @@ object AnalyticsOps {
       "FROM sp JOIN ud ON ud.day BETWEEN sp.day - 6 AND sp.day " +
       "GROUP BY 1 ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // window_cumulative_share — the revenue PACING CURVE: per day, the
+  // running share of total archive revenue (the "how far through the
+  // quarter's bookings are we" readout; its inverse is how budget
+  // pacing and anomaly-free-growth checks are eyeballed). The fact
+  // collapses map-side to the calendar-bounded daily ledger; the
+  // running sum rides the two-phase prefix (32-day buckets + the
+  // broadcast offsets merge — no single-partition WindowExec even on
+  // the ledger); the grand total arrives as a broadcast 1-row
+  // aggregate OF THE LEDGER (never a second fact pass), and the share
+  // is the exact floor-quantized integer (10⁶·cum) div total.
+  // ------------------------------------------------------------------
+
+  private val windowCumulativeShare = Q(
+    "window_cumulative_share",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .select(expr(Det.fdivExpr("ms", "86400000")).as("day"),
+          round($"value" * 100).cast("long").as("c"))
+        .groupBy("day").agg(sum($"c").as("v"))
+        .withColumn("b", expr(Det.fdivExpr("day", "32")))
+      val local = Window.partitionBy($"b").orderBy($"day".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Windows.prefixOffsets(
+        daily.groupBy("b").agg(sum($"v").as("n")), "b")
+      val tot = daily.agg(sum($"v").as("total"))
+      daily.withColumn("lv", sum($"v").over(local))
+        .join(broadcast(offs), "b")
+        .crossJoin(broadcast(tot))
+        .select($"day", $"v".as("day_cents"),
+          ($"lv" + $"off").as("cum_cents"),
+          when($"total" > 0,
+            (expr("(1000000 * (lv + off)) div total").cast("double") / 1e6))
+            .as("cum_share"))
+        .orderBy("day")
+    },
+    Some("WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day, " +
+      "SUM(CAST(round(value*100) AS BIGINT)) AS v FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(SUM(v) AS BIGINT) AS total FROM daily), " +
+      "r AS (SELECT day, v, SUM(v) OVER (ORDER BY day ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM daily) " +
+      "SELECT r.day, CAST(r.v AS BIGINT) AS day_cents, " +
+      "CAST(r.cum AS BIGINT) AS cum_cents, " +
+      "CASE WHEN t.total > 0 THEN " +
+      "CAST((1000000 * r.cum) // t.total AS DOUBLE) / 1e6 END AS cum_share " +
+      "FROM r, t ORDER BY r.day"))
+
   val qs: Seq[Q] =
     Seq(windowFillForward, aggMedianMode, eventTimeWeighted, cohortRetention,
-      windowGapFill, windowSlidingDistinct)
+      windowGapFill, windowSlidingDistinct, windowCumulativeShare)
 }

@@ -719,8 +719,77 @@ object MiningOps {
       OSql.sround("CAST(SUM(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)",
         6) + " AS avg_local_cc FROM cc"))
 
+  // ------------------------------------------------------------------
+  // graph_closeness_seeded — closeness and harmonic centrality of the
+  // 't:purchase' seed, the CENTRALITY readout over the same 4-round
+  // BFS relaxation as [[graphBfsDepth]] (that key histograms depths;
+  // this reduces them to the two standard centrality scores — and
+  // harmonic is the one that stays meaningful on disconnected graphs,
+  // which is why both ship): over reached nodes at dist ≥ 1,
+  // closeness = n_reached/Σdist as the exact floor-quantized integer
+  // (10⁶·n) div Σd, and harmonic = Σ 1/d with each reciprocal the
+  // exact integer 10⁹ div d BEFORE the sum — an order-independent
+  // integer reduction (the quantized-harmonic discipline from the BY
+  // step-up). Same superstep plan: one equi-join + groupBy-min per
+  // round; one scalar row out.
+  // ------------------------------------------------------------------
+
+  private val graphClosenessSeeded = Q(
+    "graph_closeness_seeded",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Tables.events(s, d)
+        .select(concat(lit("u:"), $"user_id".cast("string")).as("src"),
+          concat(lit("t:"), $"event_type").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select($"dst".as("src"), $"src".as("dst")))
+      var dist = s.range(1)
+        .select(lit("t:purchase").as("node"), lit(0L).as("dist"))
+      for (_ <- 1 to 4) {
+        val relaxed = edges.join(dist, edges("src") === dist("node"))
+          .select($"dst".as("node"), ($"dist" + 1).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("node").agg(min($"dist").as("dist"))
+      }
+      dist.filter($"dist" >= 1).agg(
+          count(lit(1)).as("n_reached"),
+          sum($"dist").cast("long").as("sum_dist"),
+          sum(expr("1000000000 div dist")).cast("long").as("harmonic_q"))
+        .select($"n_reached", $"sum_dist",
+          when($"sum_dist" > 0, expr("(1000000 * n_reached) div sum_dist"))
+            .cast("long").as("closeness_q"),
+          $"harmonic_q")
+    },
+    Some("WITH pairs AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) " +
+      "AS src, 't:' || event_type AS dst FROM events), " +
+      "edges AS (SELECT src, dst FROM pairs " +
+      "UNION ALL SELECT dst, src FROM pairs), " +
+      "d0 AS (SELECT 't:purchase' AS node, CAST(0 AS BIGINT) AS dist), " +
+      "d1 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d0 " +
+      "UNION ALL SELECT e.dst, d.dist + 1 FROM edges e " +
+      "JOIN d0 d ON e.src = d.node) GROUP BY 1), " +
+      "d2 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d1 " +
+      "UNION ALL SELECT e.dst, d.dist + 1 FROM edges e " +
+      "JOIN d1 d ON e.src = d.node) GROUP BY 1), " +
+      "d3 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d2 " +
+      "UNION ALL SELECT e.dst, d.dist + 1 FROM edges e " +
+      "JOIN d2 d ON e.src = d.node) GROUP BY 1), " +
+      "d4 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d3 " +
+      "UNION ALL SELECT e.dst, d.dist + 1 FROM edges e " +
+      "JOIN d3 d ON e.src = d.node) GROUP BY 1), " +
+      "r AS (SELECT CAST(count(*) AS BIGINT) AS n_reached, " +
+      "CAST(SUM(dist) AS BIGINT) AS sum_dist, " +
+      "CAST(SUM(1000000000 // dist) AS BIGINT) AS harmonic_q " +
+      "FROM d4 WHERE dist >= 1) " +
+      "SELECT n_reached, sum_dist, " +
+      "CASE WHEN sum_dist > 0 THEN " +
+      "CAST((1000000 * n_reached) // sum_dist AS BIGINT) END AS closeness_q, " +
+      "harmonic_q FROM r"))
+
   val qs: Seq[Q] = Seq(
     graphBfsDepth, graphAdamicAdar, graphJaccardNeighbors, seqPatternRegex,
     sampleNegative, simMaxsimLabels, graphKcorePeel, dedupFuzzyLevenshtein,
-    graphModularity, graphAssortativity, graphLocalClustering)
+    graphModularity, graphAssortativity, graphLocalClustering,
+    graphClosenessSeeded)
 }

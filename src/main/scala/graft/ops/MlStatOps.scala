@@ -2750,6 +2750,62 @@ object MlStatOps {
         "- CAST(n AS HUGEINT) * n AS DOUBLE) / CAST(n AS DOUBLE)", 6) +
       " END AS chi2 FROM m"))
 
+  // ------------------------------------------------------------------
+  // eval_roc_points — the ROC curve table (TPR vs FPR per threshold)
+  // for the value-as-score rule: the operating-curve view the scalar
+  // keys summarize (`eval_auc` integrates it, `eval_youden_threshold`
+  // picks one point, `eval_pr_sweep` shows the precision axes; ROC is
+  // what a reviewer actually plots to choose a regime). Same scale
+  // shape as the PR sweep: the fact collapses map-side to the bounded
+  // cent-value ledger, the 9 fixed $10 thresholds probe its running
+  // totals via one broadcast theta join, and TPR/FPR are single
+  // guarded exact divisions per threshold row.
+  // ------------------------------------------------------------------
+
+  private val evalRocPoints = Q(
+    "eval_roc_points",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+      val byV = e.groupBy("v").agg(
+        sum($"y").as("c1"), count(lit(1)).as("m"))
+      val tot = byV.agg(sum($"c1").as("npos"), sum($"m").as("n"))
+      val thresholds = s.range(1, 10).select(($"id" * 1000L).as("thr"))
+      val scored = thresholds.crossJoin(broadcast(tot))
+        .join(byV, byV("v") >= thresholds("thr"), "left")
+        .groupBy("thr", "npos", "n").agg(
+          coalesce(sum($"c1"), lit(0L)).as("tp"),
+          coalesce(sum($"m"), lit(0L)).as("npred"))
+      scored.select($"thr", $"tp", ($"npred" - $"tp").as("fp"),
+          when($"npos" > 0,
+            dround($"tp".cast("double") / $"npos", 6)).as("tpr"),
+          when($"n" - $"npos" > 0,
+            dround(($"npred" - $"tp").cast("double") / ($"n" - $"npos"), 6))
+            .as("fpr"))
+        .orderBy("thr")
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "byv AS (SELECT v, CAST(SUM(y) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS m FROM e GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS npos, " +
+      "CAST(SUM(m) AS BIGINT) AS n FROM byv), " +
+      "thr AS (SELECT CAST(unnest(generate_series(1, 9)) * 1000 AS BIGINT) " +
+      "AS thr), " +
+      "sc AS (SELECT t.thr, tot.npos, tot.n, " +
+      "COALESCE(CAST(SUM(b.c1) AS BIGINT), 0) AS tp, " +
+      "COALESCE(CAST(SUM(b.m) AS BIGINT), 0) AS npred " +
+      "FROM thr t CROSS JOIN tot LEFT JOIN byv b ON b.v >= t.thr " +
+      "GROUP BY 1, 2, 3) " +
+      "SELECT thr, tp, npred - tp AS fp, " +
+      "CASE WHEN npos > 0 THEN " +
+      OSql.sround("CAST(tp AS DOUBLE) / npos", 6) + " END AS tpr, " +
+      "CASE WHEN n - npos > 0 THEN " +
+      OSql.sround("CAST(npred - tp AS DOUBLE) / (n - npos)", 6) +
+      " END AS fpr FROM sc ORDER BY thr"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2765,7 +2821,8 @@ object MlStatOps {
     statProportionsZtest, statWilcoxonSignedRank, statKruskalWallis,
     evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
-    statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness)
+    statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
+    evalRocPoints)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -1952,6 +1952,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(run("stat_chi2_goodness", skew).collect().head.getDouble(3) === 1.0)
   }
 
+  test("roc points separate the discriminating threshold") {
+    // pos $95, neg $85: thresholds $10..$80 catch both (tpr=1, fpr=1);
+    // $90 keeps the positive and drops the negative (tpr=1, fpr=0)
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "purchase", 95.0, "{}"), (2L, 0L, 1L, "view", 85.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("eval_roc_points", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    (1L to 8L).foreach(k =>
+      assert(got(k * 1000L) === ((1L, 1L, 1.0, 1.0))))
+    assert(got(9000L) === ((1L, 0L, 1.0, 0.0)))
+  }
+
+  test("seeded closeness reduces the bfs depths to exact quantized scores") {
+    // u1 touches purchase+view, u2 touches purchase only: from the
+    // purchase seed → u1, u2 at depth 1, t:view at depth 2.
+    // closeness = ⌊3e6/4⌋, harmonic = 1e9 + 1e9 + 5e8
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "purchase", 1.0, "{}"), (2L, 0L, 2L, "purchase", 1.0, "{}"),
+      (3L, 0L, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("graph_closeness_seeded", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 4L, 750000L, 2500000000L)))
+  }
+
+  test("cumulative share paces to exactly 1 at the last day") {
+    val dns = (day: Long) => day * 86400000L * 1000000L
+    val dir = stageTables("events" -> Seq(
+      (1L, dns(0L), 1L, "t", 1.0, "{}"), (2L, dns(1L), 1L, "t", 2.0, "{}"),
+      (3L, dns(2L), 1L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("window_cumulative_share", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (0L, 100L, 100L, 0.25), (1L, 200L, 300L, 0.75),
+      (2L, 100L, 400L, 1.0)))
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

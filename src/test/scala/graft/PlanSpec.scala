@@ -1038,6 +1038,23 @@ class PlanSpec extends SparkSpec {
       "two nested aggregates over one scan — nothing else")
   }
 
+  test("cumulative share prefixes two-phase over the daily ledger") {
+    val plan = executedPlan("window_cumulative_share")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[b#")),
+      s"the running sum must partition by the day bucket: $windowLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets must merge by broadcast")
+  }
+
+  test("seeded closeness supersteps are windowless equi-joins") {
+    val plan = executedPlan("graph_closeness_seeded")
+    assert(!plan.contains("Window "),
+      "BFS relaxation is join + groupBy-min per round — no window")
+    assert(!plan.contains("CartesianProduct"),
+      "every superstep joins the frontier on the node key")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
