@@ -2806,6 +2806,50 @@ object MlStatOps {
       OSql.sround("CAST(npred - tp AS DOUBLE) / (n - npos)", 6) +
       " END AS fpr FROM sc ORDER BY thr"))
 
+  // ------------------------------------------------------------------
+  // stat_poisson_ztest — equal-rate test for COUNT data between the
+  // archive's two eras (event_id parity gives equal exposure by
+  // construction), per event type: the counting-process member of the
+  // two-sample family (welch/F compare a VALUE's moments; this
+  // compares the arrival RATE itself — "did error volume actually
+  // change between eras"). The conditional test: under H₀ the era-0
+  // count is Binomial(n, ½) given the total, so z = (n0 − n1)/√(n0 +
+  // n1) — counts collapse map-side to the ≤|types| ledger, the rate
+  // ratio is the exact floor-quantized (10⁶·n0) div n1, and z is one
+  // guarded double division. Zero-total types emit NULL.
+  // ------------------------------------------------------------------
+
+  private val statPoissonZtest = Q(
+    "stat_poisson_ztest",
+    (s, d) => {
+      import s.implicits._
+      val m = Tables.events(s, d)
+        .select($"event_type", pmod($"event_id", lit(2L)).as("era"))
+        .groupBy("event_type").agg(
+          sum(($"era" === 0).cast("long")).as("n0"),
+          sum(($"era" === 1).cast("long")).as("n1"))
+      m.select($"event_type", $"n0", $"n1",
+          when($"n1" > 0,
+            (expr("(1000000 * n0) div n1").cast("double") / 1e6))
+            .as("rate_ratio"),
+          when($"n0" + $"n1" > 0,
+            dround(($"n0" - $"n1").cast("double")
+              / sqrt(($"n0" + $"n1").cast("double")), 6)).as("z"))
+        .orderBy("event_type")
+    },
+    Some("WITH m AS (SELECT event_type, " +
+      "CAST(SUM(CASE WHEN ((event_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n0, " +
+      "CAST(SUM(CASE WHEN ((event_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n1 FROM events GROUP BY 1) " +
+      "SELECT event_type, n0, n1, " +
+      "CASE WHEN n1 > 0 THEN CAST((1000000 * n0) // n1 AS DOUBLE) / 1e6 END " +
+      "AS rate_ratio, " +
+      "CASE WHEN n0 + n1 > 0 THEN " +
+      OSql.sround("CAST(n0 - n1 AS DOUBLE) / sqrt(CAST(n0 + n1 AS DOUBLE))",
+        6) +
+      " END AS z FROM m ORDER BY event_type"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2822,7 +2866,7 @@ object MlStatOps {
     evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
     statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
-    evalRocPoints)
+    evalRocPoints, statPoissonZtest)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

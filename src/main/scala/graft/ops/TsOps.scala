@@ -1462,6 +1462,98 @@ object TsOps {
       "cl.weekend_lift " +
       "FROM grid JOIN cl USING (event_type) ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // stat_ljung_box — the Ljung–Box portmanteau whiteness test per type
+  // over the hourly series, lags 1..12: the JOINT verdict above the
+  // single-lag diagnostics (`agg_autocorr_lag1` reads one lag,
+  // `stat_durbin_watson` weights lag 1, `ts_acf_lags` shows the
+  // panel; Ljung-Box asks "is there ANY autocorrelation in the first
+  // h lags" — the residual-whiteness gate every fitted forecast is
+  // checked against). Textbook ACF (global-mean normalization, full-
+  // series variance denominator) kept EXACT by cross-multiplication:
+  // n²·N_k = Σ(n·v_t − S)(n·v_{t−k} − S) is an exact integer off the
+  // ranked-ledger self-join (the dominant_period machinery), the
+  // denominator is n·m2n (the jarque identity), so r_k = n²N_k/(n·m2n)
+  // is one double division of exact integers; each r_k²/(n−k) term is
+  // floor-quantized at 10¹² before the ≤12-row sum, and Q = n(n+2)·Σ.
+  // Degenerate series (m2n = 0 or n ≤ h) emit NULL.
+  // ------------------------------------------------------------------
+
+  private val statLjungBox = Q(
+    "stat_ljung_box",
+    (s, d) => {
+      import s.implicits._
+      val Dec38l = org.apache.spark.sql.types.DecimalType(38, 0)
+      val H = 12
+      val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+      val hr = hourlyCents(s, d)
+        .select($"event_type", $"v", row_number().over(w).as("rn"))
+      val mom = hr.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"v".cast(Dec38l)).as("sv"),
+        sum($"v".cast(Dec38l) * $"v").as("svv"))
+        .withColumn("m2n", $"n".cast(Dec38l) * $"svv" - $"sv" * $"sv")
+        .select($"event_type", $"n", $"sv", $"m2n")
+      val ex = hr.select($"event_type", $"v".as("y"), $"rn",
+          explode(expr(s"sequence(1, $H)")).as("lg"))
+        .withColumn("rnx", $"rn" - $"lg")
+      val pairs = ex.join(
+          hr.select($"event_type", $"rn".as("rnx"), $"v".as("x")),
+          Seq("event_type", "rnx"))
+        .join(broadcast(mom), "event_type")
+        .groupBy($"event_type", $"lg", $"n", $"m2n").agg(
+          sum(($"n".cast(Dec38l) * $"y" - $"sv")
+            * ($"n".cast(Dec38l) * $"x" - $"sv")).as("nk"))
+      // ANSI raises DIVIDE_BY_ZERO even on doubles: the rk and 1/(n−k)
+      // divisions only evaluate under the positivity guards (a
+      // constant or too-short series nulls out through the final gate)
+      val terms = pairs
+        .withColumn("rk", when($"m2n" > 0 && $"n" > $"lg",
+          $"nk".cast("double")
+            / ($"n".cast("double") * $"m2n".cast("double"))))
+        .select($"event_type", $"n", $"m2n",
+          when($"rk".isNotNull,
+            floor($"rk" * $"rk" / ($"n" - $"lg").cast("double") * lit(1e12)
+              + lit(0.5)).cast(Dec38l)).as("tq"))
+      terms.groupBy("event_type").agg(
+          max($"n").as("n"), max($"m2n").as("m2x"), sum($"tq").as("ts"))
+        .select($"event_type", $"n", lit(H.toLong).as("df"),
+          when($"n" > H && $"m2x" > 0,
+            dround($"n".cast("double") * ($"n" + 2).cast("double")
+              * ($"ts".cast("double") / lit(1e12)), 6)).as("q_stat"))
+        .orderBy("event_type")
+    },
+    Some("WITH " + hourlyCtes + ", " +
+      "hr AS (SELECT event_type, v, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY h ASC) AS rn FROM hourly), " +
+      "mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "SUM(CAST(v AS HUGEINT)) AS sv, SUM(CAST(v AS HUGEINT) * v) AS svv " +
+      "FROM hr GROUP BY 1), " +
+      "mm AS (SELECT event_type, n, sv, " +
+      "CAST(n AS HUGEINT) * svv - sv * sv AS m2n FROM mom), " +
+      "lgs AS (SELECT unnest(generate_series(1, 12)) AS lg), " +
+      "p AS (SELECT y.event_type, lgs.lg, x.v AS x, y.v AS y " +
+      "FROM hr y CROSS JOIN lgs " +
+      "JOIN hr x ON x.event_type = y.event_type AND x.rn = y.rn - lgs.lg), " +
+      "nk AS (SELECT p.event_type, p.lg, mm.n, mm.m2n, " +
+      "SUM((CAST(mm.n AS HUGEINT) * p.y - mm.sv) " +
+      "* (CAST(mm.n AS HUGEINT) * p.x - mm.sv)) AS nk " +
+      "FROM p JOIN mm ON mm.event_type = p.event_type GROUP BY 1, 2, 3, 4), " +
+      "t AS (SELECT event_type, n, m2n, " +
+      "CASE WHEN m2n > 0 AND n > lg THEN " +
+      "CAST(floor(CAST(nk AS DOUBLE) / (CAST(n AS DOUBLE) " +
+      "* CAST(m2n AS DOUBLE)) * (CAST(nk AS DOUBLE) / (CAST(n AS DOUBLE) " +
+      "* CAST(m2n AS DOUBLE))) / CAST(n - lg AS DOUBLE) * 1e12 + 0.5) " +
+      "AS HUGEINT) END AS tq FROM nk), " +
+      "f AS (SELECT event_type, MAX(n) AS n, MAX(m2n) AS m2x, " +
+      "SUM(tq) AS ts FROM t GROUP BY 1) " +
+      "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+      "CAST(12 AS BIGINT) AS df, " +
+      "CASE WHEN n > 12 AND m2x > 0 THEN " +
+      OSql.sround("CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) " +
+        "* (CAST(ts AS DOUBLE) / 1e12)", 6) +
+      " END AS q_stat FROM f ORDER BY event_type"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
@@ -1469,5 +1561,5 @@ object TsOps {
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
     tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson,
-    windowRollingCorr, tsWeekdayProfile)
+    windowRollingCorr, tsWeekdayProfile, statLjungBox)
 }

@@ -1992,6 +1992,40 @@ class EdgeCaseSpec extends SparkSpec {
       (2L, 100L, 400L, 1.0)))
   }
 
+  test("ljung-box blows up on periodicity, NULLs on constants and short series") {
+    val hns = (h: Long) => h * 3600000L * 1000000L
+    // "p": a strong period-6 sawtooth over 72 hours — the portmanteau
+    // must reject whiteness decisively; "c": constant (m2n = 0) and
+    // "s": only 10 points (n ≤ h) must both yield NULL, never an error
+    val rows =
+      (0L until 72L).map(h => (1000L + h, hns(h), 1L, "p",
+        if (h % 6 == 0) 10.0 else 1.0, "{}")) ++
+      (0L until 20L).map(h => (2000L + h, hns(h), 1L, "c", 3.0, "{}")) ++
+      (0L until 10L).map(h => (3000L + h, hns(h), 1L, "s", h.toDouble, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("stat_ljung_box", dir).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got("p") > 50.0, s"periodic Q = ${got("p")}")
+    assert(got("c").isNaN && got("s").isNaN)
+  }
+
+  test("poisson z compares era rates exactly and survives a one-sided type") {
+    // "a": 3 even-id vs 1 odd-id events → ratio 3, z = 2/2 = 1;
+    // "b": only odd ids → ratio 0, z = −2/√2
+    val dir = stageTables("events" -> Seq(
+      (2L, 0L, 1L, "a", 1.0, "{}"), (4L, 0L, 1L, "a", 1.0, "{}"),
+      (6L, 0L, 1L, "a", 1.0, "{}"), (1L, 0L, 1L, "a", 1.0, "{}"),
+      (3L, 0L, 1L, "b", 1.0, "{}"), (5L, 0L, 1L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("stat_poisson_ztest", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") === ((3L, 1L, 3.0, 1.0)))
+    assert(got("b") === ((0L, 2L, 0.0, -1.414214)))
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

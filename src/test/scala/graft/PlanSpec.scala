@@ -1055,6 +1055,22 @@ class PlanSpec extends SparkSpec {
       "every superstep joins the frontier on the node key")
   }
 
+  test("ljung-box rides the typed ledger self-join with broadcast moments") {
+    val plan = executedPlan("stat_ljung_box")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("event_type")),
+      s"the ranking must partition by type: $windowLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-type moment ledger must broadcast to the pair stream")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("poisson z is one conditional fold over one scan") {
+    val plan = executedPlan("stat_poisson_ztest")
+    assert(!plan.contains("Window ") && !plan.contains("Join"),
+      "era counts are a conditional aggregate — nothing else")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
