@@ -285,17 +285,30 @@ object IndexCache {
     stagedSecs.asScala.toMap
   }
 
-  def apply(s: SparkSession, key: String, build: => DataFrame): DataFrame =
-    s.read.parquet(paths.computeIfAbsent(key, _ => {
+  /** NOT computeIfAbsent: an index build may itself stage a nested
+    * index (co-edges builds on co-pairs), and a nested computeIfAbsent
+    * on the same map throws "Recursive update". Double-checked
+    * putIfAbsent is re-entrant; a concurrent duplicate build wastes
+    * work but first-write-wins keeps every reader consistent.
+    */
+  def apply(s: SparkSession, key: String, build: => DataFrame): DataFrame = {
+    val cached = paths.get(key)
+    val path = if (cached != null) cached else {
       val p = TmpDirs.dir("idx")
       val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(p)
       val secs = (System.nanoTime() - t0) / 1e9
-      stagedSecs.put(key, secs)
-      // staging cost is also visible inline for ad-hoc runs
-      System.err.println(f"[graft] index '$key' staged in $secs%.2f s")
-      p
-    }))
+      val prev = paths.putIfAbsent(key, p)
+      if (prev != null) prev
+      else {
+        stagedSecs.put(key, secs)
+        // staging cost is also visible inline for ad-hoc runs
+        System.err.println(f"[graft] index '$key' staged in $secs%.2f s")
+        p
+      }
+    }
+    s.read.parquet(path)
+  }
 }
 
 /** Session-build configuration shared by Verify / Bench / tests so every

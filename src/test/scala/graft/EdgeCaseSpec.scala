@@ -948,6 +948,7 @@ class EdgeCaseSpec extends SparkSpec {
         val cap = key match {
           case "sim_ann_recall" => 4
           case "eval_pr_sweep" => 9
+          case "eval_roc_points" => 9 // output IS the 9 fixed thresholds
           case "eval_confusion_multiclass" => 3 // fixed 3-row class spine
           case _ => 1
         }
