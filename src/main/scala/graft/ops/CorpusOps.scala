@@ -1481,6 +1481,45 @@ object CorpusOps {
       OSql.sround("CAST(jq AS DOUBLE) / 1e9 / ln(2.0)", 6) + " AS jsd_norm " +
       "FROM s, v, tot"))
 
+  // ------------------------------------------------------------------
+  // text_word_length_hist — token-length distribution per language:
+  // the tokenizer-health profile beside the doc-length histogram
+  // (CJK mis-tokenization shows as a mass spike at length 1; glued
+  // words and URLs fatten the long tail; a BPE vocabulary is sized
+  // off exactly this curve): one explode pass collapses MAP-SIDE to
+  // the (lang, len) grid — bounded by the max token length, not the
+  // corpus — with counts and the exact mean length per lang as the
+  // floor-quantized (10⁶·Σlen) div n from the same ledger.
+  // ------------------------------------------------------------------
+
+  private val textWordLengthHist = Q(
+    "text_word_length_hist",
+    (s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .select($"lang", length($"w").cast("long").as("len"))
+      val grid = tok.groupBy("lang", "len").agg(count(lit(1)).as("cnt"))
+      val mean = grid.groupBy("lang").agg(
+          sum($"len" * $"cnt").as("sl"), sum($"cnt").as("n"))
+        .select($"lang",
+          (expr("(1000000 * sl) div n").cast("double") / 1e6)
+            .as("mean_len"))
+      grid.join(broadcast(mean), "lang")
+        .select($"lang", $"len", $"cnt", $"mean_len")
+        .orderBy("lang", "len")
+    },
+    Some("WITH tok AS (SELECT lang, CAST(len(w) AS BIGINT) AS len FROM " +
+      "(SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "WHERE len(w) > 0), " +
+      "grid AS (SELECT lang, len, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM tok GROUP BY 1, 2), " +
+      "m AS (SELECT lang, CAST((1000000 * SUM(len * cnt)) // SUM(cnt) " +
+      "AS DOUBLE) / 1e6 AS mean_len FROM grid GROUP BY 1) " +
+      "SELECT grid.lang, grid.len, grid.cnt, m.mean_len " +
+      "FROM grid JOIN m USING (lang) ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
@@ -1489,5 +1528,5 @@ object CorpusOps {
     textZipfFit, textCollocationsPmi, corpusJsDivergence,
     corpusNgramNovelty, textBigramKneserNey, textHapaxRatio,
     corpusVocabOverlap, corpusHeapsLaw, corpusLengthHistogram,
-    corpusUnigramDrift)
+    corpusUnigramDrift, textWordLengthHist)
 }

@@ -2850,6 +2850,107 @@ object MlStatOps {
         6) +
       " END AS z FROM m ORDER BY event_type"))
 
+  // ------------------------------------------------------------------
+  // eval_cost_threshold — COST-SENSITIVE operating point for the
+  // value-as-score rule under an asymmetric loss (FP = 1, FN = 5 —
+  // missing a conversion is five times worse than a false alarm):
+  // the business-facing sibling of `eval_youden_threshold` (Youden
+  // optimizes a statistical balance; deployments optimize a COST
+  // matrix, and the two disagree whenever losses are asymmetric). At
+  // threshold t, cost = FP + 5·FN = npred_t + 5·npos − 6·tp_t — all
+  // EXACT integers off the same two-phase descending cent-ledger
+  // prefix as `eval_average_precision`; the argmin is one
+  // min(struct(cost, thr)) with ties to the smallest threshold, and
+  // the predict-nothing baseline (cost = 5·npos) ships alongside so
+  // the gate "does the best threshold beat doing nothing" is
+  // hash-visible.
+  // ------------------------------------------------------------------
+
+  private val evalCostThreshold = Q(
+    "eval_cost_threshold",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+      val led = e.groupBy("v").agg(
+          sum($"y").as("c1"), count(lit(1)).as("m"))
+        .withColumn("nv", -$"v")
+        .withColumn("b", expr(Det.fdivExpr("nv", "1000")))
+      val local = Window.partitionBy($"b").orderBy($"nv".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"m").as("n")), "b")
+      val offs1 = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"c1").as("n")), "b")
+        .withColumnRenamed("off", "off1")
+      val tot = e.agg(sum($"y").as("npos"), count(lit(1)).as("n"))
+      val scored = led
+        .withColumn("lm", sum($"m").over(local))
+        .withColumn("lc", sum($"c1").over(local))
+        .join(broadcast(offs), "b").join(broadcast(offs1), "b")
+        .crossJoin(broadcast(tot))
+        .select($"v".as("thr"),
+          (($"lm" + $"off") + lit(5) * $"npos" - lit(6) * ($"lc" + $"off1"))
+            .as("cost"))
+      scored.agg(min(struct($"cost".as("a"), $"thr".as("b"))).as("mm"))
+        .crossJoin(broadcast(tot))
+        .select($"n", $"npos", $"mm.b".as("best_thr_cents"),
+          $"mm.a".as("best_cost"), (lit(5) * $"npos").as("cost_no_predict"))
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "led AS (SELECT v, CAST(SUM(y) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS m FROM e GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(y) AS BIGINT) AS npos, " +
+      "CAST(count(*) AS BIGINT) AS n FROM e), " +
+      "r AS (SELECT v AS thr, SUM(m) OVER w AS npred, SUM(c1) OVER w AS tp " +
+      "FROM led WINDOW w AS (ORDER BY v DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "sc AS (SELECT r.thr, r.npred + 5 * tot.npos - 6 * r.tp AS cost " +
+      "FROM r, tot), " +
+      "best AS (SELECT thr, cost, row_number() OVER " +
+      "(ORDER BY cost ASC, thr ASC) AS k FROM sc) " +
+      "SELECT tot.n, tot.npos, best.thr AS best_thr_cents, " +
+      "CAST(best.cost AS BIGINT) AS best_cost, " +
+      "5 * tot.npos AS cost_no_predict FROM best, tot WHERE best.k = 1"))
+
+  // ------------------------------------------------------------------
+  // stat_zprop_one — ONE-proportion z test of the purchase share
+  // against the declared null p₀ = 1/5 (the uniform share over the
+  // five event types — "is purchase traffic exactly its design
+  // share"): the one-sample member beside `stat_proportions_ztest`'s
+  // two arms. With p₀ = 1/5 the statistic collapses to pure integers:
+  // z = (o − n/5)/√(n·(1/5)(4/5)) = (5·o − n)/(2·√n) — one exact
+  // integer numerator, one guarded double division; the share itself
+  // ships as the exact floor-quantized (10⁶·o) div n.
+  // ------------------------------------------------------------------
+
+  private val statZpropOne = Q(
+    "stat_zprop_one",
+    (s, d) => {
+      import s.implicits._
+      val m = Tables.events(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(($"event_type" === "purchase").cast("long")).as("o"))
+      m.select($"n", $"o",
+          when($"n" > 0,
+            (expr("(1000000 * o) div n").cast("double") / 1e6)).as("share"),
+          when($"n" > 0,
+            dround((lit(5) * $"o" - $"n").cast("double")
+              / (lit(2.0) * sqrt($"n".cast("double"))), 6)).as("z"))
+    },
+    Some("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS o FROM events) " +
+      "SELECT n, o, " +
+      "CASE WHEN n > 0 THEN CAST((1000000 * o) // n AS DOUBLE) / 1e6 END " +
+      "AS share, " +
+      "CASE WHEN n > 0 THEN " +
+      OSql.sround("CAST(5 * o - n AS DOUBLE) / (2.0 * sqrt(CAST(n AS DOUBLE)))",
+        6) +
+      " END AS z FROM m"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2866,7 +2967,7 @@ object MlStatOps {
     evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
     statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
-    evalRocPoints, statPoissonZtest)
+    evalRocPoints, statPoissonZtest, evalCostThreshold, statZpropOne)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

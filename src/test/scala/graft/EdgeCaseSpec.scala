@@ -2027,6 +2027,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got("b") === ((0L, 2L, 0.0, -1.414214)))
   }
 
+  test("cost threshold argmins the asymmetric loss and beats predict-nothing") {
+    // pos $95/$60, neg $50/$5 under FP=1, FN=5: cost(t) = npred + 10
+    // − 6·tp → t=$95:5, t=$60:0, t=$50:1, t=$5:2 ⇒ best = $60 at 0,
+    // predict-nothing baseline = 10
+    val dir = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "purchase", 95.0, "{}"), (2L, 0L, 1L, "purchase", 60.0, "{}"),
+      (3L, 0L, 1L, "view", 50.0, "{}"), (4L, 0L, 1L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("eval_cost_threshold", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((4L, 2L, 6000L, 0L, 10L)))
+  }
+
+  test("one-proportion z is 0 at the design share and exact off it") {
+    val at = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "purchase", 1.0, "{}"), (2L, 0L, 1L, "view", 1.0, "{}"),
+      (3L, 0L, 1L, "click", 1.0, "{}"), (4L, 0L, 1L, "error", 1.0, "{}"),
+      (5L, 0L, 1L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r0 = run("stat_zprop_one", at).collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2), r0.getDouble(3))
+      === ((5L, 1L, 0.2, 0.0)))
+    // 3 of 5 purchases: z = (15 − 5)/(2√5) = √5 = 2.236068
+    val off = stageTables("events" -> Seq(
+      (1L, 0L, 1L, "purchase", 1.0, "{}"), (2L, 0L, 1L, "purchase", 1.0, "{}"),
+      (3L, 0L, 1L, "purchase", 1.0, "{}"), (4L, 0L, 1L, "view", 1.0, "{}"),
+      (5L, 0L, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(run("stat_zprop_one", off).collect().head.getDouble(3) === 2.236068)
+  }
+
+  test("word-length histogram grids per language with the exact mean") {
+    val docs = Seq((1L, "aa", "s", "ab c ab")).toDF("doc_id", "lang", "source", "text")
+    val got = run("text_word_length_hist", stageTables("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("aa", 1L, 1L, 1.666666), ("aa", 2L, 2L, 1.666666)))
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

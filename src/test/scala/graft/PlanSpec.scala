@@ -1071,6 +1071,15 @@ class PlanSpec extends SparkSpec {
       "era counts are a conditional aggregate — nothing else")
   }
 
+  test("cost threshold rides the two-phase descending ledger prefix") {
+    val plan = executedPlan("eval_cost_threshold")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[b#")),
+      s"ledger prefixes must partition by the coarse bucket: $windowLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets must merge by broadcast")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
