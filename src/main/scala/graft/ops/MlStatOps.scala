@@ -2951,6 +2951,50 @@ object MlStatOps {
         6) +
       " END AS z FROM m"))
 
+  // ------------------------------------------------------------------
+  // agg_topn_share — revenue share of the top-10 users, the "whale
+  // concentration" metric read next to the distribution-wide scores
+  // (`agg_gini_revenue` summarizes the whole curve, `agg_hhi` squares
+  // every share; operators ask the blunter question — how much of the
+  // book do the ten biggest accounts carry): per-user exact cents
+  // collapse map-side, the top-10 cut is a TakeOrderedAndProject with
+  // the (cents desc, user asc) total order (O(k) per partition, never
+  // a global sort), totals broadcast as a 1-row aggregate of the SAME
+  // per-user ledger, and the share is the exact floor-quantized
+  // (10⁶·top) div total.
+  // ------------------------------------------------------------------
+
+  private val aggTopnShare = Q(
+    "agg_topn_share",
+    (s, d) => {
+      import s.implicits._
+      val perUser = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", round($"value" * 100).cast("long").as("c"))
+        .groupBy("user_id").agg(sum($"c".cast(Dec380)).as("uc"))
+      val top = perUser.orderBy($"uc".desc, $"user_id".asc).limit(10)
+        .agg(sum($"uc").cast("long").as("top_cents"),
+          count(lit(1)).as("k"))
+      val tot = perUser.agg(sum($"uc").cast("long").as("total_cents"),
+        count(lit(1)).as("n_users"))
+      top.crossJoin(broadcast(tot))
+        .select($"n_users", $"k", $"top_cents", $"total_cents",
+          when($"total_cents" > 0,
+            (expr("(1000000 * top_cents) div total_cents").cast("double")
+              / 1e6)).as("top_share"))
+    },
+    Some("WITH pu AS (SELECT user_id, SUM(CAST(round(value*100) AS BIGINT)) " +
+      "AS uc FROM events WHERE user_id IS NOT NULL GROUP BY 1), " +
+      "tp AS (SELECT CAST(SUM(uc) AS BIGINT) AS top_cents, " +
+      "CAST(count(*) AS BIGINT) AS k FROM " +
+      "(SELECT uc FROM pu ORDER BY uc DESC, user_id ASC LIMIT 10)), " +
+      "tt AS (SELECT CAST(SUM(uc) AS BIGINT) AS total_cents, " +
+      "CAST(count(*) AS BIGINT) AS n_users FROM pu) " +
+      "SELECT tt.n_users, tp.k, tp.top_cents, tt.total_cents, " +
+      "CASE WHEN tt.total_cents > 0 THEN " +
+      "CAST((1000000 * tp.top_cents) // tt.total_cents AS DOUBLE) / 1e6 END " +
+      "AS top_share FROM tp, tt"))
+
   val qs: Seq[Q] = Seq(
     statWelchTtest, statChi2Independence, featureTargetEncode,
     assocBasketLift, statKsTest, statMannWhitney, statBootstrapCi,
@@ -2967,7 +3011,8 @@ object MlStatOps {
     evalMcnemar, statJarqueBera, evalCalibrationEce, evalDemographicParity,
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
     statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
-    evalRocPoints, statPoissonZtest, evalCostThreshold, statZpropOne)
+    evalRocPoints, statPoissonZtest, evalCostThreshold, statZpropOne,
+    aggTopnShare)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -2067,6 +2067,18 @@ class EdgeCaseSpec extends SparkSpec {
       ("aa", 1L, 1L, 1.666666), ("aa", 2L, 2L, 1.666666)))
   }
 
+  test("top-n share carves the exact whale slice of revenue") {
+    // user u spends $u, u = 1..12: top-10 = users 3..12 ⇒ 7500 of
+    // 7800 cents → share ⌊10⁶·7500/7800⌋ = 0.961538
+    val rows = (1L to 12L).map(u => (u, 0L, u, "t", u.toDouble, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("agg_topn_share", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((12L, 10L, 7500L, 7800L)))
+    assert(r.getDouble(4) === 0.961538)
+  }
+
   test("cms estimates dominate exact counts and rank the true top-10") {
     // user k appears k times, k = 1..20: top-10 = users 20..11; with 20
     // keys in a 4×256 grid an ALL-4-depth collision is (1/256)⁴-rare,

@@ -1080,6 +1080,13 @@ class PlanSpec extends SparkSpec {
       "bucket offsets must merge by broadcast")
   }
 
+  test("top-n share cuts via TakeOrdered, never a global sort") {
+    val plan = executedPlan("agg_topn_share")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-10 must be the O(k)-per-partition cut")
+    assert(!plan.contains("Window "), "no window anywhere")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
