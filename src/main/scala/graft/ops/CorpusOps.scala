@@ -1520,6 +1520,169 @@ object CorpusOps {
       "SELECT grid.lang, grid.len, grid.cnt, m.mean_len " +
       "FROM grid JOIN m USING (lang) ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // text_yule_k — Yule's characteristic K per source, the REPETITION
+  // constant of a vocabulary (K = 10⁴·(Σm²V(m) − N)/N² over the
+  // frequency spectrum V(m)) and the classic single-number "how
+  // template-y is this corpus" beside `text_lexical_diversity`'s TTR
+  // (TTR falls with corpus size by Heaps' law; K is size-INVARIANT,
+  // which is why stylometry uses it — two scrapes of different sizes
+  // from the same boilerplate generator score the same K). Since
+  // Σm²V(m) over the spectrum equals Σc² over the word-count ledger,
+  // the spectrum never materializes: one explode pass collapses
+  // map-side to the (source, word) counts, a second map-side collapse
+  // yields the exact HUGEINT moments N and Σc², and K is one double
+  // formula off exact integers, dround'd at 6.
+  // ------------------------------------------------------------------
+
+  private val textYuleK = Q(
+    "text_yule_k",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cnt = t(s, d, "documents")
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      cnt.groupBy("source").agg(
+          count(lit(1)).as("vocab"),
+          sum($"c".cast(Dec380)).cast("long").as("n_tokens"),
+          sum(($"c".cast(Dec380) * $"c")).cast("long").as("s2"))
+        .select($"source", $"vocab", $"n_tokens",
+          when($"n_tokens" > 0,
+            dround(lit(1e4) * ($"s2" - $"n_tokens").cast("double") /
+              ($"n_tokens".cast("double") * $"n_tokens"), 6))
+            .as("yule_k"))
+        .orderBy("source")
+    },
+    Some("WITH cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c " +
+      "FROM (SELECT source, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents) WHERE len(w) > 0 GROUP BY 1, 2), " +
+      "m AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab, " +
+      "CAST(SUM(CAST(c AS HUGEINT)) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS s2 FROM cnt " +
+      "GROUP BY 1) " +
+      "SELECT source, vocab, n_tokens, " +
+      "CASE WHEN n_tokens > 0 THEN " +
+      OSql.sround("1e4 * CAST(s2 - n_tokens AS DOUBLE) / " +
+        "(CAST(n_tokens AS DOUBLE) * n_tokens)", 6) +
+      " END AS yule_k FROM m ORDER BY source"))
+
+  // ------------------------------------------------------------------
+  // text_burstiness — per-word FANO FACTOR and burstiness coefficient
+  // over the per-document count distribution, for the 20 heaviest
+  // words: the content/function-word separator corpus linguistics
+  // reads next to the frequency list (a function word like "the"
+  // spreads Poisson-evenly, Fano ≈ 1; a topical word CLUMPS into the
+  // few documents about its topic, Fano ≫ 1 — frequency alone cannot
+  // tell them apart). Zero-count documents are IN the distribution:
+  // mean = tot/D and E[x²] = Σc²/D are over ALL D docs, var their
+  // difference, Fano = var/mean, and Kim-Kawahara burstiness
+  // B = (σ−μ)/(σ+μ) ∈ (−1, 1) normalizes it scale-free. Shape: the
+  // (word, doc) counts collapse map-side to the word moment ledger
+  // (the only open-vocab shuffle, counts never text), the top-20 cut
+  // is a TakeOrderedAndProject on the (tot desc, word asc) total
+  // order, and D broadcasts as a 1-row scalar; every statistic is a
+  // double formula off exact integers, dround'd at 6.
+  // ------------------------------------------------------------------
+
+  private val textBurstiness = Q(
+    "text_burstiness",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val docs = t(s, d, "documents")
+      val perDoc = docs
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      val ledger = perDoc.groupBy("w").agg(
+        sum($"c".cast(Dec380)).cast("long").as("tot"),
+        sum(($"c".cast(Dec380) * $"c")).cast("long").as("ssq"),
+        count(lit(1)).as("n_docs_with"))
+      val nd = docs.agg(count(lit(1)).as("d_total"))
+      ledger.orderBy($"tot".desc, $"w".asc).limit(20)
+        .crossJoin(broadcast(nd))
+        .withColumn("mean", $"tot".cast("double") / $"d_total")
+        // clamp at 0: a zero-variance word's float cancellation may dip
+        // an ulp negative, and sqrt(−ε) is NaN — whose CASE/comparison
+        // semantics the two engines do NOT share
+        .withColumn("variance",
+          greatest($"ssq".cast("double") / $"d_total" - $"mean" * $"mean",
+            lit(0.0)))
+        .withColumn("sigma", sqrt($"variance"))
+        .select($"w", $"d_total", $"n_docs_with", $"tot",
+          when($"mean" > 0, dround($"variance" / $"mean", 6)).as("fano"),
+          when($"sigma" + $"mean" > 0,
+            dround(($"sigma" - $"mean") / ($"sigma" + $"mean"), 6))
+            .as("burstiness"))
+        .orderBy($"tot".desc, $"w".asc)
+    },
+    Some("WITH pd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents) WHERE len(w) > 0 GROUP BY 1, 2), " +
+      "lg AS (SELECT w, CAST(SUM(CAST(c AS HUGEINT)) AS BIGINT) AS tot, " +
+      "CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS ssq, " +
+      "CAST(count(*) AS BIGINT) AS n_docs_with FROM pd GROUP BY 1), " +
+      "nd AS (SELECT CAST(count(*) AS BIGINT) AS d_total FROM documents), " +
+      "tk AS (SELECT * FROM lg ORDER BY tot DESC, w ASC LIMIT 20), " +
+      "st AS (SELECT w, d_total, n_docs_with, tot, " +
+      "CAST(tot AS DOUBLE) / d_total AS mean, " +
+      "greatest(CAST(ssq AS DOUBLE) / d_total - " +
+      "(CAST(tot AS DOUBLE) / d_total) * (CAST(tot AS DOUBLE) / d_total), " +
+      "0.0) AS variance FROM tk, nd) " +
+      "SELECT w, d_total, n_docs_with, tot, " +
+      "CASE WHEN mean > 0 THEN " + OSql.sround("variance / mean", 6) +
+      " END AS fano, " +
+      "CASE WHEN sqrt(variance) + mean > 0 THEN " +
+      OSql.sround("(sqrt(variance) - mean) / (sqrt(variance) + mean)", 6) +
+      " END AS burstiness FROM st ORDER BY tot DESC, w ASC"))
+
+  // ------------------------------------------------------------------
+  // quality_blocklist_filter — C4-style TOKEN blocklist filtering with
+  // a per-source retention report: the crude-but-universal first gate
+  // of every web-corpus recipe (C4 dropped any page containing a
+  // blocklisted word; the rule is deliberately token-EXACT, not
+  // substring — 'slower' must not trip 'slow', the classic scunthorpe
+  // failure of substring blocklists). The list itself is a broadcast
+  // constant; the membership test is one codegen'd arrays_overlap over
+  // the split — a single projection in the scan, no shuffle — and the
+  // report collapses map-side to ≤|sources| rows with the retention
+  // share an exact floor-quantized integer division. The audit keeps
+  // BOTH counts (kept + blocked): a blocklist whose drop rate silently
+  // doubles is a pipeline incident, and this is the row that pages.
+  // ------------------------------------------------------------------
+
+  private val blocklist = Seq("slow", "dup")
+
+  private val qualityBlocklistFilter = Q(
+    "quality_blocklist_filter",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source",
+          arrays_overlap(split($"text", " "),
+            array(blocklist.map(lit): _*)).as("blocked"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"blocked".cast("long")).as("n_blocked"))
+        .select($"source", $"n_docs", $"n_blocked",
+          ($"n_docs" - $"n_blocked").as("n_kept"),
+          (expr("(1000000 * (n_docs - n_blocked)) div n_docs")
+            .cast("double") / 1e6).as("retention"))
+        .orderBy("source")
+    },
+    Some("WITH f AS (SELECT source, " +
+      "list_has_any(string_split(text, ' '), " +
+      blocklist.map(w => s"'$w'").mkString("[", ", ", "]") +
+      ") AS blocked FROM documents), " +
+      "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_blocked FROM f GROUP BY 1) " +
+      "SELECT source, n_docs, n_blocked, n_docs - n_blocked AS n_kept, " +
+      "CAST((1000000 * (n_docs - n_blocked)) // n_docs AS DOUBLE) / 1e6 " +
+      "AS retention FROM g ORDER BY source"))
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
@@ -1528,5 +1691,6 @@ object CorpusOps {
     textZipfFit, textCollocationsPmi, corpusJsDivergence,
     corpusNgramNovelty, textBigramKneserNey, textHapaxRatio,
     corpusVocabOverlap, corpusHeapsLaw, corpusLengthHistogram,
-    corpusUnigramDrift, textWordLengthHist)
+    corpusUnigramDrift, textWordLengthHist, textYuleK, textBurstiness,
+    qualityBlocklistFilter)
 }

@@ -1095,6 +1095,175 @@ object MlStatOps {
       " END AS w_stat, k - 1 AS df1, n - k AS df2 FROM c"))
 
   // ------------------------------------------------------------------
+  // stat_bartlett — Bartlett's χ² test of variance homogeneity across
+  // the k event types, Levene's PARAMETRIC sibling (Levene tests
+  // deviations and is robust; Bartlett tests the log-variances
+  // directly and is the sharper instrument when the groups are
+  // near-normal — a reviewer reads the pair together exactly like
+  // t-test/Mann-Whitney). Exactness discipline: per-group sums stay
+  // DECIMAL/HUGEINT, the variance numerator numᵢ = nᵢ·Σv² − (Σv)² is
+  // an exact integer (never a per-row deviation), and the only floats
+  // are per-GROUP scalars — s²ᵢ = num/(n(n−1)), its ln, and 1/(nᵢ−1) —
+  // each quantized (1e6 / 1e12) BEFORE the cross-group reduction so
+  // every multi-group sum is an order-independent integer sum. The
+  // statistic T = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(s²ᵢ)]/C with
+  // C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)) is then one double formula
+  // with identical text in both engines; it is scale-invariant in the
+  // cents lift (the ln-offset cancels between the pooled and summed
+  // terms). Degenerate inputs (k ≤ 1, any nᵢ < 2, a zero-variance
+  // group) emit NULL, never a domain error.
+  //
+  // 100 TB shape: ONE fact scan collapsing map-side to the ≤k-row
+  // moment table; everything after is arithmetic on k rows.
+  // ------------------------------------------------------------------
+
+  private val statBartlett = Q(
+    "stat_bartlett",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select($"event_type", round($"value" * 100).cast("long").as("v"))
+      val mom = v.groupBy("event_type").agg(
+        count(lit(1)).as("ng"),
+        sum($"v".cast(Dec380)).as("sg"),
+        sum(($"v".cast(Dec380) * $"v")).as("sq"))
+      val g = mom
+        .withColumn("num", $"sq" * $"ng" - $"sg" * $"sg")
+        .withColumn("s2",
+          $"num".cast("double") / ($"ng" * ($"ng" - lit(1L))).cast("double"))
+        .select($"ng", $"num",
+          floor($"num".cast("double") / $"ng" * 1e6 + 0.5).cast(Dec380)
+            .as("wq"),
+          when($"ng" > 1 && $"num" > 0,
+            floor(($"ng" - 1).cast("double") * log($"s2") * 1e6 + 0.5))
+            .cast(Dec380).as("termq"),
+          when($"ng" > 1, floor(lit(1e12) / ($"ng" - 1) + 0.5))
+            .cast(Dec380).as("invq"))
+      val m = g.agg(
+        count(lit(1)).as("k"), sum($"ng").as("n"),
+        min($"ng").as("mn_ng"), min($"num").as("mn_num"),
+        (sum($"wq").cast("double") / 1e6).as("ssw"),
+        (sum($"termq").cast("double") / 1e6).as("sterm"),
+        (sum($"invq").cast("double") / 1e12).as("sinv"))
+      m.select($"k", $"n",
+          when($"k" > 1 && $"n" > $"k" && $"mn_ng" > 1 && $"mn_num" > 0,
+            dround(
+              (($"n" - $"k") * log($"ssw" / ($"n" - $"k")) - $"sterm") /
+                (lit(1.0) + ($"sinv" - lit(1.0) / ($"n" - $"k")) /
+                  (lit(3.0) * ($"k" - 1))), 6)).as("bartlett_t"),
+          ($"k" - 1).as("df"))
+    },
+    Some("WITH v AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events " +
+      "WHERE value IS NOT NULL), " +
+      "mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng, " +
+      "SUM(CAST(v AS HUGEINT)) AS sg, " +
+      "SUM(CAST(v AS HUGEINT) * v) AS sq FROM v GROUP BY 1), " +
+      "g AS (SELECT ng, sq * ng - sg * sg AS num, " +
+      "CAST(sq * ng - sg * sg AS DOUBLE) / " +
+      "CAST(ng * (ng - 1) AS DOUBLE) AS s2 FROM mom), " +
+      "g2 AS (SELECT ng, num, " +
+      "CAST(floor(CAST(num AS DOUBLE) / ng * 1e6 + 0.5) AS HUGEINT) AS wq, " +
+      "CASE WHEN ng > 1 AND num > 0 THEN " +
+      "CAST(floor(CAST(ng - 1 AS DOUBLE) * ln(s2) * 1e6 + 0.5) AS HUGEINT) " +
+      "END AS termq, " +
+      "CASE WHEN ng > 1 THEN " +
+      "CAST(floor(1e12 / (ng - 1) + 0.5) AS HUGEINT) END AS invq FROM g), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(SUM(ng) AS BIGINT) AS n, " +
+      "MIN(ng) AS mn_ng, MIN(num) AS mn_num, " +
+      "CAST(SUM(wq) AS DOUBLE) / 1e6 AS ssw, " +
+      "CAST(SUM(termq) AS DOUBLE) / 1e6 AS sterm, " +
+      "CAST(SUM(invq) AS DOUBLE) / 1e12 AS sinv FROM g2) " +
+      "SELECT k, n, " +
+      "CASE WHEN k > 1 AND n > k AND mn_ng > 1 AND mn_num > 0 THEN " +
+      OSql.sround("((n - k) * ln(ssw / (n - k)) - sterm) / " +
+        "(1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1)))", 6) +
+      " END AS bartlett_t, k - 1 AS df FROM m"))
+
+  // ------------------------------------------------------------------
+  // stat_friedman — Friedman's rank test across the k event types with
+  // USERS AS BLOCKS (the repeated-measures member of the family:
+  // Kruskal-Wallis compares independent groups; Friedman ranks WITHIN
+  // each subject, so between-user spend level — the variance the
+  // independent tests drown in — cancels out entirely). Blocks are
+  // complete-case: only users observed under all k treatments rank
+  // (the classical design; incomplete blocks belong to Skillings-Mack).
+  // Exactness: the per-cell measurement is the mean value kept as the
+  // exact (Σv, n) pair — within-block comparisons cross-multiply
+  // (sb·na vs sa·nb, DECIMAL/HUGEINT) so no float ever orders the
+  // ranks — and the tie-averaged rank is carried DOUBLED
+  // (r2 = 2·less + tied + 1, an exact integer since ties average at
+  // halves). With R2_j = Σ r2 the uncorrected statistic
+  // Q = 3·ΣR2_j²/(n·k·(k+1)) − 3n(k+1) is one double formula off
+  // exact integers. Degenerate designs (k ≤ 1, no complete blocks)
+  // emit NULL.
+  //
+  // 100 TB shape: cells collapse map-side to the (user, type) moment
+  // ledger; the rank self-join is WITHIN-block (≤k² = 25 pairs per
+  // user, distributed by user key); everything after is a ≤k-row agg.
+  // ------------------------------------------------------------------
+
+  private val statFriedman = Q(
+    "stat_friedman",
+    (s, d) => {
+      import s.implicits._
+      val cells = Tables.events(s, d)
+        .filter($"value".isNotNull && $"user_id".isNotNull)
+        .select($"user_id", $"event_type",
+          round($"value" * 100).cast("long").as("v"))
+        .groupBy("user_id", "event_type")
+        .agg(sum($"v".cast(Dec380)).as("sg"), count(lit(1)).as("n"))
+      val kAll = cells.select($"event_type").distinct()
+        .agg(count(lit(1)).as("k"))
+      val complete = cells.groupBy("user_id")
+        .agg(count(lit(1)).as("kt"))
+        .join(broadcast(kAll), $"kt" === $"k")
+        .select($"user_id")
+      val blk = cells.join(complete, "user_id")
+      val r2 = blk.as("a").join(blk.as("b"), Seq("user_id"))
+        .groupBy($"user_id", $"a.event_type")
+        .agg((sum(($"b.sg" * $"a.n" < $"a.sg" * $"b.n").cast("long")) * 2 +
+          sum(($"b.sg" * $"a.n" === $"a.sg" * $"b.n").cast("long")) + 1)
+          .as("r2"))
+      val perType = r2.groupBy($"event_type")
+        .agg(sum($"r2".cast(Dec380)).as("rj"), count(lit(1)).as("nb"))
+      perType.agg(
+          count(lit(1)).as("k"), max($"nb").as("n_blocks"),
+          sum(($"rj" * $"rj")).cast("double").as("sr2"))
+        .select($"k", $"n_blocks",
+          when($"k" > 1 && $"n_blocks" > 0,
+            dround(lit(3.0) * $"sr2" /
+              ($"n_blocks" * $"k" * ($"k" + 1)).cast("double") -
+              lit(3.0) * $"n_blocks" * ($"k" + 1), 6)).as("friedman_q"),
+          ($"k" - 1).as("df"))
+    },
+    Some("WITH cells AS (SELECT user_id, event_type, " +
+      "SUM(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)) AS sg, " +
+      "CAST(count(*) AS BIGINT) AS n FROM events " +
+      "WHERE value IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2), " +
+      "ka AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k " +
+      "FROM cells), " +
+      "cb AS (SELECT user_id FROM cells GROUP BY 1 " +
+      "HAVING count(*) = (SELECT k FROM ka)), " +
+      "blk AS (SELECT cells.* FROM cells JOIN cb USING (user_id)), " +
+      "r2 AS (SELECT a.user_id, a.event_type, " +
+      "CAST(SUM(CASE WHEN b.sg * a.n < a.sg * b.n THEN 1 ELSE 0 END) * 2 + " +
+      "SUM(CASE WHEN b.sg * a.n = a.sg * b.n THEN 1 ELSE 0 END) + 1 " +
+      "AS BIGINT) AS r2 " +
+      "FROM blk a JOIN blk b USING (user_id) GROUP BY 1, 2), " +
+      "pt AS (SELECT event_type, SUM(CAST(r2 AS HUGEINT)) AS rj, " +
+      "CAST(count(*) AS BIGINT) AS nb FROM r2 GROUP BY 1), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, MAX(nb) AS n_blocks, " +
+      "CAST(SUM(rj * rj) AS DOUBLE) AS sr2 FROM pt) " +
+      "SELECT k, n_blocks, " +
+      "CASE WHEN k > 1 AND n_blocks > 0 THEN " +
+      OSql.sround("3.0 * sr2 / CAST(n_blocks * k * (k + 1) AS DOUBLE) - " +
+        "3.0 * n_blocks * (k + 1)", 6) +
+      " END AS friedman_q, k - 1 AS df FROM m"))
+
+  // ------------------------------------------------------------------
   // eval_cohen_kappa — chance-corrected agreement between the true
   // class (user_id mod 3) and the tercile-rule prediction — the SAME
   // 3×3 grid as `eval_confusion_multiclass`, collapsed to the one
@@ -3012,7 +3181,7 @@ object MlStatOps {
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
     statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
     evalRocPoints, statPoissonZtest, evalCostThreshold, statZpropOne,
-    aggTopnShare)
+    aggTopnShare, statBartlett, statFriedman)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

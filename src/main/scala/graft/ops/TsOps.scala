@@ -1554,6 +1554,177 @@ object TsOps {
         "* (CAST(ts AS DOUBLE) / 1e12)", 6) +
       " END AS q_stat FROM f ORDER BY event_type"))
 
+  // ------------------------------------------------------------------
+  // ts_cross_correlation — LEAD-LAG cross-correlation between the
+  // daily click and purchase series at lags −3..+3: the "which series
+  // moves first" panel an analyst reads after the single-series
+  // correlogram (`ts_acf_lags` asks does a series predict ITSELF;
+  // this asks does traffic predict conversion, and at which offset —
+  // an asymmetric peak at positive lag means clicks LEAD purchases).
+  // The day spine is DENSE (explode(sequence(min, max)), zero-filled
+  // by left join), so every lag's overlap is span−|L| and a quiet day
+  // is a real 0, not a dropped row; pairing is an equi-join on the
+  // shifted day key (b.day = a.day + L — hash-partitionable, never a
+  // theta scan), per-lag Pearson runs off exact HUGEINT moments, and
+  // the whole computation lives on the calendar-bounded daily ledger,
+  // never fact rows. Degenerate lags (zero variance either side)
+  // emit NULL.
+  // ------------------------------------------------------------------
+
+  private val tsCrossCorrelation = Q(
+    "ts_cross_correlation",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type", expr(Det.fdivExpr("ms", "86400000")).as("day"))
+      val daily = ev.groupBy("day").agg(
+        sum(($"event_type" === "click").cast("long")).as("x"),
+        sum(($"event_type" === "purchase").cast("long")).as("y"))
+      val spine = ev.agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select(explode(sequence($"mn", $"mx")).as("day"))
+      val ser = spine.join(daily, Seq("day"), "left_outer")
+        .select($"day", coalesce($"x", lit(0L)).as("x"),
+          coalesce($"y", lit(0L)).as("y"))
+      val lags = s.range(-3, 4).select($"id".as("lg"))
+      val pairs = ser.as("a").crossJoin(broadcast(lags))
+        .join(ser.as("b"), $"b.day" === $"a.day" + $"lg")
+        .select($"lg", $"a.x".as("x"), $"b.y".as("y"))
+      pairs.groupBy("lg").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x".cast(Dec380)).cast("double").as("sx"),
+          sum($"y".cast(Dec380)).cast("double").as("sy"),
+          sum(($"x".cast(Dec380) * $"y")).cast("double").as("sxy"),
+          sum(($"x".cast(Dec380) * $"x")).cast("double").as("sxx"),
+          sum(($"y".cast(Dec380) * $"y")).cast("double").as("syy"))
+        .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
+        .select($"lg".as("lag"), $"n".cast("long").as("n_pairs"),
+          when($"dx" > 0 && $"dy" > 0,
+            dround(($"n" * $"sxy" - $"sx" * $"sy")
+              / sqrt($"dx" * $"dy"), 6)).as("xcorr"))
+        .orderBy("lag")
+    },
+    Some("WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day " +
+      "FROM events WHERE event_type IN ('click', 'purchase')), " +
+      "daily AS (SELECT day, " +
+      "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS x, " +
+      "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS y FROM ev GROUP BY 1), " +
+      "sp AS (SELECT unnest(generate_series(mn, mx)) AS day FROM " +
+      "(SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev)), " +
+      "ser AS (SELECT sp.day, coalesce(daily.x, 0) AS x, " +
+      "coalesce(daily.y, 0) AS y FROM sp LEFT JOIN daily USING (day)), " +
+      "lgs AS (SELECT unnest(generate_series(-3, 3)) AS lg), " +
+      "p AS (SELECT lgs.lg, a.x, b.y FROM lgs CROSS JOIN ser a " +
+      "JOIN ser b ON b.day = a.day + lgs.lg), " +
+      "m AS (SELECT lg, CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, " +
+      "CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, " +
+      "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+      "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy " +
+      "FROM p GROUP BY 1), " +
+      "f AS (SELECT lg, n, sx, sy, sxy, " +
+      "n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM m) " +
+      "SELECT lg AS lag, CAST(n AS BIGINT) AS n_pairs, " +
+      "CASE WHEN dx > 0 AND dy > 0 THEN " +
+      OSql.sround("(n * sxy - sx * sy) / sqrt(dx * dy)", 6) +
+      " END AS xcorr FROM f ORDER BY 1"))
+
+  // ------------------------------------------------------------------
+  // ts_sax_symbols — SAX (Symbolic Aggregate approXimation) of each
+  // type's daily revenue series: z-normalize, Piecewise-Aggregate into
+  // 6 segments, map each segment mean to one of 4 symbols at the
+  // standard-normal quartile breakpoints (−0.6745, 0, +0.6745). This
+  // is the symbolization layer TS indexing/motif systems are built on
+  // (a 30-day series becomes a 6-letter word; words are joinable,
+  // groupable, and distance-lower-boundable — the whole point of SAX
+  // at archive scale). Determinism: the series lives on the DENSE day
+  // spine (quiet days are real 0s), segments are integer floor
+  // divisions of the day offset, and the z-scored segment mean is ONE
+  // double formula off exact HUGEINT sums — paa = (S_seg/n_seg − μ)/σ
+  // with μ, σ from exact N/ΣS/ΣS² — so both engines branch the
+  // breakpoint CASE on the identical double. A zero-variance series
+  // emits NULL symbols rather than dividing by zero.
+  // ------------------------------------------------------------------
+
+  private val tsSaxSymbols = Q(
+    "ts_sax_symbols",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select($"event_type", expr(Det.fdivExpr("ms", "86400000")).as("day"),
+          round($"value" * 100).cast("long").as("c"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(sum($"c".cast(Dec380)).cast("long").as("v"))
+      val spine = ev.agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select($"mn", ($"mx" - $"mn" + 1).as("span"),
+          explode(sequence($"mn", $"mx")).as("day"))
+      val ser = ev.select($"event_type").distinct()
+        .crossJoin(spine)
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .select($"event_type", $"mn", $"span", $"day",
+          coalesce($"v", lit(0L)).as("v"))
+        .withColumn("seg", expr("((day - mn) * 6) div span"))
+      val mom = ser.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"v".cast(Dec380)).cast("double").as("sv"),
+        sum(($"v".cast(Dec380) * $"v")).cast("double").as("sq"))
+      val segs = ser.groupBy("event_type", "seg").agg(
+        count(lit(1)).as("n_days"),
+        sum($"v".cast(Dec380)).cast("double").as("ss"))
+      segs.join(broadcast(mom), "event_type")
+        .withColumn("mu", $"sv" / $"n")
+        .withColumn("sig", sqrt(greatest($"sq" / $"n" - $"mu" * $"mu",
+          lit(0.0))))
+        .withColumn("paa",
+          when($"sig" > 0, dround(($"ss" / $"n_days" - $"mu") / $"sig", 6)))
+        .select($"event_type", $"seg", $"n_days", $"paa",
+          when($"paa".isNull, lit(null).cast("string"))
+            .when($"paa" < -0.6745, lit("a"))
+            .when($"paa" < 0.0, lit("b"))
+            .when($"paa" < 0.6745, lit("c"))
+            .otherwise(lit("d")).as("sym"))
+        .orderBy("event_type", "seg")
+    },
+    Some("WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events " +
+      "WHERE value IS NOT NULL), " +
+      "daily AS (SELECT event_type, day, " +
+      "CAST(SUM(CAST(c AS HUGEINT)) AS BIGINT) AS v FROM ev GROUP BY 1, 2), " +
+      "sp AS (SELECT mn, mx - mn + 1 AS span, " +
+      "unnest(generate_series(mn, mx)) AS day FROM " +
+      "(SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev)), " +
+      "tt AS (SELECT DISTINCT event_type FROM ev), " +
+      "ser AS (SELECT tt.event_type, sp.mn, sp.span, sp.day, " +
+      "coalesce(daily.v, 0) AS v, ((sp.day - sp.mn) * 6) // sp.span AS seg " +
+      "FROM tt CROSS JOIN sp LEFT JOIN daily " +
+      "ON daily.event_type = tt.event_type AND daily.day = sp.day), " +
+      "mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS sv, " +
+      "CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sq " +
+      "FROM ser GROUP BY 1), " +
+      "segs AS (SELECT event_type, seg, CAST(count(*) AS BIGINT) AS n_days, " +
+      "CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS ss " +
+      "FROM ser GROUP BY 1, 2), " +
+      "zz AS (SELECT segs.event_type, segs.seg, segs.n_days, " +
+      "mom.sv / mom.n AS mu, " +
+      "sqrt(greatest(mom.sq / mom.n - (mom.sv / mom.n) * (mom.sv / mom.n), " +
+      "0.0)) AS sig, segs.ss FROM segs JOIN mom USING (event_type)), " +
+      "pp AS (SELECT event_type, seg, n_days, " +
+      "CASE WHEN sig > 0 THEN " +
+      OSql.sround("(ss / n_days - mu) / sig", 6) + " END AS paa FROM zz) " +
+      "SELECT event_type, seg, n_days, paa, " +
+      "CASE WHEN paa IS NULL THEN NULL " +
+      "WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b' " +
+      "WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS sym " +
+      "FROM pp ORDER BY 1, 2"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
@@ -1561,5 +1732,6 @@ object TsOps {
     statRunsTest, windowMomGrowth, aggAutocorrLag1, tsSeasonalDecompose,
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
     tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson,
-    windowRollingCorr, tsWeekdayProfile, statLjungBox)
+    windowRollingCorr, tsWeekdayProfile, statLjungBox, tsCrossCorrelation,
+    tsSaxSymbols)
 }

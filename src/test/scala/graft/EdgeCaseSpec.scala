@@ -2094,4 +2094,131 @@ class EdgeCaseSpec extends SparkSpec {
       ex === u && est >= ex && over === est - ex })
     assert(got.forall { case (_, ex, est, _) => est === ex })
   }
+
+  test("kmv below k distinct IS the exact set: estimate equals exact") {
+    // 10 distinct users, each duplicated 3× (duplicates must not eat
+    // LIMIT slots — the distinct-hash law): nk = 10 < 64 ⇒ est = exact
+    val rows = (1L to 10L).flatMap(u => (1L to 3L).map(i =>
+      (u * 10 + i, 0L, u, "t", 1.0, "{}")))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("agg_kmv_distinct", dir).collect().head
+    assert(r.getLong(0) === 10L)     // n_exact
+    assert(r.getLong(1) === 10L)     // k_used < 64
+    assert(r.getLong(3) === 10L)     // kmv_est = exact
+    assert(r.getBoolean(4))
+  }
+
+  test("linear counting in its sparse regime is near-exact and flagged") {
+    // 30 distinct users in 4096 buckets: collisions are ~0.4%-rare, so
+    // n_zero ≥ 4066 and the estimate stays inside the 5% gate
+    val rows = (1L to 30L).map(u => (u, 0L, u, "t", 1.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("agg_linear_counting", dir).collect().head
+    assert(r.getLong(0) === 30L && r.getLong(1) === 4096L)
+    assert(r.getLong(2) >= 4066L) // z = m − bits set
+    assert(r.getBoolean(4))
+  }
+
+  test("bartlett statistic is exactly 0 for equal-variance groups") {
+    // {1,2,3} vs {4,5,6} dollars: both variances 1e4 cents², pooled
+    // ln cancels term-by-term through the 1e6 quantization
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 4.0), (5L, "b", 5.0), (6L, "b", 6.0))
+      .map { case (id, g, v) => (id, 0L, 1L, g, v, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_bartlett", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) === ((2L, 6L, 1L)))
+    assert(r.getDouble(2) === 0.0)
+  }
+
+  test("yule's k closed form: 'a a b' scores 10⁴·(5−3)/9") {
+    val dir = stageTables("documents" -> Seq(
+      (1L, "a a b", "s0")).toDF("doc_id", "text", "source"))
+    val r = run("text_yule_k", dir).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === (("s0", 2L, 3L)))
+    assert(r.getDouble(3) === 2222.222222)
+  }
+
+  test("burstiness separates a clumping word from a uniform one") {
+    // over 4 docs: 'x' = [2,2,0,0] → mean 1, var 1, fano 1, B 0;
+    // 'y' = [1,1,1,1] → var 0, fano 0, B = −1 (the uniform floor)
+    val dir = stageTables("documents" -> Seq(
+      (1L, "x x y", "s"), (2L, "x x y", "s"),
+      (3L, "y", "s"), (4L, "y", "s")).toDF("doc_id", "text", "source"))
+    val got = run("text_burstiness", dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got("x") === ((2L, 4L, 1.0, 0.0)))
+    assert(got("y") === ((4L, 4L, 0.0, -1.0)))
+  }
+
+  test("katz closed form counts walks on a 4-node bipartite path") {
+    // u1→{a,b}, u2→{a}: w₁ = (a:2, b:1, u1:2, u2:1), w₂ = (3,2,3,2),
+    // w₃ = (5,3,5,3) ⇒ katz = 100w₁+10w₂+w₃ = (235, 123, 235, 123)
+    val rows = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 2L, "a"))
+      .map { case (id, u, ty) => (id, 0L, u, ty, 1.0, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("graph_katz_centrality", dir).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(got.toSeq === Seq(("t:a", 235L), ("u:1", 235L),
+      ("t:b", 123L), ("u:2", 123L)))
+  }
+
+  test("sax words a two-level step series as aaaddd") {
+    // 12 days, first half $0/day, second half $2/day: z = ∓1 per day,
+    // 6 segments of 2 days ⇒ paa −1,−1,−1,+1,+1,+1 → a,a,a,d,d,d
+    val day = 86400000L * 1000000L
+    val rows = (0L to 11L).map(dd =>
+      (dd, dd * day, 1L, "t", if (dd < 6) 0.0 else 2.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("ts_sax_symbols", dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getString(4)))
+    assert(got.toSeq === Seq((0L, -1.0, "a"), (1L, -1.0, "a"),
+      (2L, -1.0, "a"), (3L, 1.0, "d"), (4L, 1.0, "d"), (5L, 1.0, "d")))
+  }
+
+  test("friedman reaches its k=3 maximum on perfectly consistent blocks") {
+    // both users rank a<b<c: R2 = (4, 8, 12) ⇒ Q = 3·224/24 − 24 = 4,
+    // the k=3, n=2 ceiling
+    val rows = for {
+      u <- Seq(1L, 2L); (ty, v) <- Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+    } yield (u * 10 + v.toLong, 0L, u, ty, v, "{}")
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_friedman", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) === ((3L, 2L, 2L)))
+    assert(r.getDouble(2) === 4.0)
+  }
+
+  test("blocklist is token-exact: 'slower' does not trip 'slow'") {
+    val dir = stageTables("documents" -> Seq(
+      (1L, "slower is fine", "s"), (2L, "slow here", "s"),
+      (3L, "clean doc", "s")).toDF("doc_id", "text", "source"))
+    val r = run("quality_blocklist_filter", dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 1L, 2L)))
+    assert(r.getDouble(4) === 0.666666)
+  }
+
+  test("cross-correlation peaks at the planted one-day lead") {
+    // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
+    // the same count: the lag-+1 pairs are identical series ⇒ r = 1
+    val day = 86400000L * 1000000L // ns per day
+    val rows = (0L to 3L).flatMap { dd =>
+      (0L to dd).flatMap(i => Seq(
+        (dd * 100 + i, dd * day, 1L, "click", 1.0, "{}"),
+        (dd * 100 + 50 + i, (dd + 1) * day, 1L, "purchase", 1.0, "{}")))
+    }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val byLag = run("ts_cross_correlation", dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byLag(1L).getDouble(2) === 1.0)
+    assert(byLag.size === 7)
+  }
 }

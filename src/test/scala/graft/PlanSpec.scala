@@ -1087,6 +1087,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window "), "no window anywhere")
   }
 
+  test("kmv takes its k minima via TakeOrdered, never a global sort") {
+    val plan = executedPlan("agg_kmv_distinct")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the k smallest hashes must be the O(k)-per-partition cut")
+    assert(!plan.contains("Sort ["), "no global sort of the hash space")
+  }
+
+  test("burstiness cuts its top-20 via TakeOrdered over the word ledger") {
+    val plan = executedPlan("text_burstiness")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-20 words must be the O(k)-per-partition cut")
+    assert(!plan.contains("Window "), "no window anywhere")
+  }
+
+  test("katz cuts its top-20 via TakeOrdered, never a global sort") {
+    val plan = executedPlan("graph_katz_centrality")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-20 must be the O(k)-per-partition cut")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
