@@ -91,6 +91,76 @@ object CurateOps {
       "COALESCE(dp.dr, 0) AS n_dropped " +
       "FROM mem LEFT JOIN dp USING (cell) ORDER BY cell"))
 
+  /** sim_silhouette — simplified (centroid-based) SILHOUETTE score per
+    * IVF cell: THE clustering-quality number read over any trained
+    * partition (a(i) = distance to own centroid, b(i) = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; negative s
+    * flags a vector sitting closer to a foreign centroid — the
+    * misassignment indicator) — the audit that closes the ANN family:
+    * recall/ndcg/mrr gate RETRIEVAL quality, this gates the PARTITION
+    * the retrieval runs over, off the SAME shared derived-K training
+    * (IndexCache — no retrain). "Simplified" (centroid, not all-pairs)
+    * is the standard web-scale form: exact silhouette is O(N²); this is
+    * O(N·K) map-side flops against the broadcast K×64 centroid table —
+    * the cost every IVF E-step already pays. Exactness: squared
+    * distance lifts to the common denominator n² so the per-component
+    * sum is the exact HUGEINT Σ(q·n − sq)² — never a float sum in
+    * engine order — and each s(i) floor-quantizes at 10⁶ BEFORE the
+    * per-cell mean, making the reduction an order-independent integer
+    * sum. Degenerate vectors (a = b = 0, or a single non-empty cell)
+    * score the conventional 0.
+    */
+  private val simSilhouette = Q(
+    "sim_silhouette",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val k = LlmPipeline2.ivfDerivedK(LlmPipeline2.corpusStats(s, d)._1)
+      val (iq, a2, c2) = LlmPipeline2.ivfIndex(s, d, k)
+      val dists = iq.join(broadcast(c2), "pos")
+        .select($"vec_id", $"cell", $"n",
+          ($"q" * $"n" - $"sq").cast(Dec380).as("t"))
+        .groupBy($"vec_id", $"cell", $"n")
+        .agg(sum($"t" * $"t").as("d2n2"))
+        .select($"vec_id", $"cell",
+          ($"d2n2".cast("double") / ($"n".cast("double") * $"n"))
+            .as("dist"))
+      val ab = dists
+        .join(a2.select($"vec_id", $"cell".as("oc")), "vec_id")
+        .groupBy($"vec_id", $"oc").agg(
+          max(when($"cell" === $"oc", $"dist")).as("a"),
+          min(when($"cell" =!= $"oc", $"dist")).as("b"))
+      val si = ab.select($"oc".as("cell"),
+        when($"b".isNull || greatest($"a", $"b") <= 0, lit(0L))
+          .otherwise(floor(($"b" - $"a") / greatest($"a", $"b") * 1e6 + 0.5)
+            .cast("long")).as("siq"))
+      si.groupBy("cell").agg(
+          count(lit(1)).as("n_members"),
+          dround(sum($"siq").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_sil"),
+          sum(($"siq" < 0).cast("long")).as("n_neg"))
+        .orderBy("cell")
+    },
+    Some("WITH " + LlmPipeline2.ivfCtesDerivedK + ", " +
+      "dn AS (SELECT iq.vec_id, c2.cell, c2.n, " +
+      "CAST(iq.q * c2.n - c2.sq AS HUGEINT) AS t " +
+      "FROM iq JOIN c2 USING (pos)), " +
+      "d2 AS (SELECT vec_id, cell, CAST(SUM(t * t) AS DOUBLE) / " +
+      "(CAST(MAX(n) AS DOUBLE) * MAX(n)) AS dist FROM dn GROUP BY 1, 2), " +
+      "ab AS (SELECT d2.vec_id, a2.cell AS oc, " +
+      "MAX(CASE WHEN d2.cell = a2.cell THEN dist END) AS a, " +
+      "MIN(CASE WHEN d2.cell <> a2.cell THEN dist END) AS b " +
+      "FROM d2 JOIN a2 USING (vec_id) GROUP BY 1, 2), " +
+      "si AS (SELECT oc AS cell, " +
+      "CASE WHEN b IS NULL OR greatest(a, b) <= 0 THEN 0 " +
+      "ELSE CAST(floor((b - a) / greatest(a, b) * 1e6 + 0.5) AS BIGINT) " +
+      "END AS siq FROM ab) " +
+      "SELECT cell, CAST(count(*) AS BIGINT) AS n_members, " +
+      OSql.sround("CAST(SUM(siq) AS DOUBLE) / count(*) / 1e6", 6) +
+      " AS mean_sil, " +
+      "CAST(SUM(CASE WHEN siq < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg " +
+      "FROM si GROUP BY 1 ORDER BY 1"))
+
   /** Greedy token-budget selection — data mixing's core primitive:
     * each language gets a 5 000-token budget, filled by quality order
     * (longest documents first; doc_id tiebreak makes the order total),
@@ -646,5 +716,6 @@ object CurateOps {
   val qs: Seq[Q] = Seq(
     dedupSemantic, corpusTokenBudget, windowNtileShard, sampleImportance,
     aggCorr, corpusDomainCap, sampleHashSplit, embeddingCentroidDrift,
-    sampleKcenterCoreset, sampleSystematic, auditEmbeddingNorms)
+    sampleKcenterCoreset, sampleSystematic, auditEmbeddingNorms,
+    simSilhouette)
 }

@@ -3085,6 +3085,85 @@ object MlStatOps {
       "5 * tot.npos AS cost_no_predict FROM best, tot WHERE best.k = 1"))
 
   // ------------------------------------------------------------------
+  // eval_fbeta_sweep — the F-β operating points (β = ½, 1, 2) of the
+  // value-as-score rule over the same two-phase descending cent-ledger
+  // prefix as `eval_cost_threshold` — the THIRD way this engine picks
+  // a threshold (Youden optimizes a statistical balance, the cost key
+  // a loss matrix, F-β the precision/recall trade a retrieval or
+  // review queue actually tunes: β = ½ when a false positive costs
+  // review time, β = 2 when a miss costs a customer). The identity
+  // F_β = (1+β²)·tp/(npred + β²·npos) makes every sweep point a ratio
+  // of exact integers; scaling by 4 clears the β = ½ fraction (4β² ∈
+  // {1, 4, 16}), each F floor-quantizes via ONE integer division at
+  // 10⁶, and the per-β argmax is max(struct(fq, −thr)) — ties resolve
+  // to the SMALLEST threshold, spelled identically in the oracle.
+  // Headroom: 10⁶·20·tp needs tp < 4.6×10¹¹ in a long — the archive's
+  // cent ledger is orders below; past it the product lifts to
+  // DECIMAL(38,0) like the χ² keys.
+  // ------------------------------------------------------------------
+
+  private val evalFbetaSweep = Q(
+    "eval_fbeta_sweep",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(($"event_type" === "purchase").cast("long").as("y"),
+          round($"value" * 100).cast("long").as("v"))
+      val led = e.groupBy("v").agg(
+          sum($"y").as("c1"), count(lit(1)).as("m"))
+        .withColumn("nv", -$"v")
+        .withColumn("b", expr(Det.fdivExpr("nv", "1000")))
+      val local = Window.partitionBy($"b").orderBy($"nv".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"m").as("n")), "b")
+      val offs1 = Windows.prefixOffsets(
+        led.groupBy("b").agg(sum($"c1").as("n")), "b")
+        .withColumnRenamed("off", "off1")
+      val tot = e.agg(sum($"y").as("npos"), count(lit(1)).as("n"))
+      val scored = led
+        .withColumn("lm", sum($"m").over(local))
+        .withColumn("lc", sum($"c1").over(local))
+        .join(broadcast(offs), "b").join(broadcast(offs1), "b")
+        .crossJoin(broadcast(tot))
+        .select($"v".as("thr"), ($"lm" + $"off").as("npred"),
+          ($"lc" + $"off1").as("tp"), $"npos")
+      val swept = scored
+        .withColumn("bx", explode(array(lit(1L), lit(4L), lit(16L))))
+        .select($"bx", $"thr",
+          expr("(1000000 * (4 + bx) * tp) div (4 * npred + bx * npos)")
+            .as("fq"))
+      swept.groupBy("bx")
+        .agg(max(struct($"fq".as("a"), (-$"thr").as("nt"))).as("mm"))
+        .crossJoin(broadcast(tot))
+        .select(
+          when($"bx" === 1, lit(50L)).when($"bx" === 4, lit(100L))
+            .otherwise(lit(200L)).as("beta_x100"),
+          $"n", $"npos", (-$"mm.nt").as("best_thr_cents"),
+          ($"mm.a".cast("double") / 1e6).as("fbeta"))
+        .orderBy("beta_x100")
+    },
+    Some("WITH e AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(round(value*100) AS BIGINT) AS v FROM events), " +
+      "led AS (SELECT v, CAST(SUM(y) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS m FROM e GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(y) AS BIGINT) AS npos, " +
+      "CAST(count(*) AS BIGINT) AS n FROM e), " +
+      "r AS (SELECT v AS thr, SUM(m) OVER w AS npred, SUM(c1) OVER w AS tp " +
+      "FROM led WINDOW w AS (ORDER BY v DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "bb AS (SELECT unnest([1, 4, 16]) AS bx), " +
+      "sc AS (SELECT bb.bx, r.thr, " +
+      "(1000000 * (4 + bb.bx) * r.tp) // (4 * r.npred + bb.bx * tot.npos) " +
+      "AS fq FROM r CROSS JOIN bb, tot), " +
+      "mx AS (SELECT bx, MAX(fq) AS fq FROM sc GROUP BY 1), " +
+      "pick AS (SELECT sc.bx, mx.fq, MIN(sc.thr) AS thr FROM sc " +
+      "JOIN mx ON mx.bx = sc.bx AND sc.fq = mx.fq GROUP BY 1, 2) " +
+      "SELECT CASE pick.bx WHEN 1 THEN 50 WHEN 4 THEN 100 ELSE 200 END " +
+      "AS beta_x100, tot.n, tot.npos, pick.thr AS best_thr_cents, " +
+      "CAST(pick.fq AS DOUBLE) / 1e6 AS fbeta FROM pick, tot ORDER BY 1"))
+
+  // ------------------------------------------------------------------
   // stat_zprop_one — ONE-proportion z test of the purchase share
   // against the declared null p₀ = 1/5 (the uniform share over the
   // five event types — "is purchase traffic exactly its design
@@ -3181,7 +3260,7 @@ object MlStatOps {
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
     statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
     evalRocPoints, statPoissonZtest, evalCostThreshold, statZpropOne,
-    aggTopnShare, statBartlett, statFriedman)
+    aggTopnShare, statBartlett, statFriedman, evalFbetaSweep)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

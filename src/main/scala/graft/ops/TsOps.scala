@@ -1725,6 +1725,118 @@ object TsOps {
       "WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS sym " +
       "FROM pp ORDER BY 1, 2"))
 
+  // ------------------------------------------------------------------
+  // ts_hurst_rs — HURST EXPONENT by rescaled-range (R/S) analysis of
+  // the global daily-revenue series: the long-memory diagnostic (H ≈
+  // 0.5 = random walk, H → 1 = trending/persistent, H < 0.5 = mean-
+  // reverting) read before fitting any forecaster — snaive and Holt
+  // both assume structure this number can refute. Windows w ∈ {4, 8,
+  // 16} tile the dense day spine into disjoint blocks; per block the
+  // range of mean-adjusted cumulative deviations R and the stddev S
+  // reduce to EXACT integers on the common denominator w: w·cumdev_t =
+  // w·S_t − t·SB and w²·S² = w·SSQ − SB², so R/S = (maxΔ − minΔ)/
+  // √(w·SSQ − SB²) is one double per block off exact HUGEINTs,
+  // floor-quantized at 10⁶ before the per-w mean (order-independent
+  // integer sum). With w a power of 2, the log-log OLS slope collapses
+  // CLOSED-FORM: x = ln w = k·ln 2 for k = 2,3,4 ⇒ slope = (ln RS₁₆ −
+  // ln RS₄)/(2 ln 2) — two lns and one division, no float regression.
+  // Zero-variance blocks drop (R = S = 0 is 0/0); a fully-degenerate
+  // scale yields NULL. All work is on the calendar-bounded ledger;
+  // per-block windows are ≤16-row partitions.
+  // ------------------------------------------------------------------
+
+  private val tsHurstRs = Q(
+    "ts_hurst_rs",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(expr(Det.fdivExpr("ms", "86400000")).as("day"),
+          round($"value" * 100).cast("long").as("c"))
+      val daily = ev.groupBy("day").agg(sum($"c".cast(Dec380)).cast("long").as("v"))
+      val ser = ev.agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select($"mn", ($"mx" - $"mn" + 1).as("n"),
+          explode(sequence($"mn", $"mx")).as("day"))
+        .join(daily, Seq("day"), "left_outer")
+        .select($"n", ($"day" - $"mn").as("idx"),
+          coalesce($"v", lit(0L)).as("v"))
+      val tiled = ser
+        .withColumn("w", explode(array(lit(4L), lit(8L), lit(16L))))
+        .filter($"idx" < $"w" * expr("n div w"))
+        .select($"w", expr("idx div w").as("blk"), $"idx",
+          (pmod($"idx", $"w") + 1).as("t"), $"v")
+      val bs = tiled.groupBy("w", "blk").agg(
+        sum($"v".cast(Dec380)).cast("long").as("sb"),
+        sum(($"v".cast(Dec380) * $"v")).as("ssq"))
+      val cw = Window.partitionBy($"w", $"blk").orderBy($"idx".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = tiled
+        .withColumn("st", sum($"v").over(cw))
+        .join(bs, Seq("w", "blk"))
+        .select($"w", $"blk",
+          ($"w" * $"st" - $"t" * $"sb").as("cd"),
+          ($"ssq" * $"w" - $"sb".cast(Dec380) * $"sb").as("den"))
+        .groupBy("w", "blk").agg(
+          (max($"cd") - min($"cd")).as("rw"), max($"den").as("den"))
+        .filter($"den" > 0)
+        .select($"w",
+          floor($"rw".cast("double") / sqrt($"den".cast("double")) * 1e6
+            + 0.5).cast("long").as("rsq"))
+      val perW = blocks.groupBy("w").agg(
+        count(lit(1)).as("nb"),
+        (sum($"rsq").cast("double") / count(lit(1)) / 1e6).as("rs"))
+      perW.agg(
+          max(when($"w" === 4, $"rs")).as("rs4"),
+          max(when($"w" === 8, $"rs")).as("rs8"),
+          max(when($"w" === 16, $"rs")).as("rs16"))
+        .select(dround($"rs4", 6).as("rs4"), dround($"rs8", 6).as("rs8"),
+          dround($"rs16", 6).as("rs16"),
+          when($"rs4" > 0 && $"rs16" > 0,
+            dround((log($"rs16") - log($"rs4")) / (lit(2.0) * log(lit(2.0))),
+              6)).as("hurst"))
+    },
+    Some("WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS day, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events " +
+      "WHERE value IS NOT NULL), " +
+      "daily AS (SELECT day, CAST(SUM(CAST(c AS HUGEINT)) AS BIGINT) AS v " +
+      "FROM ev GROUP BY 1), " +
+      "sp AS (SELECT mn, mx - mn + 1 AS n, " +
+      "unnest(generate_series(mn, mx)) AS day FROM " +
+      "(SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev)), " +
+      "ser AS (SELECT sp.n, sp.day - sp.mn AS idx, " +
+      "coalesce(daily.v, 0) AS v FROM sp LEFT JOIN daily USING (day)), " +
+      "ww AS (SELECT unnest([4, 8, 16]) AS w), " +
+      "tiled AS (SELECT ww.w, ser.idx // ww.w AS blk, ser.idx, " +
+      "(ser.idx % ww.w) + 1 AS t, ser.v FROM ser CROSS JOIN ww " +
+      "WHERE ser.idx < ww.w * (ser.n // ww.w)), " +
+      "bsum AS (SELECT w, blk, " +
+      "CAST(SUM(CAST(v AS HUGEINT)) AS BIGINT) AS sb, " +
+      "SUM(CAST(v AS HUGEINT) * v) AS ssq FROM tiled GROUP BY 1, 2), " +
+      "cum AS (SELECT w, blk, t, " +
+      "SUM(v) OVER (PARTITION BY w, blk ORDER BY idx " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st " +
+      "FROM tiled), " +
+      "cd AS (SELECT cum.w, cum.blk, " +
+      "cum.w * cum.st - cum.t * bsum.sb AS cd, " +
+      "bsum.ssq * cum.w - CAST(bsum.sb AS HUGEINT) * bsum.sb AS den " +
+      "FROM cum JOIN bsum USING (w, blk)), " +
+      "blocks AS (SELECT w, " +
+      "CAST(floor(CAST(MAX(cd) - MIN(cd) AS DOUBLE) / " +
+      "sqrt(CAST(MAX(den) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rsq " +
+      "FROM cd GROUP BY w, blk HAVING MAX(den) > 0), " +
+      "pw AS (SELECT w, CAST(SUM(rsq) AS DOUBLE) / count(*) / 1e6 AS rs " +
+      "FROM blocks GROUP BY 1), " +
+      "pv AS (SELECT MAX(CASE WHEN w = 4 THEN rs END) AS rs4, " +
+      "MAX(CASE WHEN w = 8 THEN rs END) AS rs8, " +
+      "MAX(CASE WHEN w = 16 THEN rs END) AS rs16 FROM pw) " +
+      "SELECT " + OSql.sround("rs4", 6) + " AS rs4, " +
+      OSql.sround("rs8", 6) + " AS rs8, " +
+      OSql.sround("rs16", 6) + " AS rs16, " +
+      "CASE WHEN rs4 > 0 AND rs16 > 0 THEN " +
+      OSql.sround("(ln(rs16) - ln(rs4)) / (2.0 * ln(2.0))", 6) +
+      " END AS hurst FROM pv"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
@@ -1733,5 +1845,5 @@ object TsOps {
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
     tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson,
     windowRollingCorr, tsWeekdayProfile, statLjungBox, tsCrossCorrelation,
-    tsSaxSymbols)
+    tsSaxSymbols, tsHurstRs)
 }

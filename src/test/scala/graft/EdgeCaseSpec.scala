@@ -2205,6 +2205,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.666666)
   }
 
+  test("silhouette of an all-identical corpus is exactly 0 everywhere") {
+    // every vector equals every centroid: a = b = 0 ⇒ the conventional
+    // s = 0, no negatives — the degenerate floor of the score
+    val emb = (0L until 16L).map(i =>
+      (i, Array.fill(8)(0.5f), i % 2))
+    val dir = stageTables("embeddings" -> emb
+      .toDF("vec_id", "embedding", "label"))
+    val got = run("sim_silhouette", dir).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getDouble(2) === 0.0 && r.getLong(3) === 0L))
+    assert(got.map(_.getLong(1)).sum === 16L)
+  }
+
+  test("hurst of a pure ramp approaches 1 with the exact closed form") {
+    // daily cents 0,100,...,1500 over 16 days: R/S = 1.788854 / 3.491486
+    // / 6.941775 at w = 4/8/16 ⇒ H = (ln rs16 − ln rs4)/(2 ln 2)
+    val day = 86400000L * 1000000L
+    val rows = (0L to 15L).map(i => (i, i * day, 1L, "t", i.toDouble, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("ts_hurst_rs", dir).collect().head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2)) ===
+      ((1.788854, 3.491486, 6.941775)))
+    assert(r.getDouble(3) === 0.978134)
+  }
+
+  test("f-beta argmaxes move with beta on a hand-ranked sweep") {
+    // scores 40/30/20/10, labels +,−,+,−: F½ peaks at the precise top-1
+    // cut (thr 4000), F1 and F2 at the recall-complete cut (thr 2000)
+    val rows = Seq((1L, "purchase", 40.0), (2L, "view", 30.0),
+      (3L, "purchase", 20.0), (4L, "view", 10.0))
+      .map { case (id, ty, v) => (id, 0L, 1L, ty, v, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("eval_fbeta_sweep", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((50L, 4000L, 0.833333),
+      (100L, 2000L, 0.8), (200L, 2000L, 0.909090)))
+  }
+
   test("cross-correlation peaks at the planted one-day lead") {
     // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
     // the same count: the lag-+1 pairs are identical series ⇒ r = 1
