@@ -1683,6 +1683,68 @@ object CorpusOps {
       "CAST((1000000 * (n_docs - n_blocked)) // n_docs AS DOUBLE) / 1e6 " +
       "AS retention FROM g ORDER BY source"))
 
+  // ------------------------------------------------------------------
+  // corpus_contamination_score — the GRADED contamination audit above
+  // `corpus_decontaminate`'s binary verdict: per-document fractional
+  // 8-gram overlap with the benchmark set (hits/grams), ledgered as a
+  // decile histogram. The binary filter answers "is the doc touched";
+  // this answers "HOW contaminated is the tail" — the distribution a
+  // curator reads before choosing between dropping documents and
+  // excising spans (a corpus of 1%-overlap docs and one of 90%-overlap
+  // docs have the same binary rate and need opposite treatments).
+  // Same machinery as the filter: one gram pass, the tiny benchmark
+  // gram set Mat'd + BROADCAST, a map-side probe; per-doc hits/grams
+  // collapse keyed by doc, the decile is an exact floor division
+  // ((10·hits) div grams, 10 = fully contained), and the histogram is
+  // a ≤11-row ledger. Docs with < 8 tokens have no grams and are
+  // reported in their own bucket (-1) rather than silently dropped.
+  // ------------------------------------------------------------------
+
+  private val corpusContaminationScore = Q(
+    "corpus_contamination_score",
+    (s, d) => {
+      import s.implicits._
+      val g8 = LlmPipeline.gramRows(s, d, 8)
+        .select($"doc_id", md5($"x").as("g"))
+      val benchGrams = graft.core.Mat(s,
+        g8.filter($"doc_id" % 97 === 0).select("g").distinct(),
+        "contam-bench")
+      val perDoc = g8.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", $"g").distinct()
+        .join(broadcast(benchGrams.withColumn("hit", lit(1L))),
+          Seq("g"), "left_outer")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("grams"),
+          sum(coalesce($"hit", lit(0L))).cast("long").as("hits"))
+      t(s, d, "documents")
+        .filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id")
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(when($"grams".isNull, lit(-1L))
+          .otherwise(expr("(10 * hits) div grams")).as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+        .orderBy("decile")
+    },
+    Some {
+      val g8 = (0 to 7).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t " +
+        "FROM documents), " +
+        s"g AS (SELECT doc_id, md5($g8) AS g FROM " +
+        "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i " +
+        "FROM tok WHERE len(t) >= 8)), " +
+        "bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0), " +
+        "dg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0), " +
+        "pd AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS grams, " +
+        "CAST(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS hits FROM dg LEFT JOIN bg ON bg.g = dg.g GROUP BY 1), " +
+        "sc AS (SELECT CASE WHEN pd.grams IS NULL THEN -1 " +
+        "ELSE (10 * pd.hits) // pd.grams END AS decile " +
+        "FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id " +
+        "WHERE d.doc_id % 97 <> 0) " +
+        "SELECT decile, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM sc GROUP BY 1 ORDER BY 1"
+    })
+
   val qs: Seq[Q] = Seq(textPiiMask, corpusMixEpochs, corpusDecontaminate,
     textUnigramLogprob, textRepetition, qualityProfile, dedupIncremental,
     textLexicalDiversity, tokenizerBpePairs, corpusPerplexityFilter,
@@ -1692,5 +1754,5 @@ object CorpusOps {
     corpusNgramNovelty, textBigramKneserNey, textHapaxRatio,
     corpusVocabOverlap, corpusHeapsLaw, corpusLengthHistogram,
     corpusUnigramDrift, textWordLengthHist, textYuleK, textBurstiness,
-    qualityBlocklistFilter)
+    qualityBlocklistFilter, corpusContaminationScore)
 }

@@ -922,6 +922,109 @@ object LlmPipeline2 {
         s" SELECT * FROM ($legs) WHERE n_hits > 0 ORDER BY probe"
     })
 
+  /** FILTERED vector search — the attribute-predicate + ANN combination
+    * every production vector store fields ("nearest neighbors WHERE
+    * label = 1") and the known failure mode of post-filtering: the
+    * probe's inverted lists are chosen label-BLIND, so filtering inside
+    * them can return fewer than k hits even when k matches exist —
+    * exactly what dedicated filtered-ANN indexes exist to fix. The key
+    * makes that failure HASH-VISIBLE instead of hiding it: both the
+    * post-filtered IVF leg (same derived-K index, same cell-choice
+    * rules as `sim_ann_ivf`/`sim_ann_range`) and the exact filtered
+    * brute-force leg emit per-probe top-5 sets, and the output ledgers
+    * n_ivf (may be < 5), n_exact, and the overlap — the per-probe
+    * filtered recall as exact integers. Scale shape: the IVF leg scans
+    * only the chosen lists; the exact leg is the same one-broadcast
+    * full scan `sim_cosine_topk` already prices; overlap joins two
+    * ≤5-row-per-probe ledgers.
+    */
+  private val filterProbes = Seq(0L, 1L, 2L)
+  private val FilterLabel = 1L
+
+  private val simAnnFiltered = Q(
+    "sim_ann_filtered",
+    (s, d) => {
+      import s.implicits._
+      val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val emb = t(s, d, "embeddings")
+      val (k, np) = ivfDerivedParams(s, d)
+      val (iq, a2, c2) = ivfIndex(s, d, k)
+      val probeQ = iq.filter($"vec_id".isin(filterProbes: _*))
+        .select($"vec_id".as("probe"), $"pos", $"q".as("pq"))
+      val wCell = Window.partitionBy($"probe")
+        .orderBy($"score".desc, $"cell".asc)
+      val chosen = c2.join(broadcast(probeQ), "pos")
+        .groupBy($"probe", $"cell")
+        .agg((sum($"pq".cast(Dec38) * $"sq").cast("double") / max($"n"))
+          .as("score"))
+        .withColumn("rn", row_number().over(wCell))
+        .filter($"rn" <= np)
+        .select("probe", "cell")
+      val probeVecs = emb.filter($"vec_id".isin(filterProbes: _*))
+        .select($"vec_id".as("probe"), $"embedding".as("pv"))
+      val wK = Window.partitionBy($"probe").orderBy($"sim".desc, $"vec_id".asc)
+      val ivf5 = emb.filter($"label" === FilterLabel)
+        .join(a2, "vec_id").join(broadcast(chosen), "cell")
+        .join(broadcast(probeVecs), "probe")
+        .select($"probe", $"vec_id",
+          dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+            .as("sim"))
+        .withColumn("rn", row_number().over(wK))
+        .filter($"rn" <= 5).select("probe", "vec_id")
+      val exact5 = emb.filter($"label" === FilterLabel)
+        .crossJoin(broadcast(probeVecs))
+        .select($"probe", $"vec_id",
+          dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+            .as("sim"))
+        .withColumn("rn", row_number().over(wK))
+        .filter($"rn" <= 5).select("probe", "vec_id")
+      val pr = probeVecs.select($"probe")
+      pr.join(ivf5.groupBy("probe").agg(count(lit(1)).as("n_ivf")),
+          Seq("probe"), "left_outer")
+        .join(exact5.groupBy("probe").agg(count(lit(1)).as("n_exact")),
+          Seq("probe"), "left_outer")
+        .join(ivf5.join(exact5, Seq("probe", "vec_id"))
+          .groupBy("probe").agg(count(lit(1)).as("n_overlap")),
+          Seq("probe"), "left_outer")
+        .select($"probe", coalesce($"n_ivf", lit(0L)).as("n_ivf"),
+          coalesce($"n_exact", lit(0L)).as("n_exact"),
+          coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+        .orderBy("probe")
+    },
+    Some {
+      val ctes = filterProbes.map { p =>
+        s"pq_$p AS (SELECT pos, q AS pqv FROM iq WHERE vec_id = $p), " +
+          s"sc_$p AS (SELECT c2.cell, CAST(SUM(CAST(pqv AS HUGEINT) * c2.sq) AS DOUBLE) " +
+          s"/ max(c2.n) AS score FROM c2 JOIN pq_$p USING (pos) GROUP BY 1), " +
+          s"ch_$p AS (SELECT cell FROM (SELECT cell, row_number() OVER " +
+          s"(ORDER BY score DESC, cell ASC) AS crn FROM sc_$p) WHERE crn <= $derivedProbeSq), " +
+          s"pv_$p AS (SELECT v AS pvec FROM e WHERE vec_id = $p), " +
+          s"iv_$p AS (SELECT vec_id FROM (SELECT e.vec_id, row_number() OVER " +
+          s"(ORDER BY " + OSql.sround("list_dot_product(e.v, pvec)", 6) +
+          s" DESC, e.vec_id ASC) AS rn FROM e JOIN lab USING (vec_id) " +
+          s"JOIN a2 USING (vec_id) JOIN ch_$p USING (cell), pv_$p) " +
+          "WHERE rn <= 5), " +
+          s"ex_$p AS (SELECT vec_id FROM (SELECT e.vec_id, row_number() OVER " +
+          s"(ORDER BY " + OSql.sround("list_dot_product(e.v, pvec)", 6) +
+          s" DESC, e.vec_id ASC) AS rn FROM e JOIN lab USING (vec_id), pv_$p) " +
+          "WHERE rn <= 5)"
+      }.mkString(", ")
+      val legs = filterProbes.map { p =>
+        s"SELECT $p AS probe, " +
+          s"(SELECT count(*) FROM iv_$p) AS n_ivf, " +
+          s"(SELECT count(*) FROM ex_$p) AS n_exact, " +
+          s"(SELECT count(*) FROM iv_$p JOIN ex_$p USING (vec_id)) AS n_overlap"
+      }.mkString(" UNION ALL ")
+      "WITH " + ivfCtesDerivedK + ", " +
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        s"lab AS (SELECT vec_id FROM embeddings WHERE label = $FilterLabel), " +
+        ctes +
+        s" SELECT CAST(probe AS BIGINT) AS probe, CAST(n_ivf AS BIGINT) AS n_ivf, " +
+        "CAST(n_exact AS BIGINT) AS n_exact, " +
+        s"CAST(n_overlap AS BIGINT) AS n_overlap FROM ($legs) ORDER BY probe"
+    })
+
   /** Durable-index lifecycle — the round trip a production ANN/dedup
     * deployment actually runs: TRAIN once (the shared deterministic
     * Lloyd build, K derived from the corpus by [[ivfDerivedK]]),
@@ -2372,5 +2475,6 @@ object LlmPipeline2 {
     sampleStratified, corpusClean, dedupNgramContainment, simAnnNdcg,
     dedupThresholdSweep, indexAppend, simAnnRange, dedupMinhashEstimate,
     simKnnClassify, evalLangidConfusion, auditEmbeddingCoverage,
-    multimodalFrameSample, simAnnMrr, simAnnSq8, multimodalDedupPhash)
+    multimodalFrameSample, simAnnMrr, simAnnSq8, multimodalDedupPhash,
+    simAnnFiltered)
 }

@@ -1264,6 +1264,126 @@ object MlStatOps {
       " END AS friedman_q, k - 1 AS df FROM m"))
 
   // ------------------------------------------------------------------
+  // eval_equalized_odds — per-cohort TPR/FPR of the value-threshold
+  // rule, the ERROR-RATE fairness criterion beside
+  // `eval_demographic_parity`'s selection-rate one (parity asks "does
+  // each cohort get flagged equally often" — satisfiable by a useless
+  // classifier; equalized odds asks "are the ERROR rates equal given
+  // the truth", the Hardt et al. criterion audits actually enforce):
+  // the per-(cohort, truth) confusion ledger collapses map-side to
+  // ≤2·|cohorts| rows, TPR/FPR are exact floor-quantized integer
+  // divisions, and the two gaps (max−min across cohorts, each leg over
+  // its non-degenerate cohorts only) broadcast back. A cohort with no
+  // positives (or no negatives) reports NULL for that rate and stays
+  // out of that gap — never a division error.
+  // ------------------------------------------------------------------
+
+  private val evalEqualizedOdds = Q(
+    "eval_equalized_odds",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select(pmod($"user_id", lit(5L)).as("cohort"),
+          ($"event_type" === "purchase").cast("long").as("y"),
+          (round($"value" * 100).cast("long") >= 5000L).cast("long")
+            .as("pred"))
+      val led = e.groupBy("cohort").agg(
+          sum($"y").as("npos"), sum(lit(1L) - $"y").as("nneg"),
+          sum($"y" * $"pred").as("tp"),
+          sum((lit(1L) - $"y") * $"pred").as("fp"))
+        .withColumn("tprq",
+          when($"npos" > 0, expr("(1000000 * tp) div npos")))
+        .withColumn("fprq",
+          when($"nneg" > 0, expr("(1000000 * fp) div nneg")))
+      val gaps = led.agg(
+        ((max($"tprq") - min($"tprq")).cast("double") / 1e6).as("tg"),
+        ((max($"fprq") - min($"fprq")).cast("double") / 1e6).as("fg"))
+      led.crossJoin(broadcast(gaps))
+        .select($"cohort", $"npos", $"nneg",
+          dround($"tprq".cast("double") / 1e6, 6).as("tpr"),
+          dround($"fprq".cast("double") / 1e6, 6).as("fpr"),
+          dround($"tg", 6).as("tpr_gap"), dround($"fg", 6).as("fpr_gap"))
+        .orderBy("cohort")
+    },
+    Some("WITH e AS (SELECT user_id % 5 AS cohort, " +
+      "CAST(event_type = 'purchase' AS BIGINT) AS y, " +
+      "CAST(CAST(round(value*100) AS BIGINT) >= 5000 AS BIGINT) AS pred " +
+      "FROM events WHERE user_id IS NOT NULL), " +
+      "led AS (SELECT cohort, CAST(SUM(y) AS BIGINT) AS npos, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS nneg, " +
+      "CAST(SUM(y * pred) AS BIGINT) AS tp, " +
+      "CAST(SUM((1 - y) * pred) AS BIGINT) AS fp FROM e GROUP BY 1), " +
+      "lq AS (SELECT *, CASE WHEN npos > 0 THEN (1000000 * tp) // npos END " +
+      "AS tprq, CASE WHEN nneg > 0 THEN (1000000 * fp) // nneg END AS fprq " +
+      "FROM led), " +
+      "g AS (SELECT CAST(MAX(tprq) - MIN(tprq) AS DOUBLE) / 1e6 AS tg, " +
+      "CAST(MAX(fprq) - MIN(fprq) AS DOUBLE) / 1e6 AS fg FROM lq) " +
+      "SELECT cohort, npos, nneg, " +
+      OSql.sround("CAST(tprq AS DOUBLE) / 1e6", 6) + " AS tpr, " +
+      OSql.sround("CAST(fprq AS DOUBLE) / 1e6", 6) + " AS fpr, " +
+      OSql.sround("tg", 6) + " AS tpr_gap, " +
+      OSql.sround("fg", 6) + " AS fpr_gap FROM lq, g ORDER BY cohort"))
+
+  // ------------------------------------------------------------------
+  // stat_cochran_armitage — the Cochran-Armitage TREND test of the
+  // purchase proportion across the ORDERED user cohorts (scores w =
+  // cohort id 0..4): the ordered sibling of `stat_chi2_independence`
+  // (χ² spends its power over any deviation pattern; CA concentrates
+  // it on a monotone dose-response, the question "does the rate rise
+  // with the cohort" that a plain χ² answers diffusely). T =
+  // Σwᵢ(rᵢ·N − nᵢ·R) and N³·Var = R(N−R)[N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²] are
+  // EXACT DECIMAL/HUGEINT integers off the map-side cohort ledger
+  // (the N-lift clears every fraction); z = T·√N / √(R(N−R)·[…])
+  // is one guarded double formula spelled identically in both
+  // engines. Degenerate margins (R = 0 or R = N, or a single cohort)
+  // emit NULL.
+  // ------------------------------------------------------------------
+
+  private val statCochranArmitage = Q(
+    "stat_cochran_armitage",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select(pmod($"user_id", lit(5L)).as("w"),
+          ($"event_type" === "purchase").cast("long").as("y"))
+      val led = e.groupBy("w").agg(
+        count(lit(1)).as("n"), sum($"y").as("r"))
+      val m = led.agg(
+        count(lit(1)).as("k"),
+        sum($"n").cast(Dec380).as("nn"), sum($"r").cast(Dec380).as("rr"),
+        sum($"w".cast(Dec380) * $"n").as("swn"),
+        sum($"w".cast(Dec380) * $"w" * $"n").as("sw2n"),
+        sum($"w".cast(Dec380) * $"r").as("swr"))
+      m.select($"k", $"nn".cast("long").as("n"), $"rr".cast("long").as("r"),
+          when($"k" > 1 && $"rr" > 0 && $"rr" < $"nn",
+            dround(
+              (($"swr" * $"nn" - $"swn" * $"rr").cast("double") *
+                sqrt($"nn".cast("double"))) /
+                sqrt(($"rr" * ($"nn" - $"rr")).cast("double") *
+                  ($"nn" * $"sw2n" - $"swn" * $"swn").cast("double")), 6))
+            .as("ca_z"))
+    },
+    Some("WITH e AS (SELECT user_id % 5 AS w, " +
+      "CAST(event_type = 'purchase' AS BIGINT) AS y FROM events " +
+      "WHERE user_id IS NOT NULL), " +
+      "led AS (SELECT w, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(y) AS BIGINT) AS r FROM e GROUP BY 1), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "SUM(CAST(n AS HUGEINT)) AS nn, SUM(CAST(r AS HUGEINT)) AS rr, " +
+      "SUM(CAST(w AS HUGEINT) * n) AS swn, " +
+      "SUM(CAST(w AS HUGEINT) * w * n) AS sw2n, " +
+      "SUM(CAST(w AS HUGEINT) * r) AS swr FROM led) " +
+      "SELECT k, CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS r, " +
+      "CASE WHEN k > 1 AND rr > 0 AND rr < nn THEN " +
+      OSql.sround("(CAST(swr * nn - swn * rr AS DOUBLE) * " +
+        "sqrt(CAST(nn AS DOUBLE))) / " +
+        "sqrt(CAST(rr * (nn - rr) AS DOUBLE) * " +
+        "CAST(nn * sw2n - swn * swn AS DOUBLE))", 6) +
+      " END AS ca_z FROM m"))
+
+  // ------------------------------------------------------------------
   // eval_cohen_kappa — chance-corrected agreement between the true
   // class (user_id mod 3) and the tercile-rule prediction — the SAME
   // 3×3 grid as `eval_confusion_multiclass`, collapsed to the one
@@ -3260,7 +3380,8 @@ object MlStatOps {
     evalAveragePrecision, statCochranQ, statBenjaminiYekutieli,
     statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
     evalRocPoints, statPoissonZtest, evalCostThreshold, statZpropOne,
-    aggTopnShare, statBartlett, statFriedman, evalFbetaSweep)
+    aggTopnShare, statBartlett, statFriedman, evalFbetaSweep,
+    evalEqualizedOdds, statCochranArmitage)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

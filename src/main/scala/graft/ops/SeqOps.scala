@@ -676,9 +676,154 @@ object SeqOps {
       "AS events_per_session, " +
       "sum_dur_ms // n_sessions AS mean_dur_ms, max_dur_ms FROM t"))
 
+  // ------------------------------------------------------------------
+  // seq_attribution_markov_removal — MARKOV REMOVAL-EFFECT attribution,
+  // the data-driven model that completes the attribution shelf
+  // (first-touch/linear/time-decay are position HEURISTICS; the Markov
+  // model asks the causal-shaped question — how much conversion
+  // probability disappears if a channel is deleted from the graph):
+  // journeys truncate at first purchase ('conv' absorbing; journeys
+  // that end without converting absorb into 'null'), first-order
+  // transition counts come off ONE user-keyed lag window, and each
+  // variant chain (full + one per removed channel) REDIRECTS edges
+  // into the removed state to 'null' (out-edges drop; per-src totals
+  // are unchanged, so all variants share one denominator table).
+  // Conversion probability is 8 bounded power steps of the chain —
+  // each step ONE (variant, state)-keyed join against the broadcast
+  // edge ledger + a partial+final agg, mass in INTEGER units of 1e−9
+  // with per-edge floor division ((m·cnt) div tot — deterministic in
+  // any engine/order; headroom needs cnt < 9·10⁹ per long, far above
+  // the archive) and absorbed conv mass accumulated per step. Removal
+  // effect = (p_full − p_removed)/p_full as an exact floor-quantized
+  // division — non-negative structurally, since redirected chains are
+  // mass-dominated by the full chain step-by-step. The oracle unrolls
+  // the identical 8 steps as CTEs.
+  // ------------------------------------------------------------------
+
+  private val seqAttributionMarkovRemoval = Q(
+    "seq_attribution_markov_removal",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+      val ranked = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", $"event_id", $"ms", $"event_type")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("pprev",
+          coalesce(sum(($"event_type" === "purchase").cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val kept = ranked.filter($"pprev" === 0)
+        .select($"user_id", $"rn",
+          when($"event_type" === "purchase", lit("conv"))
+            .otherwise($"event_type").as("state"))
+      val wk = Window.partitionBy($"user_id").orderBy($"rn".asc)
+      val seq2 = kept
+        .withColumn("src", coalesce(lag($"state", 1).over(wk), lit("start")))
+        .withColumn("nx", lead($"state", 1).over(wk))
+      val trans = seq2.select($"src", $"state".as("dst"))
+        .unionByName(seq2.filter($"nx".isNull && $"state" =!= "conv")
+          .select($"state".as("src"), lit("null").as("dst")))
+      val ed = trans.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      val tt = ed.groupBy("src").agg(sum($"cnt").cast("long").as("tot"))
+      val channels = kept.select($"state").distinct()
+        .filter($"state" =!= "conv")
+      val vv = channels.select($"state".as("variant"))
+        .unionByName(s.range(1).select(lit("full").as("variant")))
+      val edV = vv.crossJoin(ed)
+        .filter($"src" =!= $"variant")
+        .select($"variant", $"src",
+          when($"dst" === $"variant", lit("null")).otherwise($"dst")
+            .as("dst"), $"cnt")
+        .groupBy("variant", "src", "dst").agg(sum($"cnt").as("cnt"))
+        .join(tt, "src")
+        .select($"variant", $"src".as("state"), $"dst", $"cnt", $"tot")
+      val edB = broadcast(edV.localCheckpoint(true))
+      var m = vv.select($"variant", lit("start").as("state"),
+        lit(1000000000L).as("mass")).localCheckpoint(true)
+      var acc: DataFrame = null
+      for (_ <- 1 to 8) {
+        val step = m.join(edB, Seq("variant", "state"))
+          .select($"variant", $"dst".as("state"),
+            expr("(mass * cnt) div tot").as("mass"))
+          .groupBy("variant", "state").agg(sum($"mass").as("mass"))
+          .localCheckpoint(true)
+        val conv = step.filter($"state" === "conv")
+          .select($"variant", $"mass")
+        acc = if (acc == null) conv else acc.unionByName(conv)
+        m = step.filter(!$"state".isin("conv", "null"))
+      }
+      val pc = vv.join(
+          acc.groupBy("variant").agg(sum($"mass").as("conv_mass")),
+          Seq("variant"), "left_outer")
+        .select($"variant", coalesce($"conv_mass", lit(0L)).as("conv_mass"))
+      val pf = pc.filter($"variant" === "full")
+        .select($"conv_mass".as("fmass"))
+      pc.crossJoin(broadcast(pf))
+        .select($"variant",
+          ($"conv_mass".cast("double") / 1e9).as("p_conv"),
+          when($"variant" =!= "full" && $"fmass" > 0,
+            expr("(1000000 * (fmass - conv_mass)) div fmass")
+              .cast("double") / 1e6).as("removal_effect"))
+        .orderBy("variant")
+    },
+    Some {
+      val steps = (1 to 8).map { i =>
+        val prev = if (i == 1) "m0" else s"m${i - 1}"
+        s"s$i AS (SELECT $prev.variant, ev.dst AS state, " +
+          s"CAST(SUM(($prev.mass * ev.cnt) // ev.tot) AS BIGINT) AS mass " +
+          s"FROM $prev JOIN ev ON ev.variant = $prev.variant " +
+          s"AND ev.src = $prev.state GROUP BY 1, 2), " +
+          s"m$i AS (SELECT * FROM s$i WHERE state NOT IN ('conv', 'null'))"
+      }.mkString(", ")
+      val convLegs = (1 to 8)
+        .map(i => s"SELECT variant, mass FROM s$i WHERE state = 'conv'")
+        .mkString(" UNION ALL ")
+      "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, " +
+        "event_type FROM events WHERE user_id IS NOT NULL), " +
+        "r AS (SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ms ASC NULLS FIRST, event_id ASC) " +
+        "AS rn, coalesce(SUM(CASE WHEN event_type = 'purchase' THEN 1 " +
+        "ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ms ASC NULLS " +
+        "FIRST, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 " +
+        "PRECEDING), 0) AS pprev FROM e), " +
+        "k AS (SELECT user_id, rn, CASE WHEN event_type = 'purchase' " +
+        "THEN 'conv' ELSE event_type END AS state FROM r WHERE pprev = 0), " +
+        "sq AS (SELECT user_id, state, coalesce(lag(state) OVER " +
+        "(PARTITION BY user_id ORDER BY rn), 'start') AS src, " +
+        "lead(state) OVER (PARTITION BY user_id ORDER BY rn) AS nx FROM k), " +
+        "tr AS (SELECT src, state AS dst FROM sq " +
+        "UNION ALL SELECT state, 'null' FROM sq " +
+        "WHERE nx IS NULL AND state <> 'conv'), " +
+        "ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM tr GROUP BY 1, 2), " +
+        "tt AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot " +
+        "FROM ed GROUP BY 1), " +
+        "vv AS (SELECT DISTINCT state AS variant FROM k " +
+        "WHERE state <> 'conv' UNION ALL SELECT 'full'), " +
+        "ev AS (SELECT g.variant, g.src, g.dst, g.cnt, tt.tot FROM " +
+        "(SELECT vv.variant, ed.src, CASE WHEN ed.dst = vv.variant " +
+        "THEN 'null' ELSE ed.dst END AS dst, " +
+        "CAST(SUM(ed.cnt) AS BIGINT) AS cnt FROM vv CROSS JOIN ed " +
+        "WHERE ed.src <> vv.variant GROUP BY 1, 2, 3) g " +
+        "JOIN tt ON tt.src = g.src), " +
+        "m0 AS (SELECT variant, 'start' AS state, " +
+        "CAST(1000000000 AS BIGINT) AS mass FROM vv), " +
+        steps + ", " +
+        s"cv AS (SELECT variant, CAST(SUM(mass) AS BIGINT) AS conv " +
+        s"FROM ($convLegs) GROUP BY 1), " +
+        "pc AS (SELECT vv.variant, coalesce(cv.conv, 0) AS conv " +
+        "FROM vv LEFT JOIN cv USING (variant)), " +
+        "pf AS (SELECT conv AS fmass FROM pc WHERE variant = 'full') " +
+        "SELECT pc.variant, CAST(pc.conv AS DOUBLE) / 1e9 AS p_conv, " +
+        "CASE WHEN pc.variant <> 'full' AND pf.fmass > 0 THEN " +
+        "CAST((1000000 * (pf.fmass - pc.conv)) // pf.fmass AS DOUBLE) / 1e6 " +
+        "END AS removal_effect FROM pc, pf ORDER BY variant"
+    })
+
   val qs: Seq[Q] = Seq(
     seqGapIslands, markovTransitions, intervalConcurrency,
     funnelTimeToConvert, anomalyZscore, aggHistogramEquidepth,
     funnelAbandonment, seqStreakLongest, seqInterarrivalStats,
-    anomalyMad, seqMarkovStationary, joinIntervalOverlap, seqSessionStats)
+    anomalyMad, seqMarkovStationary, joinIntervalOverlap, seqSessionStats,
+    seqAttributionMarkovRemoval)
 }

@@ -1837,6 +1837,97 @@ object TsOps {
       OSql.sround("(ln(rs16) - ln(rs4)) / (2.0 * ln(2.0))", 6) +
       " END AS hurst FROM pv"))
 
+  // ------------------------------------------------------------------
+  // ts_changepoint_binseg — one BINARY-SEGMENTATION step per type over
+  // the daily revenue series: the split minimizing SSE_left+SSE_right,
+  // i.e. the WHERE answer next to `ts_changepoint_cusum`'s WHEN/whether
+  // (CUSUM detects that the mean drifted; binary segmentation names the
+  // day, and iterating it is how changepoint libraries segment — one
+  // verified step is the primitive). Since SSE = SSQ − S²/n and SSQ is
+  // split-invariant, argmin SSE ⟺ argmax S_L²/n_L + S_R²/n_R: the
+  // per-split score is ONE double formula off exact HUGEINT prefix
+  // sums (never a float accumulation), compared identically in both
+  // engines, ties to the EARLIEST split; prefix sums are per-type
+  // windows over the calendar-bounded dense spine (quiet days are real
+  // 0s). Output keeps the exact floor-divided segment means — the
+  // before/after levels an operator actually reads.
+  // ------------------------------------------------------------------
+
+  private val tsChangepointBinseg = Q(
+    "ts_changepoint_binseg",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select($"event_type", expr(Det.fdivExpr("ms", "86400000")).as("day"),
+          round($"value" * 100).cast("long").as("c"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(sum($"c".cast(Dec380)).cast("long").as("v"))
+      val spine = ev.agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select($"mn", ($"mx" - $"mn" + 1).as("n"),
+          explode(sequence($"mn", $"mx")).as("day"))
+      val ser = ev.select($"event_type").distinct()
+        .crossJoin(spine)
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        .select($"event_type", $"n", $"day",
+          coalesce($"v", lit(0L)).as("v"))
+      val cw = Window.partitionBy($"event_type").orderBy($"day".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = ser.groupBy("event_type").agg(
+        sum($"v".cast(Dec380)).cast("long").as("st"))
+      val scored = ser
+        .withColumn("nl", sum(lit(1L)).over(cw))
+        .withColumn("sl", sum($"v").over(cw))
+        .join(tot, "event_type")
+        .filter($"nl" < $"n")
+        .select($"event_type", $"day", $"n", $"nl", $"sl", $"st",
+          ($"sl".cast("double") * $"sl" / $"nl" +
+            ($"st" - $"sl").cast("double") * ($"st" - $"sl") /
+              ($"n" - $"nl")).as("score"))
+      scored.groupBy("event_type")
+        .agg(max(struct($"score".as("a"), (-$"day").as("nd"),
+          $"nl".as("nl"), $"sl".as("sl"), $"n".as("n"), $"st".as("st")))
+          .as("mm"))
+        .select($"event_type", (-$"mm.nd").as("split_day"),
+          $"mm.nl".as("n_left"), ($"mm.n" - $"mm.nl").as("n_right"),
+          expr(Det.fdivExpr("mm.sl", "mm.nl")).as("mean_l_cents"),
+          expr(Det.fdivExpr("(mm.st - mm.sl)", "(mm.n - mm.nl)"))
+            .as("mean_r_cents"))
+        .orderBy("event_type")
+    },
+    Some("WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events " +
+      "WHERE value IS NOT NULL), " +
+      "daily AS (SELECT event_type, day, " +
+      "CAST(SUM(CAST(c AS HUGEINT)) AS BIGINT) AS v FROM ev GROUP BY 1, 2), " +
+      "sp AS (SELECT mn, mx - mn + 1 AS n, " +
+      "unnest(generate_series(mn, mx)) AS day FROM " +
+      "(SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev)), " +
+      "tt AS (SELECT DISTINCT event_type FROM ev), " +
+      "ser AS (SELECT tt.event_type, sp.n, sp.day, coalesce(daily.v, 0) " +
+      "AS v FROM tt CROSS JOIN sp LEFT JOIN daily " +
+      "ON daily.event_type = tt.event_type AND daily.day = sp.day), " +
+      "tot AS (SELECT event_type, " +
+      "CAST(SUM(CAST(v AS HUGEINT)) AS BIGINT) AS st FROM ser GROUP BY 1), " +
+      "pre AS (SELECT event_type, n, day, " +
+      "CAST(count(*) OVER w AS BIGINT) AS nl, " +
+      "CAST(SUM(v) OVER w AS BIGINT) AS sl FROM ser WINDOW w AS " +
+      "(PARTITION BY event_type ORDER BY day ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "sc AS (SELECT pre.event_type, pre.day, pre.n, pre.nl, pre.sl, " +
+      "tot.st, CAST(pre.sl AS DOUBLE) * pre.sl / pre.nl + " +
+      "CAST(tot.st - pre.sl AS DOUBLE) * (tot.st - pre.sl) / " +
+      "(pre.n - pre.nl) AS score FROM pre JOIN tot USING (event_type) " +
+      "WHERE pre.nl < pre.n), " +
+      "bst AS (SELECT event_type, day, nl, sl, n, st, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY score DESC, day ASC) AS rk " +
+      "FROM sc) " +
+      "SELECT event_type, day AS split_day, nl AS n_left, " +
+      "n - nl AS n_right, sl // nl AS mean_l_cents, " +
+      "(st - sl) // (n - nl) AS mean_r_cents " +
+      "FROM bst WHERE rk = 1 ORDER BY event_type"))
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
@@ -1845,5 +1936,5 @@ object TsOps {
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
     tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson,
     windowRollingCorr, tsWeekdayProfile, statLjungBox, tsCrossCorrelation,
-    tsSaxSymbols, tsHurstRs)
+    tsSaxSymbols, tsHurstRs, tsChangepointBinseg)
 }

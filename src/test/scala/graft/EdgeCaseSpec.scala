@@ -2245,6 +2245,94 @@ class EdgeCaseSpec extends SparkSpec {
       (100L, 2000L, 0.8), (200L, 2000L, 0.909090)))
   }
 
+  test("markov removal effect matches the hand-propagated 3-user chain") {
+    // u1: click→conv, u2: click→view→(null), u3: view→conv.
+    // full: p = 0.666666665 (two floor steps of thirds); removing
+    // click leaves only the view path (0.166666666 ⇒ effect 0.75),
+    // removing view only the click path (0.333333333 ⇒ 0.499999)
+    val ns = 1000000L
+    val rows = Seq(
+      (11L, 0L, 1L, "click"), (12L, ns, 1L, "purchase"),
+      (21L, 0L, 2L, "click"), (22L, ns, 2L, "view"),
+      (31L, 0L, 3L, "view"), (32L, ns, 3L, "purchase"))
+      .map { case (id, ts, u, ty) => (id, ts, u, ty, 1.0, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("seq_attribution_markov_removal", dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      ("click", 0.166666666, 0.75),
+      ("full", 0.666666665, -1.0),
+      ("view", 0.333333333, 0.499999)))
+  }
+
+  test("binary segmentation names the planted mean-shift day exactly") {
+    // $1/day for days 0..9 then $5/day for days 10..19: the SSE-optimal
+    // split is after day 9 — levels 100 and 500 cents recovered exactly
+    val day = 86400000L * 1000000L
+    val rows = (0L to 19L).map(i =>
+      (i, i * day, 1L, "t", if (i < 10) 1.0 else 5.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("ts_changepoint_binseg", dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((9L, 10L, 10L, 100L, 500L)))
+  }
+
+  test("filtered ann: post-filter bounds hold and the exact leg fills k") {
+    // 47 label-1 vectors at sf0.001 ⇒ the exact leg always returns 5;
+    // the IVF leg may return fewer (the post-filter shortfall the key
+    // exists to expose) and overlap can never exceed either leg
+    val got = run("sim_ann_filtered").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 3)
+    assert(got.forall { case (ivf, ex, ov) =>
+      ex === 5L && ivf <= 5L && ov <= ivf && ov <= ex })
+  }
+
+  test("equalized odds: a no-positive cohort reports NULL and leaves the gap") {
+    // cohort 0: tp/fn/fp/tn each once → tpr = fpr = 0.5; cohort 1 has
+    // no positives → tpr NULL, excluded from the tpr gap (both gaps 0)
+    val rows = Seq(
+      (1L, 0L, "purchase", 60.0), (2L, 0L, "purchase", 10.0),
+      (3L, 0L, "view", 70.0), (4L, 0L, "view", 10.0),
+      (5L, 1L, "view", 60.0), (6L, 1L, "view", 10.0))
+      .map { case (id, u, ty, v) => (id, 0L, u, ty, v, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("eval_equalized_odds", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 0.5, 0.5, 0.0, 0.0), (1L, 0L, -1.0, 0.5, 0.0, 0.0)))
+  }
+
+  test("cochran-armitage scores a perfect monotone trend at z = 2") {
+    // cohorts 0/1/2 with shares 0, ½, 1 over n = 2 each: T·√N/√Var
+    // collapses to exactly 2
+    val rows = Seq((0L, "view"), (0L, "view"), (1L, "purchase"),
+      (1L, "view"), (2L, "purchase"), (2L, "purchase"))
+      .zipWithIndex.map { case ((u, ty), i) => (i.toLong, 0L, u, ty, 1.0, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_cochran_armitage", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 6L, 3L)))
+    assert(r.getDouble(3) === 2.0)
+  }
+
+  test("contamination deciles: full copy 10, disjoint 0, short doc −1") {
+    val bench = "a b c d e f g h"
+    val dir = stageTables("documents" -> Seq(
+      (0L, bench, "s"), (1L, bench, "s"),
+      (2L, "q r s t u v w x", "s"), (3L, "short doc", "s"))
+      .toDF("doc_id", "text", "source"))
+    val got = run("corpus_contamination_score", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((-1L, 1L), (0L, 1L), (10L, 1L)))
+  }
+
   test("cross-correlation peaks at the planted one-day lead") {
     // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
     // the same count: the lag-+1 pairs are identical series ⇒ r = 1
