@@ -702,7 +702,14 @@ object SeqOps {
 
   private val seqAttributionMarkovRemoval = Q(
     "seq_attribution_markov_removal",
-    (s, d) => {
+    (s, d) =>
+    // The 8 propagation steps are LEDGER-sized (≤ variants·states rows)
+    // — at the engine's per-core default each step pays 32 tasks of
+    // scheduling for bytes of data. Scope the whole chain to the
+    // small-stage shard count (the ivfIndex training discipline);
+    // results are partitioning-invariant (exact integer arithmetic).
+    graft.core.Sessions.withShufflePartitions(
+      s, graft.core.Sessions.StreamStateShards) {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
       val ranked = Tables.events(s, d)
@@ -723,10 +730,17 @@ object SeqOps {
       val trans = seq2.select($"src", $"state".as("dst"))
         .unionByName(seq2.filter($"nx".isNull && $"state" =!= "conv")
           .select($"state".as("src"), lit("null").as("dst")))
+      // ONE materialization of the journey-window pipeline: every later
+      // relation (totals, channels, variants, the final report spine)
+      // derives from this ≤|states|²-row ledger instead of re-running
+      // the fact-sized window pass per lineage branch. Every channel
+      // state appears as a dst (the start→first edge covers journey
+      // heads), so the variant list reads off the ledger too.
       val ed = trans.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val tt = ed.groupBy("src").agg(sum($"cnt").cast("long").as("tot"))
-      val channels = kept.select($"state").distinct()
-        .filter($"state" =!= "conv")
+      val channels = ed.select($"dst".as("state")).distinct()
+        .filter($"state" =!= "conv" && $"state" =!= "null")
       val vv = channels.select($"state".as("variant"))
         .unionByName(s.range(1).select(lit("full").as("variant")))
       val edV = vv.crossJoin(ed)
@@ -737,16 +751,20 @@ object SeqOps {
         .groupBy("variant", "src", "dst").agg(sum($"cnt").as("cnt"))
         .join(tt, "src")
         .select($"variant", $"src".as("state"), $"dst", $"cnt", $"tot")
+      // The 8 power steps stay LAZY: each is a broadcast join + a
+      // ledger-sized agg, so the whole propagation (including the
+      // recomputed step prefixes under the conv-accumulator unions) is
+      // ONE job over tiny relations — cheaper than 8 materialization
+      // jobs would be.
       val edB = broadcast(edV.localCheckpoint(true))
       var m = vv.select($"variant", lit("start").as("state"),
-        lit(1000000000L).as("mass")).localCheckpoint(true)
+        lit(1000000000L).as("mass"))
       var acc: DataFrame = null
       for (_ <- 1 to 8) {
         val step = m.join(edB, Seq("variant", "state"))
           .select($"variant", $"dst".as("state"),
             expr("(mass * cnt) div tot").as("mass"))
           .groupBy("variant", "state").agg(sum($"mass").as("mass"))
-          .localCheckpoint(true)
         val conv = step.filter($"state" === "conv")
           .select($"variant", $"mass")
         acc = if (acc == null) conv else acc.unionByName(conv)
