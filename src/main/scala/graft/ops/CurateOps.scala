@@ -713,9 +713,57 @@ object CurateOps {
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_off_unit " +
       "FROM j GROUP BY 1 ORDER BY 1"))
 
+  /** sample_time_split — the LEAKAGE-SAFE temporal train/test split
+    * with an embargo gap, the time-series sibling of
+    * `sample_hash_split` (hash splits assume exchangeable rows; an
+    * event archive is autocorrelated, so a random split leaks
+    * tomorrow into the training set — every backtesting protocol
+    * splits by TIME and discards an embargo buffer after the cutoff
+    * so horizon-h features/labels can't straddle it). The cutoff is
+    * the exact integer 80% point of the time span (mn + 8·(mx−mn)
+    * div 10 — data-derived, no calendar constant), the embargo is one
+    * day after it, and the report ledgers each zone's count, time
+    * range, and exact floor-quantized share — the accounting a
+    * training run records before touching a row. One map-side
+    * conditional aggregate over one scan; the 2-scalar span broadcast.
+    */
+  private val sampleTimeSplit = Q(
+    "sample_time_split",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"ms")
+      val span = ev.agg(min($"ms").as("mn"), max($"ms").as("mx"))
+        .select($"mn", ($"mn" + expr("(8 * (mx - mn)) div 10")).as("cut"))
+        .select($"cut", ($"cut" + 86400000L).as("emb"))
+      val zoned = ev.crossJoin(broadcast(span))
+        .select(when($"ms" <= $"cut", "train")
+          .when($"ms" <= $"emb", "embargo")
+          .otherwise("test").as("split"), $"ms")
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      zoned.groupBy("split")
+        .agg(count(lit(1)).as("n"), min($"ms").as("min_ms"),
+          max($"ms").as("max_ms"))
+        .crossJoin(broadcast(tot))
+        .select($"split", $"n", $"min_ms", $"max_ms",
+          (expr("(1000000 * n) div n_total").cast("double") / 1e6)
+            .as("share"))
+        .orderBy("split")
+    },
+    Some("WITH ev AS (SELECT epoch_ms(ts) AS ms FROM events), " +
+      "sp AS (SELECT mn + (8 * (mx - mn)) // 10 AS cut FROM " +
+      "(SELECT MIN(ms) AS mn, MAX(ms) AS mx FROM ev)), " +
+      "z AS (SELECT CASE WHEN ms <= cut THEN 'train' " +
+      "WHEN ms <= cut + 86400000 THEN 'embargo' ELSE 'test' END AS split, " +
+      "ms FROM ev, sp), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ev) " +
+      "SELECT split, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(MIN(ms) AS BIGINT) AS min_ms, CAST(MAX(ms) AS BIGINT) AS max_ms, " +
+      "CAST((1000000 * count(*)) // tot.n_total AS DOUBLE) / 1e6 AS share " +
+      "FROM z, tot GROUP BY split, tot.n_total ORDER BY split"))
+
   val qs: Seq[Q] = Seq(
     dedupSemantic, corpusTokenBudget, windowNtileShard, sampleImportance,
     aggCorr, corpusDomainCap, sampleHashSplit, embeddingCentroidDrift,
     sampleKcenterCoreset, sampleSystematic, auditEmbeddingNorms,
-    simSilhouette)
+    simSilhouette, sampleTimeSplit)
 }

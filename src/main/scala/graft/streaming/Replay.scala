@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -574,6 +574,79 @@ object Replay {
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** replay_fanout_consistent — ONE replay stream fanned out to TWO
+    * sinks in the same foreachBatch, with cross-sink consistency as a
+    * hash-checked output. This is the dual-destination topology a real
+    * replay deployment runs (land the archive to cold storage AND put
+    * it to the live stream), and its correctness contract is exactly
+    * what this key pins: both sinks see the SAME epochs (one batch
+    * compute, persisted, written twice — never two racing computations
+    * of a non-deterministic batch), each write is epoch-idempotent
+    * (mode=overwrite into an epoch= partition, the house put-batch
+    * discipline — a retried epoch replaces itself in BOTH sinks), and
+    * the final report carries the symmetric-difference row count
+    * between the sinks, pinned 0 by the oracle. The per-type ledger
+    * off sink A re-states the source exactly, proving the fan-out is
+    * also loss-free end to end.
+    */
+  private val replayFanoutConsistent = Q(
+    "replay_fanout_consistent",
+    (s, d) => {
+      import s.implicits._
+      if (Tables.events(s, d).isEmpty)
+        Seq.empty[(String, Long, Double, Long)]
+          .toDF("event_type", "cnt", "total_value", "n_sink_mismatch")
+      else {
+        Tables.ensureNanosConf(s)
+        // FileStreamSource wants a dir/glob; brace-glob the archive file
+        // (the runStreamToTable discipline)
+        val raw = s.read.parquet(Tables.escapeGlob(s"$d/events.parquet"))
+        val schema = raw.schema
+        val dirA = TmpDirs.dir("fanout-a")
+        val dirB = TmpDirs.dir("fanout-b")
+        val ckpt = TmpDirs.dir("fanout-ckpt")
+        val src = s.readStream.schema(schema)
+          .parquet(Tables.srcGlob(s"$d/events.parquet"))
+          .select(col("event_id"), col("event_type"),
+            Tables.msExpr(schema).as("ms"),
+            round(col("value") * 100).cast("long").as("cents"))
+        graft.core.Sessions.withShufflePartitions(
+          s, graft.core.Sessions.StreamStateShards) {
+          val q = src.writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+              // one compute, two writes: persist the batch so sink B
+              // re-reads the SAME rows sink A wrote, not a recomputation
+              batch.persist()
+              try {
+                batch.write.mode("overwrite").parquet(s"$dirA/epoch=$epoch")
+                batch.write.mode("overwrite").parquet(s"$dirB/epoch=$epoch")
+              } finally { batch.unpersist(); () }
+            }
+            .start()
+          q.awaitTermination()
+        }
+        def sink(dir: String): DataFrame =
+          s.read.option("basePath", dir).parquet(s"$dir/epoch=*")
+            .select($"event_id", $"event_type", $"ms", $"cents")
+        val (a, b) = (sink(dirA), sink(dirB))
+        val mism = a.exceptAll(b).unionAll(b.exceptAll(a))
+          .agg(count(lit(1)).as("n_sink_mismatch"))
+        a.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            Det.dround(sum($"cents".cast(Det.Dec)).cast("double") / 100, 2)
+              .as("total_value"))
+          .crossJoin(broadcast(mism))
+          .orderBy("event_type")
+      }
+    },
+    Some("SELECT event_type, count(*) AS cnt, " +
+      OSql.sround("CAST(SUM(CAST(CAST(round(value*100) AS BIGINT) " +
+        "AS HUGEINT)) AS DOUBLE) / 100", 2) + " AS total_value, " +
+      "CAST(0 AS BIGINT) AS n_sink_mismatch FROM events " +
+      "GROUP BY 1 ORDER BY 1"))
+
   /** End-to-end replay in the reference's NATIVE archive format (the
     * full A1→A8 chain): events staged as gzip NDJSON (A1), streamed
     * through decompress + parse (A2/A3) into the sharded batched sink
@@ -928,5 +1001,6 @@ object Replay {
   val qs: Seq[Q] =
     Seq(replayStream, replayFiltered, replayTextArchive, replaySliding,
       streamDedupWatermark, replayTimeRange, replayBackfill,
-      replayRateLimited, replaySchemaEvolve, replayKpl)
+      replayRateLimited, replaySchemaEvolve, replayKpl,
+      replayFanoutConsistent)
 }

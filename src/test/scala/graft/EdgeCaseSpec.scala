@@ -2333,6 +2333,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got.toSeq === Seq((-1L, 1L), (0L, 1L), (10L, 1L)))
   }
 
+  test("fanout replay: sinks agree and the ledger covers the archive") {
+    val got = run("replay_fanout_consistent").collect()
+    assert(got.map(_.getLong(1)).sum === 1000L)
+    assert(got.forall(_.getLong(3) === 0L), "symmetric difference must be 0")
+  }
+
+  test("time split embargoes exactly one day after the 80% cutoff") {
+    // one event per day, days 0..10: cutoff = day 8 (train 9 rows),
+    // embargo = (8, 9] (1 row), test > day 9 (1 row)
+    val day = 86400000L * 1000000L
+    val rows = (0L to 10L).map(i => (i, i * day, 1L, "t", 1.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("sample_time_split", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    assert(got.toSeq === Seq(("embargo", 1L, 0.090909),
+      ("test", 1L, 0.090909), ("train", 9L, 0.818181)))
+  }
+
   test("cross-correlation peaks at the planted one-day lead") {
     // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
     // the same count: the lag-+1 pairs are identical series ⇒ r = 1
