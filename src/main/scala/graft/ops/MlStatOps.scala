@@ -1384,6 +1384,75 @@ object MlStatOps {
       " END AS ca_z FROM m"))
 
   // ------------------------------------------------------------------
+  // eval_calibration_isotonic — ISOTONIC (PAV) calibration of the
+  // purchase rate over the $10 score buckets, the non-parametric fit
+  // above `eval_calibration`'s raw reliability table (binning shows
+  // the miscalibration; isotonic regression is what a deployment
+  // actually applies to fix it — the monotone step function closest
+  // to the observed rates in L²). Pool-Adjacent-Violators is a
+  // SEQUENTIAL algorithm, which would be a driver loop — instead the
+  // fit uses the exact MINIMAX identity ŷᵢ = max_{j≤i} min_{k≥i}
+  // mean(y[j..k]): every interval mean is ONE integer floor division
+  // off prefix sums ((10⁹·Σpos) div Σn), and the max-of-min evaluates
+  // as two ledger aggs over the (j, i, k) triangle — O(B³) rows with
+  // B bounded by the PRICE DOMAIN (≤ ~dozens), never by the corpus.
+  // The single-partition window is over that same bounded ledger.
+  // Output pins both the raw and fitted curves; the fit is monotone
+  // by construction and exact-integer deterministic.
+  // ------------------------------------------------------------------
+
+  private val evalCalibrationIsotonic = Q(
+    "eval_calibration_isotonic",
+    (s, d) => {
+      import s.implicits._
+      val led = Tables.events(s, d)
+        .select(expr(Det.fdivExpr("cast(round(value * 100) as bigint)",
+          "1000")).as("b"),
+          ($"event_type" === "purchase").cast("long").as("y"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+      val w = Window.orderBy($"b".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = led
+        .withColumn("cn", sum($"n").over(w))
+        .withColumn("cp", sum($"pos").over(w))
+      val pairs = pre.as("j").join(pre.as("k"), $"j.b" <= $"k.b")
+        .select($"j.b".as("jb"), $"k.b".as("kb"),
+          expr("(1000000000 * (k.cp - (j.cp - j.pos))) div " +
+            "(k.cn - (j.cn - j.n))").as("meanq"))
+      val tri = pairs.join(led.select($"b".as("ib")),
+        $"jb" <= $"ib" && $"kb" >= $"ib")
+      val iso = tri.groupBy("ib", "jb").agg(min($"meanq").as("mn"))
+        .groupBy("ib").agg(max($"mn").as("isoq"))
+      led.join(iso, $"b" === $"ib")
+        .select($"b".as("bucket"), $"n", $"pos",
+          (expr("(1000000000 * pos) div n").cast("double") / 1e9)
+            .as("raw_rate"),
+          ($"isoq".cast("double") / 1e9).as("iso_rate"))
+        .orderBy("bucket")
+    },
+    Some("WITH e AS (SELECT CAST(round(value*100) AS BIGINT) // 1000 AS b, " +
+      "CAST(event_type = 'purchase' AS BIGINT) AS y FROM events), " +
+      "led AS (SELECT b, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(y) AS BIGINT) AS pos FROM e GROUP BY 1), " +
+      "pre AS (SELECT b, n, pos, " +
+      "CAST(SUM(n) OVER w AS BIGINT) AS cn, " +
+      "CAST(SUM(pos) OVER w AS BIGINT) AS cp FROM led WINDOW w AS " +
+      "(ORDER BY b ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "pairs AS (SELECT j.b AS jb, k.b AS kb, " +
+      "(1000000000 * (k.cp - (j.cp - j.pos))) // " +
+      "(k.cn - (j.cn - j.n)) AS meanq " +
+      "FROM pre j JOIN pre k ON j.b <= k.b), " +
+      "tri AS (SELECT led.b AS ib, pairs.jb, pairs.meanq FROM pairs " +
+      "JOIN led ON pairs.jb <= led.b AND pairs.kb >= led.b), " +
+      "inn AS (SELECT ib, jb, MIN(meanq) AS mn FROM tri GROUP BY 1, 2), " +
+      "iso AS (SELECT ib, CAST(MAX(mn) AS BIGINT) AS isoq " +
+      "FROM inn GROUP BY 1) " +
+      "SELECT led.b AS bucket, led.n, led.pos, " +
+      "CAST((1000000000 * led.pos) // led.n AS DOUBLE) / 1e9 AS raw_rate, " +
+      "CAST(iso.isoq AS DOUBLE) / 1e9 AS iso_rate " +
+      "FROM led JOIN iso ON iso.ib = led.b ORDER BY bucket"))
+
+  // ------------------------------------------------------------------
   // eval_cohen_kappa — chance-corrected agreement between the true
   // class (user_id mod 3) and the tercile-rule prediction — the SAME
   // 3×3 grid as `eval_confusion_multiclass`, collapsed to the one
@@ -3381,7 +3450,7 @@ object MlStatOps {
     statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
     evalRocPoints, statPoissonZtest, evalCostThreshold, statZpropOne,
     aggTopnShare, statBartlett, statFriedman, evalFbetaSweep,
-    evalEqualizedOdds, statCochranArmitage)
+    evalEqualizedOdds, statCochranArmitage, evalCalibrationIsotonic)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -175,7 +175,44 @@ object SqlSurface {
       "EXCEPT ALL " +
       "SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1"))
 
+  // ------------------------------------------------------------------
+  // sql_recursive_cte — WITH RECURSIVE as a first-class surface key
+  // (Spark 4 executes it as an iterative UnionLoop — a genuinely new
+  // executor shape this inventory would otherwise never touch): walk
+  // the implicit binary hierarchy over the user-id space (parent(u) =
+  // u div 2 — derived, total, cycle-free since the parent strictly
+  // decreases for u > 0) from the data-derived roots (u = 0, or a
+  // parent id absent from the archive) and ledger the population by
+  // depth. The SAME recursive SQL text runs in both engines (only the
+  // floor-division token differs), so the hash match proves Spark's
+  // recursive evaluation — anchor, step join, fixpoint — agrees with
+  // DuckDB's row for row. Depth is bounded by log₂(max id): the
+  // recursion terminates structurally, far under Spark's level limit.
+  // ------------------------------------------------------------------
+
+  private def recursiveSql(fdiv: (String, String) => String): String =
+    "WITH RECURSIVE " +
+      "users AS (SELECT DISTINCT user_id AS u FROM %s " +
+      "WHERE user_id IS NOT NULL AND user_id >= 0), " +
+      "h(u, depth) AS (" +
+      "SELECT u, CAST(0 AS BIGINT) FROM users " +
+      s"WHERE u = 0 OR ${fdiv("u", "2")} NOT IN (SELECT u FROM users) " +
+      "UNION ALL " +
+      "SELECT c.u, h.depth + 1 FROM users c " +
+      s"JOIN h ON c.u > 0 AND ${fdiv("c.u", "2")} = h.u) " +
+      "SELECT depth, CAST(count(*) AS BIGINT) AS n_users " +
+      "FROM h GROUP BY depth ORDER BY depth"
+
+  private val sqlRecursiveCte = Q(
+    "sql_recursive_cte",
+    (s, d) => {
+      Tables.events(s, d).select("user_id")
+        .createOrReplaceTempView("rc_ev")
+      s.sql(recursiveSql((a, b) => s"($a div $b)").format("rc_ev"))
+    },
+    Some(recursiveSql((a, b) => s"($a // $b)").format("events")))
+
   val qs: Seq[Q] = Seq(
     subqueryExists, subqueryNotIn, subqueryScalarCorr, joinLateralTopk,
-    setIntersectAll, setExceptAll)
+    setIntersectAll, setExceptAll, sqlRecursiveCte)
 }

@@ -2352,6 +2352,32 @@ class EdgeCaseSpec extends SparkSpec {
       ("test", 1L, 0.090909), ("train", 9L, 0.818181)))
   }
 
+  test("recursive cte walks the derived id-tree to the right depths") {
+    // users {1,2,3,6}: 1 is the root (parent 0 absent), 2 and 3 hang
+    // off it, 6 hangs off 3 ⇒ histogram (0:1, 1:2, 2:1)
+    val rows = Seq(1L, 2L, 3L, 6L).zipWithIndex.map { case (u, i) =>
+      (i.toLong, 0L, u, "t", 1.0, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("sql_recursive_cte", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("isotonic fit pools the adjacent violators exactly") {
+    // bucket rates 0.5, 0.0, 1.0 (n = 2 each): PAV pools the first two
+    // into 0.25 and leaves the third ⇒ fitted 0.25, 0.25, 1.0
+    val rows = Seq((5.0, "purchase"), (5.0, "view"), (15.0, "view"),
+      (15.0, "view"), (25.0, "purchase"), (25.0, "purchase"))
+      .zipWithIndex.map { case ((v, ty), i) => (i.toLong, 0L, 1L, ty, v, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("eval_calibration_isotonic", dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((0L, 0.5, 0.25), (1L, 0.0, 0.25),
+      (2L, 1.0, 1.0)))
+  }
+
   test("cross-correlation peaks at the planted one-day lead") {
     // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
     // the same count: the lag-+1 pairs are identical series ⇒ r = 1
