@@ -2378,6 +2378,21 @@ class EdgeCaseSpec extends SparkSpec {
       (2L, 1.0, 1.0)))
   }
 
+  test("kmv set ops below k are the exact sets") {
+    // click-big users {1..6}, error-big {4..9}: below k = 128 the
+    // sketch IS the set — intersection {4,5,6}, union {1..9}, flags true
+    val rows =
+      (1L to 6L).map(u => (u, 0L, u, "click", 95.0, "{}")) ++
+        (4L to 9L).map(u => (100 + u, 0L, u, "error", 95.0, "{}")) ++
+        Seq((200L, 0L, 1L, "click", 10.0, "{}")) // below the $90 gate
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("agg_kmv_set_ops", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((6L, 6L, 3L, 9L, 9L, 3L)))
+    assert(r.getBoolean(6) && r.getBoolean(7))
+  }
+
   test("cross-correlation peaks at the planted one-day lead") {
     // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
     // the same count: the lag-+1 pairs are identical series ⇒ r = 1
