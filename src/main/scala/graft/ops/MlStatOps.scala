@@ -1453,6 +1453,98 @@ object MlStatOps {
       "FROM led JOIN iso ON iso.ib = led.b ORDER BY bucket"))
 
   // ------------------------------------------------------------------
+  // stat_mood_median — MOOD'S MEDIAN TEST across the k event types:
+  // the coarsest member of the k-sample location ladder (ANOVA assumes
+  // normality, Kruskal-Wallis uses full ranks, Mood's keeps ONLY
+  // above/below the grand median — maximally robust to outliers and
+  // the one that still works when values are censored at a detection
+  // limit). The grand median is the exact lower median off the
+  // domain-bounded cents ledger (cum ≥ (N+1) div 2 — the
+  // percentile_disc pick, never a fact-row sort); the 2×k contingency
+  // then collapses map-side, and χ² = Σ(O·N − R·C)²/(N·R·C) is spelled
+  // with each cell's term an exact-integer numerator quantized at 10⁶
+  // BEFORE the cross-cell sum (the chi2_independence discipline).
+  // Degenerate margins (a zero row/column) emit NULL.
+  // ------------------------------------------------------------------
+
+  private val statMoodMedian = Q(
+    "stat_mood_median",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      val led = v.groupBy("c").agg(count(lit(1)).as("m"))
+      val w = Window.orderBy($"c".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = led.withColumn("hi", sum($"m").over(w))
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
+        .filter($"hi" - $"m" < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= $"hi")
+        .agg(max($"c").as("med"))
+      val cells = v.crossJoin(broadcast(med))
+        .groupBy("event_type").agg(
+          sum(($"c" > $"med").cast("long")).as("a"),
+          sum(($"c" <= $"med").cast("long")).as("b"))
+      val tot = cells.agg(
+        sum($"a").cast(Dec380).as("ta"), sum($"b").cast(Dec380).as("tb"),
+        count(lit(1)).as("k"))
+      val terms = cells.crossJoin(broadcast(tot))
+        .select($"event_type", $"a", $"b", $"k", $"ta", $"tb",
+          (($"ta" + $"tb")).as("n"),
+          (($"a" + $"b").cast(Dec380)).as("rg"))
+        .select($"k", $"n", $"ta", $"tb",
+          when($"rg" > 0 && $"ta" > 0 && $"tb" > 0,
+            floor((($"a" * $"n" - $"rg" * $"ta") *
+              ($"a" * $"n" - $"rg" * $"ta")).cast("double") /
+              ($"n" * $"rg" * $"ta").cast("double") * 1e6 + 0.5) +
+              floor((($"b" * $"n" - $"rg" * $"tb") *
+                ($"b" * $"n" - $"rg" * $"tb")).cast("double") /
+                ($"n" * $"rg" * $"tb").cast("double") * 1e6 + 0.5))
+            .as("tq"))
+      terms.agg(
+          max($"k").as("k"), max($"n".cast("long")).as("n"),
+          count(lit(1)).as("ng"), count($"tq").as("nt"),
+          sum($"tq").as("sq"))
+        .crossJoin(broadcast(med))
+        .select($"k", $"n", $"med".as("median_cents"),
+          when($"k" > 1 && $"ng" === $"nt",
+            dround($"sq".cast("double") / 1e6, 6)).as("chi2"),
+          ($"k" - 1).as("df"))
+    },
+    Some("WITH v AS (SELECT event_type, " +
+      "CAST(round(value*100) AS BIGINT) AS c FROM events " +
+      "WHERE value IS NOT NULL), " +
+      "led AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM v GROUP BY 1), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v), " +
+      "cum AS (SELECT c, m, CAST(SUM(m) OVER (ORDER BY c ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+      "AS hi FROM led), " +
+      "med AS (SELECT CAST(MAX(c) AS BIGINT) AS med FROM cum, nn " +
+      "WHERE hi - m < (n + 1) // 2 AND (n + 1) // 2 <= hi), " +
+      "cells AS (SELECT event_type, " +
+      "CAST(SUM(CASE WHEN v.c > med.med THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+      "CAST(SUM(CASE WHEN v.c <= med.med THEN 1 ELSE 0 END) AS BIGINT) AS b " +
+      "FROM v, med GROUP BY 1), " +
+      "tot AS (SELECT SUM(CAST(a AS HUGEINT)) AS ta, " +
+      "SUM(CAST(b AS HUGEINT)) AS tb, CAST(count(*) AS BIGINT) AS k " +
+      "FROM cells), " +
+      "terms AS (SELECT tot.k, tot.ta + tot.tb AS n, tot.ta, tot.tb, " +
+      "CASE WHEN (a + b) > 0 AND tot.ta > 0 AND tot.tb > 0 THEN " +
+      "CAST(floor(CAST((a * (tot.ta + tot.tb) - (a + b) * tot.ta) * " +
+      "(a * (tot.ta + tot.tb) - (a + b) * tot.ta) AS DOUBLE) / " +
+      "CAST((tot.ta + tot.tb) * (a + b) * tot.ta AS DOUBLE) * 1e6 + 0.5) " +
+      "+ floor(CAST((b * (tot.ta + tot.tb) - (a + b) * tot.tb) * " +
+      "(b * (tot.ta + tot.tb) - (a + b) * tot.tb) AS DOUBLE) / " +
+      "CAST((tot.ta + tot.tb) * (a + b) * tot.tb AS DOUBLE) * 1e6 + 0.5) " +
+      "AS HUGEINT) END AS tq FROM cells, tot) " +
+      "SELECT MAX(k) AS k, CAST(MAX(n) AS BIGINT) AS n, " +
+      "(SELECT med FROM med) AS median_cents, " +
+      "CASE WHEN MAX(k) > 1 AND count(*) = count(tq) THEN " +
+      OSql.sround("CAST(SUM(tq) AS DOUBLE) / 1e6", 6) +
+      " END AS chi2, MAX(k) - 1 AS df FROM terms"))
+
+  // ------------------------------------------------------------------
   // eval_cohen_kappa — chance-corrected agreement between the true
   // class (user_id mod 3) and the tercile-rule prediction — the SAME
   // 3×3 grid as `eval_confusion_multiclass`, collapsed to the one
@@ -3450,7 +3542,8 @@ object MlStatOps {
     statTtestPaired, statSignTest, statFTestVariance, statChi2Goodness,
     evalRocPoints, statPoissonZtest, evalCostThreshold, statZpropOne,
     aggTopnShare, statBartlett, statFriedman, evalFbetaSweep,
-    evalEqualizedOdds, statCochranArmitage, evalCalibrationIsotonic)
+    evalEqualizedOdds, statCochranArmitage, evalCalibrationIsotonic,
+    statMoodMedian)
 
   // ------------------------------------------------------------------
   // assoc_itemset3 — the Apriori level-3 step above `assoc_basket_lift`:

@@ -2393,6 +2393,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getBoolean(6) && r.getBoolean(7))
   }
 
+  test("mood's median test scores a clean 2×2 split at chi2 = 4") {
+    // {$1,$2} vs {$3,$4}: grand lower median 200 cents, groups sit
+    // entirely on opposite sides ⇒ every cell contributes 1
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 3.0), (4L, "b", 4.0))
+      .map { case (id, g, v) => (id, 0L, 1L, g, v, "{}") }
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("stat_mood_median", dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)) ===
+      ((2L, 4L, 200L, 1L)))
+    assert(r.getDouble(3) === 4.0)
+  }
+
   test("cross-correlation peaks at the planted one-day lead") {
     // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
     // the same count: the lag-+1 pairs are identical series ⇒ r = 1

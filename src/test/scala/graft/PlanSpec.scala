@@ -1107,6 +1107,29 @@ class PlanSpec extends SparkSpec {
       "the top-20 must be the O(k)-per-partition cut")
   }
 
+  test("markov removal propagates by broadcast, never a cartesian or SMJ") {
+    val plan = executedPlan("seq_attribution_markov_removal")
+    assert(plan.contains("BroadcastHashJoin"),
+      "power steps must join mass against the broadcast edge ledger")
+    assert(!plan.contains("CartesianProduct"),
+      "variant expansion must stay a broadcast nested loop, never a " +
+        "shuffled cartesian")
+  }
+
+  test("silhouette scores against broadcast centroids, no cartesian") {
+    val plan = executedPlan("sim_silhouette")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the K×64 centroid table must broadcast to the component scan")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs product")
+  }
+
+  test("kmv set ops cut both sketches via TakeOrdered") {
+    val plan = executedPlan("agg_kmv_set_ops")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "each sketch must be the O(k)-per-partition minima cut")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs product")
+  }
+
   test("cms sketch shuffles a bounded cell ledger and probes by broadcast") {
     val plan = executedPlan("agg_cms_estimate")
     // the corpus-side 4× depth explode must collapse map-side: the
