@@ -1876,6 +1876,62 @@ object LlmPipeline2 {
     * size, the real economics of frame sampling (the decoder, not the
     * plan, is the 100 TB cost).
     */
+  /** multimodal_audio_energy — windowed RMS-energy profiling over the
+    * (fake-decoded) audio assets: the silence-detection / loudness
+    * pass an audio-ingest pipeline runs before transcription (silent
+    * or clipped windows are dropped or re-routed; the energy ledger is
+    * the routing signal). The decode step is the clearly-marked
+    * deterministic fake this codec-less container allows — per-sample
+    * PCM is an integer LCG of (doc_id, i), with window 0 of every
+    * doc_id ≡ 0 (mod 4) FORCED silent so the detector has true
+    * positives — while the Spark-side plumbing is the real thing:
+    * 4×256-sample windows per asset, per-window energy as ONE
+    * codegen'd array fold (transform → square → aggregate — no
+    * per-sample rows, no shuffle until the ≤|langs| rollup), exact
+    * integer arithmetic end to end so both engines ledger identical
+    * energies. At 100 TB the decoder is the cost; this plan adds one
+    * projection.
+    */
+  private val multimodalAudioEnergy = Q(
+    "multimodal_audio_energy",
+    (s, d) => {
+      import s.implicits._
+      val sampleCase =
+        "CASE WHEN pmod(doc_id, 4) = 0 AND w = 0 THEN 0L " +
+          "ELSE pmod(pmod(doc_id, 100000) * 31 + i * 17, 1997) - 998 END"
+      val win = t(s, d, "documents")
+        .select($"doc_id", $"lang")
+        .withColumn("w", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("ssq", expr(
+          "aggregate(transform(transform(sequence(w * 256, w * 256 + 255), " +
+            s"i -> $sampleCase), x -> x * x), 0L, (a, x) -> a + x)"))
+      win.groupBy("lang").agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_windows"),
+          sum(($"ssq" === 0).cast("long")).as("n_silent"),
+          sum(expr("ssq div 256")).cast("long").as("sum_power"),
+          max($"ssq").as("max_ssq"))
+        .orderBy("lang")
+    },
+    Some {
+      val sampleCase =
+        "CASE WHEN doc_id % 4 = 0 AND w = 0 THEN 0 " +
+          "ELSE ((doc_id % 100000) * 31 + i * 17) % 1997 - 998 END"
+      "WITH win AS (SELECT doc_id, lang, w, " +
+        "CAST(list_sum(list_transform(list_transform(" +
+        s"range(w * 256, w * 256 + 256), i -> $sampleCase), " +
+        "x -> x * x)) AS BIGINT) AS ssq " +
+        "FROM (SELECT doc_id, lang, unnest([0, 1, 2, 3]) AS w " +
+        "FROM documents)) " +
+        "SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_windows, " +
+        "CAST(SUM(CASE WHEN ssq = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_silent, " +
+        "CAST(SUM(ssq // 256) AS BIGINT) AS sum_power, " +
+        "CAST(MAX(ssq) AS BIGINT) AS max_ssq " +
+        "FROM win GROUP BY 1 ORDER BY 1"
+    })
+
   private val multimodalFrameSample = Q(
     "multimodal_frame_sample",
     (s, d) => {
@@ -2476,5 +2532,5 @@ object LlmPipeline2 {
     dedupThresholdSweep, indexAppend, simAnnRange, dedupMinhashEstimate,
     simKnnClassify, evalLangidConfusion, auditEmbeddingCoverage,
     multimodalFrameSample, simAnnMrr, simAnnSq8, multimodalDedupPhash,
-    simAnnFiltered)
+    simAnnFiltered, multimodalAudioEnergy)
 }

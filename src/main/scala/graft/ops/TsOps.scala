@@ -1928,6 +1928,111 @@ object TsOps {
       "(st - sl) // (n - nl) AS mean_r_cents " +
       "FROM bst WHERE rk = 1 ORDER BY event_type"))
 
+  // ------------------------------------------------------------------
+  // ts_pacf_lags — PARTIAL autocorrelation at lags 1..3 per type, the
+  // AR-order panel beside `ts_acf_lags`' correlogram (the ACF of an
+  // AR(1) decays forever; its PACF cuts off after lag 1 — PACF is how
+  // a forecaster reads the AR order, the other half of Box-Jenkins).
+  // Durbin-Levinson is a sequential recursion, but at depth 3 it
+  // CLOSES FORM: φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₂₁ = r₁(1−φ₂₂),
+  // φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂) — pure scalar
+  // formulas over the autocorrelations. The rₖ themselves are ratios
+  // of EXACT integers: n²·cₖ = n²Pₖ − nS(Hₖ+Tₖ) + (n−k)S² off lagged
+  // products and head/tail sums (DECIMAL/HUGEINT), so no float ever
+  // accumulates in engine order; one keyed window pass stacks all
+  // three lags (the ts_acf_lags shape). Degenerate series (c₀ ≤ 0, a
+  // zero denominator in the recursion) emit NULL at that depth.
+  // ------------------------------------------------------------------
+
+  private val tsPacfLags = Q(
+    "ts_pacf_lags",
+    (s, d) => {
+      import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val lags = Seq(1, 2, 3)
+      val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+      val withLags = hourlyCents(s, d).select(
+        ($"event_type" +: $"v" +:
+          lags.map(k => lag($"v", k).over(w).as(s"x$k"))): _*)
+      val base = withLags.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum($"v".cast(Dec380)).as("ss"),
+        sum(($"v".cast(Dec380) * $"v")).as("sq"))
+      val pairs = withLags.select($"event_type", $"v".as("y"),
+          expr("stack(3, " +
+            lags.map(k => s"${k}L, x$k").mkString(", ") + ") as (lg, x)"))
+        .filter($"x".isNotNull)
+      val mom = pairs.groupBy("event_type", "lg").agg(
+        sum(($"x".cast(Dec380) * $"y")).as("p"),
+        sum($"x".cast(Dec380)).as("hh"),
+        sum($"y".cast(Dec380)).as("tt"))
+      // n²·c_k exact; c_0 from the base moments (k = 0 ⇒ H = T = S)
+      val rk = mom.join(broadcast(base), "event_type")
+        .select($"event_type", $"lg",
+          (($"p" * $"n" * $"n" - $"ss" * ($"hh" + $"tt") * $"n" +
+            $"ss" * $"ss" * ($"n" - $"lg")).cast("double") /
+            (($"sq" * $"n" * $"n" - $"ss" * $"ss" * $"n" * lit(2) +
+              $"ss" * $"ss" * $"n").cast("double"))).as("r"))
+      val wide = rk.groupBy("event_type").agg(
+        max(when($"lg" === 1, $"r")).as("r1"),
+        max(when($"lg" === 2, $"r")).as("r2"),
+        max(when($"lg" === 3, $"r")).as("r3"))
+      wide
+        .withColumn("p22",
+          when(abs(lit(1.0) - $"r1" * $"r1") > 0,
+            ($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1")))
+        .withColumn("p21", $"r1" * (lit(1.0) - $"p22"))
+        .select($"event_type",
+          dround($"r1", 6).as("acov_r1"), dround($"r2", 6).as("acov_r2"),
+          dround($"r3", 6).as("acov_r3"),
+          dround($"r1", 6).as("pacf1"),
+          dround($"p22", 6).as("pacf2"),
+          when(abs(lit(1.0) - $"p21" * $"r1" - $"p22" * $"r2") > 0,
+            dround(($"r3" - $"p21" * $"r2" - $"p22" * $"r1") /
+              (lit(1.0) - $"p21" * $"r1" - $"p22" * $"r2"), 6))
+            .as("pacf3"))
+        .orderBy("event_type")
+    },
+    Some {
+      val legs = Seq(1, 2, 3).map { k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lg, " +
+          s"lag(v, $k) OVER (PARTITION BY event_type ORDER BY h) AS x, " +
+          "v AS y FROM hourly"
+      }.mkString(" UNION ALL ")
+      "WITH " + hourlyCtes + ", " +
+        "base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "SUM(CAST(v AS HUGEINT)) AS ss, " +
+        "SUM(CAST(v AS HUGEINT) * v) AS sq FROM hourly GROUP BY 1), " +
+        s"p AS ($legs), " +
+        "mom AS (SELECT event_type, lg, " +
+        "SUM(CAST(x AS HUGEINT) * y) AS p, " +
+        "SUM(CAST(x AS HUGEINT)) AS hh, SUM(CAST(y AS HUGEINT)) AS tt " +
+        "FROM p WHERE x IS NOT NULL GROUP BY 1, 2), " +
+        "rk AS (SELECT mom.event_type, mom.lg, " +
+        "CAST(mom.p * base.n * base.n - base.ss * (mom.hh + mom.tt) * " +
+        "base.n + base.ss * base.ss * (base.n - mom.lg) AS DOUBLE) / " +
+        "CAST(base.sq * base.n * base.n - base.ss * base.ss * base.n * 2 " +
+        "+ base.ss * base.ss * base.n AS DOUBLE) AS r " +
+        "FROM mom JOIN base USING (event_type)), " +
+        "wide AS (SELECT event_type, " +
+        "MAX(CASE WHEN lg = 1 THEN r END) AS r1, " +
+        "MAX(CASE WHEN lg = 2 THEN r END) AS r2, " +
+        "MAX(CASE WHEN lg = 3 THEN r END) AS r3 FROM rk GROUP BY 1), " +
+        "dl AS (SELECT event_type, r1, r2, r3, " +
+        "CASE WHEN abs(1.0 - r1 * r1) > 0 THEN " +
+        "(r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22 FROM wide), " +
+        "dl2 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM dl) " +
+        "SELECT event_type, " +
+        OSql.sround("r1", 6) + " AS acov_r1, " +
+        OSql.sround("r2", 6) + " AS acov_r2, " +
+        OSql.sround("r3", 6) + " AS acov_r3, " +
+        OSql.sround("r1", 6) + " AS pacf1, " +
+        OSql.sround("p22", 6) + " AS pacf2, " +
+        "CASE WHEN abs(1.0 - p21 * r1 - p22 * r2) > 0 THEN " +
+        OSql.sround("(r3 - p21 * r2 - p22 * r1) / " +
+          "(1.0 - p21 * r1 - p22 * r2)", 6) +
+        " END AS pacf3 FROM dl2 ORDER BY event_type"
+    })
+
   val qs: Seq[Q] = Seq(
     tsInterpolateLinear, tsForecastSnaive, profileDriftPsi, aggEntropy,
     windowMedianRolling, windowDrawdown, windowRollingSlope,
@@ -1936,5 +2041,5 @@ object TsOps {
     tsHampelOutliers, tsChangepointCusum, tsAcfLags, tsTheilSen,
     tsHoltForecast, tsSeasonalAnomaly, tsDominantPeriod, statDurbinWatson,
     windowRollingCorr, tsWeekdayProfile, statLjungBox, tsCrossCorrelation,
-    tsSaxSymbols, tsHurstRs, tsChangepointBinseg)
+    tsSaxSymbols, tsHurstRs, tsChangepointBinseg, tsPacfLags)
 }

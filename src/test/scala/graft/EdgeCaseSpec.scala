@@ -2407,6 +2407,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getDouble(3) === 4.0)
   }
 
+  test("pacf closes the durbin-levinson recursion on a 6-point ramp") {
+    // hourly cents 100..600: r = (0.5, 0.057143, −0.271429) and the
+    // depth-3 recursion gives φ22 = −0.257143, φ33 = −0.255245
+    val hour = 3600000L * 1000000L
+    val rows = (1L to 6L).map(i => (i, i * hour, 1L, "t", i.toDouble, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("ts_pacf_lags", dir).collect().head
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ===
+      ((0.5, 0.057143, -0.271429)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) ===
+      ((0.5, -0.257143, -0.255245)))
+  }
+
+  test("audio energy flags exactly the planted silent window") {
+    // doc 4 (≡ 0 mod 4) has window 0 forced silent; doc 1 does not
+    val dir = stageTables("documents" -> Seq(
+      (1L, "x", "en"), (4L, "y", "en")).toDF("doc_id", "text", "lang"))
+    val r = run("multimodal_audio_energy", dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 8L, 1L)))
+    assert(r.getLong(5) > 0L)
+  }
+
   test("cross-correlation peaks at the planted one-day lead") {
     // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
     // the same count: the lag-+1 pairs are identical series ⇒ r = 1
