@@ -190,15 +190,23 @@ object SqlSurface {
   // recursion terminates structurally, far under Spark's level limit.
   // ------------------------------------------------------------------
 
-  private def recursiveSql(fdiv: (String, String) => String): String =
+  /** The recursive body is IDENTICAL text in both engines (only the
+    * floor-division token differs). The `users` base relation is the
+    * one asymmetry: Spark's UnionLoop re-evaluates every relation the
+    * step references ONCE PER ITERATION, so leaving the DISTINCT over
+    * the fact inside the CTE rescans the archive ~log₂(maxId) times —
+    * the Spark side stages it as a checkpointed temp view (the
+    * materialize-the-ledger discipline; DuckDB evaluates its CTE once
+    * anyway, so the relation each engine recurses over is the same).
+    */
+  private def recursiveSql(users: String,
+      fdiv: (String, String) => String): String =
     "WITH RECURSIVE " +
-      "users AS (SELECT DISTINCT user_id AS u FROM %s " +
-      "WHERE user_id IS NOT NULL AND user_id >= 0), " +
       "h(u, depth) AS (" +
-      "SELECT u, CAST(0 AS BIGINT) FROM users " +
-      s"WHERE u = 0 OR ${fdiv("u", "2")} NOT IN (SELECT u FROM users) " +
+      s"SELECT u, CAST(0 AS BIGINT) FROM $users " +
+      s"WHERE u = 0 OR ${fdiv("u", "2")} NOT IN (SELECT u FROM $users) " +
       "UNION ALL " +
-      "SELECT c.u, h.depth + 1 FROM users c " +
+      s"SELECT c.u, h.depth + 1 FROM $users c " +
       s"JOIN h ON c.u > 0 AND ${fdiv("c.u", "2")} = h.u) " +
       "SELECT depth, CAST(count(*) AS BIGINT) AS n_users " +
       "FROM h GROUP BY depth ORDER BY depth"
@@ -206,11 +214,18 @@ object SqlSurface {
   private val sqlRecursiveCte = Q(
     "sql_recursive_cte",
     (s, d) => {
-      Tables.events(s, d).select("user_id")
-        .createOrReplaceTempView("rc_ev")
-      s.sql(recursiveSql((a, b) => s"($a div $b)").format("rc_ev"))
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("user_id") >= 0)
+        .select(col("user_id").as("u")).distinct()
+        .localCheckpoint(true)
+        .createOrReplaceTempView("rc_users")
+      s.sql(recursiveSql("rc_users", (a, b) => s"($a div $b)"))
     },
-    Some(recursiveSql((a, b) => s"($a // $b)").format("events")))
+    Some("WITH RECURSIVE users AS (SELECT DISTINCT user_id AS u " +
+      "FROM events WHERE user_id IS NOT NULL AND user_id >= 0), " +
+      recursiveSql("users", (a, b) => s"($a // $b)")
+        .stripPrefix("WITH RECURSIVE ")))
 
   val qs: Seq[Q] = Seq(
     subqueryExists, subqueryNotIn, subqueryScalarCorr, joinLateralTopk,
