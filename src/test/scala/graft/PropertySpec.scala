@@ -383,4 +383,57 @@ class PropertySpec extends SparkSpec {
       got == want
     }, min = 15)
   }
+
+  test("time split partitions random archives exactly, train before test") {
+    // the leakage-safety laws under ANY generated time distribution:
+    // the three zones partition the rows (Σn = total), every train
+    // timestamp precedes every test timestamp, and the embargo is a
+    // strict buffer between them
+    val evGen = for {
+      n <- Gen.chooseNum(2, 200)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 40L * 86400000L))
+    } yield ts
+    Gen.listOfN(4, evGen).sample.getOrElse(Nil).foreach { ts =>
+      val rows = ts.zipWithIndex.map { case (ms, i) =>
+        (i.toLong, ms * 1000000L, 1L, "t", 1.0, "{}") }
+      val dir = stageTables("events" -> rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val zones = run("sample_time_split", dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(zones.values.map(_._1).sum === ts.length.toLong)
+      for (tr <- zones.get("train"); te <- zones.get("test")) {
+        assert(tr._3 < te._2, "every train ms must precede every test ms")
+        // the embargo buffer: a full day separates the zones
+        assert(te._2 - tr._3 > 86400000L ||
+          zones.contains("embargo") === false ||
+          zones("embargo")._2 > tr._3)
+      }
+    }
+  }
+
+  test("markov removal effects are non-negative on random journey tables") {
+    // the step-wise mass-dominance law: deleting a channel can never
+    // RAISE the chain's conversion probability, for ANY generated
+    // journey structure (including purchase-less and single-user ones)
+    val evGen = for {
+      n <- Gen.chooseNum(2, 150)
+      users <- Gen.listOfN(n, Gen.chooseNum(1L, 12L))
+      types <- Gen.listOfN(n,
+        Gen.oneOf("click", "view", "purchase", "signup"))
+    } yield users.zip(types)
+    Gen.listOfN(4, evGen).sample.getOrElse(Nil).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ty), i) =>
+        (i.toLong, i.toLong * 1000000000L, u, ty, 1.0, "{}") }
+      val dir = stageTables("events" -> rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = run("seq_attribution_markov_removal", dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val full = got("full")
+      assert(full >= 0.0 && full <= 1.0)
+      got.filterNot(_._1 == "full").foreach { case (ch, p) =>
+        assert(p <= full + 1e-12, s"removing $ch raised p_conv: $p > $full")
+      }
+    }
+  }
 }
