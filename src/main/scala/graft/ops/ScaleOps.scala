@@ -1562,6 +1562,87 @@ object ScaleOps {
     })
 
   // ------------------------------------------------------------------
+  // agg_cms_merge — COUNT-MIN SKETCH MERGEABILITY as a hash-checked
+  // property, the re-aggregation contract `agg_hll_union` pins for
+  // HLL applied to the frequency sketch — with the opposite and
+  // equally instructive outcome: HLL union merges only to a BOUND
+  // (register-width promotion breaks identity), while CMS merges
+  // EXACTLY (cell-wise addition of counter grids is the linearity of
+  // counting), so per-shard sketches summed together are
+  // BIT-IDENTICAL to the sketch built over the whole stream, and this
+  // key pins EQUALITY, not a tolerance. Shards are the event types
+  // (the per-partition rollup a 100 TB ingest actually produces);
+  // per-shard grids collapse map-side to ≤4·256 cells each, the merge
+  // is one partial+final sum keyed by (depth, cell), and the top-10
+  // probes compare min-over-depths of the direct vs merged grids.
+  // Fully replayable in the oracle — both constructions re-run there.
+  // ------------------------------------------------------------------
+
+  private val aggCmsMerge = Q(
+    "agg_cms_merge",
+    (s, d) => {
+      import s.implicits._
+      val u = Tables.events(s, d)
+        .filter($"user_id".isNotNull).select($"user_id", $"event_type")
+      val direct = u
+        .withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .withColumn("h", expr(cmsHashExpr("dep", "user_id")))
+        .groupBy("dep", "h").agg(count(lit(1)).as("cnt"))
+      val merged = u
+        .withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .withColumn("h", expr(cmsHashExpr("dep", "user_id")))
+        .groupBy("event_type", "dep", "h").agg(count(lit(1)).as("c"))
+        .groupBy("dep", "h").agg(sum($"c").cast("long").as("cnt"))
+      val top = u.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"user_id".asc).limit(10)
+      val probes = top
+        .withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .withColumn("h", expr(cmsHashExpr("dep", "user_id")))
+      probes.join(broadcast(direct), Seq("dep", "h"))
+        .groupBy("user_id", "exact_cnt").agg(min($"cnt").as("est_direct"))
+        .join(probes.join(broadcast(merged), Seq("dep", "h"))
+          .groupBy("user_id").agg(min($"cnt").as("est_merged")), "user_id")
+        .select($"user_id", $"exact_cnt", $"est_direct", $"est_merged",
+          ($"est_direct" === $"est_merged").as("merge_exact"),
+          ($"est_direct" >= $"exact_cnt").as("dominates_exact"))
+        .orderBy($"exact_cnt".desc, $"user_id".asc)
+    },
+    Some {
+      def h(dep: String, id: String): String =
+        s"(strpos('0123456789abcdef', substring(md5(CAST($dep AS VARCHAR) " +
+          s"|| ':' || CAST($id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substring(md5(CAST($dep AS VARCHAR) " +
+          s"|| ':' || CAST($id AS VARCHAR)), 2, 1)) - 1"
+      "WITH u AS (SELECT user_id, event_type FROM events " +
+        "WHERE user_id IS NOT NULL), " +
+        "dd AS (SELECT unnest(generate_series(0, 3)) AS dep), " +
+        "cells AS (SELECT dep, " + h("dep", "user_id") + " AS h, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM u CROSS JOIN dd " +
+        "GROUP BY 1, 2), " +
+        "shards AS (SELECT event_type, dep, " + h("dep", "user_id") +
+        " AS h, CAST(count(*) AS BIGINT) AS c FROM u CROSS JOIN dd " +
+        "GROUP BY 1, 2, 3), " +
+        "mg AS (SELECT dep, h, CAST(SUM(c) AS BIGINT) AS cnt " +
+        "FROM shards GROUP BY 1, 2), " +
+        "top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt " +
+        "FROM u GROUP BY 1 ORDER BY exact_cnt DESC, user_id ASC LIMIT 10), " +
+        "pr AS (SELECT top.user_id, top.exact_cnt, dd.dep, " +
+        h("dd.dep", "top.user_id") + " AS h FROM top CROSS JOIN dd), " +
+        "ed AS (SELECT pr.user_id, pr.exact_cnt, " +
+        "CAST(MIN(cells.cnt) AS BIGINT) AS est_direct FROM pr " +
+        "JOIN cells ON cells.dep = pr.dep AND cells.h = pr.h " +
+        "GROUP BY 1, 2), " +
+        "em AS (SELECT pr.user_id, CAST(MIN(mg.cnt) AS BIGINT) " +
+        "AS est_merged FROM pr JOIN mg ON mg.dep = pr.dep " +
+        "AND mg.h = pr.h GROUP BY 1) " +
+        "SELECT ed.user_id, ed.exact_cnt, ed.est_direct, em.est_merged, " +
+        "ed.est_direct = em.est_merged AS merge_exact, " +
+        "ed.est_direct >= ed.exact_cnt AS dominates_exact " +
+        "FROM ed JOIN em ON em.user_id = ed.user_id " +
+        "ORDER BY ed.exact_cnt DESC, ed.user_id ASC"
+    })
+
+  // ------------------------------------------------------------------
   // agg_kmv_set_ops — SKETCH SET ALGEBRA over two KMV sketches, the
   // theta-sketch capability that separates a sketch LIBRARY from a
   // sketch table (HLL unions; only order-statistic sketches also
@@ -1834,5 +1915,6 @@ object ScaleOps {
     aggApproxQuantile, scanBinary, scanJsonMultiline, scanNestedStruct,
     scanParquetZstd, scanKplDeaggregate, replayDlqRedrive, aggCmsEstimate,
     aggBloomMembership, auditSequenceGaps, auditDuplicateEvents,
-    scanManifestSnapshot, aggKmvDistinct, aggLinearCounting, aggKmvSetOps)
+    scanManifestSnapshot, aggKmvDistinct, aggLinearCounting, aggKmvSetOps,
+    aggCmsMerge)
 }

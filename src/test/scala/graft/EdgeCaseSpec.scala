@@ -2430,6 +2430,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getLong(5) > 0L)
   }
 
+  test("cms merge is exact: sharded grids sum to the direct build") {
+    // user k appears k times spread across 2 shards: merged estimates
+    // must equal the direct ones bit-for-bit (counting is linear)
+    val rows = (1L to 20L).flatMap(k => (1L to k).map(i =>
+      (k * 100 + i, 0L, k, if (i % 2 == 0) "a" else "b", 1.0, "{}")))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = run("agg_cms_merge", dir).collect()
+    assert(got.length === 10)
+    assert(got.forall(r => r.getBoolean(4) && r.getBoolean(5)))
+    assert(got.map(_.getLong(0)).toSeq === (20L to 11L by -1L).toSeq)
+  }
+
   test("cross-correlation peaks at the planted one-day lead") {
     // clicks on day d count d+1 (d = 0..3); purchases the NEXT day with
     // the same count: the lag-+1 pairs are identical series ⇒ r = 1
