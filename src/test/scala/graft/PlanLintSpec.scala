@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+
+/** Full-surface plan linter: every declared key's EXECUTED plan is
+  * swept for the shapes that kill a 100 TB run. PlanSpec pins ~105
+  * hand-picked plans; this suite is the dragnet over the whole
+  * contract surface. One generated test per key, so a violation names
+  * its key in the failure line.
+  *
+  * Rules (each a classic scale-killer):
+  *   R1  no cartesian / nested-loop product whose BOTH sides carry
+  *       unbounded fact rows — an all-pairs product over two SF-scaled
+  *       inputs is O(N²) at any cluster size;
+  *   R2  no single-partition shuffle fed by unbounded fact rows — the
+  *       whole table funnels through one task (global window / global
+  *       sort-without-limit over raw facts);
+  *   R3  no shuffle whose keys are ALL bounded-domain columns (≤25
+  *       distinct values in the archive schema) while carrying
+  *       unbounded fact rows — ≥(P−k)/P of the cluster idles and the
+  *       hot keys hold the whole table;
+  *   R4  no pushable comparison stranded in a FilterExec directly above
+  *       a parquet scan that pushed NOTHING — the scan reads row groups
+  *       the predicate could have skipped.
+  *
+  * "Unbounded fact rows" = a scan of an SF-scaled table (lineitem,
+  * orders, customer, part, supplier, events, documents, embeddings —
+  * region/nation are fixed-size dims) with no cardinality-bounding
+  * operator (aggregate, limit, top-k, window-group-limit) between the
+  * scan and the node under inspection. Aggregates are treated as
+  * bounding: grouped output is value-domain-scaled, not row-scaled —
+  * keyed-agg-into-global-window shapes are separately pinned as
+  * two-phase ranks in PlanSpec.
+  *
+  * Violations are whitelisted ONLY with a bounded-cardinality argument
+  * in the comment beside the entry.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** SF-scaled tables; a scan is "fact" when its path reads one. */
+  private val factTables = Seq(
+    "lineitem", "orders", "customer", "supplier", "part",
+    "events", "documents", "embeddings")
+
+  /** Unique-id columns of the archive tables: an equality / IN filter
+    * pinning one of these to literals bounds the subtree to ≤|literals|
+    * rows no matter the SF — the ANN probe pattern
+    * (`emb.filter($"vec_id".isin(...))` broadcast against the corpus)
+    * is a bounded side, not a fact side.
+    */
+  private val uniqueKeyCols = Set(
+    "vec_id", "doc_id", "event_id", "o_orderkey", "c_custkey",
+    "s_suppkey", "p_partkey", "n_nationkey", "r_regionkey")
+
+  /** Archive columns with a bounded value domain (distinct counts from
+    * TESTDATA.md / measured at sf0.01): flags ≤3, statuses ≤3,
+    * priorities 5, event_type 5, lang 5, mktsegment 5, source 20,
+    * nation keys 25, region keys 5, linenumber ≤7.
+    */
+  private val lowCardCols = Set(
+    "l_returnflag", "l_linestatus", "l_linenumber",
+    "o_orderstatus", "o_orderpriority",
+    "event_type", "lang", "source", "c_mktsegment",
+    "c_nationkey", "s_nationkey", "n_nationkey", "n_regionkey",
+    "r_regionkey")
+
+  // ---- whitelists (every entry carries its bounded-cardinality case) ----
+
+  /** R2: keys allowed a single-partition exchange over fact-derived
+    * rows. (none yet — fill only with a bounded-rows argument) */
+  private val singlePartOk: Map[String, String] = Map.empty
+
+  /** R3: keys allowed a bounded-domain shuffle key over fact rows.
+    * (Name-based: a low-card key ALIASED before the shuffle — e.g.
+    * join_null_safe's 25-value `nk` — escapes this lint; those cases
+    * are covered by their own scaladoc'd hot-key notes.)
+    */
+  private val lowCardShuffleOk: Map[String, String] = Map.empty
+
+  /** R4: keys allowed an unpushed comparison above a bare scan. */
+  private val unpushedFilterOk: Map[String, String] = Map.empty
+
+  /** R1: keys allowed a fact×fact product. */
+  private val productOk: Map[String, String] = Map.empty
+
+  // ---- plan walking ----
+
+  /** All nodes of an executed plan, descending through AQE wrappers,
+    * query stages, reused exchanges, codegen wrappers and subqueries.
+    */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+    case q: QueryStageExec        => p +: nodes(q.plan)
+    case r: ReusedExchangeExec    => p +: nodes(r.child)
+    case other                    => p +: other.children.flatMap(nodes)
+  }
+
+  private def isFactScan(p: SparkPlan): Boolean = p match {
+    case s: FileSourceScanExec =>
+      val loc = s.relation.location.rootPaths.mkString(",")
+      factTables.exists(t => loc.contains(s"/$t.parquet"))
+    case _ => false
+  }
+
+  /** True when a node's subtree carries unbounded fact rows: a fact
+    * scan with no cardinality-bounding operator on the path up to (and
+    * excluding) this node.
+    */
+  private def unboundedFact(p: SparkPlan): Boolean = p match {
+    case _: HashAggregateExec | _: ObjectHashAggregateExec |
+        _: SortAggregateExec | _: WindowGroupLimitExec |
+        _: GlobalLimitExec | _: LocalLimitExec |
+        _: TakeOrderedAndProjectExec | _: CollectLimitExec => false
+    case f: FilterExec if splitAnd(f.condition).exists(pointLookup) => false
+    case a: AdaptiveSparkPlanExec => unboundedFact(a.executedPlan)
+    case q: QueryStageExec        => unboundedFact(q.plan)
+    case r: ReusedExchangeExec    => unboundedFact(r.child)
+    case s if isFactScan(s)       => true
+    case other                    => other.children.exists(unboundedFact)
+  }
+
+  /** Unwrap pass-through nodes between a filter and its scan. */
+  @annotation.tailrec
+  private def throughToScan(p: SparkPlan): Option[FileSourceScanExec] =
+    p match {
+      case s: FileSourceScanExec  => Some(s)
+      case c: ColumnarToRowExec   => throughToScan(c.child)
+      case i: InputAdapter        => throughToScan(i.child)
+      case w: WholeStageCodegenExec => throughToScan(w.child)
+      case q: QueryStageExec      => throughToScan(q.plan)
+      case _                      => None
+    }
+
+  private def isAttr(e: Expression): Boolean =
+    e.isInstanceOf[AttributeReference]
+
+  /** A conjunct shape parquet can always accept: attr-vs-literal
+    * comparison, IN over literals, IS NULL, prefix match. (Bare
+    * IsNotNull is excluded — it is auto-added alongside real pushes and
+    * alone proves nothing.)
+    */
+  private def pushableShaped(e: Expression): Boolean = e match {
+    case b: BinaryComparison =>
+      (isAttr(b.left) && b.right.isInstanceOf[Literal]) ||
+        (isAttr(b.right) && b.left.isInstanceOf[Literal])
+    case In(a, vs)        => isAttr(a) && vs.forall(_.isInstanceOf[Literal])
+    case InSet(a, _)      => isAttr(a)
+    case IsNull(a)        => isAttr(a)
+    case StartsWith(a, Literal(_, _)) => isAttr(a)
+    case _ => false
+  }
+
+  /** Equality / IN pin of a unique-id column to literals: bounds the
+    * filtered relation to ≤|literals| rows at ANY scale factor.
+    */
+  private def pointLookup(e: Expression): Boolean = e match {
+    case EqualTo(a: AttributeReference, _: Literal) => uniqueKeyCols(a.name)
+    case EqualTo(_: Literal, a: AttributeReference) => uniqueKeyCols(a.name)
+    case In(a: AttributeReference, vs) =>
+      uniqueKeyCols(a.name) && vs.forall(_.isInstanceOf[Literal])
+    case InSet(a: AttributeReference, _) => uniqueKeyCols(a.name)
+    case _ => false
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other     => Seq(other)
+  }
+
+  private def lint(key: String, plan: SparkPlan): Seq[String] = {
+    val all = nodes(plan)
+    val out = Seq.newBuilder[String]
+
+    all.foreach {
+      case j: CartesianProductExec
+          if !productOk.contains(key) &&
+            j.children.forall(unboundedFact) =>
+        out += s"R1 cartesian product over two unbounded fact sides"
+      case j: BroadcastNestedLoopJoinExec
+          if !productOk.contains(key) &&
+            j.children.forall(unboundedFact) =>
+        out += s"R1 nested-loop product over two unbounded fact sides"
+
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition &&
+            !singlePartOk.contains(key) && unboundedFact(e.child) =>
+        out += "R2 single-partition exchange fed by unbounded fact rows"
+
+      case e: ShuffleExchangeExec if !lowCardShuffleOk.contains(key) =>
+        e.outputPartitioning match {
+          case h: HashPartitioning
+              if h.expressions.nonEmpty &&
+                h.expressions.forall {
+                  case a: AttributeReference => lowCardCols(a.name)
+                  case _                     => false
+                } && unboundedFact(e.child) =>
+            val ks = h.expressions.collect {
+              case a: AttributeReference => a.name
+            }.mkString(",")
+            out += s"R3 fact-row shuffle keyed only by bounded-domain [$ks]"
+          case _ => ()
+        }
+
+      case f: FilterExec if !unpushedFilterOk.contains(key) =>
+        throughToScan(f.child).foreach { scan =>
+          val pushedNone = scan.metadata.get("PushedFilters").forall(_ == "[]")
+          val stranded = splitAnd(f.condition).filter(pushableShaped)
+          if (pushedNone && stranded.nonEmpty)
+            out += ("R4 pushable conjunct(s) stranded above a no-push scan: " +
+              stranded.map(_.sql).mkString("; ").take(160))
+        }
+
+      case _ => ()
+    }
+    out.result().distinct
+  }
+
+  // one generated test per declared key, run at the driver's gate SF
+  private val lintSf = sys.env.getOrElse("GRAFT_LINT_SF", "/root/testdata/sf0.01")
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { key =>
+    test(s"plan lint: $key") {
+      val df = SparkEntry.queries(key)(spark, lintSf)
+      df.collect() // finalize AQE so the lint sees the real plan
+      val findings = lint(key, df.queryExecution.executedPlan)
+      assert(findings.isEmpty,
+        findings.mkString(s"\n[$key]\n  ", "\n  ", ""))
+    }
+  }
+}
