@@ -24,6 +24,12 @@ import graft.streaming.Replay
   *   --from TS, --to TS   event-time range, inclusive/exclusive — epoch
   *                        millis or ISO-8601 date/datetime, UTC
   *   --filter EXPR        SQL predicate applied in-stream (A4)
+  *   --transform-regex P, --transform-repl R, --transform-col C
+  *                        per-message rewrite applied in-stream AFTER
+  *                        the filter (A5): column C (default `props`,
+  *                        the payload field) gets regexp_replace(C, P,
+  *                        R) — the same machinery the declared
+  *                        `transform_rewrite` key verifies
   *   --records-per-sec N  PutRecords drain cap per shard per second
   *   --max-files-per-trigger N, --max-bytes-per-trigger N
   *                        intake throttles (epoch granularity)
@@ -46,7 +52,10 @@ object ReplayCli {
       maxFilesPerTrigger: Int = 0,
       maxBytesPerTrigger: Long = 0L,
       format: String = "parquet",
-      retryInjection: Boolean = false)
+      retryInjection: Boolean = false,
+      transformRegex: Option[String] = None,
+      transformRepl: Option[String] = None,
+      transformCol: String = "props")
 
   /** Epoch millis from a flag value: raw millis, an ISO date, or an
     * ISO date-time — always read as UTC (the archive contract).
@@ -69,6 +78,11 @@ object ReplayCli {
       case "--from" :: v :: t => loop(t, c.copy(fromMs = Some(parseTs(v))))
       case "--to" :: v :: t => loop(t, c.copy(toMs = Some(parseTs(v))))
       case "--filter" :: v :: t => loop(t, c.copy(filter = Some(v)))
+      case "--transform-regex" :: v :: t =>
+        loop(t, c.copy(transformRegex = Some(v)))
+      case "--transform-repl" :: v :: t =>
+        loop(t, c.copy(transformRepl = Some(v)))
+      case "--transform-col" :: v :: t => loop(t, c.copy(transformCol = v))
       case "--records-per-sec" :: v :: t => loop(t, c.copy(recordsPerSec = v.toInt))
       case "--max-files-per-trigger" :: v :: t =>
         loop(t, c.copy(maxFilesPerTrigger = v.toInt))
@@ -83,12 +97,16 @@ object ReplayCli {
     require(c.source.nonEmpty, "--source is required")
     require(c.format == "parquet" || c.format == "ndjson-gz",
       s"--format must be parquet or ndjson-gz, got '${c.format}'")
+    require(c.transformRegex.isDefined == c.transformRepl.isDefined,
+      "--transform-regex and --transform-repl go together")
     c
   }
 
-  /** The A4 stage assembled from the time-range and predicate flags —
-    * applied IN-STREAM, where Catalyst still pushes eligible
-    * conjuncts toward the source scan.
+  /** The A4/A5 stage assembled from the time-range, predicate, and
+    * transform flags — applied IN-STREAM, where Catalyst still pushes
+    * eligible conjuncts toward the source scan. Order mirrors the
+    * reference pipeline: filter first (fewer rows rewritten), then the
+    * per-message transform.
     */
   private def stageOf(c: Config): DataFrame => DataFrame = { df =>
     val timed = (c.fromMs, c.toMs) match {
@@ -97,7 +115,12 @@ object ReplayCli {
       case (None, Some(b)) => df.filter(col("ms") < b)
       case _ => df
     }
-    c.filter.fold(timed)(p => timed.filter(expr(p)))
+    val filtered = c.filter.fold(timed)(p => timed.filter(expr(p)))
+    (c.transformRegex, c.transformRepl) match {
+      case (Some(p), Some(r)) => filtered.withColumn(
+        c.transformCol, regexp_replace(col(c.transformCol), p, r))
+      case _ => filtered
+    }
   }
 
   /** Run one replay per the parsed flags; returns the sink path. The

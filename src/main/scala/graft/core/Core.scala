@@ -179,16 +179,14 @@ object Ndjson {
     * that intends to MUTATE its copy (the corrupt-archive test) uses
     * its own label and stays isolated.
     */
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def stageGz(spark: SparkSession, dir: String, label: String): String =
-    staged.computeIfAbsent(s"$label|$dir", _ => {
+    IndexCache.dir(s"$label|$dir") {
       val out = TmpDirs.dir(label)
       Tables.events(spark, dir)
         .select(to_json(struct(fields.map(f => col(f.name)): _*)).as("value"))
         .write.mode("overwrite").option("compression", "gzip").text(out)
       out
-    })
+    }
 }
 
 /** All scratch space (streaming sinks, checkpoints, state dirs) lives
@@ -308,6 +306,31 @@ object IndexCache {
       }
     }
     s.read.parquet(path)
+  }
+
+  /** PATH-valued artifacts — staged archive LAYOUTS (KPL frame files,
+    * gzip NDJSON encodes, date-partitioned trees) rather than derived
+    * relations. Same build-once/query-many economics and the same bench
+    * attribution as the DataFrame overload: the staged bytes are a pure
+    * function of the source dir, written once when the corpus lands,
+    * then read by every scan/replay of that layout — so the cold write
+    * belongs to `index_staging`, not to whichever query ran first.
+    */
+  def dir(key: String)(build: => String): String = {
+    val cached = paths.get(key)
+    if (cached != null) cached
+    else {
+      val t0 = System.nanoTime()
+      val p = build
+      val secs = (System.nanoTime() - t0) / 1e9
+      val prev = paths.putIfAbsent(key, p)
+      if (prev != null) prev
+      else {
+        stagedSecs.put(key, secs)
+        System.err.println(f"[graft] index '$key' staged in $secs%.2f s")
+        p
+      }
+    }
   }
 }
 

@@ -514,6 +514,34 @@ class ReplayTwinSpec extends SparkSpec {
     }
   }
 
+  test("CLI --transform-regex rewrites in-stream exactly like the batch transform (A5)") {
+    import org.apache.spark.sql.functions._
+    // the same regexp_replace machinery the declared transform_rewrite
+    // key verifies (space→underscore), here applied per-message to the
+    // payload column INSIDE the streaming replay — the reference's A5
+    // per-record transform stage
+    val out = ReplayCli.run(spark, ReplayCli.parseArgs(Seq(
+      "--source", s"$sf/events.parquet", "--shards", "4",
+      "--transform-regex", "\": \"", "--transform-repl", "\":_\"",
+      "--transform-col", "props")))
+    val cli = spark.read.parquet(out)
+      .select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch twin: the identical expression over the identical archive
+    val src = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "\": \"", "\":_\"").as("props"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cli.size === src.size)
+    assert(cli === src, "in-stream A5 rewrite must equal the batch twin")
+    assert(cli.values.forall(!_.contains("\": \"")),
+      "no message may escape the rewrite")
+    // flag validation: a regex without its replacement refuses loudly
+    intercept[IllegalArgumentException] {
+      ReplayCli.parseArgs(Seq("--source", "x", "--transform-regex", "a"))
+    }
+  }
+
   test("per-record put retry: injected first-attempt failures land exactly-once, output unchanged") {
     import org.apache.spark.sql.functions._
     // leg 1: clean run — no injection, everything lands on attempt 1
@@ -545,6 +573,69 @@ class ReplayTwinSpec extends SparkSpec {
     val batch = run("stream_tumbling").collect().map(_.toSeq)
     assert(throttled.toSeq === batch.toSeq,
       "packed, throttled replay must still equal the batch twin")
+  }
+
+  test("KPL frames carry the true AggregatedRecord protobuf wire layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // an INDEPENDENT Scala wire walker (tag/LEB128 rules only — shares
+    // nothing with the SQL parser): any structural drift between the
+    // staging encoder and the protobuf spec fails here, not just
+    // self-consistency between encoder and decoder
+    def hexByte(s: String, o: Int): Int =
+      Integer.parseInt(s.substring(o, o + 2), 16)
+    def leb(s: String, o: Int): (Int, Int) = { // (value, hex width)
+      val b0 = hexByte(s, o)
+      if (b0 >= 128) ((b0 - 128) + 128 * hexByte(s, o + 2), 4) else (b0, 2)
+    }
+    val ns = (ms: Long) => ms * 1000000L
+    val rows = Seq(
+      (0L, ns(1000L), 1L, "a", 1.50, "{}"),
+      (1L, ns(2000L), 2L, "b", 2.25, s"""{"pad": "${"y" * 150}"}"""))
+    val dir = stageTables("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val staged = graft.ops.ScaleOps.stageKplArchive(spark, dir)
+    val good = graft.ops.ScaleOps.kplFrames(spark.read.text(staged))
+      .filter($"good").select("body").as[String].collect()
+    assert(good.length === 1, "ids 0,1 pack into ONE group-0 frame")
+    val body = good(0)
+    // field 1: partition_key_table entry — tag 0x0A, LEB128 length,
+    // raw key text (the batch group id "0")
+    assert(hexByte(body, 0) === 0x0A)
+    val (pkLen, pkW) = leb(body, 2)
+    val pk = body.substring(2 + pkW, 2 + pkW + pkLen)
+    assert(pk === "0")
+    // then repeated field-3 Record submessages
+    var o = 2 + pkW + pkLen
+    val msgs = Seq.newBuilder[String]
+    while (o < body.length) {
+      assert(hexByte(body, o) === 0x1A, s"Record tag expected at $o")
+      val (recLen, recW) = leb(body, o + 2)
+      val p = o + 2 + recW
+      assert(hexByte(body, p) === 0x08, "partition_key_index tag")
+      val (pkIdx, idxW) = leb(body, p + 2)
+      assert(pkIdx === 0, "index into the single-entry key table")
+      assert(hexByte(body, p + 2 + idxW) === 0x1A, "data tag")
+      val (jLen, jW) = leb(body, p + 4 + idxW)
+      // the declared Record length counts BINARY bytes of its content
+      assert(recLen === 1 + idxW / 2 + 1 + jW / 2 + jLen,
+        "LEB128 record length must equal the submessage byte count")
+      val js = p + 4 + idxW + jW
+      msgs += body.substring(js, js + jLen)
+      o = js + jLen
+    }
+    val got = msgs.result()
+    assert(got.length === 2)
+    assert(got(0).contains("\"event_id\":0") && got(1).contains("\"event_id\":1"))
+    assert(got(1).contains("y" * 150), "a >128-byte payload rides a 2-byte LEB128")
+    // and the engine's own SQL walker recovers exactly the same payloads
+    val sqlMsgs = graft.ops.ScaleOps
+      .kplDeaggregate(spark.read.text(staged))
+      .select(to_json($"e")).as[String].collect().sorted
+    assert(sqlMsgs.length === 2)
+    val sqlIds = graft.ops.ScaleOps.kplDeaggregate(spark.read.text(staged))
+      .select($"e.event_id").as[Long].collect().sorted
+    assert(sqlIds.toSeq === Seq(0L, 1L))
   }
 
   test("throttled schema-evolving replay processes eras in separate epochs, same result") {
