@@ -412,6 +412,244 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("exact dedup reports planted multiplicities and min-id keepers (forAll)") {
+    // generated corpora with KNOWN duplicate structure: g distinct
+    // texts, text i planted m_i times under increasing doc_ids — the
+    // survivor ledger must report exactly (count = m_i, keeper = the
+    // smallest planted id) per md5 group
+    val gen = for {
+      g <- Gen.chooseNum(1, 40)
+      ms <- Gen.listOfN(g, Gen.chooseNum(1, 6))
+    } yield ms
+    Gen.listOfN(4, gen).sample.getOrElse(Nil).foreach { ms =>
+      val rows = ms.zipWithIndex.flatMap { case (m, g) =>
+        (0 until m).map(j => (g * 100L + j, s"text body g$g", "en", "s0", 12L))
+      }
+      val dir = stageTables("documents" ->
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val got = run("dedup_exact", dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = ms.zipWithIndex.map { case (m, g) =>
+        md5hex(s"text body g$g") -> ((m.toLong, g * 100L))
+      }.toMap
+      assert(got === want)
+    }
+  }
+
+  test("minhash bands: planted duplicate groups collide on all 4 bands, disjoint vocab never pairs") {
+    // identical texts share every minhash → every band; groups with
+    // DISJOINT vocabularies share no shingle, so no candidate pair may
+    // cross groups: the candidate set is EXACTLY the within-group pairs
+    val gen = for {
+      g <- Gen.chooseNum(2, 10)
+      sizes <- Gen.listOfN(g, Gen.chooseNum(1, 6))
+      lens <- Gen.listOfN(g, Gen.chooseNum(3, 9))
+    } yield sizes.zip(lens)
+    Gen.listOfN(3, gen).sample.getOrElse(Nil).foreach { groups =>
+      val rows = groups.zipWithIndex.flatMap { case ((m, len), g) =>
+        val text = (0 until len).map(j => s"g${g}w$j").mkString(" ")
+        (0 until m).map(j => (g * 100L + j, text, "en", "s0", text.length.toLong))
+      }
+      val dir = stageTables("documents" ->
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val got = run("dedup_near_minhash", dir).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val want = groups.zipWithIndex.flatMap { case ((m, _), g) =>
+        for (a <- 0 until m; b <- (a + 1) until m)
+          yield ((g * 100L + a, g * 100L + b), 4L)
+      }.toMap
+      assert(got === want,
+        "candidates must be exactly the planted within-group pairs at 4 bands")
+    }
+  }
+
+  test("exact cosine top-k equals a brute-force mirror on generated vector corpora") {
+    // the ANN family's ground-truth leg: top-20 by the left-to-right
+    // double fold, ties broken by vec_id — against an independent
+    // driver-side brute force over the same generated floats
+    val gen = for {
+      n <- Gen.chooseNum(25, 120)
+      vs <- Gen.listOfN(n, Gen.listOfN(8, Gen.chooseNum(-8, 8)))
+    } yield vs
+    Gen.listOfN(3, gen).sample.getOrElse(Nil).foreach { vs =>
+      val vecs = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat).toArray, i % 3) }
+      val dir = stageTables("embeddings" ->
+        vecs.toDF("vec_id", "embedding", "label"))
+      val got = run("sim_cosine_topk", dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val probe = vecs.head._2
+      val want = vecs.map { case (id, v, _) =>
+        val dot = v.zip(probe).foldLeft(0.0) { case (s, (x, y)) =>
+          s + x.toDouble * y.toDouble }
+        (id, dmirror(dot, 6))
+      }.sortBy { case (id, sim) => (-sim, id) }.take(20)
+      assert(got === want)
+    }
+  }
+
+  test("tokenize wordcount equals a driver-side fold on generated corpora") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      langs <- Gen.listOfN(n, Gen.oneOf("en", "de"))
+      texts <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+          .map(_.mkString(" ")))
+    } yield langs.zip(texts)
+    Gen.listOfN(3, gen).sample.getOrElse(Nil).foreach { docs =>
+      val rows = docs.zipWithIndex.map { case ((l, t), i) =>
+        (i.toLong, t, l, "s0", t.length.toLong) }
+      val dir = stageTables("documents" ->
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val got = run("text_tokenize_wordcount", dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val want = docs.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+        val counts = ds.flatMap(_._2.split(" ")).groupBy(identity)
+          .map { case (tok, xs) => tok -> xs.size.toLong }
+        counts.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(20)
+          .zipWithIndex.map { case ((tok, c), i) =>
+            (lang, (i + 1).toLong, tok, c) }
+      }.sortBy(r => (r._1, r._2))
+      assert(got === want)
+    }
+  }
+
+  test("funnel abandonment equals a driver-side sessionizer on generated journeys") {
+    val gen = for {
+      n <- Gen.chooseNum(2, 120)
+      users <- Gen.listOfN(n, Gen.chooseNum(1L, 6L))
+      gaps <- Gen.listOfN(n, Gen.chooseNum(0L, 3600000L))
+      types <- Gen.listOfN(n, Gen.oneOf("view", "click", "purchase", "error"))
+      cents <- Gen.listOfN(n, Gen.chooseNum(0L, 9999L))
+    } yield users.lazyZip(gaps).lazyZip(types).lazyZip(cents).toList
+    Gen.listOfN(3, gen).sample.getOrElse(Nil).foreach { evs =>
+      // per-user cumulative gaps → ms; event_id = arrival index
+      val byUser = evs.zipWithIndex.groupBy(_._1._1)
+      val rows = byUser.toSeq.flatMap { case (_, us) =>
+        us.scanLeft((0L, Option.empty[((Long, Long, String, Long), Int)])) {
+          case ((acc, _), e) => (acc + e._1._2, Some(e))
+        }.collect { case (ms, Some(((u, _, ty, c), i))) =>
+          (i.toLong, ms * 1000000L, u, ty, c / 100.0, "{}")
+        }
+      }
+      val dir = stageTables("events" -> rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = run("funnel_abandonment", dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // driver-side mirror: 30-min-gap sessions over (ms, event_id)
+      case class S(n: Long, span: Long, engaged: Boolean, cents: Long,
+          purchased: Boolean)
+      val sessions = rows.groupBy(_._3).values.flatMap { ues =>
+        val sorted = ues.map(e => (e._2 / 1000000L, e._1, e._4,
+          math.floor(e._5 * 100 + 0.5).toLong)).sortBy(e => (e._1, e._2))
+        val splits = sorted.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._1 - cur.head._1 <= 1800000L =>
+              (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+        }
+        splits.map { sess =>
+          val ms = sess.map(_._1)
+          S(sess.size.toLong, ms.max - ms.min,
+            sess.exists(e => e._3 == "view" || e._3 == "click"),
+            sess.filter(_._3 == "purchase").map(_._4).sum,
+            sess.exists(_._3 == "purchase"))
+        }
+      }.filter(_.engaged).toSeq
+      val want = sessions.groupBy(s => if (s.purchased) "converted" else "abandoned")
+        .map { case (o, ss) =>
+          o -> ((ss.size.toLong, ss.map(_.n).sum, ss.map(_.span).sum,
+            ss.map(_.cents).sum)) }
+      assert(got === want)
+    }
+  }
+
+  test("ACF lags equal a driver-side Pearson fold on generated hourly series") {
+    val H = 3600000L
+    val gen = for {
+      n <- Gen.chooseNum(4, 80)
+      hs <- Gen.listOfN(n, Gen.chooseNum(0L, 59L))
+      cents <- Gen.listOfN(n, Gen.chooseNum(-500L, 500L))
+      types <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+    } yield hs.lazyZip(cents).lazyZip(types).toList
+    Gen.listOfN(3, gen).sample.getOrElse(Nil).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((h, c, ty), i) =>
+        (i.toLong, (h * H + 1000L * (i % 60)) * 1000000L, 1L, ty, c / 100.0, "{}") }
+      val dir = stageTables("events" -> rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = run("ts_acf_lags", dir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+      // mirror: hourly cent sums per type, row-ordered by h, Pearson at
+      // each lag over (v[i-k], v[i]) with the same double formula
+      val want = evs.groupBy(_._3).flatMap { case (ty, es) =>
+        val series = es.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, xs) => xs.map(e => BigInt(e._2)).sum }
+        Seq(2, 3, 6, 12, 24).flatMap { k =>
+          val pairs = series.drop(k).zip(series.dropRight(k))
+            .map { case (y, x) => (x, y) }
+          if (pairs.isEmpty) None
+          else {
+            val n = pairs.size.toDouble
+            val sx = pairs.map(_._1).sum.toDouble
+            val sy = pairs.map(_._2).sum.toDouble
+            val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+            val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+            val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+            val dx = n * sxx - sx * sx
+            val dy = n * syy - sy * sy
+            val acf = if (dx > 0 && dy > 0)
+              Some(dmirror((n * sxy - sx * sy) / math.sqrt(dx * dy), 6))
+            else None
+            Some((ty, k.toLong) -> ((pairs.size.toLong, acf)))
+          }
+        }
+      }
+      assert(got === want)
+    }
+  }
+
+  test("Bloom and linear-counting sharded builds OR exactly to the direct build") {
+    // the idempotent-merge laws under ANY generated (user, type)
+    // distribution — including heavy shard overlap (few users, many
+    // types) and singleton shards: zero symmetric difference between
+    // the direct and merged bit sets, identical zero-bucket counts,
+    // and the union bound Σ|shard bits| ≥ |merged bits|
+    val evGen = for {
+      n <- Gen.chooseNum(1, 300)
+      users <- Gen.listOfN(n, Gen.chooseNum(0L, 5000L))
+      types <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield users.zip(types)
+    Gen.listOfN(4, evGen).sample.getOrElse(Nil).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ty), i) =>
+        (i.toLong, i.toLong * 1000000000L, u, ty, 1.0, "{}") }
+      val dir = stageTables("events" -> rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val bm = run("agg_bloom_merge", dir).collect()(0)
+      assert(bm.getLong(4) === 0L && bm.getLong(5) === 0L,
+        "Bloom OR must produce zero symmetric difference")
+      assert(bm.getBoolean(6), "merge_exact")
+      assert(bm.getLong(2) === bm.getLong(3), "identical bit counts")
+      assert(bm.getLong(1) >= bm.getLong(3), "union bound")
+      val lc = run("agg_lc_union", dir).collect()(0)
+      assert(lc.getLong(2) === lc.getLong(3),
+        "merged bitmap must have the direct build's zero count")
+      assert(lc.getBoolean(6), "merge_exact")
+      assert(lc.getBoolean(7), "union bound")
+      if (!lc.isNullAt(4))
+        assert(lc.getDouble(4) === lc.getDouble(5),
+          "identical bitmaps yield the identical estimate")
+    }
+  }
+
   test("markov removal effects are non-negative on random journey tables") {
     // the step-wise mass-dominance law: deleting a channel can never
     // RAISE the chain's conversion probability, for ANY generated
