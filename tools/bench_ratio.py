@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Merge two Bench runs (bench_full.json format) into a scaling-law
+record: per-key seconds at each SF plus the time ratio. Usage:
+    python3 tools/bench_ratio.py <bench_sf0.1.json> <bench_sf1.json> <out.json>
+Ratios use a 0.15 s floor on the denominator so fixed-overhead keys
+(sub-100 ms at both SFs) don't report meaningless 20x blips.
+"""
+import json, sys
+
+
+def main(lo_path: str, hi_path: str, out_path: str) -> int:
+    lo = json.load(open(lo_path))
+    hi = json.load(open(hi_path))
+    qlo, qhi = lo["queries"], hi["queries"]
+    keys = sorted(set(qlo) & set(qhi))
+    rows = {}
+    for k in keys:
+        a, b = qlo[k], qhi[k]
+        if a < 0 or b < 0:          # error sentinel from Bench
+            rows[k] = {"sf_lo": a, "sf_hi": b, "ratio": None, "error": True}
+            continue
+        rows[k] = {"sf_lo": round(a, 3), "sf_hi": round(b, 3),
+                   "ratio": round(b / max(a, 0.15), 2)}
+    ratios = sorted(r["ratio"] for r in rows.values() if r.get("ratio"))
+    med = ratios[len(ratios) // 2] if ratios else None
+    worst = sorted(((r["ratio"], k) for k, r in rows.items() if r.get("ratio")),
+                   reverse=True)[:12]
+    out = {
+        "metric": "sf_scaling",
+        "sf_lo": lo.get("sf"), "sf_hi": hi.get("sf"),
+        "total_lo": round(lo["value"], 1), "total_hi": round(hi["value"], 1),
+        "total_ratio": round(hi["value"] / lo["value"], 2),
+        "index_staging_lo": round(lo.get("index_staging_sec", 0), 1),
+        "index_staging_hi": round(hi.get("index_staging_sec", 0), 1),
+        "load_lo": lo.get("load"), "load_hi": hi.get("load"),
+        "reps_lo": lo.get("reps"), "reps_hi": hi.get("reps"),
+        "n_keys": len(keys),
+        "median_ratio": med,
+        "worst": [{"key": k, "ratio": r} for r, k in worst],
+        "errors_lo": lo.get("errors", []), "errors_hi": hi.get("errors", []),
+        "queries": rows,
+    }
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(f"{len(keys)} keys; total {out['total_lo']}s -> {out['total_hi']}s "
+          f"(x{out['total_ratio']}); median per-key ratio {med}")
+    for r, k in worst[:8]:
+        print(f"  worst: {k} x{r}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:4]))
