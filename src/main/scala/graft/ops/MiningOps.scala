@@ -248,37 +248,45 @@ object MiningOps {
   // item buckets (props.k mod 50 — a domain sparse enough that every
   // user genuinely misses some) they have NEVER interacted with,
   // picked by md5(user:bucket) order — stable under re-runs,
-  // repartitioning, and incremental ingest, unlike rand(). The
-  // candidate grid is users × the bounded bucket dimension (broadcast
-  // cross join), seen pairs leave via a left anti join, and the pick
-  // is a user-keyed row_number. Output: per-bucket assignment ledger
-  // with an exact user-id checksum.
+  // repartitioning, and incremental ingest, unlike rand().
+  //
+  // Round 11 re-plan (sf0.1→sf1 measured 33×): the old shape
+  // materialized the users × buckets candidate grid and anti-joined
+  // the seen set with a BROADCAST build that grew with N — the exact
+  // failure the plan linter hunts. Now the bucket DOMAIN (≤50 values)
+  // broadcasts as a single collected array and everything per-user is
+  // one map-side projection: array_except(domain, seen-set) → struct
+  // sort by the md5 pick key → slice 2 → explode ≤2 rows. One shuffle
+  // builds the per-user seen sets (map-side partial collect_set), one
+  // |buckets|-row rollup ends it; no grid, no anti join, no window.
+  // Null-bucket events (props without k) carry no bucket in either
+  // engine. Output: per-bucket assignment ledger with an exact
+  // user-id checksum.
   // ------------------------------------------------------------------
 
   private val sampleNegative = Q(
     "sample_negative",
     (s, d) => {
       import s.implicits._
-      val basket = Tables.events(s, d)
+      val ev = Tables.events(s, d)
         .select($"user_id",
           (get_json_object($"props", "$.k").cast("long") % 50).as("kb"))
-        .distinct()
-      val users = basket.select($"user_id").distinct()
-      val buckets = basket.select($"kb").distinct()
-      val candidates = users.crossJoin(broadcast(buckets))
-      val unseen = candidates.join(basket, Seq("user_id", "kb"), "left_anti")
-      val w = Window.partitionBy($"user_id")
-        .orderBy(md5(concat($"user_id".cast("string"), lit(":"),
-          $"kb".cast("string"))).asc, $"kb".asc)
-      unseen.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 2)
-        .groupBy("kb").agg(
+        .filter($"kb".isNotNull)
+      val seen = ev.groupBy($"user_id").agg(collect_set($"kb").as("seen"))
+      val allB = ev.agg(collect_set($"kb").as("all_kb"))
+      seen.crossJoin(broadcast(allB))
+        .select($"user_id", explode(expr(
+          "slice(array_sort(transform(array_except(all_kb, seen), " +
+            "b -> struct(md5(concat(cast(user_id as string), ':', " +
+            "cast(b as string))) as o, b as b))), 1, 2)")).as("p"))
+        .groupBy($"p.b".as("kb")).agg(
           count(lit(1)).as("n_users"),
           sum($"user_id").as("user_id_sum"))
         .orderBy("kb")
     },
     Some("WITH basket AS (SELECT DISTINCT user_id, " +
-      "CAST(props->>'$.k' AS BIGINT) % 50 AS kb FROM events), " +
+      "CAST(props->>'$.k' AS BIGINT) % 50 AS kb FROM events " +
+      "WHERE props->>'$.k' IS NOT NULL), " +
       "cand AS (SELECT u.user_id, t.kb FROM " +
       "(SELECT DISTINCT user_id FROM basket) u CROSS JOIN " +
       "(SELECT DISTINCT kb FROM basket) t), " +

@@ -469,13 +469,16 @@ class PlanSpec extends SparkSpec {
       s"nested pruning must drop the unread cents field: $schemas")
   }
 
-  test("negative sampling anti-joins the seen set and picks per user key") {
+  test("negative sampling never materializes the user x bucket grid") {
+    // round 11: the old anti-join shape broadcast a build side that
+    // grew with N (measured 33x at sf0.1 -> sf1); the pick must now be
+    // a map-side array_except against the 1-row broadcast bucket
+    // domain — no grid join, no per-user window
     val plan = executedPlan("sample_negative")
-    assert(plan.contains("LeftAnti"),
-      "seen pairs must leave via an anti join")
-    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windowLines.nonEmpty && windowLines.forall(_.contains("[user_id")),
-      s"the pick must be a user-keyed row_number: $windowLines")
+    assert(plan.contains("array_except"),
+      "the per-user pick must be the map-side array_except projection")
+    assert(!plan.contains("LeftAnti") && !plan.contains("WindowExec"),
+      "no anti join over the candidate grid, no per-user window")
   }
 
   test("sim_maxsim_labels broadcasts a rank-limited probe shortlist, not the corpus slice") {
