@@ -26,11 +26,11 @@ import graft.core.{Det, OSql, Q, Tables}
   *    time-ordered type-initial string (bounded per user); the regex
   *    scan is a codegen'd projection; the match histogram collapses
   *    map-side.
-  *  - sample_negative: the candidate domain is users × 50 item buckets
-  *    (a broadcast cross join against a bounded dimension), the seen
-  *    set is an anti-join on the user key, and the per-user pick is a
-  *    keyed row_number over the md5 order — deterministic under
-  *    re-runs and repartitioning, no RNG state.
+  *  - sample_negative: the ≤50-value bucket domain broadcasts as ONE
+  *    collected array and each user's pick is a map-side
+  *    array_except + md5-keyed struct sort + slice — deterministic
+  *    under re-runs and repartitioning, no RNG state, no candidate
+  *    grid, no anti join (the grid shape measured 33× at sf0.1→sf1).
   */
 object MiningOps {
   import Det._
@@ -532,12 +532,15 @@ object MiningOps {
       val deg = e.select($"a".as("p"))
         .unionAll(e.select($"b".as("p")))
         .groupBy("p").agg(count(lit(1)).as("dg"))
-      val bd = deg.join(broadcast(br), "p")
+      // the part->brand map is SF-scaled: hint-free joins (plan-linter
+      // R5) — AQE broadcasts the map while it is small and graduates to
+      // shuffle joins keyed on the part id at scale
+      val bd = deg.join(br, "p")
         .groupBy("brand")
         .agg(count(lit(1)).as("n_parts"), sum($"dg").as("dc"))
       val ew = e
-        .join(broadcast(br.select($"p".as("a"), $"brand".as("ba"))), "a")
-        .join(broadcast(br.select($"p".as("b"), $"brand".as("bb"))), "b")
+        .join(br.select($"p".as("a"), $"brand".as("ba")), "a")
+        .join(br.select($"p".as("b"), $"brand".as("bb")), "b")
         .filter($"ba" === $"bb")
         .groupBy($"ba".as("brand")).agg(count(lit(1)).as("ec"))
       val grand = e.agg(count(lit(1)).cast("double").as("m"))

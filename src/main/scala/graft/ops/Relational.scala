@@ -240,8 +240,12 @@ object Relational {
     "join_inner_hash",
     (s, d) => {
       import s.implicits._
+      // no broadcast hint on the SF-scaled customer side: AQE
+      // broadcasts it while it is provably small and graduates to a
+      // shuffle join at scale — a hard hint would pin the 100 TB plan
+      // to an executor-memory blowup (plan-linter R5)
       t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"), moneySum($"o_totalprice").as("revenue"))
         .orderBy("c_mktsegment")
@@ -560,8 +564,10 @@ object Relational {
     "agg_rollup",
     (s, d) => {
       import s.implicits._
+      // fixed dims keep their hints; customer (SF-scaled) is left to
+      // AQE — small now, shuffle-joined at scale (plan-linter R5)
       t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
         .rollup($"r_name", $"n_name")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Mat, OSql, Q, Tables, TmpDirs}
@@ -418,17 +418,15 @@ object ScaleOps {
     * restates the same predicate over the flat events table — the hash
     * match proves pruning changed the IO, not the answer.
     */
-  /** Cached per source dir per JVM: the partitioned tree is the
+  /** Cached per source dir per JVM (IndexCache, so the cold write is
+    * attributed to `index_staging`): the partitioned tree is the
     * archive's INGEST LAYOUT — written once when the data lands, then
-    * amortized over every pruned scan/replay after (three keys and two
-    * plan pins read it). The first caller pays the write; the tree is
-    * treated read-only by every consumer.
+    * amortized over every pruned scan/replay after (four keys and two
+    * plan pins read it). The tree is treated read-only by every
+    * consumer.
     */
-  private val stagedTrees =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private[graft] def stageTimePartitioned(s: SparkSession, d: String): String =
-    stagedTrees.computeIfAbsent(d, _ => {
+    graft.core.IndexCache.dir(s"events-dt|$d") {
       import s.implicits._
       val dir = TmpDirs.dir("events-dt")
       // At scale this write is the archive's ingest layout decision:
@@ -437,7 +435,7 @@ object ScaleOps {
         .withColumn("dt", date_format(timestamp_millis($"ms"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("dt").parquet(dir)
       dir
-    })
+    }
 
   /** The time-ranged read over the staged tree ("replay week 2 of the
     * month"); split out so PlanSpec can pin the pruned partition count
@@ -1095,15 +1093,22 @@ object ScaleOps {
     * yet every other scan treats one archived row as one message. The
     * archive stages deterministically in the real KPL frame shape
     * (batches of ≤8 messages keyed by event_id div 8; frame = the
-    * 0xF3899AC2 magic + [varint length ‖ message JSON]* + an
+    * 0xF3899AC2 magic + the `AggregatedRecord` PROTOBUF WIRE BODY + an
     * md5-of-body trailer, messages in event_id order, binary structure
-    * text-encoded as hex), plus two planted MALFORMED frames, and the
-    * scan DEAGGREGATES with native higher-order functions: frames
-    * failing the magic or the md5 integrity check are counted into the
-    * dead-letter ledger and dropped (never thrown); an `aggregate`
-    * fold walks the varint prefixes into each good frame's offset
-    * table, `transform` slices the sub-messages out, and one explode +
-    * from_json yields the message stream. The oracle states COUNT +
+    * text-encoded as hex). The body is genuine tag-delimited protobuf
+    * wire format: field 1 (`partition_key_table`, wire type 2, tag
+    * 0x0A) holds the batch's partition key, and each message is a
+    * field-3 `Record` submessage (tag 0x1A) carrying field 1
+    * `partition_key_index` (varint, tag 0x08) and field 3 `data`
+    * (length-delimited, tag 0x1A) — all lengths true LEB128 varints
+    * counting BINARY bytes. Two planted MALFORMED frames ride along,
+    * and the scan DEAGGREGATES with native higher-order functions:
+    * frames failing the magic or the md5 integrity check are counted
+    * into the dead-letter ledger and dropped (never thrown); an
+    * `aggregate` fold walks the tag/varint structure into each good
+    * frame's record-offset table, `transform` slices the `data`
+    * payloads out, and one explode + from_json yields the message
+    * stream. The oracle states COUNT +
     * CHECKSUM CONSERVATION plus the pinned dead-letter count: per-type
     * message counts, event_id sums, and exact cent sums must equal the
     * flat table's — packing and unpacking lost, duplicated, and
@@ -1121,19 +1126,60 @@ object ScaleOps {
     */
   private[graft] val KplMagic = "F3899AC2"
 
-  /** Stage the events archive as KPL-style aggregated records (see
+  // --- protobuf wire helpers (hex-text carrier) -----------------------
+  // The AggregatedRecord body is true protobuf wire format: every
+  // structural byte (tags, LEB128 varints) is carried as 2 hex chars;
+  // length-delimited PAYLOADS (partition key, message JSON) are carried
+  // raw at 1 char/byte. All varint LENGTHS count BINARY bytes, exactly
+  // as on the wire. Two-byte LEB128 covers lengths < 16384 — far above
+  // the ≤8-message, ~200-byte-JSON staging envelope.
+
+  /** SQL: LEB128-encode the int expression `x` as hex text. */
+  private def kplVarintEnc(x: String): String =
+    s"(case when ($x) < 128 then lpad(hex($x), 2, '0') " +
+      s"else concat(lpad(hex(128 + ($x) % 128), 2, '0'), " +
+      s"lpad(hex(($x) div 128), 2, '0')) end)"
+
+  /** SQL: the binary byte at 1-based text offset `o` of `body`. */
+  private def kplByte(o: String): String =
+    s"cast(conv(substring(body, $o, 2), 16, 10) as int)"
+
+  /** SQL: the LEB128 varint VALUE starting at text offset `o`. */
+  private def kplVarintVal(o: String): String =
+    s"(case when ${kplByte(o)} >= 128 then (${kplByte(o)} - 128) + " +
+      s"128 * ${kplByte(s"($o) + 2")} else ${kplByte(o)} end)"
+
+  /** SQL: the LEB128 varint BYTE width (1 or 2) at text offset `o`. */
+  private def kplVarintW(o: String): String =
+    s"(case when ${kplByte(o)} >= 128 then 2 else 1 end)"
+
+  /** Stage the events archive as KPL aggregated records (see
     * `scan_kpl_deaggregate`) and return the text dir: per record,
-    * magic + [varint length ‖ message JSON]* + md5-of-body trailer,
-    * messages in event_id order, ≤8 per record. Two deterministic
+    * magic + protobuf `AggregatedRecord` body + md5-of-body trailer,
+    * messages in event_id order, ≤8 per record. The body is the real
+    * wire layout: one `partition_key_table` entry (tag 0x0A ‖
+    * varint(len) ‖ key = the batch group id), then per message a
+    * field-3 `Record` submessage (tag 0x1A ‖ varint(record bytes) ‖
+    * [tag 0x08 ‖ varint(0) — partition_key_index into the table] ‖
+    * [tag 0x1A ‖ varint(len) ‖ message JSON]). Two deterministic
     * MALFORMED frames (bad magic; bad trailer) ride along whenever the
     * archive is nonempty — the dead-letter fixture every consumer must
-    * count and drop, never throw on. Shared by the batch scan and the
-    * streaming replay of the same layout.
+    * count and drop, never throw on. Shared by the batch scan, the
+    * streaming replay, and the DLQ redrive of the same layout — cached
+    * per source dir per JVM (IndexCache): the pack is the PRODUCER's
+    * layout, written once at ingest, so the three consumers must not
+    * re-encode the corpus each.
     */
-  private[graft] def stageKplArchive(s: SparkSession, d: String): String = {
+  private[graft] def stageKplArchive(s: SparkSession, d: String): String =
+    graft.core.IndexCache.dir(s"events-kpl|$d") { stageKplArchiveCold(s, d) }
+
+  private def stageKplArchiveCold(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = TmpDirs.dir("events-kpl")
     val sub = graft.core.Ndjson.fields.map(f => col(f.name))
+    // Record submessage bytes = tag(08) + varint(0) + tag(1A) +
+    // varint(jlen) + jlen payload bytes = 3 + width(jlen) + jlen.
+    val recLen = "3 + (case when length(x.m) < 128 then 1 else 2 end) + length(x.m)"
     val body = Tables.events(s, d)
       // FLOOR grouping (matches the oracle's `//` for any id sign)
       .select(expr(Det.fdivExpr("event_id", "8")).as("g"), $"event_id",
@@ -1141,10 +1187,12 @@ object ScaleOps {
       .groupBy("g")
       .agg(expr("array_join(transform(array_sort(collect_list(" +
         "struct(event_id, m))), x -> concat(" +
-        "case when length(x.m) < 128 then lpad(hex(length(x.m)), 2, '0') " +
-        "else concat(lpad(hex(128 + length(x.m) % 128), 2, '0'), " +
-        "lpad(hex(length(x.m) div 128), 2, '0')) end, x.m)), '')").as("body"))
+        s"'1A', ${kplVarintEnc(recLen)}, '0800', " +
+        s"'1A', ${kplVarintEnc("length(x.m)")}, x.m)), '')").as("records"))
     val frames = body
+      .withColumn("body", concat(
+        lit("0A"), expr(kplVarintEnc("length(cast(g as string))")),
+        $"g".cast("string"), $"records"))
       .select($"g", concat(lit(KplMagic), $"body", md5($"body")).as("value"))
     // the two dead-letter fixtures, derived from the first good frame:
     // a frame with alien magic and a frame whose md5 trailer lies
@@ -1161,36 +1209,46 @@ object ScaleOps {
     * records into the parsed message struct column `e`, silently
     * DROPPING malformed frames (wrong magic or failed md5 integrity
     * check — the dead-letter rule; [[kplFrameLedger]] counts them).
-    * Pure per-row projections (varint-walking HOF fold → slice →
-    * explode → from_json), so the SAME definition serves the batch
-    * scan and a streaming replay. The fold walks at most 8 varint
-    * prefixes (the staging batch cap) and stops at the body end, so a
-    * record with fewer messages parses exactly.
+    * Pure per-row projections (a protobuf tag/varint-walking HOF fold
+    * → `data`-payload slice → explode → from_json), so the SAME
+    * definition serves the batch scan and a streaming replay. The fold
+    * skips the partition-key-table entry (tag 0x0A), walks each
+    * Record submessage (tag 0x1A) by its declared LEB128 byte length,
+    * and stops at the body end, so a record with fewer than the
+    * 8-message staging cap parses exactly.
     */
-  private[graft] def kplDeaggregate(df: DataFrame): DataFrame =
+  private[graft] def kplDeaggregate(df: DataFrame): DataFrame = {
+    // one wire element step: at text offset o, read the tag byte; a
+    // partition-key-table entry (0x0A) is skipped over its raw payload;
+    // a Record submessage (0x1A) advances by its declared BINARY length
+    // re-expanded to text chars (structural bytes 2 chars, payload
+    // bytes 1), which needs the nested data length JL: text len =
+    // 2·reclen − JL
+    def next(o: String): String = {
+      val w = kplVarintW(s"($o) + 2")
+      val v = kplVarintVal(s"($o) + 2")
+      val p = s"(($o) + 2 + 2 * $w)"
+      val jl = kplVarintVal(s"$p + 6")
+      s"(case when ${kplByte(o)} = 10 then ($o) + 2 + 2 * $w + $v " +
+        s"else $p + 2 * $v - ($jl) end)"
+    }
+    // Record payload slice: p → "08" pk-index varint (always 1 byte —
+    // the table has one entry) → "1A" → varint(jlen) → jlen raw chars
+    val p = s"((o) + 2 + 2 * ${kplVarintW("(o) + 2")})"
+    val msgExpr = s"substring(body, $p + 6 + 2 * ${kplVarintW(s"$p + 6")}, " +
+      s"${kplVarintVal(s"$p + 6")})"
     kplFrames(df).filter(col("good"))
-      // walk the varint length prefixes into the offset table: start
-      // at 1; next = o + header(2 or 4 hex chars) + message length;
-      // stop appending once past the body end (the final entry is the
-      // end marker, filtered out below)
+      // walk the tag/varint structure into the offset table: start at
+      // 1 (the pk-table entry); ≤9 appends cover 1 pk entry + 8
+      // records + the end marker; keep only Record (0x1A) offsets
       .withColumn("offs", expr(
-        "filter(aggregate(sequence(1, 8), array(1), (acc, i) -> " +
-          "case when element_at(acc, -1) > length(body) then acc " +
-          "else acc || array(element_at(acc, -1) + " +
-          "case when cast(conv(substring(body, element_at(acc, -1), 2), 16, 10) as int) >= 128 " +
-          "then 4 + (cast(conv(substring(body, element_at(acc, -1), 2), 16, 10) as int) - 128) " +
-          "+ 128 * cast(conv(substring(body, element_at(acc, -1) + 2, 2), 16, 10) as int) " +
-          "else 2 + cast(conv(substring(body, element_at(acc, -1), 2), 16, 10) as int) end) end), " +
-          "o -> o <= length(body))"))
-      .select(explode(expr(
-        "transform(offs, o -> " +
-          "case when cast(conv(substring(body, o, 2), 16, 10) as int) >= 128 " +
-          "then substring(body, o + 4, " +
-          "(cast(conv(substring(body, o, 2), 16, 10) as int) - 128) " +
-          "+ 128 * cast(conv(substring(body, o + 2, 2), 16, 10) as int)) " +
-          "else substring(body, o + 2, " +
-          "cast(conv(substring(body, o, 2), 16, 10) as int)) end)")).as("msg"))
+        s"filter(aggregate(sequence(1, 9), array(1), (acc, i) -> " +
+          s"case when element_at(acc, -1) > length(body) then acc " +
+          s"else acc || array(${next("element_at(acc, -1)")}) end), " +
+          s"o -> o <= length(body) AND ${kplByte("o")} = 26)"))
+      .select(explode(expr(s"transform(offs, o -> $msgExpr)")).as("msg"))
       .select(from_json(col("msg"), graft.core.Ndjson.recordSchema).as("e"))
+  }
 
   /** Frame-validity projection shared by the parser and the ledger:
     * magic match + md5(body) == trailer.
@@ -1643,6 +1701,158 @@ object ScaleOps {
     })
 
   // ------------------------------------------------------------------
+  // agg_bloom_merge — BLOOM FILTER MERGEABILITY as a hash-checked
+  // property, completing the sketch-merge triad (agg_hll_union =
+  // bounded merge, agg_cms_merge = exact additive merge, this key =
+  // exact IDEMPOTENT merge): Bloom filters over the same (m, k, hash)
+  // configuration merge by bitwise OR, and because set union is
+  // idempotent the OR of per-shard filters is BIT-IDENTICAL to the
+  // filter built over the whole stream — even though shards OVERLAP
+  // (a user active in many event types sets the same bits in many
+  // shards), which is exactly the case additive CMS merge would
+  // double-count and Bloom OR must not. Shards are the event types;
+  // per-shard bit ledgers collapse map-side to ≤4096 rows each, the
+  // OR is one distinct over the merged ledger, and the key pins ZERO
+  // symmetric difference between direct and merged bit sets plus the
+  // union bound Σ|shard bits| ≥ |merged bits| that makes the overlap
+  // visible. Fully replayable in the oracle.
+  // ------------------------------------------------------------------
+
+  private val aggBloomMerge = Q(
+    "agg_bloom_merge",
+    (s, d) => {
+      import s.implicits._
+      val u = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", $"event_type").distinct()
+      val direct = u.select($"user_id").distinct()
+        .withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .select(expr(bloomHashExpr("dep", "user_id")).as("bit")).distinct()
+      val shards = u
+        .withColumn("dep", explode(sequence(lit(0), lit(3))))
+        .select($"event_type", expr(bloomHashExpr("dep", "user_id")).as("bit"))
+        .distinct()
+      val merged = shards.select($"bit").distinct()
+      val shardStats = shards
+        .agg(countDistinct($"event_type").as("n_shards"),
+          count(lit(1)).as("n_shard_bits_sum"))
+      val sides = direct.withColumn("dhit", lit(1L))
+        .join(merged.withColumn("mhit", lit(1L)), Seq("bit"), "full_outer")
+        .agg(
+          sum(coalesce($"dhit", lit(0L))).as("n_bits_direct"),
+          sum(coalesce($"mhit", lit(0L))).as("n_bits_merged"),
+          sum(coalesce($"dhit", lit(0L)) * (lit(1L) - coalesce($"mhit", lit(0L))))
+            .as("n_only_direct"),
+          sum(coalesce($"mhit", lit(0L)) * (lit(1L) - coalesce($"dhit", lit(0L))))
+            .as("n_only_merged"))
+      shardStats.crossJoin(sides)
+        .select($"n_shards", $"n_shard_bits_sum", $"n_bits_direct",
+          $"n_bits_merged", $"n_only_direct", $"n_only_merged",
+          ($"n_only_direct" === 0L && $"n_only_merged" === 0L)
+            .as("merge_exact"),
+          ($"n_shard_bits_sum" >= $"n_bits_merged").as("union_bound_holds"))
+    },
+    Some {
+      def h(dep: String, id: String): String = {
+        val m = s"md5(CAST($dep AS VARCHAR) || ':' || CAST($id AS VARCHAR))"
+        s"((strpos('0123456789abcdef', substring($m, 1, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substring($m, 2, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substring($m, 3, 1)) - 1"
+      }
+      "WITH u AS (SELECT DISTINCT user_id, event_type FROM events " +
+        "WHERE user_id IS NOT NULL), " +
+        "dd AS (SELECT unnest(generate_series(0, 3)) AS dep), " +
+        "direct AS (SELECT DISTINCT " + h("dep", "user_id") + " AS bit " +
+        "FROM (SELECT DISTINCT user_id FROM u) CROSS JOIN dd), " +
+        "shards AS (SELECT DISTINCT event_type, " + h("dep", "user_id") +
+        " AS bit FROM u CROSS JOIN dd), " +
+        "mg AS (SELECT DISTINCT bit FROM shards), " +
+        "sc AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_shards, " +
+        "CAST(count(*) AS BIGINT) AS n_shard_bits_sum FROM shards), " +
+        "j AS (SELECT coalesce(dd2.one, 0) AS dhit, coalesce(mm.one, 0) AS mhit " +
+        "FROM (SELECT bit, 1 AS one FROM direct) dd2 " +
+        "FULL OUTER JOIN (SELECT bit, 1 AS one FROM mg) mm USING (bit)), " +
+        "agg AS (SELECT CAST(SUM(dhit) AS BIGINT) AS n_bits_direct, " +
+        "CAST(SUM(mhit) AS BIGINT) AS n_bits_merged, " +
+        "CAST(SUM(dhit * (1 - mhit)) AS BIGINT) AS n_only_direct, " +
+        "CAST(SUM(mhit * (1 - dhit)) AS BIGINT) AS n_only_merged FROM j) " +
+        "SELECT sc.n_shards, sc.n_shard_bits_sum, agg.n_bits_direct, " +
+        "agg.n_bits_merged, agg.n_only_direct, agg.n_only_merged, " +
+        "agg.n_only_direct = 0 AND agg.n_only_merged = 0 AS merge_exact, " +
+        "sc.n_shard_bits_sum >= agg.n_bits_merged AS union_bound_holds " +
+        "FROM sc, agg"
+    })
+
+  // ------------------------------------------------------------------
+  // agg_lc_union — LINEAR-COUNTING UNION as a hash-checked property,
+  // the merge law for the bitmap sketch: per-shard bitmaps OR into the
+  // union bitmap (idempotent, like Bloom), so the zero-bucket count —
+  // and with it the m·ln(m/z) estimate — of the merged bitmap is
+  // IDENTICAL to the direct build's, while the SUM of per-shard set
+  // bits exceeds the merged count by exactly the shard overlap. The
+  // instructive contrast this key pins: LC merges by bitmap OR, never
+  // by adding per-shard ESTIMATES (overlapping shards would
+  // double-count) — the same reason HLL unions registers, not
+  // numbers. Shards = event types; each ledger collapses map-side to
+  // ≤4096 rows; the estimate replays exactly in the oracle (one ln,
+  // rounded 4dp).
+  // ------------------------------------------------------------------
+
+  private val aggLcUnion = Q(
+    "agg_lc_union",
+    (s, d) => {
+      import s.implicits._
+      val u = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", $"event_type").distinct()
+      val direct = u.select($"user_id").distinct()
+        .select(expr(bloomHashExpr("'lc'", "user_id")).as("bit")).distinct()
+      val shards = u
+        .select($"event_type", expr(bloomHashExpr("'lc'", "user_id")).as("bit"))
+        .distinct()
+      val merged = shards.select($"bit").distinct()
+      def est(zCol: Column): Column =
+        when(zCol > 0, dround(lit(4096.0) * log(lit(4096.0) / zCol), 4))
+      val stats = shards
+        .agg(countDistinct($"event_type").as("n_shards"),
+          count(lit(1)).as("n_shard_bits_sum"))
+        .crossJoin(direct.agg((lit(4096L) - count(lit(1))).as("z_direct")))
+        .crossJoin(merged.agg((lit(4096L) - count(lit(1))).as("z_merged")))
+      stats.select($"n_shards", $"n_shard_bits_sum", $"z_direct", $"z_merged",
+        est($"z_direct").as("lc_est_direct"),
+        est($"z_merged").as("lc_est_merged"),
+        ($"z_direct" === $"z_merged").as("merge_exact"),
+        ($"n_shard_bits_sum" >= lit(4096L) - $"z_merged")
+          .as("union_bound_holds"))
+    },
+    Some {
+      def h(id: String): String = {
+        val m = s"md5('lc:' || CAST($id AS VARCHAR))"
+        s"((strpos('0123456789abcdef', substring($m, 1, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substring($m, 2, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substring($m, 3, 1)) - 1"
+      }
+      def est(z: String): String =
+        s"CASE WHEN $z > 0 THEN " + OSql.sround(s"4096.0 * ln(4096.0 / $z)", 4) + " END"
+      "WITH u AS (SELECT DISTINCT user_id, event_type FROM events " +
+        "WHERE user_id IS NOT NULL), " +
+        "direct AS (SELECT DISTINCT " + h("user_id") + " AS bit " +
+        "FROM (SELECT DISTINCT user_id FROM u)), " +
+        "shards AS (SELECT DISTINCT event_type, " + h("user_id") + " AS bit FROM u), " +
+        "mg AS (SELECT DISTINCT bit FROM shards), " +
+        "sc AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_shards, " +
+        "CAST(count(*) AS BIGINT) AS n_shard_bits_sum FROM shards), " +
+        "zd AS (SELECT 4096 - CAST(count(*) AS BIGINT) AS z_direct FROM direct), " +
+        "zm AS (SELECT 4096 - CAST(count(*) AS BIGINT) AS z_merged FROM mg) " +
+        "SELECT sc.n_shards, sc.n_shard_bits_sum, zd.z_direct, zm.z_merged, " +
+        est("zd.z_direct") + " AS lc_est_direct, " +
+        est("zm.z_merged") + " AS lc_est_merged, " +
+        "zd.z_direct = zm.z_merged AS merge_exact, " +
+        "sc.n_shard_bits_sum >= 4096 - zm.z_merged AS union_bound_holds " +
+        "FROM sc, zd, zm"
+    })
+
+  // ------------------------------------------------------------------
   // agg_kmv_set_ops — SKETCH SET ALGEBRA over two KMV sketches, the
   // theta-sketch capability that separates a sketch LIBRARY from a
   // sketch table (HLL unions; only order-statistic sketches also
@@ -1916,5 +2126,5 @@ object ScaleOps {
     scanParquetZstd, scanKplDeaggregate, replayDlqRedrive, aggCmsEstimate,
     aggBloomMembership, auditSequenceGaps, auditDuplicateEvents,
     scanManifestSnapshot, aggKmvDistinct, aggLinearCounting, aggKmvSetOps,
-    aggCmsMerge)
+    aggCmsMerge, aggBloomMerge, aggLcUnion)
 }

@@ -75,8 +75,10 @@ object Windows {
       import s.implicits._
       val w = Window.partitionBy($"c_mktsegment")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      // customer is SF-scaled: no broadcast hint (plan-linter R5) —
+      // AQE broadcasts while small, shuffle-joins at scale
       t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
         .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
@@ -390,7 +392,8 @@ object Windows {
     (s, d) => {
       import s.implicits._
       val rev = graft.core.Tables.t(s, d, "orders")
-        .join(broadcast(graft.core.Tables.t(s, d, "customer")),
+        // SF-scaled customer: hint-free join (plan-linter R5), AQE picks
+        .join(graft.core.Tables.t(s, d, "customer"),
           $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment", $"c_custkey")
         .agg(sum(round($"o_totalprice" * 100).cast("long")).as("r"))
@@ -446,7 +449,8 @@ object Windows {
       import s.implicits._
       val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
       val rev = graft.core.Tables.t(s, d, "orders")
-        .join(broadcast(graft.core.Tables.t(s, d, "customer")),
+        // SF-scaled customer: hint-free join (plan-linter R5), AQE picks
+        .join(graft.core.Tables.t(s, d, "customer"),
           $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment", $"c_custkey")
         .agg(sum(round($"o_totalprice" * 100).cast("long")).as("r"))
@@ -486,7 +490,8 @@ object Windows {
       import s.implicits._
       val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
       val rev = graft.core.Tables.t(s, d, "orders")
-        .join(broadcast(graft.core.Tables.t(s, d, "customer")),
+        // SF-scaled customer: hint-free join (plan-linter R5), AQE picks
+        .join(graft.core.Tables.t(s, d, "customer"),
           $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment", $"c_custkey")
         .agg(sum(round($"o_totalprice" * 100).cast("long")).as("r"))

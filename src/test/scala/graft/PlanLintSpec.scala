@@ -90,6 +90,25 @@ class PlanLintSpec extends SparkSpec {
   /** R1: keys allowed a fact×fact product. */
   private val productOk: Map[String, String] = Map.empty
 
+  /** R5: keys allowed an explicit broadcast() hint over an id-scaled
+    * subtree — an entry needs a proof the broadcast side is bounded at
+    * ANY corpus size, not just this SF. The rule's first sweep found 9
+    * keys; 7 were real (hinted broadcasts of the SF-scaled customer /
+    * part tables — now hint-free, AQE decides) and these 2 are bounded
+    * by construction.
+    */
+  private val idBroadcastOk: Map[String, String] = Map(
+    "join_broadcast_chain" ->
+      ("declared contract key: demonstrates the broadcast-star chain " +
+        "plan shape (PlanSpec pins >=4 BroadcastHashJoin); the hint IS " +
+        "the demonstrated technique, and its scaladoc carries the " +
+        "at-scale caveat"),
+    "sim_maxsim_labels" ->
+      ("the broadcast probe side is a rank filter (<=32 rows per label " +
+        "x 2 labels) Catalyst lowers to WindowGroupLimit — bounded at " +
+        "any corpus size; PlanSpec pins the WindowGroupLimit-before-" +
+        "broadcast shape; the logical walk just cannot see rank bounds"))
+
   // ---- plan walking ----
 
   /** All nodes of an executed plan, descending through AQE wrappers,
@@ -222,6 +241,89 @@ class PlanLintSpec extends SparkSpec {
     out.result().distinct
   }
 
+  // ---- R5: explicit broadcast hints over id-scaled subtrees ----------
+  // The rule that catches sample_negative's original bug class at
+  // AUTHOR time: a broadcast() hint promises the side stays
+  // executor-memory-small at ANY corpus size, but a subtree whose
+  // cardinality is keyed by an entity id (user, doc, vec, order, …)
+  // scales WITH the corpus — small at sf0.01, fatal at 100 TB. Checked
+  // on the optimized LOGICAL plan, where the author's hint is still
+  // distinguishable from AQE's runtime (size-proven, scale-adaptive)
+  // broadcast decisions.
+
+  /** Entity-id column: grouping by one of these scales the aggregate's
+    * output with the corpus, so it does NOT bound cardinality. */
+  private def isIdCol(name: String): Boolean =
+    name.endsWith("_id") || name.endsWith("key") || uniqueKeyCols(name)
+
+  /** A grouping expression that carries full entity-id cardinality: a
+    * bare id column (or a trivial alias/cast of one). A HASH or MOD of
+    * an id (md5 digits → 0..255, k % 50) compresses to a bounded
+    * domain and does NOT scale, so only the bare form counts.
+    */
+  private def bareId(e: Expression): Boolean = e match {
+    case a: AttributeReference => isIdCol(a.name)
+    case al: Alias             => bareId(al.child)
+    case c: Cast               => bareId(c.child)
+    case _ => false
+  }
+
+  private def factRelBelow(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.exists {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            factTables.exists(t =>
+              h.location.rootPaths.mkString(",").contains(s"/$t.parquet"))
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** True when a LOGICAL subtree's row count scales with the corpus:
+    * a fact relation with no corpus-independent bound (limit,
+    * non-id-keyed aggregate, unique-key point lookup) on the path.
+    */
+  private def idScaled(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case a: Aggregate =>
+        // grouped output is value-domain-sized UNLESS keyed by a bare
+        // entity id — then it is entity-count-sized, which scales
+        a.groupingExpressions.exists(bareId) && factRelBelow(a.child)
+      case _: GlobalLimit | _: LocalLimit => false
+      case f: Filter if splitAnd(f.condition).exists(pointLookup) => false
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            factTables.exists(t =>
+              h.location.rootPaths.mkString(",").contains(s"/$t.parquet"))
+          case _ => false
+        }
+      case other => other.children.exists(idScaled)
+    }
+  }
+
+  private def lintLogical(key: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    if (idBroadcastOk.contains(key)) return Nil
+    val out = Seq.newBuilder[String]
+    plan.foreach {
+      case j: LJoin =>
+        def hinted(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+          h.exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+        if (hinted(j.hint.leftHint) && idScaled(j.left))
+          out += "R5 explicit broadcast hint over an id-scaled left side"
+        if (hinted(j.hint.rightHint) && idScaled(j.right))
+          out += "R5 explicit broadcast hint over an id-scaled right side"
+      case _ => ()
+    }
+    out.result().distinct
+  }
+
   // one generated test per declared key, run at the driver's gate SF
   private val lintSf = sys.env.getOrElse("GRAFT_LINT_SF", "/root/testdata/sf0.01")
 
@@ -229,7 +331,8 @@ class PlanLintSpec extends SparkSpec {
     test(s"plan lint: $key") {
       val df = SparkEntry.queries(key)(spark, lintSf)
       df.collect() // finalize AQE so the lint sees the real plan
-      val findings = lint(key, df.queryExecution.executedPlan)
+      val findings = lint(key, df.queryExecution.executedPlan) ++
+        lintLogical(key, df.queryExecution.optimizedPlan)
       assert(findings.isEmpty,
         findings.mkString(s"\n[$key]\n  ", "\n  ", ""))
     }
