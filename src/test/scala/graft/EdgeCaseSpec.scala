@@ -2393,6 +2393,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getBoolean(6) && r.getBoolean(7))
   }
 
+  test("kmv set difference below k is the exact difference; the theta partition holds") {
+    // click-big {1..6}, error-big {4..9}: A∖B = {1,2,3}, B∖A = {7,8,9};
+    // below k the estimates ARE the exact counts and the below-θ
+    // only_a + only_b + common partition must account for every
+    // retained union hash
+    val rows =
+      (1L to 6L).map(u => (u, 0L, u, "click", 95.0, "{}")) ++
+        (4L to 9L).map(u => (100 + u, 0L, u, "error", 95.0, "{}"))
+    val dir = stageTables("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = run("agg_kmv_diff", dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((6L, 6L)))
+    assert((r.getLong(2), r.getLong(3)) === ((3L, 3L)), "exact diffs")
+    assert((r.getLong(4), r.getLong(5)) === ((3L, 3L)),
+      "below-k estimates degrade to the exact sets")
+    assert(r.getBoolean(6), "partition law")
+    assert(r.getBoolean(7) && r.getBoolean(8))
+  }
+
   test("mood's median test scores a clean 2×2 split at chi2 = 4") {
     // {$1,$2} vs {$3,$4}: grand lower median 200 cents, groups sit
     // entirely on opposite sides ⇒ every cell contributes 1
