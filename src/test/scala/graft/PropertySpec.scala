@@ -650,6 +650,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMV difference: the theta partition law holds on random audiences") {
+    // for ANY generated click/error audience overlap: below the union
+    // sketch's theta, only_a + only_b + common must account for every
+    // retained hash (pinned as partition_holds), and below-k
+    // populations must degrade to the exact set differences
+    val gen = for {
+      na <- Gen.chooseNum(0, 60)
+      nb <- Gen.chooseNum(0, 60)
+      ov <- Gen.chooseNum(0, 40)
+    } yield (na, nb, ov)
+    Gen.listOfN(4, gen).sample.getOrElse(Nil).foreach { case (na, nb, ov) =>
+      // users 0..na-1 click-big; users na-ov .. na-ov+nb-1 error-big
+      val clicks = (0 until na).map(u =>
+        (u.toLong, 0L, u.toLong, "click", 95.0, "{}"))
+      val errors = (0 until nb).map(j =>
+        (1000L + j, 0L, (na - ov + j).toLong, "error", 95.0, "{}"))
+      val dir = stageTables("events" -> (clicks ++ errors)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val r = run("agg_kmv_diff", dir).collect().head
+      val interExact = (0 until na).toSet
+        .intersect((0 until nb).map(na - ov + _).toSet).size.toLong
+      assert(r.getLong(0) === na.toLong && r.getLong(1) === nb.toLong)
+      assert(r.getLong(2) === na - interExact, "exact A-minus-B")
+      assert(r.getLong(3) === nb - interExact, "exact B-minus-A")
+      // below k = 128 both estimates are the exact branch
+      assert(r.getLong(4) === r.getLong(2) && r.getLong(5) === r.getLong(3))
+      assert(r.getBoolean(6), "theta partition law")
+    }
+  }
+
   test("markov removal effects are non-negative on random journey tables") {
     // the step-wise mass-dominance law: deleting a channel can never
     // RAISE the chain's conversion probability, for ANY generated
