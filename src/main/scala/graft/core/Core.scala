@@ -315,6 +315,15 @@ object IndexCache {
     * function of the source dir, written once when the corpus lands,
     * then read by every scan/replay of that layout — so the cold write
     * belongs to `index_staging`, not to whichever query ran first.
+    *
+    * Same putIfAbsent re-entrancy rationale as [[apply]], with the same
+    * trade: two CONCURRENT first callers both execute the (expensive
+    * Spark write) build and the loser's directory is orphaned until
+    * JVM-exit reaping — acceptable because builds are idempotent pure
+    * functions of the key and suites stage disjoint archives; if
+    * parallel suites ever contend on one archive, switch to a per-key
+    * future map (ConcurrentHashMap[String, Future[String]]) rather
+    * than computeIfAbsent (nested builds would deadlock it).
     */
   def dir(key: String)(build: => String): String = {
     val cached = paths.get(key)

@@ -102,7 +102,17 @@ object CurateOps {
     * (IndexCache — no retrain). "Simplified" (centroid, not all-pairs)
     * is the standard web-scale form: exact silhouette is O(N²); this is
     * O(N·K) map-side flops against the broadcast K×64 centroid table —
-    * the cost every IVF E-step already pays. Exactness: squared
+    * the cost every IVF E-step already pays. NOTE the structural tail:
+    * the derived K=⌈N/64⌉ is LINEAR in N (cells stay ~64 so SemDeDup's
+    * within-cell candidates stay linear), which makes the one-vs-all-K
+    * assignment N·K = N²/64 asymptotically — the measured sf0.1→sf1
+    * ratio (5.76× for 10× data, BENCH_sf1.json) is this term still
+    * amortized behind fixed cost, pinned in ScaleProofSpec. At true
+    * 100 TB scale the assignment wants a TWO-LEVEL coarse quantizer:
+    * cluster the K centroids into √K coarse groups once (K rows —
+    * tiny), assign each vector to its nearest coarse group, and score
+    * exact distances only against that group's ~√K member centroids —
+    * O(N·√K) with the same broadcast-ledger shape. Exactness: squared
     * distance lifts to the common denominator n² so the per-component
     * sum is the exact HUGEINT Σ(q·n − sq)² — never a float sum in
     * engine order — and each s(i) floor-quantizes at 10⁶ BEFORE the

@@ -284,9 +284,13 @@ object MiningOps {
           sum($"user_id").as("user_id_sum"))
         .orderBy("kb")
     },
-    Some("WITH basket AS (SELECT DISTINCT user_id, " +
-      "CAST(props->>'$.k' AS BIGINT) % 50 AS kb FROM events " +
-      "WHERE props->>'$.k' IS NOT NULL), " +
+    // TRY_CAST + post-cast null filter: the EXACT predicate the Spark
+    // side applies (cast-then-filter), so a non-numeric props.k drops
+    // identically in both engines instead of erroring DuckDB's strict
+    // CAST or diverging on placement of the null filter
+    Some("WITH basket AS (SELECT DISTINCT user_id, kb FROM " +
+      "(SELECT user_id, TRY_CAST(props->>'$.k' AS BIGINT) % 50 AS kb " +
+      "FROM events) WHERE kb IS NOT NULL), " +
       "cand AS (SELECT u.user_id, t.kb FROM " +
       "(SELECT DISTINCT user_id FROM basket) u CROSS JOIN " +
       "(SELECT DISTINCT kb FROM basket) t), " +

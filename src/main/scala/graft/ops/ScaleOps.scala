@@ -1096,10 +1096,13 @@ object ScaleOps {
     * 0xF3899AC2 magic + the `AggregatedRecord` PROTOBUF WIRE BODY + an
     * md5-of-body trailer, messages in event_id order, binary structure
     * text-encoded as hex). The body is genuine tag-delimited protobuf
-    * wire format: field 1 (`partition_key_table`, wire type 2, tag
-    * 0x0A) holds the batch's partition key, and each message is a
-    * field-3 `Record` submessage (tag 0x1A) carrying field 1
-    * `partition_key_index` (varint, tag 0x08) and field 3 `data`
+    * wire format WITH real KPL key deduplication: repeated field-1
+    * entries (`partition_key_table`, wire type 2, tag 0x0A) hold the
+    * batch's DISTINCT per-message partition keys (each message keys by
+    * its event_type; sorted), and each message is a field-3 `Record`
+    * submessage (tag 0x1A) carrying field 1 `partition_key_index`
+    * (varint, tag 0x08 — the message's 0-based index into the table,
+    * NONZERO throughout the archive) and field 3 `data`
     * (length-delimited, tag 0x1A) — all lengths true LEB128 varints
     * counting BINARY bytes. Two planted MALFORMED frames ride along,
     * and the scan DEAGGREGATES with native higher-order functions:
@@ -1108,8 +1111,12 @@ object ScaleOps {
     * `aggregate` fold walks the tag/varint structure into each good
     * frame's record-offset table, `transform` slices the `data`
     * payloads out, and one explode + from_json yields the message
-    * stream. The oracle states COUNT +
-    * CHECKSUM CONSERVATION plus the pinned dead-letter count: per-type
+    * stream. The rollup groups by the RESOLVED WIRE KEY (the record's
+    * partition_key_index looked up in the table), so a consumer that
+    * ignored nonzero indexes would shuffle counts between groups and
+    * fail the hash; a pk-vs-payload mismatch tally is pinned to 0
+    * besides. The oracle states COUNT +
+    * CHECKSUM CONSERVATION plus the pinned dead-letter count: per-key
     * message counts, event_id sums, and exact cent sums must equal the
     * flat table's — packing and unpacking lost, duplicated, and
     * corrupted nothing, and exactly the two planted frames died.
@@ -1134,11 +1141,19 @@ object ScaleOps {
   // as on the wire. Two-byte LEB128 covers lengths < 16384 — far above
   // the ≤8-message, ~200-byte-JSON staging envelope.
 
-  /** SQL: LEB128-encode the int expression `x` as hex text. */
+  /** SQL: LEB128-encode the int expression `x` as hex text. Two-byte
+    * LEB128 tops out at 16383; a larger value would LPAD-TRUNCATE into
+    * a well-formed-but-wrong frame whose md5 trailer (computed over the
+    * already-corrupt body) still validates — so the encoder fails
+    * LOUDLY at stage time (`assert_true`) instead of corrupting the
+    * archive.
+    */
   private def kplVarintEnc(x: String): String =
     s"(case when ($x) < 128 then lpad(hex($x), 2, '0') " +
-      s"else concat(lpad(hex(128 + ($x) % 128), 2, '0'), " +
-      s"lpad(hex(($x) div 128), 2, '0')) end)"
+      s"when ($x) < 16384 then concat(lpad(hex(128 + ($x) % 128), 2, '0'), " +
+      s"lpad(hex(($x) div 128), 2, '0')) " +
+      s"else cast(assert_true(($x) < 16384, 'kplVarintEnc: value exceeds " +
+      s"the 2-byte LEB128 staging envelope') as string) end)"
 
   /** SQL: the binary byte at 1-based text offset `o` of `body`. */
   private def kplByte(o: String): String =
@@ -1157,18 +1172,23 @@ object ScaleOps {
     * `scan_kpl_deaggregate`) and return the text dir: per record,
     * magic + protobuf `AggregatedRecord` body + md5-of-body trailer,
     * messages in event_id order, ≤8 per record. The body is the real
-    * wire layout: one `partition_key_table` entry (tag 0x0A ‖
-    * varint(len) ‖ key = the batch group id), then per message a
-    * field-3 `Record` submessage (tag 0x1A ‖ varint(record bytes) ‖
-    * [tag 0x08 ‖ varint(0) — partition_key_index into the table] ‖
-    * [tag 0x1A ‖ varint(len) ‖ message JSON]). Two deterministic
-    * MALFORMED frames (bad magic; bad trailer) ride along whenever the
-    * archive is nonempty — the dead-letter fixture every consumer must
-    * count and drop, never throw on. Shared by the batch scan, the
-    * streaming replay, and the DLQ redrive of the same layout — cached
-    * per source dir per JVM (IndexCache): the pack is the PRODUCER's
-    * layout, written once at ingest, so the three consumers must not
-    * re-encode the corpus each.
+    * wire layout INCLUDING real KPL key deduplication: each message's
+    * partition key is its `event_type`, the batch's DISTINCT keys are
+    * deduplicated (sorted) into repeated `partition_key_table` entries
+    * (tag 0x0A ‖ varint(len) ‖ key), and each field-3 `Record`
+    * submessage (tag 0x1A ‖ varint(record bytes) ‖ [tag 0x08 ‖
+    * varint(partition_key_index) — the message's 0-based index INTO
+    * the table] ‖ [tag 0x1A ‖ varint(len) ‖ message JSON]) records its
+    * own index — batches of 8 consecutive event_ids mix ≥2 of the 5
+    * event types, so NONZERO indexes occur throughout the archive and
+    * a consumer that assumes index 0 mis-keys most messages. Two
+    * deterministic MALFORMED frames (bad magic; bad trailer) ride
+    * along whenever the archive is nonempty — the dead-letter fixture
+    * every consumer must count and drop, never throw on. Shared by the
+    * batch scan, the streaming replay, and the DLQ redrive of the same
+    * layout — cached per source dir per JVM (IndexCache): the pack is
+    * the PRODUCER's layout, written once at ingest, so the three
+    * consumers must not re-encode the corpus each.
     */
   private[graft] def stageKplArchive(s: SparkSession, d: String): String =
     graft.core.IndexCache.dir(s"events-kpl|$d") { stageKplArchiveCold(s, d) }
@@ -1177,22 +1197,27 @@ object ScaleOps {
     import s.implicits._
     val dir = TmpDirs.dir("events-kpl")
     val sub = graft.core.Ndjson.fields.map(f => col(f.name))
-    // Record submessage bytes = tag(08) + varint(0) + tag(1A) +
+    // Record submessage bytes = tag(08) + varint(idx) (indexes ≤ the
+    // ≤8-message batch width, so always 1 byte) + tag(1A) +
     // varint(jlen) + jlen payload bytes = 3 + width(jlen) + jlen.
     val recLen = "3 + (case when length(x.m) < 128 then 1 else 2 end) + length(x.m)"
     val body = Tables.events(s, d)
       // FLOOR grouping (matches the oracle's `//` for any id sign)
       .select(expr(Det.fdivExpr("event_id", "8")).as("g"), $"event_id",
-        to_json(struct(sub: _*)).as("m"))
+        $"event_type".as("et"), to_json(struct(sub: _*)).as("m"))
       .groupBy("g")
-      .agg(expr("array_join(transform(array_sort(collect_list(" +
-        "struct(event_id, m))), x -> concat(" +
-        s"'1A', ${kplVarintEnc(recLen)}, '0800', " +
-        s"'1A', ${kplVarintEnc("length(x.m)")}, x.m)), '')").as("records"))
+      .agg(expr("array_sort(collect_list(struct(event_id, et, m)))").as("xs"))
+      // KPL key dedup: the table holds each DISTINCT key once, sorted
+      .withColumn("pks",
+        expr("array_sort(array_distinct(transform(xs, x -> x.et)))"))
+      .withColumn("pktable", expr("array_join(transform(pks, k -> " +
+        s"concat('0A', ${kplVarintEnc("length(k)")}, k)), '')"))
+      .withColumn("records", expr("array_join(transform(xs, x -> concat(" +
+        s"'1A', ${kplVarintEnc(recLen)}, " +
+        "'08', lpad(hex(array_position(pks, x.et) - 1), 2, '0'), " +
+        s"'1A', ${kplVarintEnc("length(x.m)")}, x.m)), '')"))
     val frames = body
-      .withColumn("body", concat(
-        lit("0A"), expr(kplVarintEnc("length(cast(g as string))")),
-        $"g".cast("string"), $"records"))
+      .withColumn("body", concat($"pktable", $"records"))
       .select($"g", concat(lit(KplMagic), $"body", md5($"body")).as("value"))
     // the two dead-letter fixtures, derived from the first good frame:
     // a frame with alien magic and a frame whose md5 trailer lies
@@ -1206,16 +1231,21 @@ object ScaleOps {
   }
 
   /** Deaggregate a `value`-column relation of KPL-style aggregated
-    * records into the parsed message struct column `e`, silently
-    * DROPPING malformed frames (wrong magic or failed md5 integrity
-    * check — the dead-letter rule; [[kplFrameLedger]] counts them).
-    * Pure per-row projections (a protobuf tag/varint-walking HOF fold
-    * → `data`-payload slice → explode → from_json), so the SAME
-    * definition serves the batch scan and a streaming replay. The fold
-    * skips the partition-key-table entry (tag 0x0A), walks each
-    * Record submessage (tag 0x1A) by its declared LEB128 byte length,
-    * and stops at the body end, so a record with fewer than the
-    * 8-message staging cap parses exactly.
+    * records into the parsed message struct column `e` plus the
+    * message's RESOLVED partition key `pk` (its Record's
+    * `partition_key_index` looked up in the frame's deduplicated
+    * `partition_key_table` — nonzero indexes occur throughout the
+    * archive, so a consumer that assumes index 0 mis-keys most
+    * messages), silently DROPPING malformed frames (wrong magic or
+    * failed md5 integrity check — the dead-letter rule;
+    * [[kplFrameLedger]] counts them). Pure per-row projections (a
+    * protobuf tag/varint-walking HOF fold → per-element slices →
+    * explode → from_json), so the SAME definition serves the batch
+    * scan and a streaming replay. The fold walks repeated
+    * partition-key-table entries (tag 0x0A) and Record submessages
+    * (tag 0x1A) by their declared LEB128 byte lengths and stops at the
+    * body end, so frames with fewer than the 8-message staging cap
+    * parse exactly.
     */
   private[graft] def kplDeaggregate(df: DataFrame): DataFrame = {
     // one wire element step: at text offset o, read the tag byte; a
@@ -1228,26 +1258,41 @@ object ScaleOps {
       val w = kplVarintW(s"($o) + 2")
       val v = kplVarintVal(s"($o) + 2")
       val p = s"(($o) + 2 + 2 * $w)"
-      val jl = kplVarintVal(s"$p + 6")
+      val iw = kplVarintW(s"$p + 2")
+      val jl = kplVarintVal(s"($p + 4 + 2 * $iw)")
       s"(case when ${kplByte(o)} = 10 then ($o) + 2 + 2 * $w + $v " +
         s"else $p + 2 * $v - ($jl) end)"
     }
-    // Record payload slice: p → "08" pk-index varint (always 1 byte —
-    // the table has one entry) → "1A" → varint(jlen) → jlen raw chars
+    // length-delimited payload slice at element offset o (pk-table key)
+    val entryExpr = s"substring(body, (o) + 2 + 2 * ${kplVarintW("(o) + 2")}, " +
+      s"${kplVarintVal("(o) + 2")})"
+    // Record payload: p → "08" ‖ varint(partition_key_index) → "1A" ‖
+    // varint(jlen) → jlen raw chars
     val p = s"((o) + 2 + 2 * ${kplVarintW("(o) + 2")})"
-    val msgExpr = s"substring(body, $p + 6 + 2 * ${kplVarintW(s"$p + 6")}, " +
-      s"${kplVarintVal(s"$p + 6")})"
+    val iw = kplVarintW(s"$p + 2")
+    val idxExpr = kplVarintVal(s"$p + 2")
+    val jloc = s"($p + 4 + 2 * $iw)"
+    val msgExpr = s"substring(body, $jloc + 2 * ${kplVarintW(jloc)}, " +
+      s"${kplVarintVal(jloc)})"
+    val inBody = s"o <= length(body)"
     kplFrames(df).filter(col("good"))
       // walk the tag/varint structure into the offset table: start at
-      // 1 (the pk-table entry); ≤9 appends cover 1 pk entry + 8
-      // records + the end marker; keep only Record (0x1A) offsets
-      .withColumn("offs", expr(
-        s"filter(aggregate(sequence(1, 9), array(1), (acc, i) -> " +
+      // 1; ≤17 appends cover ≤8 pk-table entries + 8 records + the
+      // end marker
+      .withColumn("alloffs", expr(
+        s"aggregate(sequence(1, 17), array(1), (acc, i) -> " +
           s"case when element_at(acc, -1) > length(body) then acc " +
-          s"else acc || array(${next("element_at(acc, -1)")}) end), " +
-          s"o -> o <= length(body) AND ${kplByte("o")} = 26)"))
-      .select(explode(expr(s"transform(offs, o -> $msgExpr)")).as("msg"))
-      .select(from_json(col("msg"), graft.core.Ndjson.recordSchema).as("e"))
+          s"else acc || array(${next("element_at(acc, -1)")}) end)"))
+      .withColumn("pk_table", expr(
+        s"transform(filter(alloffs, o -> $inBody AND ${kplByte("o")} = 10), " +
+          s"o -> $entryExpr)"))
+      .withColumn("recs", expr(
+        s"transform(filter(alloffs, o -> $inBody AND ${kplByte("o")} = 26), " +
+          s"o -> struct($msgExpr AS msg, $idxExpr AS idx))"))
+      .select(col("pk_table"), explode(col("recs")).as("r"))
+      .select(
+        from_json(col("r.msg"), graft.core.Ndjson.recordSchema).as("e"),
+        expr("element_at(pk_table, r.idx + 1)").as("pk"))
   }
 
   /** Frame-validity projection shared by the parser and the ledger:
@@ -1280,18 +1325,29 @@ object ScaleOps {
       // break the hash (the oracle pins the constant 2 and the
       // conservation sums the good frames must still satisfy)
       val dead = kplFrameLedger(raw).select($"n_dead_frames")
-      kplDeaggregate(raw)
-        .groupBy($"e.event_type".as("event_type"))
+      // group by the WIRE partition key (partition_key_index resolved
+      // through the deduplicated key table), not the payload's own
+      // event_type: a mis-resolved index shuffles counts between
+      // groups and breaks the hash. The per-group mismatch tally
+      // (pk != payload event_type), rolled up over the ≤|types| group
+      // rows, is additionally pinned to the constant 0.
+      val perPk = kplDeaggregate(raw)
+        .groupBy($"pk".as("event_type"))
         .agg(count(lit(1)).as("n_msgs"),
           sum($"e.event_id").cast("long").as("id_checksum"),
-          sum(round($"e.value" * 100).cast("long")).as("cents_checksum"))
+          sum(round($"e.value" * 100).cast("long")).as("cents_checksum"),
+          sum(($"pk" =!= $"e.event_type").cast("long")).as("pm"))
+      val mism = perPk.agg(sum($"pm").as("n_pk_mismatch"))
+      perPk.drop("pm")
         .crossJoin(broadcast(dead))
+        .crossJoin(broadcast(mism))
         .orderBy("event_type")
     },
     Some("SELECT event_type, count(*) AS n_msgs, " +
       "CAST(SUM(event_id) AS BIGINT) AS id_checksum, " +
       "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
-      "AS cents_checksum, CAST(2 AS BIGINT) AS n_dead_frames " +
+      "AS cents_checksum, CAST(2 AS BIGINT) AS n_dead_frames, " +
+      "CAST(0 AS BIGINT) AS n_pk_mismatch " +
       "FROM events GROUP BY 1 ORDER BY 1"))
 
   /** replay_dlq_redrive — the operations step AFTER dead-lettering:

@@ -78,9 +78,16 @@ class PlanLintSpec extends SparkSpec {
   private val singlePartOk: Map[String, String] = Map.empty
 
   /** R3: keys allowed a bounded-domain shuffle key over fact rows.
-    * (Name-based: a low-card key ALIASED before the shuffle — e.g.
-    * join_null_safe's 25-value `nk` — escapes this lint; those cases
-    * are covered by their own scaladoc'd hot-key notes.)
+    * The rule resolves attribute lineage through Project/Alias nodes
+    * below each Exchange (closing the round-11 name-only blind spot),
+    * so a low-card key RENAMED before the shuffle is now caught: a
+    * deterministic function of bounded-domain columns is itself
+    * bounded by their product. The previously-documented escape
+    * (join_null_safe's `nk`) turns out NOT to violate R3 in the
+    * executed plan: its only hash exchange is fed by a PARTIAL
+    * aggregate (bounded map-side) and AQE broadcast-joins the small
+    * side, so the whitelist stays empty; the rule's teeth are proven
+    * by the explicit self-test cases below instead.
     */
   private val lowCardShuffleOk: Map[String, String] = Map.empty
 
@@ -193,6 +200,50 @@ class PlanLintSpec extends SparkSpec {
     case other     => Seq(other)
   }
 
+  // ---- R3 alias lineage -------------------------------------------------
+
+  /** exprId -> defining expression for every Alias produced by a
+    * Project (or Expand projection) below `p`. exprIds are globally
+    * unique, so one flat map over the whole subtree is collision-free
+    * even across join sides.
+    */
+  private def aliasDefs(p: SparkPlan): Map[Long, Expression] =
+    nodes(p).flatMap {
+      case pr: ProjectExec =>
+        pr.projectList.collect { case a: Alias => a.exprId.id -> a.child }
+      case ex: ExpandExec =>
+        ex.projections.flatten.collect {
+          case a: Alias => a.exprId.id -> a.child
+        }
+      case _ => Nil
+    }.toMap
+
+  /** Substitute attribute references by their Alias definitions to a
+    * fixpoint (depth-capped — lineage chains are short in practice),
+    * so the shuffle key is seen in terms of its SOURCE columns.
+    */
+  private def resolveLineage(e: Expression, defs: Map[Long, Expression],
+      depth: Int = 12): Expression = {
+    if (depth == 0) return e
+    val r = e.transformUp {
+      case a: AttributeReference if defs.contains(a.exprId.id) =>
+        defs(a.exprId.id)
+    }
+    if (r.fastEquals(e)) r else resolveLineage(r, defs, depth - 1)
+  }
+
+  /** Bounded value domain after lineage resolution: every leaf
+    * attribute is a low-card archive column and the expression is
+    * deterministic (a salt — rand(), spark_partition_id() — widens the
+    * domain and is exactly the sanctioned hot-key fix, so it must NOT
+    * flag). A deterministic function of bounded domains is bounded by
+    * their product.
+    */
+  private def boundedDomain(e: Expression): Boolean = {
+    val leaves = e.collect { case a: AttributeReference => a }
+    e.deterministic && leaves.nonEmpty && leaves.forall(a => lowCardCols(a.name))
+  }
+
   private def lint(key: String, plan: SparkPlan): Seq[String] = {
     val all = nodes(plan)
     val out = Seq.newBuilder[String]
@@ -215,15 +266,15 @@ class PlanLintSpec extends SparkSpec {
       case e: ShuffleExchangeExec if !lowCardShuffleOk.contains(key) =>
         e.outputPartitioning match {
           case h: HashPartitioning
-              if h.expressions.nonEmpty &&
-                h.expressions.forall {
-                  case a: AttributeReference => lowCardCols(a.name)
-                  case _                     => false
-                } && unboundedFact(e.child) =>
-            val ks = h.expressions.collect {
-              case a: AttributeReference => a.name
-            }.mkString(",")
-            out += s"R3 fact-row shuffle keyed only by bounded-domain [$ks]"
+              if h.expressions.nonEmpty && unboundedFact(e.child) =>
+            val defs = aliasDefs(e.child)
+            val resolved = h.expressions.map(x => resolveLineage(x, defs))
+            if (resolved.forall(boundedDomain)) {
+              val ks = resolved.flatMap(_.collect {
+                case a: AttributeReference => a.name
+              }).distinct.mkString(",")
+              out += s"R3 fact-row shuffle keyed only by bounded-domain [$ks]"
+            }
           case _ => ()
         }
 
@@ -326,6 +377,53 @@ class PlanLintSpec extends SparkSpec {
 
   // one generated test per declared key, run at the driver's gate SF
   private val lintSf = sys.env.getOrElse("GRAFT_LINT_SF", "/root/testdata/sf0.01")
+
+  // ---- rule self-tests: deliberately bad plans MUST flag -------------
+  // A linter whose rules never fire is indistinguishable from a broken
+  // one; these negative controls pin each subtle rule's teeth against
+  // plans constructed to violate (or legitimately skirt) it.
+
+  test("R3 self-test: aliased low-card shuffle key over fact rows IS caught") {
+    import org.apache.spark.sql.functions.col
+    // the exact round-11 blind spot: event_type RENAMED before the
+    // exchange — name-based matching misses it, lineage resolution
+    // must not
+    val df = spark.read.parquet(s"$lintSf/events.parquet")
+      .select(col("event_type").as("et_renamed"), col("value"))
+      .repartition(col("et_renamed"))
+    df.collect()
+    val findings = lint("r3-self-test", df.queryExecution.executedPlan)
+    assert(findings.exists(_.startsWith("R3")),
+      s"lineage-resolved R3 must flag the renamed low-card key; got $findings")
+  }
+
+  test("R3 self-test: a SALTED low-card shuffle key is NOT flagged") {
+    import org.apache.spark.sql.functions._
+    // salting is the sanctioned hot-key fix — the rule must see the
+    // non-deterministic widening and stay quiet
+    val df = spark.read.parquet(s"$lintSf/events.parquet")
+      .select(concat(col("event_type"), lit(":"),
+        (rand(7) * 16).cast("int").cast("string")).as("salted_key"),
+        col("value"))
+      .repartition(col("salted_key"))
+    df.collect()
+    val findings = lint("r3-salt-self-test", df.queryExecution.executedPlan)
+    assert(!findings.exists(_.startsWith("R3")),
+      s"a salted key widens the domain and must pass; got $findings")
+  }
+
+  test("R2 self-test: a global (unpartitioned) window over raw fact rows IS caught") {
+    import org.apache.spark.sql.functions._
+    // the classic one-task funnel: row_number() with no PARTITION BY
+    // plans an Exchange SinglePartition under the whole fact table
+    val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+    val df = spark.read.parquet(s"$lintSf/events.parquet")
+      .withColumn("rn", row_number().over(w))
+    df.collect()
+    val findings = lint("r2-self-test", df.queryExecution.executedPlan)
+    assert(findings.exists(_.startsWith("R2")),
+      s"an all-rows single-partition exchange must flag; got $findings")
+  }
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { key =>
     test(s"plan lint: $key") {

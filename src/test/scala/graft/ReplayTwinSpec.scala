@@ -599,22 +599,31 @@ class ReplayTwinSpec extends SparkSpec {
       .filter($"good").select("body").as[String].collect()
     assert(good.length === 1, "ids 0,1 pack into ONE group-0 frame")
     val body = good(0)
-    // field 1: partition_key_table entry — tag 0x0A, LEB128 length,
-    // raw key text (the batch group id "0")
-    assert(hexByte(body, 0) === 0x0A)
-    val (pkLen, pkW) = leb(body, 2)
-    val pk = body.substring(2 + pkW, 2 + pkW + pkLen)
-    assert(pk === "0")
-    // then repeated field-3 Record submessages
-    var o = 2 + pkW + pkLen
+    // repeated field 1: the partition_key_table — the batch's DISTINCT
+    // per-message keys (= event types), deduplicated and sorted, one
+    // tag-0x0A length-delimited entry each
+    var o = 0
+    val pkTable = Seq.newBuilder[String]
+    while (o < body.length && hexByte(body, o) == 0x0A) {
+      val (pkLen, pkW) = leb(body, o + 2)
+      pkTable += body.substring(o + 2 + pkW, o + 2 + pkW + pkLen)
+      o = o + 2 + pkW + pkLen
+    }
+    val pks = pkTable.result()
+    assert(pks === Seq("a", "b"),
+      "distinct message keys dedup into a sorted multi-entry table")
+    // then repeated field-3 Record submessages, each carrying its OWN
+    // 0-based index into the table
     val msgs = Seq.newBuilder[String]
+    val idxs = Seq.newBuilder[Int]
     while (o < body.length) {
       assert(hexByte(body, o) === 0x1A, s"Record tag expected at $o")
       val (recLen, recW) = leb(body, o + 2)
       val p = o + 2 + recW
       assert(hexByte(body, p) === 0x08, "partition_key_index tag")
       val (pkIdx, idxW) = leb(body, p + 2)
-      assert(pkIdx === 0, "index into the single-entry key table")
+      assert(pkIdx >= 0 && pkIdx < pks.length, "index points into the table")
+      idxs += pkIdx
       assert(hexByte(body, p + 2 + idxW) === 0x1A, "data tag")
       val (jLen, jW) = leb(body, p + 4 + idxW)
       // the declared Record length counts BINARY bytes of its content
@@ -627,15 +636,16 @@ class ReplayTwinSpec extends SparkSpec {
     val got = msgs.result()
     assert(got.length === 2)
     assert(got(0).contains("\"event_id\":0") && got(1).contains("\"event_id\":1"))
+    assert(idxs.result() === Seq(0, 1),
+      "the type-'b' message must carry a NONZERO partition_key_index")
     assert(got(1).contains("y" * 150), "a >128-byte payload rides a 2-byte LEB128")
-    // and the engine's own SQL walker recovers exactly the same payloads
-    val sqlMsgs = graft.ops.ScaleOps
+    // and the engine's own SQL walker recovers exactly the same
+    // payloads AND resolves each index back through the table
+    val sqlOut = graft.ops.ScaleOps
       .kplDeaggregate(spark.read.text(staged))
-      .select(to_json($"e")).as[String].collect().sorted
-    assert(sqlMsgs.length === 2)
-    val sqlIds = graft.ops.ScaleOps.kplDeaggregate(spark.read.text(staged))
-      .select($"e.event_id").as[Long].collect().sorted
-    assert(sqlIds.toSeq === Seq(0L, 1L))
+      .select($"e.event_id", $"pk").as[(Long, String)].collect().sorted
+    assert(sqlOut.toSeq === Seq((0L, "a"), (1L, "b")),
+      "the SQL walker must honor nonzero partition_key_index")
   }
 
   test("throttled schema-evolving replay processes eras in separate epochs, same result") {

@@ -148,6 +148,142 @@ class ScaleProofSpec extends SparkSpec {
     assert(compacted === original)
   }
 
+  // ---- sf0.1→sf1 ratio-tail pins (VERDICT r11 ask #2) ----------------
+  // BENCH_sf1.json measures every key at sf0.1 and the deterministic
+  // synthesized sf1 (graft.StageSf1). The measured per-key time ratios
+  // are pinned here: every key must stay SUB-LINEAR-OR-LINEAR in the
+  // 10× data (global bound), keys outside the documented tail must stay
+  // well under it, and each documented tail key carries its structural
+  // explanation — a new key drifting into the tail fails this suite
+  // until it is either re-planned or explained below.
+
+  /** Keys measured >4.5× for 10× data, each with the audited structural
+    * driver of its growth (the explanation IS the whitelist entry).
+    */
+  private val ratioTail: Map[String, String] = Map(
+    "sim_silhouette" ->
+      ("centroid-assignment flops are N·K(N) with the SemDeDup " +
+        "parameterization K=⌈N/64⌉ LINEAR in N (pinned below), i.e. " +
+        "N²/64 asymptotically — amortized behind fixed cost at this " +
+        "leg (5.76×); the at-scale remediation is a coarse-quantized " +
+        "two-level assignment (√K coarse cells), documented in " +
+        "CurateOps"),
+    "dedup_fuzzy_levenshtein" ->
+      ("EXACT edit-distance contract: within-(brand, length-bucket) " +
+        "all-pairs where both block domains are FIXED (25 brands × " +
+        "~bounded name lengths), so candidates grow ∝ Σ n_b² — " +
+        "quadratic when copies share lengths (pinned below); the " +
+        "EdgeCaseSpec doubling law shows length-DISJOINT growth is " +
+        "linear, and the approximate siblings (minhash/simhash/ngram) " +
+        "are the demonstrated 100 TB path"),
+    "window_rolling_slope" ->
+      ("scan-linear: the window input is the calendar-bounded hourly " +
+        "ledger (|types|×|hours| rows, CONSTANT across SF) — all growth " +
+        "is the fact scan + partial agg, which asymptotes toward the " +
+        "data ratio as fixed cost amortizes"),
+    "window_nth_value" ->
+      ("output-linear: per-user window partitions stay constant-size " +
+        "(events/user preserved by StageSf1); rows in AND out scale " +
+        "10×, so the ratio asymptotes toward the data ratio — the " +
+        "healthy shape for a linear operator"),
+    "window_first_last" ->
+      ("output-linear: single partial+final min_by/max_by agg whose " +
+        "output is one row per user — 10× users → 10× output rows; " +
+        "no super-linear term exists in the plan"),
+    "dedup_cluster" ->
+      ("edge-linear: banded-minhash candidate edges scale ∝N (sf1 " +
+        "permutes copy texts so cross-copy shingles vanish) and " +
+        "min-label propagation rounds are bounded by component " +
+        "diameter (constant — components replicate per copy)"),
+    "zorder_cluster" ->
+      ("write-linear: the z-order rewrite re-encodes and re-writes " +
+        "every row — 10× rows → 10× parquet encode+write work; the " +
+        "interleave arithmetic itself is per-row constant"))
+
+  test("sf1 scaling record: no super-linear key, tail documented (BENCH_sf1.json)") {
+    val f = new java.io.File("BENCH_sf1.json")
+    assume(f.exists(), "BENCH_sf1.json not present in this checkout")
+    val rec = spark.read.option("multiLine", "true").json(f.getPath)
+    val q = rec.select("queries.*")
+    val row = q.collect()(0)
+    val ratios = q.schema.fields.zipWithIndex.flatMap { case (fld, i) =>
+      if (row.isNullAt(i)) None
+      else {
+        val st = row.getStruct(i)
+        val j = st.schema.fieldIndex("ratio")
+        if (st.isNullAt(j)) None
+        else Some(fld.name -> st.getDouble(j))
+      }
+    }
+    assert(ratios.length > 300, "the record must cover the full surface")
+    val superLinear = ratios.filter(_._2 > 12.0)
+    assert(superLinear.isEmpty,
+      s"key(s) scale SUPER-linearly in 10x data: ${superLinear.mkString(", ")}")
+    val undocumented = ratios
+      .filter { case (k, r) => r > 5.5 && !ratioTail.contains(k) }
+    assert(undocumented.isEmpty,
+      "key(s) drifted into the ratio tail without a structural " +
+        s"explanation in ratioTail: ${undocumented.mkString(", ")}")
+    val tailBlown = ratios
+      .filter { case (k, r) => ratioTail.contains(k) && r > 7.5 }
+    assert(tailBlown.isEmpty,
+      s"documented tail key(s) exceed their envelope: ${tailBlown.mkString(", ")}")
+    val med = ratios.map(_._2).sorted.apply(ratios.length / 2)
+    assert(med <= 3.0, s"median per-key ratio regressed to $med")
+  }
+
+  test("ivfDerivedK is linear in N — the documented driver of sim_silhouette's tail") {
+    import graft.ops.LlmPipeline2.ivfDerivedK
+    // K = max(8, ⌈N/64⌉): cells hold ~64 vectors at ANY corpus size, so
+    // within-cell candidate volume stays linear (the SemDeDup goal) but
+    // one-vs-all-K centroid assignment is N·K = N²/64 — the structural
+    // super-linear term sim_silhouette (and every IVF E-step) carries.
+    assert(ivfDerivedK(512) === 8)
+    assert(ivfDerivedK(6400) === 100)
+    assert(ivfDerivedK(64000) === 1000)
+    val n = 6400L
+    assert(ivfDerivedK(n * 10) === ivfDerivedK(n) * 10,
+      "K grows linearly with N (cells stay ~64)")
+  }
+
+  test("fuzzy levenshtein candidates grow quadratically on SAME-length copies") {
+    // the flip side of EdgeCaseSpec's length-disjoint doubling law: when
+    // the doubled copy shares the originals' lengths (the sf1 corpus and
+    // any duplicate-rich archive), blocks double in SIZE instead of
+    // COUNT and the exact all-pairs contract enumerates ~4× candidates.
+    // This pin makes the quadratic-within-block behavior an explicit,
+    // versioned fact rather than a surprise in the next scaling leg.
+    def parts(off: Long) =
+      Seq.tabulate(12) { i =>
+        (off + i, "Brand#11", "part name " + ("x" * ((i % 6) + 1)))
+      }.toDF("p_partkey", "p_brand", "p_name")
+    val base = stageTables("part" -> parts(0L))
+    val doubled = stageTables("part" -> parts(0L).union(parts(100L)))
+    def cands(dir: String): Long =
+      run("dedup_fuzzy_levenshtein", dir).collect().map(_.getLong(1)).sum
+    val nBase = cands(base)
+    assert(nBase > 0)
+    val nDoubled = cands(doubled)
+    assert(nDoubled >= 4 * nBase,
+      s"same-length doubling must ~quadruple candidates ($nBase -> $nDoubled)")
+    assert(nDoubled <= 5 * nBase,
+      "but never exceed the exact 4x-plus-band-edge envelope")
+  }
+
+  test("window_rolling_slope's window input is calendar-bounded, not corpus-scaled") {
+    // the structural reason its sf1 ratio is scan growth, not window
+    // growth: the hourly ledger has one row per (type, hour) — bounded
+    // by the archive's time span — at EVERY scale factor.
+    val hours = graft.core.Tables.events(spark, sf)
+      .select(((col("ms") - pmod(col("ms"), lit(3600000L))) / 3600000L)
+        .cast("long").as("h"), col("event_type"))
+      .distinct().count()
+    val out = run("window_rolling_slope").count()
+    assert(out === hours,
+      "one output row per (type, hour): the WindowExec sees the bounded " +
+        "ledger, never fact rows")
+  }
+
   test("scan_text_gz round trip is lossless vs the parquet archive") {
     val viaGz = run("scan_text_gz").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
