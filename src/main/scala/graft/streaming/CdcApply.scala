@@ -37,24 +37,29 @@ object CdcApply {
   /** Stage the deterministic changelog (the same construction as
     * `cdc_upsert`: full snapshot at v0, every 10th key repriced +10%
     * at v1, every 17th deleted at v2) as an append-grown parquet dir —
-    * the stream's source archive.
+    * the stream's source archive. The changelog is FIXTURE, not the
+    * operator (a pure function of the source dir), so it stages once
+    * per JVM through [[graft.core.IndexCache.dir]] — three sequential
+    * parquet writes were charging ~1/3 of the key's bench time to
+    * archive staging instead of the merge under test.
     */
-  private def stageChangelog(s: SparkSession, d: String): String = {
-    import s.implicits._
-    val base = Tables.t(s, d, "orders")
-      .select($"o_orderkey".as("key"), $"o_totalprice".as("price"),
-        $"o_orderstatus".as("status"), lit(0L).as("ver"), lit("U").as("op"))
-    val dir = TmpDirs.dir("cdc-changelog")
-    base.write.mode("overwrite").parquet(dir)
-    base.filter($"key" % 10 === 0)
-      .select($"key", ($"price" * lit(1.1)).as("price"), $"status",
-        lit(1L).as("ver"), lit("U").as("op"))
-      .write.mode("append").parquet(dir)
-    base.filter($"key" % 17 === 0)
-      .select($"key", $"price", $"status", lit(2L).as("ver"), lit("D").as("op"))
-      .write.mode("append").parquet(dir)
-    dir
-  }
+  private def stageChangelog(s: SparkSession, d: String): String =
+    graft.core.IndexCache.dir(s"cdc-changelog|$d") {
+      import s.implicits._
+      val base = Tables.t(s, d, "orders")
+        .select($"o_orderkey".as("key"), $"o_totalprice".as("price"),
+          $"o_orderstatus".as("status"), lit(0L).as("ver"), lit("U").as("op"))
+      val dir = TmpDirs.dir("cdc-changelog")
+      base.write.mode("overwrite").parquet(dir)
+      base.filter($"key" % 10 === 0)
+        .select($"key", ($"price" * lit(1.1)).as("price"), $"status",
+          lit(1L).as("ver"), lit("U").as("op"))
+        .write.mode("append").parquet(dir)
+      base.filter($"key" % 17 === 0)
+        .select($"key", $"price", $"status", lit(2L).as("ver"), lit("D").as("op"))
+        .write.mode("append").parquet(dir)
+      dir
+    }
 
   private val Buckets = 16
 

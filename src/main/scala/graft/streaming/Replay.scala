@@ -327,53 +327,61 @@ object Replay {
       .withColumn("put_seq",
         (lit(epochId * 1000000000000L) + (row_number().over(byShard) - 1) / 500).cast("long"))
       .withColumn("epoch", lit(epochId))
-    def land(df: DataFrame, attempt: Int): Unit =
-      df.withColumn("attempt", lit(attempt))
-        .write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard", "epoch", "attempt")
-        .parquet(out)
-    if (failFirstAttempt == null) land(seq, 1)
-    else {
-      // Per-record PutRecords partial failure (the reference's retry
-      // unit): the service rejects the failure set on attempt 1, the
-      // producer re-sends ONLY those records on attempt 2 — two sink
-      // waves, not a whole-epoch redo. Both waves are deterministic
-      // dynamic overwrites of their own (shard, epoch, attempt)
-      // partitions: a crash-retry of the epoch recomputes the SAME
-      // split (the failure set is a hash of event_id), so each wave
-      // replaces exactly its own prior files and the epoch stays
-      // exactly-once — append-mode retries would duplicate under
-      // crash-retry, which is why the attempt lands as a partition.
-      land(seq.filter(!failFirstAttempt), 1)
-      val failed = seq.filter(failFirstAttempt)
-      land(failed, 2)
-      lastRetriedRecords += failed.count()
-    }
-    // A7 drain-rate cap: each Kinesis shard absorbs putRecordsPerShardSec
-    // records/second — past it the producer sees
-    // ProvisionedThroughputExceeded and backs off, so a replayed epoch
-    // cannot complete faster than its SLOWEST shard's record count
-    // allows. Pace to that floor: epoch duration ≥ max-shard-records /
-    // rate, minus the time the write itself already took. The per-shard
-    // counts come from the sink's own parquet footers (row-group
-    // metadata, no data scan) — the written output IS the record of
-    // what each shard absorbed.
-    if (putRecordsPerShardSec > 0) {
-      val spark = batch.sparkSession
-      val maxShardRows = spark.read.parquet(out)
-        .filter(col("epoch") === epochId)
-        .groupBy(col("shard")).count()
-        .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
-      val floorMs = maxShardRows * 1000L / putRecordsPerShardSec
-      val elapsedMs = (System.nanoTime() - t0) / 1000000L
-      val paceMs = math.max(0L, floorMs - elapsedMs)
-      if (paceMs > 0) Thread.sleep(paceMs)
-      lastSinkPacingMs += paceMs
-      System.err.println(
-        s"[replay] epoch=$epochId max_shard_rows=$maxShardRows pace_ms=$paceMs")
-    }
+    // The retry split and the pacing read both re-consume `seq` — a
+    // repartition + per-shard window over the whole epoch — so pin it
+    // for the duration of the sink call instead of recomputing it per
+    // wave (2 writes + a count re-derived the epoch 3×; persist is
+    // epoch-scoped and released before the next batch, so executor
+    // memory holds at most one epoch's rows).
+    val multiPass = failFirstAttempt != null || putRecordsPerShardSec > 0
+    if (multiPass) seq.persist()
+    try {
+      def land(df: DataFrame, attempt: Int): Unit =
+        df.withColumn("attempt", lit(attempt))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard", "epoch", "attempt")
+          .parquet(out)
+      if (failFirstAttempt == null) land(seq, 1)
+      else {
+        // Per-record PutRecords partial failure (the reference's retry
+        // unit): the service rejects the failure set on attempt 1, the
+        // producer re-sends ONLY those records on attempt 2 — two sink
+        // waves, not a whole-epoch redo. Both waves are deterministic
+        // dynamic overwrites of their own (shard, epoch, attempt)
+        // partitions: a crash-retry of the epoch recomputes the SAME
+        // split (the failure set is a hash of event_id), so each wave
+        // replaces exactly its own prior files and the epoch stays
+        // exactly-once — append-mode retries would duplicate under
+        // crash-retry, which is why the attempt lands as a partition.
+        land(seq.filter(!failFirstAttempt), 1)
+        val failed = seq.filter(failFirstAttempt)
+        land(failed, 2)
+        lastRetriedRecords += failed.count()
+      }
+      // A7 drain-rate cap: each Kinesis shard absorbs
+      // putRecordsPerShardSec records/second — past it the producer sees
+      // ProvisionedThroughputExceeded and backs off, so a replayed epoch
+      // cannot complete faster than its SLOWEST shard's record count
+      // allows. Pace to that floor: epoch duration ≥ max-shard-records /
+      // rate, minus the time the write itself already took. The
+      // per-shard counts come from the pinned epoch rows — the same row
+      // set both sink waves just landed (the attempt split partitions
+      // it), so the count equals what the written output records.
+      if (putRecordsPerShardSec > 0) {
+        val maxShardRows = seq
+          .groupBy(col("shard")).count()
+          .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+        val floorMs = maxShardRows * 1000L / putRecordsPerShardSec
+        val elapsedMs = (System.nanoTime() - t0) / 1000000L
+        val paceMs = math.max(0L, floorMs - elapsedMs)
+        if (paceMs > 0) Thread.sleep(paceMs)
+        lastSinkPacingMs += paceMs
+        System.err.println(
+          s"[replay] epoch=$epochId max_shard_rows=$maxShardRows pace_ms=$paceMs")
+      }
+    } finally if (multiPass) { seq.unpersist(); () }
   }
 
   /** The LONG-RUNNING daemon shape: a `Trigger.ProcessingTime` replay
@@ -455,8 +463,10 @@ object Replay {
     */
   private def runAggToTable(
       s: SparkSession, agg: DataFrame, ckpt: String, table: String): DataFrame = {
-    // state shard count scoped to the stream (see Sessions.StreamStateShards)
-    graft.core.Sessions.withShufflePartitions(s, graft.core.Sessions.StreamStateShards) {
+    // Complete mode re-emits the full result every batch, so the
+    // trailing no-data micro-batch could only repeat the final table —
+    // streamScope turns it off (state shards also scoped there).
+    graft.core.Sessions.streamScope(s) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -610,8 +620,7 @@ object Replay {
           .select(col("event_id"), col("event_type"),
             Tables.msExpr(schema).as("ms"),
             round(col("value") * 100).cast("long").as("cents"))
-        graft.core.Sessions.withShufflePartitions(
-          s, graft.core.Sessions.StreamStateShards) {
+        graft.core.Sessions.streamScope(s) {
           val q = src.writeStream
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow())
@@ -756,8 +765,9 @@ object Replay {
       .withColumn("ets", timestamp_millis($"ms"))
       .withWatermark("ets", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    graft.core.Sessions.withShufflePartitions(
-      s, graft.core.Sessions.StreamStateShards) {
+    // dedup emits rows the batch they arrive (the watermark only evicts
+    // state), so the trailing no-data batch is dead weight — off.
+    graft.core.Sessions.streamScope(s) {
       val q = deduped.writeStream
         .format("parquet")
         .option("path", out)

@@ -91,10 +91,9 @@ object StatefulSessions {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
     // flatMapGroupsWithState keeps one state store per shuffle
-    // partition; scope the shard count to the stream
-    // (see Sessions.StreamStateShards).
-    graft.core.Sessions.withShufflePartitions(
-      s, graft.core.Sessions.StreamStateShards) {
+    // partition; scope the shard count to the stream. NoTimeout fold:
+    // a no-data batch could fire nothing — off (Sessions.streamScope).
+    graft.core.Sessions.streamScope(s) {
       val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", ckpt)
@@ -227,8 +226,13 @@ object StatefulSessions {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(foldGroupEt)
-    graft.core.Sessions.withShufflePartitions(
-      s, graft.core.Sessions.StreamStateShards) {
+    // The trailing no-data batch would fire event-time timeouts, but a
+    // timeout emission RE-STATES the same summary (sessions/events/dur
+    // are closed + open totals — invariant to an interval merely moving
+    // from open to closed), so the last-epoch-per-user read below is
+    // unchanged without it — off (Sessions.streamScope). Timeouts still
+    // fire between DATA batches in throttled runs (ReplayTwinSpec).
+    graft.core.Sessions.streamScope(s) {
       val q = stream.writeStream
         .outputMode("update")
         .option("checkpointLocation", ckpt)

@@ -71,9 +71,13 @@ object StreamJoin {
     val out = TmpDirs.dir("sjoin-out")
     // A stream-stream join runs FOUR state stores per shuffle partition
     // (keyToNumValues/keyWithIndexToValue × both sides); scope the state
-    // shard count to the stream (see Sessions.StreamStateShards).
-    val q = graft.core.Sessions.withShufflePartitions(
-      s, graft.core.Sessions.StreamStateShards) {
+    // shard count to the stream. The trailing no-data micro-batch is
+    // LOAD-BEARING exactly for the outer join — unmatched rows emit
+    // only when the advanced watermark proves no match can arrive, and
+    // with AvailableNow that advance happens in the no-data batch — so
+    // it stays on there; the inner join emits matches immediately and
+    // skips it (Sessions.streamScope).
+    val q = graft.core.Sessions.streamScope(s, noDataBatch = joinType != "inner") {
       val q0 = joined.writeStream
         .outputMode("append")
         .format("parquet")

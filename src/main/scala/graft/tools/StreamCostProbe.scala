@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.{Sessions, TmpDirs}
+
+/** Ad-hoc profiler for the streaming family's per-query fixed cost.
+  * Times a minimal AvailableNow query under different session knobs so
+  * the fixed-cost cut (VERDICT r11 ask #3) is driven by measurement,
+  * not guesswork. Not part of the declared surface; run via
+  * `sbt "runMain graft.tools.StreamCostProbe"`.
+  */
+object StreamCostProbe {
+  private def time[T](label: String, n: Int = 5)(body: => T): Unit = {
+    val times = (1 to n).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[probe] $label%-55s min=${times.min}%.3f med=${times.sorted.apply(n / 2)}%.3f")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.config(
+      SparkSession.builder().master("local[32]"), "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val src = TmpDirs.dir("probe-src")
+    (1 to 1000).map(i => (i.toLong, i % 7, i * 1000L))
+      .toDF("id", "k", "ms").write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    def statelessForeach(): Unit = {
+      val ckpt = TmpDirs.dir("probe-ckpt")
+      val out = TmpDirs.dir("probe-out")
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out); () }
+        .start()
+      q.awaitTermination()
+    }
+
+    def statefulAgg(shards: Int): Unit = {
+      val ckpt = TmpDirs.dir("probe-agg-ckpt")
+      val tbl = "probe_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Sessions.withShufflePartitions(spark, shards) {
+        val q = spark.readStream.schema(schema).parquet(src)
+          .withColumn("ets", timestamp_millis($"ms"))
+          .withWatermark("ets", "1 hour")
+          .groupBy(window($"ets", "1 hour"), $"k")
+          .agg(count(lit(1)).as("cnt"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(tbl).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.table(tbl).count()
+    }
+
+    // warm everything once
+    statelessForeach(); statefulAgg(8)
+
+    time("stateless foreachBatch (parquet out)")(statelessForeach())
+    time("stateful complete agg, 8 shards, noData=on")(statefulAgg(8))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    time("stateful complete agg, 8 shards, noData=off")(statefulAgg(8))
+    time("stateful complete agg, 2 shards, noData=off")(statefulAgg(2))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    time("stateful complete agg, 2 shards, noData=on")(statefulAgg(2))
+    time("stateful complete agg, 32 shards, noData=on")(statefulAgg(32))
+
+    // how much is query START (thread spin-up, planning, logs) vs batch?
+    val ckpt = TmpDirs.dir("probe-empty-ckpt")
+    val empty = TmpDirs.dir("probe-empty-src")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(empty)
+    time("empty-source stateless query (start/stop cost)") {
+      val q = spark.readStream.schema(schema).parquet(empty)
+        .writeStream.option("checkpointLocation", TmpDirs.dir("probe-e-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) => () }
+        .start()
+      q.awaitTermination()
+    }
+    spark.stop()
+  }
+}
