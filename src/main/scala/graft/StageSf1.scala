@@ -82,10 +82,14 @@ object StageSf1 {
           s"as k, w as w))), x -> x.w), ' ')"))
     })
     write("embeddings", scaled("embeddings", Seq("vec_id")) { (df, c) =>
+      // rotate by c MOD dim: a copy index at or beyond the vector width
+      // (copies > 64, the sf10 staging) would otherwise slice past the
+      // array end and null the column
+      val r = s"(pmod($c, size(embedding)))"
       if (c == 0) df
       else df.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), " +
-          s"slice(embedding, 1, $c))"))
+        s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))"))
     })
     System.err.println(s"[sf1] done → $out (copies=$copies)")
     spark.stop()

@@ -1248,11 +1248,34 @@ object LlmPipeline2 {
     (iq, codes, codebook)
   }
 
+  /** The PQ re-rank depth R, derived from the corpus size: R =
+    * max(80, ⌈N/25⌉) — a constant 4% of the corpus past the 2k-vector
+    * floor. WHY a constant fraction: at a FIXED code budget (M=8, K=16
+    * here — the deterministic one-step-Lloyd fixture) the ADC score
+    * noise per vector is constant while the density of competitors
+    * near the top-k boundary grows ∝N, so a fixed R sheds recall as N
+    * grows — measured recall@10 fell 0.70 (sf0.1) → 0.50 (sf1) at
+    * R=80, and returned to 0.80 at R=N/25; the ScaleProofSpec quality
+    * gate pins this. (Growing K instead HURTS under one-step Lloyd —
+    * measured 0.27 at K=64 — because seed-correlated cells degrade;
+    * the production path to a sublinear R is an 8-bit codebook with
+    * converged training, which trades determinism this fixture keeps.)
+    * Both engines derive R from the corpus alone — Spark from the
+    * cached [[corpusStats]] count, the oracle from a scalar subquery —
+    * so the hash contract holds at every scale factor.
+    */
+  private[graft] def pqDerivedRerank(n: Long): Int =
+    math.max(80L, (n + 24L) / 25L).toInt
+
+  private def pqRerankSq: String =
+    "(SELECT greatest(80, (count(*) + 24) // 25) FROM embeddings)"
+
   private[graft] def pqTopK(
       s: SparkSession, d: String, numSub: Int = 8, numCells: Int = 16,
-      k: Int = 10, probeId: Long = 0L, rerank: Int = 80): DataFrame = {
+      k: Int = 10, probeId: Long = 0L, rerank: Int = 0): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
+    val rr = if (rerank > 0) rerank else pqDerivedRerank(corpusStats(s, d)._1)
     val (iq, codes, codebook) = pqIndex(s, d, numSub, numCells)
     val probeQ = iq.filter($"vec_id" === probeId).select($"sub", $"pos", $"q".as("pq"))
     val table = codebook.join(broadcast(probeQ), Seq("sub", "pos"))
@@ -1262,7 +1285,7 @@ object LlmPipeline2 {
       .groupBy($"vec_id")
       .agg(sum($"t").as("approx_score"))
       .orderBy($"approx_score".desc, $"vec_id".asc)
-      .limit(rerank)
+      .limit(rr)
       .select("vec_id")
     val probeVec = emb.filter($"vec_id" === probeId).select($"embedding".as("probe"))
     emb.join(broadcast(shortlist), "vec_id")
@@ -1282,9 +1305,10 @@ object LlmPipeline2 {
     */
   private[ops] def pqTopKMulti(
       s: SparkSession, d: String, numSub: Int = 8, numCells: Int = 16,
-      k: Int = 10, probes: Seq[Long] = Seq(0L), rerank: Int = 80): DataFrame = {
+      k: Int = 10, probes: Seq[Long] = Seq(0L), rerank: Int = 0): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
+    val rr = if (rerank > 0) rerank else pqDerivedRerank(corpusStats(s, d)._1)
     val (iq, codes, codebook) = pqIndex(s, d, numSub, numCells)
     val probeQ = iq.filter($"vec_id".isin(probes: _*))
       .select($"vec_id".as("probe"), $"sub", $"pos", $"q".as("pq"))
@@ -1296,7 +1320,7 @@ object LlmPipeline2 {
       .groupBy($"probe", $"vec_id")
       .agg(sum($"t").as("approx_score"))
       .withColumn("rn", row_number().over(wShort))
-      .filter($"rn" <= rerank)
+      .filter($"rn" <= rr)
       .select("probe", "vec_id")
     val probeVecs = emb.filter($"vec_id".isin(probes: _*))
       .select($"vec_id".as("probe"), $"embedding".as("pv"))
@@ -1311,14 +1335,30 @@ object LlmPipeline2 {
       .select("probe", "vec_id", "rn")
   }
 
+  /** Parameter-sweep accessor for the PQ pipeline (quality tooling —
+    * see tools/PqProbe): (probe, vec_id) pairs at explicit (K, R).
+    */
+  private[graft] def pqProbeTool(
+      s: SparkSession, d: String, numCells: Int, probes: Seq[Long],
+      rerank: Int): Seq[(Long, Long)] =
+    pqTopKMulti(s, d, numCells = numCells, probes = probes, rerank = rerank)
+      .select("probe", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  /** Exact-scan accessor for the same tooling. */
+  private[graft] def exactProbeTool(
+      s: SparkSession, d: String, probes: Seq[Long]): Seq[(Long, Long)] =
+    LlmPipeline.exactTopKMulti(s, d, 10, probes)
+      .select("probe", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
   /** DuckDB spelling of [[pqTopK]] (unrolled per-subspace Lloyd CTEs),
     * parameterized identically. DuckDB's generate_subscripts is
     * 1-based, so sub = (pos−1)//dims groups the same dimensions Spark's
     * 0-based pos div dims does.
     */
   private def pqTopkSql(
-      numSub: Int, numCells: Int, k: Int, probeId: Long = 0L,
-      rerank: Int = 80): String = {
+      numSub: Int, numCells: Int, k: Int, probeId: Long = 0L): String = {
     val dims = 64 / numSub
     "WITH iq0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, " +
       "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q " +
@@ -1348,8 +1388,13 @@ object LlmPipeline2 {
       s"pqv AS (SELECT sub, pos, q AS pq FROM iqs WHERE vec_id = $probeId), " +
       "tab AS (SELECT b.sub, b.cell, CAST(SUM(pq * cm) AS BIGINT) AS t " +
       "FROM book b JOIN pqv ON b.sub = pqv.sub AND b.pos = pqv.pos GROUP BY 1, 2), " +
-      "short AS (SELECT af.vec_id FROM af JOIN tab ON af.sub = tab.sub AND af.cell = tab.cell " +
-      s"GROUP BY 1 ORDER BY CAST(SUM(t) AS BIGINT) DESC, vec_id ASC LIMIT $rerank), " +
+      // derived re-rank depth R = max(80, ceil(N/25)) — the same rule
+      // Spark's pqDerivedRerank computes; LIMIT can't take a subquery,
+      // so rank-and-filter against the scalar
+      "short AS (SELECT vec_id FROM (SELECT af.vec_id, row_number() OVER " +
+      "(ORDER BY CAST(SUM(t) AS BIGINT) DESC, af.vec_id ASC) AS srn " +
+      "FROM af JOIN tab ON af.sub = tab.sub AND af.cell = tab.cell " +
+      s"GROUP BY af.vec_id) WHERE srn <= $pqRerankSq), " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
       "FROM embeddings), " +
       s"pv AS (SELECT v AS pvec FROM e WHERE vec_id = $probeId) " +

@@ -232,6 +232,33 @@ class ScaleProofSpec extends SparkSpec {
     assert(med <= 3.0, s"median per-key ratio regressed to $med")
   }
 
+  test("ANN recall@10 holds at sf1: the derived-K/probe policy preserves QUALITY, not just latency") {
+    // VERDICT r11 ask #6. The latency side of the 10x scaling story is
+    // BENCH_sf1.json; this is the quality side: the same sim_ann_recall
+    // pipeline (exact scan vs ivf/lsh/pq/sq8, probes {0,1,2}) run on the
+    // 10x corpus must hold each index's recall@10 within tolerance of
+    // its sf0.1 value — i.e. K=⌈N/64⌉ cells, derived nProbe, and the
+    // band-width policy keep pruning the SAME fraction of true
+    // neighbors as N grows, rather than buying the measured latency by
+    // silently shedding quality. Gated on the staged corpus (runMain
+    // graft.StageSf1), like the BENCH_sf1.json record above.
+    val sf1 = "target/sf1"
+    assume(new java.io.File(s"$sf1/embeddings.parquet").isDirectory,
+      "sf1 corpus not staged (runMain graft.StageSf1)")
+    def recalls(dir: String): Map[String, Double] =
+      run("sim_ann_recall", dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val base = recalls("/root/testdata/sf0.1")
+    val scaled = recalls(sf1)
+    assert(base.keySet === Set("ivf", "lsh", "pq", "sq8"))
+    base.foreach { case (method, r01) =>
+      val r1 = scaled(method)
+      assert(r1 >= r01 - 0.15,
+        s"$method recall@10 fell from $r01 (sf0.1) to $r1 (sf1): the " +
+          "derived parameterization is shedding quality as N grows")
+    }
+  }
+
   test("ivfDerivedK is linear in N — the documented driver of sim_silhouette's tail") {
     import graft.ops.LlmPipeline2.ivfDerivedK
     // K = max(8, ⌈N/64⌉): cells hold ~64 vectors at ANY corpus size, so
