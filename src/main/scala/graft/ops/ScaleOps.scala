@@ -1248,6 +1248,29 @@ object ScaleOps {
     * parse exactly.
     */
   private[graft] def kplDeaggregate(df: DataFrame): DataFrame = {
+    // The shipped walk is the NATIVE expression (one imperative pass
+    // per frame — see functions/KplExpressions.scala for the measured
+    // 4.2 s → sub-second rationale); the HOF spelling below
+    // ([[kplDeaggregateHof]]) is retained as the law mirror a spec
+    // asserts row-identical on every staged archive.
+    val s = df.sparkSession
+    kplFrames(df).filter(col("good"))
+      .select(explode(
+        graft.functions.KplExpressions.kplDeagg(s, col("body"))).as("r"))
+      .select(
+        from_json(col("r.msg"), graft.core.Ndjson.recordSchema).as("e"),
+        col("r.pk").as("pk"))
+  }
+
+  /** The pure-SQL higher-order-function spelling of [[kplDeaggregate]]
+    * — semantically identical (asserted by the native-vs-HOF law in
+    * ReplayTwinSpec), kept as the executable specification of the wire
+    * walk: every step is declarative Spark SQL an auditor can read
+    * against the protobuf layout, and it needs no registered function.
+    * Not on the shipped path: interpreted HOF probes cost ~1 ms per
+    * frame vs microseconds for the native expression.
+    */
+  private[graft] def kplDeaggregateHof(df: DataFrame): DataFrame = {
     // one wire element step: at text offset o, read the tag byte; a
     // partition-key-table entry (0x0A) is skipped over its raw payload;
     // a Record submessage (0x1A) advances by its declared BINARY length
@@ -1259,40 +1282,68 @@ object ScaleOps {
       val v = kplVarintVal(s"($o) + 2")
       val p = s"(($o) + 2 + 2 * $w)"
       val iw = kplVarintW(s"$p + 2")
-      val jl = kplVarintVal(s"($p + 4 + 2 * $iw)")
+      // record text advance = p + 2·reclen − datalen; substituting
+      // datalen = reclen − 3 − width(datalen varint) gives
+      // p + reclen + 3 + jw — one WIDTH read (1 byte probe) instead of
+      // a full varint VALUE read (3 byte probes) per step
+      val jw = kplVarintW(s"($p + 4 + 2 * $iw)")
       s"(case when ${kplByte(o)} = 10 then ($o) + 2 + 2 * $w + $v " +
-        s"else $p + 2 * $v - ($jl) end)"
+        s"else $p + $v + 3 + $jw end)"
     }
-    // length-delimited payload slice at element offset o (pk-table key)
-    val entryExpr = s"substring(body, (o) + 2 + 2 * ${kplVarintW("(o) + 2")}, " +
-      s"${kplVarintVal("(o) + 2")})"
+    // length-delimited payload slice at the element offset bound to
+    // lambda variable `v` (pk-table key / record fields) — the helpers
+    // are parameterized by the variable name because the pk lookup
+    // nests one lambda inside another
+    def entryExpr(v: String) =
+      s"substring(body, ($v) + 2 + 2 * ${kplVarintW(s"($v) + 2")}, " +
+        s"${kplVarintVal(s"($v) + 2")})"
     // Record payload: p → "08" ‖ varint(partition_key_index) → "1A" ‖
     // varint(jlen) → jlen raw chars
-    val p = s"((o) + 2 + 2 * ${kplVarintW("(o) + 2")})"
-    val iw = kplVarintW(s"$p + 2")
-    val idxExpr = kplVarintVal(s"$p + 2")
-    val jloc = s"($p + 4 + 2 * $iw)"
-    val msgExpr = s"substring(body, $jloc + 2 * ${kplVarintW(jloc)}, " +
-      s"${kplVarintVal(jloc)})"
-    val inBody = s"o <= length(body)"
+    def recParts(v: String): (String, String) = {
+      val p = s"(($v) + 2 + 2 * ${kplVarintW(s"($v) + 2")})"
+      val iw = kplVarintW(s"$p + 2")
+      val idxExpr = kplVarintVal(s"$p + 2")
+      val jloc = s"($p + 4 + 2 * $iw)"
+      val msgExpr = s"substring(body, $jloc + 2 * ${kplVarintW(jloc)}, " +
+        s"${kplVarintVal(jloc)})"
+      (msgExpr, idxExpr)
+    }
+    val (msgExpr, idxExpr) = recParts("o")
+    def isTag(v: String, tag: Int) =
+      s"($v) <= length(body) AND ${kplByte(v)} = $tag"
+    // walk the tag/varint structure into the offset table: start at 1;
+    // ≤17 appends cover ≤8 pk-table entries + 8 records + the end marker
+    val foldExpr =
+      s"aggregate(sequence(1, 17), array(1), (acc, i) -> " +
+        s"case when element_at(acc, -1) > length(body) then acc " +
+        s"else acc || array(${next("element_at(acc, -1)")}) end)"
+    // The fold is ~12–17 chained varint reads per frame — it must run
+    // ONCE per frame. Binding it as a named column and referencing it
+    // above the explode does NOT guarantee that: CollapseProject
+    // inlines the column into the post-Generate projection,
+    // re-evaluating the whole walk once per exploded MESSAGE (~9× per
+    // frame — measured 2.5 s → 23 s at sf0.1 when the pk lookup first
+    // landed that way). Instead the walk AND the decoded key table are
+    // LET-BOUND inside one composite expression — each is the single
+    // element of a transform() input array, so each evaluates exactly
+    // once per frame (the key table nests a second binding layer
+    // because referencing the fold twice in one binding would evaluate
+    // it twice) — and each record resolves its pk by a plain
+    // element_at into the bound table, so the exploded struct is
+    // self-contained and nothing upstream is re-evaluated per message.
+    val pkTableExpr =
+      s"transform(filter(a.offs, u -> ${isTag("u", 10)}), u -> ${entryExpr("u")})"
+    val recsExpr =
+      s"element_at(transform(array(named_struct('offs', $foldExpr)), a -> " +
+        s"element_at(transform(array(named_struct('pks', $pkTableExpr)), b -> " +
+        s"transform(filter(a.offs, o -> ${isTag("o", 26)}), " +
+        s"o -> struct($msgExpr AS msg, " +
+        s"element_at(b.pks, $idxExpr + 1) AS pk))), 1)), 1)"
     kplFrames(df).filter(col("good"))
-      // walk the tag/varint structure into the offset table: start at
-      // 1; ≤17 appends cover ≤8 pk-table entries + 8 records + the
-      // end marker
-      .withColumn("alloffs", expr(
-        s"aggregate(sequence(1, 17), array(1), (acc, i) -> " +
-          s"case when element_at(acc, -1) > length(body) then acc " +
-          s"else acc || array(${next("element_at(acc, -1)")}) end)"))
-      .withColumn("pk_table", expr(
-        s"transform(filter(alloffs, o -> $inBody AND ${kplByte("o")} = 10), " +
-          s"o -> $entryExpr)"))
-      .withColumn("recs", expr(
-        s"transform(filter(alloffs, o -> $inBody AND ${kplByte("o")} = 26), " +
-          s"o -> struct($msgExpr AS msg, $idxExpr AS idx))"))
-      .select(col("pk_table"), explode(col("recs")).as("r"))
+      .select(explode(expr(recsExpr)).as("r"))
       .select(
         from_json(col("r.msg"), graft.core.Ndjson.recordSchema).as("e"),
-        expr("element_at(pk_table, r.idx + 1)").as("pk"))
+        col("r.pk").as("pk"))
   }
 
   /** Frame-validity projection shared by the parser and the ledger:

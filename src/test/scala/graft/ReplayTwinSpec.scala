@@ -648,6 +648,23 @@ class ReplayTwinSpec extends SparkSpec {
       "the SQL walker must honor nonzero partition_key_index")
   }
 
+  test("native kpl_deagg expression equals the HOF wire-walk spelling row for row") {
+    // the shipped walk is the native Catalyst expression (KplDeagg);
+    // the declarative HOF fold is retained as its executable spec —
+    // both must decode the SAME (event_id, pk) stream from the real
+    // staged archive (sf fixture: multi-frame, mixed keys, the two
+    // planted dead letters upstream of both)
+    import spark.implicits._
+    val raw = spark.read.text(graft.ops.ScaleOps.stageKplArchive(spark, sf))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"e.event_id", $"pk", $"e.value")
+        .as[(Long, String, Double)].collect().sorted.toSeq
+    val native = canon(graft.ops.ScaleOps.kplDeaggregate(raw))
+    val hof = canon(graft.ops.ScaleOps.kplDeaggregateHof(raw))
+    assert(native.nonEmpty)
+    assert(native === hof)
+  }
+
   test("throttled schema-evolving replay processes eras in separate epochs, same result") {
     // era files land in different micro-batches under the 1-file
     // throttle — the evolving from_json must file v1/v2 rows
