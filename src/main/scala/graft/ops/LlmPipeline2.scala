@@ -1425,12 +1425,28 @@ object LlmPipeline2 {
     * membership of the probed cells (the IVF trick) — both engines
     * rank bit-identically before the 6dp-floored exact re-rank.
     */
+  /** IVF-PQ re-rank depth, derived like [[pqDerivedRerank]]: the ADC
+    * shortlist competes within the PROBED POOL (≈ nProbe/K = 1/16 of
+    * the corpus under the derived probe rule), so holding recall needs
+    * a constant fraction of that pool — R = max(40, ⌈N/50⌉) ≈ pool/3,
+    * the sf0.1 proportion. Measured: recall@10 0.73 (sf0.1) → 0.40
+    * (sf1) at fixed R=40, restored to 0.70 at the derived R (the
+    * residual 0.03 is the coarse quantizer's WHERE-loss, shared by any
+    * R — probing more lists, not re-ranking deeper, is that dial).
+    */
+  private[graft] def ivfPqDerivedRerank(n: Long): Int =
+    math.max(40L, (n + 49L) / 50L).toInt
+
+  private def ivfPqRerankSq: String =
+    "(SELECT greatest(40, (count(*) + 49) // 50) FROM embeddings)"
+
   private[graft] def ivfPqTopK(
       s: SparkSession, d: String, numCells: Int = 8, nProbe: Int = 2,
       numSub: Int = 8, pqCells: Int = 16, k: Int = 10, probeId: Long = 0L,
-      rerank: Int = 40): DataFrame = {
+      rerank: Int = 0): DataFrame = {
     import s.implicits._
     val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rr = if (rerank > 0) rerank else ivfPqDerivedRerank(corpusStats(s, d)._1)
     val emb = t(s, d, "embeddings")
     val (iqI, a2, c2) = ivfIndex(s, d, numCells)
     val (iq, codes, codebook) = pqIndex(s, d, numSub, pqCells)
@@ -1453,7 +1469,7 @@ object LlmPipeline2 {
       .groupBy($"vec_id")
       .agg(sum($"t").as("approx_score"))
       .orderBy($"approx_score".desc, $"vec_id".asc)
-      .limit(rerank)
+      .limit(rr)
       .select("vec_id")
     val probeVec = emb.filter($"vec_id" === probeId).select($"embedding".as("probe"))
     emb.join(broadcast(shortlist), "vec_id")
@@ -1472,8 +1488,7 @@ object LlmPipeline2 {
     * the probed-cell membership before the exact re-rank.
     */
   private def ivfPqTopkSql(
-      numSub: Int, pqCells: Int, k: Int,
-      probeId: Long = 0L, rerank: Int = 40): String = {
+      numSub: Int, pqCells: Int, k: Int, probeId: Long = 0L): String = {
     val dims = 64 / numSub
     "WITH " + ivfCtesDerivedK + ", " +
       s"ipq AS (SELECT pos, q AS pqv FROM iq WHERE vec_id = $probeId), " +
@@ -1507,10 +1522,13 @@ object LlmPipeline2 {
       s"ppqv AS (SELECT sub, pos, q AS pq FROM ps WHERE vec_id = $probeId), " +
       "ptab AS (SELECT b.sub, b.cell, CAST(SUM(pq * cm) AS BIGINT) AS t " +
       "FROM book b JOIN ppqv ON b.sub = ppqv.sub AND b.pos = ppqv.pos GROUP BY 1, 2), " +
-      "short AS (SELECT paf.vec_id AS vec_id FROM paf " +
+      // derived re-rank depth (ivfPqDerivedRerank): rank-and-filter
+      // against the corpus-derived scalar, as LIMIT can't subquery
+      "short AS (SELECT vec_id FROM (SELECT paf.vec_id AS vec_id, row_number() OVER " +
+      "(ORDER BY CAST(SUM(t) AS BIGINT) DESC, paf.vec_id ASC) AS srn FROM paf " +
       "JOIN ptab ON paf.sub = ptab.sub AND paf.cell = ptab.cell " +
       "JOIN mem ON mem.vec_id = paf.vec_id " +
-      s"GROUP BY 1 ORDER BY CAST(SUM(t) AS BIGINT) DESC, paf.vec_id ASC LIMIT $rerank), " +
+      s"GROUP BY paf.vec_id) WHERE srn <= $ivfPqRerankSq), " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
       "FROM embeddings), " +
       s"pv AS (SELECT v AS pvec FROM e WHERE vec_id = $probeId) " +
@@ -1526,6 +1544,61 @@ object LlmPipeline2 {
       ivfPqTopK(s, d, numCells = k, nProbe = np)
     },
     Some(ivfPqTopkSql(8, 16, 10)))
+
+  /** [[ivfPqTopK]] for a PROBE SET in one pass (the recall-gate
+    * sibling, mirroring [[pqTopKMulti]]): per-probe coarse-cell
+    * choice, per-probe ADC table (|probes|·M·K rows, still broadcast),
+    * shortlist and exact re-rank off probe-partitioned windows with
+    * the single-probe tie rules. Returns (probe, vec_id, rn).
+    */
+  private[ops] def ivfPqTopKMulti(
+      s: SparkSession, d: String, numCells: Int, nProbe: Int,
+      numSub: Int = 8, pqCells: Int = 16, k: Int = 10,
+      probes: Seq[Long] = Seq(0L), rerank: Int = 0): DataFrame = {
+    import s.implicits._
+    val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rr = if (rerank > 0) rerank else ivfPqDerivedRerank(corpusStats(s, d)._1)
+    val emb = t(s, d, "embeddings")
+    val (iqI, a2, c2) = ivfIndex(s, d, numCells)
+    val (iq, codes, codebook) = pqIndex(s, d, numSub, pqCells)
+    // WHERE, per probe: score the K trained centroids, keep nProbe lists
+    val probeQ = iqI.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"pos", $"q".as("pq"))
+    val wCell = Window.partitionBy($"probe").orderBy($"score".desc, $"cell".asc)
+    val chosen = c2.join(broadcast(probeQ), "pos")
+      .groupBy($"probe", $"cell")
+      .agg((sum($"pq".cast(Dec38) * $"sq").cast("double") / max($"n")).as("score"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter($"crn" <= nProbe)
+      .select($"probe", $"cell".as("icell"))
+    val members = a2.join(broadcast(chosen), $"cell" === $"icell")
+      .select($"probe", $"vec_id")
+    // HOW: one broadcast ADC table per probe, summed over probed codes
+    val probeSub = iq.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"sub", $"pos", $"q".as("pq"))
+    val table = codebook.join(broadcast(probeSub), Seq("sub", "pos"))
+      .groupBy($"probe", $"sub", $"cell")
+      .agg(sum($"pq" * $"cm").as("t"))
+    val wShort = Window.partitionBy($"probe").orderBy($"approx_score".desc, $"vec_id".asc)
+    val shortlist = codes.join(members, "vec_id")
+      .join(broadcast(table), Seq("probe", "sub", "cell"))
+      .groupBy($"probe", $"vec_id")
+      .agg(sum($"t").as("approx_score"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter($"rn" <= rr)
+      .select("probe", "vec_id")
+    val probeVecs = emb.filter($"vec_id".isin(probes: _*))
+      .select($"vec_id".as("probe"), $"embedding".as("pv"))
+    val wK = Window.partitionBy($"probe").orderBy($"sim".desc, $"vec_id".asc)
+    emb.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(probeVecs), "probe")
+      .select($"probe", $"vec_id",
+        dround(graft.functions.VectorExpressions.dotF(s, $"embedding", $"pv"), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wK))
+      .filter($"rn" <= k)
+      .select("probe", "vec_id", "rn")
+  }
 
   /** ANN index QUALITY as a first-class verified number: recall@10 of
     * each approximate index (`sim_ann_lsh`'s banded SRP multi-probe,
@@ -1565,6 +1638,8 @@ object LlmPipeline2 {
       val (ik, inp) = ivfDerivedParams(s, d)
       overlap("ivf", ivfTopKMulti(s, d, numCells = ik, nProbe = inp,
           probes = recallProbes))
+        .unionByName(overlap("ivfpq", ivfPqTopKMulti(s, d, numCells = ik,
+          nProbe = inp, probes = recallProbes)))
         .unionByName(overlap("lsh", lshTopKMulti(s, d, probes = recallProbes)))
         .unionByName(overlap("pq", pqTopKMulti(s, d, probes = recallProbes)))
         .unionByName(overlap("sq8", sq8TopKMulti(s, d, probes = recallProbes)))
@@ -1582,10 +1657,12 @@ object LlmPipeline2 {
           s"l_$p AS (SELECT vec_id FROM (${lshTopkSql(10, p)}))",
           s"i_$p AS (SELECT vec_id FROM (${ivfTopkSqlDerived(10, p)}))",
           s"q_$p AS (SELECT vec_id FROM (${pqTopkSql(8, 16, 10, p)}))",
+          s"v_$p AS (SELECT vec_id FROM (${ivfPqTopkSql(8, 16, 10, p)}))",
           s"s_$p AS (SELECT vec_id FROM (${sq8TopkSql(10, p)}))")
       }.mkString(", ")
       val ovs = recallProbes.flatMap { p =>
         Seq(s"SELECT 'ivf' AS method, count(*) AS o FROM x_$p JOIN i_$p USING (vec_id)",
+          s"SELECT 'ivfpq', count(*) FROM x_$p JOIN v_$p USING (vec_id)",
           s"SELECT 'lsh', count(*) FROM x_$p JOIN l_$p USING (vec_id)",
           s"SELECT 'pq', count(*) FROM x_$p JOIN q_$p USING (vec_id)",
           s"SELECT 'sq8', count(*) FROM x_$p JOIN s_$p USING (vec_id)")

@@ -250,7 +250,7 @@ class ScaleProofSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getDouble(2)).toMap
     val base = recalls("/root/testdata/sf0.1")
     val scaled = recalls(sf1)
-    assert(base.keySet === Set("ivf", "lsh", "pq", "sq8"))
+    assert(base.keySet === Set("ivf", "ivfpq", "lsh", "pq", "sq8"))
     base.foreach { case (method, r01) =>
       val r1 = scaled(method)
       assert(r1 >= r01 - 0.15,
