@@ -163,7 +163,9 @@ object GraphOps {
   private val graphComponentsStar = Q(
     "graph_components_star",
     (s, d) => {
-      val edges = LlmPipeline.candidateEdges(s, d)
+      // star-sparsified candidate edges (LlmPipeline.starEdges):
+      // identical components at Σ(m−1) edges per band bucket
+      val edges = LlmPipeline.starEdges(s, d)
       LlmPipeline.labeledClusters(s, LlmPipeline.starContraction(s, edges))
     },
     Some(LlmPipeline.clusterOracleSql))

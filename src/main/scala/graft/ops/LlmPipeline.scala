@@ -373,15 +373,19 @@ object LlmPipeline {
     * — the shared CC engine behind `dedup_cluster`. Two algorithms,
     * picked by the data:
     *
-    *  1. Pregel-style min-label propagation: label(v) starts as v and
-    *     each round takes the min over the neighborhood, so every
-    *     vertex converges to the smallest id in its component. Each
-    *     round is ONE shuffle of the (vertex, label) table joined
-    *     against the edge table — both keyed by vertex, co-partitioned
-    *     after the first round — and the loop runs for the cluster
-    *     DIAMETER, not the cluster size. Near-dup clusters are
-    *     band-quasi-cliques (diameter ≈ 2), so 2–3 rounds close a
-    *     corpus.
+    *  1. Pregel-style min-label propagation WITH PATH COMPRESSION:
+    *     label(v) starts as v and each round takes the min over the
+    *     neighborhood AND over label(label(v)) — the pointer-jumping
+    *     term, which doubles the distance a minimum travels per round,
+    *     so the loop runs O(log diameter) rounds, not O(diameter).
+    *     Each round is two co-keyed joins of the (vertex, label) table
+    *     (edge-neighbor min + label-of-label). The compression term is
+    *     what keeps this path viable on the STAR-SPARSIFIED candidate
+    *     graph (see [[starEdges]]), whose diameter is roughly twice
+    *     the bucket-chain length instead of the pairwise graph's
+    *     quasi-clique ≈2 — measured at the 10× corpus: diameter >16
+    *     (plain propagation blew the cap and paid the fallback on
+    *     top), vs 6 compressed rounds.
     *  2. Past the diameter cap (a pathological high-diameter graph,
     *     e.g. an edit CHAIN longer than the cap), the fold switches to
     *     [[starContraction]] — the large-star/small-star algorithm,
@@ -414,17 +418,24 @@ object LlmPipeline {
       val nbrMin = edges
         .join(labels.select($"v".as("u"), $"lbl".as("ulbl")), "u")
         .groupBy("v").agg(min($"ulbl").as("nmin"))
+      // path compression: label-of-label (labels self-joined on the
+      // label column — labels are always vertex ids, so the lookup
+      // always resolves; LEFT + coalesce only defends the invariant)
+      val lblOfLbl = labels.select($"v".as("lbl"), $"lbl".as("plbl"))
       // one job per round: the stepped table carries (old, new) label
       // so the convergence probe is a cheap filter on checkpointed
       // data, not a second join
       val stepped = labels.join(nbrMin, Seq("v"), "left")
+        .join(lblOfLbl, Seq("lbl"), "left")
         .select($"v", $"lbl",
-          least($"lbl", coalesce($"nmin", $"lbl")).as("nlbl"))
+          least($"lbl", coalesce($"nmin", $"lbl"),
+            coalesce($"plbl", $"lbl")).as("nlbl"))
         .localCheckpoint(true)
       converged = stepped.filter($"nlbl" =!= $"lbl").isEmpty
       labels = stepped.select($"v", $"nlbl".as("lbl"))
       iter += 1
     }
+    System.err.println(s"[graft] cc: min-label rounds=$iter converged=$converged")
     if (converged) labels else starContraction(s, edges)
   }
 
@@ -548,6 +559,42 @@ object LlmPipeline {
       .union(cand.select($"doc_b".as("v"), $"doc_a".as("u")))
   }
 
+  /** STAR-SPARSIFIED candidate edges — the connectivity-only view of
+    * the same banded graph: within each band bucket every member
+    * connects to the bucket MINIMUM (its hub) instead of to every
+    * other member. Connected components are provably identical to the
+    * pairwise graph's (a bucket's clique and its hub-star have the
+    * same vertex set and the same connectivity), so the two clustering
+    * keys keep [[clusterOracleSql]] — the transitive closure over the
+    * PAIRWISE graph — unchanged, while the edge volume drops from
+    * Σ m(m−1)/2 to Σ (m−1) per bucket. That asymptotic matters
+    * precisely on duplicate-heavy corpora: an m-way duplicate clique
+    * sitting just under the hot-bucket guard generates m²/2 pairwise
+    * candidates (the measured sf1→sf10 18× blow-up on the synthesized
+    * 100-copy corpus — real lakes carry such clusters too), but only
+    * m−1 star edges. The pairwise builder ([[candidateEdges]]) remains
+    * the contract where PAIR semantics matter (triangle counting,
+    * Jaccard disposal); sparsification is sound only for transitive
+    * connectivity.
+    */
+  private[ops] def starEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val guarded = guardBands(
+      graft.core.IndexCache(s, s"mh-bands|$d", bandRows(s, d)))
+    val star = graft.core.IndexCache(s, s"mh-star|$d", {
+      // hubs is bucket-count-sized (could be corpus-scale for mostly-
+      // singleton banding) — an equi-join on band, never broadcast
+      val hubs = guarded.groupBy("band")
+        .agg(min($"doc_id").as("hub"), count(lit(1)).as("m"))
+        .filter($"m" > 1).select("band", "hub")
+      guarded.join(hubs, "band")
+        .filter($"doc_id" =!= $"hub")
+        .select($"hub".as("doc_a"), $"doc_id".as("doc_b")).distinct()
+    })
+    star.select($"doc_a".as("v"), $"doc_b".as("u"))
+      .union(star.select($"doc_b".as("v"), $"doc_a".as("u")))
+  }
+
   /** Label every vertex of a symmetric (v, u) edge list with its
     * component minimum and join in component sizes — the shared
     * read-off for both clustering keys.
@@ -584,7 +631,9 @@ object LlmPipeline {
   private val dedupCluster = Q(
     "dedup_cluster",
     (s, d) => {
-      val edges = candidateEdges(s, d)
+      // star-sparsified edges: identical components, Σ(m−1) edges per
+      // bucket instead of Σm²/2 (see starEdges — the sf10 lesson)
+      val edges = starEdges(s, d)
       labeledClusters(s, connectedComponents(s, edges))
     },
     Some(clusterOracleSql))

@@ -157,10 +157,12 @@ class PropertySpec extends SparkSpec {
     }, min = 10)
   }
 
-  test("a 40-node chain (diameter past the propagation cap) resolves via the star fallback") {
-    // the Pregel fold needs 39 rounds here — far past its 16-round cap;
-    // connectedComponents must hand over to starContraction and still
-    // produce the exact component minimum, not fail or split the chain
+  test("a 40-node chain (diameter far past plain propagation) resolves exactly") {
+    // plain neighbor-min would need 39 rounds here — far past the
+    // 16-round cap; the path-compression term (label-of-label) closes
+    // it in O(log 40) rounds, and if compression ever regressed the
+    // starContraction fallback must still produce the exact component
+    // minimum, not fail or split the chain
     val pairs = (0L until 39L).map(i => (i, i + 1))
     val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val labels = graft.ops.LlmPipeline

@@ -191,10 +191,11 @@ class ScaleProofSpec extends SparkSpec {
         "output is one row per user — 10× users → 10× output rows; " +
         "no super-linear term exists in the plan"),
     "dedup_cluster" ->
-      ("edge-linear: banded-minhash candidate edges scale ∝N (sf1 " +
-        "permutes copy texts so cross-copy shingles vanish) and " +
-        "min-label propagation rounds are bounded by component " +
-        "diameter (constant — components replicate per copy)"),
+      ("edge-linear: star-sparsified candidate edges (Σ(m−1) per band " +
+        "bucket — the sf10 leg exposed the pairwise Σm²/2 blow-up on " +
+        "duplicate cliques and drove the sparsification) and " +
+        "path-compressed min-label propagation, O(log diameter) " +
+        "rounds each shuffling the ∝N edge table"),
     "zorder_cluster" ->
       ("write-linear: the z-order rewrite re-encodes and re-writes " +
         "every row — 10× rows → 10× parquet encode+write work; the " +
@@ -230,6 +231,48 @@ class ScaleProofSpec extends SparkSpec {
       s"documented tail key(s) exceed their envelope: ${tailBlown.mkString(", ")}")
     val med = ratios.map(_._2).sorted.apply(ratios.length / 2)
     assert(med <= 3.0, s"median per-key ratio regressed to $med")
+  }
+
+  /** The sf10 leg deliberately EXCLUDES the structurally super-linear
+    * keys — measuring them at 100× corpus would only re-demonstrate
+    * the quadratics already pinned above, at minutes of cost each. The
+    * exclusion list is versioned here so a future round can't silently
+    * widen it: each entry names the pinned structural driver.
+    */
+  private val sf10Excluded: Map[String, String] = Map(
+    "dedup_fuzzy_levenshtein" -> "exact all-pairs within same-length blocks (quadratic law pinned above)",
+    "sim_silhouette" -> "N·K(N) centroid assignment with K=⌈N/64⌉ (linear-K law pinned above)",
+    "sim_ann_mrr" -> "consumes the IVF training, whose E-step is N·K(N) by the same law",
+    "sim_ann_recall" -> "consumes the IVF training (same law)",
+    "index_append" -> "consumes the IVF training (same law)")
+
+  test("sf10 scaling record: the 20 heaviest scale-path keys stay sub-linear (BENCH_sf10.json)") {
+    // the second measured decade (VERDICT r11 ask #4): sf1 → the
+    // synthesized 100× corpus (StageSf1, copies=100). Every measured
+    // key must cost at most the data ratio for 10× more data; the
+    // envelope is deliberately the same ≤12 the sf1 record uses.
+    val f = new java.io.File("BENCH_sf10.json")
+    assume(f.exists(), "BENCH_sf10.json not present in this checkout")
+    val rec = spark.read.option("multiLine", "true").json(f.getPath)
+    val q = rec.select("queries.*")
+    val row = q.collect()(0)
+    val ratios = q.schema.fields.zipWithIndex.flatMap { case (fld, i) =>
+      if (row.isNullAt(i)) None
+      else {
+        val st = row.getStruct(i)
+        val j = st.schema.fieldIndex("ratio")
+        if (st.isNullAt(j)) None else Some(fld.name -> st.getDouble(j))
+      }
+    }
+    assert(ratios.length >= 20, "the record must cover the 20-key set")
+    assert(ratios.map(_._1).toSet.intersect(sf10Excluded.keySet).isEmpty,
+      "an excluded super-linear key leaked into the measured set")
+    val superLinear = ratios.filter(_._2 > 12.0)
+    assert(superLinear.isEmpty,
+      s"key(s) scale SUPER-linearly in 10x data at the sf10 leg: " +
+        superLinear.mkString(", "))
+    val med = ratios.map(_._2).sorted.apply(ratios.length / 2)
+    assert(med <= 7.0, s"median sf1→sf10 per-key ratio regressed to $med")
   }
 
   test("ANN recall@10 holds at sf1: the derived-K/probe policy preserves QUALITY, not just latency") {
