@@ -946,7 +946,7 @@ class EdgeCaseSpec extends SparkSpec {
         // eval_pr_sweep's output IS the 9 fixed thresholds (zero
         // counts each)
         val cap = key match {
-          case "sim_ann_recall" => 4
+          case "sim_ann_recall" => 5 // one zero-overlap row per index incl. ivfpq
           case "eval_pr_sweep" => 9
           case "eval_roc_points" => 9 // output IS the 9 fixed thresholds
           case "eval_confusion_multiclass" => 3 // fixed 3-row class spine
