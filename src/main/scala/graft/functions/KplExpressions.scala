@@ -78,7 +78,11 @@ case class KplDeagg(child: Expression)
           val len = if (twoByte) (b0 - 128) + 128 * hexByte(o + 4) else b0
           val w = if (twoByte) 2 else 1
           val payload = o + 2 + 2 * w
-          if (tag == 0x0A) {
+          // a non-hex char in the varint's second byte yields a NEGATIVE
+          // len that would slip past the end-bound guard and throw from
+          // substring — mirror the record path's jlen < 0 stop
+          if (len < 0) ok = false
+          else if (tag == 0x0A) {
             if (payload + len > n) ok = false
             else { pks += body.substring(payload, payload + len); o = payload + len }
           } else if (tag == 0x1A) {
@@ -93,10 +97,15 @@ case class KplDeagg(child: Expression)
               else {
                 val j0 = hexByte(jloc)
                 val jTwo = j0 >= 128
-                val jlen = if (jTwo) (j0 - 128) + 128 * hexByte(jloc + 2) else j0
-                val ms = jloc + (if (jTwo) 4 else 2)
-                if (jlen < 0 || ms + jlen > n) ok = false
-                else { recs += ((body.substring(ms, ms + jlen), idx)); o = ms + jlen }
+                // a two-byte jlen needs its SECOND byte in bounds before
+                // hexByte reads charAt(jloc+3) — stop, don't overrun
+                if (jTwo && jloc + 4 > n) ok = false
+                else {
+                  val jlen = if (jTwo) (j0 - 128) + 128 * hexByte(jloc + 2) else j0
+                  val ms = jloc + (if (jTwo) 4 else 2)
+                  if (jlen < 0 || ms + jlen > n) ok = false
+                  else { recs += ((body.substring(ms, ms + jlen), idx)); o = ms + jlen }
+                }
               }
             }
           } else ok = false

@@ -100,41 +100,46 @@ object CurateOps {
     * recall/ndcg/mrr gate RETRIEVAL quality, this gates the PARTITION
     * the retrieval runs over, off the SAME shared derived-K training
     * (IndexCache — no retrain). "Simplified" (centroid, not all-pairs)
-    * is the standard web-scale form: exact silhouette is O(N²); this is
-    * O(N·K) map-side flops against the broadcast K×64 centroid table —
-    * the cost every IVF E-step already pays. NOTE the structural tail:
-    * the derived K=⌈N/64⌉ is LINEAR in N (cells stay ~64 so SemDeDup's
-    * within-cell candidates stay linear), which makes the one-vs-all-K
-    * assignment N·K = N²/64 asymptotically — the measured sf0.1→sf1
-    * ratio (5.76× for 10× data, BENCH_sf1.json) is this term still
-    * amortized behind fixed cost, pinned in ScaleProofSpec. At true
-    * 100 TB scale the assignment wants a TWO-LEVEL coarse quantizer:
-    * cluster the K centroids into √K coarse groups once (K rows —
-    * tiny), assign each vector to its nearest coarse group, and score
-    * exact distances only against that group's ~√K member centroids —
-    * O(N·√K) with the same broadcast-ledger shape. Exactness: squared
+    * is the standard web-scale form: exact silhouette is O(N²); and
+    * since round 13 the centroid scan is TWO-LEVEL like every E-step
+    * ([[LlmPipeline2.ivfRouting]]): each vector's candidate centroids
+    * are its OWN cell plus the ~√K member cells of its routed coarse
+    * group — O(N·√K) flops against broadcast ledgers, never the
+    * one-vs-all-K N·K = N²/64 sweep the linear-K rule would otherwise
+    * cost (the round-12 pinned scale killer). b(i) is therefore the
+    * nearest-other-centroid WITHIN the routed group — the same
+    * neighborhood the IVF index itself retrieves from, and the right
+    * misassignment denominator for a partition audit (a vector whose
+    * nearest foreign centroid sits outside its routed group is exactly
+    * the vector the router would mis-serve — it still surfaces, as the
+    * routed group's best foreign cell stays closer than a=own iff the
+    * assignment is wrong within the group). Exactness: squared
     * distance lifts to the common denominator n² so the per-component
-    * sum is the exact HUGEINT Σ(q·n − sq)² — never a float sum in
-    * engine order — and each s(i) floor-quantizes at 10⁶ BEFORE the
-    * per-cell mean, making the reduction an order-independent integer
-    * sum. Degenerate vectors (a = b = 0, or a single non-empty cell)
-    * score the conventional 0.
+    * sum is the exact HUGEINT/DECIMAL(38,0) Σ(q·n − sq)² — never a
+    * float sum in engine order — and each s(i) floor-quantizes at 10⁶
+    * BEFORE the per-cell mean, making the reduction an
+    * order-independent integer sum. Degenerate vectors (a = b = 0, or
+    * an empty candidate set beyond the own cell) score the
+    * conventional 0.
     */
   private val simSilhouette = Q(
     "sim_silhouette",
     (s, d) => {
       import s.implicits._
-      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
       val k = LlmPipeline2.ivfDerivedK(LlmPipeline2.corpusStats(s, d)._1)
-      val (iq, a2, c2) = LlmPipeline2.ivfIndex(s, d, k)
-      val dists = iq.join(broadcast(c2), "pos")
-        .select($"vec_id", $"cell", $"n",
-          ($"q" * $"n" - $"sq").cast(Dec380).as("t"))
-        .groupBy($"vec_id", $"cell", $"n")
-        .agg(sum($"t" * $"t").as("d2n2"))
+      val (_, a2, c2) = LlmPipeline2.ivfIndex(s, d, k)
+      val qa = LlmPipeline2.ivfQrows(t(s, d, "embeddings"))
+      val (csup, vr) = LlmPipeline2.ivfRouting(qa, c2, k)
+      val cand = a2.select($"vec_id", $"cell")
+        .union(vr.join(broadcast(csup), "sup").select($"vec_id", $"cell"))
+        .distinct()
+      val ca = LlmPipeline2.ivfCentArr(c2)
+      val dists = qa.join(cand, "vec_id").join(broadcast(ca), "cell")
         .select($"vec_id", $"cell",
-          ($"d2n2".cast("double") / ($"n".cast("double") * $"n"))
-            .as("dist"))
+          (expr("aggregate(zip_with(qa, sqa, (q, c) -> " +
+            "cast(q * n - c as decimal(38,0)) * (q * n - c)), " +
+            "cast(0 as decimal(38,0)), (acc, v) -> acc + v)").cast("double") /
+            ($"n".cast("double") * $"n")).as("dist"))
       val ab = dists
         .join(a2.select($"vec_id", $"cell".as("oc")), "vec_id")
         .groupBy($"vec_id", $"oc").agg(
@@ -152,9 +157,14 @@ object CurateOps {
         .orderBy("cell")
     },
     Some("WITH " + LlmPipeline2.ivfCtesDerivedK + ", " +
-      "dn AS (SELECT iq.vec_id, c2.cell, c2.n, " +
+      LlmPipeline2.twoLevelCtes("s4", "iq", "c2") + ", " +
+      "cand AS (SELECT vec_id, cell FROM a2 " +
+      "UNION SELECT vr.vec_id, cg.cell FROM s4vr vr " +
+      "JOIN s4cg cg ON cg.sup = vr.sup), " +
+      "dn AS (SELECT cd.vec_id, cd.cell, c2.n, " +
       "CAST(iq.q * c2.n - c2.sq AS HUGEINT) AS t " +
-      "FROM iq JOIN c2 USING (pos)), " +
+      "FROM cand cd JOIN iq ON iq.vec_id = cd.vec_id " +
+      "JOIN c2 ON c2.cell = cd.cell AND c2.pos = iq.pos), " +
       "d2 AS (SELECT vec_id, cell, CAST(SUM(t * t) AS DOUBLE) / " +
       "(CAST(MAX(n) AS DOUBLE) * MAX(n)) AS dist FROM dn GROUP BY 1, 2), " +
       "ab AS (SELECT d2.vec_id, a2.cell AS oc, " +

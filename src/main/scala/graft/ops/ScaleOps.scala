@@ -1270,7 +1270,8 @@ object ScaleOps {
     * Not on the shipped path: interpreted HOF probes cost ~1 ms per
     * frame vs microseconds for the native expression.
     */
-  private[graft] def kplDeaggregateHof(df: DataFrame): DataFrame = {
+  private[graft] def kplDeaggregateHof(
+      df: DataFrame, maxSteps: Int = 17): DataFrame = {
     // one wire element step: at text offset o, read the tag byte; a
     // partition-key-table entry (0x0A) is skipped over its raw payload;
     // a Record submessage (0x1A) advances by its declared BINARY length
@@ -1283,12 +1284,15 @@ object ScaleOps {
       val p = s"(($o) + 2 + 2 * $w)"
       val iw = kplVarintW(s"$p + 2")
       // record text advance = p + 2·reclen − datalen; substituting
-      // datalen = reclen − 3 − width(datalen varint) gives
-      // p + reclen + 3 + jw — one WIDTH read (1 byte probe) instead of
-      // a full varint VALUE read (3 byte probes) per step
+      // datalen = reclen − 2 − width(pk-index varint) − width(datalen
+      // varint) gives p + reclen + 2 + iw + jw — two WIDTH reads
+      // (1 byte probe each) instead of a full varint VALUE read
+      // (3 byte probes) per step. The iw term matters from
+      // pk_index ≥ 128 (2-byte varint) — pinned by the ≥128-entry
+      // frame case in ReplayTwinSpec's native-vs-HOF law.
       val jw = kplVarintW(s"($p + 4 + 2 * $iw)")
       s"(case when ${kplByte(o)} = 10 then ($o) + 2 + 2 * $w + $v " +
-        s"else $p + $v + 3 + $jw end)"
+        s"else $p + $v + 2 + $iw + $jw end)"
     }
     // length-delimited payload slice at the element offset bound to
     // lambda variable `v` (pk-table key / record fields) — the helpers
@@ -1312,9 +1316,11 @@ object ScaleOps {
     def isTag(v: String, tag: Int) =
       s"($v) <= length(body) AND ${kplByte(v)} = $tag"
     // walk the tag/varint structure into the offset table: start at 1;
-    // ≤17 appends cover ≤8 pk-table entries + 8 records + the end marker
+    // the default ≤17 appends cover the staging envelope (≤8 pk-table
+    // entries + 8 records + the end marker); the law spec raises it to
+    // walk hand-built wide-table frames (pk_index ≥ 128)
     val foldExpr =
-      s"aggregate(sequence(1, 17), array(1), (acc, i) -> " +
+      s"aggregate(sequence(1, $maxSteps), array(1), (acc, i) -> " +
         s"case when element_at(acc, -1) > length(body) then acc " +
         s"else acc || array(${next("element_at(acc, -1)")}) end)"
     // The fold is ~12–17 chained varint reads per frame — it must run

@@ -508,15 +508,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dedup_fuzzy_levenshtein equi-joins on (brand, length-bucket) — the band is in the join key") {
+  test("dedup_fuzzy_levenshtein equi-joins distinct names on PassJoin segments — never a block cross") {
     val plan = executedPlan("dedup_fuzzy_levenshtein")
     val joinLines = plan.linesIterator
       .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("BroadcastHashJoin"))
       .toSeq
     assert(joinLines.nonEmpty, "the pair enumeration must be an equi-join")
-    assert(joinLines.exists(l => l.contains("p_brand") && l.contains("bk")),
-      s"join keys must include the length bucket, not brand alone: $joinLines")
+    assert(joinLines.exists(l => l.contains("p_brand") && l.contains("seg")),
+      s"the distinct-name candidate join must key on the segment string " +
+        s"(PassJoin filter), not brand alone: $joinLines")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs product")
   }
 
   test("exact-rank keys never run a WindowExec over raw fact rows keyed by a low-cardinality column") {

@@ -24,7 +24,8 @@ class ReplayTwinSpec extends SparkSpec {
 
   test("text replay counts and dead-letters malformed lines (A9 failed records)") {
     import org.apache.spark.sql.functions._
-    val arch = graft.core.Ndjson.stageGz(spark, sf, "corrupt-archive")
+    val arch = graft.core.Ndjson.stageGz(spark, sf, "corrupt-archive",
+      durable = false) // this test MUTATES its staged copy
     java.nio.file.Files.write(
       java.nio.file.Paths.get(arch, "garbage.txt"),
       "not json at all\n{\n{\"event_id\": oops}\n".getBytes("UTF-8"))
@@ -663,6 +664,67 @@ class ReplayTwinSpec extends SparkSpec {
     val hof = canon(graft.ops.ScaleOps.kplDeaggregateHof(raw))
     assert(native.nonEmpty)
     assert(native === hof)
+  }
+
+  test("native-vs-HOF law holds for a 129-key table (pk_index >= 128 rides a 2-byte varint)") {
+    // The staging envelope packs <=8 messages per frame, so archive
+    // indexes are always 1-byte — this HAND-BUILT frame (independent
+    // encoder: tag/LEB128 rules only) carries a 129-entry key table
+    // and a record whose partition_key_index = 128 needs the 2-byte
+    // LEB128 path. The HOF law mirror's record advance must carry the
+    // iw (index-varint width) term for this frame: the former
+    // `p + v + 3 + jw` spelling assumed iw = 1 and misparses here.
+    import spark.implicits._
+    def hv(v: Int): String = // hex LEB128, 1 or 2 bytes
+      if (v < 128) f"$v%02X"
+      else f"${(v & 0x7f) | 0x80}%02X${v >> 7}%02X"
+    def key(i: Int): String = f"key$i%03d"
+    val entries = (0 to 128).map(i => "0A" + hv(6) + key(i)).mkString
+    def rec(idx: Int, msg: String): String = {
+      val iw = if (idx < 128) 1 else 2
+      val jw = if (msg.length < 128) 1 else 2
+      val recLen = 1 + iw + 1 + jw + msg.length
+      "1A" + hv(recLen) + "08" + hv(idx) + "1A" + hv(msg.length) + msg
+    }
+    val m0 = """{"event_id":0,"user_id":1,"event_type":"key000","value":1.5,"ms":1000,"props":"{}"}"""
+    val m1 = """{"event_id":1,"user_id":2,"event_type":"key128","value":2.5,"ms":2000,"props":"{}"}"""
+    val body = entries + rec(0, m0) + rec(128, m1)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val raw = Seq(graft.ops.ScaleOps.KplMagic + body + md5hex).toDF("value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"e.event_id", $"pk").as[(Long, String)].collect().sorted.toSeq
+    val native = canon(graft.ops.ScaleOps.kplDeaggregate(raw))
+    // 129 table entries + 2 records need a wider walk than the ≤17
+    // staging-envelope default
+    val hof = canon(graft.ops.ScaleOps.kplDeaggregateHof(raw, maxSteps = 140))
+    assert(native === Seq((0L, "key000"), (1L, "key128")),
+      "the 2-byte index must resolve through the wide table")
+    assert(native === hof)
+  }
+
+  test("kpl_deagg stops gracefully on md5-passing corrupt frames — never a throw") {
+    // the documented contract: a structurally inconsistent frame stops
+    // the walk with the records decoded so far. Drive the native
+    // expression directly with bodies that used to reach substring
+    // with a negative length (non-hex char in a 2-byte varint's second
+    // byte) or read past the end (2-byte jlen at the frame edge).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = graft.functions.KplDeagg(BoundReference(0, StringType, nullable = true))
+    def walk(body: String) =
+      e.eval(InternalRow(UTF8String.fromString(body)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // pk-entry len varint "80ZZ": second byte non-hex → negative len
+    assert(walk("0A80ZZabcdef").numElements() === 0)
+    // record whose jlen varint's first byte promises a second byte
+    // that sits past the end of the frame
+    assert(walk("1A" + "06" + "08" + "00" + "1A" + "80").numElements() === 0)
+    // and a clean 1-entry frame still decodes around them
+    val good = "0A" + "01" + "k" + "1A" + "06" + "08" + "00" + "1A" + "02" + "{}"
+    assert(walk(good).numElements() === 1)
   }
 
   test("throttled schema-evolving replay processes eras in separate epochs, same result") {
