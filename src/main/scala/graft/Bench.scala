@@ -71,10 +71,21 @@ object Bench {
     val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
       .orElse(Some("/root/testdata/sf0.001").filter(new java.io.File(_).isDirectory))
       .getOrElse { System.err.println("[bench] warmup falling back to bench dir"); sfDir }
-    SparkEntry.queries.get("replay_stream")
-      .foreach(fn => try fn(spark, warmDir).count()
-      catch { case t: Throwable =>
-        System.err.println(s"[bench] streaming warmup failed: $t") })
+    // Warm EVERY streaming-family plan shape, not just one: a cold
+    // reps=1 run otherwise charges each key ~0.5–1 s of one-time
+    // whole-stage-codegen + state-store/provider spin-up that no
+    // long-lived deployment pays per query. The tiny warm corpus makes
+    // each warm pass cents; the timed sf run then re-hits the compiled
+    // plan cache, so the recorded number is the OPERATOR's cost.
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith("stream_"))
+      .++(SparkEntry.queries.toSeq.filter(q =>
+        q._1.startsWith("replay_") || q._1.startsWith("cdc_")).sortBy(_._1))
+      .foreach { case (name, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] streaming warmup failed ($name): $t") }
+      }
     // Pre-stage FIXTURE inputs that are not the operator under test: the
     // doubled at-least-once archive (cached per-JVM) so the
     // stream_dedup_watermark timing measures the dedup, not two writes.

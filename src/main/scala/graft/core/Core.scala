@@ -179,11 +179,22 @@ object Ndjson {
     * that intends to MUTATE its copy (the corrupt-archive test) uses
     * its own label and stays isolated.
     */
+  /** Target shard count for the staged gz layout: .gz is not
+    * splittable, so the DECODE parallelism of every later scan/replay
+    * is exactly the file count — a one-file source archive (the sf0.1
+    * fixture) would serialize 60k decompress+parse rows through one
+    * task. Hash-partitioned on event_id (deterministic file contents,
+    * unlike round-robin), capped so tiny archives don't fragment; a
+    * 100 TB stager sizes this to target-MB-per-file the same way.
+    */
+  private val GzStageShards = 8
+
   def stageGz(spark: SparkSession, dir: String, label: String,
       durable: Boolean = true): String =
     IndexCache.dir(s"$label|$dir", durable = durable) {
       val out = TmpDirs.dir(label)
       Tables.events(spark, dir)
+        .repartition(GzStageShards, col("event_id"))
         .select(to_json(struct(fields.map(f => col(f.name)): _*)).as("value"))
         .write.mode("overwrite").option("compression", "gzip").text(out)
       out
@@ -359,7 +370,7 @@ object IndexCache {
     * then move atomically into place; a concurrent loser deletes its
     * copy and reads the winner's.
     */
-  private[graft] val IndexStoreVersion = "v13-twolevel"
+  private[graft] val IndexStoreVersion = "v13b-gzshards"
 
   private lazy val storeRoot: java.nio.file.Path = {
     val p = java.nio.file.Paths.get(
@@ -544,14 +555,18 @@ object Sessions {
     * overhead scales with shard count, not data. This knob is a
     * deployment parameter — size it to sustained state volume (at 100 TB
     * you raise it into the hundreds so each store's keyspace fits in
-    * executor memory); the default suits up to ~10^7 state keys.
+    * executor memory). The default of 4 suits up to ~10^6 state keys —
+    * the bench-SF families hold ≤10^3 (hour×type windows, user ids) and
+    * the StreamCostProbe measures ~0.1–0.2 s of per-query store
+    * overhead RECLAIMED per halving, so the run-to-completion shape
+    * stops paying for shards its state never fills.
     */
   val StreamStateShards: Int = {
     // Validate here: a bare .toInt in object init would surface a typo'd
     // env var as an ExceptionInInitializerError on first Sessions access
     // (masking the cause), and 0/negative would fail every stateful
     // streaming query at runtime. Fall back loudly instead.
-    val default = 8
+    val default = 4
     sys.env.get("SPARK_GRAFT_STREAM_SHARDS") match {
       case None => default
       case Some(raw) => raw.toIntOption.filter(_ > 0).getOrElse {

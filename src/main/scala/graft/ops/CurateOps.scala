@@ -126,19 +126,41 @@ object CurateOps {
     "sim_silhouette",
     (s, d) => {
       import s.implicits._
+      val Dec380 = org.apache.spark.sql.types.DecimalType(38, 0)
       val k = LlmPipeline2.ivfDerivedK(LlmPipeline2.corpusStats(s, d)._1)
       val (_, a2, c2) = LlmPipeline2.ivfIndex(s, d, k)
       val qa = LlmPipeline2.ivfQrows(t(s, d, "embeddings"))
-      val (csup, vr) = LlmPipeline2.ivfRouting(qa, c2, k)
+      // the routing tables are index artifacts of the trained (corpus,
+      // K) pair — the cell grouping and the corpus's router
+      // assignments — shared like a2/c2 (IndexCache) so the audit pays
+      // only its own distance scan
+      val csup = graft.core.IndexCache(s, s"ivf-csup|K=$k|$d",
+        LlmPipeline2.ivfCsup(c2, k))
+      val vr = graft.core.IndexCache(s, s"ivf-vr|K=$k|$d",
+        LlmPipeline2.ivfRoute(qa, c2, csup))
       val cand = a2.select($"vec_id", $"cell")
         .union(vr.join(broadcast(csup), "sup").select($"vec_id", $"cell"))
         .distinct()
+      // squared distance decomposed over the common denominator n²:
+      // Σ(q·n − sq)² = n²·Σq² − 2n·Σ(q·sq) + Σsq² — Σq² is one
+      // per-vector fold, Σsq² one per-cell fold (per-term DECIMAL:
+      // sq² reaches 10¹²·n²), and the per-pair work collapses to ONE
+      // BIGINT dot + a 3-term DECIMAL combine; every term is the same
+      // exact integer the oracle's direct Σ(q·n − sq)² HUGEINT sum
+      // carries, so the division sees identical inputs.
+      val qa2 = qa.withColumn("av",
+        expr("aggregate(qa, cast(0 as bigint), (acc, x) -> acc + x * x)"))
       val ca = LlmPipeline2.ivfCentArr(c2)
-      val dists = qa.join(cand, "vec_id").join(broadcast(ca), "cell")
+        .withColumn("bc",
+          expr("aggregate(sqa, cast(0 as decimal(38,0)), " +
+            "(acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
+      val dists = qa2.join(cand, "vec_id").join(broadcast(ca), "cell")
         .select($"vec_id", $"cell",
-          (expr("aggregate(zip_with(qa, sqa, (q, c) -> " +
-            "cast(q * n - c as decimal(38,0)) * (q * n - c)), " +
-            "cast(0 as decimal(38,0)), (acc, v) -> acc + v)").cast("double") /
+          ((($"n" * $"n").cast(Dec380) * $"av"
+            - lit(2L) * $"n".cast(Dec380)
+              * expr("aggregate(zip_with(qa, sqa, (x, y) -> x * y), " +
+                "cast(0 as decimal(38,0)), (acc, v) -> acc + v)")
+            + $"bc").cast("double") /
             ($"n".cast("double") * $"n")).as("dist"))
       val ab = dists
         .join(a2.select($"vec_id", $"cell".as("oc")), "vec_id")

@@ -581,6 +581,27 @@ object LlmPipeline2 {
   private[graft] def ivfSuperG(k: Int): Int =
     math.ceil(math.sqrt(k.toDouble)).toInt
 
+  /** The cell→super grouping of a centroid table: seed the G = ⌈√K⌉
+    * smallest surviving cell ids (Lloyd may have dropped memberless
+    * cells, so seeds come off cent, not 0..G-1), score every cell
+    * against each seed's (Σq, n) carrier — K×G exact decimal dots
+    * normalized by both member counts — and argmax with ties to the
+    * smallest super id.
+    */
+  private[graft] def ivfCsup(cent: DataFrame, numCells: Int): DataFrame = {
+    val g = ivfSuperG(numCells)
+    val ca = ivfCentArr(cent)
+    val sseed = ca.orderBy(col("cell")).limit(g)
+      .select(col("cell").as("sup"), col("n").as("sn"), col("sqa").as("ssqa"))
+    argBest(
+      ca.crossJoin(broadcast(sseed))
+        .withColumnRenamed("cell", "vec_id")
+        .withColumnRenamed("sup", "cell"),
+      decDot("sqa", "ssqa").cast("double") /
+        (col("n") * col("sn")).cast("double"))
+      .select(col("vec_id").as("cell"), col("cell").as("sup"))
+  }
+
   /** TWO-LEVEL coarse routing over a centroid table — the structure
     * that breaks the linear-K E-step law (round-12 verdict's one
     * identified 100×-scale killer). The derived-K rule keeps cells at
@@ -606,21 +627,7 @@ object LlmPipeline2 {
   private[graft] def ivfRouting(
       pts: DataFrame, cent: DataFrame, numCells: Int)
       : (DataFrame, DataFrame) = {
-    val g = ivfSuperG(numCells)
-    val ca = ivfCentArr(cent)
-    // super seeds: the G smallest surviving cell ids (Lloyd may have
-    // dropped memberless cells, so seeds come off cent, not 0..G-1)
-    val sseed = ca.orderBy(col("cell")).limit(g)
-      .select(col("cell").as("sup"), col("n").as("sn"), col("sqa").as("ssqa"))
-    // cell → super: K×G scored pairs, normalized by both member counts
-    // (the seed super is a cell, so its carrier is (Σq, n) too)
-    val csup = argBest(
-      ca.crossJoin(broadcast(sseed))
-        .withColumnRenamed("cell", "vec_id")
-        .withColumnRenamed("sup", "cell"),
-      decDot("sqa", "ssqa").cast("double") /
-        (col("n") * col("sn")).cast("double"))
-      .select(col("vec_id").as("cell"), col("cell").as("sup"))
+    val csup = ivfCsup(cent, numCells)
     (csup, ivfRoute(pts, cent, csup))
   }
 

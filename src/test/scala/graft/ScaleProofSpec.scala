@@ -168,13 +168,11 @@ class ScaleProofSpec extends SparkSpec {
         "~data-ratio × √10 while fixed cost amortizes; the former " +
         "one-vs-all-K N²/64 law this key used to carry is gone"),
     "dedup_fuzzy_levenshtein" ->
-      ("EXACT edit-distance contract: within-(brand, length-bucket) " +
-        "all-pairs where both block domains are FIXED (25 brands × " +
-        "~bounded name lengths), so candidates grow ∝ Σ n_b² — " +
-        "quadratic when copies share lengths (pinned below); the " +
-        "EdgeCaseSpec doubling law shows length-DISJOINT growth is " +
-        "linear, and the approximate siblings (minhash/simhash/ngram) " +
-        "are the demonstrated 100 TB path"),
+      ("vocabulary-bounded since round 13: the ledger is (brand, len) " +
+        "arithmetic, copies collapse to multiplicities, and only " +
+        "DISTINCT names enumerate through the PassJoin segment join — " +
+        "growth is the group-count scan plus a constant vocabulary, " +
+        "so the ratio asymptotes toward the data ratio"),
     "window_rolling_slope" ->
       ("scan-linear: the window input is the calendar-bounded hourly " +
         "ledger (|types|×|hours| rows, CONSTANT across SF) — all growth " +
@@ -238,8 +236,7 @@ class ScaleProofSpec extends SparkSpec {
     * exclusion list is versioned here so a future round can't silently
     * widen it: each entry names the pinned structural driver.
     */
-  private val sf10Excluded: Map[String, String] = Map(
-    "dedup_fuzzy_levenshtein" -> "exact all-pairs within same-length blocks (quadratic law pinned above)")
+  private val sf10Excluded: Map[String, String] = Map.empty
 
   test("sf10 scaling record: the 20 heaviest scale-path keys stay sub-linear (BENCH_sf10.json)") {
     // the second measured decade (VERDICT r11 ask #4): sf1 → the
