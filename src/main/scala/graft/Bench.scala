@@ -57,6 +57,10 @@ object Bench {
     val spark = graft.core.Sessions.config(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ambient load, read BEFORE any warmup work — the family warmup
+    // below saturates cores for ~20 s and would misreport the box as
+    // contaminated when it was idle at launch
+    val loadStart = loadavg()
     // Warm the JVM/codegen/parquet-footer paths once so the first timed
     // query doesn't absorb session startup (it was +4s of pure warmup).
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -113,7 +117,6 @@ object Bench {
     // noisy run.
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
-    val loadStart = loadavg()
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
