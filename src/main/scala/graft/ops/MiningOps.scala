@@ -185,11 +185,20 @@ object MiningOps {
       val li = Tables.t(s, d, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
       val deg = li.groupBy($"p").agg(count(lit(1)).as("dp"))
+      // SHUFFLE_HASH on the degree side: the pairs relation is the
+      // giant here (Σ|basket|² candidate pairs) and a sort-merge join
+      // would SORT it twice (once per degree attach) — the sf10 leg
+      // measured that sort as the key's whole tail (and its spill
+      // OOM'd an 8g heap). Hashing the per-partition degree slice
+      // (|parts|/shuffle-partitions rows — bounded at any SF by
+      // sizing partitions, the same knob every shuffle already needs)
+      // streams the pairs side through unsorted. Not a broadcast
+      // (R5-clean): both sides still hash-partition by the join key.
       coPairs(s, d)
         .groupBy($"a".as("pa"), $"b".as("pb"))
         .agg(count(lit(1)).as("n_common"))
-        .join(deg.select($"p".as("pa"), $"dp".as("da")), "pa")
-        .join(deg.select($"p".as("pb"), $"dp".as("db")), "pb")
+        .join(deg.select($"p".as("pa"), $"dp".as("da")).hint("SHUFFLE_HASH"), "pa")
+        .join(deg.select($"p".as("pb"), $"dp".as("db")).hint("SHUFFLE_HASH"), "pb")
         .select($"pa", $"pb", $"n_common",
           dround($"n_common".cast("double") / ($"da" + $"db" - $"n_common"), 6)
             .as("nbr_jaccard"))
