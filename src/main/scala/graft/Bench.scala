@@ -118,7 +118,11 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
     val errors = scala.collection.mutable.ArrayBuffer[String]()
+    // per-query record of durable-store artifact HITS: a near-zero
+    // timing whose index came warm from the cross-JVM store must say so
+    val hitByQuery = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val results = selected.map { case (name, fn) =>
+      val hitsBefore = graft.core.IndexCache.storeHits
       val times = (1 to reps).map { _ =>
         // Cold index builds (IndexCache) that fire inside this query are
         // timed separately and SUBTRACTED from its number: the build is
@@ -142,6 +146,8 @@ object Bench {
         System.gc()
         dt
       }
+      val newHits = (graft.core.IndexCache.storeHits -- hitsBefore).toSeq.sorted
+      if (newHits.nonEmpty) hitByQuery(name) = newHits
       name -> (if (errors.contains(name)) -times.min else times.min)
     }
     // errored queries don't contribute to the comparable total
@@ -159,7 +165,20 @@ object Bench {
       .map { case (k, v) => "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + v }
       .mkString("{", ",", "}")
     val stagingTotal = staging.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":"$load","errors":$errJson,"index_staging_sec":$stagingTotal,"index_staging":$stagingJson,"queries":$fullQs,"sf":"$sfDir"}"""
+    // Artifacts served from the cross-JVM durable store (hit, not
+    // built) — without this a warm run's index_staging_sec of 0.0 and
+    // near-zero per-key times are indistinguishable from "free". Keyed
+    // by the first query that triggered each hit; hits fired during
+    // warmup land under "_warmup".
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val attributed = hitByQuery.values.flatten.toSet
+    val warmupHits = (graft.core.IndexCache.storeHits -- attributed).toSeq.sorted
+    val allHits = (if (warmupHits.nonEmpty) Seq("_warmup" -> warmupHits) else Nil) ++
+      hitByQuery.toSeq
+    val storeHitsJson = allHits.map { case (q, ks) =>
+      "\"" + esc(q) + "\":" + ks.map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":"$load","errors":$errJson,"index_staging_sec":$stagingTotal,"index_staging":$stagingJson,"index_store_hits":$storeHitsJson,"queries":$fullQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -358,19 +358,39 @@ object IndexCache {
     * (an index is built when the corpus lands, then every job opens
     * it by name) applied across process boundaries, which is exactly
     * what a cold `Bench` run is. Keys embedding a per-JVM scratch
-    * fixture dir (`graft-run-`) stay session-local: those corpora die
-    * with the JVM, so persisting their artifacts would only grow the
-    * store with unreachable entries.
+    * fixture dir (`graft-run-`) or a per-test staged dir
+    * (`graft-test-`) stay session-local: those corpora die with the
+    * JVM, so persisting their artifacts would only grow the store
+    * with unreachable entries (and every scalatest JVM stages dozens).
     *
     * [[IndexStoreVersion]] salts the content key: any round that
     * changes an artifact's SEMANTICS (training rule, layout, encoding)
     * must bump it, or a stale store would serve old artifacts — the
     * DuckDB hash gate would catch the drift, but the bump makes it
-    * structurally impossible. Writes go to a pid-suffixed temp dir
-    * then move atomically into place; a concurrent loser deletes its
-    * copy and reads the winner's.
+    * structurally impossible. The key ALSO folds in a fingerprint of
+    * the corpus directory it names (sorted file names + sizes +
+    * mtimes), so regenerated data at the same path — a testdata
+    * refresh between rounds, a user re-pointing a dir — can never be
+    * served a stale index trained on the old bytes: only Verify runs
+    * behind the DuckDB hash gate; Bench and the scale-proof suite
+    * would otherwise record wrong numbers silently. Writes go to a
+    * pid-suffixed temp dir then move atomically into place; a
+    * concurrent loser deletes its copy and reads the winner's.
     */
-  private[graft] val IndexStoreVersion = "v13b-gzshards"
+  private[graft] val IndexStoreVersion = "v14-fprint"
+
+  /** Entries older than this are reaped at store open: test-JVM
+    * leftovers and superseded versions would otherwise accumulate on
+    * the RAM-backed tmpfs until reboot.
+    */
+  private val StoreTtlMillis = 3L * 24 * 3600 * 1000
+
+  /** Soft size cap: when the store exceeds this at open, oldest
+    * entries are evicted (hits refresh an entry's mtime, so eviction
+    * is LRU-ish). Sized well under the 16 GiB medium floor so the
+    * store can never be the thing that pushes scratch to disk.
+    */
+  private val StoreCapBytes = 12L << 30
 
   /** The store lives on the same medium policy as scratch — a
     * RAM-backed tmpfs when one has headroom — but OUTSIDE the reaped
@@ -379,28 +399,151 @@ object IndexCache {
     * measured to double iterative consumers' times at sf1 (every
     * bfs/kcore/hits iteration re-reads its edge artifact). Falls back
     * to the JVM tmpdir when no roomy tmpfs exists.
+    *
+    * The root is PER-USER (`graft-index-store-<user>`, 0700 where the
+    * filesystem supports POSIX permissions) and ownership-checked
+    * before trust: a world-shared fixed path on a multi-user box would
+    * let another account pre-populate digest dirs and serve arbitrary
+    * parquet as a trusted index artifact. A pre-existing root owned by
+    * someone else is NOT used — the store degrades to session-local
+    * (durable lookups disabled) rather than read an untrusted cache.
     */
-  private lazy val storeRoot: java.nio.file.Path = {
+  private lazy val storeRoot: Option[java.nio.file.Path] = {
     import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.PosixFilePermissions
     val floor = 16L << 30
     val base = Some(Paths.get("/dev/shm")).filter { p =>
       try Files.isDirectory(p) && Files.isWritable(p) &&
         Files.getFileStore(p).getUsableSpace > floor
       catch { case _: Throwable => false }
     }.getOrElse(Paths.get(System.getProperty("java.io.tmpdir")))
-    val p = base.resolve("graft-index-store")
-    Files.createDirectories(p)
-    p
+    val user = sys.props.getOrElse("user.name", "unknown")
+    val p = base.resolve(s"graft-index-store-$user")
+    try {
+      if (!Files.exists(p)) {
+        try Files.createDirectories(p,
+          PosixFilePermissions.asFileAttribute(
+            PosixFilePermissions.fromString("rwx------")))
+        catch { case _: UnsupportedOperationException =>
+          Files.createDirectories(p) }
+      }
+      val owner = Files.getOwner(p).getName
+      if (owner != user) {
+        System.err.println(s"[graft] WARN: index store '$p' is owned by " +
+          s"'$owner', not '$user'; durable index store DISABLED for this JVM")
+        None
+      } else { sweep(p); Some(p) }
+    } catch { case t: Throwable =>
+      System.err.println(s"[graft] WARN: index store unavailable ($t); " +
+        "durable index store disabled for this JVM")
+      None
+    }
   }
 
+  /** Open-time reclamation: torn pid-suffixed temps from crashed JVMs
+    * (> 6 h old), entries past [[StoreTtlMillis]], the legacy
+    * world-shared `graft-index-store` root from earlier versions, and
+    * — if the store still exceeds [[StoreCapBytes]] — oldest entries
+    * first until under cap. All deletions are of pure caches (every
+    * entry is a deterministic function of its key), so the worst case
+    * of an over-eager sweep is a rebuild.
+    */
+  private def sweep(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis()
+    try {
+      val legacy = root.getParent.resolve("graft-index-store")
+      if (Files.isDirectory(legacy) &&
+          Files.getOwner(legacy).getName == sys.props.getOrElse("user.name", ""))
+        TmpDirs.rmrfPath(legacy)
+    } catch { case _: Throwable => () }
+    try {
+      val entries = Files.list(root).iterator().asScala.toList
+      def mtime(p: java.nio.file.Path): Long =
+        try Files.getLastModifiedTime(p).toMillis catch { case _: Throwable => 0L }
+      entries.foreach { e =>
+        val name = e.getFileName.toString
+        val age = now - mtime(e)
+        if ((name.contains(".") && age > 6L * 3600 * 1000) || age > StoreTtlMillis)
+          TmpDirs.rmrfPath(e)
+      }
+      def treeSize(p: java.nio.file.Path): Long =
+        try Files.walk(p).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(f =>
+            try Files.size(f) catch { case _: Throwable => 0L }).sum
+        catch { case _: Throwable => 0L }
+      val live = Files.list(root).iterator().asScala.toList
+        .map(e => (e, mtime(e), treeSize(e))).sortBy(_._2)
+      var total = live.map(_._3).sum
+      live.iterator.takeWhile(_ => total > StoreCapBytes).foreach {
+        case (e, _, sz) =>
+          System.err.println(s"[graft] index store over cap; evicting " +
+            s"'${e.getFileName}' (${sz >> 20} MiB)")
+          TmpDirs.rmrfPath(e); total -= sz
+      }
+    } catch { case _: Throwable => () }
+  }
+
+  /** Cheap content fingerprint of the corpus directory a key names —
+    * the key convention is `label|params…|<dir>`, so the final
+    * `|`-segment is probed as a path. Recursive (sorted) walk of file
+    * names + sizes + mtimes, capped at 16384 entries (a corpus dir is
+    * tables-of-parquet-parts, typically well under that); non-existent
+    * or non-directory tails contribute an empty fingerprint, keeping
+    * the digest a pure function of the key string as before.
+    */
+  private def corpusFingerprint(key: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tail = key.substring(key.lastIndexOf('|') + 1)
+    try {
+      val p = Paths.get(tail)
+      if (!Files.isDirectory(p)) ""
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Files.walk(p).iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => (p.relativize(f).toString, f))
+          .toSeq.sortBy(_._1)
+          .take(16384)
+          .foreach { case (rel, f) =>
+            val line = s"$rel:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}\n"
+            md.update(line.getBytes("UTF-8"))
+          }
+        md.digest().map("%02x".format(_)).mkString
+      }
+    } catch { case _: Throwable => "" }
+  }
+
+  /** Per-JVM memo of corpus fingerprints: a corpus dir is immutable for
+    * the life of a run, and fingerprinting it per durable lookup would
+    * charge a directory walk to every ANN-family key.
+    */
+  private val fprints = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def durableDir(key: String): Option[java.nio.file.Path] =
-    if (key.contains("graft-run-")) None
-    else {
+    if (key.contains("graft-run-") || key.contains("graft-test-")) None
+    else storeRoot.map { root =>
+      val tail = key.substring(key.lastIndexOf('|') + 1)
+      val fp = fprints.computeIfAbsent(tail, _ => corpusFingerprint(key))
       val dig = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$IndexStoreVersion|$key".getBytes("UTF-8"))
+        .digest(s"$IndexStoreVersion|$key|$fp".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      Some(storeRoot.resolve(dig))
+      root.resolve(dig)
     }
+
+  /** Keys served from the cross-JVM store this JVM (vs built): Bench
+    * emits this so a near-zero per-key time can be attributed to a
+    * warm artifact instead of reading as a free operator.
+    */
+  private val storeHitKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def storeHits: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    storeHitKeys.asScala.toSet
+  }
 
   /** Per-JVM ledger of cold-build costs (key → seconds). Bench reads
     * this between queries to move staging time OUT of whichever query
@@ -431,19 +574,32 @@ object IndexCache {
       val p = hit match {
         case Some(dp) =>
           // cross-JVM reload: the build is skipped entirely; no staging
-          // cost is ledgered because none was paid
+          // cost is ledgered because none was paid. The hit is ledgered
+          // (bench attribution) and refreshes the entry's mtime (LRU
+          // eviction order in [[sweep]]).
           System.err.println(s"[graft] index '$key' reloaded from store")
+          storeHitKeys.add(key)
+          try java.nio.file.Files.setLastModifiedTime(dp,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: Throwable => () }
           dp.toString
         case None =>
           val t0 = System.nanoTime()
+          // Build into TmpDirs scratch FIRST (which has its own
+          // low-water disk fallback), then migrate into the store —
+          // an ENOSPC or any other IOException against a full store
+          // medium degrades to serving the scratch copy instead of
+          // failing the whole query, mirroring [[dir]]'s behavior.
+          val sp = TmpDirs.dir("idx")
+          build.write.mode("overwrite").parquet(sp)
           val out = durable match {
             case Some(dp) =>
-              // build into a pid-suffixed sibling, then one atomic move —
+              // copy into a pid-suffixed sibling, then one atomic move —
               // concurrent JVMs race benignly (loser reads the winner)
               val tmp = dp.resolveSibling(
                 dp.getFileName.toString + "." + ProcessHandle.current().pid())
-              build.write.mode("overwrite").parquet(tmp.toString)
               try {
+                copyTree(java.nio.file.Paths.get(sp), tmp)
                 java.nio.file.Files.move(tmp, dp,
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
                 dp.toString
@@ -452,11 +608,10 @@ object IndexCache {
                     _: java.nio.file.AccessDeniedException |
                     _: java.nio.file.DirectoryNotEmptyException =>
                   TmpDirs.rmrfPath(tmp); dp.toString
+                case _: java.io.IOException =>
+                  TmpDirs.rmrfPath(tmp); sp // store unusable: serve the build
               }
-            case None =>
-              val sp = TmpDirs.dir("idx")
-              build.write.mode("overwrite").parquet(sp)
-              sp
+            case None => sp
           }
           val secs = (System.nanoTime() - t0) / 1e9
           stagedSecs.put(key, secs)
@@ -497,6 +652,10 @@ object IndexCache {
       val p = hit match {
         case Some(dp) =>
           System.err.println(s"[graft] index '$key' reloaded from store")
+          storeHitKeys.add(key)
+          try java.nio.file.Files.setLastModifiedTime(dp,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: Throwable => () }
           dp.toString
         case None =>
           val t0 = System.nanoTime()
