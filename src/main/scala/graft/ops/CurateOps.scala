@@ -113,7 +113,24 @@ object CurateOps {
     * nearest foreign centroid sits outside its routed group is exactly
     * the vector the router would mis-serve — it still surfaces, as the
     * routed group's best foreign cell stays closer than a=own iff the
-    * assignment is wrong within the group). Exactness: squared
+    * assignment is wrong within the group).
+    *
+    * SEMANTIC VERSIONING of b(i) — this key's statistic changed
+    * meaning across rounds and the definition is pinned here: rounds
+    * ≤12 scored b(i) against ALL other centroids; round 13 routed it
+    * (above) everywhere, which at tiny K is measurably noisy (the
+    * sf0.1 K=32 fixture's recall probe dipped 0.87 → 0.77 — routing
+    * over √32 ≈ 6 groups leaves real nearest-others outside the
+    * candidate set at a rate that matters only when K is small); since
+    * round 14, K ≤ 64 falls back to the EXACT one-vs-all-K candidate
+    * set — N·K ≤ 64·N distance evals, a bounded multiplier precisely
+    * because the branch condition bounds K — and the routed form is
+    * what runs at every scale where it exists to help (K grows as
+    * N/64, so any 100 TB corpus is deep in the routed branch). The
+    * oracle replays the SAME branch arithmetic: both candidate sets
+    * are spelled in SQL, each guarded by the replayed K condition, so
+    * the hash gate covers whichever branch the corpus selects.
+    * Exactness: squared
     * distance lifts to the common denominator n² so the per-component
     * sum is the exact HUGEINT/DECIMAL(38,0) Σ(q·n − sq)² — never a
     * float sum in engine order — and each s(i) floor-quantizes at 10⁶
@@ -130,17 +147,30 @@ object CurateOps {
       val k = LlmPipeline2.ivfDerivedK(LlmPipeline2.corpusStats(s, d)._1)
       val (_, a2, c2) = LlmPipeline2.ivfIndex(s, d, k)
       val qa = LlmPipeline2.ivfQrows(t(s, d, "embeddings"))
-      // the routing tables are index artifacts of the trained (corpus,
-      // K) pair — the cell grouping and the corpus's router
-      // assignments — shared like a2/c2 (IndexCache) so the audit pays
-      // only its own distance scan
-      val csup = graft.core.IndexCache(s, s"ivf-csup|K=$k|$d",
-        LlmPipeline2.ivfCsup(c2, k))
-      val vr = graft.core.IndexCache(s, s"ivf-vr|K=$k|$d",
-        LlmPipeline2.ivfRoute(qa, c2, csup))
-      val cand = a2.select($"vec_id", $"cell")
-        .union(vr.join(broadcast(csup), "sup").select($"vec_id", $"cell"))
-        .distinct()
+      val ca = LlmPipeline2.ivfCentArr(c2)
+        .withColumn("bc",
+          expr("aggregate(sqa, cast(0 as decimal(38,0)), " +
+            "(acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
+      val cand =
+        if (k <= 64)
+          // exact one-vs-all-K (see the versioning note above): N·K
+          // with K ≤ 64 by the branch condition — a bounded-multiplier
+          // product, never an SF² blow-up (K crosses 64 long before
+          // any corpus where the product would hurt)
+          qa.select($"vec_id").crossJoin(ca.select($"cell"))
+        else {
+          // the routing tables are index artifacts of the trained
+          // (corpus, K) pair — the cell grouping and the corpus's
+          // router assignments — shared like a2/c2 (IndexCache) so the
+          // audit pays only its own distance scan
+          val csup = graft.core.IndexCache(s, s"ivf-csup|K=$k|$d",
+            LlmPipeline2.ivfCsup(c2, k))
+          val vr = graft.core.IndexCache(s, s"ivf-vr|K=$k|$d",
+            LlmPipeline2.ivfRoute(qa, c2, csup))
+          a2.select($"vec_id", $"cell")
+            .union(vr.join(broadcast(csup), "sup").select($"vec_id", $"cell"))
+            .distinct()
+        }
       // squared distance decomposed over the common denominator n²:
       // Σ(q·n − sq)² = n²·Σq² − 2n·Σ(q·sq) + Σsq² — Σq² is one
       // per-vector fold, Σsq² one per-cell fold (per-term DECIMAL:
@@ -150,10 +180,6 @@ object CurateOps {
       // carries, so the division sees identical inputs.
       val qa2 = qa.withColumn("av",
         expr("aggregate(qa, cast(0 as bigint), (acc, x) -> acc + x * x)"))
-      val ca = LlmPipeline2.ivfCentArr(c2)
-        .withColumn("bc",
-          expr("aggregate(sqa, cast(0 as decimal(38,0)), " +
-            "(acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
       val dists = qa2.join(cand, "vec_id").join(broadcast(ca), "cell")
         .select($"vec_id", $"cell",
           ((($"n" * $"n").cast(Dec380) * $"av"
@@ -180,9 +206,17 @@ object CurateOps {
     },
     Some("WITH " + LlmPipeline2.ivfCtesDerivedK + ", " +
       LlmPipeline2.twoLevelCtes("s4", "iq", "c2") + ", " +
+      // the same K-versioned b(i) branch as the engine: exact
+      // one-vs-all-K at kk <= 64, routed-neighborhood above
       "cand AS (SELECT vec_id, cell FROM a2 " +
+      "WHERE (SELECT kk FROM prm) > 64 " +
       "UNION SELECT vr.vec_id, cg.cell FROM s4vr vr " +
-      "JOIN s4cg cg ON cg.sup = vr.sup), " +
+      "JOIN s4cg cg ON cg.sup = vr.sup " +
+      "WHERE (SELECT kk FROM prm) > 64 " +
+      "UNION SELECT e.vec_id, c.cell FROM " +
+      "(SELECT DISTINCT vec_id FROM iq) e, " +
+      "(SELECT DISTINCT cell FROM c2) c " +
+      "WHERE (SELECT kk FROM prm) <= 64), " +
       "dn AS (SELECT cd.vec_id, cd.cell, c2.n, " +
       "CAST(iq.q * c2.n - c2.sq AS HUGEINT) AS t " +
       "FROM cand cd JOIN iq ON iq.vec_id = cd.vec_id " +

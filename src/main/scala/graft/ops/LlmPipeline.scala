@@ -401,6 +401,16 @@ object LlmPipeline {
     * fault-prone cluster would use reliable checkpoint() to a state
     * dir instead — same plan, durable lineage cut.
     */
+  /** Rounds the last [[connectedComponents]] call used (this JVM) —
+    * the observable the pointer-jumping scale law is pinned against:
+    * path compression makes the round count O(log diameter), and the
+    * PropertySpec chain-graph law asserts the measured count tracks
+    * log₂(d) (+1 convergence-observation round), so a regression to
+    * O(diameter) rounds — the difference between 8 and 256 rounds on
+    * a 256-chain — fails a test instead of surfacing as an sf10 tail.
+    */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   private[graft] def connectedComponents(
       s: SparkSession, edgesIn: DataFrame): DataFrame = {
     import s.implicits._
@@ -436,6 +446,7 @@ object LlmPipeline {
       iter += 1
     }
     System.err.println(s"[graft] cc: min-label rounds=$iter converged=$converged")
+    lastCcRounds = iter
     if (converged) labels else starContraction(s, edges)
   }
 

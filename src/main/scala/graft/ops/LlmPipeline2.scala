@@ -1255,20 +1255,28 @@ object LlmPipeline2 {
     * persisted centroids by one E-step against the REOPENED centroid
     * table — never a Lloyd iteration — and appended to the stored
     * assignment table, exactly how a production ANN/dedup index
-    * absorbs a daily landing without a rebuild. The new batch is
-    * deterministic (each corpus vector's REVERSED twin, vec_id +
-    * 100000), so the oracle can replay the same assignment arithmetic:
-    * reversed components are the same quantized table with pos
-    * mirrored, the score is the identical exact-integer dot /
-    * member-count division, ties to the smallest cell. The report
-    * ledgers each cell's base vs appended population; conservation
-    * (appended total = corpus size) is implied by the hash.
+    * absorbs a daily landing without a rebuild. The new batch is the
+    * production DAILY-LANDING shape — a bounded 1% slice of the corpus
+    * (vec_id % 100 = 0), each vector's REVERSED twin offset past the
+    * corpus max id — deterministic, so the oracle can replay the same
+    * assignment arithmetic: reversed components are the same quantized
+    * table with pos mirrored, the score is the identical exact-integer
+    * dot / member-count division, ties to the smallest cell. (Round 13
+    * appended the WHOLE corpus's twins — that fixture conflated a
+    * bounded incremental landing with a corpus-sized rebuild and made
+    * the key's measured ratio read as the REBUILD's, sf1 ratio 5.51;
+    * the corpus-sized stress shape is the ScaleProofSpec batch-cost
+    * law's job now, not this key's record.) The report ledgers each
+    * cell's base vs appended population; the id offset is max(vec_id)+1
+    * — derived, not a constant — so base ids above a fixed literal
+    * (every id-striped sf1/sf10 copy) can never misclassify as new.
     *
     * Scale shape: assignment is the shared TWO-LEVEL broadcast E-step
     * ([[ivfAssign]] — route to top-2 of ⌈√K⌉ super-centroids, then
     * score only the routed groups' cells) + one argmax agg — cost
-    * ∝ |new batch|·√K, zero touches of the base corpus; the append is
-    * a partition add to the store, not a rewrite.
+    * ∝ |new batch|·√K with |batch| = N/100 ≪ N, zero touches of the
+    * base corpus; the append is a partition add to the store, not a
+    * rewrite. The one driver-side scalar (max id) is a 1-row agg.
     */
   private val indexAppend = Q(
     "index_append",
@@ -1276,36 +1284,44 @@ object LlmPipeline2 {
       import s.implicits._
       val (ap, cp) = ivfPersist(s, d)
       val c2r = s.read.parquet(cp)
-      // the new batch: reversed-embedding twins — reversing the ARRAY
-      // is the same vector the old mirrored-pos component spelling
-      // built (position p reads embedding[63−p]), fed through the
-      // shared array-fold E-step against the REOPENED centroid table
+      // 1-row scalar; -1 sentinel keeps the empty-corpus path alive
+      // (empty batch, empty grown index — never a null-row throw)
+      val mxRow = t(s, d, "embeddings")
+        .agg(max($"vec_id".cast("long"))).head
+      val maxId = if (mxRow.isNullAt(0)) -1L else mxRow.getLong(0)
+      // the new batch: the 1% landing slice's reversed-embedding twins
+      // — reversing the ARRAY is the same vector the old mirrored-pos
+      // component spelling built (position p reads embedding[63−p]),
+      // fed through the shared array-fold E-step against the REOPENED
+      // centroid table
       val assigned = ivfAssign(
         ivfQrows(t(s, d, "embeddings")
-          .select(($"vec_id" + 100000L).as("vec_id"),
+          .filter($"vec_id" % 100 === 0)
+          .select(($"vec_id" + maxId + 1L).as("vec_id"),
             reverse($"embedding").as("embedding"))),
         c2r, ivfDerivedK(corpusStats(s, d)._1))
       assigned.write.mode("append").parquet(ap)
       // the grown index, read back from the store
       s.read.parquet(ap)
-        .withColumn("is_new", ($"vec_id" >= 100000L).cast("long"))
+        .withColumn("is_new", ($"vec_id" > maxId).cast("long"))
         .groupBy("cell")
         .agg(sum(lit(1L) - $"is_new").as("n_base"),
           sum($"is_new").as("n_appended"))
         .orderBy("cell")
     },
     Some("WITH " + ivfCtesDerivedK + ", " +
-      "niq AS (SELECT vec_id + 100000 AS vec_id, 65 - pos AS pos, q " +
-      "FROM iq), " +
+      "mx AS (SELECT CAST(max(vec_id) AS BIGINT) AS mid FROM embeddings), " +
+      "niq AS (SELECT vec_id + (SELECT mid + 1 FROM mx) AS vec_id, " +
+      "65 - pos AS pos, q FROM iq WHERE vec_id % 100 = 0), " +
       twoLevelCtes("t3", "niq", "c2") + ", " +
       assignCte("na", "t3") + ", " +
       "grown AS (SELECT vec_id, cell FROM a2 " +
       "UNION ALL SELECT vec_id, cell FROM na) " +
       "SELECT cell, " +
-      "CAST(SUM(CASE WHEN vec_id < 100000 THEN 1 ELSE 0 END) AS BIGINT) " +
-      "AS n_base, " +
-      "CAST(SUM(CASE WHEN vec_id >= 100000 THEN 1 ELSE 0 END) AS BIGINT) " +
-      "AS n_appended FROM grown GROUP BY 1 ORDER BY 1"))
+      "CAST(SUM(CASE WHEN vec_id <= (SELECT mid FROM mx) THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_base, " +
+      "CAST(SUM(CASE WHEN vec_id > (SELECT mid FROM mx) THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_appended FROM grown GROUP BY 1 ORDER BY 1"))
 
   /** Product quantization (PQ) — the third ANN scale path, and the one
     * that changes the MEMORY economics: the 64-dim vector space is cut

@@ -106,7 +106,19 @@ object MiningOps {
     * stage of both keys, and it is a pure deterministic function of
     * the archive dir — the IndexCache economics of the ANN signature
     * tables. Blow-up is Σ|basket|², bounded baskets ⇒ linear in
-    * orders, never a relation-level cross join.
+    * orders, never a relation-level cross join (TPC-H pins
+    * |basket| ≤ 7; a data model with unbounded baskets would make
+    * Σ|basket|² super-linear and needs a basket cap upstream).
+    *
+    * The artifact carries BOTH degree kinds: the order's basket size
+    * `dg` (Adamic-Adar's downweight) and each endpoint part's
+    * distinct-order degree `da`/`db` (Jaccard's normalizer). Part
+    * degrees are attached to the LINEAR li relation before the
+    * basket self-join — one |li|-sized shuffle at build time — so a
+    * consumer that needs them never has to re-join the Σ|basket|²
+    * pair relation against the degree table (the sf10 leg measured
+    * those two post-aggregation joins as graph_jaccard_neighbors'
+    * whole tail: each one re-shuffled the giant relation).
     */
   private def coPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -114,11 +126,13 @@ object MiningOps {
       val li = Tables.t(s, d, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
       val deg = li.groupBy("o").agg(count(lit(1)).as("dg"))
-      li.select($"o", $"p".as("a"))
-        .join(li.select($"o", $"p".as("b")), "o")
+      val pdeg = li.groupBy("p").agg(count(lit(1)).as("dp"))
+      val liw = li.join(pdeg, "p").select($"o", $"p", $"dp")
+      liw.select($"o", $"p".as("a"), $"dp".as("da"))
+        .join(liw.select($"o", $"p".as("b"), $"dp".as("db")), "o")
         .filter($"a" < $"b")
         .join(deg, "o")
-        .select("o", "a", "b", "dg")
+        .select("o", "a", "b", "dg", "da", "db")
     })
   }
 
@@ -182,23 +196,17 @@ object MiningOps {
     "graph_jaccard_neighbors",
     (s, d) => {
       import s.implicits._
-      val li = Tables.t(s, d, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val deg = li.groupBy($"p").agg(count(lit(1)).as("dp"))
-      // SHUFFLE_HASH on the degree side: the pairs relation is the
-      // giant here (Σ|basket|² candidate pairs) and a sort-merge join
-      // would SORT it twice (once per degree attach) — the sf10 leg
-      // measured that sort as the key's whole tail (and its spill
-      // OOM'd an 8g heap). Hashing the per-partition degree slice
-      // (|parts|/shuffle-partitions rows — bounded at any SF by
-      // sizing partitions, the same knob every shuffle already needs)
-      // streams the pairs side through unsorted. Not a broadcast
-      // (R5-clean): both sides still hash-partition by the join key.
+      // ONE shuffle of the giant Σ|basket|² relation: the shared
+      // artifact already carries each endpoint's distinct-order degree
+      // (attached to the linear li relation at build time), so both
+      // normalizer joins vanish — grouping by (pa, pb, da, db) is
+      // semantically grouping by the pair (degrees are functionally
+      // determined by the part key). The previous shape re-shuffled
+      // the pair relation twice more to attach degrees post-agg; at
+      // sf10 those two joins were the key's whole 10.5× tail.
       coPairs(s, d)
-        .groupBy($"a".as("pa"), $"b".as("pb"))
+        .groupBy($"a".as("pa"), $"b".as("pb"), $"da", $"db")
         .agg(count(lit(1)).as("n_common"))
-        .join(deg.select($"p".as("pa"), $"dp".as("da")).hint("SHUFFLE_HASH"), "pa")
-        .join(deg.select($"p".as("pb"), $"dp".as("db")).hint("SHUFFLE_HASH"), "pb")
         .select($"pa", $"pb", $"n_common",
           dround($"n_common".cast("double") / ($"da" + $"db" - $"n_common"), 6)
             .as("nbr_jaccard"))

@@ -1247,20 +1247,28 @@ object ScaleOps {
     * body end, so frames with fewer than the 8-message staging cap
     * parse exactly.
     */
-  private[graft] def kplDeaggregate(df: DataFrame): DataFrame = {
+  /** The raw (msg, pk) stream of the native walk — the layer the
+    * generated native-vs-HOF fuzz law compares on (payloads there are
+    * arbitrary strings, not event JSON, so the comparison must happen
+    * BEFORE from_json nulls them out).
+    */
+  private[graft] def kplDeaggRaw(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    kplFrames(df).filter(col("good"))
+      .select(explode(
+        graft.functions.KplExpressions.kplDeagg(s, col("body"))).as("r"))
+      .select(col("r.msg").as("msg"), col("r.pk").as("pk"))
+  }
+
+  private[graft] def kplDeaggregate(df: DataFrame): DataFrame =
     // The shipped walk is the NATIVE expression (one imperative pass
     // per frame — see functions/KplExpressions.scala for the measured
     // 4.2 s → sub-second rationale); the HOF spelling below
     // ([[kplDeaggregateHof]]) is retained as the law mirror a spec
     // asserts row-identical on every staged archive.
-    val s = df.sparkSession
-    kplFrames(df).filter(col("good"))
-      .select(explode(
-        graft.functions.KplExpressions.kplDeagg(s, col("body"))).as("r"))
-      .select(
-        from_json(col("r.msg"), graft.core.Ndjson.recordSchema).as("e"),
-        col("r.pk").as("pk"))
-  }
+    kplDeaggRaw(df).select(
+      from_json(col("msg"), graft.core.Ndjson.recordSchema).as("e"),
+      col("pk"))
 
   /** The pure-SQL higher-order-function spelling of [[kplDeaggregate]]
     * — semantically identical (asserted by the native-vs-HOF law in
@@ -1271,7 +1279,13 @@ object ScaleOps {
     * frame vs microseconds for the native expression.
     */
   private[graft] def kplDeaggregateHof(
-      df: DataFrame, maxSteps: Int = 17): DataFrame = {
+      df: DataFrame, maxSteps: Int = 17): DataFrame =
+    kplDeaggregateHofRaw(df, maxSteps).select(
+      from_json(col("msg"), graft.core.Ndjson.recordSchema).as("e"),
+      col("pk"))
+
+  private[graft] def kplDeaggregateHofRaw(
+      df: DataFrame, maxSteps: Int): DataFrame = {
     // one wire element step: at text offset o, read the tag byte; a
     // partition-key-table entry (0x0A) is skipped over its raw payload;
     // a Record submessage (0x1A) advances by its declared BINARY length
@@ -1343,13 +1357,17 @@ object ScaleOps {
       s"element_at(transform(array(named_struct('offs', $foldExpr)), a -> " +
         s"element_at(transform(array(named_struct('pks', $pkTableExpr)), b -> " +
         s"transform(filter(a.offs, o -> ${isTag("o", 26)}), " +
+        // try_element_at, not element_at: an index past the key table
+        // is the documented "producer bug surfaced as data" case — the
+        // native walker yields a NULL pk, and under ANSI semantics a
+        // plain element_at would THROW instead (caught by the generated
+        // fuzz law; the staged archive never emits an out-of-table
+        // index, so the archive-driven law alone couldn't see it)
         s"o -> struct($msgExpr AS msg, " +
-        s"element_at(b.pks, $idxExpr + 1) AS pk))), 1)), 1)"
+        s"try_element_at(b.pks, $idxExpr + 1) AS pk))), 1)), 1)"
     kplFrames(df).filter(col("good"))
       .select(explode(expr(recsExpr)).as("r"))
-      .select(
-        from_json(col("r.msg"), graft.core.Ndjson.recordSchema).as("e"),
-        col("r.pk").as("pk"))
+      .select(col("r.msg").as("msg"), col("r.pk").as("pk"))
   }
 
   /** Frame-validity projection shared by the parser and the ledger:

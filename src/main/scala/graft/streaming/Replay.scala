@@ -575,10 +575,30 @@ object Replay {
       if (Tables.events(s, d).isEmpty)
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
-      else aggregateReplayed(s, replayArchive(s, s"$d/events.parquet",
-        maxBytesPerTrigger = 16L * 1024 * 1024,
-        putRecordsPerShardSec = 50000,
-        failFirstAttempt = putFailureSet))
+      else {
+        // Intake cap DERIVED from the archive size (target ~8 epochs,
+        // 16 MB floor): a fixed byte trigger makes epoch count — and so
+        // the replay's FIXED per-micro-batch cost — data-proportional,
+        // which at sf10 was the single most expensive measurement in
+        // the scaling record (59.5 s, ~5.7× for 10× data). The pacing
+        // semantics are unchanged: the per-epoch sleep is slowest-shard
+        // records / rate, so TOTAL pacing ≈ records-per-shard / rate
+        // regardless of how the records split into epochs — epoch count
+        // only multiplies overhead, never the rate-limit contract. The
+        // capped multi-epoch path still runs end to end: large archives
+        // split into ~8 epochs; below the floor the historical 16 MB
+        // epoch shape is preserved exactly.
+        val archiveBytes = {
+          val f = new java.io.File(s"$d/events.parquet")
+          if (f.isDirectory)
+            Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+          else f.length()
+        }
+        aggregateReplayed(s, replayArchive(s, s"$d/events.parquet",
+          maxBytesPerTrigger = math.max(16L * 1024 * 1024, archiveBytes / 8 + 1),
+          putRecordsPerShardSec = 50000,
+          failFirstAttempt = putFailureSet))
+      }
     },
     Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
       "event_type, count(*) AS cnt, " + OSql.msum("value") + " AS total_value " +

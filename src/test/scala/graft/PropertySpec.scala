@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 
 /** Property-based coverage (SURVEY §5.2): scalacheck generators drive
   * both pure invariants of the determinism kernel and whole-query
@@ -129,6 +130,95 @@ class PropertySpec extends SparkSpec {
     }, min = 300)
   }
 
+  // ---- KPL wire-walk fuzz (VERDICT r13 ask #8) -----------------------
+  // Random AggregatedRecord frames driven through BOTH walkers: the
+  // shipped native expression and its HOF executable spec must decode
+  // the identical (msg, pk) multiset, the encoder (an independent
+  // tag/LEB128 spelling) predicts intact frames exactly, and the
+  // dead-letter ledger counts exactly the planted envelope corruption.
+  // Generated corruption is at the granularities both walkers DEFINE
+  // identically — element-boundary truncation re-sealed behind a fresh
+  // md5 (a torn frame that passes the gate), short (≤3 hex chars)
+  // trailing garbage, bad magic, bad trailer; byte-level garbage INSIDE
+  // a varint is covered by the pinned deterministic stop-law in
+  // ReplayTwinSpec (the two walkers stop at the same record there but
+  // arbitrary mid-payload cuts are out of the HOF's declared contract).
+
+  private def hexLeb(v: Int): String =
+    if (v < 128) f"$v%02X" else f"${(v & 0x7f) | 0x80}%02X${v >> 7}%02X"
+
+  private def kplEntry(key: String): String = "0A" + hexLeb(key.length) + key
+
+  private def kplRec(idx: Int, msg: String): String = {
+    val iw = if (idx < 128) 1 else 2
+    val jw = if (msg.length < 128) 1 else 2
+    val recLen = 1 + iw + 1 + jw + msg.length
+    "1A" + hexLeb(recLen) + "08" + hexLeb(idx) + "1A" + hexLeb(msg.length) + msg
+  }
+
+  private def kplSeal(body: String): String =
+    graft.ops.ScaleOps.KplMagic + body +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("KPL walkers: native ≡ HOF ≡ encoder on generated frames; ledger counts the planted dead letters (forAll)") {
+    val keyGen = Gen.chooseNum(0, 140).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val frameGen = for {
+      nKeys <- Gen.frequency(4 -> Gen.chooseNum(1, 12), 1 -> Gen.chooseNum(129, 135))
+      keys <- Gen.listOfN(nKeys, keyGen)
+      nRecs <- Gen.chooseNum(0, 6)
+      recs <- Gen.listOfN(nRecs, Gen.zip(
+        Gen.chooseNum(0, nKeys + 2), // +2: out-of-table index → pk null
+        Gen.chooseNum(0, 160).flatMap(m =>
+          Gen.listOfN(m, Gen.alphaNumChar).map(_.mkString))))
+      mode <- Gen.frequency(5 -> "intact", 2 -> "torn", 1 -> "tail",
+        1 -> "magic", 1 -> "trailer")
+      cut <- Gen.chooseNum(0, nKeys + nRecs)
+      // trailing garbage short enough that the native walker's 4-char
+      // minimum stops it, with a first byte that is not a valid tag
+      // (0x0A/0x1A) — a garbage byte that accidentally spells a tag is
+      // the mid-structure granularity only the pinned deterministic
+      // stop-law covers
+      tail <- Gen.oneOf("FF", "F0A", "C1", "EE7", "B")
+    } yield {
+      val elems = keys.map(kplEntry) ++ recs.map { case (i, m) => kplRec(i, m) }
+      val expected: Seq[(String, String)] = mode match {
+        case "intact" => recs.map { case (i, m) =>
+          (m, if (i < nKeys) keys(i) else null) }
+        case _ => null // torn/tail prefixes: only native ≡ HOF is asserted
+      }
+      val line = mode match {
+        case "torn"    => kplSeal(elems.take(cut).mkString)
+        case "tail"    => kplSeal(elems.mkString + tail)
+        case "magic"   => "00000000" + elems.mkString + ("0" * 32)
+        case "trailer" => graft.ops.ScaleOps.KplMagic + elems.mkString + ("f" * 32)
+        case _         => kplSeal(elems.mkString)
+      }
+      (line, expected, mode == "magic" || mode == "trailer")
+    }
+    check(Prop.forAll(Gen.listOfN(4, frameGen)) { frames =>
+      val df = frames.map(_._1).toDF("value")
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+        d.collect().map(r => (r.getString(0), r.getString(1)))
+          .sortBy(p => (p._1, String.valueOf(p._2))).toSeq
+      val native = canon(graft.ops.ScaleOps.kplDeaggRaw(df))
+      val hof = canon(graft.ops.ScaleOps.kplDeaggregateHofRaw(df, maxSteps = 170))
+      val dead = graft.ops.ScaleOps.kplFrameLedger(df)
+        .collect()(0).getLong(1)
+      val expIntact = frames.flatMap(f => Option(f._2)).flatten
+        .sortBy(p => (p._1, String.valueOf(p._2)))
+      val nIntactRows = frames.count(_._2 != null)
+      // native must contain every intact frame's prediction exactly;
+      // torn frames may add a shared prefix on top (native ≡ HOF pins it)
+      val nativeIntactOk = if (nIntactRows == frames.size) native == expIntact
+        else expIntact.forall(e => native.count(_ == e) >= expIntact.count(_ == e))
+      (native == hof) :| s"native=$native hof=$hof" &&
+        nativeIntactOk :| s"native=$native expected⊇$expIntact" &&
+        (dead == frames.count(_._3).toLong) :| s"dead=$dead"
+    }, min = 8)
+  }
+
   /** Driver-side union-find oracle: vertex → min id of its component. */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -170,6 +260,32 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length === 40)
     assert(labels.forall(_._2 == 0L), "every chain vertex joins component 0")
+  }
+
+  test("pointer-jumping round count grows as log(diameter), not diameter") {
+    // The scale law behind dedup_cluster's iterative fold: path
+    // compression (label-of-label doubling) must close a diameter-d
+    // chain in O(log d) rounds. Pinning the MEASURED round count here
+    // means a regression to O(d) propagation — 8 vs 256 rounds on the
+    // largest chain below — fails a unit test instead of surfacing as
+    // a 10× sf10 bench tail.
+    val rounds = Seq(8, 64, 256).map { d =>
+      val pairs = (0L until d.toLong).map(i => (i, i + 1))
+      val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val labels = graft.ops.LlmPipeline
+        .connectedComponents(spark, sym.toDF("v", "u"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(labels.length === d + 1)
+      assert(labels.forall(_._2 == 0L), s"chain of diameter $d joins component 0")
+      val r = graft.ops.LlmPipeline.lastCcRounds
+      val bound = math.ceil(math.log(d.toDouble) / math.log(2.0)).toInt + 3
+      assert(r > 0 && r <= bound,
+        s"diameter-$d chain took $r rounds; log-law bound is $bound")
+      d -> r
+    }
+    // 32× the diameter may add at most log₂(32)+1 = 6 rounds
+    assert(rounds.last._2 - rounds.head._2 <= 6,
+      s"rounds grew ${rounds.head} -> ${rounds.last}: not logarithmic")
   }
 
   test("set-algebra cardinality laws hold against the raw tables") {
