@@ -98,67 +98,78 @@ object MiningOps {
   // fully tie-broken.
   // ------------------------------------------------------------------
 
-  /** The within-order co-purchase PAIR enumeration — THE shared index
-    * artifact of the lineitem graph family (`graph_adamic_adar`,
-    * `graph_kcore_peel`): one row per order-local canonical part pair
-    * (o, a < b) plus the order's basket degree `dg`. The enumeration
-    * (scan → distinct → within-basket self-join) is the expensive
-    * stage of both keys, and it is a pure deterministic function of
-    * the archive dir — the IndexCache economics of the ANN signature
-    * tables. Blow-up is Σ|basket|², bounded baskets ⇒ linear in
-    * orders, never a relation-level cross join (TPC-H pins
-    * |basket| ≤ 7; a data model with unbounded baskets would make
-    * Σ|basket|² super-linear and needs a basket cap upstream).
-    *
-    * The artifact carries BOTH degree kinds: the order's basket size
+  /** The within-order co-purchase PAIR enumeration — the RAW input of
+    * the [[coCounts]] statistics build, one row per order-local
+    * canonical part pair (o, a < b) with the order's basket degree
     * `dg` (Adamic-Adar's downweight) and each endpoint part's
-    * distinct-order degree `da`/`db` (Jaccard's normalizer). Part
-    * degrees are attached to the LINEAR li relation before the
-    * basket self-join — one |li|-sized shuffle at build time — so a
-    * consumer that needs them never has to re-join the Σ|basket|²
-    * pair relation against the degree table (the sf10 leg measured
-    * those two post-aggregation joins as graph_jaccard_neighbors'
-    * whole tail: each one re-shuffled the giant relation).
+    * distinct-order degree `da`/`db` (Jaccard's normalizer, attached
+    * to the LINEAR li relation before the basket self-join so the
+    * Σ|basket|² relation never re-joins a degree table). Blow-up is
+    * Σ|basket|², bounded baskets ⇒ linear in orders, never a
+    * relation-level cross join (TPC-H pins |basket| ≤ 7; a data model
+    * with unbounded baskets would make Σ|basket|² super-linear and
+    * needs a basket cap upstream). NOT materialized on its own: the
+    * multi-pair enumeration exists only inside the one aggregation
+    * that collapses it.
     */
-  private def coPairs(s: SparkSession, d: String): DataFrame = {
+  private def coPairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.core.IndexCache(s, s"co-pairs|$d", {
-      val li = Tables.t(s, d, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val deg = li.groupBy("o").agg(count(lit(1)).as("dg"))
-      val pdeg = li.groupBy("p").agg(count(lit(1)).as("dp"))
-      val liw = li.join(pdeg, "p").select($"o", $"p", $"dp")
-      liw.select($"o", $"p".as("a"), $"dp".as("da"))
-        .join(liw.select($"o", $"p".as("b"), $"dp".as("db")), "o")
-        .filter($"a" < $"b")
-        .join(deg, "o")
-        .select("o", "a", "b", "dg", "da", "db")
-    })
+    val li = Tables.t(s, d, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val deg = li.groupBy("o").agg(count(lit(1)).as("dg"))
+    val pdeg = li.groupBy("p").agg(count(lit(1)).as("dp"))
+    val liw = li.join(pdeg, "p").select($"o", $"p", $"dp")
+    liw.select($"o", $"p".as("a"), $"dp".as("da"))
+      .join(liw.select($"o", $"p".as("b"), $"dp".as("db")), "o")
+      .filter($"a" < $"b")
+      .join(deg, "o")
+      .select("o", "a", "b", "dg", "da", "db")
+  }
+
+  /** The AGGREGATED co-occurrence statistics table — the materialized
+    * index the whole co-purchase family reads: one row per canonical
+    * simple pair (a < b) carrying the intersection count, both
+    * endpoint degrees, and the Adamic-Adar integer score sum. This —
+    * not the pair ENUMERATION — is the right artifact boundary: the
+    * Σ|basket|² multi-pair relation exists only inside this build's
+    * one groupBy (ledgered as staging, paid once per corpus), and
+    * every consumer then reads a distinct-pair-sized table. The sf10
+    * leg measured the alternative: consumers aggregating the staged
+    * 10×-grown enumeration re-paid a ~90M-row shuffle per key
+    * (graph_jaccard_neighbors 14× / graph_adamic_adar 11× for 10×
+    * data — hash-agg spill past the fixed 32-partition layout), where
+    * the statistics read is scan-linear.
+    */
+  private def coCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.core.IndexCache(s, s"co-counts|$d",
+      coPairsRaw(s, d)
+        // Adamic-Adar downweight, exact integers: a 1-part order forms
+        // no pair, so dg ≥ 2 and ln(dg) > 0 on every row
+        .withColumn("w",
+          floor(lit(1e9) / log($"dg".cast("double")) + lit(0.5)).cast("long"))
+        .groupBy($"a", $"b", $"da", $"db")
+        .agg(count(lit(1)).as("n_common"), sum($"w").as("score_q")))
   }
 
   /** The DISTINCT canonical simple-edge set (a < b) of the co-purchase
-    * graph — the second shared artifact above [[coPairs]]: k-core,
+    * graph — derived from [[coCounts]] by a projection (one row per pair already): k-core,
     * modularity, and assortativity all start from it, and each was
     * paying its own distinct pass over the multi-edge enumeration.
     */
   private[ops] def coEdges(s: SparkSession, d: String): DataFrame =
     graft.core.IndexCache(s, s"co-edges|$d",
-      coPairs(s, d).select("a", "b").distinct())
+      // one row per pair by construction — no distinct pass needed
+      coCounts(s, d).select("a", "b"))
 
   private val graphAdamicAdar = Q(
     "graph_adamic_adar",
     (s, d) => {
       import s.implicits._
-      // pairs come pre-enumerated from the shared co-purchase artifact;
-      // a 1-part order forms no pair (a < b is empty), so every row's
-      // dg ≥ 2 and ln(dg) > 0 — the weight is always well-defined
-      coPairs(s, d)
-        .withColumn("w",
-          floor(lit(1e9) / log($"dg".cast("double")) + lit(0.5)).cast("long"))
-        .groupBy($"a".as("pa"), $"b".as("pb")).agg(
-          count(lit(1)).as("n_common"),
-          sum($"w").as("score_q"))
-        .select($"pa", $"pb", $"n_common",
+      // the score sum is pre-aggregated in the shared statistics
+      // artifact; the query is a scan-linear projection + top-20
+      coCounts(s, d)
+        .select($"a".as("pa"), $"b".as("pb"), $"n_common",
           dround($"score_q".cast("double") / 1e9, 6).as("aa_score"))
         .orderBy($"aa_score".desc, $"pa".asc, $"pb".asc)
         .limit(20)
@@ -185,7 +196,7 @@ object MiningOps {
   // NORMALIZES by both degrees, so a pair of niche parts that always
   // co-occur outranks two bestsellers that overlap incidentally. The
   // intersection count reads off the shared within-order pair artifact
-  // ([[coPairs]] — candidate pairs are only ever enumerated within a
+  // ([[coCounts]] — candidate pairs are only ever enumerated within a
   // basket, Σ|basket|², never all parts²); degrees are one extra
   // distinct-scan + count agg, linear. The union size is computed as
   // da + db − i from three exact longs — no second pair pass. Top-20
@@ -196,18 +207,13 @@ object MiningOps {
     "graph_jaccard_neighbors",
     (s, d) => {
       import s.implicits._
-      // ONE shuffle of the giant Σ|basket|² relation: the shared
-      // artifact already carries each endpoint's distinct-order degree
-      // (attached to the linear li relation at build time), so both
-      // normalizer joins vanish — grouping by (pa, pb, da, db) is
-      // semantically grouping by the pair (degrees are functionally
-      // determined by the part key). The previous shape re-shuffled
-      // the pair relation twice more to attach degrees post-agg; at
-      // sf10 those two joins were the key's whole 10.5× tail.
-      coPairs(s, d)
-        .groupBy($"a".as("pa"), $"b".as("pb"), $"da", $"db")
-        .agg(count(lit(1)).as("n_common"))
-        .select($"pa", $"pb", $"n_common",
+      // intersection counts and both degrees come pre-aggregated from
+      // the shared statistics artifact (see [[coCounts]] — the
+      // Σ|basket|² enumeration is paid once at staging); the union
+      // size is da + db − i from three exact longs, and the query is
+      // a scan-linear projection + top-20
+      coCounts(s, d)
+        .select($"a".as("pa"), $"b".as("pb"), $"n_common",
           dround($"n_common".cast("double") / ($"da" + $"db" - $"n_common"), 6)
             .as("nbr_jaccard"))
         .orderBy($"nbr_jaccard".desc, $"pa".asc, $"pb".asc)
@@ -397,7 +403,7 @@ object MiningOps {
   // mirrored exactly by the oracle's capped recursion (a peel needs
   // >64 rounds only on ~130-node-long induced paths — not a
   // co-purchase shape). Edges come from the shared co-purchase pair
-  // artifact ([[coPairs]]) — bounded baskets, never a cross join.
+  // statistics build ([[coCounts]]) — bounded baskets, never a cross join.
   //
   // The oracle replays the loop as a RECURSIVE CTE whose working
   // table is the surviving edge set (DuckDB permits the degree
@@ -619,7 +625,7 @@ object MiningOps {
   // community assignments (components, label propagation): Q =
   // Σ_c [e_c/m − (d_c/2m)²] over brands c, where e_c counts within-
   // brand edges, d_c sums member degrees, on the SIMPLE (distinct)
-  // within-order pair graph. Edges read off the shared [[coPairs]]
+  // within-order pair graph. Edges read off the shared [[coCounts]]
   // artifact (never all parts²); degrees are one endpoint-union agg;
   // every count is an exact long, the per-brand term is ONE double
   // expression quantized at 10⁹ before the ≤|brands|-row sum (order-

@@ -327,14 +327,32 @@ object ScaleOps {
     * exact predicate, so bin-boundary float behavior cannot change the
     * answer — the oracle is the naive theta join, and the hash match
     * proves binning changed the plan, not the result.
+    *
+    * The interval side is a SIZE-DERIVED probe set: modulus
+    * 97 · max(1, round(|orders| / 15000)) keeps ~155 probe intervals
+    * at every SF (and exactly the historical 97 at the sf0.01 gate and
+    * below). A fixed modulus makes BOTH join sides data-scaled over a
+    * FIXED bin domain (prices don't grow with SF), so candidate volume
+    * — and the declared output itself — grows as N²/|bins|: the first
+    * 100-key sf10 sweep measured exactly that, 98.7× for 10× data.
+    * That quadratic is the STATISTIC's, not the plan's; the production
+    * shape of a range join at scale is probes × archive, which is what
+    * the derived modulus pins (scan-linear: the lineitem side still
+    * scans and shuffles fully).
     */
   private val joinRangeBinned = Q(
     "join_range_binned",
     (s, d) => {
       import s.implicits._
       val W = 2000.0
-      val iv = t(s, d, "orders")
-        .filter($"o_orderkey" % 97 === 0)
+      val orders = t(s, d, "orders")
+      // 1-row scalar agg (the index_append maxId discipline): the
+      // probe-set modulus is a pure function of the corpus size, and
+      // the oracle derives the identical value from the same count
+      val nOrd = orders.agg(count(lit(1))).head.getLong(0)
+      val m = 97L * math.max(1L, math.round(nOrd / 15000.0))
+      val iv = orders
+        .filter($"o_orderkey" % m === 0)
         .select($"o_orderkey", ($"o_totalprice" - 1000.0).as("lo"),
           ($"o_totalprice" + 1000.0).as("hi"))
         // interval width == bin width ⇒ floor(hi/W) == floor(lo/W) + 1
@@ -348,11 +366,13 @@ object ScaleOps {
         .agg(count(lit(1)).as("cnt"), moneySum($"p").as("matched_price"))
         .orderBy("o_orderkey")
     },
-    Some("SELECT o_orderkey, count(*) AS cnt, " +
+    Some("WITH m AS (SELECT 97 * greatest(1, CAST(round(count(*) / 15000.0, 0) " +
+      "AS BIGINT)) AS mv FROM orders) " +
+      "SELECT o_orderkey, count(*) AS cnt, " +
       OSql.msum("l_extendedprice") + " AS matched_price " +
       "FROM orders JOIN lineitem " +
       "ON l_extendedprice BETWEEN o_totalprice - 1000.0 AND o_totalprice + 1000.0 " +
-      "WHERE o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"))
+      "WHERE o_orderkey % (SELECT mv FROM m) = 0 GROUP BY 1 ORDER BY 1"))
 
   /** Z-order (Morton) clustering — the multi-dimensional data-layout
     * technique behind file-skipping indexes: quantize each dimension to

@@ -594,7 +594,21 @@ object Replay {
             Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
           else f.length()
         }
+        // Shard count RESHARDED with archive size (one shard per
+        // 16 MB of parquet, floor 4) — the Kinesis capacity model: a
+        // producer that outgrows its stream's aggregate rate limit
+        // adds shards rather than waiting, because the per-shard cap
+        // is the service contract. With a FIXED 4 shards the total
+        // pacing sleep (records-per-shard / rate) grows linearly in
+        // data — at the 10× corpus the sleep alone was 50 of the
+        // key's 54 s. Resharding keeps the per-shard rate-limit
+        // semantics — each epoch still paces to its slowest shard —
+        // while total pacing stays bounded by the shard scaling, and
+        // the result is shard-agnostic (the oracle is unchanged).
+        val shards = math.max(4L,
+          (archiveBytes + (16L << 20) - 1) / (16L << 20)).toInt
         aggregateReplayed(s, replayArchive(s, s"$d/events.parquet",
+          nShards = shards,
           maxBytesPerTrigger = math.max(16L * 1024 * 1024, archiveBytes / 8 + 1),
           putRecordsPerShardSec = 50000,
           failFirstAttempt = putFailureSet))
