@@ -595,7 +595,7 @@ object Replay {
           else f.length()
         }
         // Shard count RESHARDED with archive size (one shard per
-        // 16 MB of parquet, floor 4) — the Kinesis capacity model: a
+        // 8 MB of parquet, floor 4) — the Kinesis capacity model: a
         // producer that outgrows its stream's aggregate rate limit
         // adds shards rather than waiting, because the per-shard cap
         // is the service contract. With a FIXED 4 shards the total
@@ -606,7 +606,7 @@ object Replay {
         // while total pacing stays bounded by the shard scaling, and
         // the result is shard-agnostic (the oracle is unchanged).
         val shards = math.max(4L,
-          (archiveBytes + (16L << 20) - 1) / (16L << 20)).toInt
+          (archiveBytes + (8L << 20) - 1) / (8L << 20)).toInt
         aggregateReplayed(s, replayArchive(s, s"$d/events.parquet",
           nShards = shards,
           maxBytesPerTrigger = math.max(16L * 1024 * 1024, archiveBytes / 8 + 1),

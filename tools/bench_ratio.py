@@ -25,13 +25,28 @@ def main(lo_path: str, hi_path: str, out_path: str) -> int:
     med = ratios[len(ratios) // 2] if ratios else None
     worst = sorted(((r["ratio"], k) for k, r in rows.items() if r.get("ratio")),
                    reverse=True)[:12]
+    # totals over the COMPARED key set only: the lo leg may be a full
+    # 409-key run while the hi leg is a filtered sweep — summing
+    # different key sets would make total_ratio meaningless
+    tot_lo = sum(qlo[k] for k in keys if qlo[k] >= 0)
+    tot_hi = sum(qhi[k] for k in keys if qhi[k] >= 0)
     out = {
         "metric": "sf_scaling",
         "sf_lo": lo.get("sf"), "sf_hi": hi.get("sf"),
-        "total_lo": round(lo["value"], 1), "total_hi": round(hi["value"], 1),
-        "total_ratio": round(hi["value"] / lo["value"], 2),
+        "total_lo": round(tot_lo, 1), "total_hi": round(tot_hi, 1),
+        "total_ratio": round(tot_hi / max(tot_lo, 1e-9), 2),
         "index_staging_lo": round(lo.get("index_staging_sec", 0), 1),
         "index_staging_hi": round(hi.get("index_staging_sec", 0), 1),
+        # per-artifact staging + warm-store attribution (VERDICT r13
+        # ask #4): a 0.00 per-key time or a 0.0 staging total must be
+        # attributable to a warm cross-JVM artifact, never read as
+        # "free". Maps come straight from each leg's bench_full.json.
+        "index_staging_detail_lo": {k: round(v, 2) for k, v in
+                                    lo.get("index_staging", {}).items()},
+        "index_staging_detail_hi": {k: round(v, 2) for k, v in
+                                    hi.get("index_staging", {}).items()},
+        "index_store_hits_lo": lo.get("index_store_hits", {}),
+        "index_store_hits_hi": hi.get("index_store_hits", {}),
         "load_lo": lo.get("load"), "load_hi": hi.get("load"),
         "reps_lo": lo.get("reps"), "reps_hi": hi.get("reps"),
         "n_keys": len(keys),
