@@ -240,11 +240,23 @@ class ScaleProofSpec extends SparkSpec {
     */
   private val sf10Excluded: Map[String, String] = Map.empty
 
-  test("sf10 scaling record: the 20 heaviest scale-path keys stay sub-linear (BENCH_sf10.json)") {
-    // the second measured decade (VERDICT r11 ask #4): sf1 → the
-    // synthesized 100× corpus (StageSf1, copies=100). Every measured
-    // key must cost at most the data ratio for 10× more data; the
-    // envelope is deliberately the same ≤12 the sf1 record uses.
+  /** sf1→sf10 keys measured above 8× for 10× data, each carrying its
+    * audited structural driver (the sf10 analogue of [[ratioTail]]).
+    */
+  private val sf10Tail: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      ("depth-scaled recursion: the UnionLoop's iteration count grows " +
+        "with the longest derived chain, so cost is data-ratio × extra " +
+        "rounds — each round itself a linear co-keyed join; bounded by " +
+        "the chain-length law, not a quadratic"))
+
+  test("sf10 scaling record: the 100 heaviest scale-path keys stay sub-linear (BENCH_sf10.json)") {
+    // the second measured decade, widened from 25 to the top-100 keys
+    // by sf1 cost (VERDICT r13 ask #1): sf1 → the synthesized 100×
+    // corpus (StageSf1, copies=100). Every measured key must cost at
+    // most the data ratio for 10× more data (≤12 envelope, same as the
+    // sf1 record); anything above 8× needs a structural explanation in
+    // [[sf10Tail]].
     val f = new java.io.File("BENCH_sf10.json")
     assume(f.exists(), "BENCH_sf10.json not present in this checkout")
     val rec = spark.read.option("multiLine", "true").json(f.getPath)
@@ -258,15 +270,65 @@ class ScaleProofSpec extends SparkSpec {
         if (st.isNullAt(j)) None else Some(fld.name -> st.getDouble(j))
       }
     }
-    assert(ratios.length >= 20, "the record must cover the 20-key set")
+    assert(ratios.length >= 100, "the record must cover the 100-key set")
     assert(ratios.map(_._1).toSet.intersect(sf10Excluded.keySet).isEmpty,
       "an excluded super-linear key leaked into the measured set")
     val superLinear = ratios.filter(_._2 > 12.0)
     assert(superLinear.isEmpty,
       s"key(s) scale SUPER-linearly in 10x data at the sf10 leg: " +
         superLinear.mkString(", "))
+    val undocumented = ratios
+      .filter { case (k, r) => r > 8.0 && !sf10Tail.contains(k) }
+    assert(undocumented.isEmpty,
+      "key(s) above 8× at the sf10 leg without a structural " +
+        s"explanation in sf10Tail: ${undocumented.mkString(", ")}")
     val med = ratios.map(_._2).sorted.apply(ratios.length / 2)
-    assert(med <= 7.0, s"median sf1→sf10 per-key ratio regressed to $med")
+    assert(med <= 4.5, s"median sf1→sf10 per-key ratio regressed to $med")
+  }
+
+  /** Third measured decade (sf10 → sf30, data ratio 3) — VERDICT r13
+    * ask #6: the five keys whose scale laws were rewritten in rounds
+    * 13–14 carry closed-form cost models, and the measured ratio at a
+    * THIRD point must track the model, the way the first two decades
+    * pinned the totals. Envelopes are model × slack (fixed-cost
+    * amortization pulls measured ratios BELOW the model; the slack
+    * absorbs scheduling noise, never a complexity class).
+    */
+  private val sf30Models: Map[String, (Double, String)] = Map(
+    "sim_silhouette" ->
+      ((5.2, "routed E-step O(N·√K): 3·√3 ≈ 5.2")),
+    "sim_ann_recall" ->
+      ((5.2, "probe-set eval: exact baseline O(probes·N), ivf O(N·√K)")),
+    "dedup_fuzzy_levenshtein" ->
+      ((4.5, "(brand,len) ledger arithmetic + segment join over a " +
+        "near-constant distinct-name vocabulary: ~data-linear")),
+    "dedup_cluster" ->
+      ((5.5, "∝N star edges × O(log diameter) rounds: 3× data with at " +
+        "most one extra pointer-jumping round")),
+    "index_append" ->
+      ((5.2, "|batch|·√K with batch = N/100: 3·√3 ≈ 5.2")))
+
+  test("sf30 third decade: measured ratios track the rewritten cost models (BENCH_sf30.json)") {
+    val f = new java.io.File("BENCH_sf30.json")
+    assume(f.exists(), "BENCH_sf30.json not present in this checkout")
+    val rec = spark.read.option("multiLine", "true").json(f.getPath)
+    val q = rec.select("queries.*")
+    val row = q.collect()(0)
+    val ratios = q.schema.fields.zipWithIndex.flatMap { case (fld, i) =>
+      if (row.isNullAt(i)) None
+      else {
+        val st = row.getStruct(i)
+        val j = st.schema.fieldIndex("ratio")
+        if (st.isNullAt(j)) None else Some(fld.name -> st.getDouble(j))
+      }
+    }.toMap
+    assert(ratios.keySet === sf30Models.keySet,
+      "the third-decade record must cover exactly the rewritten-law keys")
+    sf30Models.foreach { case (k, (envelope, model)) =>
+      val r = ratios(k)
+      assert(r <= envelope,
+        s"$k measured ${r}× for 3× data; model '$model' allows ≤ $envelope")
+    }
   }
 
   test("ANN recall@10 holds at sf1: the derived-K/probe policy preserves QUALITY, not just latency") {
