@@ -29,6 +29,22 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** On-disk bytes of a table/archive path — recursive regular-file
+    * walk (a partitioned/nested layout must sum its leaves, not the
+    * directory inode sizes a flat listFiles() reports). Used to derive
+    * size-proportional knobs (skew thresholds, trigger caps, shard
+    * counts): a fixed byte constant that is right at one SF is wrong
+    * at 100× — deriving from the archive keeps task counts and epoch
+    * counts roughly scale-invariant.
+    */
+  def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
   /** Pin the session timezone to UTC — once, at every table front
     * door. The archive contract defines all time semantics in UTC
     * (SURVEY §1.3) and every DuckDB oracle reads the naive timestamps
@@ -377,7 +393,7 @@ object IndexCache {
     * pid-suffixed temp dir then move atomically into place; a
     * concurrent loser deletes its copy and reads the winner's.
     */
-  private[graft] val IndexStoreVersion = "v14-fprint"
+  private[graft] val IndexStoreVersion = "v15-fprint"
 
   /** Entries older than this are reaped at store open: test-JVM
     * leftovers and superseded versions would otherwise accumulate on
@@ -391,6 +407,12 @@ object IndexCache {
     * store can never be the thing that pushes scratch to disk.
     */
   private val StoreCapBytes = 12L << 30
+
+  /** Cap eviction never touches an entry whose mtime is inside this
+    * window (hits refresh mtime): a concurrently running JVM may still
+    * hold its path in the per-JVM cache and read it again mid-run.
+    */
+  private val EvictSafetyMillis = 2L * 3600 * 1000
 
   /** The store lives on the same medium policy as scratch — a
     * RAM-backed tmpfs when one has headroom — but OUTSIDE the reaped
@@ -459,7 +481,11 @@ object IndexCache {
         TmpDirs.rmrfPath(legacy)
     } catch { case _: Throwable => () }
     try {
-      val entries = Files.list(root).iterator().asScala.toList
+      def listed(p: java.nio.file.Path): List[java.nio.file.Path] = {
+        val st = Files.list(p)
+        try st.iterator().asScala.toList finally st.close()
+      }
+      val entries = listed(root)
       def mtime(p: java.nio.file.Path): Long =
         try Files.getLastModifiedTime(p).toMillis catch { case _: Throwable => 0L }
       entries.foreach { e =>
@@ -469,15 +495,26 @@ object IndexCache {
           TmpDirs.rmrfPath(e)
       }
       def treeSize(p: java.nio.file.Path): Long =
-        try Files.walk(p).iterator().asScala
-          .filter(Files.isRegularFile(_)).map(f =>
-            try Files.size(f) catch { case _: Throwable => 0L }).sum
-        catch { case _: Throwable => 0L }
-      val live = Files.list(root).iterator().asScala.toList
+        try {
+          val st = Files.walk(p)
+          try st.iterator().asScala
+            .filter(Files.isRegularFile(_)).map(f =>
+              try Files.size(f) catch { case _: Throwable => 0L }).sum
+          finally st.close()
+        } catch { case _: Throwable => 0L }
+      // Cap eviction skips entries touched within the safety window: a
+      // CONCURRENT JVM resolves a store path into its per-JVM cache at
+      // first hit and may read it again much later in a long bench run —
+      // evicting a just-refreshed entry from another process would turn
+      // that JVM's next read into a mid-run failure (the read path also
+      // self-heals by rebuilding, but not evicting live entries is the
+      // cheaper half of the fix).
+      val live = listed(root)
         .map(e => (e, mtime(e), treeSize(e))).sortBy(_._2)
       var total = live.map(_._3).sum
-      live.iterator.takeWhile(_ => total > StoreCapBytes).foreach {
-        case (e, _, sz) =>
+      live.iterator.takeWhile(_ => total > StoreCapBytes)
+        .filter { case (_, mt, _) => now - mt > EvictSafetyMillis }
+        .foreach { case (e, _, sz) =>
           System.err.println(s"[graft] index store over cap; evicting " +
             s"'${e.getFileName}' (${sz >> 20} MiB)")
           TmpDirs.rmrfPath(e); total -= sz
@@ -502,15 +539,24 @@ object IndexCache {
       if (!Files.isDirectory(p)) ""
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
-        Files.walk(p).iterator().asScala
+        val st = Files.walk(p)
+        val all = try st.iterator().asScala
           .filter(Files.isRegularFile(_))
-          .map(f => (p.relativize(f).toString, f))
-          .toSeq.sortBy(_._1)
-          .take(16384)
-          .foreach { case (rel, f) =>
-            val line = s"$rel:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}\n"
-            md.update(line.getBytes("UTF-8"))
-          }
+          .map { f =>
+            val (sz, mt) =
+              try (Files.size(f), Files.getLastModifiedTime(f).toMillis)
+              catch { case _: Throwable => (0L, 0L) }
+            (p.relativize(f).toString, sz, mt)
+          }.toSeq
+        finally st.close()
+        all.sortBy(_._1).take(16384).foreach { case (rel, sz, mt) =>
+          md.update(s"$rel:$sz:$mt\n".getBytes("UTF-8"))
+        }
+        // totals over EVERY entry (uncapped): a corpus with >16384 files
+        // regenerated only in later-sorted files still changes the key
+        md.update((s"#n=${all.size}:bytes=${all.iterator.map(_._2).sum}" +
+          s":maxmt=${if (all.isEmpty) 0L else all.iterator.map(_._3).max}\n")
+          .getBytes("UTF-8"))
         md.digest().map("%02x".format(_)).mkString
       }
     } catch { case _: Throwable => "" }
@@ -565,7 +611,22 @@ object IndexCache {
     * putIfAbsent is re-entrant; a concurrent duplicate build wastes
     * work but first-write-wins keeps every reader consistent.
     */
-  def apply(s: SparkSession, key: String, build: => DataFrame): DataFrame = {
+  def apply(s: SparkSession, key: String, build: => DataFrame): DataFrame =
+    try applyOnce(s, key, build)
+    catch { case t: Throwable =>
+      // Self-heal against cross-JVM eviction: another process's
+      // open-time sweep (TTL/cap) may rm-rf a store entry AFTER this
+      // JVM resolved it into the per-JVM paths cache — a later
+      // read.parquet of the evicted path then throws mid-run. Drop the
+      // cached resolution and rebuild once (every entry is a pure
+      // function of its key, so the worst case is the build cost).
+      System.err.println(s"[graft] index '$key' read failed " +
+        s"(${t.getClass.getSimpleName}); dropping cached path and rebuilding")
+      paths.remove(key)
+      applyOnce(s, key, build)
+    }
+
+  private def applyOnce(s: SparkSession, key: String, build: => DataFrame): DataFrame = {
     val cached = paths.get(key)
     val path = if (cached != null) cached else {
       val durable = durableDir(key)
@@ -644,8 +705,17 @@ object IndexCache {
     */
   def dir(key: String, durable: Boolean = true)(build: => String): String = {
     val cached = paths.get(key)
-    if (cached != null) cached
+    // re-validate a cached store resolution: another JVM's sweep may
+    // have evicted the entry since it was first resolved — a missing
+    // layout must re-stage, not hand consumers a dangling path
+    if (cached != null &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cached))) cached
     else {
+      if (cached != null) {
+        System.err.println(s"[graft] staged layout '$key' vanished " +
+          "(cross-JVM eviction); re-staging")
+        paths.remove(key, cached)
+      }
       val durableP = if (durable) durableDir(key) else None
       val hit = durableP.filter(dp =>
         java.nio.file.Files.exists(dp.resolve("_GRAFT_STAGED")))
@@ -710,6 +780,37 @@ object IndexCache {
       }
     })
   }
+}
+
+/** Per-JVM streaming-query lifecycle counter. Every streaming key pays
+  * a Spark-fixed per-query-lifetime cost (start/plan/checkpoint/stop —
+  * measured 0.2–1.0 s per lifecycle by StreamCostProbe) that a
+  * long-lived deployment pays once per query LIFETIME, not per drain.
+  * Bench diffs this counter around each key so the emitted record can
+  * split a streaming key's time into (lifecycle floor, operator share)
+  * — the number to watch round-over-round is the operator share.
+  */
+object StreamMeter {
+  private val n = new java.util.concurrent.atomic.AtomicLong()
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Register the counting listener once per session. */
+  def ensure(s: SparkSession): Unit = if (registered.add(s)) {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    s.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = {
+        n.incrementAndGet(); ()
+      }
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+  }
+
+  def lifecycles: Long = n.get()
 }
 
 /** Session-build configuration shared by Verify / Bench / tests so every

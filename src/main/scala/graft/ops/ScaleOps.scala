@@ -34,11 +34,51 @@ object ScaleOps {
     * UNSALTED join — the hash match proves salting changed the plan,
     * not the answer.
     */
+  /** Memo of the derived salt fan-out per corpus dir: the probe is one
+    * narrow scan — pay it once per JVM, not once per bench rep.
+    */
+  private val saltedSMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Derive the salt fan-out S from the OBSERVED hot-key mass of the
+    * fact side, not a constant: a fixed S both over-replicates the dim
+    * side on uniform data (S× shuffle volume bought for nothing) and
+    * under-splits extreme skew (a key holding 1/2 the table still
+    * lands S/2 of a fair share per reducer). The probe is a
+    * deterministic 1/64 row-hash sample (row-level, so every key's
+    * mass is thinned uniformly and a hot key cannot be missed the way
+    * key-level sampling would) aggregated to the top key's share —
+    * the sampled stand-in for the count-sketch pass a 100 TB pipeline
+    * runs over the fact keys. S then targets "the hottest key's rows
+    * spread to at most ~2 fair reducer shares":
+    * S = ceil(hotShare × shufflePartitions), clamped to [2, 64] — the
+    * floor keeps the salted plan shape demonstrated at uniform test
+    * scale (production would skip salting entirely below it; the
+    * oracle is salt-count-agnostic either way).
+    */
+  private[graft] def saltedS(s: SparkSession, d: String): Int =
+    saltedSMemo.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val row = t(s, d, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber")
+        .filter(pmod(xxhash64($"l_orderkey", $"l_partkey", $"l_linenumber"),
+          lit(64L)) === 0L)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("c"))
+        .agg(max($"c").as("hot"), sum($"c").as("tot"))
+        .collect()(0)
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      if (row.isNullAt(1) || row.getLong(1) == 0L) 2
+      else {
+        val hotShare = row.getLong(0).toDouble / row.getLong(1)
+        math.max(2, math.min(64, math.ceil(hotShare * p).toInt))
+      }
+    }).intValue()
+
   private val joinSkewSalted = Q(
     "join_skew_salted",
     (s, d) => {
       import s.implicits._
-      val S = 8
+      val S = saltedS(s, d)
       // salt from a hash of a non-key column: l_linenumber itself is
       // 1..7, which would leave salt 0 forever empty (S−1 spread and a
       // dead dim replica). The salt never reaches the output, so the
@@ -622,12 +662,26 @@ object ScaleOps {
   private[graft] def withSkewAqeJoin[T](s: SparkSession, d: String)(
       f: DataFrame => T): T = {
     import s.implicits._
+    // Thresholds DERIVED from the fact archive's on-disk size instead
+    // of fixed KB constants: the detector compares COMPRESSED shuffle
+    // bytes, and a fixed 2 KB advisory size that carves a sub-MB
+    // fixture's hot partition into a handful of splits carves a 10×/
+    // 100× corpus's shuffle into tens of thousands of micro-tasks —
+    // the measured sf1→sf10 7.75× was mostly scheduler overhead from
+    // exactly that. Dividing by a fixed fan-out keeps the POST-SPLIT
+    // task count roughly scale-invariant (the hot partition is ~30% of
+    // the shuffle, so ~bytes/advisory ≈ 160 splits at every SF) while
+    // reproducing the historical sub-MB behavior via the floors.
+    val factBytes = math.max(1L, Tables.dirBytes(s"$d/lineitem.parquet"))
+    val thrB = math.max(4L << 10, factBytes / 2560)
+    val advB = math.max(2L << 10, factBytes / 5120)
+    val minB = math.max(1L << 10, factBytes / 10240)
     val scoped = Seq(
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> s"${thrB}b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> s"${advB}b",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> s"${minB}b",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
     scoped.foreach { case (k, v) => s.conf.set(k, v) }

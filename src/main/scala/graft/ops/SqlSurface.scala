@@ -198,15 +198,24 @@ object SqlSurface {
     * the Spark side stages it as a checkpointed temp view (the
     * materialize-the-ledger discipline; DuckDB evaluates its CTE once
     * anyway, so the relation each engine recurses over is the same).
+    *
+    * `hint` (Spark side only, empty for the oracle) lets the caller
+    * broadcast the frontier self-reference into the step join: without
+    * it every iteration re-shuffles the FULL user relation against the
+    * per-depth frontier (~log₂(maxId) shuffles of N rows — the
+    * dominant term of the measured sf10 9.1×). The residual per-round
+    * floor (~0.5 s/iteration, RcteProbe-measured on an EMPTY corpus)
+    * is UnionLoop's own materialize-per-iteration machinery and is not
+    * reachable from the query text.
     */
   private def recursiveSql(users: String,
-      fdiv: (String, String) => String): String =
+      fdiv: (String, String) => String, hint: String = ""): String =
     "WITH RECURSIVE " +
       "h(u, depth) AS (" +
       s"SELECT u, CAST(0 AS BIGINT) FROM $users " +
       s"WHERE u = 0 OR ${fdiv("u", "2")} NOT IN (SELECT u FROM $users) " +
       "UNION ALL " +
-      s"SELECT c.u, h.depth + 1 FROM $users c " +
+      s"SELECT ${hint}c.u, h.depth + 1 FROM $users c " +
       s"JOIN h ON c.u > 0 AND ${fdiv("c.u", "2")} = h.u) " +
       "SELECT depth, CAST(count(*) AS BIGINT) AS n_users " +
       "FROM h GROUP BY depth ORDER BY depth"
@@ -215,12 +224,24 @@ object SqlSurface {
     "sql_recursive_cte",
     (s, d) => {
       import org.apache.spark.sql.functions._
-      Tables.events(s, d)
+      val users = Tables.events(s, d)
         .filter(col("user_id").isNotNull && col("user_id") >= 0)
         .select(col("user_id").as("u")).distinct()
         .localCheckpoint(true)
-        .createOrReplaceTempView("rc_users")
-      s.sql(recursiveSql("rc_users", (a, b) => s"($a div $b)"))
+      users.createOrReplaceTempView("rc_users")
+      // Broadcast the frontier only when its expected size is
+      // broadcast-safe: the per-depth frontier averages N/log₂(maxId)
+      // rows, and an id-keyed long row costs ~tens of bytes in a
+      // broadcast hash relation — 4M rows ≈ low hundreds of MB, the
+      // conventional ceiling. Above it (billion-user estates) the
+      // derivation leaves the shuffle join in place rather than OOM
+      // the driver; the answer is identical either way.
+      val stats = users.agg(count(lit(1)), max(col("u"))).collect()(0)
+      val n = stats.getLong(0)
+      val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      val depth = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxId)))
+      val hint = if (n / depth < 4000000L) "/*+ BROADCAST(h) */ " else ""
+      s.sql(recursiveSql("rc_users", (a, b) => s"($a div $b)", hint))
     },
     Some("WITH RECURSIVE users AS (SELECT DISTINCT user_id AS u " +
       "FROM events WHERE user_id IS NOT NULL AND user_id >= 0), " +

@@ -68,9 +68,17 @@ object CdcApply {
     * forces a multi-epoch apply — the incremental-merge fidelity path.
     */
   private[graft] def applyChangelog(
-      s: SparkSession, d: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+      s: SparkSession, d: String, maxFilesPerTrigger: Int = 0): DataFrame =
+    applyChangelogDir(s, stageChangelog(s, d), maxFilesPerTrigger)
+
+  /** The same streaming MERGE sink over an ARBITRARY staged changelog
+    * dir — the surface PropertySpec's generated-changelog law drives:
+    * random updates/deletes/redeliveries in random micro-batch splits
+    * must land on exactly the batch-twin state.
+    */
+  private[graft] def applyChangelogDir(
+      s: SparkSession, chDir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     import s.implicits._
-    val chDir = stageChangelog(s, d)
     val table = TmpDirs.dir("cdc-table")
     val ckpt = TmpDirs.dir("cdc-ckpt")
     val reader = s.readStream.schema(s.read.parquet(chDir).schema)

@@ -588,12 +588,12 @@ object Replay {
         // capped multi-epoch path still runs end to end: large archives
         // split into ~8 epochs; below the floor the historical 16 MB
         // epoch shape is preserved exactly.
-        val archiveBytes = {
-          val f = new java.io.File(s"$d/events.parquet")
-          if (f.isDirectory)
-            Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
-          else f.length()
-        }
+        // Recursive regular-file walk (Tables.dirBytes): a partitioned/
+        // nested archive must sum its leaves, not the directory inode
+        // lengths a flat listFiles() would report — both the shard
+        // count and maxBytesPerTrigger derive from this (performance-
+        // only: the oracle is shard/epoch-agnostic).
+        val archiveBytes = Tables.dirBytes(s"$d/events.parquet")
         // Shard count RESHARDED with archive size (one shard per
         // 8 MB of parquet, floor 4) — the Kinesis capacity model: a
         // producer that outgrows its stream's aggregate rate limit

@@ -331,6 +331,53 @@ class ScaleProofSpec extends SparkSpec {
     }
   }
 
+  test("streaming family: the committed sf0.1 record carries the lifecycle/operator split, operator share bounded") {
+    // VERDICT r14 ask #4, completing the round-13/14 re-baseline: the
+    // family budget is lifecycle floor (Spark-fixed, ~0.5 s × measured
+    // lifecycles — StreamCostProbe arithmetic) + operator share, and
+    // the OPERATOR share is the number a round may not silently grow.
+    // Bench emits the split per streaming key into bench_full.json;
+    // this law bounds it on the committed driver-protocol record.
+    val f = new java.io.File("bench_full.json")
+    assume(f.exists(), "bench_full.json not present in this checkout")
+    val rec = spark.read.option("multiLine", "true").json(f.getPath)
+    val sfv = rec.select("sf").collect()(0).getString(0)
+    assume(sfv.endsWith("sf0.1"),
+      "the committed record must be the driver-protocol sf0.1 run")
+    assert(rec.schema.fieldNames.contains("stream_split"),
+      "the record must carry the per-key lifecycle/operator split")
+    val q = rec.select("stream_split.*")
+    val row = q.collect()(0)
+    val split = q.schema.fields.zipWithIndex.flatMap { case (fld, i) =>
+      if (row.isNullAt(i)) None
+      else {
+        val st = row.getStruct(i)
+        Some((fld.name, st.getLong(st.schema.fieldIndex("lifecycles")),
+          st.getDouble(st.schema.fieldIndex("operator_sec"))))
+      }
+    }
+    // Only keys that START a StreamingQuery appear in the split: the
+    // family's batch-twin keys (stream_tumbling, stream_sliding, the
+    // cdc_* window merges, …) compute streaming semantics as batch
+    // plans and pay no lifecycle. Measured live set = 10 replay sinks
+    // + 6 stateful stream keys = 16 keys / 20 lifecycles (multi-query
+    // keys like replay_filtered run 2 per rep).
+    assert(split.length >= 14,
+      s"the live-streaming subset is 16 keys; the split covers ${split.length}")
+    val lcTotal = split.map(_._2).sum
+    assert(lcTotal >= 16 && lcTotal <= 60,
+      s"family lifecycle count drifted to $lcTotal (measured structure " +
+        "is 20: 16 live keys, 4 of them two-query)")
+    val worstOp = split.maxBy(_._3)
+    assert(worstOp._3 <= 4.5,
+      s"per-key operator share must stay under 4.5 s at sf0.1; " +
+        s"${worstOp._1} = ${worstOp._3}")
+    val opTotal = split.map(_._3).sum
+    assert(opTotal <= 22.0,
+      s"family operator share regressed to $opTotal s at sf0.1 " +
+        "(re-baselined budget: floor ≈ lifecycles × 0.5 s + ≤22 s operator)")
+  }
+
   test("ANN recall@10 holds at sf1: the derived-K/probe policy preserves QUALITY, not just latency") {
     // VERDICT r11 ask #6. The latency side of the 10x scaling story is
     // BENCH_sf1.json; this is the quality side: the same sim_ann_recall

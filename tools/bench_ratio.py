@@ -1,16 +1,42 @@
 #!/usr/bin/env python3
 """Merge two Bench runs (bench_full.json format) into a scaling-law
 record: per-key seconds at each SF plus the time ratio. Usage:
-    python3 tools/bench_ratio.py <bench_sf0.1.json> <bench_sf1.json> <out.json>
+    python3 tools/bench_ratio.py <bench_lo.json> <bench_hi.json> <out.json> \\
+        [--charge key:artifact_prefix ...]
 Ratios use a 0.15 s floor on the denominator so fixed-overhead keys
 (sub-100 ms at both SFs) don't report meaningless 20x blips.
+
+--charge key:prefix adds each leg's index_staging entries whose label
+starts with `prefix` INTO that key's measured seconds (symmetrically in
+both legs) before the ratio is computed, and records the charged
+amounts per leg. This is for keys whose work product IS a staged
+artifact (e.g. sim_ann_recall's eval tables): Bench subtracts staging
+from per-key times so the first consumer isn't mis-charged, but for
+such keys a warm-store run then records ~0 s and any scaling law over
+the bare number passes vacuously — the charge puts the key's own
+artifact cost back where the law can see it.
 """
 import json, sys
 
 
-def main(lo_path: str, hi_path: str, out_path: str) -> int:
+def main(lo_path: str, hi_path: str, out_path: str, *extra) -> int:
     lo = json.load(open(lo_path))
     hi = json.load(open(hi_path))
+    charges = {}
+    args = list(extra)
+    while args:
+        a = args.pop(0)
+        if a == "--charge":
+            k, _, pref = args.pop(0).partition(":")
+            charges.setdefault(k, []).append(pref)
+        else:
+            raise SystemExit(f"unknown arg {a}")
+
+    def charged(leg: dict, key: str) -> float:
+        staging = leg.get("index_staging", {})
+        return sum(v for lbl, v in staging.items()
+                   if any(lbl.startswith(p) for p in charges.get(key, [])))
+
     qlo, qhi = lo["queries"], hi["queries"]
     keys = sorted(set(qlo) & set(qhi))
     rows = {}
@@ -19,17 +45,24 @@ def main(lo_path: str, hi_path: str, out_path: str) -> int:
         if a < 0 or b < 0:          # error sentinel from Bench
             rows[k] = {"sf_lo": a, "sf_hi": b, "ratio": None, "error": True}
             continue
+        ca, cb = charged(lo, k), charged(hi, k)
+        a, b = a + ca, b + cb
         rows[k] = {"sf_lo": round(a, 3), "sf_hi": round(b, 3),
                    "ratio": round(b / max(a, 0.15), 2)}
+        if ca or cb:
+            rows[k]["charged_staging_lo"] = round(ca, 2)
+            rows[k]["charged_staging_hi"] = round(cb, 2)
     ratios = sorted(r["ratio"] for r in rows.values() if r.get("ratio"))
     med = ratios[len(ratios) // 2] if ratios else None
     worst = sorted(((r["ratio"], k) for k, r in rows.items() if r.get("ratio")),
                    reverse=True)[:12]
-    # totals over the COMPARED key set only: the lo leg may be a full
-    # 409-key run while the hi leg is a filtered sweep — summing
-    # different key sets would make total_ratio meaningless
-    tot_lo = sum(qlo[k] for k in keys if qlo[k] >= 0)
-    tot_hi = sum(qhi[k] for k in keys if qhi[k] >= 0)
+    # totals over the COMPARED key set only, pair-wise filtered: a key
+    # that errored in EITHER leg contributes to NEITHER total (the same
+    # filter the per-key ratios use) — per-leg filtering would silently
+    # compare different key sets whenever exactly one leg errored
+    ok = [k for k in keys if qlo[k] >= 0 and qhi[k] >= 0]
+    tot_lo = sum(qlo[k] for k in ok)
+    tot_hi = sum(qhi[k] for k in ok)
     out = {
         "metric": "sf_scaling",
         "sf_lo": lo.get("sf"), "sf_hi": hi.get("sf"),
