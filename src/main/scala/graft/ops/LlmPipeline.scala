@@ -370,28 +370,33 @@ object LlmPipeline {
   // ---------------------------------------------- near-dup cluster (CC)
 
   /** Min-label connected components over a SYMMETRIC edge list (v, u)
-    * — the shared CC engine behind `dedup_cluster`. Two algorithms,
-    * picked by the data:
+    * — the shared CC engine behind `dedup_cluster`. ADAPTIVE between
+    * two algorithms, decided by the OBSERVED propagation dynamics of
+    * the first rounds rather than a fixed round cap:
     *
-    *  1. Pregel-style min-label propagation WITH PATH COMPRESSION:
-    *     label(v) starts as v and each round takes the min over the
-    *     neighborhood AND over label(label(v)) — the pointer-jumping
-    *     term, which doubles the distance a minimum travels per round,
-    *     so the loop runs O(log diameter) rounds, not O(diameter).
-    *     Each round is two co-keyed joins of the (vertex, label) table
-    *     (edge-neighbor min + label-of-label). The compression term is
-    *     what keeps this path viable on the STAR-SPARSIFIED candidate
-    *     graph (see [[starEdges]]), whose diameter is roughly twice
-    *     the bucket-chain length instead of the pairwise graph's
-    *     quasi-clique ≈2 — measured at the 10× corpus: diameter >16
-    *     (plain propagation blew the cap and paid the fallback on
-    *     top), vs 6 compressed rounds.
-    *  2. Past the diameter cap (a pathological high-diameter graph,
-    *     e.g. an edit CHAIN longer than the cap), the fold switches to
-    *     [[starContraction]] — the large-star/small-star algorithm,
-    *     O(log n) rounds regardless of diameter — instead of failing
-    *     or silently splitting components. Same labels, proven by the
-    *     PropertySpec law that runs both against a union-find oracle.
+    *  1. Pregel-style min-label propagation with path compression
+    *     (label-of-label) — each round two co-keyed joins of the
+    *     (vertex, label) table. On the common dedup shape —
+    *     quasi-clique duplicate clusters around band hubs — the
+    *     changed-label frontier collapses geometrically (measured at
+    *     sf0.1: 473 → 7 → 1 → 0) and the whole fold is 3–5 cheap
+    *     rounds. This is the fast path and it self-identifies: a
+    *     frontier that has NOT collapsed below ¼ of round 1 by round 2
+    *     never belongs to this regime.
+    *  2. [[starContraction]] (large-star/small-star, O(log n) rounds
+    *     REGARDLESS of diameter or branching) for everything else.
+    *     The compression term does double along clean chains, but
+    *     measured on the real banded graph at the 100-copy corpus it
+    *     degrades to O(diameter) flooding — 24+ rounds with a
+    *     six-figure frontier every round (the label forest stops
+    *     mirroring graph distance once stars branch), while direct
+    *     contraction closes the same graph in ~6 alternating rounds
+    *     at half the total cost. A fixed cap would pay the failed
+    *     propagation AND the fallback; the 2-round probe pays at most
+    *     two cheap rounds before committing to the guaranteed path.
+    *
+    * Same labels either way, proven by the PropertySpec law that runs
+    * both against a union-find oracle.
     *
     * Eager localCheckpoint, not Mat: the loop needs its lineage CUT
     * each round (otherwise round k re-executes all k−1 predecessors
@@ -401,15 +406,18 @@ object LlmPipeline {
     * fault-prone cluster would use reliable checkpoint() to a state
     * dir instead — same plan, durable lineage cut.
     */
-  /** Rounds the last [[connectedComponents]] call used (this JVM) —
-    * the observable the pointer-jumping scale law is pinned against:
-    * path compression makes the round count O(log diameter), and the
-    * PropertySpec chain-graph law asserts the measured count tracks
-    * log₂(d) (+1 convergence-observation round), so a regression to
-    * O(diameter) rounds — the difference between 8 and 256 rounds on
-    * a 256-chain — fails a test instead of surfacing as an sf10 tail.
+  /** Rounds the last [[connectedComponents]] call spent in min-label
+    * propagation (this JVM) — with [[lastCcAlgo]], the observable the
+    * adaptive-policy laws pin: a geometric frontier must finish on
+    * propagation in a few rounds; a flooding graph must hand over to
+    * contraction after exactly the probe window.
     */
   @volatile private[graft] var lastCcRounds: Int = -1
+
+  /** Which algorithm produced the last call's labels: "minlabel" or
+    * "contraction".
+    */
+  @volatile private[graft] var lastCcAlgo: String = ""
 
   private[graft] def connectedComponents(
       s: SparkSession, edgesIn: DataFrame): DataFrame = {
@@ -418,13 +426,21 @@ object LlmPipeline {
     var labels = edges.select($"v").distinct()
       .select($"v", $"v".as("lbl")).localCheckpoint(true)
     var iter = 0
+    // Backstop only: a frontier that passed the round-2 probe has
+    // collapsed to a thin tail (measured at the 10-copy corpus:
+    // 10899 → 1462 by round 2, then a sub-500 tail for 11 cheap
+    // rounds), so letting it run is cheaper than switching; hitting
+    // the backstop anyway means the dynamics shifted mid-run and
+    // contraction still guarantees the answer.
     val maxIter = 16
-    // maxIter + 1 loop passes: diameter d needs d changing rounds
-    // PLUS one confirming round to observe convergence, so a
-    // diameter-16 chain legitimately uses 17 passes — only a change
-    // in pass 17 means the diameter truly exceeds the cap.
+    // Probe window and collapse bar: stay on propagation only if the
+    // round-2 frontier fell below ¼ of round 1. Geometric regimes
+    // measure well under 0.1; chains and flooding graphs sit near 1.
+    val probeRound = 2
+    var changed1 = -1L
     var converged = labels.isEmpty
-    while (!converged && iter <= maxIter) {
+    var flooding = false
+    while (!converged && !flooding && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select($"v".as("u"), $"lbl".as("ulbl")), "u")
         .groupBy("v").agg(min($"ulbl").as("nmin"))
@@ -433,7 +449,7 @@ object LlmPipeline {
       // always resolves; LEFT + coalesce only defends the invariant)
       val lblOfLbl = labels.select($"v".as("lbl"), $"lbl".as("plbl"))
       // one job per round: the stepped table carries (old, new) label
-      // so the convergence probe is a cheap filter on checkpointed
+      // so the convergence probe is a cheap count on checkpointed
       // data, not a second join
       val stepped = labels.join(nbrMin, Seq("v"), "left")
         .join(lblOfLbl, Seq("lbl"), "left")
@@ -441,12 +457,26 @@ object LlmPipeline {
           least($"lbl", coalesce($"nmin", $"lbl"),
             coalesce($"plbl", $"lbl")).as("nlbl"))
         .localCheckpoint(true)
-      converged = stepped.filter($"nlbl" =!= $"lbl").isEmpty
+      // full count only inside the probe window (the ratio needs it);
+      // after that the convergence check is the short-circuiting
+      // isEmpty the tail rounds want
+      val delta = stepped.filter($"nlbl" =!= $"lbl")
+      if (iter < probeRound) {
+        val changed = delta.count()
+        converged = changed == 0
+        if (iter == 0) changed1 = changed
+        else if (iter == probeRound - 1 && !converged)
+          flooding = changed * 4L > changed1
+      } else converged = delta.isEmpty
       labels = stepped.select($"v", $"nlbl".as("lbl"))
       iter += 1
     }
-    System.err.println(s"[graft] cc: min-label rounds=$iter converged=$converged")
+    val switched = !converged
+    System.err.println(s"[graft] cc: min-label rounds=$iter " +
+      s"converged=$converged" +
+      (if (switched) " -> starContraction" else ""))
     lastCcRounds = iter
+    lastCcAlgo = if (switched) "contraction" else "minlabel"
     if (converged) labels else starContraction(s, edges)
   }
 

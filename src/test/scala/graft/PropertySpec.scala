@@ -314,11 +314,9 @@ class PropertySpec extends SparkSpec {
   }
 
   test("a 40-node chain (diameter far past plain propagation) resolves exactly") {
-    // plain neighbor-min would need 39 rounds here — far past the
-    // 16-round cap; the path-compression term (label-of-label) closes
-    // it in O(log 40) rounds, and if compression ever regressed the
-    // starContraction fallback must still produce the exact component
-    // minimum, not fail or split the chain
+    // a chain's frontier does not collapse geometrically, so the
+    // adaptive fold must hand over to starContraction — and still
+    // produce the exact component minimum, not fail or split the chain
     val pairs = (0L until 39L).map(i => (i, i + 1))
     val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val labels = graft.ops.LlmPipeline
@@ -326,16 +324,20 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length === 40)
     assert(labels.forall(_._2 == 0L), "every chain vertex joins component 0")
+    assert(graft.ops.LlmPipeline.lastCcAlgo === "contraction",
+      "a flooding frontier must commit to contraction")
   }
 
-  test("pointer-jumping round count grows as log(diameter), not diameter") {
-    // The scale law behind dedup_cluster's iterative fold: path
-    // compression (label-of-label doubling) must close a diameter-d
-    // chain in O(log d) rounds. Pinning the MEASURED round count here
-    // means a regression to O(d) propagation — 8 vs 256 rounds on the
-    // largest chain below — fails a unit test instead of surfacing as
-    // a 10× sf10 bench tail.
-    val rounds = Seq(8, 64, 256).map { d =>
+  test("adaptive CC: flooding graphs switch after the 2-round probe; geometric graphs stay on propagation") {
+    // The scale law behind dedup_cluster's iterative fold. Measured at
+    // the 100-copy corpus, min-label propagation (even with the
+    // label-of-label compression term) degrades to O(diameter)
+    // flooding on branched star graphs — so the fold may spend at most
+    // the 2-round probe before committing to starContraction's
+    // guaranteed O(log n), and must NOT burn a fixed round cap first.
+    // A regression of this policy — 2 vs 17 wasted rounds at the 10×
+    // corpus — fails here instead of surfacing as an sf10 bench tail.
+    for (d <- Seq(64, 256)) {
       val pairs = (0L until d.toLong).map(i => (i, i + 1))
       val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       val labels = graft.ops.LlmPipeline
@@ -343,15 +345,28 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(labels.length === d + 1)
       assert(labels.forall(_._2 == 0L), s"chain of diameter $d joins component 0")
-      val r = graft.ops.LlmPipeline.lastCcRounds
-      val bound = math.ceil(math.log(d.toDouble) / math.log(2.0)).toInt + 3
-      assert(r > 0 && r <= bound,
-        s"diameter-$d chain took $r rounds; log-law bound is $bound")
-      d -> r
+      assert(graft.ops.LlmPipeline.lastCcAlgo === "contraction",
+        s"diameter-$d chain floods; the probe must commit to contraction")
+      assert(graft.ops.LlmPipeline.lastCcRounds <= 2,
+        s"probe overran: ${graft.ops.LlmPipeline.lastCcRounds} rounds " +
+          "of propagation before the switch")
     }
-    // 32× the diameter may add at most log₂(32)+1 = 6 rounds
-    assert(rounds.last._2 - rounds.head._2 <= 6,
-      s"rounds grew ${rounds.head} -> ${rounds.last}: not logarithmic")
+    // the geometric regime: disjoint hub stars (the dedup quasi-clique
+    // shape) — every member one hop from its hub, frontier collapses
+    // in round 1 and the fast path must be kept
+    val stars = (0L until 40L).flatMap { h =>
+      (1L to 5L).map(i => (h * 100, h * 100 + i))
+    }
+    val symStars = stars.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val starLabels = graft.ops.LlmPipeline
+      .connectedComponents(spark, symStars.toDF("v", "u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(starLabels.length === 240)
+    assert(starLabels.forall { case (v, l) => l == (v / 100) * 100 })
+    assert(graft.ops.LlmPipeline.lastCcAlgo === "minlabel",
+      "a geometric frontier must stay on min-label propagation")
+    assert(graft.ops.LlmPipeline.lastCcRounds <= 4,
+      s"quasi-clique graph took ${graft.ops.LlmPipeline.lastCcRounds} rounds")
   }
 
   test("set-algebra cardinality laws hold against the raw tables") {

@@ -192,9 +192,10 @@ class ScaleProofSpec extends SparkSpec {
     "dedup_cluster" ->
       ("edge-linear: star-sparsified candidate edges (Σ(m−1) per band " +
         "bucket — the sf10 leg exposed the pairwise Σm²/2 blow-up on " +
-        "duplicate cliques and drove the sparsification) and " +
-        "path-compressed min-label propagation, O(log diameter) " +
-        "rounds each shuffling the ∝N edge table"),
+        "duplicate cliques and drove the sparsification) folded by the " +
+        "adaptive CC engine — a 2-round propagation probe, then " +
+        "large-star/small-star contraction (O(log n) rounds) when the " +
+        "frontier floods — each round shuffling the ∝N edge table"),
     "zorder_cluster" ->
       ("write-linear: the z-order rewrite re-encodes and re-writes " +
         "every row — 10× rows → 10× parquet encode+write work; the " +
@@ -303,8 +304,9 @@ class ScaleProofSpec extends SparkSpec {
       ((4.5, "(brand,len) ledger arithmetic + segment join over a " +
         "near-constant distinct-name vocabulary: ~data-linear")),
     "dedup_cluster" ->
-      ((5.5, "∝N star edges × O(log diameter) rounds: 3× data with at " +
-        "most one extra pointer-jumping round")),
+      ((5.5, "∝N star edges × O(log n) contraction rounds (adaptive " +
+        "CC: 2-round probe, then large-star/small-star): 3× data with " +
+        "at most ~2 extra rounds")),
     "index_append" ->
       ((5.2, "|batch|·√K with batch = N/100: 3·√3 ≈ 5.2")))
 
