@@ -568,8 +568,24 @@ object IndexCache {
     */
   private val fprints = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Artifact-key prefixes excluded from the durable store for this
+    * JVM (SPARK_GRAFT_STORE_BYPASS, comma-separated). Measurement
+    * knob for scaling sweeps: a key whose work product IS a staged
+    * artifact (sim_ann_recall's eval tables, assortativity's co-edge
+    * rollup) must stage COLD in a sweep leg or its scaling law reads
+    * a warm-store ~0 s and passes vacuously — bypassing the store for
+    * exactly those prefixes keeps every other artifact warm (their
+    * cost is subtracted per-key anyway) while the charged ones build
+    * and land in `index_staging` where bench_ratio's --charge folds
+    * them back into the key.
+    */
+  private lazy val bypassPrefixes: Seq[String] =
+    sys.env.get("SPARK_GRAFT_STORE_BYPASS").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   private def durableDir(key: String): Option[java.nio.file.Path] =
-    if (key.contains("graft-run-") || key.contains("graft-test-")) None
+    if (key.contains("graft-run-") || key.contains("graft-test-") ||
+        bypassPrefixes.exists(key.startsWith)) None
     else storeRoot.map { root =>
       val tail = key.substring(key.lastIndexOf('|') + 1)
       val fp = fprints.computeIfAbsent(tail, _ => corpusFingerprint(key))

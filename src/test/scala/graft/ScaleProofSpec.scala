@@ -244,12 +244,15 @@ class ScaleProofSpec extends SparkSpec {
   /** sf1→sf10 keys measured above 8× for 10× data, each carrying its
     * audited structural driver (the sf10 analogue of [[ratioTail]]).
     */
-  private val sf10Tail: Map[String, String] = Map(
-    "sql_recursive_cte" ->
-      ("depth-scaled recursion: the UnionLoop's iteration count grows " +
-        "with the longest derived chain, so cost is data-ratio × extra " +
-        "rounds — each round itself a linear co-keyed join; bounded by " +
-        "the chain-length law, not a quadratic"))
+  private val sf10Tail: Map[String, String] = Map.empty
+  // EMPTY since round 15: the former tail was re-planned away —
+  // sql_recursive_cte 9.14 → 7.37 (broadcast-frontier hint into the
+  // UnionLoop step join), dedup_cluster 7.99 → 5.1 (adaptive CC:
+  // 2-round probe then star contraction), join_skew_aqe 7.75 → 5.9
+  // (archive-size-derived skew thresholds), join_skew_salted
+  // 7.88 → <4.9 (hot-key-mass-derived salt fan-out). A key drifting
+  // back above 8× must earn a new entry here with its structural
+  // driver, like those once did.
 
   test("sf10 scaling record: the 100 heaviest scale-path keys stay sub-linear (BENCH_sf10.json)") {
     // the second measured decade, widened from 25 to the top-100 keys

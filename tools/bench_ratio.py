@@ -97,4 +97,4 @@ def main(lo_path: str, hi_path: str, out_path: str, *extra) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:4]))
+    sys.exit(main(*sys.argv[1:]))
