@@ -83,6 +83,16 @@ object Replay {
     */
   @volatile private[graft] var lastSinkPacingMs: Long = 0L
 
+  /** Total wall milliseconds (write + pacing sleep) the rate-capped
+    * sink spent across the last run's epochs. The A7 contract is
+    * "an epoch cannot complete faster than max-shard-records / rate";
+    * a fast machine pays the difference as sleep (lastSinkPacingMs)
+    * while a slow/loaded one absorbs it in the write itself — this
+    * duration is the machine-independent quantity the contract bounds,
+    * so it is what the test asserts. 0 when the cap is off.
+    */
+  @volatile private[graft] var lastSinkDurationMs: Long = 0L
+
   /** Records that failed their first simulated PutRecords attempt and
     * landed via the per-record retry wave in the last [[runReplay]]
     * run (A9 ledger; −1 = retry injection was off).
@@ -206,6 +216,7 @@ object Replay {
       sinkFault: (DataFrame, Long) => Unit = null,
       failFirstAttempt: Column = null): String = {
     lastSinkPacingMs = 0L
+    lastSinkDurationMs = 0L
     lastRetriedRecords = if (failFirstAttempt == null) -1L else 0L
     val (out, ckpt) = resumeDirs.getOrElse(
       (TmpDirs.dir("replay-out"), TmpDirs.dir("replay-ckpt")))
@@ -378,6 +389,7 @@ object Replay {
         val paceMs = math.max(0L, floorMs - elapsedMs)
         if (paceMs > 0) Thread.sleep(paceMs)
         lastSinkPacingMs += paceMs
+        lastSinkDurationMs += elapsedMs + paceMs
         System.err.println(
           s"[replay] epoch=$epochId max_shard_rows=$maxShardRows pace_ms=$paceMs")
       }
