@@ -629,11 +629,15 @@ object CurateOps {
     (s, d) => {
       import s.implicits._
       val iq = LlmPipeline2.quantizedComponents(s, d)
-      var centers = graft.core.Mat(s,
+      // the ≤4-row center table is lineage-cut per round with an eager
+      // localCheckpoint (not a Mat parquet round trip — a write+list+
+      // read job per round for 4 rows); each round's plan then reads
+      // materialized rows, never round r−1's whole lineage
+      var centers =
         iq.agg(min($"vec_id").as("cid"))
           .select($"cid", lit(0L).as("sel_round"),
-            lit(null).cast("long").as("d2")),
-        "kcen-0")
+            lit(null).cast("long").as("d2"))
+          .localCheckpoint(true)
       for (r <- 1 to 3) {
         val cc = iq.join(broadcast(centers.select($"cid")),
             $"vec_id" === $"cid")
@@ -648,7 +652,7 @@ object CurateOps {
           .agg(max(struct($"dmin".as("a"), (-$"vec_id").as("b"))).as("m"))
           .select((-$"m.b").as("cid"), lit(r.toLong).as("sel_round"),
             $"m.a".as("d2"))
-        centers = graft.core.Mat(s, centers.unionByName(nxt), s"kcen-$r")
+        centers = centers.unionByName(nxt).localCheckpoint(true)
       }
       // a corpus with fewer than r+1 distinct points yields NULL
       // argmax rows — drop them so an empty/tiny corpus reports only

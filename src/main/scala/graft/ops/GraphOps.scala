@@ -53,8 +53,19 @@ object GraphOps {
     val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesD = edges.join(deg, "src")
-    var ranks = deg.select($"src".as("node"), lit(Scale).as("rank"))
-    for (_ <- 1 to 2) {
+    // Iteration 1 FOLDED: the initial rank vector is the constant
+    // `Scale` on exactly the src node set, so edgesD ⋈ ranks₀ matches
+    // every edge with rank = Scale — the join is an identity and the
+    // contribution is `Scale div deg` directly (guide §2.4: remove
+    // shuffles outright). Row membership is unchanged (every dst with
+    // an in-edge), so iteration 2 sees bit-identical input.
+    var ranks = edgesD
+      .select($"dst", expr(s"$Scale div deg").as("c"))
+      .groupBy("dst")
+      .agg(sum($"c").as("s"))
+      .select($"dst".as("node"),
+        (lit(Teleport) + expr("(85 * s) div 100")).as("rank"))
+    for (_ <- 2 to 2) {
       ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
         .select($"dst", expr("rank div deg").as("c"))
         .groupBy("dst")
@@ -108,9 +119,22 @@ object GraphOps {
     val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesD = edges.join(deg, "src")
-    var ranks = deg.select($"src".as("node"),
-      when($"src" === seed, lit(Scale)).otherwise(lit(0L)).as("rank"))
-    for (_ <- 1 to 2) {
+    // Iteration 1 FOLDED (the pagerankRanks discipline): rank₀ is
+    // Scale on the seed and 0 elsewhere over exactly the src node
+    // set, so the first edges ⋈ ranks join is an identity with a
+    // per-row contribution of `Scale div deg` for seed-sourced edges
+    // and 0 otherwise. The groupBy row membership (every dst with an
+    // in-edge, including zero-sum ones) is preserved — iteration 2
+    // and the rank>0 filter see bit-identical input.
+    var ranks = edgesD
+      .select($"dst",
+        when($"src" === seed, expr(s"$Scale div deg")).otherwise(lit(0L)).as("c"))
+      .groupBy("dst")
+      .agg(sum($"c").as("s"))
+      .select($"dst".as("node"),
+        (when($"dst" === seed, lit(Teleport)).otherwise(lit(0L))
+          + expr("(85 * s) div 100")).as("rank"))
+    for (_ <- 2 to 2) {
       ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
         .select($"dst", expr("rank div deg").as("c"))
         .groupBy("dst")
@@ -351,13 +375,23 @@ object GraphOps {
         .select(concat(lit("u:"), $"user_id".cast("string")).as("u"),
           concat(lit("t:"), $"event_type").as("t"))
         .distinct()
-      var hubs = edges.select($"u").distinct()
-        .select($"u", lit(Scale).as("h"))
+      var hubs: DataFrame = null
       var auths: DataFrame = null
-      for (_ <- 1 to 2) {
-        val araw = edges.join(hubs, "u").groupBy("t")
-          .agg(sum($"h".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .as("sa"))
+      for (it <- 1 to 2) {
+        // Iteration 1's hub vector is the constant Scale on exactly
+        // the distinct-u set, so edges ⋈ hubs is an identity and the
+        // auth sum is count(in-edges)·Scale — fold the join away
+        // (guide §2.4); the decimal lift happens before the multiply
+        // so a 10⁹-node count cannot overflow a long.
+        val araw =
+          if (it == 1)
+            edges.groupBy("t")
+              .agg((count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+                * lit(Scale)).as("sa"))
+          else
+            edges.join(hubs, "u").groupBy("t")
+              .agg(sum($"h".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+                .as("sa"))
         auths = araw.crossJoin(broadcast(araw.agg(max($"sa").as("ma"))))
           .select($"t",
             expr(s"((sa * $Scale) div ma)").cast("long").as("a"))
@@ -433,8 +467,11 @@ object GraphOps {
         edges.join(counts, edges("src") === counts("node"))
           .groupBy($"dst").agg(sum($"w").as("w"))
           .select($"dst".as("node"), $"w")
-      val w1 = hop(edges.select($"src".as("node")).distinct()
-        .select($"node", lit(1L).as("w")))
+      // w₁ folded: hop over the all-ones vector on the full src set is
+      // the in-degree — exactly the oracle's w1 CTE spelling; the
+      // edges ⋈ ones join is an identity (guide §2.4)
+      val w1 = edges.groupBy($"dst").agg(count(lit(1)).cast("long").as("w"))
+        .select($"dst".as("node"), $"w")
       val w2 = hop(w1)
       val w3 = hop(w2)
       w1.select($"node", $"w".as("w1"))

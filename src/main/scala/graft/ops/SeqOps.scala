@@ -474,12 +474,14 @@ object SeqOps {
   // every transition edge (numerator lifted to DECIMAL(38,0)/HUGEINT;
   // all operands non-negative, so trunc = floor in both engines), and
   // 12 synchronized iterations from the uniform start are unrolled
-  // IDENTICALLY on both sides — Spark as a fold of broadcast joins
-  // over the Mat'd transition table, the oracle as 12 chained CTEs.
-  // Integer flooring leaks ≤|states| parts per step — deterministic,
-  // never a float fold. The per-step shuffle is |types|² rows; the
-  // expensive stage (bigram counting) is ONE keyed lag window + a
-  // partial+final agg, shared spelling with markov_transitions.
+  // IDENTICALLY on both sides — Spark as codegen'd higher-order-
+  // function folds over ONE collected |types|²-row ledger (the matrix
+  // is bounded by the type domain at any corpus size, so per-step
+  // joins/shuffles were pure fixed cost ×12), the oracle as 12
+  // chained CTEs. Integer flooring leaks ≤|states| parts per step —
+  // deterministic, never a float fold. The expensive stage (bigram
+  // counting) is ONE keyed lag window + a partial+final agg, shared
+  // spelling with markov_transitions.
   // ------------------------------------------------------------------
 
   private val seqMarkovStationary = Q(
@@ -494,20 +496,60 @@ object SeqOps {
       val cnt = pairs.groupBy($"prev", $"event_type".as("next"))
         .agg(count(lit(1)).as("cnt"))
       val tot = cnt.groupBy("prev").agg(sum($"cnt").cast("long").as("tot"))
-      val trans = graft.core.Mat(s, cnt.join(tot, "prev"), "markov-trans")
-      val states = trans.select($"prev".as("state")).distinct()
-      var p = states
-        .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
-        .select($"state", expr("1000000000000 div ns").cast("long").as("m"))
-      for (_ <- 1 to 12) {
-        p = trans.join(broadcast(p), $"prev" === $"state")
-          .groupBy($"next")
-          .agg(sum(expr("(cast(m as decimal(38,0)) * cnt) div tot"))
-            .cast("long").as("m2"))
-          .select($"next".as("state"), $"m2".as("m"))
+      // The transition matrix is BOUNDED (|types|² rows), so the
+      // 12-step fold runs as higher-order-function expressions over
+      // ONE collected ledger row instead of 12 broadcast-join +
+      // shuffle rounds (each round was a full job: broadcast build of
+      // the mass vector + a |types|²-row exchange — pure fixed cost ×
+      // 12 at any scale, since the matrix never grows with the
+      // corpus). The expensive stage — the user-keyed lag window and
+      // the partial+final bigram count — is unchanged; only the
+      // bounded fixpoint moved into codegen'd array expressions.
+      // Arithmetic is IDENTICAL: each step moves
+      // floor((m·cnt)/tot) with the numerator lifted to DECIMAL(38,0),
+      // masses stay BIGINT, and a state keeps a mass row exactly when
+      // some in-edge's prev carried mass the previous step (the join
+      // row-membership rule, preserved via NULL masses).
+      val trans = cnt.join(tot, "prev")
+      // one ledger row: sorted edge list (deterministic order — sums
+      // are exact integers, order can't matter, but sorted keeps the
+      // collected plan canonical), sorted state domain (prev ∪ next),
+      // prev-state count ns for the uniform start
+      val led = trans
+        .agg(sort_array(collect_list(struct($"prev", $"next", $"cnt", $"tot")))
+          .as("tr"))
+        .withColumn("dom", expr(
+          "array_sort(array_union(transform(tr, e -> e.prev), " +
+            "transform(tr, e -> e.next)))"))
+        .withColumn("pset", expr("array_sort(array_distinct(transform(tr, e -> e.prev)))"))
+        .withColumn("tri", expr(
+          // index the edges into the domain once (0-based positions)
+          "transform(tr, e -> struct(" +
+            "CAST(array_position(dom, e.prev) - 1 AS INT) AS pi, " +
+            "CAST(array_position(dom, e.next) - 1 AS INT) AS ni, " +
+            "e.cnt AS cnt, e.tot AS tot))"))
+        .withColumn("m", expr(
+          // uniform start on the prev set; next-only states start absent
+          "transform(dom, x -> CASE WHEN array_contains(pset, x) " +
+            "THEN CAST(1000000000000 DIV size(pset) AS BIGINT) END)"))
+      val stepped = (1 to 12).foldLeft(led) { (df, _) =>
+        df.withColumn("m", expr(
+          // m'(j) = Σ over in-edges with a massed prev of
+          // floor((m(prev)·cnt)/tot); NULL (absent) when no such edge
+          "transform(sequence(0, size(dom) - 1), j -> " +
+            "CASE WHEN exists(tri, e -> e.ni = j AND m[e.pi] IS NOT NULL) " +
+            "THEN aggregate(" +
+            "filter(tri, e -> e.ni = j AND m[e.pi] IS NOT NULL), " +
+            "CAST(0 AS BIGINT), (acc, e) -> acc + " +
+            "CAST((CAST(m[e.pi] AS DECIMAL(38,0)) * e.cnt) DIV e.tot AS BIGINT)) " +
+            "END)"))
       }
-      p.select($"state", $"m".as("mass_ppt"),
-          dround($"m".cast("double") / 1e12, 6).as("p_stationary"))
+      stepped
+        .select(explode(arrays_zip($"dom", $"m")).as("z"))
+        .select($"z.dom".as("state"), $"z.m".as("mass_ppt"))
+        .filter($"mass_ppt".isNotNull)
+        .select($"state", $"mass_ppt",
+          dround($"mass_ppt".cast("double") / 1e12, 6).as("p_stationary"))
         .orderBy("state")
     },
     Some {

@@ -140,8 +140,9 @@ object StatOps {
   // orders of magnitude of shuffled bytes. Deployment knobs: widths
   // narrow with N, and each extra DEPTH level divides the final
   // window's input by another 256. The tiny ledgers and 3-row
-  // crossing tables are Mat'd — each feeds several consumers, and
-  // left lazy every branch would re-run a fact scan.
+  // crossing tables are lineage-cut with eager localCheckpoints —
+  // each feeds several consumers, and left lazy every branch would
+  // re-run a fact scan.
   // ------------------------------------------------------------------
 
   private val aggWeightedMedian = Q(
@@ -182,32 +183,33 @@ object StatOps {
             ($"t.cum0" + $"t.base").as("cum0"), $"t.tw".as("tw"))
       }
       // level 1: coarse ledger → crossing coarse cell per group. The
-      // ≤256·G-row ledger is Mat'd: it feeds the group totals, both
-      // theta-join branches, and the crossing pick — left lazy, every
-      // consumer would re-run the fact scan (no cross-branch subtree
-      // sharing in Catalyst)
-      val cl1 = graft.core.Mat(s,
-        withC1(li0).groupBy($"l_returnflag", $"c1").agg(sum($"w").as("sw")),
-        "wmed-l1")
+      // ≤256·G-row ledger needs its lineage CUT (it feeds the group
+      // totals, both theta-join branches, and the crossing pick — left
+      // lazy, every consumer would re-run the fact scan; no cross-
+      // branch subtree sharing in Catalyst). Eager localCheckpoint,
+      // not a Mat parquet round trip: the ledger is bounded (cells ×
+      // groups), so holding it as executor-memory blocks costs nothing
+      // at any corpus size and saves a write+list+read job per level —
+      // the measured Mat overhead was ~0.4 s of this key's 2.8 s.
+      val cl1 = withC1(li0).groupBy($"l_returnflag", $"c1")
+        .agg(sum($"w").as("sw")).localCheckpoint(true)
       val tw = cl1.groupBy($"l_returnflag").agg(sum($"sw").as("tw"))
       val l1 = cl1.join(broadcast(tw), "l_returnflag")
         .withColumn("cum0", lit(0L))
-      // the 3-row crossing tables are Mat'd so the downstream queries
-      // broadcast a parquet read instead of re-running the pick subtree
-      val t1 = broadcast(graft.core.Mat(s,
-        crossing(l1, "c1", $"cum0"), "wmed-t1"))
+      // the 3-row crossing tables are pinned the same way so the
+      // downstream queries broadcast materialized rows instead of
+      // re-running the pick subtree
+      val t1 = broadcast(crossing(l1, "c1", $"cum0").localCheckpoint(true))
       // level 2: ≤256 fine cells WITHIN the crossing coarse cell
       def withC2(df: DataFrame) = withC1(df)
         .join(t1, Seq("l_returnflag", "c1"))
         .withColumn("c2", expr(s"(c - c1 * $W1) div $W2"))
-      val l2 = graft.core.Mat(s,
-        withC2(li0).groupBy($"l_returnflag", $"c1", $"c2", $"cum0", $"tw")
-          .agg(sum($"w").as("sw")),
-        "wmed-l2")
-      val t2 = broadcast(graft.core.Mat(s,
+      val l2 = withC2(li0)
+        .groupBy($"l_returnflag", $"c1", $"c2", $"cum0", $"tw")
+        .agg(sum($"w").as("sw")).localCheckpoint(true)
+      val t2 = broadcast(
         crossing(l2.select($"l_returnflag", $"c2", $"sw", $"tw", $"cum0"),
-          "c2", $"cum0"),
-        "wmed-t2"))
+          "c2", $"cum0").localCheckpoint(true))
       // finish: running sum over ONLY the crossing fine cell's rows
       val wloc = Window.partitionBy($"c1", $"c2", $"l_returnflag")
         .orderBy($"l_extendedprice".asc, $"l_orderkey".asc,

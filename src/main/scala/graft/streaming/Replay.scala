@@ -686,8 +686,18 @@ object Replay {
           s.read.option("basePath", dir).parquet(s"$dir/epoch=*")
             .select($"event_id", $"event_type", $"ms", $"cents")
         val (a, b) = (sink(dirA), sink(dirB))
-        val mism = a.exceptAll(b).unionAll(b.exceptAll(a))
-          .agg(count(lit(1)).as("n_sink_mismatch"))
+        // multiset symmetric difference as ONE co-partitioned count
+        // compare: |A∖B| + |B∖A| = Σ_row |countA − countB|. The
+        // exceptAll spelling planned two replicate-rows aggregate
+        // trees, scanning each sink twice; this is one keyed agg per
+        // sink + one full-outer join on the same key — same verified
+        // quantity (pinned 0 by the oracle), half the passes.
+        val cols = Seq("event_id", "event_type", "ms", "cents")
+        def keyed(df: DataFrame, n: String): DataFrame =
+          df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(n))
+        val mism = keyed(a, "ca").join(keyed(b, "cb"), cols, "full_outer")
+          .agg(coalesce(sum(abs(coalesce($"ca", lit(0L)) - coalesce($"cb", lit(0L)))),
+            lit(0L)).cast("long").as("n_sink_mismatch"))
         a.groupBy("event_type").agg(
             count(lit(1)).as("cnt"),
             Det.dround(sum($"cents".cast(Det.Dec)).cast("double") / 100, 2)

@@ -751,12 +751,19 @@ class PlanSpec extends SparkSpec {
       "the O(D^2) pair join must still be a type-keyed equi-join")
   }
 
-  test("markov stationary iterates via broadcast joins over the Mat'd transitions") {
+  test("markov stationary folds the bounded matrix in-row — no per-step shuffle") {
     val plan = executedPlan("seq_markov_stationary")
-    assert(plan.contains("BroadcastHashJoin"),
-      "each power-iteration step must broadcast the tiny mass vector")
+    // the 12-step fixpoint runs as HOF expressions over ONE collected
+    // |types|²-row ledger: the only exchanges left are the bigram
+    // count's partial+final pair, the single-row ledger collect, and
+    // the final sort — a per-step join/shuffle would multiply that
     assert(!plan.contains("CartesianProduct"),
       "no step may degrade to a product")
+    // executed-plan text (AQE prints initial + final) measured 14
+    // exchange mentions post-rewrite vs 58 with per-step joins; the
+    // bound has headroom for text drift but fails a per-step shuffle
+    assert("Exchange".r.findAllIn(plan).size <= 20,
+      "the 12-step fold must not shuffle per step")
     val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
     assert(windowLines.forall(_.contains("user_id")),
       s"the bigram lag window must partition by user_id: $windowLines")
@@ -883,11 +890,12 @@ class PlanSpec extends SparkSpec {
 
   test("k-center's final plan reads the Mat'd 4-row center table only") {
     val plan = executedPlan("sample_kcenter_coreset")
-    // the three greedy rounds execute while Mat stages kcen-1..3; the
-    // returned plan must be a scan of the final center parquet — the
-    // corpus is never re-read and no round's lineage is re-executed
-    assert(plan.contains("kcen-3"),
-      "the result must scan the round-3 Mat output")
+    // the three greedy rounds execute while the per-round centers are
+    // localCheckpointed; the returned plan must be a scan of the
+    // materialized round-3 blocks (ExistingRDD) — the corpus is never
+    // re-read and no round's lineage is re-executed
+    assert(plan.contains("Scan ExistingRDD"),
+      "the result must scan the checkpointed round-3 center table")
     assert(!plan.contains("embeddings.parquet") && !plan.contains("Join"),
       "no corpus re-read, no join in the final plan")
     // the round bodies themselves: pin the distance fan-out shape on
