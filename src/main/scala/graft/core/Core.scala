@@ -136,6 +136,19 @@ object Tables {
         expr(Det.fdivExpr("unix_micros(cast(ts as timestamp_ltz))", "1000"))
     }
 
+  /** Memoized "archive has zero rows" probe for the empty-corpus
+    * guards at the streaming front doors (~20 call sites, each a
+    * LocalLimit(1) scan job per invocation). Same immutability
+    * contract and mutable-dir escape as [[t]]'s relation memo.
+    */
+  private val emptyCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+
+  def eventsEmpty(spark: SparkSession, dir: String): Boolean =
+    if (mutableDir(dir)) events(spark, dir).isEmpty
+    else emptyCache.computeIfAbsent((spark, dir),
+      _ => Boolean.box(events(spark, dir).isEmpty))
+
   /** Heal the nanos-timestamp read conf (see [[events]]). Public within
     * the engine so streaming front doors that read the events parquet
     * directly (Replay, StreamJoin, StatefulSessions) can heal an

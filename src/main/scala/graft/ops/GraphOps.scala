@@ -370,11 +370,15 @@ object GraphOps {
     "graph_hits",
     (s, d) => {
       import s.implicits._
+      // the edge list feeds all four half-step joins — materialize it
+      // once (eager localCheckpoint) instead of re-deriving the
+      // distinct per half-step when exchange reuse misses
       val edges = Tables.events(s, d)
         .filter($"user_id".isNotNull)
         .select(concat(lit("u:"), $"user_id".cast("string")).as("u"),
           concat(lit("t:"), $"event_type").as("t"))
         .distinct()
+        .localCheckpoint(true)
       var hubs: DataFrame = null
       var auths: DataFrame = null
       for (it <- 1 to 2) {

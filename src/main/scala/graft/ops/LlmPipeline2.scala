@@ -60,23 +60,15 @@ object LlmPipeline2 {
     */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Hex digits decoded ONCE per word in a projection below the
-    // aggregate: the 64 vote sums each test one bit of one of 16
-    // digits, and inlining hexVal(substring(h, dig, 1)) into every
-    // vote evaluated 64 substring+ascii calls per word where 16
-    // suffice — the per-row cost of the corpus-wide tokenize+agg pass
-    // drops 4× with bit-identical votes (same expressions, hoisted).
-    val digits = (1 to 16).map(g => hexVal(substring($"h", g, 1)).as(s"d$g"))
     val votes = (1 to 64).map { j =>
       val dig = (j - 1) / 4 + 1
       val bit = (j - 1) % 4
-      sum(when(shiftright(col(s"d$dig"), bit).bitwiseAND(lit(1)) === 1, 1)
+      sum(when(shiftright(hexVal(substring($"h", dig, 1)), bit).bitwiseAND(lit(1)) === 1, 1)
         .otherwise(-1)).as(s"s$j")
     }
     t(s, d, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .select($"doc_id", md5($"w").as("h"))
-      .select($"doc_id" +: digits: _*)
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select($"doc_id",

@@ -47,24 +47,42 @@ object MiningOps {
   // graph size.
   // ------------------------------------------------------------------
 
+  /** The shared 4-round seeded BFS relaxation over the bipartite
+    * user↔type graph ([[graphBfsDepth]] histograms it;
+    * [[graphClosenessSeeded]] reduces it to centralities). The edge
+    * list and each round's (node, dist) table are lineage-cut with
+    * eager localCheckpoints — `dist` feeds BOTH the relax join and the
+    * union each round, so left lazy the logical tree doubles per round
+    * (2⁴ copies of the base by round 4: quadratic planning and, when
+    * exchange reuse misses, re-execution); the checkpointed table is
+    * node-bounded, the same per-round discipline as
+    * LlmPipeline.connectedComponents.
+    */
+  private def bfsDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.events(s, d)
+      .select(concat(lit("u:"), $"user_id".cast("string")).as("src"),
+        concat(lit("t:"), $"event_type").as("dst"))
+      .distinct()
+    val edges = pairs.unionByName(
+      pairs.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint(true)
+    var dist = s.range(1).select(lit("t:purchase").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 4) {
+      val relaxed = edges.join(dist, edges("src") === dist("node"))
+        .select($"dst".as("node"), ($"dist" + 1).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min($"dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   private val graphBfsDepth = Q(
     "graph_bfs_depth",
     (s, d) => {
       import s.implicits._
-      val pairs = Tables.events(s, d)
-        .select(concat(lit("u:"), $"user_id".cast("string")).as("src"),
-          concat(lit("t:"), $"event_type").as("dst"))
-        .distinct()
-      val edges = pairs.unionByName(
-        pairs.select($"dst".as("src"), $"src".as("dst")))
-      var dist = s.range(1).select(lit("t:purchase").as("node"), lit(0L).as("dist"))
-      for (_ <- 1 to 4) {
-        val relaxed = edges.join(dist, edges("src") === dist("node"))
-          .select($"dst".as("node"), ($"dist" + 1).as("dist"))
-        dist = dist.unionByName(relaxed)
-          .groupBy("node").agg(min($"dist").as("dist"))
-      }
-      dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      bfsDist(s, d).groupBy("dist").agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
     },
     Some("WITH pairs AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src, " +
@@ -861,21 +879,7 @@ object MiningOps {
     "graph_closeness_seeded",
     (s, d) => {
       import s.implicits._
-      val pairs = Tables.events(s, d)
-        .select(concat(lit("u:"), $"user_id".cast("string")).as("src"),
-          concat(lit("t:"), $"event_type").as("dst"))
-        .distinct()
-      val edges = pairs.unionByName(
-        pairs.select($"dst".as("src"), $"src".as("dst")))
-      var dist = s.range(1)
-        .select(lit("t:purchase").as("node"), lit(0L).as("dist"))
-      for (_ <- 1 to 4) {
-        val relaxed = edges.join(dist, edges("src") === dist("node"))
-          .select($"dst".as("node"), ($"dist" + 1).as("dist"))
-        dist = dist.unionByName(relaxed)
-          .groupBy("node").agg(min($"dist").as("dist"))
-      }
-      dist.filter($"dist" >= 1).agg(
+      bfsDist(s, d).filter($"dist" >= 1).agg(
           count(lit(1)).as("n_reached"),
           sum($"dist").cast("long").as("sum_dist"),
           sum(expr("1000000000 div dist")).cast("long").as("harmonic_q"))

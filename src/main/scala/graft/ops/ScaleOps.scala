@@ -520,7 +520,7 @@ object ScaleOps {
       import s.implicits._
       // an empty archive writes no partition directories — nothing to
       // infer a schema from on the read side
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(String, String, Long, Double)]
           .toDF("dt", "event_type", "cnt", "total_value")
       else timePartitionedRead(s, stageTimePartitioned(s, d))
@@ -565,7 +565,7 @@ object ScaleOps {
     "scan_dpp_join",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(String, String, Long, Double)]
           .toDF("dt", "event_type", "cnt", "total_value")
       else dppRead(s, stageTimePartitioned(s, d))
@@ -729,7 +729,7 @@ object ScaleOps {
     "scan_orc",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(String, Long, Double)].toDF("event_type", "cnt", "total_value")
       else {
         val dir = TmpDirs.dir("events-orc")
@@ -1517,7 +1517,7 @@ object ScaleOps {
     "replay_dlq_redrive",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, Long, Long, Long, Long)].toDF(
           "n_dead_frames", "n_repaired", "n_recovered_msgs",
           "recovered_id_checksum", "recovered_cents")

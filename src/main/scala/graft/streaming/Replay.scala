@@ -504,7 +504,7 @@ object Replay {
       // Tables.events (not a raw read) so the nanos-timestamp heal runs
       // before anything touches the TIMESTAMP(NANOS) parquet on an
       // externally-built session.
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
       else aggregateReplayed(s, replayArchive(s, s"$d/events.parquet"))
@@ -525,7 +525,7 @@ object Replay {
     "replay_filtered",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, String, Long, Long)]
           .toDF("hour_start", "event_type_u", "cnt", "sum_k")
       else {
@@ -584,7 +584,7 @@ object Replay {
     "replay_rate_limited",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
       else {
@@ -649,7 +649,7 @@ object Replay {
     "replay_fanout_consistent",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(String, Long, Double, Long)]
           .toDF("event_type", "cnt", "total_value", "n_sink_mismatch")
       else {
@@ -725,7 +725,7 @@ object Replay {
     "replay_text_gz",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
       else aggregateReplayed(s, replayTextGz(s, Ndjson.stageGz(s, d, "events-ndjson-gz")))
@@ -748,7 +748,7 @@ object Replay {
     "replay_sliding",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, String, Long)].toDF("win_start", "event_type", "cnt")
       else runStreamToTable(s, s"$d/events.parquet") { in =>
         in.withColumn("ets", timestamp_millis(Tables.msExpr(in.schema)))
@@ -841,7 +841,7 @@ object Replay {
     "stream_dedup_watermark",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, Long, String, Long)]
           .toDF("event_id", "user_id", "event_type", "ms")
       else dedupWatermarked(s, d)
@@ -866,7 +866,7 @@ object Replay {
     "replay_time_range",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(String, String, Long, Double)]
           .toDF("dt", "event_type", "cnt", "total_value")
       else {
@@ -908,7 +908,7 @@ object Replay {
     "replay_backfill",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(String, Long, Double)]
           .toDF("event_type", "cnt", "total_value")
       else {
@@ -1002,7 +1002,7 @@ object Replay {
     "replay_schema_evolve",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(String, Long, Long, Long, Long)]
           .toDF("event_type", "cnt", "n_v1", "n_v2", "rev_sum")
       else replaySchemaEvolveAgg(s, d)
@@ -1055,7 +1055,7 @@ object Replay {
     "replay_kpl",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, String, Long, Double)]
           .toDF("hour_start", "event_type", "cnt", "total_value")
       else replayKplAgg(s, d)

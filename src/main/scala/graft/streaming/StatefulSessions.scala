@@ -262,7 +262,7 @@ object StatefulSessions {
     "stream_session_eventtime",
     (s, d) => {
       import s.implicits._
-      if (graft.core.Tables.events(s, d).isEmpty)
+      if (graft.core.Tables.eventsEmpty(s, d))
         Seq.empty[(Long, Long, Long, Double)]
           .toDF("user_id", "n_sessions", "n_events", "avg_session_ms")
       else runEventTime(s, s"$d/events.parquet")
@@ -286,7 +286,7 @@ object StatefulSessions {
       import s.implicits._
       // Tables.events heals the nanos-timestamp conf before the raw
       // streaming read in run() touches the TIMESTAMP(NANOS) parquet.
-      if (graft.core.Tables.events(s, d).isEmpty)
+      if (graft.core.Tables.eventsEmpty(s, d))
         Seq.empty[(Long, Long, Long, Double)]
           .toDF("user_id", "n_sessions", "n_events", "avg_session_ms")
       else run(s, s"$d/events.parquet")

@@ -107,7 +107,7 @@ object StreamJoin {
       import s.implicits._
       // Tables.events heals the nanos-timestamp conf before the raw
       // streaming reads touch the TIMESTAMP(NANOS) parquet.
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, Long, Double)].toDF("hour_start", "cnt", "avg_delay_ms")
       else
         run(s, s"$d/events.parquet")
@@ -154,7 +154,7 @@ object StreamJoin {
     "stream_join_outer",
     (s, d) => {
       import s.implicits._
-      if (Tables.events(s, d).isEmpty)
+      if (Tables.eventsEmpty(s, d))
         Seq.empty[(Long, Long, Long)].toDF("hour_start", "n_pairs", "n_unmatched")
       else
         run(s, s"$d/events.parquet", "left_outer")
