@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally passes through sbt's logger, which prefixes
+// every stdout line with "[info] ". The bench/verify driver extracts a
+// one-line JSON record from the process output; a decorated
+// "[info] {...}" line is not a JSON line. StdoutOutput inherits the
+// forked process's stdout/stderr verbatim so the record survives intact.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -7,14 +7,24 @@ object Bench {
    *  "[success] Total time: ..." line (~80 chars). Rounds 1-4 printed one
    *  unabridged JSON line (96 queries x full-precision doubles ~ 3.1 KB)
    *  whose head was sheared off, so every BENCH_r*.json landed with
-   *  parsed:null. Budget the line to fit the window with margin. */
-  private val MaxJsonLine = 1800
+   *  parsed:null. Budget the line to fit the window with margin.
+   *  (r16: tightened 1800 -> 1500 and emitted via raw stdout — see
+   *  outputStrategy in build.sbt — after 15 rounds of parsed:null with
+   *  the line present-but-"[info] "-prefixed in the captured tail.) */
+  private val MaxJsonLine = 1500
 
   /** Locale-pinned: the f-interpolator delegates to String.format with
    *  the DEFAULT locale, so a comma-decimal JVM would emit "1,234" and
    *  break the JSON line this formatting exists to keep parseable. */
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** 2-decimal variant for the stdout line only: at ~0.1–10 s per key a
+   *  centisecond is far below run-to-run noise, and the saved bytes keep
+   *  more per-query entries verbatim inside the tail window. The full
+   *  record (bench_full.json) keeps full precision. */
+  private def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   /** 1-minute loadavg, read when called — a loaded machine (e.g. a bench
    *  run concurrent with other end-of-round activity) self-identifies in
@@ -34,10 +44,10 @@ object Bench {
       errors: Seq[String], load: String, stagingSec: Double): String = {
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(keep: Seq[(String, Double)], restN: Int, restSum: Double): String = {
-      val entries = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
-        (if (restN > 0) Seq("\"_rest_n\":" + restN, "\"_rest_sec\":" + fmt(restSum)) else Nil)
+      val entries = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt2(v) } ++
+        (if (restN > 0) Seq("\"_rest_n\":" + restN, "\"_rest_sec\":" + fmt2(restSum)) else Nil)
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load":"$load","errors":$errJson,"index_staging_sec":${fmt(stagingSec)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${results.size},"load":"$load","errors":$errJson,"index_staging_sec":${fmt2(stagingSec)},"queries":$qs,"sf":"$sfDir"}"""
     }
     // Drop cheapest-first until the line fits.
     val byCost = results.sortBy(_._2)
@@ -204,11 +214,20 @@ object Bench {
           ",\"operator_sec\":" + fmt(math.max(0.0, t - floor)) + "}"
     }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":"$load","errors":$errJson,"index_staging_sec":$stagingTotal,"index_staging":$stagingJson,"index_store_hits":$storeHitsJson,"stream_split":$streamSplitJson,"queries":$fullQs,"sf":"$sfDir"}"""
+    // SPARK_GRAFT_ONLY runs write to a sidecar: the committed
+    // bench_full.json is the full-409-key driver-protocol record and a
+    // targeted subset run must never clobber it (r15's snapshot committed
+    // exactly that clobber and ScaleProofSpec correctly went red).
+    val fullPath = if (only.isDefined) "bench_full.subset.json" else "bench_full.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case t: Throwable => System.err.println(s"[bench] bench_full.json write failed: $t") }
-    println(render(results, total, sfDir, errors.toSeq, load, stagingTotal))
+    } catch { case t: Throwable => System.err.println(s"[bench] $fullPath write failed: $t") }
+    val oneLine = render(results, total, sfDir, errors.toSeq, load, stagingTotal)
     spark.stop()
+    // Emit the driver-contract line LAST, after spark.stop(), so no
+    // shutdown logging can land between it and process exit.
+    println(oneLine)
+    System.out.flush()
   }
 }

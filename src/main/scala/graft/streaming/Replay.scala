@@ -686,18 +686,19 @@ object Replay {
           s.read.option("basePath", dir).parquet(s"$dir/epoch=*")
             .select($"event_id", $"event_type", $"ms", $"cents")
         val (a, b) = (sink(dirA), sink(dirB))
-        // multiset symmetric difference as ONE co-partitioned count
-        // compare: |A∖B| + |B∖A| = Σ_row |countA − countB|. The
-        // exceptAll spelling planned two replicate-rows aggregate
-        // trees, scanning each sink twice; this is one keyed agg per
-        // sink + one full-outer join on the same key — same verified
-        // quantity (pinned 0 by the oracle), half the passes.
+        // multiset symmetric difference as ONE keyed aggregate:
+        // |A∖B| + |B∖A| = Σ_row |countA − countB| = Σ_key |Σ ±1|
+        // over the union of A (+1) and B (−1). One shuffle, no join;
+        // groupBy groups NULL keys together exactly like the original
+        // exceptAll spelling (r15 ADVICE: the full_outer equi-join it
+        // briefly used was not null-safe). Same verified quantity
+        // (pinned 0 by the oracle).
         val cols = Seq("event_id", "event_type", "ms", "cents")
-        def keyed(df: DataFrame, n: String): DataFrame =
-          df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(n))
-        val mism = keyed(a, "ca").join(keyed(b, "cb"), cols, "full_outer")
-          .agg(coalesce(sum(abs(coalesce($"ca", lit(0L)) - coalesce($"cb", lit(0L)))),
-            lit(0L)).cast("long").as("n_sink_mismatch"))
+        val mism = a.withColumn("w", lit(1L))
+          .unionByName(b.withColumn("w", lit(-1L)))
+          .groupBy(cols.map(col): _*).agg(sum($"w").as("d"))
+          .agg(coalesce(sum(abs($"d")), lit(0L))
+            .cast("long").as("n_sink_mismatch"))
         a.groupBy("event_type").agg(
             count(lit(1)).as("cnt"),
             Det.dround(sum($"cents".cast(Det.Dec)).cast("double") / 100, 2)
