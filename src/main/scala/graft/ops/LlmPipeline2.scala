@@ -1278,11 +1278,36 @@ object LlmPipeline2 {
     * base corpus; the append is a partition add to the store, not a
     * rewrite. The one driver-side scalar (max id) is a 1-row agg.
     */
+  /** The pristine persisted IVF artifact pair for (corpus, K) as ONE
+    * copyable directory, staged through the durable store exactly once
+    * per corpus (r15 VERDICT ask #5): `index_append` must start every
+    * invocation from an un-appended base to stay idempotent across
+    * bench reps, and re-running [[ivfPersist]]'s two parquet writes per
+    * call was the entire re-staging cost. Now the base is written once
+    * and each invocation takes a fresh HARDLINK copy (same-tmpfs, ~0 s;
+    * parquet part files are immutable so sharing bytes is safe) that
+    * the append then physically grows — the declared
+    * grow-the-stored-table semantic, without the per-call rewrite.
+    */
+  private def ivfPristine(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val k = ivfDerivedK(corpusStats(s, d)._1)
+    graft.core.IndexCache.dir(s"ivf-pristine|K=$k|$d") {
+      val (_, a2, c2) = ivfIndex(s, d, k)
+      val out = graft.core.TmpDirs.dir("ivf-pristine")
+      a2.write.mode("overwrite").parquet(s"$out/assignments")
+      c2.write.mode("overwrite").parquet(s"$out/centroids")
+      out
+    }
+  }
+
   private val indexAppend = Q(
     "index_append",
     (s, d) => {
       import s.implicits._
-      val (ap, cp) = ivfPersist(s, d)
+      val work = graft.core.TmpDirs.dir("ivf-append")
+      graft.core.TmpDirs.linkOrCopyTree(ivfPristine(s, d), work)
+      val (ap, cp) = (s"$work/assignments", s"$work/centroids")
       val c2r = s.read.parquet(cp)
       // 1-row scalar; -1 sentinel keeps the empty-corpus path alive
       // (empty batch, empty grown index — never a null-row throw)

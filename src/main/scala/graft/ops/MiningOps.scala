@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Det, OSql, Q, Tables}
+import graft.core.{Det, Mat, OSql, Q, Tables}
 
 /** Graph mining, behavioral pattern matching, and recommendation-prep
   * operators: BFS hop distances, Adamic-Adar link prediction,
@@ -51,22 +51,37 @@ object MiningOps {
     * user↔type graph ([[graphBfsDepth]] histograms it;
     * [[graphClosenessSeeded]] reduces it to centralities). The edge
     * list and each round's (node, dist) table are lineage-cut with
-    * eager localCheckpoints — `dist` feeds BOTH the relax join and the
+    * eager materialization — `dist` feeds BOTH the relax join and the
     * union each round, so left lazy the logical tree doubles per round
     * (2⁴ copies of the base by round 4: quadratic planning and, when
-    * exchange reuse misses, re-execution); the checkpointed table is
+    * exchange reuse misses, re-execution); the per-round table is
     * node-bounded, the same per-round discipline as
     * LlmPipeline.connectedComponents.
+    *
+    * The EDGE list, unlike the dist tables, is O(distinct user↔type
+    * pairs) — unbounded in users — and `localCheckpoint` storage is
+    * executor-local and non-replicated (an executor loss after the
+    * checkpoint has no recompute path). So the materialization is
+    * size-gated on the archive (r15 VERDICT ask #9): small corpora
+    * keep the in-memory checkpoint, anything above the threshold
+    * spills the edge list to scratch parquet ([[graft.core.Mat]] —
+    * fault-tolerant, re-readable lineage) instead. The gate reads
+    * directory bytes (no extra job) like every other size-derived knob.
     */
+  private val EdgeCheckpointMaxArchiveBytes = 2L << 30
+
   private def bfsDist(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.events(s, d)
       .select(concat(lit("u:"), $"user_id".cast("string")).as("src"),
         concat(lit("t:"), $"event_type").as("dst"))
       .distinct()
-    val edges = pairs.unionByName(
+    val edgesLazy = pairs.unionByName(
       pairs.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint(true)
+    val edges =
+      if (Tables.dirBytes(s"$d/events.parquet") <= EdgeCheckpointMaxArchiveBytes)
+        edgesLazy.localCheckpoint(true)
+      else Mat(s, edgesLazy, "bfs-edges")
     var dist = s.range(1).select(lit("t:purchase").as("node"), lit(0L).as("dist"))
     for (_ <- 1 to 4) {
       val relaxed = edges.join(dist, edges("src") === dist("node"))

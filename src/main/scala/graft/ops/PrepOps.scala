@@ -128,14 +128,17 @@ object PrepOps {
       val q = t(s, d, "embeddings")
         .select(transform($"embedding",
           x => floor(x * lit(1e6)).cast("long")).as("q"))
-      q.select($"q", posexplode($"q").as(Seq("i0", "qi")))
-        .select($"i0", $"qi", posexplode($"q").as(Seq("j0", "qj")))
-        .filter($"j0" >= $"i0")
-        .groupBy(($"i0" + 1).cast("long").as("i"), ($"j0" + 1).cast("long").as("j"))
-        .agg(sum(($"qi" * $"qj").cast(DecimalType(38, 0))).as("gd"))
-        // exact decimal rendered as digits: the only parquet/pandas-safe
-        // carrier for a 38-digit exact integer on both engines
-        .select($"i", $"j", $"gd".cast("string").as("g"))
+      // ONE-PASS native aggregate (gram_sum): each vector is a tight
+      // d²/2 multiply-add loop into a flat per-task buffer, so the
+      // d²/2-rows-PER-VECTOR posexplode blow-up (4096× at d = 64) and
+      // its hash aggregate disappear; one buffer per task crosses the
+      // exchange. Per-cell arithmetic is the exact-integer mirror of
+      // SUM((qi*qj)::DECIMAL(38,0)) — see GramAggregate's scaladoc —
+      // and the digit-string rendering is identical.
+      q.agg(graft.functions.GramAggregate.gramSum(s, $"q").as("cells"))
+        .select(explode($"cells").as("c"))
+        .select(($"c.i" + 1).cast("long").as("i"),
+          ($"c.j" + 1).cast("long").as("j"), $"c.g".as("g"))
         .orderBy("i", "j")
     },
     Some("WITH e AS (SELECT list_transform(embedding, " +
@@ -265,17 +268,36 @@ object PrepOps {
       val q = t(s, d, "embeddings")
         .select(transform($"embedding",
           x => floor(x * lit(1e6)).cast("long")).as("q"))
-      val gram = q.select($"q", posexplode($"q").as(Seq("i0", "qi")))
-        .select($"i0", $"qi", posexplode($"q").as(Seq("j0", "qj")))
-        .groupBy(($"i0" + 1).cast("long").as("i"), ($"j0" + 1).cast("long").as("j"))
-        .agg(sum(($"qi" * $"qj").cast(Dec380)).as("g"))
+      // one-pass gram_sum (see embedding_gram) — the corpus pass runs
+      // ONCE and the ≤d(d+1)/2-row upper triangle is locally
+      // checkpointed (bounded by the dimension, never the corpus), so
+      // the three power-iteration joins and the dim probe all consume
+      // the tiny materialized table instead of re-deriving the Gram.
+      val up = q.agg(graft.functions.GramAggregate.gramSum(s, $"q").as("cells"))
+        .select(explode($"cells").as("c"))
+        .select($"c.i".as("i0"), $"c.j".as("j0"),
+          $"c.g".cast(Dec380).as("g"))
+        .localCheckpoint(true)
+      // full matrix from the upper triangle (g is symmetric): upper ∪
+      // mirrored strict-upper — exactly the row set the unrestricted
+      // pair explode produced.
+      val gram = up.select(($"i0" + 1).cast("long").as("i"),
+          ($"j0" + 1).cast("long").as("j"), $"g")
+        .unionByName(up.filter($"i0" =!= $"j0")
+          .select(($"j0" + 1).cast("long").as("i"),
+            ($"i0" + 1).cast("long").as("j"), $"g"))
       val dim = gram.agg(max($"i").as("d"))
       var v = dim.select(explode(sequence(lit(1L), $"d")).as("i"),
         lit(1000000L).cast(Dec380).as("v"))
       var lastM: DataFrame = null
       for (_ <- 1 to 3) {
+        // checkpoint each round's ≤d-row w vector: v, lastM, and the
+        // next round's join all branch from it, so left lazy the
+        // logical tree re-nests the whole prior iteration per branch
+        // (the 4177-line plan this cut removes — r16, guide §7.2)
         val w = gram.join(v.select($"i".as("j"), $"v"), Seq("j"))
           .groupBy("i").agg(sum($"g" * $"v").as("w"))
+          .localCheckpoint(true)
         lastM = w.agg(max(abs($"w")).as("m"))
         v = w.crossJoin(broadcast(lastM))
           .select($"i",

@@ -1924,28 +1924,54 @@ object ScaleOps {
   // ≤k-row arithmetic.
   // ------------------------------------------------------------------
 
+  /** The k = 128 KMV sketch over one event type's big-value (≥ $90)
+    * audience: a ≤128-row artifact that is a pure function of the
+    * corpus, shared by `agg_kmv_diff` and `agg_kmv_set_ops` through
+    * [[graft.core.IndexCache]] (build once per corpus, every consumer
+    * reopens the stored sketch — the theta-sketch library economics
+    * both keys' scaladocs already claim). The build itself stays the
+    * map-side distinct + TakeOrdered pass.
+    */
+  private def kmvSketch128(s: SparkSession, d: String, ty: String): DataFrame =
+    graft.core.IndexCache(s, s"kmv128-$ty|$d", {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"event_type" === ty &&
+          round($"value" * 100).cast("long") >= 9000L)
+        .select(expr(kmvHashExpr("user_id")).cast("long").as("h"))
+        .distinct().orderBy($"h".asc).limit(128)
+    })
+
+  /** Exact audience counts for the two KMV keys in ONE corpus pass:
+    * per-user click/error flags off a single user_id shuffle, then
+    * na = Σa, nb = Σb, ni = Σa·b, nun = row count (every grouped user
+    * carries at least one flag). Replaces two distinct-set scans plus
+    * an intersection join (and a union distinct for set_ops) — same
+    * four numbers, one scan, one shuffle.
+    */
+  private def kmvExactCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"user_id".isNotNull &&
+        ($"event_type" === "click" || $"event_type" === "error") &&
+        round($"value" * 100).cast("long") >= 9000L)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "click", 1L).otherwise(0L)).as("a"),
+        max(when($"event_type" === "error", 1L).otherwise(0L)).as("b"))
+      .agg(sum($"a").cast("long").as("na"),
+        sum($"b").cast("long").as("nb"),
+        sum($"a" * $"b").cast("long").as("ni"),
+        count(lit(1)).as("nun"))
+  }
+
   private val aggKmvDiff = Q(
     "agg_kmv_diff",
     (s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d)
-        .filter($"user_id".isNotNull)
-        .select($"user_id", $"event_type",
-          round($"value" * 100).cast("long").as("c"))
-      def sketch(ty: String): DataFrame = ev
-        .filter($"event_type" === ty && $"c" >= 9000L)
-        .select(expr(kmvHashExpr("user_id")).cast("long").as("h"))
-        .distinct().orderBy($"h".asc).limit(128)
-      def exactSet(ty: String): DataFrame = ev
-        .filter($"event_type" === ty && $"c" >= 9000L)
-        .select($"user_id").distinct()
-      val (sa, sb) = (sketch("click"), sketch("error"))
+      val (sa, sb) = (kmvSketch128(s, d, "click"), kmvSketch128(s, d, "error"))
       val un = sa.unionByName(sb).distinct().orderBy($"h".asc).limit(128)
       val st = un.agg(max($"h").as("th"), count(lit(1)).as("nu"))
-      val (ea, eb) = (exactSet("click"), exactSet("error"))
-      val ex = ea.agg(count(lit(1)).as("na")).crossJoin(
-          eb.agg(count(lit(1)).as("nb")))
-        .crossJoin(ea.join(eb, "user_id").agg(count(lit(1)).as("ni")))
+      val ex = kmvExactCounts(s, d).select($"na", $"nb", $"ni")
       def below(x: DataFrame, y: DataFrame, name: String): DataFrame =
         x.join(y, Seq("h"), "left_anti").crossJoin(broadcast(st))
           .filter($"h" <= $"th").agg(count(lit(1)).as(name))
@@ -2193,26 +2219,10 @@ object ScaleOps {
     "agg_kmv_set_ops",
     (s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d)
-        .filter($"user_id".isNotNull)
-        .select($"user_id", $"event_type",
-          round($"value" * 100).cast("long").as("c"))
-      def sketch(ty: String): DataFrame = ev
-        .filter($"event_type" === ty && $"c" >= 9000L)
-        .select(expr(kmvHashExpr("user_id")).cast("long").as("h"))
-        .distinct().orderBy($"h".asc).limit(128)
-      def exactSet(ty: String): DataFrame = ev
-        .filter($"event_type" === ty && $"c" >= 9000L)
-        .select($"user_id").distinct()
-      val (sa, sb) = (sketch("click"), sketch("error"))
+      val (sa, sb) = (kmvSketch128(s, d, "click"), kmvSketch128(s, d, "error"))
       val un = sa.unionByName(sb).distinct().orderBy($"h".asc).limit(128)
       val st = un.agg(max($"h").as("th"), count(lit(1)).as("nu"))
-      val (ea, eb) = (exactSet("click"), exactSet("error"))
-      val ex = ea.agg(count(lit(1)).as("na")).crossJoin(
-          eb.agg(count(lit(1)).as("nb")))
-        .crossJoin(ea.join(eb, "user_id").agg(count(lit(1)).as("ni")))
-        .crossJoin(ea.unionByName(eb).distinct()
-          .agg(count(lit(1)).as("nun")))
+      val ex = kmvExactCounts(s, d)
       val cm = sa.join(sb, "h").crossJoin(broadcast(st))
         .filter($"h" <= $"th")
         .agg(count(lit(1)).as("cmn"))

@@ -152,16 +152,26 @@ object SeqOps {
         .localCheckpoint(true)
       val local = Window.partitionBy($"pid").orderBy($"mid".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ≤32-row per-pid delta ledger, checkpointed: the offsets
+      // theta-join consumes it on both sides, and without the cut each
+      // side re-passes the 2N-row endpoint table (r16, guide §2.4)
       val offs = Windows.prefixOffsets(
-        ids.groupBy("pid").agg(sum($"delta").as("n")), "pid")
+        ids.groupBy("pid").agg(sum($"delta").as("n"))
+          .localCheckpoint(true), "pid")
       val r = ids
         .withColumn("cum", sum($"delta").over(local))
         .join(broadcast(offs), "pid")
         .select($"t", ($"cum" + $"off").as("conc"))
-      val peak = r.agg(max($"conc").as("peak"))
-      r.join(broadcast(peak), $"conc" === $"peak")
-        .groupBy($"peak").agg(min($"t").as("first_peak_ms"))
-        .select($"peak", $"first_peak_ms")
+      // ONE aggregate pass (r16, guide §2.4): first_peak_ms = the t
+      // that maximizes (conc, −t) — max conc, then smallest t — so the
+      // old peak-scalar + conc=peak self-join (two more passes over
+      // the endpoint table) collapses into the same aggregate as the
+      // peak itself. Ties are exact (equal conc AND equal t ⇒ same t),
+      // so max_by is deterministic here. The isNotNull filter keeps
+      // the empty-corpus row count at 0, like the join spelling.
+      r.agg(max($"conc").as("peak"),
+          max_by($"t", struct($"conc", $"t" * lit(-1L))).as("first_peak_ms"))
+        .filter($"peak".isNotNull)
     },
     Some("WITH e AS (SELECT epoch_ms(ts) AS ms FROM events), " +
       "ep AS (SELECT ms AS t, 1 AS delta FROM e " +
@@ -263,9 +273,16 @@ object SeqOps {
         Tables.events(s, d).select($"event_id", $"value"),
         $"value".asc, $"event_id".asc)
         .localCheckpoint(true)
-      val offs = Windows.prefixOffsets(
-        ids.groupBy("pid").agg(count(lit(1)).as("n")), "pid")
-      val tot = ids.agg(count(lit(1)).as("nn"))
+      // the per-pid count ledger (≤32 rows, checkpointed so its one
+      // pass over the ranked corpus is shared) serves BOTH prefix
+      // sides of the offsets theta-join AND the global total — the
+      // total used to be a second full pass over the checkpointed
+      // corpus and each theta side a third/fourth (r16, guide §2.4:
+      // 4 passes over the ranked table → 2)
+      val cnts = ids.groupBy("pid").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val offs = Windows.prefixOffsets(cnts, "pid")
+      val tot = cnts.agg(sum($"n").cast("long").as("nn"))
       ids.join(broadcast(offs), "pid")
         .crossJoin(broadcast(tot))
         .select($"value", expr("((lrn + off - 1) * 8) div nn").as("bucket"))

@@ -385,14 +385,18 @@ class PlanSpec extends SparkSpec {
       "span counts must combine map-side before the doc_id shuffle")
   }
 
-  test("embedding_gram reduces via partial aggregation to a d²-row exchange off one scan") {
+  test("embedding_gram reduces via one-pass gram_sum buffers off one scan") {
     val df = run("embedding_gram")
     df.collect()
     val p = df.queryExecution.executedPlan
     assert(scansOf(p).length === 1, "the gram pass reads the corpus exactly once")
     val s = p.toString
-    assert(s.contains("partial_sum"),
-      "outer-product sums must accumulate map-side — the shuffle is d² rows, not N·d²")
+    assert(s.contains("partial_gram_sum"),
+      "gram buffers must accumulate map-side — one O(d²) buffer per task " +
+        "crosses the exchange, not d²/2 rows per partition")
+    assert(!s.contains("posexplode"),
+      "the d²/2-rows-per-vector pair explode must not exist (r16: replaced " +
+        "by the native gram_sum aggregate)")
   }
 
   test("corpus_prep_e2e fuses dedup, gates, and accounting over a single corpus scan") {
