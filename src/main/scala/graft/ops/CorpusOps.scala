@@ -608,8 +608,14 @@ object CorpusOps {
         .withColumn("w2", lead($"w", 1).over(wNext))
         .filter($"w2".isNotNull)
         .select($"doc_id", $"w".as("w1"), $"w2")
+      // vocabulary-bounded count ledgers, checkpointed: cBig also
+      // feeds the scoring join and cUni both the join and the V
+      // scalar — left lazy each consumer re-ran its own tokenize
+      // pass over the corpus (r16, guide §2.4)
       val cBig = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
       val cUni = tok.groupBy("w").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(true)
       val vocab = cUni.agg(count(lit(1)).cast("double").as("vv"))
       big.join(cBig, Seq("w1", "w2"))
         .join(cUni.select($"w".as("w1"), $"c1"), Seq("w1"))
@@ -1129,7 +1135,13 @@ object CorpusOps {
       val big = tok.withColumn("w2", lead($"w", 1).over(wNext))
         .filter($"w2".isNotNull)
         .select($"lang", $"w".as("w1"), $"w2")
+      // the bigram count ledger feeds FOUR branches (ctx, cont, bt,
+      // and the scored join) — checkpointed so the tokenize + lead
+      // window + count collapse over the corpus runs ONCE, not once
+      // per branch (r16, guide §2.4). The ledger is distinct-bigram
+      // (Heaps-sublinear vocabulary), far below corpus scale.
       val cb = big.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
       val ctx = cb.groupBy("lang", "w1")
         .agg(sum($"c12").as("c1"), count(lit(1)).as("nf"))
       val cont = cb.groupBy("lang", "w2").agg(count(lit(1)).as("nc"))

@@ -62,26 +62,20 @@ object MiningOps {
     * pairs) — unbounded in users — and `localCheckpoint` storage is
     * executor-local and non-replicated (an executor loss after the
     * checkpoint has no recompute path). So the materialization is
-    * size-gated on the archive (r15 VERDICT ask #9): small corpora
-    * keep the in-memory checkpoint, anything above the threshold
-    * spills the edge list to scratch parquet ([[graft.core.Mat]] —
-    * fault-tolerant, re-readable lineage) instead. The gate reads
-    * directory bytes (no extra job) like every other size-derived knob.
+    * size-gated on the archive (r15 VERDICT ask #9, [[Mat.gated]]):
+    * small corpora keep the in-memory checkpoint, anything above the
+    * threshold spills the edge list to scratch parquet (fault-
+    * tolerant, re-readable lineage) instead.
     */
-  private val EdgeCheckpointMaxArchiveBytes = 2L << 30
-
   private def bfsDist(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.events(s, d)
       .select(concat(lit("u:"), $"user_id".cast("string")).as("src"),
         concat(lit("t:"), $"event_type").as("dst"))
       .distinct()
-    val edgesLazy = pairs.unionByName(
-      pairs.select($"dst".as("src"), $"src".as("dst")))
-    val edges =
-      if (Tables.dirBytes(s"$d/events.parquet") <= EdgeCheckpointMaxArchiveBytes)
-        edgesLazy.localCheckpoint(true)
-      else Mat(s, edgesLazy, "bfs-edges")
+    val edges = Mat.gated(s,
+      pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst"))),
+      "bfs-edges", s"$d/events.parquet")
     var dist = s.range(1).select(lit("t:purchase").as("node"), lit(0L).as("dist"))
     for (_ <- 1 to 4) {
       val relaxed = edges.join(dist, edges("src") === dist("node"))
@@ -818,7 +812,11 @@ object MiningOps {
       val e = coEdges(s, d) // canonical a < b, distinct
       val sym = e.select($"a".as("n"), $"b".as("m"))
         .unionByName(e.select($"b".as("n"), $"a".as("m")))
+      // node-bounded degree ledger, checkpointed: three join branches
+      // (both orientation sides + the coefficient join) each re-ran
+      // the 2×-edge union + count when left lazy (r16, guide §2.4)
       val deg = sym.groupBy($"n").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
       val withDeg = e
         .join(deg.select($"n".as("a"), $"dg".as("da")), "a")
         .join(deg.select($"n".as("b"), $"dg".as("db")), "b")

@@ -1647,10 +1647,18 @@ object ScaleOps {
     "agg_bloom_membership",
     (s, d) => {
       import s.implicits._
-      val u = Tables.events(s, d)
-        .filter($"user_id".isNotNull).select($"user_id").distinct()
+      // THREE branches (filter bits, absent-probe spine, present
+      // probes) consume the distinct-user set, and two consume the
+      // ≤4096-bit ledger — materialized once each instead of
+      // re-running the distinct shuffle per branch (r16, guide §2.4;
+      // u is sub-corpus and size-gated, bits is bounded)
+      val u = graft.core.Mat.gated(s,
+        Tables.events(s, d)
+          .filter($"user_id".isNotNull).select($"user_id").distinct(),
+        "bloom-users", s"$d/events.parquet")
       val bits = u.withColumn("dep", explode(sequence(lit(0), lit(3))))
         .select(expr(bloomHashExpr("dep", "user_id")).as("bit")).distinct()
+        .localCheckpoint(true)
       val absent = u.agg(max($"user_id").as("mx"))
         .select(explode(sequence($"mx" + 1, $"mx" + 100)).as("probe_id"))
       val probes = u.select($"user_id".as("probe_id"), lit(1L).as("present"))
@@ -1856,8 +1864,12 @@ object ScaleOps {
         .withColumn("h", expr(cmsHashExpr("dep", "user_id")))
         .groupBy("event_type", "dep", "h").agg(count(lit(1)).as("c"))
         .groupBy("dep", "h").agg(sum($"c").cast("long").as("cnt"))
+      // the 10-row top table feeds BOTH probe joins — checkpointed so
+      // the exact-count corpus pass behind it runs once, not twice
+      // (r16, guide §2.4)
       val top = u.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
         .orderBy($"exact_cnt".desc, $"user_id".asc).limit(10)
+        .localCheckpoint(true)
       val probes = top
         .withColumn("dep", explode(sequence(lit(0), lit(3))))
         .withColumn("h", expr(cmsHashExpr("dep", "user_id")))
@@ -2071,10 +2083,14 @@ object ScaleOps {
       val direct = u.select($"user_id").distinct()
         .withColumn("dep", explode(sequence(lit(0), lit(3))))
         .select(expr(bloomHashExpr("dep", "user_id")).as("bit")).distinct()
+      // bounded per-shard bit ledger (≤4096·|types| rows), checkpointed:
+      // the OR-merge and the shard stats both consume it, and each lazy
+      // branch re-ran the corpus explode+distinct (r16, guide §2.4)
       val shards = u
         .withColumn("dep", explode(sequence(lit(0), lit(3))))
         .select($"event_type", expr(bloomHashExpr("dep", "user_id")).as("bit"))
         .distinct()
+        .localCheckpoint(true)
       val merged = shards.select($"bit").distinct()
       val shardStats = shards
         .agg(countDistinct($"event_type").as("n_shards"),

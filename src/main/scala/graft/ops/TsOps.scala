@@ -41,6 +41,14 @@ object TsOps {
     * integer cent sums per (type, epoch-hour), collapsed map-side. A
     * grid change (rounding, bucketing) lands here and stays in sync
     * across every consumer and its oracle.
+    *
+    * Eagerly checkpointed (r16, guide §2.4): the grid is
+    * CALENDAR-BOUNDED (|types| × spanned hours — ~2.4k rows at sf0.1,
+    * growing with the time span, never the corpus), but almost every
+    * consumer branches over it several times (seasonal profile +
+    * residual + moments; lag spines; decompositions), and each lazy
+    * branch re-ran the fact-scale hourly collapse. One materialization
+    * = one corpus pass per query regardless of branch count.
     */
   private def hourlyCents(s: SparkSession, d: String) = {
     import s.implicits._
@@ -48,6 +56,7 @@ object TsOps {
       .select($"event_type", expr(Det.fdivExpr("ms", "3600000")).as("h"),
         round($"value" * 100).cast("long").as("c"))
       .groupBy("event_type", "h").agg(sum($"c").as("v"))
+      .localCheckpoint(true)
   }
 
   private val hourlyCtes: String =

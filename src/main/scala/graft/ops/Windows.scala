@@ -34,12 +34,23 @@ object Windows {
     * single-partition WindowExec. Property-tested against a
     * driver-side scan in PropertySpec.
     */
-  private[graft] def prefixOffsets(cnts: DataFrame, pidCol: String): DataFrame =
-    cnts.as("a").join(
-        broadcast(cnts.as("b")),
+  private[graft] def prefixOffsets(cnts: DataFrame, pidCol: String): DataFrame = {
+    // The ≤P-row count ledger feeds BOTH sides of the theta-join, and
+    // left lazy each side re-derives it — one extra full pass over the
+    // caller's (usually corpus-sized) ranked input per rank, at every
+    // one of the ~25 two-phase call sites. Checkpoint the ledger once
+    // (bounded by the partition/bucket count) unless the caller already
+    // handed us a materialized one (r16, guide §2.4).
+    val c = cnts.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => cnts
+      case _ => cnts.localCheckpoint(true)
+    }
+    c.as("a").join(
+        broadcast(c.as("b")),
         col(s"b.$pidCol") < col(s"a.$pidCol"), "left_outer")
       .groupBy(col(s"a.$pidCol").as(pidCol))
       .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+  }
 
   /** Phase 1 of every two-phase global-rank spelling, shared by the
     * whole family (distributed rank/dense/ntile/percent_rank, the
