@@ -1970,9 +1970,12 @@ object ScaleOps {
       .groupBy($"user_id")
       .agg(max(when($"event_type" === "click", 1L).otherwise(0L)).as("a"),
         max(when($"event_type" === "error", 1L).otherwise(0L)).as("b"))
-      .agg(sum($"a").cast("long").as("na"),
-        sum($"b").cast("long").as("nb"),
-        sum($"a" * $"b").cast("long").as("ni"),
+      // coalesce: SUM over an empty grouped set is NULL where the old
+      // count(*)-over-distinct-set spelling was 0 — both-audiences-empty
+      // corpora (PropertySpec generates them) must read 0/0/0/0
+      .agg(coalesce(sum($"a"), lit(0L)).cast("long").as("na"),
+        coalesce(sum($"b"), lit(0L)).cast("long").as("nb"),
+        coalesce(sum($"a" * $"b"), lit(0L)).cast("long").as("ni"),
         count(lit(1)).as("nun"))
   }
 
